@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scans over the fixture catalog (TESTDATA.md). One parquet file per
+  * logical table; reads are plain `spark.read.parquet` so Catalyst keeps
+  * filter pushdown + column pruning all the way into the scan.
+  *
+  * At cluster scale these would be partitioned/bucketed tables (SURVEY.md
+  * §4: partition by date so the reference's date-range access pattern —
+  * stock_pipeline.py:159-168 — prunes partitions); the loader API is the
+  * same either way.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark 4 rejects outright. Read nanos as long (legacy conf) and truncate
+    * to a microsecond timestamp — the same floor DuckDB applies when casting
+    * TIMESTAMP_NS → TIMESTAMP, so oracle values line up exactly.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Register every fixture table as a temp view so users can hit the whole
+    * catalog through `spark.sql(...)` — the SQL surface of the engine.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+        "region", "events", "documents", "embeddings")
+      .foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+}
