@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.CoreBatch
+import graft.operators.{CoreBatch, WindowFeatures}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,7 @@ import graft.operators.CoreBatch
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    CoreBatch)
+    CoreBatch, WindowFeatures)
 
   private lazy val allDefs: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

@@ -1,0 +1,325 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window / time-series feature operators (SURVEY.md §2.5 W1–W9 and §2.11
+  * M1–M3): the notebook feature-engineering surface (pandas grouped
+  * shift/rolling/pct_change — 01…06_*.ipynb) re-expressed as Spark window
+  * specs over the daily-bars roll-up of the lineitem fact.
+  *
+  * Scale notes: every query here is ONE shuffle on the partition key
+  * (ticker) — the window functions then run sorted within partitions with
+  * no further exchange. At 100 TB the bars table would be bucketed by
+  * ticker so even that shuffle disappears. No driver-side collection
+  * anywhere; the "fit" side of the scaler (M3) is a tiny per-key aggregate
+  * that broadcast-joins back onto the rows.
+  *
+  * Determinism: double values flow through lead/lag/arithmetic unchanged
+  * (bit-identical on any engine); frame averages use exact DECIMAL sums
+  * (never float accumulation); ratios divide exact ints. See QueryDef.
+  */
+object WindowFeatures extends QueryModule {
+
+  /** Daily close bars per ticker — pinned-order first/last semantics
+    * (min_by/max_by over the unique intra-day sequence; SURVEY.md §7.4 on
+    * the reference's order-dependence bug at build_training_dataset.py:31).
+    */
+  private[operators] def bars(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .withColumn("seq", $"l_orderkey" * 16 + $"l_linenumber")
+      .groupBy($"l_suppkey".as("ticker"), to_date($"l_shipdate").as("date"))
+      .agg(
+        max_by($"l_extendedprice", $"seq").as("close"),
+        count(lit(1)).as("volume"))
+  }
+
+  private[operators] val barsSql = """
+      bars AS (
+        SELECT l_suppkey AS ticker, CAST(l_shipdate AS DATE) AS date,
+               arg_max(l_extendedprice, l_orderkey * 16 + l_linenumber) AS close,
+               count(*) AS volume
+        FROM lineitem GROUP BY 1, 2)"""
+
+  private def wTicker = Window.partitionBy("ticker").orderBy("date")
+
+  /** Exact frame average: DECIMAL sum over the frame, one double division.
+    * Plain `avg(...) over frame` is float-accumulation-order-dependent.
+    */
+  private def frameAvg(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(c.cast(DecimalType(28, 2))).over(w).cast("double") /
+      count(c).over(w).cast("double")
+
+  // ---------------------------------------------------------------------
+  // q18 — lead/lag label engineering (W1/W2/W3): next-day close label,
+  // direction label, previous-day lag features (01/02/03/05 notebooks).
+  // ---------------------------------------------------------------------
+  private val q18 = QueryDef(
+    "q18_lead_lag_labels",
+    (spark, dir) => {
+      import spark.implicits._
+      bars(spark, dir)
+        .withColumn("close_next", lead($"close", 1).over(wTicker))
+        .withColumn("close_prev", lag($"close", 1).over(wTicker))
+        .withColumn("direction",
+          when($"close_next".isNull, lit(null).cast("int"))
+            .otherwise(($"close_next" > $"close").cast("int")))
+        .select($"ticker", $"date", $"close", $"close_next", $"close_prev", $"direction")
+        .orderBy($"ticker", $"date")
+    },
+    Some(s"""
+      WITH $barsSql
+      SELECT ticker, date, close,
+             lead(close, 1) OVER (PARTITION BY ticker ORDER BY date) AS close_next,
+             lag(close, 1)  OVER (PARTITION BY ticker ORDER BY date) AS close_prev,
+             CAST(lead(close, 1) OVER (PARTITION BY ticker ORDER BY date) > close AS INT) AS direction
+      FROM bars ORDER BY ticker, date"""))
+
+  // ---------------------------------------------------------------------
+  // q19 — returns (W4/W5): pct_change daily return and next-day return
+  // (app.py:86, 06 · cell 4). Pure double arithmetic over lag/lead values
+  // — bit-identical across engines, no rounding needed.
+  // ---------------------------------------------------------------------
+  private val q19 = QueryDef(
+    "q19_returns",
+    (spark, dir) => {
+      import spark.implicits._
+      val prev = lag($"close", 1).over(wTicker)
+      val nxt = lead($"close", 1).over(wTicker)
+      bars(spark, dir)
+        .withColumn("daily_return", ($"close" - prev) / prev)
+        .withColumn("next_return", (nxt - $"close") / $"close")
+        .select($"ticker", $"date", $"close", $"daily_return", $"next_return")
+        .orderBy($"ticker", $"date")
+    },
+    Some(s"""
+      WITH $barsSql
+      SELECT ticker, date, close,
+             (close - lag(close,1) OVER w) / lag(close,1) OVER w AS daily_return,
+             (lead(close,1) OVER w - close) / close AS next_return
+      FROM bars WINDOW w AS (PARTITION BY ticker ORDER BY date)
+      ORDER BY ticker, date"""))
+
+  // ---------------------------------------------------------------------
+  // q20 — rolling means (W6): 3-row rolling mean in both pandas variants —
+  // min_periods=1 (Spark's default frame semantics) and strict rolling(3)
+  // (null until the frame is full). Exact decimal frame sums.
+  // ---------------------------------------------------------------------
+  private val q20 = QueryDef(
+    "q20_rolling_mean",
+    (spark, dir) => {
+      import spark.implicits._
+      val w3 = wTicker.rowsBetween(-2, 0)
+      val ma = frameAvg($"close", w3)
+      bars(spark, dir)
+        .withColumn("ma3", ma)
+        .withColumn("ma3_strict",
+          when(count($"close").over(w3) === 3, ma))
+        .select($"ticker", $"date", $"close", $"ma3", $"ma3_strict")
+        .orderBy($"ticker", $"date")
+    },
+    Some(s"""
+      WITH $barsSql
+      SELECT ticker, date, close,
+             CAST(sum(CAST(close AS DECIMAL(28,2))) OVER w3 AS DOUBLE)
+               / CAST(count(close) OVER w3 AS DOUBLE) AS ma3,
+             CASE WHEN count(close) OVER w3 = 3 THEN
+               CAST(sum(CAST(close AS DECIMAL(28,2))) OVER w3 AS DOUBLE)
+                 / CAST(count(close) OVER w3 AS DOUBLE) END AS ma3_strict
+      FROM bars WINDOW w3 AS (PARTITION BY ticker ORDER BY date
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY ticker, date"""))
+
+  // ---------------------------------------------------------------------
+  // q21 — LSTM sequence windows (W8): per ticker, the sliding array of the
+  // last 5 closes (03 · cell 3, SEQ_LEN=5), only full windows kept. The
+  // array is serialized as exact integer cents so the hash compare is
+  // representation-independent.
+  // ---------------------------------------------------------------------
+  private val q21 = QueryDef(
+    "q21_sequence_windows",
+    (spark, dir) => {
+      import spark.implicits._
+      val w5 = wTicker.rowsBetween(-4, 0)
+      bars(spark, dir)
+        .withColumn("seq_closes", collect_list($"close").over(w5))
+        .withColumn("n", count($"close").over(w5))
+        .filter($"n" === 5)
+        .withColumn("seq_cents", concat_ws(",",
+          transform($"seq_closes",
+            c => (c.cast(DecimalType(28, 2)) * 100).cast("long"))))
+        .select($"ticker", $"date", $"seq_cents")
+        .orderBy($"ticker", $"date")
+    },
+    Some(s"""
+      WITH $barsSql,
+      seq AS (
+        SELECT ticker, date,
+               list(close) OVER (PARTITION BY ticker ORDER BY date
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS seq_closes,
+               count(close) OVER (PARTITION BY ticker ORDER BY date
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n
+        FROM bars)
+      SELECT ticker, date,
+             array_to_string(list_transform(seq_closes,
+               c -> CAST(CAST(c AS DECIMAL(28,2)) * 100 AS BIGINT)), ',') AS seq_cents
+      FROM seq WHERE n = 5 ORDER BY ticker, date"""))
+
+  // ---------------------------------------------------------------------
+  // q22 — sequential train/test split (M1): 80/20 by global row_number
+  // (shuffle=False semantics of 01 · cell 5), summarized per split.
+  // ---------------------------------------------------------------------
+  private val q22 = QueryDef(
+    "q22_train_test_split",
+    (spark, dir) => {
+      import spark.implicits._
+      val wAll = Window.orderBy($"date", $"ticker")
+      bars(spark, dir)
+        .withColumn("rn", row_number().over(wAll))
+        .withColumn("n_total", count(lit(1)).over(
+          Window.partitionBy()))
+        .withColumn("split",
+          when($"rn" <= ($"n_total" * 8) / 10, "train").otherwise("test"))
+        .groupBy($"split")
+        .agg(
+          count(lit(1)).as("n"),
+          min($"date").as("min_date"),
+          max($"date").as("max_date"),
+          sum(($"close".cast(DecimalType(28, 2)) * 100).cast("long")).as("close_cents"))
+        .orderBy($"split")
+    },
+    Some(s"""
+      WITH $barsSql,
+      rn AS (
+        SELECT *, row_number() OVER (ORDER BY date, ticker) AS rn,
+               count(*) OVER () AS n_total
+        FROM bars)
+      SELECT CASE WHEN rn <= (n_total * 8) // 10 THEN 'train' ELSE 'test' END AS split,
+             count(*) AS n, min(date) AS min_date, max(date) AS max_date,
+             sum(CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT)) AS close_cents
+      FROM rn GROUP BY 1 ORDER BY split"""))
+
+  // ---------------------------------------------------------------------
+  // q23 — rolling-origin cross-validation folds (M2: TimeSeriesSplit
+  // n_splits=5, 05 · cell 6): fold i trains on the first i/6 of rows,
+  // tests on the next 1/6 — five (train, test) ranges from one pass.
+  // ---------------------------------------------------------------------
+  private val q23 = QueryDef(
+    "q23_timeseries_cv",
+    (spark, dir) => {
+      import spark.implicits._
+      val wAll = Window.orderBy($"date", $"ticker")
+      val rows = bars(spark, dir)
+        .withColumn("rn", row_number().over(wAll))
+        .withColumn("n_total", count(lit(1)).over(Window.partitionBy()))
+      val folds = spark.range(1, 6).toDF("fold")
+      rows.join(broadcast(folds),
+          $"rn" <= (($"fold" + 1) * $"n_total") / 6)
+        .withColumn("role",
+          when($"rn" <= ($"fold" * $"n_total") / 6, "train").otherwise("test"))
+        .groupBy($"fold", $"role")
+        .agg(count(lit(1)).as("n"),
+             min($"rn").as("min_rn"), max($"rn").as("max_rn"))
+        .orderBy($"fold", $"role")
+    },
+    Some(s"""
+      WITH $barsSql,
+      rows_rn AS (
+        SELECT *, row_number() OVER (ORDER BY date, ticker) AS rn,
+               count(*) OVER () AS n_total
+        FROM bars)
+      SELECT fold, CASE WHEN rn <= (fold * n_total) // 6 THEN 'train' ELSE 'test' END AS role,
+             count(*) AS n, min(rn) AS min_rn, max(rn) AS max_rn
+      FROM rows_rn JOIN (SELECT unnest(range(1, 6)) AS fold) f
+        ON rn <= ((fold + 1) * n_total) // 6
+      GROUP BY 1, 2 ORDER BY fold, role"""))
+
+  // ---------------------------------------------------------------------
+  // q24 — standard scaler (M3: fit on per-ticker stats, apply per row —
+  // 01 · cell 6). Mean/variance from exact DECIMAL sums so μ/σ are
+  // bit-identical across engines and partitionings; the tiny per-ticker
+  // stats side broadcast-joins back onto the rows (no second shuffle of
+  // the fact side at scale).
+  // ---------------------------------------------------------------------
+  private val q24 = QueryDef(
+    "q24_standard_scaler",
+    (spark, dir) => {
+      import spark.implicits._
+      val b = bars(spark, dir)
+      // exact integer cents: decimal×decimal precision-capping differs
+      // between engines, bigint cents² summed into DECIMAL(38,0) does not
+      val cents = ($"close".cast(DecimalType(28, 2)) * 100).cast("long")
+      val stats = b.groupBy($"ticker").agg(
+        (sum(cents).cast("double") / 1e2).as("s1"),
+        (sum((cents * cents).cast(DecimalType(38, 0))).cast("double") / 1e4).as("s2"),
+        count(lit(1)).cast("double").as("n"))
+        .withColumn("mu", $"s1" / $"n")
+        .withColumn("sigma", sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)))
+        .select($"ticker", $"mu", $"sigma")
+      b.join(broadcast(stats), Seq("ticker"))
+        .withColumn("z", ($"close" - $"mu") / $"sigma")
+        .select($"ticker", $"date", $"close", $"mu", $"sigma", $"z")
+        .orderBy($"ticker", $"date")
+    },
+    Some(s"""
+      WITH $barsSql,
+      cents AS (
+        SELECT ticker, date, close,
+               CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT) AS c
+        FROM bars),
+      stats AS (
+        SELECT ticker,
+               CAST(sum(c) AS DOUBLE) / 1e2 AS s1,
+               CAST(sum(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS s2,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM cents GROUP BY ticker)
+      SELECT b.ticker, b.date, b.close, s1 / n AS mu,
+             sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sigma,
+             (b.close - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+      FROM bars b JOIN stats s ON b.ticker = s.ticker
+      ORDER BY b.ticker, b.date"""))
+
+  // ---------------------------------------------------------------------
+  // q25 — direction accuracy (W7 + A6: app.py:411-415): does yesterday's
+  // move predict today's? sign(diff) agreement ratio per ticker, the
+  // boolean mean as an exact int/int division.
+  // ---------------------------------------------------------------------
+  private val q25 = QueryDef(
+    "q25_direction_accuracy",
+    (spark, dir) => {
+      import spark.implicits._
+      val prev = lag($"close", 1).over(wTicker)
+      val prev2 = lag($"close", 2).over(wTicker)
+      bars(spark, dir)
+        .withColumn("move", signum($"close" - prev))
+        .withColumn("move_prev", signum(prev - prev2))
+        .filter($"move".isNotNull && $"move_prev".isNotNull)
+        .groupBy($"ticker")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(($"move" === $"move_prev").cast("long")).as("n_agree"))
+        .withColumn("accuracy", $"n_agree".cast("double") / $"n".cast("double"))
+        .orderBy($"ticker")
+    },
+    Some(s"""
+      WITH $barsSql,
+      moves AS (
+        SELECT ticker,
+               sign(close - lag(close,1) OVER w) AS move,
+               sign(lag(close,1) OVER w - lag(close,2) OVER w) AS move_prev
+        FROM bars WINDOW w AS (PARTITION BY ticker ORDER BY date))
+      SELECT ticker, count(*) AS n,
+             sum(CAST(move = move_prev AS BIGINT)) AS n_agree,
+             CAST(sum(CAST(move = move_prev AS BIGINT)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS accuracy
+      FROM moves WHERE move IS NOT NULL AND move_prev IS NOT NULL
+      GROUP BY ticker ORDER BY ticker"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q18, q19, q20, q21, q22, q23, q24, q25)
+}
