@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable deterministic primitives, each emitted twice: as a Spark
+  * `Column` and as the equivalent DuckDB SQL text. The correctness gate
+  * hash-compares Spark output against DuckDB replay (SURVEY.md §5), so any
+  * hash/score used in a compared result must be reproducible bit-for-bit on
+  * both engines — which rules out engine-native `hash()`/`xxhash64` and any
+  * float accumulation.
+  */
+object Portable {
+
+  /** 60-bit deterministic hash: first 15 hex digits of md5, as a positive
+    * BIGINT. md5 is the one hash both engines share byte-for-byte.
+    */
+  def md5Hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def md5Hash64Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Large prime for modular hash mixing (fits comfortably in 63-bit
+    * intermediate products: P*31 + P < 2^35).
+    */
+  val P: Long = 1000000007L
+
+  /** Polynomial rolling hash over an array of strings (document
+    * fingerprinting): fold (acc*31 + md5_60(w) % P) % P in array order.
+    */
+  def rollingHash(words: Column): Column =
+    aggregate(
+      words,
+      lit(0L),
+      (acc, w) => (acc * 31 + md5Hash64(w) % P) % P)
+  def rollingHashSql(wordsExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($wordsExpr, " +
+      s"w -> ${md5Hash64Sql("w")} % $P)), (a, h) -> (a * 31 + h) % $P)"
+
+  /** Whitespace tokens of a text column. */
+  def tokens(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
+  def tokensSql(e: String): String = s"regexp_extract_all($e, '\\S+')"
+}

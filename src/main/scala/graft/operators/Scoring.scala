@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import graft.functions.{Portable, SentimentLex}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sentiment + model-scoring pipeline (SURVEY.md §2.9 X2/X3, §2.4 A5,
+  * §2.11 M4/M5): the reference's VADER-scored, XGBoost-scored prediction
+  * flow re-expressed as fully-distributed declarative plans.
+  *
+  * The reference's scoring path is the worst anti-pattern in the codebase
+  * (SURVEY.md §4 "known anti-patterns"): collect() of dates, a driver-side
+  * per-day loop, toPandas, a per-row model call and a per-row MongoClient
+  * (stock_pipeline.py:145-291). Here scoring is a deterministic expression
+  * over a feature struct — at 100 TB it is per-row map work inside
+  * whole-stage codegen, with model weights inlined as literals (the real
+  *-model analog broadcasts weight arrays; shape identical).
+  */
+object Scoring extends QueryModule {
+
+  // ---------------------------------------------------------------------
+  // q31 — sentiment scoring (X2/F7): per-doc integer lexicon score +
+  // VADER-style compound normalization, as a native expression chain.
+  // ---------------------------------------------------------------------
+  private val q31 = QueryDef(
+    "q31_sentiment_score",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .withColumn("raw", SentimentLex.rawScore(Portable.tokens($"text")))
+        .withColumn("compound", SentimentLex.compound($"raw"))
+        .select($"doc_id", $"lang", $"raw", $"compound")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, lang, raw, ${SentimentLex.compoundSql("raw")} AS compound
+      FROM (
+        SELECT doc_id, lang,
+               ${SentimentLex.rawScoreSql(Portable.tokensSql("text"))} AS raw
+        FROM documents)
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
+  // q32 — sentiment distribution aggs (A5: mean, std, pos/neg ratios —
+  // stock_pipeline.py:189-200, Untitled1 · cell 7) per language. Raw
+  // scores are exact integers so mean/std/ratios are exact-arithmetic
+  // (int sums, one double division at the end) — partition-order
+  // invariant and engine-portable.
+  // ---------------------------------------------------------------------
+  private val q32 = QueryDef(
+    "q32_sentiment_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .withColumn("raw", SentimentLex.rawScore(Portable.tokens($"text")))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"raw").as("s1"),
+          sum($"raw" * $"raw").as("s2"),
+          sum(($"raw" > 0).cast("long")).as("n_pos"),
+          sum(($"raw" < 0).cast("long")).as("n_neg"))
+        .select(
+          $"lang", $"n",
+          ($"s1".cast("double") / $"n".cast("double")).as("mean_raw"),
+          sqrt(($"s2".cast("double") - $"s1".cast("double") * $"s1".cast("double")
+            / $"n".cast("double")) / ($"n".cast("double") - 1)).as("std_raw"),
+          ($"n_pos".cast("double") / $"n".cast("double")).as("pos_ratio"),
+          ($"n_neg".cast("double") / $"n".cast("double")).as("neg_ratio"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      SELECT lang, n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_raw,
+             sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS std_raw,
+             CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_ratio,
+             CAST(n_neg AS DOUBLE) / CAST(n AS DOUBLE) AS neg_ratio
+      FROM (
+        SELECT lang, count(*) AS n, sum(raw) AS s1, sum(raw * raw) AS s2,
+               sum(CAST(raw > 0 AS BIGINT)) AS n_pos,
+               sum(CAST(raw < 0 AS BIGINT)) AS n_neg
+        FROM (
+          SELECT lang,
+                 ${SentimentLex.rawScoreSql(Portable.tokensSql("text"))} AS raw
+          FROM documents)
+        GROUP BY lang)
+      ORDER BY lang"""))
+
+  // ---------------------------------------------------------------------
+  // q33 — prediction-doc pipeline (X3 scoring + M4 feature assembly + M5
+  // doc materialization + F3 confidence): per (ticker, date) bar, assemble
+  // lag features, score a deterministic linear surrogate model (the
+  // XGBoost stand-in; weights inlined), compare against the next-day
+  // actual, and emit the prediction document with the reference's
+  // deterministic confidence formula greatest(0.5, 1 − |err|/actual)
+  // (05 · cell 8 — replacing the np.random confidence of
+  // stock_pipeline.py:250, SURVEY.md §5).
+  // ---------------------------------------------------------------------
+  private val (w0, w1, w2) = (0.0001, -0.15, 0.05) // surrogate model weights
+  private val q33 = QueryDef(
+    "q33_prediction_docs",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy("ticker").orderBy("date")
+      val prev = lag($"close", 1).over(w)
+      WindowFeatures.bars(spark, dir)
+        .withColumn("daily_return", ($"close" - prev) / prev)
+        .withColumn("vol_signal", lit(1.0) / ($"volume".cast("double") + lit(1.0)))
+        .withColumn("close_next", lead($"close", 1).over(w))
+        .filter($"daily_return".isNotNull && $"close_next".isNotNull)
+        .withColumn("pred_return",
+          lit(w0) + lit(w1) * $"daily_return" + lit(w2) * $"vol_signal")
+        .withColumn("predicted_price", $"close" * (lit(1.0) + $"pred_return"))
+        .withColumn("prediction_error", $"predicted_price" - $"close_next")
+        .withColumn("prediction_pct_error",
+          abs($"prediction_error") / $"close_next" * lit(100.0))
+        .withColumn("confidence",
+          greatest(lit(0.5), lit(1.0) - abs($"prediction_error") / $"close_next"))
+        .withColumn("model_type", lit("surrogate_linear"))
+        .select($"ticker", $"date", $"close", $"daily_return", $"vol_signal",
+          $"predicted_price", $"close_next".as("actual_price"),
+          $"prediction_error", $"prediction_pct_error", $"confidence",
+          $"model_type")
+        .orderBy($"ticker", $"date")
+    },
+    Some(s"""
+      WITH ${WindowFeatures.barsSql},
+      feat AS (
+        SELECT ticker, date, close, volume,
+               (close - lag(close,1) OVER w) / lag(close,1) OVER w AS daily_return,
+               1.0 / (CAST(volume AS DOUBLE) + 1.0) AS vol_signal,
+               lead(close,1) OVER w AS close_next
+        FROM bars WINDOW w AS (PARTITION BY ticker ORDER BY date)),
+      scored AS (
+        SELECT *, $w0 + $w1 * daily_return + $w2 * vol_signal AS pred_return
+        FROM feat WHERE daily_return IS NOT NULL AND close_next IS NOT NULL)
+      SELECT ticker, date, close, daily_return, vol_signal,
+             close * (1.0 + pred_return) AS predicted_price,
+             close_next AS actual_price,
+             close * (1.0 + pred_return) - close_next AS prediction_error,
+             abs(close * (1.0 + pred_return) - close_next) / close_next * 100.0
+               AS prediction_pct_error,
+             greatest(0.5, 1.0 - abs(close * (1.0 + pred_return) - close_next)
+               / close_next) AS confidence,
+             'surrogate_linear' AS model_type
+      FROM scored ORDER BY ticker, date"""))
+
+  override val defs: Seq[QueryDef] = Seq(q31, q32, q33)
+}

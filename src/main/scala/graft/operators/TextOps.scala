@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import graft.functions.Portable
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators (SURVEY.md §2.8 F1 / §2.9 X1 / §2.7 U2 + the
+  * training-data-pipeline text surface from the builder brief): ticker
+  * extraction, token counting, language-ID heuristic, quality scoring and
+  * document fingerprinting — all over the `documents` fixture table.
+  *
+  * The reference extracts tickers with a Python UDF
+  * (data_collection/spark_consumer.py:35-41, data_processing/
+  * reddit_pipeline.py:58-73) — a per-row Python round-trip that fences
+  * whole-stage codegen and blocks filter pushdown (SURVEY.md §4). Here the
+  * whole family is native `functions._` expression chains: codegen'd,
+  * pushdown-transparent, and embarrassingly parallel (per-row map work, no
+  * shuffle until the final small aggregation).
+  */
+object TextOps extends QueryModule {
+
+  /** The engine's ticker whitelist — plays the 8-symbol KNOWN_TICKERS set
+    * (spark_consumer.py:9) over the fixture vocabulary.
+    */
+  private val Whitelist = Seq("SPARK", "JOIN", "HASH", "SORT", "SCAN", "AGG",
+    "KEY", "ROW", "BATCH")
+
+  /** Regex v2 from the reference (reddit_pipeline.py:63, the "fixed" one
+    * per SURVEY.md §7.4) simplified to its fixture-relevant core: optional
+    * $ prefix, 1-5 uppercase letters at a word boundary.
+    */
+  private val TickerRe = "\\$?([A-Z]{1,5})\\b"
+
+  // ---------------------------------------------------------------------
+  // q26 — ticker extraction (F1/X1/U2): upper → regexp_extract_all →
+  // distinct → whitelist intersect → explode → per-ticker doc counts.
+  // ---------------------------------------------------------------------
+  private val q26 = QueryDef(
+    "q26_ticker_extract",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .withColumn("tok", explode(array_distinct(
+          regexp_extract_all(upper($"text"), lit(TickerRe), lit(1)))))
+        .filter($"tok".isin(Whitelist: _*))
+        .groupBy($"tok".as("ticker"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"ticker")
+    },
+    Some(s"""
+      SELECT ticker, count(*) AS n_docs FROM (
+        SELECT doc_id, unnest(list_distinct(
+          regexp_extract_all(upper(text), '$TickerRe', 1))) AS ticker
+        FROM documents)
+      WHERE ticker IN (${Whitelist.map("'" + _ + "'").mkString(", ")})
+      GROUP BY ticker ORDER BY ticker"""))
+
+  // ---------------------------------------------------------------------
+  // q27 — token counting: whitespace tokens and a BPE-ish regex
+  // tokenization (letter runs / digit runs / single other chars),
+  // aggregated per language. Counts are exact integers.
+  // ---------------------------------------------------------------------
+  private val BpeRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  private val q27 = QueryDef(
+    "q27_token_counts",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .withColumn("ws_tokens", size(Portable.tokens($"text")))
+        .withColumn("bpe_tokens",
+          size(regexp_extract_all(lower($"text"), lit(BpeRe), lit(0))))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"ws_tokens").as("total_ws_tokens"),
+          sum($"bpe_tokens").as("total_bpe_tokens"),
+          max($"ws_tokens").as("max_ws_tokens"),
+          (sum($"ws_tokens").cast("double") / count(lit(1)).cast("double"))
+            .as("avg_ws_tokens"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      SELECT lang, count(*) AS n_docs,
+             sum(ws_tokens) AS total_ws_tokens,
+             sum(bpe_tokens) AS total_bpe_tokens,
+             max(ws_tokens) AS max_ws_tokens,
+             CAST(sum(ws_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_ws_tokens
+      FROM (
+        SELECT lang,
+               len(${Portable.tokensSql("text")}) AS ws_tokens,
+               len(regexp_extract_all(lower(text), '$BpeRe')) AS bpe_tokens
+        FROM documents)
+      GROUP BY lang ORDER BY lang"""))
+
+  // ---------------------------------------------------------------------
+  // q28 — language-ID heuristic: marker-token profiles per language
+  // (configurable; fixture profiles are drawn from the synthetic vocab),
+  // argmax score with a fixed precedence tie-break, then the confusion
+  // matrix against the labeled lang column.
+  // ---------------------------------------------------------------------
+  private val Profiles: Seq[(String, String)] = Seq(
+    "en" -> "the|a|data|row",
+    "de" -> "batch|merge|window|stream",
+    "es" -> "join|filter|value|key",
+    "fr" -> "sort|order|group|line",
+    "zh" -> "hash|scan|vector|column")
+
+  private val q28 = QueryDef(
+    "q28_lang_id",
+    (spark, dir) => {
+      import spark.implicits._
+      val scored = Profiles.foldLeft(Tables.documents(spark, dir)) {
+        case (df, (l, re)) =>
+          df.withColumn(s"s_$l",
+            size(regexp_extract_all($"text", lit(s"\\b($re)\\b"), lit(0))))
+      }
+      // argmax with precedence = Profiles order (strict > keeps earlier on tie)
+      val guess = Profiles.map(_._1).tail.foldLeft(
+        (lit(Profiles.head._1), col(s"s_${Profiles.head._1}"))) {
+        case ((g, best), l) =>
+          (when(col(s"s_$l") > best, lit(l)).otherwise(g),
+            greatest(best, col(s"s_$l")))
+      }._1
+      scored.withColumn("guess", guess)
+        .groupBy($"lang", $"guess")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"guess")
+    },
+    Some {
+      val scores = Profiles.map { case (l, re) =>
+        s"len(regexp_extract_all(text, '\\b($re)\\b')) AS s_$l"
+      }.mkString(",\n               ")
+      // same fold as the Spark side: later lang wins only on strictly greater
+      val guess = Profiles.map(_._1).tail.foldLeft(
+        (s"'${Profiles.head._1}'", s"s_${Profiles.head._1}")) {
+        case ((g, best), l) =>
+          (s"CASE WHEN s_$l > $best THEN '$l' ELSE $g END",
+            s"greatest($best, s_$l)")
+      }._1
+      s"""
+      SELECT lang, guess, count(*) AS n FROM (
+        SELECT lang, $guess AS guess FROM (
+          SELECT lang,
+               $scores
+          FROM documents))
+      GROUP BY lang, guess ORDER BY lang, guess"""
+    })
+
+  // ---------------------------------------------------------------------
+  // q29 — quality scoring: length / stopword-ratio / word-length signals
+  // combined into a per-doc score (05-style feature engineering applied to
+  // the corpus-curation use case). Pure double arithmetic over exact
+  // integer counts — bit-identical on both engines, no aggregation of
+  // floats.
+  // ---------------------------------------------------------------------
+  private val q29 = QueryDef(
+    "q29_quality_score",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .withColumn("ws_tokens", size(Portable.tokens($"text")))
+        .withColumn("stop_tokens",
+          size(regexp_extract_all($"text", lit("\\b(the|a)\\b"), lit(0))))
+        .withColumn("nospace_chars", length(regexp_replace($"text", "\\s", "")))
+        .filter($"ws_tokens" > 0)
+        .withColumn("stop_ratio",
+          $"stop_tokens".cast("double") / $"ws_tokens".cast("double"))
+        .withColumn("avg_word_len",
+          $"nospace_chars".cast("double") / $"ws_tokens".cast("double"))
+        .withColumn("score",
+          lit(0.3) * least($"ws_tokens".cast("double") / lit(100.0), lit(1.0))
+            + lit(0.4) * (lit(1.0) - $"stop_ratio")
+            + lit(0.3) * least($"avg_word_len" / lit(8.0), lit(1.0)))
+        .withColumn("low_quality", ($"score" < 0.6).cast("int"))
+        .select($"doc_id", $"source", $"ws_tokens", $"stop_ratio",
+          $"avg_word_len", $"score", $"low_quality")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, source, ws_tokens,
+             CAST(stop_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE) AS stop_ratio,
+             CAST(nospace_chars AS DOUBLE) / CAST(ws_tokens AS DOUBLE) AS avg_word_len,
+             0.3 * least(CAST(ws_tokens AS DOUBLE) / 100.0, 1.0)
+               + 0.4 * (1.0 - CAST(stop_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE))
+               + 0.3 * least((CAST(nospace_chars AS DOUBLE) / CAST(ws_tokens AS DOUBLE)) / 8.0, 1.0)
+               AS score,
+             CAST((0.3 * least(CAST(ws_tokens AS DOUBLE) / 100.0, 1.0)
+               + 0.4 * (1.0 - CAST(stop_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE))
+               + 0.3 * least((CAST(nospace_chars AS DOUBLE) / CAST(ws_tokens AS DOUBLE)) / 8.0, 1.0))
+               < 0.6 AS INT) AS low_quality
+      FROM (
+        SELECT doc_id, source,
+               len(${Portable.tokensSql("text")}) AS ws_tokens,
+               len(regexp_extract_all(text, '\\b(the|a)\\b')) AS stop_tokens,
+               length(regexp_replace(text, '\\s', '', 'g')) AS nospace_chars
+        FROM documents)
+      WHERE ws_tokens > 0
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
+  // q30 — document fingerprinting: order-sensitive polynomial rolling hash
+  // over the token stream (Portable.rollingHash — identical mod-arithmetic
+  // fold on both engines), plus per-source distinct-fingerprint counts as
+  // the exact-dedup building block.
+  // ---------------------------------------------------------------------
+  private val q30 = QueryDef(
+    "q30_fingerprint",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .withColumn("fp", Portable.rollingHash(Portable.tokens($"text")))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"fp").as("n_distinct"),
+          min($"fp").as("min_fp"),
+          max($"fp").as("max_fp"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT fp) AS n_distinct,
+             min(fp) AS min_fp, max(fp) AS max_fp
+      FROM (
+        SELECT source, ${Portable.rollingHashSql(Portable.tokensSql("text"))} AS fp
+        FROM documents)
+      GROUP BY source ORDER BY source"""))
+
+  override val defs: Seq[QueryDef] = Seq(q26, q27, q28, q29, q30)
+}
