@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoreBatch, Scoring, TextOps, WindowFeatures}
+import graft.operators.{CoreBatch, Dedup, Scoring, TextOps, WindowFeatures}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,7 @@ import graft.operators.{CoreBatch, Scoring, TextOps, WindowFeatures}
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    CoreBatch, WindowFeatures, TextOps, Scoring)
+    CoreBatch, WindowFeatures, TextOps, Scoring, Dedup)
 
   private lazy val allDefs: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

@@ -1,0 +1,309 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import graft.functions.{Portable, VectorOps}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for large-scale corpus curation (builder brief +
+  * SURVEY.md §7.2 step 7): exact hash-dedup, MinHash+LSH near-dup,
+  * SimHash, blocked n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale shapes (the whole point at 100 TB):
+  *   - exact dedup = hash-groupBy — one shuffle on the content hash;
+  *   - MinHash = explode(shingles) → partial-agg min per hash fn (map-side
+  *     combine shrinks the shuffle to |docs|×16 longs) → band-bucket
+  *     self-join (only bucket collisions are ever paired — never O(n²));
+  *   - SimHash = explode(tokens) → 32 partial sums → 64-bit-key self-join;
+  *   - n-gram Jaccard runs only inside (lang, length-bucket) blocks;
+  *   - embedding near-dup pairs only inside label blocks (the ANN/LSH path
+  *     for unblocked data is Similarity.scala).
+  * Every pair-producing join keys on a bucket/block — the candidate set,
+  * not the corpus, is quadratic.
+  */
+object Dedup extends QueryModule {
+
+  import Portable.P
+
+  // ---------------------------------------------------------------------
+  // q34 — exact deduplication (hash-groupBy): per source, how many docs
+  // survive content-hash dedup. md5 is byte-identical on both engines.
+  // ---------------------------------------------------------------------
+  private val q34 = QueryDef(
+    "q34_exact_dedup",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5($"text")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(md5($"text"))).as("n_dup_docs"))
+        .orderBy($"source")
+    },
+    Some("""
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT md5(text)) AS n_distinct,
+             count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  // ---------------------------------------------------------------------
+  // q35 — MinHash + LSH near-dup: char-5 shingles → 16 minhashes → 4
+  // bands × 4 rows → bucket-collision candidates → exact-Jaccard verify.
+  // Signature estimate (fraction of agreeing minhashes) is emitted next to
+  // the exact Jaccard so the LSH quality is visible in the output.
+  // ---------------------------------------------------------------------
+  private val NumHashes = 16
+  private val NumBands = 4
+  private val RowsPerBand = NumHashes / NumBands
+  // fixed affine hash family (a_j h + b_j) mod P; a_j < 2^32 keeps the
+  // 63-bit product safe for h < P
+  private val HashA: Array[Long] =
+    Array.tabulate(NumHashes)(j => ((2654435761L * (j + 1)) % 4294967296L) | 1L)
+  private val HashB: Array[Long] =
+    Array.tabulate(NumHashes)(j => (40503L * (j + 7) * 2654435789L) % P)
+
+  /** doc_id → exploded distinct char-5 shingles. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(
+        transform(
+          sequence(lit(1), greatest(length($"text") - 4, lit(1))),
+          i => $"text".substr(i, lit(5))))).as("s"))
+  }
+  private val shinglesSql = """
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          [substr(text, i, 5) for i in range(1, greatest(length(text) - 4, 1) + 1)])) AS s
+        FROM documents)"""
+
+  private val q35 = QueryDef(
+    "q35_minhash_lsh",
+    (spark, dir) => {
+      import spark.implicits._
+      val hashed = shingles(spark, dir)
+        .withColumn("h", Portable.md5Hash64($"s") % P)
+      val sig = hashed.groupBy($"doc_id")
+        .agg(
+          min((lit(HashA(0)) * $"h" + lit(HashB(0))) % P).as("m0"),
+          (1 until NumHashes).map(j =>
+            min((lit(HashA(j)) * $"h" + lit(HashB(j))) % P).as(s"m$j")): _*)
+      val bands = (0 until NumBands).map { b =>
+        val bval = (0 until RowsPerBand).foldLeft(lit(0L)) {
+          (acc, r) => (acc * 31 + col(s"m${b * RowsPerBand + r}")) % P
+        }
+        sig.select($"doc_id", lit(b).as("band"), bval.as("bval"))
+      }.reduce(_ unionByName _)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+        .distinct()
+      val sizes = shingles(spark, dir).groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val sh = shingles(spark, dir)
+      val inter = cand
+        .join(sh.as("a"), col("a.doc_id") === $"i")
+        .join(sh.as("b"), col("b.doc_id") === $"j" && col("b.s") === col("a.s"))
+        .groupBy($"i", $"j").agg(count(lit(1)).as("k"))
+      val estEq = (0 until NumHashes).map(j =>
+        (col(s"sa.m$j") === col(s"sb.m$j")).cast("int")).reduce(_ + _)
+      inter
+        .join(sizes.as("na"), col("na.doc_id") === $"i")
+        .join(sizes.as("nb"), col("nb.doc_id") === $"j")
+        .withColumn("jaccard",
+          $"k".cast("double") / (col("na.n") + col("nb.n") - $"k").cast("double"))
+        .filter($"jaccard" >= 0.5)
+        .join(sig.as("sa"), col("sa.doc_id") === $"i")
+        .join(sig.as("sb"), col("sb.doc_id") === $"j")
+        .withColumn("est_sim", estEq.cast("double") / lit(NumHashes.toDouble))
+        .select($"i", $"j", $"jaccard", $"est_sim")
+        .orderBy($"i", $"j")
+    },
+    Some {
+      val minCols = (0 until NumHashes).map(j =>
+        s"min((${HashA(j)} * h + ${HashB(j)}) % $P) AS m$j").mkString(",\n               ")
+      val bandSelects = (0 until NumBands).map { b =>
+        val bval = (0 until RowsPerBand).foldLeft("CAST(0 AS BIGINT)") {
+          (acc, r) => s"(($acc) * 31 + m${b * RowsPerBand + r}) % $P"
+        }
+        s"SELECT doc_id, $b AS band, $bval AS bval FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      val estEq = (0 until NumHashes).map(j =>
+        s"CAST(sa.m$j = sb.m$j AS INT)").mkString(" + ")
+      s"""
+      WITH $shinglesSql,
+      hashed AS (
+        SELECT doc_id, ${Portable.md5Hash64Sql("s")} % $P AS h FROM sh),
+      sig AS (
+        SELECT doc_id,
+               $minCols
+        FROM hashed GROUP BY doc_id),
+      bands AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT i, j, count(*) AS k
+        FROM cand JOIN sh a ON a.doc_id = i JOIN sh b ON b.doc_id = j AND b.s = a.s
+        GROUP BY i, j),
+      verified AS (
+        SELECT i, j,
+               CAST(k AS DOUBLE) / CAST(na.n + nb.n - k AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes na ON na.doc_id = i JOIN sizes nb ON nb.doc_id = j
+        WHERE CAST(k AS DOUBLE) / CAST(na.n + nb.n - k AS DOUBLE) >= 0.5)
+      SELECT i, j, jaccard, ($estEq) / ${NumHashes}.0 AS est_sim
+      FROM verified JOIN sig sa ON sa.doc_id = i JOIN sig sb ON sb.doc_id = j
+      ORDER BY i, j"""
+    })
+
+  // ---------------------------------------------------------------------
+  // q36 — SimHash near-dup: 32-bit token-frequency simhash per doc, then
+  // hamming-distance pairs (≤ 3 bits) inside language blocks.
+  // ---------------------------------------------------------------------
+  private val SimBits = 32
+  private val q36 = QueryDef(
+    "q36_simhash",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = Tables.documents(spark, dir)
+        .select($"doc_id", $"lang", explode(Portable.tokens($"text")).as("w"))
+        .withColumn("h", Portable.md5Hash64($"w"))
+      val bitSums = toks.groupBy($"doc_id", $"lang")
+        .agg(
+          sum(when(shiftright($"h", 0).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as("s0"),
+          (1 until SimBits).map(b =>
+            sum(when(shiftright($"h", b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$b")): _*)
+      val fp = (0 until SimBits).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+      val sigs = bitSums.select($"doc_id", $"lang", fp.as("fp"))
+      sigs.as("a").join(sigs.as("b"),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming",
+          bit_count(col("a.fp").bitwiseXOR(col("b.fp"))))
+        .filter($"hamming" <= 3)
+        .select(col("a.lang").as("lang"), col("a.doc_id").as("i"),
+          col("b.doc_id").as("j"), $"hamming")
+        .orderBy($"lang", $"i", $"j")
+    },
+    Some {
+      val sums = (0 until SimBits).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n               ")
+      val fp = (0 until SimBits).map(b =>
+        s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, lang, ${Portable.md5Hash64Sql("w")} AS h
+        FROM (SELECT doc_id, lang, unnest(${Portable.tokensSql("text")}) AS w
+              FROM documents)),
+      bitsums AS (
+        SELECT doc_id, lang,
+               $sums
+        FROM toks GROUP BY doc_id, lang),
+      sigs AS (SELECT doc_id, lang, $fp AS fp FROM bitsums)
+      SELECT a.lang, a.doc_id AS i, b.doc_id AS j,
+             bit_count(xor(a.fp, b.fp)) AS hamming
+      FROM sigs a JOIN sigs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      ORDER BY a.lang, i, j"""
+    })
+
+  // ---------------------------------------------------------------------
+  // q37 — blocked n-gram Jaccard: word-3-gram shingle sets compared only
+  // inside (lang, 100-char length bucket) blocks; pairs at Jaccard ≥ 0.5.
+  // ---------------------------------------------------------------------
+  private val q37 = QueryDef(
+    "q37_ngram_jaccard",
+    (spark, dir) => {
+      import spark.implicits._
+      val grams = Tables.documents(spark, dir)
+        .withColumn("w", Portable.tokens($"text"))
+        .select($"doc_id", $"lang", (($"n_chars" / 100).cast("long")).as("lb"),
+          explode(array_distinct(
+            transform(
+              sequence(lit(1), greatest(size($"w") - 2, lit(1))),
+              i => concat(element_at($"w", i), lit(" "),
+                element_at($"w", i + 1), lit(" "),
+                element_at($"w", i + 2))))).as("s"))
+        .filter($"s".isNotNull)
+      val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = grams.as("a").join(grams.as("b"),
+          col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .agg(count(lit(1)).as("k"))
+      inter
+        .join(sizes.as("na"), col("na.doc_id") === $"i")
+        .join(sizes.as("nb"), col("nb.doc_id") === $"j")
+        .withColumn("jaccard",
+          $"k".cast("double") / (col("na.n") + col("nb.n") - $"k").cast("double"))
+        .filter($"jaccard" >= 0.5)
+        .select($"i", $"j", $"jaccard")
+        .orderBy($"i", $"j")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang, n_chars // 100 AS lb,
+               ${Portable.tokensSql("text")} AS w
+        FROM documents),
+      grams AS (
+        SELECT doc_id, lang, lb, s FROM (
+          SELECT doc_id, lang, lb, unnest(list_distinct(
+            [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS s
+          FROM toks)
+        WHERE s IS NOT NULL),
+      sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS k
+        FROM grams a JOIN grams b
+          ON a.lang = b.lang AND a.lb = b.lb AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i, j, CAST(k AS DOUBLE) / CAST(na.n + nb.n - k AS DOUBLE) AS jaccard
+      FROM inter JOIN sizes na ON na.doc_id = i JOIN sizes nb ON nb.doc_id = j
+      WHERE CAST(k AS DOUBLE) / CAST(na.n + nb.n - k AS DOUBLE) >= 0.5
+      ORDER BY i, j"""))
+
+  // ---------------------------------------------------------------------
+  // q38 — embedding-cosine near-dup: label-blocked pairs at cosine ≥ 0.4,
+  // scaled-integer dot products (VectorOps) for engine portability.
+  // ---------------------------------------------------------------------
+  private val q38 = QueryDef(
+    "q38_embedding_neardup",
+    (spark, dir) => {
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+        .withColumn("nrm", VectorOps.normScaled($"embedding"))
+      emb.as("a").join(emb.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", VectorOps.cosineFromScaled(
+          VectorOps.dotScaled(col("a.embedding"), col("b.embedding")),
+          col("a.nrm"), col("b.nrm")))
+        .filter($"cos" >= 0.4)
+        .select(col("a.label").as("label"), col("a.vec_id").as("i"),
+          col("b.vec_id").as("j"), $"cos")
+        .orderBy($"label", $"i", $"j")
+    },
+    Some(s"""
+      WITH emb AS (
+        SELECT vec_id, label, embedding,
+               ${VectorOps.normScaledSql("embedding")} AS nrm
+        FROM embeddings)
+      SELECT a.label, a.vec_id AS i, b.vec_id AS j,
+             ${VectorOps.cosineFromScaledSql(
+               VectorOps.dotScaledSql("a.embedding", "b.embedding"),
+               "a.nrm", "b.nrm")} AS cos
+      FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ${VectorOps.cosineFromScaledSql(
+               VectorOps.dotScaledSql("a.embedding", "b.embedding"),
+               "a.nrm", "b.nrm")} >= 0.4
+      ORDER BY a.label, i, j"""))
+
+  override val defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q38)
+}
