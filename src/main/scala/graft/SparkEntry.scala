@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoreBatch, Dedup, Scoring, TextOps, WindowFeatures}
+import graft.operators.{CoreBatch, Dedup, Multimodal, Scoring, Similarity, TextOps, WindowFeatures}
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +13,8 @@ import graft.operators.{CoreBatch, Dedup, Scoring, TextOps, WindowFeatures}
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    CoreBatch, WindowFeatures, TextOps, Scoring, Dedup)
+    CoreBatch, WindowFeatures, TextOps, Scoring, Dedup, Similarity,
+    Streams, Multimodal)
 
   private lazy val allDefs: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (builder brief): image/audio/video handled
+  * as opaque `binary` columns with typed metadata. The container has no
+  * media codecs, so the DECODE step is a clearly-marked deterministic
+  * stub — but everything Spark-side is real and tested: the binary
+  * schema, the typed `Dataset` encoders, per-partition batch iteration
+  * (the JVM analog of `mapInPandas` batch shape), and the generator that
+  * fans frames out of per-asset metadata.
+  *
+  * At 100 TB the binary column lives in parquet alongside its metadata;
+  * decode/feature-extract is pure per-partition map work (no shuffle),
+  * so the plan scales linearly with executors. Swapping the stub for a
+  * real codec changes only the function body inside `mapPartitions`.
+  */
+object Multimodal extends QueryModule {
+
+  /** Typed row for the decoded-asset features. */
+  final case class AssetFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      content_hash: String,
+      fake_width: Long,
+      fake_height: Long,
+      n_frames: Long)
+
+  /** STUB decoder — deterministic fake in place of a real image/video
+    * decode (no codec libs in this container). Derives plausible metadata
+    * from the byte stream only.
+    */
+  private def stubDecode(docId: Long, bytes: Array[Byte]): AssetFeatures = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hash = md.digest(bytes).map("%02x".format(_)).mkString
+    val n = bytes.length.toLong
+    AssetFeatures(docId, n, hash,
+      fake_width = n % 640, fake_height = n % 480, n_frames = n % 30 + 1)
+  }
+
+  // ---------------------------------------------------------------------
+  // q44 — binary decode + feature extraction: text → utf-8 bytes plays
+  // the opaque asset blob; a typed mapPartitions runs the (stubbed)
+  // decoder per partition — the real-codec integration point. The oracle
+  // recomputes the same features in SQL (md5 + octet_length arithmetic),
+  // proving the Dataset plumbing preserves values exactly.
+  // ---------------------------------------------------------------------
+  private val q44 = QueryDef(
+    "q44_binary_features",
+    (spark, dir) => {
+      import spark.implicits._
+      val assets: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+        .select($"doc_id".as("_1"), encode($"text", "UTF-8").as("_2"))
+        .as[(Long, Array[Byte])]
+      assets
+        .mapPartitions(_.map { case (id, bytes) => stubDecode(id, bytes) })
+        .toDF()
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS content_hash,
+             octet_length(encode(text)) % 640 AS fake_width,
+             octet_length(encode(text)) % 480 AS fake_height,
+             octet_length(encode(text)) % 30 + 1 AS n_frames
+      FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
+  // q45 — frame sampling: fan out every 5th frame index per asset from
+  // its (stub-decoded) frame count — the generator shape of video
+  // frame-extraction pipelines (explode over per-asset metadata), with a
+  // deterministic per-frame feature standing in for the decoded frame.
+  // ---------------------------------------------------------------------
+  private val q45 = QueryDef(
+    "q45_frame_sample",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .withColumn("n_bytes", octet_length(encode($"text", "UTF-8")).cast("long"))
+        .withColumn("n_frames", $"n_bytes" % 30 + 1)
+        .withColumn("frame_idx",
+          explode(sequence(lit(0L), $"n_frames" - 1, lit(5L))))
+        .withColumn("frame_sig", ($"n_bytes" * 31 + $"frame_idx") % 1000000007L)
+        .select($"doc_id", $"frame_idx", $"frame_sig")
+        .orderBy($"doc_id", $"frame_idx")
+    },
+    Some("""
+      SELECT doc_id, frame_idx, (n_bytes * 31 + frame_idx) % 1000000007 AS frame_sig
+      FROM (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT) % 30 + 1, 5)) AS frame_idx
+        FROM documents)
+      ORDER BY doc_id, frame_idx"""))
+
+  override val defs: Seq[QueryDef] = Seq(q44, q45)
+}
