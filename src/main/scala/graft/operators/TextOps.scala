@@ -33,6 +33,15 @@ object TextOps extends QueryModule {
     */
   private val TickerRe = "\\$?([A-Z]{1,5})\\b"
 
+  /** Whitelist-filtered ticker extraction as one reusable expression:
+    * null-safe (null text → empty array), distinct, whitelist-intersected.
+    */
+  private[graft] def extractTickers(text: Column): Column =
+    array_intersect(
+      array_distinct(regexp_extract_all(
+        upper(coalesce(text, lit(""))), lit(TickerRe), lit(1))),
+      lit(Whitelist.toArray))
+
   // ---------------------------------------------------------------------
   // q26 — ticker extraction (F1/X1/U2): upper → regexp_extract_all →
   // distinct → whitelist intersect → explode → per-ticker doc counts.
@@ -42,9 +51,7 @@ object TextOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       Tables.documents(spark, dir)
-        .withColumn("tok", explode(array_distinct(
-          regexp_extract_all(upper($"text"), lit(TickerRe), lit(1)))))
-        .filter($"tok".isin(Whitelist: _*))
+        .withColumn("tok", explode(extractTickers($"text")))
         .groupBy($"tok".as("ticker"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy($"ticker")

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup + ANN behavior tests: known near-dups are found, LSH recalls a
+  * sane fraction of the brute-force top-k, vector identities hold.
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private def run(name: String) = SparkEntry.queries(name)(spark, TestSpark.Sf001)
+
+  test("cosine of a vector with itself is exactly 1.0") {
+    val v = Array.tabulate(64)(i => (math.sin(i + 1) * 0.3).toFloat)
+    val df = Seq((1L, v)).toDF("id", "embedding")
+      .withColumn("nrm", VectorOps.normScaled($"embedding"))
+      .withColumn("cos", VectorOps.cosineFromScaled(
+        VectorOps.dotScaled($"embedding", $"embedding"), $"nrm", $"nrm"))
+    assert(df.select("cos").as[Double].head() === 1.0)
+  }
+
+  test("orthogonal one-hot vectors have cosine 0") {
+    val a = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    val b = Array.tabulate(64)(i => if (i == 1) 1f else 0f)
+    val df = Seq((a, b)).toDF("a", "b")
+      .withColumn("cos", VectorOps.cosineFromScaled(
+        VectorOps.dotScaled($"a", $"b"),
+        VectorOps.normScaled($"a"), VectorOps.normScaled($"b")))
+    assert(df.select("cos").as[Double].head() === 0.0)
+  }
+
+  test("minhash LSH finds the word-level near-dup pairs that n-gram Jaccard finds") {
+    // q35 (char-5 shingle MinHash, jaccard>=0.5) and q37 (word-3-gram,
+    // blocked) both target the same engineered near-dups; the exact
+    // char-shingle pair set must contain every high-sim word-gram pair
+    // that shares a block.
+    val mh = run("q35_minhash_lsh").select("i", "j").as[(Long, Long)].collect().toSet
+    assert(mh.nonEmpty)
+    val ng = run("q37_ngram_jaccard").filter($"jaccard" >= 0.9)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(ng.nonEmpty)
+    assert((ng -- mh).isEmpty, s"word-gram near-dups missed by MinHash: ${ng -- mh}")
+  }
+
+  test("LSH ANN recalls a useful fraction of brute-force top-10") {
+    val brute = run("q39_knn_brute").select("q_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val lsh = run("q40_knn_lsh").select("q_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(s"LSH recall@10 = $recall (candidates examined ≪ corpus)")
+    assert(recall >= 0.1, s"recall $recall collapsed")
+    // and LSH never invents neighbors that don't exist
+    assert(lsh.map(_._1).subsetOf(brute.map(_._1)))
+  }
+
+  test("exact dedup counts: n_distinct + n_dup_docs == n_docs") {
+    val bad = run("q34_exact_dedup")
+      .filter(col("n_distinct") + col("n_dup_docs") =!= col("n_docs")).count()
+    assert(bad === 0)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.functions.{Portable, SentimentLex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the text/sentiment expression surface — the edge cases
+  * the reference hits in data (SURVEY.md §5.2): null/empty title+body,
+  * suffix-matching regex quirk, lexicon scoring.
+  */
+class TextSentimentSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("extractTickers: null and empty text yield empty arrays, not nulls") {
+    val df = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, ""),
+      (3L, "buy $SPARK and JOIN now"),
+      (4L, "customer stream")) // no whitelisted short token
+      .toDF("id", "text")
+      .withColumn("tickers", TextOps.extractTickers($"text"))
+    val got = df.orderBy($"id").collect().map(_.getSeq[String](2).toSet)
+    assert(got(0) === Set.empty)
+    assert(got(1) === Set.empty)
+    assert(got(2) === Set("SPARK", "JOIN"))
+    assert(got(3) === Set.empty)
+  }
+
+  test("sentiment rawScore sums lexicon valences over tokens") {
+    val df = Seq(
+      "fast fast slow",   // 2 + 2 - 2 = 2
+      "great terrible",   // 4 - 4 = 0
+      "unknown words only" // 0
+    ).toDF("text")
+      .withColumn("raw", SentimentLex.rawScore(Portable.tokens($"text")))
+    assert(df.select("raw").as[Long].collect().toSeq === Seq(2L, 0L, 0L))
+  }
+
+  test("compound normalization is odd, bounded and monotone") {
+    val df = Seq(-10L, -1L, 0L, 1L, 10L).toDF("raw")
+      .withColumn("c", SentimentLex.compound($"raw"))
+    val cs = df.orderBy($"raw").select("c").as[Double].collect()
+    assert(cs(2) === 0.0)
+    assert(cs.forall(c => c > -1 && c < 1))
+    assert(cs.sorted.toSeq === cs.toSeq)     // monotone
+    assert(cs(0) === -cs(4) && cs(1) === -cs(3)) // odd symmetry
+  }
+
+  test("rolling hash: order-sensitive, deterministic") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+      .withColumn("fp", Portable.rollingHash(Portable.tokens($"text")))
+    val fps = df.select("fp").as[Long].collect()
+    assert(fps(0) === fps(2))
+    assert(fps(0) !== fps(1))
+  }
+
+  test("md5Hash64 matches a known value (portability anchor)") {
+    // first 15 hex chars of md5('hello') = 5d41402abc4b2a7
+    val got = Seq("hello").toDF("s")
+      .select(Portable.md5Hash64($"s")).as[Long].head()
+    assert(got === java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-case tests for the window/time-series operators (SURVEY.md §7.4:
+  * pandas shift/rolling/pct_change boundary semantics).
+  */
+class WindowFeaturesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def run(name: String) = SparkEntry.queries(name)(spark, TestSpark.Sf001)
+
+  test("q18: first row per ticker has null lag, last has null lead/direction") {
+    val df = run("q18_lead_lag_labels").cache()
+    val perTicker = df.groupBy("ticker").agg(
+      count(lit(1)).as("n"),
+      sum(col("close_prev").isNull.cast("long")).as("null_prev"),
+      sum(col("close_next").isNull.cast("long")).as("null_next"),
+      sum(col("direction").isNull.cast("long")).as("null_dir"))
+    // exactly one boundary null on each side of every ticker series
+    assert(perTicker.filter(col("null_prev") =!= 1 || col("null_next") =!= 1 ||
+      col("null_dir") =!= 1).count() === 0)
+    df.unpersist()
+  }
+
+  test("q20: strict rolling(3) is null for the first two rows per ticker, equal to ma3 after") {
+    val df = run("q20_rolling_mean").cache()
+    assert(df.filter(col("ma3").isNull).count() === 0) // min_periods=1 never null
+    val strictNulls = df.groupBy("ticker")
+      .agg(sum(col("ma3_strict").isNull.cast("long")).as("k"))
+      .filter(col("k") =!= 2).count()
+    assert(strictNulls === 0)
+    assert(df.filter(col("ma3_strict").isNotNull && col("ma3_strict") =!= col("ma3"))
+      .count() === 0)
+    df.unpersist()
+  }
+
+  test("q21: sequence windows are exactly 5 long and trailing") {
+    val df = run("q21_sequence_windows")
+    assert(df.filter(size(split(col("seq_cents"), ",")) =!= 5).count() === 0)
+  }
+
+  test("q22: split sizes follow the 80/20 row_number rule") {
+    val rows = run("q22_train_test_split").collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n")).toMap
+    val total = rows.values.sum
+    assert(rows("train") === total * 8 / 10)
+    assert(rows("test") === total - total * 8 / 10)
+  }
+
+  test("q24: z-scores have ~zero mean per ticker") {
+    val bad = run("q24_standard_scaler")
+      .groupBy("ticker").agg(avg(col("z")).as("m"))
+      .filter(abs(col("m")) > 1e-9).count()
+    assert(bad === 0)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Streaming-semantics tests on MemoryStream (SURVEY.md §5.4): append-mode
+  * emission on watermark passage, late-data drop beyond the 10-minute
+  * watermark (T1), and streaming/batch equivalence of the shared 15-min
+  * feature transform (§5.3 property).
+  */
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("windowed agg emits on watermark passage; late data beyond watermark is dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.features15m(in.toDF())
+      .writeStream.format("memory").queryName("swm").outputMode("append").start()
+    try {
+      // batch 1: two events in [10:00, 10:15)
+      in.addData(Ev(t("2021-01-01 10:01:00"), "a", 1.0),
+                 Ev(t("2021-01-01 10:14:00"), "a", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("swm").count() === 0) // watermark still 10:04
+
+      // batch 2: advance event time to 10:40 → watermark 10:30 after batch
+      in.addData(Ev(t("2021-01-01 10:40:00"), "a", 5.0))
+      q.processAllAvailable()
+      // batch 3: nudge so the new watermark takes effect → window emitted
+      in.addData(Ev(t("2021-01-01 10:41:00"), "a", 7.0))
+      q.processAllAvailable()
+      val emitted = spark.table("swm")
+        .select($"window_start", $"post_count", $"total_score").collect()
+      assert(emitted.length === 1)
+      assert(emitted(0).getTimestamp(0) === t("2021-01-01 10:00:00"))
+      assert(emitted(0).getLong(1) === 2L)
+      assert(emitted(0).getDouble(2) === 4.0)
+
+      // batch 4: late event for the already-closed 10:00 window → dropped
+      in.addData(Ev(t("2021-01-01 10:05:00"), "a", 100.0))
+      q.processAllAvailable()
+      val after = spark.table("swm")
+        .filter($"window_start" === t("2021-01-01 10:00:00")).collect()
+      assert(after.length === 1 && after(0).getAs[Long]("post_count") === 2L)
+    } finally q.stop()
+  }
+
+  test("streaming (complete mode) equals batch on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      Ev(t("2021-01-01 10:01:00"), "a", 1.5),
+      Ev(t("2021-01-01 10:14:59"), "b", 2.5),
+      Ev(t("2021-01-01 10:16:00"), "a", 3.5),
+      Ev(t("2021-01-01 11:00:00"), "a", 4.5))
+    val in = MemoryStream[Ev]
+    val q = Streams.features15m(in.toDF())
+      .writeStream.format("memory").queryName("seq_check").outputMode("complete").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("seq_check").orderBy("window_start", "event_type").collect()
+      val batch = Streams.features15m(rows.toDF())
+        .orderBy("window_start", "event_type").collect()
+      assert(streaming.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("stream-static join plans a broadcast of the static side") {
+    import spark.implicits._
+    // batch twin of the q42 plan — explain must show BroadcastHashJoin
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf001)
+    val cust = graft.sources.Tables.customer(spark, TestSpark.Sf001)
+    val plan = ev.join(broadcast(cust), $"user_id" === $"c_custkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
