@@ -20,12 +20,14 @@ object VectorOps {
 
   private val S = 1e15
 
-  /** Scaled-integer dot product of two float-array columns. */
+  /** Scaled-integer dot product of two float-array columns — a native
+    * codegen'd Catalyst expression (DotScaledExpr); the declarative
+    * `zip_with`+`aggregate` equivalent is interpreted and ~6× slower.
+    */
   def dotScaled(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        floor(x.cast("double") * y.cast("double") * lit(S)).cast("long")),
-      lit(0L), (acc, p) => acc + p)
+    org.apache.spark.sql.graft.bridge.column(DotScaledExpr(
+      org.apache.spark.sql.graft.bridge.expression(a),
+      org.apache.spark.sql.graft.bridge.expression(b)))
 
   def dotScaledSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), " +

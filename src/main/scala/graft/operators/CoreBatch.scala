@@ -314,10 +314,13 @@ object CoreBatch extends QueryModule {
 
   // ---------------------------------------------------------------------
   // q07 — interval/range join (J5): the reference's per-row 24 h Mongo
-  // lookup (stock_pipeline.py:159-179) rewritten set-based — equi-prefix on
-  // the key keeps it a hash join with a range residual (SURVEY.md §2.3 J5).
-  // For each daily (event_type, date) bar: stats over raw events of the
-  // same type within [date-1 day, date+1 day).
+  // lookup (stock_pipeline.py:159-179) rewritten set-based. A naive
+  // equi-prefix join on event_type alone has 5 distinct keys — total skew
+  // at scale. Since bar dates are midnights, ts ∈ [date−1d, date+1d) holds
+  // EXACTLY when date ∈ {floor(ts), floor(ts)+1}: each raw event explodes
+  // to its two candidate bar dates and the join becomes a pure equi-join
+  // on (event_type, date) — well-distributed keys, no range residual, no
+  // skew (the bucketed-by-day rewrite of SURVEY.md §2.3/§7.3).
   // ---------------------------------------------------------------------
   private val q07 = QueryDef(
     "q07_interval_join",
@@ -326,12 +329,9 @@ object CoreBatch extends QueryModule {
       val ev = Tables.events(spark, dir).filter($"ts".isNotNull)
       val bars = ev.groupBy($"event_type", to_date($"ts").as("date"))
         .agg(count(lit(1)).as("volume"))
-      val raw = ev.select($"event_type".as("r_type"), $"ts", $"value")
-      bars.join(raw,
-          bars("event_type") === raw("r_type") &&
-          raw("ts") >= to_timestamp(bars("date")) - expr("INTERVAL 1 DAY") &&
-          raw("ts") < to_timestamp(bars("date")) + expr("INTERVAL 1 DAY"),
-          "left")
+      val cand = ev.select($"event_type", $"ts", $"value",
+          explode(array(to_date($"ts"), date_add(to_date($"ts"), 1))).as("date"))
+      bars.join(cand, Seq("event_type", "date"), "left")
         .groupBy($"event_type", $"date", $"volume")
         .agg(
           count($"ts").as("nearby_events"),

@@ -83,26 +83,35 @@ object Dedup extends QueryModule {
     "q35_minhash_lsh",
     (spark, dir) => {
       import spark.implicits._
-      val hashed = shingles(spark, dir)
+      // The shingle set and the signature table are each referenced by
+      // several downstream branches (bands, sizes, intersection, estimate)
+      // — materialize them once instead of letting every branch recompute
+      // the explode+hash subtree. At cluster scale these are exactly the
+      // tables you'd persist (or write) before the LSH join.
+      val sh = shingles(spark, dir).persist()
+      val sig = sh
         .withColumn("h", Portable.md5Hash64($"s") % P)
-      val sig = hashed.groupBy($"doc_id")
+        .groupBy($"doc_id")
         .agg(
           min((lit(HashA(0)) * $"h" + lit(HashB(0))) % P).as("m0"),
           (1 until NumHashes).map(j =>
             min((lit(HashA(j)) * $"h" + lit(HashB(j))) % P).as(s"m$j")): _*)
-      val bands = (0 until NumBands).map { b =>
+        .persist()
+      val bandCols = (0 until NumBands).map { b =>
         val bval = (0 until RowsPerBand).foldLeft(lit(0L)) {
           (acc, r) => (acc * 31 + col(s"m${b * RowsPerBand + r}")) % P
         }
-        sig.select($"doc_id", lit(b).as("band"), bval.as("bval"))
-      }.reduce(_ unionByName _)
+        struct(lit(b).as("band"), bval.as("bval"))
+      }
+      val bands = sig
+        .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+        .select($"doc_id", $"bb.band".as("band"), $"bb.bval".as("bval"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
         .distinct()
-      val sizes = shingles(spark, dir).groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val sh = shingles(spark, dir)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(sh.as("a"), col("a.doc_id") === $"i")
         .join(sh.as("b"), col("b.doc_id") === $"j" && col("b.s") === col("a.s"))
@@ -180,7 +189,8 @@ object Dedup extends QueryModule {
             sum(when(shiftright($"h", b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$b")): _*)
       val fp = (0 until SimBits).map(b =>
         when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-      val sigs = bitSums.select($"doc_id", $"lang", fp.as("fp"))
+      // self-joined below — materialize the 500-row signature table once
+      val sigs = bitSums.select($"doc_id", $"lang", fp.as("fp")).persist()
       sigs.as("a").join(sigs.as("b"),
           col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
         .withColumn("hamming",
@@ -232,6 +242,7 @@ object Dedup extends QueryModule {
                 element_at($"w", i + 1), lit(" "),
                 element_at($"w", i + 2))))).as("s"))
         .filter($"s".isNotNull)
+        .persist() // referenced by sizes and both sides of the block join
       val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = grams.as("a").join(grams.as("b"),
           col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
@@ -280,6 +291,7 @@ object Dedup extends QueryModule {
       import spark.implicits._
       val emb = Tables.embeddings(spark, dir)
         .withColumn("nrm", VectorOps.normScaled($"embedding"))
+        .persist() // both sides of the blocked self-join
       emb.as("a").join(emb.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos", VectorOps.cosineFromScaled(

@@ -39,6 +39,7 @@ object Similarity extends QueryModule {
       import spark.implicits._
       val emb = Tables.embeddings(spark, dir)
         .withColumn("nrm", VectorOps.normScaled($"embedding"))
+        .persist() // corpus side + query side come from one materialization
       val queries = emb.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
@@ -116,10 +117,11 @@ object Similarity extends QueryModule {
       import spark.implicits._
       val emb = Tables.embeddings(spark, dir)
         .withColumn("nrm", VectorOps.normScaled($"embedding"))
+        .persist()
       val bucketed = (0 until NumBands).map { b =>
         emb.select($"vec_id", $"embedding", $"nrm",
           lit(b).as("band"), bandBucket(b).as("bucket"))
-      }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _).persist()
       val queries = bucketed.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"),
           $"band", $"bucket")
