@@ -192,7 +192,7 @@ object CoreBatch extends QueryModule {
       .orderBy($"event_type", $"date")
   }
 
-  private val goldOracle = s"""
+  private[operators] val goldOracle = s"""
       WITH posts AS (
         SELECT event_id, ts, event_type, value,
                coalesce(CAST(json_extract(props, '$$.k') AS BIGINT), 0) AS num_comments

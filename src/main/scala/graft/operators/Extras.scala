@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Remaining SURVEY.md §2 coverage cells: CSV export/scan round-trip
+  * (S4/S8/S9), upsert sink (S13), the date/time scalar family (F2),
+  * sliding windows (T2 exposure), rollup and set operations (§2.4/§2.7
+  * "free from Catalyst" exposure), and the Scala-UDF registration surface
+  * (X1 — kept as a demonstration; the production path is the native
+  * expression in TextOps).
+  */
+object Extras extends QueryModule {
+
+  private def dsumCents(c: org.apache.spark.sql.Column) =
+    sum((c.cast(DecimalType(28, 2)) * 100).cast("long"))
+
+  // ---------------------------------------------------------------------
+  // q46 — single-file CSV export + schema'd CSV scan round-trip (S8's
+  // coalesce(1) export feeding the notebooks, S4's schema'd read): the
+  // gold table goes out as one headered CSV and comes back losslessly
+  // (shortest-repr doubles round-trip exactly).
+  // ---------------------------------------------------------------------
+  private val q46 = QueryDef(
+    "q46_csv_roundtrip",
+    (spark, dir) => {
+      import spark.implicits._
+      val out = Files.createTempDirectory("graft_csv_").toString + "/gold"
+      CoreBatch.goldDaily(spark, dir)
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val schema = new StructType()
+        .add("event_type", StringType).add("date", DateType)
+        .add("open", DoubleType).add("high", DoubleType)
+        .add("low", DoubleType).add("close", DoubleType)
+        .add("volume", LongType).add("post_count", LongType)
+        .add("avg_score", DoubleType).add("total_score", DoubleType)
+        .add("avg_comments", DoubleType).add("max_score", DoubleType)
+      spark.read.option("header", "true").schema(schema).csv(out)
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_days"),
+          dsumCents($"close").as("close_cents"),
+          sum($"volume").as("total_volume"),
+          max($"date").as("last_date"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH gold AS (${CoreBatch.goldOracle})
+      SELECT event_type, count(*) AS n_days,
+             sum(CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT)) AS close_cents,
+             CAST(sum(volume) AS BIGINT) AS total_volume,
+             max(date) AS last_date
+      FROM gold GROUP BY event_type ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------------
+  // q47 — upsert sink (S13: predictor_service.py:124-126 update_one
+  // upsert=True, last-prediction-per-key): latest event per user as a
+  // window top-1, materialized with overwrite (the parquet analog of the
+  // keyed upsert), then read back.
+  // ---------------------------------------------------------------------
+  private val q47 = QueryDef(
+    "q47_upsert_latest",
+    (spark, dir) => {
+      import spark.implicits._
+      val out = Files.createTempDirectory("graft_upsert_").toString + "/latest"
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      Tables.events(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out).orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+      ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------------
+  // q48 — date/time scalar family (F2): date_trunc to hour, day-of-week,
+  // epoch seconds, date arithmetic — aggregated per weekday. (Spark
+  // dayofweek is 1=Sunday; DuckDB is 0=Sunday — aligned with +1.)
+  // ---------------------------------------------------------------------
+  private val q48 = QueryDef(
+    "q48_datetime_kitchen",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("dow", dayofweek(to_date($"ts")))
+        .withColumn("hour_bucket", date_trunc("hour", $"ts"))
+        .withColumn("epoch_s", unix_timestamp($"ts"))
+        .withColumn("next_day", date_add(to_date($"ts"), 1))
+        .groupBy($"dow")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct($"hour_bucket").as("n_hours"),
+          min($"epoch_s").as("min_epoch"),
+          max($"next_day").as("max_next_day"))
+        .orderBy($"dow")
+    },
+    Some("""
+      SELECT dayofweek(CAST(ts AS DATE)) + 1 AS dow, count(*) AS n,
+             count(DISTINCT date_trunc('hour', ts)) AS n_hours,
+             min(CAST(floor(epoch(ts)) AS BIGINT)) AS min_epoch,
+             max(CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS DATE)) AS max_next_day
+      FROM events GROUP BY 1 ORDER BY dow"""))
+
+  // ---------------------------------------------------------------------
+  // q49 — sliding windows (T2: the tumbling 15-min window generalized to
+  // 30-min windows sliding by 15): every event lands in exactly two
+  // windows; counts and exact sums per (window, type).
+  // ---------------------------------------------------------------------
+  private val q49 = QueryDef(
+    "q49_sliding_windows",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .groupBy(window($"ts", "30 minutes", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(28, 2))).cast("double").as("total"))
+        .select($"window.start".as("window_start"), $"window.end".as("window_end"),
+          $"event_type", $"n", $"total")
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""
+      SELECT window_start, window_start + INTERVAL '30 minutes' AS window_end,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+      FROM (
+        SELECT event_type, value, unnest([
+          time_bucket(INTERVAL '15 minutes', ts),
+          time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes']) AS window_start
+        FROM events WHERE ts IS NOT NULL)
+      GROUP BY 1, 2, 3
+      ORDER BY window_start, event_type"""))
+
+  // ---------------------------------------------------------------------
+  // q50 — rollup (§2.4 exposure: grouping-set aggregates over
+  // (event_type, date) with subtotal and grand-total rows).
+  // ---------------------------------------------------------------------
+  private val q50 = QueryDef(
+    "q50_rollup",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .rollup($"event_type", to_date($"ts").as("date"))
+        .agg(count(lit(1)).as("n"), dsumCents($"value").as("value_cents"))
+        .orderBy($"event_type".asc_nulls_first, $"date".asc_nulls_first)
+    },
+    Some("""
+      SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n,
+             sum(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS value_cents
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+      ORDER BY event_type NULLS FIRST, date NULLS FIRST"""))
+
+  // ---------------------------------------------------------------------
+  // q51 — set operations (§2.7 exposure: intersect / except over user
+  // cohorts).
+  // ---------------------------------------------------------------------
+  private val q51 = QueryDef(
+    "q51_set_ops",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      def users(t: String) = ev.filter($"event_type" === t).select($"user_id")
+      val both = users("purchase").intersect(users("signup"))
+        .agg(count(lit(1)).as("n")).withColumn("cohort", lit("purchase_and_signup"))
+      val only = users("purchase").except(users("signup"))
+        .agg(count(lit(1)).as("n")).withColumn("cohort", lit("purchase_only"))
+      both.unionByName(only).select($"cohort", $"n").orderBy($"cohort")
+    },
+    Some("""
+      SELECT 'purchase_and_signup' AS cohort, count(*) AS n FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'signup')
+      UNION ALL
+      SELECT 'purchase_only', count(*) FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'signup')
+      ORDER BY cohort"""))
+
+  // ---------------------------------------------------------------------
+  // q52 — Scala UDF registration surface (X1 demonstration): the
+  // reference's extract_tickers Python UDF as a registered Scala UDF —
+  // no Python worker round-trip, but still an opaque function to Catalyst
+  // (no pushdown through it), which is why TextOps q26 uses the native
+  // expression chain instead. Same output as q26 by construction.
+  // ---------------------------------------------------------------------
+  private val TickerPattern = "\\$?([A-Z]{1,5})\\b".r
+  private val WhitelistSet = Set("SPARK", "JOIN", "HASH", "SORT", "SCAN",
+    "AGG", "KEY", "ROW", "BATCH")
+
+  private val q52 = QueryDef(
+    "q52_udf_tickers",
+    (spark, dir) => {
+      import spark.implicits._
+      spark.udf.register("extract_tickers_udf", (title: String, body: String) => {
+        val text = Seq(Option(title), Option(body)).flatten.mkString(" ").toUpperCase
+        TickerPattern.findAllMatchIn(text).map(_.group(1))
+          .filter(WhitelistSet).toSeq.distinct
+      })
+      Tables.documents(spark, dir)
+        .withColumn("tok", explode(call_udf("extract_tickers_udf",
+          $"text", lit(null).cast("string"))))
+        .groupBy($"tok".as("ticker"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"ticker")
+    },
+    Some(s"""
+      SELECT ticker, count(*) AS n_docs FROM (
+        SELECT doc_id, unnest(list_distinct(
+          regexp_extract_all(upper(text), '\\$$?([A-Z]{1,5})\\b', 1))) AS ticker
+        FROM documents)
+      WHERE ticker IN (${WhitelistSet.toSeq.sorted.map("'" + _ + "'").mkString(", ")})
+      GROUP BY ticker ORDER BY ticker"""))
+
+  override val defs: Seq[QueryDef] = Seq(q46, q47, q48, q49, q50, q51, q52)
+}
