@@ -125,13 +125,19 @@ object Streams extends QueryModule {
     "q43_stream_sink_roundtrip",
     (spark, dir) => {
       import spark.implicits._
+      import org.apache.spark.sql.streaming.Trigger
       val out = Files.createTempDirectory("graft_bronze_").toString
       val q = eventsStream(spark, dir).writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.write.mode("append").parquet(out)
         }
+        // T3/T4: explicit trigger + checkpointed progress, as the
+        // reference configures per query (reddit_pipeline.py:148-149)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_ckpt_").toString)
         .start()
-      q.processAllAvailable()
+      q.awaitTermination() // AvailableNow terminates when caught up
       q.stop()
       spark.read.parquet(out)
         .groupBy($"event_type")

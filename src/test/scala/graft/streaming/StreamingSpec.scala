@@ -74,6 +74,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multi-query concurrency: two streams drain under awaitAnyTermination (T6)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.Trigger
+    val in1 = MemoryStream[Ev]; val in2 = MemoryStream[Ev]
+    in1.addData(Ev(t("2021-01-01 10:01:00"), "a", 1.0))
+    in2.addData(Ev(t("2021-01-01 10:02:00"), "b", 2.0))
+    val q1 = in1.toDF().writeStream.format("memory").queryName("t6_a")
+      .trigger(Trigger.AvailableNow()).start()
+    val q2 = in2.toDF().writeStream.format("memory").queryName("t6_b")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      // both AvailableNow queries terminate once caught up
+      spark.streams.awaitAnyTermination(30000)
+      q1.awaitTermination(30000); q2.awaitTermination(30000)
+      assert(spark.table("t6_a").count() === 1)
+      assert(spark.table("t6_b").count() === 1)
+    } finally { q1.stop(); q2.stop(); spark.streams.resetTerminated() }
+  }
+
   test("stream-static join plans a broadcast of the static side") {
     import spark.implicits._
     // batch twin of the q42 plan — explain must show BroadcastHashJoin
