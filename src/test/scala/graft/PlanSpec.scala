@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the scale properties the builder brief
+  * demands (pushdown reaches the scan, small dims broadcast, top-k avoids
+  * global sort, hot paths stay in whole-stage codegen, nothing goes
+  * cartesian). These lock in `.explain`-level behavior so a refactor that
+  * silently degrades a plan fails CI, not the cluster.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.Sf001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q10: filters push down into the parquet scan") {
+    val p = planOf("q10_range_filter")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.linesIterator.take(20).mkString("\n"))
+    assert(p.contains("GreaterThanOrEqual(")) // range predicates reached the scan
+  }
+
+  test("q10: scan schema is pruned to referenced columns only") {
+    val p = planOf("q10_range_filter")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      readSchema)
+  }
+
+  test("q05/q17: dimension joins broadcast the small side") {
+    assert(planOf("q05_stream_static_join").contains("BroadcastHashJoin"))
+    assert(planOf("q17_semi_anti_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q14: top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q14_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q01: aggregation runs inside whole-stage codegen") {
+    // AQE only finalizes (and codegens) the plan at execution time:
+    // execute, then look for the *(n) codegen-stage markers in the final
+    // adaptive plan
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, TestSpark.Sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("*("), p.linesIterator.take(10).mkString("\n"))
+  }
+
+  test("q07: interval join is a distributed equi-join (no type-only skew key)") {
+    val p = planOf("q07_interval_join")
+    assert(!p.contains("CartesianProduct"))
+    // join keys include the exploded candidate date, not event_type alone
+    assert(p.contains("date"), p)
+  }
+
+  test("no lazily-planned query goes cartesian") {
+    // exclude queries that execute eagerly when built (streaming runs,
+    // sink round-trips) — their side effects don't belong in a plan test
+    val eager = Set("q41_stream_features_15m", "q42_stream_static_join",
+      "q43_stream_sink_roundtrip", "q46_csv_roundtrip", "q47_upsert_latest")
+    SparkEntry.queries.keys.filterNot(eager).foreach { name =>
+      assert(!planOf(name).contains("CartesianProduct"), s"$name is cartesian")
+    }
+  }
+
+  test("dot_scaled is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT dot_scaled(
+        |  array(CAST(0.5 AS FLOAT), CAST(1.0 AS FLOAT)),
+        |  array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d""".stripMargin)
+      .collect()(0).getLong(0)
+    // 0.5*2*1e15 + 1*3*1e15 = 4e15
+    assert(got === 4_000_000_000_000_000L)
+  }
+}
