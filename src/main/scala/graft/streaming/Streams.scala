@@ -153,5 +153,66 @@ object Streams extends QueryModule {
              count(DISTINCT user_id) AS n_users
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q41, q42, q43)
+  // ---------------------------------------------------------------------
+  // q44→q55 — arbitrary stateful processing (T9: mapGroupsWithState —
+  // "available if the J5 enrichment is redesigned as streaming state",
+  // SURVEY.md §2.10): per-user running state (event count, exact cents
+  // sum, last event by (ts, event_id)) maintained in a keyed GroupState
+  // and emitted in update mode. State merge is commutative/associative in
+  // the right places and order-insensitive (max-by on a total order), so
+  // the final per-key state is deterministic however the stream batches.
+  // ---------------------------------------------------------------------
+  private[graft] case class EventRow(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  private[graft] case class UserState(
+      user_id: Long, n: Long, cents: Long,
+      last_event_id: Long, last_ts: java.sql.Timestamp, last_type: String)
+
+  private[graft] def mergeState(
+      key: Long, rows: Iterator[EventRow],
+      state: org.apache.spark.sql.streaming.GroupState[UserState]): UserState = {
+    val prev = state.getOption.getOrElse(
+      UserState(key, 0L, 0L, Long.MinValue, new java.sql.Timestamp(Long.MinValue), ""))
+    val next = rows.foldLeft(prev) { (s, e) =>
+      val cents = math.round(e.value * 100) // value has a 2-decimal grid
+      val newer = e.ts.after(s.last_ts) ||
+        (e.ts.equals(s.last_ts) && e.event_id > s.last_event_id)
+      UserState(key, s.n + 1, s.cents + cents,
+        if (newer) e.event_id else s.last_event_id,
+        if (newer) e.ts else s.last_ts,
+        if (newer) e.event_type else s.last_type)
+    }
+    state.update(next)
+    next
+  }
+
+  private val q55 = QueryDef(
+    "q55_stateful_user_state",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      val updates = eventsStream(spark, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventRow]
+        .groupByKey(_.user_id)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(mergeState)
+        .toDF()
+      // update mode emits one row per key per batch; keep the final state
+      // (n grows monotonically) so the result is batching-independent
+      runToMemory(updates, "update")
+        .groupBy($"user_id")
+        .agg(max_by(struct($"n", $"cents", $"last_event_id", $"last_type"), $"n").as("s"))
+        .select($"user_id", $"s.n".as("n"), $"s.cents".as("cents"),
+          $"s.last_event_id".as("last_event_id"), $"s.last_type".as("last_type"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             arg_max(event_id, ts) AS last_event_id,
+             arg_max(event_type, ts) AS last_type
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55)
 }

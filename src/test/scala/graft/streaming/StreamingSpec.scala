@@ -74,6 +74,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState accumulates per-key state across micro-batches (T9)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val in = MemoryStream[Streams.EventRow]
+    val q = in.toDS()
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(Streams.mergeState)
+      .toDF()
+      .writeStream.format("memory").queryName("t9_state").outputMode("update").start()
+    try {
+      in.addData(Streams.EventRow(1L, t("2021-01-01 10:00:00"), 7L, "a", 1.25))
+      q.processAllAvailable()
+      in.addData(
+        Streams.EventRow(2L, t("2021-01-01 11:00:00"), 7L, "b", 2.50),
+        Streams.EventRow(3L, t("2021-01-01 09:00:00"), 7L, "c", 0.25)) // older — not "last"
+      q.processAllAvailable()
+      val rows = spark.table("t9_state").filter($"n" === 3).collect()
+      assert(rows.length === 1)
+      val r = rows(0)
+      assert(r.getAs[Long]("cents") === 400L)       // 125 + 250 + 25
+      assert(r.getAs[Long]("last_event_id") === 2L) // newest ts wins across batches
+      assert(r.getAs[String]("last_type") === "b")
+    } finally q.stop()
+  }
+
   test("multi-query concurrency: two streams drain under awaitAnyTermination (T6)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
