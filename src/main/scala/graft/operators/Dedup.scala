@@ -89,6 +89,11 @@ object Dedup extends QueryModule {
       // the explode+hash subtree. At cluster scale these are exactly the
       // tables you'd persist (or write) before the LSH join.
       val sh = shingles(spark, dir).persist()
+      // 16 codegen'd min() columns, NOT functions.MinHashAgg: the
+      // TypedImperativeAggregate form is value-identical but plans as
+      // ObjectHashAggregate (no codegen) and measured ~3× slower at this
+      // k — the UDAF stays in the library for object-state aggregations
+      // that plain columns can't express
       val sig = sh
         .withColumn("h", Portable.md5Hash64($"s") % P)
         .groupBy($"doc_id")

@@ -170,5 +170,131 @@ object Similarity extends QueryModule {
       WHERE rank <= $K ORDER BY q_id, rank"""
     })
 
-  override val defs: Seq[QueryDef] = Seq(q39, q40)
+  // ---------------------------------------------------------------------
+  // q56 — IVF-style ANN (the inverted-file scale path next to q40's LSH):
+  // a fixed 16-vector codebook (the first 16 corpus vectors — a stand-in
+  // for trained centroids; the plan is identical either way), every
+  // vector assigned to its nearest cell, queries probe their 2 nearest
+  // cells, exact cosine re-ranks inside the probed cells. At 100 TB the
+  // assignment is one broadcast-join map pass and search touches only
+  // nprobe/ncells of the corpus.
+  // ---------------------------------------------------------------------
+  private val NumCells = 16
+  private val NumProbes = 2
+
+  private val q56 = QueryDef(
+    "q56_ivf_ann",
+    (spark, dir) => {
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+        .withColumn("nrm", VectorOps.normScaled($"embedding"))
+        .persist()
+      val cent = emb.filter($"vec_id" < NumCells)
+        .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+      val scored = emb.join(broadcast(cent))
+        .withColumn("ccos", VectorOps.cosineFromScaled(
+          VectorOps.dotScaled($"embedding", $"c_emb"), $"nrm", $"c_nrm"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)
+      val assign = scored
+        .withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"embedding", $"nrm", $"cent_id".as("cell"))
+        .persist()
+      val probes = scored.filter($"vec_id" < NumQueries)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" <= NumProbes)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+          $"nrm".as("q_nrm"), $"cent_id".as("cell"))
+      val wRank = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      assign.join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos", VectorOps.cosineFromScaled(
+          VectorOps.dotScaled($"embedding", $"q_emb"), $"nrm", $"q_nrm"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank", $"vec_id", $"cos")
+        .orderBy($"q_id", $"rank")
+    },
+    Some(s"""
+      WITH emb AS (
+        SELECT vec_id, embedding, ${VectorOps.normScaledSql("embedding")} AS nrm
+        FROM embeddings),
+      cent AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+               FROM emb WHERE vec_id < $NumCells),
+      scored AS (
+        SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+               ${VectorOps.cosineFromScaledSql(
+                 VectorOps.dotScaledSql("e.embedding", "c.c_emb"),
+                 "e.nrm", "c.c_nrm")} AS ccos
+        FROM emb e CROSS JOIN cent c),
+      ranked_cells AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+        FROM scored),
+      assign AS (
+        SELECT vec_id, embedding, nrm, cent_id AS cell
+        FROM ranked_cells WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cent_id AS cell
+        FROM ranked_cells WHERE vec_id < $NumQueries AND rn <= $NumProbes),
+      cand AS (
+        SELECT p.q_id, a.vec_id,
+               ${VectorOps.cosineFromScaledSql(
+                 VectorOps.dotScaledSql("a.embedding", "p.q_emb"),
+                 "a.nrm", "p.q_nrm")} AS cos
+        FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id),
+      final_rank AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM cand)
+      SELECT q_id, rank, vec_id, cos FROM final_rank
+      WHERE rank <= $K ORDER BY q_id, rank"""))
+
+  // ---------------------------------------------------------------------
+  // q57 — int8 embedding quantization (training-pipeline storage op):
+  // per-vector absmax scale, symmetric round-half-up (floor(x+0.5) — the
+  // one half-rule both engines share on the raw binary double), clamp to
+  // [-127,127]; emitted as exact integer summaries so the oracle checks
+  // every quantized value through a position-weighted checksum.
+  // ---------------------------------------------------------------------
+  private val q57 = QueryDef(
+    "q57_quantize_int8",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.embeddings(spark, dir)
+        .withColumn("scale", array_max(transform($"embedding",
+          x => abs(x.cast("double")))))
+        .withColumn("q", zip_with($"embedding",
+          sequence(lit(1), lit(64)),
+          (x, i) => struct(
+            greatest(lit(-127L), least(lit(127L),
+              floor(x.cast("double") / $"scale" * 127 + 0.5).cast("long"))).as("v"),
+            i.cast("long").as("pos"))))
+        .select(
+          $"vec_id", $"label",
+          floor($"scale" * 1e6).cast("long").as("scale_1e6"),
+          aggregate($"q", lit(0L), (acc, s) => acc + s("v") * s("pos")).as("checksum"),
+          aggregate($"q", lit(0L),
+            (acc, s) => acc + when(abs(s("v")) === 127, 1L).otherwise(0L)).as("n_sat"))
+        .orderBy($"vec_id")
+    },
+    Some("""
+      SELECT vec_id, label,
+             CAST(floor(scale * 1e6) AS BIGINT) AS scale_1e6,
+             CAST(list_sum(list_transform(list_zip(q, range(1, 65)),
+               p -> p[1] * p[2])) AS BIGINT) AS checksum,
+             CAST(list_sum(list_transform(q,
+               v -> CASE WHEN abs(v) = 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_sat
+      FROM (
+        SELECT vec_id, label, scale,
+               list_transform(embedding, x -> greatest(CAST(-127 AS BIGINT),
+                 least(CAST(127 AS BIGINT),
+                   CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS BIGINT)))) AS q
+        FROM (
+          SELECT vec_id, label, embedding,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+          FROM embeddings))
+      ORDER BY vec_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q39, q40, q56, q57)
 }

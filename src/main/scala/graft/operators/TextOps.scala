@@ -235,5 +235,36 @@ object TextOps extends QueryModule {
         FROM documents)
       GROUP BY source ORDER BY source"""))
 
-  override val defs: Seq[QueryDef] = Seq(q26, q27, q28, q29, q30)
+  // ---------------------------------------------------------------------
+  // q58 — vocabulary build (training-pipeline op): corpus word-frequency
+  // table with a min-count floor and deterministic rank (count desc, word
+  // asc) — the tokenizer-training input shape. Explode → one groupBy →
+  // global top-k; the shuffle carries |vocab|, not |tokens|.
+  // ---------------------------------------------------------------------
+  private val q58 = QueryDef(
+    "q58_vocab_build",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy($"n".desc, $"word".asc)
+      Tables.documents(spark, dir)
+        .select(explode(Portable.tokens($"text")).as("word"))
+        .groupBy($"word")
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" >= 5)
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 100)
+        .orderBy($"rank")
+    },
+    Some(s"""
+      SELECT word, n, rank FROM (
+        SELECT word, n, row_number() OVER (ORDER BY n DESC, word ASC) AS rank
+        FROM (
+          SELECT word, count(*) AS n
+          FROM (SELECT unnest(${Portable.tokensSql("text")}) AS word FROM documents)
+          GROUP BY word)
+        WHERE n >= 5)
+      WHERE rank <= 100 ORDER BY rank"""))
+
+  override val defs: Seq[QueryDef] = Seq(q26, q27, q28, q29, q30, q58)
 }

@@ -57,6 +57,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh.map(_._1).subsetOf(brute.map(_._1)))
   }
 
+  test("MinHashAgg one-pass signature equals per-column min() signature") {
+    import graft.functions.{MinHashAgg, Portable}
+    val a = Seq(3L, 2654435761L)
+    val b = Seq(7L, 99991L)
+    val df = Seq((1L, "aaa"), (1L, "bbb"), (1L, "ccc"), (2L, "aaa"))
+      .toDF("id", "s")
+      .withColumn("h", Portable.md5Hash64($"s") % Portable.P)
+    val viaAgg = df.groupBy($"id")
+      .agg(MinHashAgg.signature($"h", a, b).as("ms"))
+      .select($"id", $"ms".getItem(0).as("m0"), $"ms".getItem(1).as("m1"))
+    val viaCols = df.groupBy($"id")
+      .agg(min((lit(a(0)) * $"h" + lit(b(0))) % Portable.P).as("m0"),
+           min((lit(a(1)) * $"h" + lit(b(1))) % Portable.P).as("m1"))
+    assert(viaAgg.orderBy("id").collect().toSeq ===
+      viaCols.orderBy("id").collect().toSeq)
+  }
+
   test("exact dedup counts: n_distinct + n_dup_docs == n_docs") {
     val bad = run("q34_exact_dedup")
       .filter(col("n_distinct") + col("n_dup_docs") =!= col("n_docs")).count()
