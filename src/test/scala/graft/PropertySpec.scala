@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.{Portable, SentimentLex, VectorOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based tests (SURVEY.md §5.3): algebraic invariants that must
+  * hold for ANY input, checked over ScalaCheck-generated data — the class
+  * of bug the fixture oracle can't catch because fixtures exercise one
+  * data shape. (Raw Gen + fixed seeds; the scalatest-scalacheck bridge
+  * isn't in the offline dependency set.)
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** n deterministic samples from a generator. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => g.apply(Gen.Parameters.default, Seed(42L + i))
+      .getOrElse(fail(s"generator exhausted at sample $i")))
+
+  private val wordGen = Gen.listOf(Gen.oneOf(
+    "fast", "slow", "big", "small", "the", "a", "spark", "join", "x9", ""))
+
+  test("explode + count == sum of array sizes") {
+    for (docs <- samples(Gen.listOfN(20, wordGen), 5)) {
+      val df = docs.map(_.mkString(" ")).toDF("text")
+        .withColumn("toks", Portable.tokens($"text"))
+      val exploded = df.select(explode($"toks")).count()
+      val summed = df.agg(coalesce(sum(size($"toks")), lit(0L))).as[Long].head()
+      assert(exploded === summed)
+    }
+  }
+
+  test("sentiment rawScore is additive over concatenation") {
+    def score(ws: List[String]): Long =
+      Seq(ws.mkString(" ")).toDF("text")
+        .select(SentimentLex.rawScore(Portable.tokens($"text"))).as[Long].head()
+    for ((a, b) <- samples(Gen.zip(wordGen, wordGen), 5)) {
+      val an = a.filter(_.nonEmpty); val bn = b.filter(_.nonEmpty)
+      // token streams concatenate, so scores add (whitespace tokenizer
+      // never merges tokens across the joined boundary)
+      assert(score(an ++ bn) === score(an) + score(bn))
+    }
+  }
+
+  test("dot_scaled is symmetric and cosine is bounded") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-1.0f, 1.0f))
+      .suchThat(_.exists(_ != 0f))
+    for ((a, b) <- samples(Gen.zip(vecGen, vecGen), 5)) {
+      val r = Seq((a.toArray, b.toArray)).toDF("a", "b")
+        .select(
+          VectorOps.dotScaled($"a", $"b").as("ab"),
+          VectorOps.dotScaled($"b", $"a").as("ba"),
+          VectorOps.cosineFromScaled(
+            VectorOps.dotScaled($"a", $"b"),
+            VectorOps.normScaled($"a"), VectorOps.normScaled($"b")).as("cos"))
+        .collect()(0)
+      assert(r.getAs[Long]("ab") === r.getAs[Long]("ba"))
+      // 1e-9 slack for the 1e-15 quantization of the scaled-int trick
+      assert(math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("rolling hash changes when any token changes (collision sanity)") {
+    val wsGen = Gen.listOfN(5, Gen.alphaNumStr.suchThat(_.nonEmpty))
+    for (ws <- samples(wsGen, 5)) {
+      val fps = Seq(ws.mkString(" "), (ws.init :+ (ws.last + "z")).mkString(" "))
+        .toDF("text")
+        .select(Portable.rollingHash(Portable.tokens($"text"))).as[Long].collect()
+      assert(fps(0) !== fps(1))
+    }
+  }
+
+  test("windowed count aggregation is partition invariant") {
+    for (offs <- samples(Gen.listOfN(50, Gen.choose(0L, 3600L)), 3)) {
+      val rows = offs.map(o => new java.sql.Timestamp(1609459200000L + o * 1000))
+        .toDF("ts")
+      def agg(parts: Int) = rows.repartition(parts)
+        .groupBy(window($"ts", "15 minutes")).agg(count(lit(1)).as("n"))
+        .select($"window.start", $"n").orderBy($"start").collect().toSeq
+      assert(agg(1) === agg(7))
+    }
+  }
+}
