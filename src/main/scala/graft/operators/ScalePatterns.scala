@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Scale-pattern operators (SURVEY.md §4, SCALE.md): the cluster-layout
+  * techniques demonstrated concretely — partitioned table layout with
+  * partition-pruned reads, and salted two-stage aggregation for skewed
+  * keys. Each produces an oracle-checked result so the pattern is proven
+  * semantics-preserving, not just described.
+  */
+object ScalePatterns extends QueryModule {
+
+  // ---------------------------------------------------------------------
+  // q59 — partitioned layout + pruned scan (§4 "parquet partitioning by
+  // date"): events written out partitionBy(event_type), re-read with a
+  // partition filter — the scan touches only the selected partition
+  // directories (PartitionFilters in the plan; asserted in PlanSpec).
+  // At 100 TB this is the difference between scanning one table and
+  // scanning one partition.
+  // ---------------------------------------------------------------------
+  private val q59 = QueryDef(
+    "q59_partitioned_pruning",
+    (spark, dir) => {
+      import spark.implicits._
+      val out = Files.createTempDirectory("graft_part_").toString + "/events_by_type"
+      Tables.events(spark, dir)
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      spark.read.parquet(out)
+        .filter($"event_type" === "purchase")
+        .groupBy(to_date($"ts").as("date"))
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(28, 2))).cast("double").as("total"))
+        .orderBy($"date")
+    },
+    Some("""
+      SELECT CAST(ts AS DATE) AS date, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY date"""))
+
+  /** The partitioned re-read alone (no write), for plan assertions. */
+  private[graft] def prunedRead(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_part_probe_").toString + "/t"
+    Tables.events(spark, dir).limit(100)
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    spark.read.parquet(out).filter($"event_type" === "purchase")
+  }
+
+  // ---------------------------------------------------------------------
+  // q60 — salted two-stage aggregation (§4 skew handling): a heavy
+  // aggregation keyed by the 5-value event_type would put each key on one
+  // reducer. Stage 1 aggregates on (key, salt = user_id % 16) — 80
+  // well-spread partial groups; stage 2 merges the partials per key.
+  // Result provably equals the direct groupBy (the oracle IS the direct
+  // form). Partial sums stay exact (decimal), so the two-stage merge is
+  // value-identical.
+  // ---------------------------------------------------------------------
+  private val NumSalts = 16
+  private val q60 = QueryDef(
+    "q60_salted_aggregation",
+    (spark, dir) => {
+      import spark.implicits._
+      val partial = Tables.events(spark, dir)
+        .withColumn("salt", pmod($"user_id", lit(NumSalts)))
+        .groupBy($"event_type", $"salt")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(28, 2))).as("total_dec"),
+          max($"value").as("mx"))
+      partial
+        .groupBy($"event_type")
+        .agg(
+          sum($"n").as("n"),
+          sum($"total_dec").cast("double").as("total"),
+          max($"mx").as("max_value"),
+          count(lit(1)).as("n_salt_groups"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH partial AS (
+        SELECT event_type, user_id % $NumSalts AS salt, count(*) AS n,
+               sum(CAST(value AS DECIMAL(28,2))) AS total_dec,
+               max(value) AS mx
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(total_dec) AS DOUBLE) AS total,
+             max(mx) AS max_value,
+             count(*) AS n_salt_groups
+      FROM partial GROUP BY event_type ORDER BY event_type"""))
+
+  override val defs: Seq[QueryDef] = Seq(q59, q60)
+}

@@ -68,6 +68,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q59: partition-column filter prunes partitions at the scan") {
+    val df = graft.operators.ScalePatterns.prunedRead(spark, TestSpark.Sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      p.linesIterator.take(8).mkString("\n"))
+  }
+
   test("dot_scaled is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     val got = spark.sql(
