@@ -64,14 +64,15 @@ object Dedup extends QueryModule {
   private val HashB: Array[Long] =
     Array.tabulate(NumHashes)(j => (40503L * (j + 7) * 2654435789L) % P)
 
-  /** doc_id → exploded distinct char-5 shingles. */
+  /** doc_id → exploded distinct char-5 shingles (codegen'd
+    * CharShinglesExpr — the declarative transform/substr chain is
+    * interpreted and this is the engine's hottest per-row loop).
+    */
   private def shingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select($"doc_id", explode(array_distinct(
-        transform(
-          sequence(lit(1), greatest(length($"text") - 4, lit(1))),
-          i => $"text".substr(i, lit(5))))).as("s"))
+      .select($"doc_id",
+        explode(graft.functions.CharShinglesExpr.shingles($"text", 5)).as("s"))
   }
   private val shinglesSql = """
       sh AS (

@@ -74,6 +74,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       viaCols.orderBy("id").collect().toSeq)
   }
 
+  test("CharShinglesExpr equals the declarative array_distinct/transform chain") {
+    import graft.functions.CharShinglesExpr
+    val texts = Seq("hello world", "", "abc", "aaaaaaaa", "ab", "exact")
+    val df = texts.toDF("text")
+    val viaExpr = df.select(CharShinglesExpr.shingles($"text", 5).as("s"))
+      .as[Seq[String]].collect().map(_.toSet)
+    val viaChain = df.select(array_distinct(transform(
+        sequence(lit(1), greatest(length($"text") - 4, lit(1))),
+        i => $"text".substr(i, lit(5)))).as("s"))
+      .as[Seq[String]].collect().map(_.toSet)
+    assert(viaExpr.toSeq === viaChain.toSeq)
+  }
+
   test("exact dedup counts: n_distinct + n_dup_docs == n_docs") {
     val bad = run("q34_exact_dedup")
       .filter(col("n_distinct") + col("n_dup_docs") =!= col("n_docs")).count()
