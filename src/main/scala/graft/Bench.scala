@@ -17,6 +17,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 61 queries × 2 passes blow through the default 100-entry codegen
+      // class cache; evictions force Janino recompiles mid-timed-pass and
+      // misattribute seconds to innocent queries
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted

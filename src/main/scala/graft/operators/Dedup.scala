@@ -80,8 +80,15 @@ object Dedup extends QueryModule {
           [substr(text, i, 5) for i in range(1, greatest(length(text) - 4, 1) + 1)])) AS s
         FROM documents)"""
 
-  private val q35 = QueryDef(
-    "q35_minhash_lsh",
+  /** Verified near-dup pairs (i < j, jaccard >= 0.5) — reused by the
+    * curation pipeline (ScalePatterns q61). Signatures are per-doc, so
+    * pairs over the full corpus restricted to a survivor set equal pairs
+    * computed over the survivor set directly.
+    */
+  private[operators] def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashBuild(spark, dir)
+
+  private val minhashBuild: (SparkSession, String) => DataFrame =
     (spark, dir) => {
       import spark.implicits._
       // The shingle set and the signature table are each referenced by
@@ -135,8 +142,9 @@ object Dedup extends QueryModule {
         .withColumn("est_sim", estEq.cast("double") / lit(NumHashes.toDouble))
         .select($"i", $"j", $"jaccard", $"est_sim")
         .orderBy($"i", $"j")
-    },
-    Some {
+    }
+
+  private[operators] val minhashOracle: String = {
       val minCols = (0 until NumHashes).map(j =>
         s"min((${HashA(j)} * h + ${HashB(j)}) % $P) AS m$j").mkString(",\n               ")
       val bandSelects = (0 until NumBands).map { b =>
@@ -174,7 +182,9 @@ object Dedup extends QueryModule {
       SELECT i, j, jaccard, ($estEq) / ${NumHashes}.0 AS est_sim
       FROM verified JOIN sig sa ON sa.doc_id = i JOIN sig sb ON sb.doc_id = j
       ORDER BY i, j"""
-    })
+  }
+
+  private val q35 = QueryDef("q35_minhash_lsh", minhashBuild, Some(minhashOracle))
 
   // ---------------------------------------------------------------------
   // q36 — SimHash near-dup: 32-bit token-frequency simhash per doc, then

@@ -155,6 +155,41 @@ object TextOps extends QueryModule {
       GROUP BY lang, guess ORDER BY lang, guess"""
     })
 
+  /** Per-doc quality columns (ws_tokens, stop_ratio, avg_word_len,
+    * score) — shared by q29 and the curation pipeline (q61).
+    */
+  private[operators] def withQuality(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("ws_tokens", size(Portable.tokens($"text")))
+      .withColumn("stop_tokens",
+        size(regexp_extract_all($"text", lit("\\b(the|a)\\b"), lit(0))))
+      .withColumn("nospace_chars", length(regexp_replace($"text", "\\s", "")))
+      .filter($"ws_tokens" > 0)
+      .withColumn("stop_ratio",
+        $"stop_tokens".cast("double") / $"ws_tokens".cast("double"))
+      .withColumn("avg_word_len",
+        $"nospace_chars".cast("double") / $"ws_tokens".cast("double"))
+      .withColumn("score",
+        lit(0.3) * least($"ws_tokens".cast("double") / lit(100.0), lit(1.0))
+          + lit(0.4) * (lit(1.0) - $"stop_ratio")
+          + lit(0.3) * least($"avg_word_len" / lit(8.0), lit(1.0)))
+  }
+
+  /** DuckDB twin of [[withQuality]] as a CTE body over `documents`. */
+  private[operators] val qualitySql = s"""
+        SELECT *, 0.3 * least(CAST(ws_tokens AS DOUBLE) / 100.0, 1.0)
+               + 0.4 * (1.0 - CAST(stop_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE))
+               + 0.3 * least((CAST(nospace_chars AS DOUBLE) / CAST(ws_tokens AS DOUBLE)) / 8.0, 1.0)
+               AS score
+        FROM (
+          SELECT doc_id, source, text,
+                 len(${Portable.tokensSql("text")}) AS ws_tokens,
+                 len(regexp_extract_all(text, '\\b(the|a)\\b')) AS stop_tokens,
+                 length(regexp_replace(text, '\\s', '', 'g')) AS nospace_chars
+          FROM documents)
+        WHERE ws_tokens > 0"""
+
   // ---------------------------------------------------------------------
   // q29 — quality scoring: length / stopword-ratio / word-length signals
   // combined into a per-doc score (05-style feature engineering applied to
@@ -166,20 +201,7 @@ object TextOps extends QueryModule {
     "q29_quality_score",
     (spark, dir) => {
       import spark.implicits._
-      Tables.documents(spark, dir)
-        .withColumn("ws_tokens", size(Portable.tokens($"text")))
-        .withColumn("stop_tokens",
-          size(regexp_extract_all($"text", lit("\\b(the|a)\\b"), lit(0))))
-        .withColumn("nospace_chars", length(regexp_replace($"text", "\\s", "")))
-        .filter($"ws_tokens" > 0)
-        .withColumn("stop_ratio",
-          $"stop_tokens".cast("double") / $"ws_tokens".cast("double"))
-        .withColumn("avg_word_len",
-          $"nospace_chars".cast("double") / $"ws_tokens".cast("double"))
-        .withColumn("score",
-          lit(0.3) * least($"ws_tokens".cast("double") / lit(100.0), lit(1.0))
-            + lit(0.4) * (lit(1.0) - $"stop_ratio")
-            + lit(0.3) * least($"avg_word_len" / lit(8.0), lit(1.0)))
+      withQuality(Tables.documents(spark, dir))
         .withColumn("low_quality", ($"score" < 0.6).cast("int"))
         .select($"doc_id", $"source", $"ws_tokens", $"stop_ratio",
           $"avg_word_len", $"score", $"low_quality")
