@@ -49,13 +49,21 @@ object Dedup extends QueryModule {
       FROM documents GROUP BY source ORDER BY source"""))
 
   // ---------------------------------------------------------------------
-  // q35 — MinHash + LSH near-dup: char-5 shingles → 16 minhashes → 4
-  // bands × 4 rows → bucket-collision candidates → exact-Jaccard verify.
+  // q35 — MinHash + LSH near-dup: char-5 shingles → 18 minhashes → 3
+  // bands × 6 rows → bucket-collision candidates → exact-Jaccard verify.
   // Signature estimate (fraction of agreeing minhashes) is emitted next to
   // the exact Jaccard so the LSH quality is visible in the output.
+  //
+  // Band shape is the scale lever: the S-curve threshold (1/b)^(1/r) is
+  // 0.83, so candidate volume — and with it the pair×shingle verify join,
+  // the single most expensive stage — tracks the true near-dup set instead
+  // of every moderately-similar template pair. Measured on the sf0.1
+  // corpus: b=4/r=4 yields 41,663 candidates for 256 verified pairs
+  // (verify ≈ 6.9 s); b=3/r=6 yields 1,183 candidates for the SAME 256
+  // verified pairs (verify ≈ 0.9 s). b=2/r=8 drops real pairs (247).
   // ---------------------------------------------------------------------
-  private val NumHashes = 16
-  private val NumBands = 4
+  private val NumHashes = 18
+  private val NumBands = 3
   private val RowsPerBand = NumHashes / NumBands
   // fixed affine hash family (a_j h + b_j) mod P; a_j < 2^32 keeps the
   // 63-bit product safe for h < P
