@@ -261,7 +261,11 @@ object TextOps extends QueryModule {
   // q58 — vocabulary build (training-pipeline op): corpus word-frequency
   // table with a min-count floor and deterministic rank (count desc, word
   // asc) — the tokenizer-training input shape. Explode → one groupBy →
-  // global top-k; the shuffle carries |vocab|, not |tokens|.
+  // global top-k; the shuffle carries |vocab|, not |tokens|. The top-k is
+  // orderBy+limit (TakeOrderedAndProject: per-partition heaps, merge of
+  // 100-row finalists) — ranking the full vocab through a global window
+  // first would funnel |vocab| rows into one task; row_number here runs
+  // over the 100 surviving rows only.
   // ---------------------------------------------------------------------
   private val q58 = QueryDef(
     "q58_vocab_build",
@@ -274,8 +278,9 @@ object TextOps extends QueryModule {
         .groupBy($"word")
         .agg(count(lit(1)).as("n"))
         .filter($"n" >= 5)
+        .orderBy($"n".desc, $"word".asc)
+        .limit(100)
         .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 100)
         .orderBy($"rank")
     },
     Some(s"""

@@ -170,6 +170,41 @@ object WindowFeatures extends QueryModule {
                c -> CAST(CAST(c AS DECIMAL(28,2)) * 100 AS BIGINT)), ',') AS seq_cents
       FROM seq WHERE n = 5 ORDER BY ticker, date"""))
 
+  /** Global row number + total count WITHOUT a single-partition sort.
+    *
+    * `row_number() OVER (ORDER BY …)` funnels the whole table through one
+    * task — the canonical scale killer for sequential-split semantics. The
+    * distributed equivalent: range-repartition on the sort key (so
+    * partition i's keys all precede partition i+1's), sort within each
+    * partition in parallel, then add a per-partition row_number to the
+    * exclusive running sum of partition counts (a ≤-shuffle-partitions-row
+    * side table, broadcast back). (date, ticker) is unique in `bars`, so
+    * the resulting `rn` is exactly the global row_number — deterministic
+    * regardless of where the sampled range boundaries fall.
+    */
+  private def withGlobalRn(df: DataFrame): DataFrame = {
+    // referenced by both the offsets side table and the main branch —
+    // materialize the range-shuffled rows once instead of re-aggregating
+    // the fact table for each
+    val parted = df
+      .repartitionByRange(col("date"), col("ticker"))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    val offsets = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset",
+        coalesce(sum(col("_cnt")).over(
+          Window.orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val total = offsets.agg(sum(col("_cnt")).as("n_total"))
+    parted
+      .join(broadcast(offsets.select(col("_pid"), col("_offset"))), Seq("_pid"))
+      .withColumn("rn",
+        col("_offset") + row_number().over(
+          Window.partitionBy(col("_pid")).orderBy(col("date"), col("ticker"))))
+      .crossJoin(broadcast(total))
+      .drop("_pid", "_offset")
+  }
+
   // ---------------------------------------------------------------------
   // q22 — sequential train/test split (M1): 80/20 by global row_number
   // (shuffle=False semantics of 01 · cell 5), summarized per split.
@@ -178,11 +213,7 @@ object WindowFeatures extends QueryModule {
     "q22_train_test_split",
     (spark, dir) => {
       import spark.implicits._
-      val wAll = Window.orderBy($"date", $"ticker")
-      bars(spark, dir)
-        .withColumn("rn", row_number().over(wAll))
-        .withColumn("n_total", count(lit(1)).over(
-          Window.partitionBy()))
+      withGlobalRn(bars(spark, dir))
         .withColumn("split",
           when($"rn" <= ($"n_total" * 8) / 10, "train").otherwise("test"))
         .groupBy($"split")
@@ -213,10 +244,7 @@ object WindowFeatures extends QueryModule {
     "q23_timeseries_cv",
     (spark, dir) => {
       import spark.implicits._
-      val wAll = Window.orderBy($"date", $"ticker")
-      val rows = bars(spark, dir)
-        .withColumn("rn", row_number().over(wAll))
-        .withColumn("n_total", count(lit(1)).over(Window.partitionBy()))
+      val rows = withGlobalRn(bars(spark, dir))
       val folds = spark.range(1, 6).toDF("fold")
       rows.join(broadcast(folds),
           $"rn" <= (($"fold" + 1) * $"n_total") / 6)
