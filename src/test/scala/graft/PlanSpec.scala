@@ -68,6 +68,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q22: sequential split range-partitions the sort instead of a global window") {
+    // the only SinglePartition exchange allowed is the ≤32-row offsets side
+    // table; the bars-sized sort must be a rangepartitioning exchange
+    val p = planOf("q22_train_test_split")
+    assert(p.contains("rangepartitioning"), p.linesIterator.take(15).mkString("\n"))
+  }
+
+  test("q58: vocab top-k plans TakeOrderedAndProject, not rank-then-filter") {
+    assert(planOf("q58_vocab_build").contains("TakeOrderedAndProject"))
+  }
+
   test("q59: partition-column filter prunes partitions at the scan") {
     val df = graft.operators.ScalePatterns.prunedRead(spark, TestSpark.Sf001)
     val p = df.queryExecution.executedPlan.toString
