@@ -71,5 +71,44 @@ object Curation extends QueryModule {
              min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
       FROM survivors GROUP BY source ORDER BY source"""))
 
-  override val defs: Seq[QueryDef] = Seq(q61)
+  // ---------------------------------------------------------------------
+  // q64 — deterministic stratified downsampling: cap every source class at
+  // ~TargetPerClass docs via a portable per-row hash test. keep iff
+  // (h % 1e6) * n_class < target * 1e6 — pure integer arithmetic, so the
+  // SAME rows are kept on any engine, any partitioning, any run; the class
+  // sizes are a tiny broadcast-back aggregate (one pass + map-side filter,
+  // no sort, no sample() nondeterminism).
+  // ---------------------------------------------------------------------
+  private val TargetPerClass = 120L
+  private val q64 = QueryDef(
+    "q64_stratified_sample",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val sizes = docs.groupBy($"source").agg(count(lit(1)).as("n_class"))
+      docs.join(broadcast(sizes), Seq("source"))
+        .filter(
+          pmod(graft.functions.Portable.md5Hash64($"doc_id".cast("string")),
+            lit(1000000L)) * $"n_class" < lit(TargetPerClass * 1000000L))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_sampled"),
+          min($"doc_id").as("min_doc_id"),
+          max($"doc_id").as("max_doc_id"),
+          max($"n_class").as("n_class"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH sizes AS (
+        SELECT source, count(*) AS n_class FROM documents GROUP BY source),
+      kept AS (
+        SELECT d.*, s.n_class
+        FROM documents d JOIN sizes s USING (source)
+        WHERE (${graft.functions.Portable.md5Hash64Sql("CAST(doc_id AS VARCHAR)")} % 1000000)
+                * n_class < ${TargetPerClass} * 1000000)
+      SELECT source, count(*) AS n_sampled,
+             min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+             max(n_class) AS n_class
+      FROM kept GROUP BY source ORDER BY source"""))
+
+  override val defs: Seq[QueryDef] = Seq(q61, q64)
 }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import graft.functions.Portable
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Temporal join/segmentation operators the reference's pipelines imply but
+  * never name: the as-of join (every financial "latest quote at event time"
+  * lookup — the stream-static join at spark_consumer.py:121-146 is the
+  * degenerate same-day case, cf. /root/reference/data_collection/
+  * spark_consumer.py) and gap-based sessionization (the per-user activity
+  * segmentation a 100 TB event log needs before any per-session stats).
+  *
+  * Scale shapes:
+  *   - q62: the quote side is dim-sized (per-key daily grain), so the as-of
+  *     becomes: interval-ize quotes with `lead` (window over the DIM only),
+  *     explode each validity interval into its covered dates, broadcast,
+  *     and equi-join the fact on (key, date) — the fact table never
+  *     shuffles and never sorts. Staleness is capped (13 days) so interval
+  *     explosion is bounded; DuckDB's native ASOF JOIN with the same cap
+  *     is the oracle, checking the rewrite against a first-class
+  *     implementation of the operator.
+  *   - q63: one shuffle on user_id (high cardinality — parallelism grows
+  *     with data), then lag/prefix-sum/segment-aggregate all evaluate
+  *     sort-locally inside each partition. Timestamps compare as integer
+  *     epoch-microseconds on both engines.
+  */
+object Temporal extends QueryModule {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    sum((c.cast(DecimalType(28, 2)) * 100).cast("long"))
+
+  // ---------------------------------------------------------------------
+  // q62 — as-of join: each event matched to the latest "trading day" quote
+  // at or before its date (≤ 13 days stale). Quote days are a
+  // deterministically-hashed 70% subset of (type, day) aggregates, so real
+  // multi-day gaps exist at every SF. Result grain: (event_type,
+  // staleness_days) — every cell checks the join's date arithmetic.
+  // ---------------------------------------------------------------------
+  private val q62 = QueryDef(
+    "q62_asof_join",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .select($"event_id", $"event_type", to_date($"ts").as("d"), $"value")
+      val quotes = ev
+        .groupBy($"event_type", $"d".as("qdate"))
+        .agg(cents($"value").as("close_cents"))
+        .filter(pmod(Portable.md5Hash64(
+          concat($"event_type", lit("|"), $"qdate".cast("string"))), lit(10)) < 7)
+      val wq = Window.partitionBy($"event_type").orderBy($"qdate")
+      val intervals = quotes
+        .withColumn("end_d",
+          least(coalesce(date_sub(lead($"qdate", 1).over(wq), 1),
+            date_add($"qdate", 13)), date_add($"qdate", 13)))
+        .select($"event_type", $"qdate", $"close_cents",
+          explode(sequence($"qdate", $"end_d")).as("d"))
+      ev.join(broadcast(intervals), Seq("event_type", "d"))
+        .withColumn("staleness", datediff($"d", $"qdate"))
+        .groupBy($"event_type", $"staleness")
+        .agg(count(lit(1)).as("n_events"), cents($"value").as("value_cents"))
+        .orderBy($"event_type", $"staleness")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_id, event_type, CAST(ts AS DATE) AS d, value
+        FROM events WHERE ts IS NOT NULL),
+      quotes AS (
+        SELECT event_type, d AS qdate,
+               sum(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS close_cents
+        FROM ev GROUP BY 1, 2
+        HAVING ${Portable.md5Hash64Sql("event_type || '|' || CAST(qdate AS VARCHAR)")} % 10 < 7)
+      SELECT e.event_type, e.d - q.qdate AS staleness,
+             count(*) AS n_events,
+             sum(CAST(CAST(e.value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS value_cents
+      FROM ev e ASOF JOIN quotes q
+        ON e.event_type = q.event_type AND e.d >= q.qdate
+      WHERE e.d - q.qdate <= 13
+      GROUP BY 1, 2 ORDER BY e.event_type, staleness"""))
+
+  // ---------------------------------------------------------------------
+  // q63 — gap sessionization: per-user sessions split at >30-minute idle
+  // gaps (lag → break flag → prefix-sum session id → segment aggregate),
+  // summarized per user so every session boundary affects the output.
+  // ---------------------------------------------------------------------
+  private val GapUs = 30L * 60 * 1000000
+  private val q63 = QueryDef(
+    "q63_sessionize",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .select($"user_id", unix_micros($"ts").as("tus"), $"event_id")
+      val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      val sessions = ev
+        .withColumn("prev", lag($"tus", 1).over(w))
+        .withColumn("brk",
+          when($"prev".isNull || $"tus" - $"prev" > GapUs, 1L).otherwise(0L))
+        .withColumn("sid", sum($"brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sid")
+        .agg(count(lit(1)).as("n_events"),
+          (max($"tus") - min($"tus")).as("dur_us"))
+      sessions
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum($"n_events").as("n_events"),
+          max($"n_events").as("max_session_events"),
+          max($"dur_us").as("max_session_us"))
+        .orderBy($"user_id")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS tus, event_id
+        FROM events WHERE ts IS NOT NULL),
+      flagged AS (
+        SELECT user_id, tus, event_id,
+               CASE WHEN lag(tus) OVER w IS NULL
+                      OR tus - lag(tus) OVER w > $GapUs THEN 1 ELSE 0 END AS brk
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      sid AS (
+        SELECT user_id, tus,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+      sessions AS (
+        SELECT user_id, sid, count(*) AS n_events,
+               max(tus) - min(tus) AS dur_us
+        FROM sid GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_sessions,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             max(n_events) AS max_session_events,
+             max(dur_us) AS max_session_us
+      FROM sessions GROUP BY user_id ORDER BY user_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q62, q63)
+}
