@@ -93,5 +93,58 @@ object ScalePatterns extends QueryModule {
              count(*) AS n_salt_groups
       FROM partial GROUP BY event_type ORDER BY event_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q59, q60)
+  // ---------------------------------------------------------------------
+  // q65 — KMV distinct-count sketch (functions.KmvSketchAgg): per-type
+  // distinct users estimated from the k=64 smallest distinct hashes,
+  // emitted NEXT TO the exact count so the estimator error is visible.
+  // The sketch buffer is bounded (≤ k longs) and mergeable — at 100 TB the
+  // shuffle carries k values per (group, partition) while countDistinct
+  // must ship every distinct user; same hash function on both engines
+  // makes even the sketch itself bit-reproducible (unlike HLL).
+  // ---------------------------------------------------------------------
+  private val KmvK = 64
+  // (k−1) · 2^60 — 6 significant bits, exactly representable as a double,
+  // so `estConst / kth` is one IEEE division on either engine
+  private val KmvEstConst: Double = (KmvK - 1).toDouble * 1152921504606846976.0
+  private val q65 = QueryDef(
+    "q65_kmv_distinct",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.{KmvSketchAgg, Portable}
+      Tables.events(spark, dir)
+        .filter($"user_id".isNotNull)
+        .groupBy($"event_type")
+        .agg(
+          KmvSketchAgg.sketch(
+            Portable.md5Hash64($"user_id".cast("string")), KmvK).as("kmv"),
+          countDistinct($"user_id").as("exact_distinct"))
+        .select($"event_type",
+          $"kmv.n_kept".as("n_kept"),
+          $"kmv.kth".as("kth"),
+          when($"kmv.kth".isNull, $"kmv.n_kept".cast("double"))
+            .otherwise(lit(KmvEstConst) / $"kmv.kth".cast("double")).as("est_distinct"),
+          $"exact_distinct")
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT DISTINCT event_type,
+               ${graft.functions.Portable.md5Hash64Sql("CAST(user_id AS VARCHAR)")} AS h
+        FROM events WHERE user_id IS NOT NULL),
+      ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_distinct
+        FROM h)
+      SELECT event_type,
+             CAST(least(max(n_distinct), $KmvK) AS BIGINT) AS n_kept,
+             max(CASE WHEN rn = $KmvK THEN h END) AS kth,
+             CASE WHEN max(CASE WHEN rn = $KmvK THEN h END) IS NULL
+                  THEN CAST(least(max(n_distinct), $KmvK) AS DOUBLE)
+                  ELSE ${KmvEstConst} / CAST(max(CASE WHEN rn = $KmvK THEN h END) AS DOUBLE)
+             END AS est_distinct,
+             max(n_distinct) AS exact_distinct
+      FROM ranked GROUP BY event_type ORDER BY event_type"""))
+
+  override val defs: Seq[QueryDef] = Seq(q59, q60, q65)
 }
