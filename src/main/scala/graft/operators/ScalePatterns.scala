@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryModule}
 import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.nio.file.Files
@@ -94,6 +95,58 @@ object ScalePatterns extends QueryModule {
       FROM partial GROUP BY event_type ORDER BY event_type"""))
 
   // ---------------------------------------------------------------------
+  // q66 — bucketed co-located fact–fact join (§4 / SCALE.md "bucketing
+  // removes even that shuffle"): both fact tables written bucketBy(8,
+  // orderkey) + sortBy, then joined — the SortMergeJoin consumes bucket
+  // layout directly, with NO Exchange on either input (asserted in
+  // PlanSpec). At 100 TB this turns the biggest shuffle in the pipeline
+  // into a metadata no-op paid once at write time.
+  // ---------------------------------------------------------------------
+  private val NumBuckets = 8
+
+  /** Writes the bucketed twins (idempotent overwrite) and returns the
+    * co-located join, pre-aggregation — exposed for PlanSpec's
+    * no-Exchange assertion.
+    */
+  private[graft] def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_bucket_").toString
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_quantity")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/li").saveAsTable("graft_li_bucketed")
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/ord").saveAsTable("graft_ord_bucketed")
+    spark.table("graft_li_bucketed")
+      .join(spark.table("graft_ord_bucketed"),
+        $"l_orderkey" === $"o_orderkey")
+  }
+
+  private val q66 = QueryDef(
+    "q66_bucketed_join",
+    (spark, dir) => {
+      import spark.implicits._
+      bucketedJoin(spark, dir)
+        .groupBy($"o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(($"l_extendedprice".cast(DecimalType(28, 2)) * 100).cast("long"))
+            .as("price_cents"),
+          sum($"l_quantity".cast(DecimalType(28, 2))).cast("double").as("total_qty"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n,
+             sum(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)) AS price_cents,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  // ---------------------------------------------------------------------
   // q65 — KMV distinct-count sketch (functions.KmvSketchAgg): per-type
   // distinct users estimated from the k=64 smallest distinct hashes,
   // emitted NEXT TO the exact count so the estimator error is visible.
@@ -146,5 +199,5 @@ object ScalePatterns extends QueryModule {
              max(n_distinct) AS exact_distinct
       FROM ranked GROUP BY event_type ORDER BY event_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q59, q60, q65)
+  override val defs: Seq[QueryDef] = Seq(q59, q60, q65, q66)
 }

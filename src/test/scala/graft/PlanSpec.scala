@@ -62,7 +62,8 @@ class PlanSpec extends AnyFunSuite {
     // exclude queries that execute eagerly when built (streaming runs,
     // sink round-trips) — their side effects don't belong in a plan test
     val eager = Set("q41_stream_features_15m", "q42_stream_static_join",
-      "q43_stream_sink_roundtrip", "q46_csv_roundtrip", "q47_upsert_latest")
+      "q43_stream_sink_roundtrip", "q46_csv_roundtrip", "q47_upsert_latest",
+      "q66_bucketed_join")
     SparkEntry.queries.keys.filterNot(eager).foreach { name =>
       assert(!planOf(name).contains("CartesianProduct"), s"$name is cartesian")
     }
@@ -84,6 +85,25 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters: [isnotnull(event_type"),
       p.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("q66: bucketed fact-fact join has no Exchange on either input") {
+    // at fixture scale the planner would rather broadcast the small side
+    // (also fine — also shuffle-free); pin both sides big to force the
+    // merge path the 100 TB layout relies on
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.ScalePatterns.bucketedJoin(spark, TestSpark.Sf001)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.linesIterator.take(10).mkString("\n"))
+      assert(!p.contains("hashpartitioning(l_orderkey") &&
+        !p.contains("hashpartitioning(o_orderkey"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
   }
 
   test("dot_scaled is callable from SQL after extension registration") {
