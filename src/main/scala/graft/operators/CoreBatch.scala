@@ -107,8 +107,11 @@ object CoreBatch extends QueryModule {
   // q02 — daily OHLCV roll-up (A2) with PINNED first/last semantics:
   // reference relies on Mongo insertion order (build_training_dataset.py:31,34
   // — a latent bug, SURVEY.md §7.4); we pin open/close to min_by/max_by over
-  // a unique intra-day sequence. ticker := l_suppkey, price :=
-  // l_extendedprice, volume := l_quantity.
+  // a deterministic intra-day sequence. (l_orderkey, l_linenumber) is NOT
+  // unique in the fixtures (duplicate line numbers exist at sf0.1), so the
+  // sequence is extended with the price cents — remaining ties then carry
+  // equal arg values and any winner yields the same answer on any engine.
+  // ticker := l_suppkey, price := l_extendedprice, volume := l_quantity.
   // Scale: single shuffle on (ticker, date); partial aggregation map-side.
   // ---------------------------------------------------------------------
   private val q02 = QueryDef(
@@ -116,7 +119,9 @@ object CoreBatch extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       Tables.lineitem(spark, dir)
-        .withColumn("seq", $"l_orderkey" * 16 + $"l_linenumber")
+        .withColumn("seq",
+          ($"l_orderkey" * 16 + $"l_linenumber") * 100000000L
+            + ($"l_extendedprice".cast(DecimalType(28, 2)) * 100).cast("long"))
         .groupBy($"l_suppkey".as("ticker"), to_date($"l_shipdate").as("date"))
         .agg(
           min_by($"l_extendedprice", $"seq").as("open"),
@@ -129,10 +134,10 @@ object CoreBatch extends QueryModule {
     },
     Some(s"""
       SELECT l_suppkey AS ticker, CAST(l_shipdate AS DATE) AS date,
-             arg_min(l_extendedprice, l_orderkey * 16 + l_linenumber) AS open,
+             arg_min(l_extendedprice, (l_orderkey * 16 + l_linenumber) * 100000000 + CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)) AS open,
              max(l_extendedprice) AS high,
              min(l_extendedprice) AS low,
-             arg_max(l_extendedprice, l_orderkey * 16 + l_linenumber) AS close,
+             arg_max(l_extendedprice, (l_orderkey * 16 + l_linenumber) * 100000000 + CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)) AS close,
              ${dsumSql("l_quantity", 2)} AS volume,
              count(*) AS n_trades
       FROM lineitem

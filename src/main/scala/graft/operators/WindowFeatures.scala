@@ -26,13 +26,17 @@ import org.apache.spark.sql.types._
 object WindowFeatures extends QueryModule {
 
   /** Daily close bars per ticker — pinned-order first/last semantics
-    * (min_by/max_by over the unique intra-day sequence; SURVEY.md §7.4 on
-    * the reference's order-dependence bug at build_training_dataset.py:31).
+    * (min_by/max_by over a deterministic intra-day sequence; SURVEY.md §7.4
+    * on the reference's order-dependence bug at build_training_dataset.py:31).
+    * (l_orderkey, l_linenumber) is not unique in the fixtures, so the
+    * sequence is tie-broken by the price cents (CoreBatch q02 note).
     */
   private[operators] def bars(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
-      .withColumn("seq", $"l_orderkey" * 16 + $"l_linenumber")
+      .withColumn("seq",
+        ($"l_orderkey" * 16 + $"l_linenumber") * 100000000L
+          + ($"l_extendedprice".cast(DecimalType(28, 2)) * 100).cast("long"))
       .groupBy($"l_suppkey".as("ticker"), to_date($"l_shipdate").as("date"))
       .agg(
         max_by($"l_extendedprice", $"seq").as("close"),
@@ -42,7 +46,7 @@ object WindowFeatures extends QueryModule {
   private[operators] val barsSql = """
       bars AS (
         SELECT l_suppkey AS ticker, CAST(l_shipdate AS DATE) AS date,
-               arg_max(l_extendedprice, l_orderkey * 16 + l_linenumber) AS close,
+               arg_max(l_extendedprice, (l_orderkey * 16 + l_linenumber) * 100000000 + CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)) AS close,
                count(*) AS volume
         FROM lineitem GROUP BY 1, 2)"""
 
