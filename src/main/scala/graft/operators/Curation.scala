@@ -110,5 +110,162 @@ object Curation extends QueryModule {
              max(n_class) AS n_class
       FROM kept GROUP BY source ORDER BY source"""))
 
-  override val defs: Seq[QueryDef] = Seq(q61, q64)
+  // ---------------------------------------------------------------------
+  // q67 — PII scrub: email/phone patterns redacted corpus-wide, with an
+  // audit row per source (docs touched, matches removed, checksum of the
+  // scrubbed text). The fixture corpus carries no PII, so the query first
+  // plants a deterministic contact suffix per doc — the operator under
+  // test is the scrub + audit, which must then remove exactly one email
+  // and one phone per doc on any engine. Pure per-row map work: no
+  // shuffle beyond the final per-source audit aggregate.
+  // ---------------------------------------------------------------------
+  private val EmailRe = "[A-Za-z0-9.+_-]+@[A-Za-z0-9-]+\\.[A-Za-z.]+"
+  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  private val q67 = QueryDef(
+    "q67_pii_scrub",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val planted = Tables.documents(spark, dir)
+        .withColumn("text2",
+          concat($"text", lit(" contact u"), $"doc_id",
+            lit("@mail.example tel 555-"), lpad(pmod($"doc_id", lit(1000)).cast("string"), 3, "0"),
+            lit("-"), lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0")))
+      planted
+        .withColumn("n_emails", size(regexp_extract_all($"text2", lit(EmailRe), lit(0))))
+        .withColumn("n_phones", size(regexp_extract_all($"text2", lit(PhoneRe), lit(0))))
+        .withColumn("clean",
+          regexp_replace(regexp_replace($"text2", EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_emails").as("emails_redacted"),
+          sum($"n_phones").as("phones_redacted"),
+          sum(when($"clean".contains("<EMAIL>") && $"clean".contains("<PHONE>"), 1L)
+            .otherwise(0L)).as("n_docs_clean_marked"),
+          sum(Portable.md5Hash64($"clean") % lit(Portable.P)).as("corpus_checksum"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH planted AS (
+        SELECT source,
+               text || ' contact u' || doc_id || '@mail.example tel 555-' ||
+                 lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+        FROM documents),
+      scrubbed AS (
+        SELECT source,
+               len(regexp_extract_all(text2, '$EmailRe')) AS n_emails,
+               len(regexp_extract_all(text2, '$PhoneRe')) AS n_phones,
+               regexp_replace(regexp_replace(text2, '$EmailRe', '<EMAIL>', 'g'),
+                 '$PhoneRe', '<PHONE>', 'g') AS clean
+        FROM planted)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_emails) AS BIGINT) AS emails_redacted,
+             CAST(sum(n_phones) AS BIGINT) AS phones_redacted,
+             CAST(sum(CASE WHEN contains(clean, '<EMAIL>') AND contains(clean, '<PHONE>')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_clean_marked,
+             CAST(sum(${graft.functions.Portable.md5Hash64Sql("clean")} % ${graft.functions.Portable.P}) AS BIGINT)
+               AS corpus_checksum
+      FROM scrubbed GROUP BY source ORDER BY source"""))
+
+  // ---------------------------------------------------------------------
+  // q68 — token-window chunking: every doc split into ≤64-token windows
+  // with 8-token overlap (stride 56) — the packing step before tokenizer
+  // training / context assembly. One generate per doc (explode of the
+  // chunk-start sequence), no shuffle until the audit aggregate; chunk
+  // text round-trips as a portable hash so the compare covers content,
+  // not just counts.
+  // ---------------------------------------------------------------------
+  private val ChunkLen = 64
+  private val ChunkStride = 56
+  private val q68 = QueryDef(
+    "q68_chunk_docs",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      Tables.documents(spark, dir)
+        .withColumn("w", Portable.tokens($"text"))
+        .withColumn("n", size($"w"))
+        .filter($"n" > 0)
+        .withColumn("chunk_id",
+          explode(sequence(lit(0),
+            greatest(ceil(($"n" - lit(ChunkLen)).cast("double") / ChunkStride).cast("int"), lit(0)))))
+        .withColumn("chunk_words",
+          slice($"w", $"chunk_id" * ChunkStride + 1, lit(ChunkLen)))
+        .withColumn("n_chunk_tokens", size($"chunk_words"))
+        .withColumn("chunk_hash", Portable.md5Hash64(array_join($"chunk_words", " ")))
+        .select($"doc_id", $"chunk_id", $"n_chunk_tokens", $"chunk_hash")
+        .orderBy($"doc_id", $"chunk_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, ${graft.functions.Portable.tokensSql("text")} AS w,
+               len(${graft.functions.Portable.tokensSql("text")}) AS n
+        FROM documents),
+      chunks AS (
+        SELECT doc_id, n, w,
+               unnest(range(0, greatest(CAST(ceil(CAST(n - $ChunkLen AS DOUBLE) / $ChunkStride) AS INT), 0) + 1)) AS chunk_id
+        FROM toks WHERE n > 0)
+      SELECT doc_id, chunk_id,
+             len(w[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkLen]) AS n_chunk_tokens,
+             ${graft.functions.Portable.md5Hash64Sql(
+               s"array_to_string(w[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkLen], ' ')")} AS chunk_hash
+      FROM chunks ORDER BY doc_id, chunk_id"""))
+
+  // ---------------------------------------------------------------------
+  // q69 — benchmark decontamination: docs whose word-8-grams collide with
+  // the held-out "benchmark" slice (doc_id % 50 = 0) are flagged. The
+  // check is one equi-join on the shingle hash — shuffle keyed by
+  // shingle, candidate set linear in true overlap, never O(n²); the
+  // benchmark side would broadcast at real scale.
+  // ---------------------------------------------------------------------
+  private val DecontamN = 8
+  private val q69 = QueryDef(
+    "q69_decontaminate",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val grams = Tables.documents(spark, dir)
+        .withColumn("w", Portable.tokens($"text"))
+        .select($"doc_id", $"source",
+          explode(array_distinct(transform(
+            sequence(lit(1), greatest(size($"w") - (DecontamN - 1), lit(1))),
+            i => Portable.md5Hash64(
+              array_join(slice($"w", i, lit(DecontamN)), " "))))).as("g"))
+      val bench = grams.filter($"doc_id" % 50 === 0).select($"g").distinct()
+      val train = grams.filter($"doc_id" % 50 =!= 0)
+      val contaminated = train.join(bench, Seq("g"), "left_semi")
+        .select($"doc_id").distinct()
+      Tables.documents(spark, dir)
+        .filter($"doc_id" % 50 =!= 0)
+        .join(contaminated.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_train"),
+          sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, source, ${graft.functions.Portable.tokensSql("text")} AS w
+        FROM documents),
+      grams AS (
+        SELECT doc_id, source, unnest(list_distinct(
+          [${graft.functions.Portable.md5Hash64Sql(
+             s"array_to_string(w[i : i + ${DecontamN - 1}], ' ')")}
+           for i in range(1, greatest(len(w) - ${DecontamN - 1}, 1) + 1)])) AS g
+        FROM toks),
+      bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+      contaminated AS (
+        SELECT DISTINCT doc_id FROM grams
+        WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench))
+      SELECT d.source, count(*) AS n_train,
+             CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated
+      FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+      WHERE d.doc_id % 50 <> 0
+      GROUP BY d.source ORDER BY d.source"""))
+
+  override val defs: Seq[QueryDef] = Seq(q61, q64, q67, q68, q69)
 }
