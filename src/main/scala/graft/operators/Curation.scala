@@ -179,22 +179,35 @@ object Curation extends QueryModule {
   // ---------------------------------------------------------------------
   private val ChunkLen = 64
   private val ChunkStride = 56
+
+  /** Chunk a (doc_id, text) frame into ≤chunkLen-token windows advancing by
+    * `stride` tokens (overlap = chunkLen − stride). Exposed for the
+    * coverage/overlap invariant tests in `TemporalCurationSpec`.
+    */
+  private[operators] def chunked(
+      docs: org.apache.spark.sql.DataFrame,
+      chunkLen: Int = ChunkLen,
+      stride: Int = ChunkStride): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.functions.Portable
+    docs
+      .withColumn("w", Portable.tokens($"text"))
+      .withColumn("n", size($"w"))
+      .filter($"n" > 0)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0),
+          greatest(ceil(($"n" - lit(chunkLen)).cast("double") / stride).cast("int"), lit(0)))))
+      .withColumn("chunk_words",
+        slice($"w", $"chunk_id" * stride + 1, lit(chunkLen)))
+      .withColumn("n_chunk_tokens", size($"chunk_words"))
+      .withColumn("chunk_hash", Portable.md5Hash64(array_join($"chunk_words", " ")))
+  }
+
   private val q68 = QueryDef(
     "q68_chunk_docs",
     (spark, dir) => {
       import spark.implicits._
-      import graft.functions.Portable
-      Tables.documents(spark, dir)
-        .withColumn("w", Portable.tokens($"text"))
-        .withColumn("n", size($"w"))
-        .filter($"n" > 0)
-        .withColumn("chunk_id",
-          explode(sequence(lit(0),
-            greatest(ceil(($"n" - lit(ChunkLen)).cast("double") / ChunkStride).cast("int"), lit(0)))))
-        .withColumn("chunk_words",
-          slice($"w", $"chunk_id" * ChunkStride + 1, lit(ChunkLen)))
-        .withColumn("n_chunk_tokens", size($"chunk_words"))
-        .withColumn("chunk_hash", Portable.md5Hash64(array_join($"chunk_words", " ")))
+      chunked(Tables.documents(spark, dir))
         .select($"doc_id", $"chunk_id", $"n_chunk_tokens", $"chunk_hash")
         .orderBy($"doc_id", $"chunk_id")
     },

@@ -88,6 +88,40 @@ class TemporalCurationSpec extends AnyFunSuite {
     assert(sessions(2L) === 1L)
   }
 
+  test("q68 chunking: full coverage with exact stride/overlap") {
+    // 130 tokens, len 64 / stride 56 → chunks start at 1, 57, 113:
+    // sizes 64, 64, 18; neighbors overlap by exactly 8 tokens
+    val text = (1 to 130).map(i => s"t$i").mkString(" ")
+    val out = Curation.chunked(Seq((1L, text)).toDF("doc_id", "text"))
+      .select($"chunk_id", $"chunk_words")
+      .as[(Int, Seq[String])].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(0, 1, 2))
+    assert(out.map(_._2.length).toSeq === Seq(64, 64, 18))
+    // coverage: every token appears in some chunk, in order
+    assert(out.flatMap(_._2).distinct.length === 130)
+    // overlap: last 8 of chunk i == first 8 of chunk i+1
+    out.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(a.takeRight(8) === b.take(8))
+    }
+  }
+
+  test("q68 chunking: short doc yields exactly one whole-doc chunk") {
+    val out = Curation.chunked(Seq((1L, "a b c")).toDF("doc_id", "text"))
+      .select($"chunk_id", $"n_chunk_tokens").as[(Int, Int)].collect()
+    assert(out.toSeq === Seq((0, 3)))
+  }
+
+  test("q69 decontamination: flagged docs exist and benchmark slice is excluded") {
+    val rows = run("q69_decontaminate").collect()
+    val total = rows.map(_.getAs[Long]("n_train")).sum
+    val flagged = rows.map(_.getAs[Long]("n_contaminated")).sum
+    val allDocs = Tables.documents(spark, TestSpark.Sf001).count()
+    val benchDocs = Tables.documents(spark, TestSpark.Sf001)
+      .filter($"doc_id" % 50 === 0).count()
+    assert(total === allDocs - benchDocs)   // benchmark docs not in train counts
+    assert(flagged >= 0 && flagged < total) // sane bounds; fixture has few collisions
+  }
+
   test("q64 stratified sample: per-class cap respected, rerun-deterministic") {
     val r1 = run("q64_stratified_sample").collect()
     val r2 = run("q64_stratified_sample").collect()
