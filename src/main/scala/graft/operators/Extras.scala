@@ -227,5 +227,81 @@ object Extras extends QueryModule {
       WHERE ticker IN (${WhitelistSet.toSeq.sorted.map("'" + _ + "'").mkString(", ")})
       GROUP BY ticker ORDER BY ticker"""))
 
-  override val defs: Seq[QueryDef] = Seq(q46, q47, q48, q49, q50, q51, q52)
+  // ---------------------------------------------------------------------
+  // q70 — exact interpolated quantiles (the A-family gap: median/quartile
+  // reporting). Cross-engine portability is usually hopeless for
+  // percentile interpolation (engines arrange `a + (b−a)·g` differently,
+  // losing ulps) — UNLESS the input is integers and g is a small dyadic
+  // fraction, where every arrangement is IEEE-exact. So: quantiles over
+  // VALUE CENTS at 0.25/0.5/0.75, exact on any engine, any partitioning.
+  // Scale note: exact percentile is a sort-based aggregate per group —
+  // fine at daily/type grain; unbounded-cardinality groups would switch
+  // to approx_percentile (t-digest) and lose the oracle by design.
+  // ---------------------------------------------------------------------
+  private val q70 = QueryDef(
+    "q70_quantiles",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .filter($"value".isNotNull)
+        .withColumn("cents", ($"value".cast(DecimalType(28, 2)) * 100).cast("long"))
+        .groupBy($"event_type")
+        .agg(
+          percentile($"cents", lit(0.25)).as("p25_cents"),
+          percentile($"cents", lit(0.5)).as("median_cents"),
+          percentile($"cents", lit(0.75)).as("p75_cents"),
+          min($"cents").as("min_cents"),
+          max($"cents").as("max_cents"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL)
+      SELECT event_type,
+             quantile_cont(cents, 0.25) AS p25_cents,
+             quantile_cont(cents, 0.5)  AS median_cents,
+             quantile_cont(cents, 0.75) AS p75_cents,
+             min(cents) AS min_cents, max(cents) AS max_cents,
+             count(*) AS n
+      FROM c GROUP BY event_type ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------------
+  // q71 — pivot to wide format (crosstab reporting; the dashboard shape of
+  // app.py's per-type panels as one relation): daily rows × one exact-sum
+  // column per event type. Catalyst plans pivot as a single two-phase
+  // aggregate over (date) with per-type conditional partials — one
+  // shuffle, same as the long-format groupBy; the oracle is the explicit
+  // CASE-WHEN form, which is also the fallback when the pivot key set
+  // isn't known a priori at 100 TB.
+  // ---------------------------------------------------------------------
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val q71 = QueryDef(
+    "q71_pivot_wide",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .withColumn("date", to_date($"ts"))
+        .withColumn("cents", ($"value".cast(DecimalType(28, 2)) * 100).cast("long"))
+        .groupBy($"date")
+        .pivot("event_type", EventTypes)
+        .agg(sum($"cents"))
+        .na.fill(0L, EventTypes)
+        .orderBy($"date")
+    },
+    Some {
+      val cols = EventTypes.map(t =>
+        s"COALESCE(sum(CASE WHEN event_type = '$t' THEN CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) END), 0) AS \"$t\"")
+        .mkString(",\n             ")
+      s"""
+      SELECT CAST(ts AS DATE) AS date,
+             $cols
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1 ORDER BY date"""
+    })
+
+  override val defs: Seq[QueryDef] = Seq(q46, q47, q48, q49, q50, q51, q52, q70, q71)
 }
