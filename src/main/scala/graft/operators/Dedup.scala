@@ -341,5 +341,72 @@ object Dedup extends QueryModule {
                "a.nrm", "b.nrm")} >= 0.4
       ORDER BY a.label, i, j"""))
 
-  override val defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q38)
+  // ---------------------------------------------------------------------
+  // q72 — near-dup clusters: connected components over the verified pair
+  // graph (q35), by iterative min-label propagation — each doc ends up
+  // labeled with the smallest doc_id reachable from it, the unique fixed
+  // point, so the result is deterministic no matter how iterations
+  // interleave. The driver loop only COORDINATES (diameter-many rounds,
+  // one small count per round — the standard shape of Spark iterative
+  // graph algorithms); every step is a distributed join/aggregate over
+  // the pair graph, which is tiny relative to the corpus by construction.
+  // Oracle: DuckDB recursive-CTE transitive closure + min per node.
+  // ---------------------------------------------------------------------
+  /** (node, label) table of the min-label fixed point over the verified
+    * pair graph — exposed for the co-clustering invariant test.
+    */
+  private[operators] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashBuild(spark, dir).select($"i", $"j")
+    val edges = pairs
+      .union(pairs.select($"j".as("i"), $"i".as("j")))
+      .persist()
+    var labels = edges.select($"i".as("node")).distinct()
+      .withColumn("label", $"node")
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val neigh = edges.join(labels, edges("i") === labels("node"))
+        .groupBy(edges("j").as("nb")).agg(min($"label").as("nl"))
+      // convergence test straight off the neighbor minima — one count per
+      // round, and the final (no-op) round never builds an unused table
+      changed = labels.join(neigh, labels("node") === neigh("nb"))
+        .filter($"nl" < $"label").count()
+      if (changed > 0) {
+        val next = labels.join(neigh, labels("node") === neigh("nb"), "left")
+          .select($"node", least($"label", coalesce($"nl", $"label")).as("label"))
+          .persist()
+        labels.unpersist()
+        labels = next
+      }
+      iter += 1
+    }
+    labels
+  }
+
+  private val q72 = QueryDef(
+    "q72_dedup_clusters",
+    (spark, dir) => {
+      import spark.implicits._
+      clusterLabels(spark, dir)
+        .groupBy($"label".as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max($"node").as("max_doc_id"))
+        .orderBy($"cluster_id")
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS ($minhashOracle),
+      edges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+      nodes AS (SELECT DISTINCT i AS node FROM edges),
+      reach(a, b) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.a, e.j FROM reach r JOIN edges e ON e.i = r.b),
+      labeled AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY a)
+      SELECT label AS cluster_id, count(*) AS cluster_size,
+             max(node) AS max_doc_id
+      FROM labeled GROUP BY label ORDER BY cluster_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q38, q72)
 }

@@ -122,6 +122,21 @@ class TemporalCurationSpec extends AnyFunSuite {
     assert(flagged >= 0 && flagged < total) // sane bounds; fixture has few collisions
   }
 
+  test("q72 clusters: every verified near-dup pair is co-clustered, labels are component minima") {
+    val labels = Dedup.clusterLabels(spark, TestSpark.Sf001)
+      .as[(Long, Long)].collect().toMap
+    val pairs = run("q35_minhash_lsh").select($"i", $"j")
+      .as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (i, j) =>
+      assert(labels(i) === labels(j), s"pair ($i,$j) split across clusters")
+    }
+    // label is the smallest member of its component
+    labels.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min === label)
+    }
+  }
+
   test("q64 stratified sample: per-class cap respected, rerun-deterministic") {
     val r1 = run("q64_stratified_sample").collect()
     val r2 = run("q64_stratified_sample").collect()
