@@ -80,6 +80,13 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("q58_vocab_build").contains("TakeOrderedAndProject"))
   }
 
+  test("q62: as-of join broadcasts the exploded interval side — fact never shuffles for it") {
+    val p = planOf("q62_asof_join")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(15).mkString("\n"))
+    // the event fact must not be exchanged on the join key before the join
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q59: partition-column filter prunes partitions at the scan") {
     val df = graft.operators.ScalePatterns.prunedRead(spark, TestSpark.Sf001)
     val p = df.queryExecution.executedPlan.toString
