@@ -53,7 +53,7 @@ object Extras extends QueryModule {
     Some(s"""
       WITH gold AS (${CoreBatch.goldOracle})
       SELECT event_type, count(*) AS n_days,
-             sum(CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT)) AS close_cents,
+             CAST(sum(CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS close_cents,
              CAST(sum(volume) AS BIGINT) AS total_volume,
              max(date) AS last_date
       FROM gold GROUP BY event_type ORDER BY event_type"""))
@@ -159,7 +159,7 @@ object Extras extends QueryModule {
     },
     Some("""
       SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n,
-             sum(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS value_cents
+             CAST(sum(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
       FROM events WHERE ts IS NOT NULL
       GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
       ORDER BY event_type NULLS FIRST, date NULLS FIRST"""))
@@ -294,7 +294,7 @@ object Extras extends QueryModule {
     },
     Some {
       val cols = EventTypes.map(t =>
-        s"COALESCE(sum(CASE WHEN event_type = '$t' THEN CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) END), 0) AS \"$t\"")
+        s"CAST(COALESCE(sum(CASE WHEN event_type = '$t' THEN CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) END), 0) AS BIGINT) AS \"$t\"")
         .mkString(",\n             ")
       s"""
       SELECT CAST(ts AS DATE) AS date,

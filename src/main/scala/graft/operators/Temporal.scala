@@ -76,7 +76,7 @@ object Temporal extends QueryModule {
         HAVING ${Portable.md5Hash64Sql("event_type || '|' || CAST(qdate AS VARCHAR)")} % 10 < 7)
       SELECT e.event_type, e.d - q.qdate AS staleness,
              count(*) AS n_events,
-             sum(CAST(CAST(e.value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS value_cents
+             CAST(sum(CAST(CAST(e.value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
       FROM ev e ASOF JOIN quotes q
         ON e.event_type = q.event_type AND e.d >= q.qdate
       WHERE e.d - q.qdate <= 13

@@ -90,8 +90,8 @@ object TextOps extends QueryModule {
     },
     Some(s"""
       SELECT lang, count(*) AS n_docs,
-             sum(ws_tokens) AS total_ws_tokens,
-             sum(bpe_tokens) AS total_bpe_tokens,
+             CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+             CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
              max(ws_tokens) AS max_ws_tokens,
              CAST(sum(ws_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_ws_tokens
       FROM (

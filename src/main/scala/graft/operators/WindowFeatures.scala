@@ -236,7 +236,7 @@ object WindowFeatures extends QueryModule {
         FROM bars)
       SELECT CASE WHEN rn <= (n_total * 8) // 10 THEN 'train' ELSE 'test' END AS split,
              count(*) AS n, min(date) AS min_date, max(date) AS max_date,
-             sum(CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT)) AS close_cents
+             CAST(sum(CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS close_cents
       FROM rn GROUP BY 1 ORDER BY split"""))
 
   // ---------------------------------------------------------------------
@@ -346,7 +346,7 @@ object WindowFeatures extends QueryModule {
                sign(lag(close,1) OVER w - lag(close,2) OVER w) AS move_prev
         FROM bars WINDOW w AS (PARTITION BY ticker ORDER BY date))
       SELECT ticker, count(*) AS n,
-             sum(CAST(move = move_prev AS BIGINT)) AS n_agree,
+             CAST(sum(CAST(move = move_prev AS BIGINT)) AS BIGINT) AS n_agree,
              CAST(sum(CAST(move = move_prev AS BIGINT)) AS DOUBLE)
                / CAST(count(*) AS DOUBLE) AS accuracy
       FROM moves WHERE move IS NOT NULL AND move_prev IS NOT NULL

@@ -45,6 +45,40 @@ object Streams extends QueryModule {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Production Kafka source configuration (S2). These are the exact
+    * rate-shaping / recovery options the reference pins on its streaming
+    * scans — reference data_processing/reddit_pipeline.py:80-88 (reddit:
+    * maxOffsetsPerTrigger=10000), data_processing/stock_pipeline.py:68-76
+    * (stock: 1000), data_collection/spark_consumer.py:92-97 — kept in one
+    * audited builder so the file-source twin and the production source
+    * can never drift. The spark-sql-kafka connector jar is not in this
+    * container, so `.load()` is exercised in production only; the options
+    * contract is unit-tested (StreamingSpec).
+    */
+  private[graft] def kafkaSourceOptions(
+      bootstrapServers: String,
+      topic: String,
+      maxOffsetsPerTrigger: Long,
+      startingOffsets: String = "earliest"): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets,
+    // reference tolerates topic truncation/expiry rather than dying
+    "failOnDataLoss" -> "false",
+    "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString)
+
+  /** The production streaming scan: `readStream.format("kafka")` with the
+    * reference's options. Downstream of `.load()` the plan is IDENTICAL to
+    * [[eventsStream]]'s (value bytes → from_json → transforms).
+    */
+  private[graft] def kafkaStreamReader(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String,
+      maxOffsetsPerTrigger: Long): org.apache.spark.sql.streaming.DataStreamReader =
+    kafkaSourceOptions(bootstrapServers, topic, maxOffsetsPerTrigger)
+      .foldLeft(spark.readStream.format("kafka")) { case (r, (k, v)) => r.option(k, v) }
+
   /** The §3.1 silver transform: watermark (T1) + 15-min tumbling window
     * (T2) feature agg. Works on a streaming OR batch events frame.
     */
@@ -62,27 +96,47 @@ object Streams extends QueryModule {
         $"event_type", $"post_count", $"total_score", $"max_score")
   }
 
-  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+  /** Run a bounded streaming frame to completion through a FILE sink and
+    * re-read the result as a batch frame (the q43 round-trip pattern,
+    * generalized). The memory sink materializes the whole result on the
+    * driver — at 100× the q42 join output that is a driver OOM — so every
+    * query-path capture goes through foreachBatch → parquet instead;
+    * `MemoryStream`/memory sinks survive only inside StreamingSpec.
+    * "complete" mode re-emits the full result each micro-batch ⇒ overwrite
+    * per batch; "append"/"update" emit deltas ⇒ append per batch.
+    */
+  private[graft] def runToParquet(df: DataFrame, mode: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
     val spark = df.sparkSession
-    val name = s"graft_mem_${System.nanoTime()}"
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    q.processAllAvailable()
+    val out = Files.createTempDirectory("graft_stream_out_").toString
+    val saveMode = if (mode == "complete") "overwrite" else "append"
+    val q = df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) batch.write.mode(saveMode).parquet(out)
+      }
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ckpt_").toString)
+      .start()
+    q.awaitTermination()
     q.stop()
-    spark.table(name)
+    spark.read.parquet(out)
   }
 
   // ---------------------------------------------------------------------
   // q41 — the §3.1 streaming feature pipeline end-to-end: streaming scan →
-  // watermark → windowed agg, run as a real StreamingQuery into a memory
-  // sink (complete mode emits every window regardless of watermark, which
-  // is what a bounded replay needs; append-mode emission timing is covered
-  // by StreamingSpec). Result equals the batch plan — checked by DuckDB.
+  // watermark → windowed agg, run as a real StreamingQuery into a parquet
+  // foreachBatch sink and re-read (complete mode emits every window
+  // regardless of watermark, which is what a bounded replay needs;
+  // append-mode emission timing is covered by StreamingSpec). Result
+  // equals the batch plan — checked by DuckDB.
   // ---------------------------------------------------------------------
   private val q41 = QueryDef(
     "q41_stream_features_15m",
     (spark, dir) => {
       import spark.implicits._
-      runToMemory(features15m(eventsStream(spark, dir)), "complete")
+      runToParquet(features15m(eventsStream(spark, dir)), "complete")
         .orderBy($"window_start", $"event_type")
     },
     Some("""
@@ -109,7 +163,7 @@ object Streams extends QueryModule {
       val joined = eventsStream(spark, dir)
         .join(broadcast(cust), $"user_id" === $"c_custkey", "inner")
         .select($"event_id", $"user_id", $"event_type", $"value", $"c_name", $"c_mktsegment")
-      runToMemory(joined, "append").orderBy($"event_id")
+      runToParquet(joined, "append").orderBy($"event_id")
     },
     Some("""
       SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_name, c.c_mktsegment
@@ -200,19 +254,30 @@ object Streams extends QueryModule {
         .toDF()
       // update mode emits one row per key per batch; keep the final state
       // (n grows monotonically) so the result is batching-independent
-      runToMemory(updates, "update")
+      runToParquet(updates, "update")
         .groupBy($"user_id")
         .agg(max_by(struct($"n", $"cents", $"last_event_id", $"last_type"), $"n").as("s"))
         .select($"user_id", $"s.n".as("n"), $"s.cents".as("cents"),
           $"s.last_event_id".as("last_event_id"), $"s.last_type".as("last_type"))
         .orderBy($"user_id")
     },
+    // oracle tie-break matches the engine's pinned (ts, event_id) total
+    // order exactly — arg_max(x, ts) alone is nondeterministic when a user
+    // has two events in the same microsecond (latent flake at higher SF)
     Some("""
-      SELECT user_id, count(*) AS n,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-             arg_max(event_id, ts) AS last_event_id,
-             arg_max(event_type, ts) AS last_type
-      FROM events GROUP BY user_id ORDER BY user_id"""))
+      WITH last AS (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      agg AS (
+        SELECT user_id, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY user_id)
+      SELECT a.user_id, a.n, a.cents,
+             l.event_id AS last_event_id, l.event_type AS last_type
+      FROM agg a JOIN last l ON a.user_id = l.user_id AND l.rn = 1
+      ORDER BY a.user_id"""))
 
   override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55)
 }

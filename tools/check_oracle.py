@@ -36,6 +36,19 @@ def main(sf_dir, out_dir):
             n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
+        # the driver's hash compare is TYPE-sensitive (r1 lesson: DuckDB
+        # sum(BIGINT) widens to HUGEINT → hash mismatch on equal values).
+        # r1 evidence: integer-WIDTH mismatches (int32 vs int64) still
+        # hash-matched, so only kind-level divergence (int vs float/object,
+        # i.e. HUGEINT/DECIMAL leakage) is a FAIL.
+        def kind(dt):
+            return "i" if dt.kind in "iu" else dt.kind
+        bad_types = [f"{c}: spark={got[c].dtype} oracle={want[c].dtype}"
+                     for c in got.columns
+                     if kind(got[c].dtype) != kind(want[c].dtype)]
+        if bad_types:
+            print(f"FAIL {name}: dtype mismatch — " + "; ".join(bad_types))
+            n_fail += 1; continue
         gs = got.sort_values(by=list(got.columns), ignore_index=True)
         ws = want.sort_values(by=list(want.columns), ignore_index=True)
         try:
