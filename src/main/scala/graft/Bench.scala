@@ -1,34 +1,54 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Perf snapshot: one JSON line with per-query seconds on the bench SF.
+/** Perf snapshot: one JSON line with per-query seconds on the bench SF,
+  * printed to stdout AND written to a file (`SPARK_GRAFT_BENCH_OUT`,
+  * default `bench_out.json` in the working directory) so the harness can
+  * parse it even when a log tail truncates stdout.
   *
   * Each query is executed twice and the second (steady-state) run is
   * reported: the first pass absorbs JVM/codegen/parquet-footer warmup that
   * otherwise lands entirely on whichever query happens to run first and
   * misattributes ~5 s to it. Queries run in name order for stable output.
+  *
+  * The timed action is a `noop`-format write, not `count()`: count lets
+  * Catalyst prune every unreferenced output expression and drop the final
+  * sort, which flatters projection-heavy queries (q33's struct assembly,
+  * q21's sequence arrays). The noop sink consumes every output column at
+  * full width — write-path cost without any disk I/O.
+  *
+  * A query that throws is reported in a `failures` list and EXCLUDED from
+  * the total (a -1 sentinel summed into the total would silently shrink
+  * the headline number instead of surfacing the failure).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // 61 queries × 2 passes blow through the default 100-entry codegen
+      // 72 queries × 2 passes blow through the default 100-entry codegen
       // class cache; evictions force Janino recompiles mid-timed-pass and
       // misattribute seconds to innocent queries
       .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    def time(name: String): Double = {
+    // Either(seconds) or the failure message
+    def time(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
     }
     // Warmup pass: absorbs JVM JIT + Janino codegen compilation (seconds
     // per distinct generated class, pure fixed cost) and materializes the
@@ -36,10 +56,22 @@ object Bench {
     // engine throughput.
     names.foreach(time)
     val results = names.map(n => n -> time(n))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val failed = results.collect { case (k, Left(msg)) => k -> msg }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failed.map { case (k, msg) =>
+      "\"" + k + "\":\"" + msg.replaceAll("[\"\\\\\n\r\t]", " ") + "\"" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"n_failed":${failed.size},"sf":"$sfDir"}"""
+    println(json)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // a failing query must fail the bench loudly, not shrink the total
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -43,14 +43,14 @@ object Curation extends QueryModule {
         .join(exact.select($"doc_id".as("j")), Seq("j"), "left_semi")
       val survivors = exact.join(
         pairs.select($"j".as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-      survivors
+      val funnel = survivors
         .groupBy($"source")
         .agg(
           count(lit(1)).as("n_docs"),
           sum($"ws_tokens").as("n_tokens"),
           min($"doc_id").as("min_doc_id"),
           max($"doc_id").as("max_doc_id"))
-        .orderBy($"source")
+      Scoped.materialize(quality, exact)(funnel).orderBy($"source")
     },
     Some(s"""
       WITH quality AS (${TextOps.qualitySql}),

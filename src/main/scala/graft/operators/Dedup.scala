@@ -88,16 +88,17 @@ object Dedup extends QueryModule {
           [substr(text, i, 5) for i in range(1, greatest(length(text) - 4, 1) + 1)])) AS s
         FROM documents)"""
 
-  /** Verified near-dup pairs (i < j, jaccard >= 0.5) — reused by the
-    * curation pipeline (ScalePatterns q61). Signatures are per-doc, so
-    * pairs over the full corpus restricted to a survivor set equal pairs
-    * computed over the survivor set directly.
+  /** Verified near-dup pairs (i < j, jaccard >= 0.5) as a materialized
+    * derived table (Scoped.shared): built once per input dir, then read
+    * by every consumer — q35 itself, the curation pipeline (q61), and the
+    * cluster pass (q72). Signatures are per-doc, so pairs over the full
+    * corpus restricted to a survivor set equal pairs computed over the
+    * survivor set directly.
     */
   private[operators] def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
-    minhashBuild(spark, dir)
+    Scoped.shared(spark, s"minhash_pairs:$dir")(buildPairs(spark, dir))
 
-  private val minhashBuild: (SparkSession, String) => DataFrame =
-    (spark, dir) => {
+  private def buildPairs(spark: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
       import spark.implicits._
       // The shingle set and the signature table are each referenced by
       // several downstream branches (bands, sizes, intersection, estimate)
@@ -139,7 +140,7 @@ object Dedup extends QueryModule {
         .groupBy($"i", $"j").agg(count(lit(1)).as("k"))
       val estEq = (0 until NumHashes).map(j =>
         (col(s"sa.m$j") === col(s"sb.m$j")).cast("int")).reduce(_ + _)
-      inter
+      val verified = inter
         .join(sizes.as("na"), col("na.doc_id") === $"i")
         .join(sizes.as("nb"), col("nb.doc_id") === $"j")
         .withColumn("jaccard",
@@ -149,8 +150,11 @@ object Dedup extends QueryModule {
         .join(sig.as("sb"), col("sb.doc_id") === $"j")
         .withColumn("est_sim", estEq.cast("double") / lit(NumHashes.toDouble))
         .select($"i", $"j", $"jaccard", $"est_sim")
-        .orderBy($"i", $"j")
+      (Seq(sh, sig), verified)
     }
+
+  private val minhashBuild: (SparkSession, String) => DataFrame =
+    (spark, dir) => nearDupPairs(spark, dir).orderBy(col("i"), col("j"))
 
   private[operators] val minhashOracle: String = {
       val minCols = (0 until NumHashes).map(j =>
@@ -215,14 +219,14 @@ object Dedup extends QueryModule {
         when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
       // self-joined below — materialize the 500-row signature table once
       val sigs = bitSums.select($"doc_id", $"lang", fp.as("fp")).persist()
-      sigs.as("a").join(sigs.as("b"),
+      val pairs = sigs.as("a").join(sigs.as("b"),
           col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
         .withColumn("hamming",
           bit_count(col("a.fp").bitwiseXOR(col("b.fp"))))
         .filter($"hamming" <= 3)
         .select(col("a.lang").as("lang"), col("a.doc_id").as("i"),
           col("b.doc_id").as("j"), $"hamming")
-        .orderBy($"lang", $"i", $"j")
+      Scoped.materialize(sigs)(pairs).orderBy($"lang", $"i", $"j")
     },
     Some {
       val sums = (0 until SimBits).map(b =>
@@ -273,14 +277,14 @@ object Dedup extends QueryModule {
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
         .agg(count(lit(1)).as("k"))
-      inter
+      val verified = inter
         .join(sizes.as("na"), col("na.doc_id") === $"i")
         .join(sizes.as("nb"), col("nb.doc_id") === $"j")
         .withColumn("jaccard",
           $"k".cast("double") / (col("na.n") + col("nb.n") - $"k").cast("double"))
         .filter($"jaccard" >= 0.5)
         .select($"i", $"j", $"jaccard")
-        .orderBy($"i", $"j")
+      Scoped.materialize(grams)(verified).orderBy($"i", $"j")
     },
     Some(s"""
       WITH toks AS (
@@ -316,7 +320,7 @@ object Dedup extends QueryModule {
       val emb = Tables.embeddings(spark, dir)
         .withColumn("nrm", VectorOps.normScaled($"embedding"))
         .persist() // both sides of the blocked self-join
-      emb.as("a").join(emb.as("b"),
+      val pairs = emb.as("a").join(emb.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos", VectorOps.cosineFromScaled(
           VectorOps.dotScaled(col("a.embedding"), col("b.embedding")),
@@ -324,7 +328,7 @@ object Dedup extends QueryModule {
         .filter($"cos" >= 0.4)
         .select(col("a.label").as("label"), col("a.vec_id").as("i"),
           col("b.vec_id").as("j"), $"cos")
-        .orderBy($"label", $"i", $"j")
+      Scoped.materialize(emb)(pairs).orderBy($"label", $"i", $"j")
     },
     Some(s"""
       WITH emb AS (
@@ -357,7 +361,7 @@ object Dedup extends QueryModule {
     */
   private[operators] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = minhashBuild(spark, dir).select($"i", $"j")
+    val pairs = nearDupPairs(spark, dir).select($"i", $"j")
     val edges = pairs
       .union(pairs.select($"j".as("i"), $"i".as("j")))
       .persist()
@@ -382,7 +386,14 @@ object Dedup extends QueryModule {
       }
       iter += 1
     }
-    labels
+    // a silent partial fixed point would hand wrong cluster_ids downstream
+    // with no signal — fail loudly instead (at adversarial diameters the
+    // fix is the large-star/small-star contraction, see SCALE.md)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"min-label propagation did not converge after $iter iterations " +
+          s"($changed labels still improving); graph diameter exceeds the cap")
+    Scoped.materialize(edges, labels)(labels)
   }
 
   private val q72 = QueryDef(

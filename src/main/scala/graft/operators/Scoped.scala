@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import java.nio.file.Files
+
+/** Cache-lifetime hygiene for query builders that persist intermediates.
+  *
+  * A builder that `persist()`s a subtree referenced by several branches of
+  * its returned plan cannot unpersist before returning — the caller's
+  * action would recompute the subtree from scratch — so without a scope
+  * boundary every invocation leaks cache entries for the life of the
+  * session (executor memory pressure; an OOM at 100 TB operating scale,
+  * where a long-lived service would run thousands of such queries).
+  *
+  * `materialize` closes the scope: it runs the terminal action itself by
+  * writing the builder's (small, post-aggregation) result to a temp
+  * parquet, releases every persisted input, and hands back the re-read.
+  * The caches live exactly as long as the computation that needs them.
+  * Row order is not preserved across the round-trip — apply the final
+  * `orderBy` to the returned frame, not the argument.
+  */
+private[graft] object Scoped {
+
+  def materialize(persisted: DataFrame*)(result: DataFrame): DataFrame = {
+    val spark = result.sparkSession
+    val out = Files.createTempDirectory("graft_mat_").toString
+    result.write.mode("overwrite").parquet(out)
+    persisted.foreach(_.unpersist())
+    spark.read.parquet(out)
+  }
+
+  /** Materialized DERIVED TABLE, built once per (key) per session.
+    *
+    * Several queries consume the same expensive intermediate (the verified
+    * MinHash pair table feeds q35, the curation funnel and the cluster
+    * pass; the global row-number table feeds both split queries). At
+    * cluster scale these are silver tables you'd write once and read many
+    * times — never recompute per query. This is that pattern in-process:
+    * first caller builds + writes parquet and releases its caches; every
+    * later caller (any query, any pass) reads the parquet. Unlike
+    * `persist()` reuse, nothing occupies executor memory between queries.
+    */
+  private val sharedPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def shared(spark: org.apache.spark.sql.SparkSession, key: String)(
+      build: => (Seq[DataFrame], DataFrame)): DataFrame = {
+    val path = sharedPaths.computeIfAbsent(key, _ => {
+      val (persisted, result) = build
+      val out = Files.createTempDirectory("graft_shared_").toString
+      result.write.mode("overwrite").parquet(out)
+      persisted.foreach(_.unpersist())
+      out
+    })
+    spark.read.parquet(path)
+  }
+}

@@ -43,13 +43,13 @@ object Similarity extends QueryModule {
       val queries = emb.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
-      emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      val topk = emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
         .withColumn("cos", VectorOps.cosineFromScaled(
           VectorOps.dotScaled($"embedding", $"q_emb"), $"nrm", $"q_nrm"))
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= K)
         .select($"q_id", $"rank", $"vec_id", $"cos")
-        .orderBy($"q_id", $"rank")
+      Scoped.materialize(emb)(topk).orderBy($"q_id", $"rank")
     },
     Some(s"""
       WITH emb AS (
@@ -131,13 +131,13 @@ object Similarity extends QueryModule {
         .select($"q_id", $"vec_id", $"embedding", $"nrm", $"q_emb", $"q_nrm")
         .dropDuplicates("q_id", "vec_id")
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
-      cand
+      val topk = cand
         .withColumn("cos", VectorOps.cosineFromScaled(
           VectorOps.dotScaled($"embedding", $"q_emb"), $"nrm", $"q_nrm"))
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= K)
         .select($"q_id", $"rank", $"vec_id", $"cos")
-        .orderBy($"q_id", $"rank")
+      Scoped.materialize(emb, bucketed)(topk).orderBy($"q_id", $"rank")
     },
     Some {
       val bandSelects = (0 until NumBands).map(b =>
@@ -206,14 +206,14 @@ object Similarity extends QueryModule {
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
           $"nrm".as("q_nrm"), $"cent_id".as("cell"))
       val wRank = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
-      assign.join(broadcast(probes), Seq("cell"))
+      val topk = assign.join(broadcast(probes), Seq("cell"))
         .filter($"vec_id" =!= $"q_id")
         .withColumn("cos", VectorOps.cosineFromScaled(
           VectorOps.dotScaled($"embedding", $"q_emb"), $"nrm", $"q_nrm"))
         .withColumn("rank", row_number().over(wRank))
         .filter($"rank" <= K)
         .select($"q_id", $"rank", $"vec_id", $"cos")
-        .orderBy($"q_id", $"rank")
+      Scoped.materialize(emb, assign)(topk).orderBy($"q_id", $"rank")
     },
     Some(s"""
       WITH emb AS (

@@ -186,11 +186,16 @@ object WindowFeatures extends QueryModule {
     * the resulting `rn` is exactly the global row_number — deterministic
     * regardless of where the sampled range boundaries fall.
     */
-  private def withGlobalRn(df: DataFrame): DataFrame = {
+  /** The numbered-rows build, exposed for the PlanSpec assertion that the
+    * sort is a rangepartitioning exchange, never a global single-partition
+    * window. Caller owns unpersisting the returned frames.
+    */
+  private[graft] def globalRnBuild(
+      spark: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     // referenced by both the offsets side table and the main branch —
     // materialize the range-shuffled rows once instead of re-aggregating
     // the fact table for each
-    val parted = df
+    val parted = bars(spark, dir)
       .repartitionByRange(col("date"), col("ticker"))
       .withColumn("_pid", spark_partition_id())
       .persist()
@@ -200,14 +205,20 @@ object WindowFeatures extends QueryModule {
           Window.orderBy(col("_pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val total = offsets.agg(sum(col("_cnt")).as("n_total"))
-    parted
+    val numbered = parted
       .join(broadcast(offsets.select(col("_pid"), col("_offset"))), Seq("_pid"))
       .withColumn("rn",
         col("_offset") + row_number().over(
           Window.partitionBy(col("_pid")).orderBy(col("date"), col("ticker"))))
       .crossJoin(broadcast(total))
       .drop("_pid", "_offset")
+    (Seq(parted), numbered)
   }
+
+  private def withGlobalRn(spark: SparkSession, dir: String): DataFrame =
+    // materialized derived table: both split queries (q22, q23) consume
+    // the same numbered rows — build once per dir, read parquet after
+    Scoped.shared(spark, s"bars_global_rn:$dir")(globalRnBuild(spark, dir))
 
   // ---------------------------------------------------------------------
   // q22 — sequential train/test split (M1): 80/20 by global row_number
@@ -217,7 +228,7 @@ object WindowFeatures extends QueryModule {
     "q22_train_test_split",
     (spark, dir) => {
       import spark.implicits._
-      withGlobalRn(bars(spark, dir))
+      withGlobalRn(spark, dir)
         .withColumn("split",
           when($"rn" <= ($"n_total" * 8) / 10, "train").otherwise("test"))
         .groupBy($"split")
@@ -248,7 +259,7 @@ object WindowFeatures extends QueryModule {
     "q23_timeseries_cv",
     (spark, dir) => {
       import spark.implicits._
-      val rows = withGlobalRn(bars(spark, dir))
+      val rows = withGlobalRn(spark, dir)
       val folds = spark.range(1, 6).toDF("fold")
       rows.join(broadcast(folds),
           $"rn" <= (($"fold" + 1) * $"n_total") / 6)

@@ -38,9 +38,16 @@ object Tables {
 
   /** Register every fixture table as a temp view so users can hit the whole
     * catalog through `spark.sql(...)` — the SQL surface of the engine.
+    * The events view goes through [[events]] (nanos conf + µs truncation):
+    * a raw parquet read would fail on a fresh session (Spark 4 rejects
+    * TIMESTAMP(NANOS)) and expose `ts` as a raw nanosecond BIGINT on a
+    * session where the legacy conf was already set — either way
+    * inconsistent with every query's and oracle's timestamp semantics.
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  def registerAll(spark: SparkSession, dir: String): Unit = {
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
-        "region", "events", "documents", "embeddings")
+        "region", "documents", "embeddings")
       .foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    events(spark, dir).createOrReplaceTempView("events")
+  }
 }

@@ -71,9 +71,15 @@ class PlanSpec extends AnyFunSuite {
 
   test("q22: sequential split range-partitions the sort instead of a global window") {
     // the only SinglePartition exchange allowed is the ≤32-row offsets side
-    // table; the bars-sized sort must be a rangepartitioning exchange
-    val p = planOf("q22_train_test_split")
-    assert(p.contains("rangepartitioning"), p.linesIterator.take(15).mkString("\n"))
+    // table; the bars-sized sort must be a rangepartitioning exchange.
+    // q22's own plan reads the materialized derived table, so the
+    // assertion targets the table's BUILD plan.
+    val (persisted, numbered) =
+      graft.operators.WindowFeatures.globalRnBuild(spark, TestSpark.Sf001)
+    try {
+      val p = numbered.queryExecution.executedPlan.toString
+      assert(p.contains("rangepartitioning"), p.linesIterator.take(15).mkString("\n"))
+    } finally persisted.foreach(_.unpersist())
   }
 
   test("q58: vocab top-k plans TakeOrderedAndProject, not rank-then-filter") {
