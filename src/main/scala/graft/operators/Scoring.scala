@@ -38,9 +38,13 @@ object Scoring extends QueryModule {
     Some(s"""
       SELECT doc_id, lang, raw, ${SentimentLex.compoundSql("raw")} AS compound
       FROM (
-        SELECT doc_id, lang,
-               ${SentimentLex.rawScoreSql(Portable.tokensSql("text"))} AS raw
-        FROM documents)
+        SELECT doc_id, lang, ${SentimentLex.rawFromSql("toks", "ds")} AS raw
+        FROM (
+          SELECT doc_id, lang, toks,
+                 ${SentimentLex.valenceArraySql("toks")} AS ds
+          FROM (SELECT doc_id, lang,
+                       ${Portable.tokensSql("text")} AS toks
+                FROM documents)))
       ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------------
@@ -84,9 +88,11 @@ object Scoring extends QueryModule {
                sum(CAST(raw > 0 AS BIGINT)) AS n_pos,
                sum(CAST(raw < 0 AS BIGINT)) AS n_neg
         FROM (
-          SELECT lang,
-                 ${SentimentLex.rawScoreSql(Portable.tokensSql("text"))} AS raw
-          FROM documents)
+          SELECT lang, ${SentimentLex.rawFromSql("toks", "ds")} AS raw
+          FROM (
+            SELECT lang, toks, ${SentimentLex.valenceArraySql("toks")} AS ds
+            FROM (SELECT lang, ${Portable.tokensSql("text")} AS toks
+                  FROM documents)))
         GROUP BY lang)
       ORDER BY lang"""))
 

@@ -363,6 +363,37 @@ object WindowFeatures extends QueryModule {
       FROM moves WHERE move IS NOT NULL AND move_prev IS NOT NULL
       GROUP BY ticker ORDER BY ticker"""))
 
+  // ---------------------------------------------------------------------
+  // q73 — min-max scaler (M3's second variant: the reference's LSTM path
+  // fits MinMaxScaler, not StandardScaler — 01 · cell 6, 03 · cell 5).
+  // Same broadcast-stats shape as q24: per-ticker extents are a tiny
+  // aggregate broadcast back onto the rows, so the fact side is scanned
+  // once and never re-shuffled. min/max of doubles are exact (no
+  // accumulation-order sensitivity), and (x − mn)/(mx − mn) is the same
+  // IEEE double arithmetic on both engines — bit-identical output.
+  // ---------------------------------------------------------------------
+  private val q73 = QueryDef(
+    "q73_minmax_scaler",
+    (spark, dir) => {
+      import spark.implicits._
+      val b = bars(spark, dir)
+      val stats = b.groupBy($"ticker")
+        .agg(min($"close").as("mn"), max($"close").as("mx"))
+      b.join(broadcast(stats), Seq("ticker"))
+        .withColumn("scaled", ($"close" - $"mn") / ($"mx" - $"mn"))
+        .select($"ticker", $"date", $"close", $"mn", $"mx", $"scaled")
+        .orderBy($"ticker", $"date")
+    },
+    Some(s"""
+      WITH $barsSql,
+      stats AS (
+        SELECT ticker, min(close) AS mn, max(close) AS mx
+        FROM bars GROUP BY ticker)
+      SELECT b.ticker, b.date, b.close, s.mn, s.mx,
+             (b.close - s.mn) / (s.mx - s.mn) AS scaled
+      FROM bars b JOIN stats s ON b.ticker = s.ticker
+      ORDER BY b.ticker, b.date"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q18, q19, q20, q21, q22, q23, q24, q25)
+    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q73)
 }

@@ -34,15 +34,16 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("sentiment rawScore is additive over concatenation") {
+  test("sentiment rawScore is additive across a neutral boundary token") {
     def score(ws: List[String]): Long =
       Seq(ws.mkString(" ")).toDF("text")
         .select(SentimentLex.rawScore(Portable.tokens($"text"))).as[Long].head()
     for ((a, b) <- samples(Gen.zip(wordGen, wordGen), 5)) {
       val an = a.filter(_.nonEmpty); val bn = b.filter(_.nonEmpty)
-      // token streams concatenate, so scores add (whitespace tokenizer
-      // never merges tokens across the joined boundary)
-      assert(score(an ++ bn) === score(an) + score(bn))
+      // scoring is context-aware with one-token lookback (negators/
+      // boosters), so plain concatenation can interact at the seam; with a
+      // neutral non-marker separator the contexts are preserved exactly
+      assert(score(an ++ List(".") ++ bn) === score(an) + score(bn))
     }
   }
 

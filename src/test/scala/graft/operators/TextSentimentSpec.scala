@@ -28,14 +28,39 @@ class TextSentimentSpec extends AnyFunSuite {
     assert(got(3) === Set.empty)
   }
 
-  test("sentiment rawScore sums lexicon valences over tokens") {
+  test("sentiment rawScore sums lexicon milli-valences over tokens") {
     val df = Seq(
-      "fast fast slow",   // 2 + 2 - 2 = 2
-      "great terrible",   // 4 - 4 = 0
+      "fast fast slow",    // 2000 + 2000 - 2000
+      "great terrible",    // 3100 - 2100
       "unknown words only" // 0
     ).toDF("text")
       .withColumn("raw", SentimentLex.rawScore(Portable.tokens($"text")))
-    assert(df.select("raw").as[Long].collect().toSeq === Seq(2L, 0L, 0L))
+    assert(df.select("raw").as[Long].collect().toSeq === Seq(2000L, 1000L, 0L))
+  }
+
+  test("sentiment negation flips and damps by -0.74 (VADER N_SCALAR)") {
+    val df = Seq(
+      "good",           // 1900
+      "not good",       // -74 × 19 = -1406
+      "never bad",      // -74 × -25 = 1850
+      "not not good"    // only the adjacent negator applies → -1406
+    ).toDF("text")
+      .withColumn("raw", SentimentLex.rawScore(Portable.tokens($"text")))
+    assert(df.select("raw").as[Long].collect().toSeq ===
+      Seq(1900L, -1406L, 1850L, -1406L))
+  }
+
+  test("sentiment boosters shift magnitude by ±0.293 (VADER B_INCR/B_DECR)") {
+    val df = Seq(
+      "very good",      // 1900 + 293
+      "very bad",       // -2500 - 293
+      "slightly good",  // 1900 - 293
+      "slightly sorry", // -500 + 293 = -207 (damped toward zero, no flip)
+      "VERY GOOD"       // case-insensitive matching
+    ).toDF("text")
+      .withColumn("raw", SentimentLex.rawScore(Portable.tokens($"text")))
+    assert(df.select("raw").as[Long].collect().toSeq ===
+      Seq(2193L, -2793L, 1607L, -207L, 2193L))
   }
 
   test("compound normalization is odd, bounded and monotone") {
