@@ -177,10 +177,20 @@ object SentimentLex {
   }
 
   /** Integer raw score in milli-valences: context-aware sum over the token
-    * stream (one-token lookback via the positional transform — stays a
-    * single codegen'd higher-order expression, no UDF, no shuffle).
+    * stream, as the codegen'd [[SentimentScoreExpr]] (the declarative
+    * higher-order form below is kept as the semantic reference — HOF
+    * lambdas evaluate interpreted, which makes the big lexicon CASE the
+    * hottest loop in the engine; the native expression is a one-pass
+    * hash-lookup loop inside whole-stage codegen).
     */
   def rawScore(tokens: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      SentimentScoreExpr(org.apache.spark.sql.graft.bridge.expression(tokens)))
+
+  /** The declarative HOF twin of [[rawScore]] — semantics documentation
+    * and equivalence-test target, not the production path.
+    */
+  private[graft] def rawScoreDeclarative(tokens: Column): Column =
     aggregate(
       transform(tokens, (w, i) =>
         tokenScore(lower(w), lower(get(tokens, i - lit(1))))),

@@ -296,5 +296,41 @@ object Similarity extends QueryModule {
           FROM embeddings))
       ORDER BY vec_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q39, q40, q56, q57)
+  // ---------------------------------------------------------------------
+  // q76 — per-label embedding centroids (the training-data op behind
+  // class-prototype filtering and IVF codebook refinement): element-wise
+  // mean of every label's vectors. posexplode → (label, dim) partial sums
+  // is the declarative scale shape — map-side combine collapses each
+  // partition to |labels|×64 cells before the shuffle, so the exchange
+  // carries centroids, not vectors. Coordinates go through the shared
+  // scaled-integer trick (floor(x·1e12) exact on both engines) so sums
+  // are partition-order invariant and the oracle hash-matches.
+  // ---------------------------------------------------------------------
+  private val q76 = QueryDef(
+    "q76_label_centroids",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.embeddings(spark, dir)
+        .select($"label", posexplode($"embedding"))
+        .select($"label", ($"pos" + 1).as("pos"),
+          floor($"col".cast("double") * lit(1e12)).cast("long").as("xs"))
+        .groupBy($"label", $"pos")
+        .agg(count(lit(1)).as("n"), sum($"xs").as("s"))
+        .withColumn("centroid", ($"s".cast("double") / $"n".cast("double")) / lit(1e12))
+        .select($"label", $"pos", $"n", $"centroid")
+        .orderBy($"label", $"pos")
+    },
+    Some("""
+      SELECT label, u.pos AS pos, count(*) AS n,
+             (CAST(sum(u.xs) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1e12 AS centroid
+      FROM (
+        SELECT label,
+               unnest([{'pos': i,
+                        'xs': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT)}
+                       for i in range(1, len(embedding) + 1)]) AS u
+        FROM embeddings)
+      GROUP BY label, u.pos
+      ORDER BY label, pos"""))
+
+  override val defs: Seq[QueryDef] = Seq(q39, q40, q56, q57, q76)
 }

@@ -293,5 +293,77 @@ object TextOps extends QueryModule {
         WHERE n >= 5)
       WHERE rank <= 100 ORDER BY rank"""))
 
-  override val defs: Seq[QueryDef] = Seq(q26, q27, q28, q29, q30, q58)
+  // ---------------------------------------------------------------------
+  // q75 — Gopher-style repetition filter (Rae et al. 2021 quality signal;
+  // C4 uses the same family): per doc, the fraction of word-3-gram
+  // instances that belong to a gram occurring more than once in the doc.
+  // Heavily templated/repetitive docs score high and get flagged at the
+  // Gopher-ish 0.2 threshold — the flag test is exact integer arithmetic
+  // (5·dup > total), so the verdict is engine- and partition-independent.
+  // Scale shape: one explode (linear in tokens), one hash-agg keyed by
+  // (doc, gram) with map-side combine, then per-doc and per-source
+  // roll-ups — no joins over the gram table, no quadratic stage.
+  // ---------------------------------------------------------------------
+  private val q75 = QueryDef(
+    "q75_repetition_filter",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val grams = docs
+        .withColumn("w", Portable.tokens($"text"))
+        .select($"doc_id", $"source",
+          explode(transform(
+            sequence(lit(1), greatest(size($"w") - 2, lit(1))),
+            i => concat(element_at($"w", i), lit(" "),
+              element_at($"w", i + 1), lit(" "),
+              element_at($"w", i + 2)))).as("g"))
+        .filter($"g".isNotNull)
+      val perDoc = grams
+        .groupBy($"doc_id", $"source", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id", $"source")
+        .agg(sum($"c").as("total"),
+          sum(when($"c" > 1, $"c").otherwise(0L)).as("dup"))
+      // docs too short to form a 3-gram carry (0, 0) — never flagged
+      val all = docs.select($"doc_id", $"source")
+        .join(perDoc.drop("source"), Seq("doc_id"), "left")
+        .na.fill(0L, Seq("total", "dup"))
+      all.groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(lit(5L) * $"dup" > $"total", 1L).otherwise(0L)).as("n_repetitive"),
+          sum($"total").as("total_grams"),
+          sum($"dup").as("dup_grams"))
+        .withColumn("rep_ratio",
+          $"dup_grams".cast("double") / $"total_grams".cast("double"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, source, ${Portable.tokensSql("text")} AS w
+        FROM documents),
+      grams AS (
+        SELECT doc_id, source, g FROM (
+          SELECT doc_id, source,
+                 unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS g
+          FROM toks)
+        WHERE g IS NOT NULL),
+      counts AS (
+        SELECT doc_id, source, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+      perdoc AS (
+        SELECT doc_id, source, sum(c) AS total,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+        FROM counts GROUP BY 1, 2),
+      alldocs AS (
+        SELECT d.doc_id, d.source,
+               COALESCE(p.total, 0) AS total, COALESCE(p.dup, 0) AS dup
+        FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN 5 * dup > total THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+             CAST(sum(total) AS BIGINT) AS total_grams,
+             CAST(sum(dup) AS BIGINT) AS dup_grams,
+             CAST(sum(dup) AS DOUBLE) / CAST(sum(total) AS DOUBLE) AS rep_ratio
+      FROM alldocs GROUP BY source ORDER BY source"""))
+
+  override val defs: Seq[QueryDef] = Seq(q26, q27, q28, q29, q30, q58, q75)
 }

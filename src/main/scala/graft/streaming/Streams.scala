@@ -279,5 +279,56 @@ object Streams extends QueryModule {
       FROM agg a JOIN last l ON a.user_id = l.user_id AND l.rn = 1
       ORDER BY a.user_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55)
+  // ---------------------------------------------------------------------
+  // q74 — streaming session windows (T2's session variant, the streaming
+  // twin of q63's batch sessionization): per-user sessions that merge
+  // while events arrive within a 30-minute gap, as Spark's native
+  // `session_window` stateful aggregation. State is keyed by (user,
+  // session) and windows merge incrementally as batches arrive — the
+  // engine-managed version of q63's lag/prefix-sum plan. Bounded replay ⇒
+  // complete mode through the file-sink round-trip, like q41.
+  //
+  // Semantics pinned by the oracle: an event at exactly session_end
+  // (prev + 30 min) MERGES (Spark starts a new session only when
+  // start > current end), so the oracle breaks on gap > 30 min, same as
+  // q63 — boundary equality asserted in StreamingSpec.
+  // ---------------------------------------------------------------------
+  private val SessionGap = "30 minutes"
+  private val q74 = QueryDef(
+    "q74_stream_session_window",
+    (spark, dir) => {
+      import spark.implicits._
+      val sessions = eventsStream(spark, dir)
+        .filter($"ts".isNotNull)
+        .groupBy(session_window($"ts", SessionGap), $"user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum($"value".cast(DecimalType(28, 2))).cast("double").as("total_value"))
+        .select(
+          $"session_window.start".as("session_start"),
+          $"session_window.end".as("session_end"),
+          $"user_id", $"n_events", $"total_value")
+      runToParquet(sessions, "complete")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts, epoch_us(ts) AS tus, event_id, value
+        FROM events WHERE ts IS NOT NULL),
+      flagged AS (
+        SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      sid AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             user_id, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+      FROM sid GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
+  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74)
 }

@@ -63,6 +63,16 @@ class TextSentimentSpec extends AnyFunSuite {
       Seq(2193L, -2793L, 1607L, -207L, 2193L))
   }
 
+  test("codegen sentiment expression equals the declarative HOF form on the corpus") {
+    val docs = graft.sources.Tables.documents(spark, graft.TestSpark.Sf001)
+    val mismatches = docs
+      .withColumn("a", SentimentLex.rawScore(Portable.tokens($"text")))
+      .withColumn("b", SentimentLex.rawScoreDeclarative(Portable.tokens($"text")))
+      .filter($"a" =!= $"b")
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("compound normalization is odd, bounded and monotone") {
     val df = Seq(-10L, -1L, 0L, 1L, 10L).toDF("raw")
       .withColumn("c", SentimentLex.compound($"raw"))

@@ -186,6 +186,27 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("session_window merges an event landing exactly at session end (boundary pinned)") {
+    import spark.implicits._
+    // q74's oracle breaks sessions on gap > 30 min (equality merges) — pin
+    // that Spark's session_window agrees: a chain of events each exactly
+    // 30 min apart stays ONE session; the first strictly-larger gap splits
+    val rows = Seq(
+      Ev(t("2021-01-01 10:00:00"), "u", 1.0),
+      Ev(t("2021-01-01 10:30:00"), "u", 1.0), // exactly at session end → merges
+      Ev(t("2021-01-01 11:00:00"), "u", 1.0), // chains the merge
+      Ev(t("2021-01-01 11:30:01"), "u", 1.0)) // 30 min + 1 s → new session
+    val s = rows.toDF()
+      .groupBy(session_window($"ts", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".as("st"), $"session_window.end".as("en"), $"n")
+      .orderBy($"st").collect()
+    assert(s.length === 2, s.mkString("; "))
+    assert(s(0).getAs[Long]("n") === 3L)
+    assert(s(0).getAs[Timestamp]("en") === t("2021-01-01 11:30:00"))
+    assert(s(1).getAs[Long]("n") === 1L)
+  }
+
   test("stream-static join plans a broadcast of the static side") {
     import spark.implicits._
     // batch twin of the q42 plan — explain must show BroadcastHashJoin
