@@ -45,13 +45,19 @@ private[graft] object Scoped {
 
   def shared(spark: org.apache.spark.sql.SparkSession, key: String)(
       build: => (Seq[DataFrame], DataFrame)): DataFrame = {
-    val path = sharedPaths.computeIfAbsent(key, _ => {
+    // NOT computeIfAbsent: derived tables nest (the global-rn build reads
+    // the bars table), and a nested computeIfAbsent on the same map is a
+    // recursive-update error. A lost race just builds twice into separate
+    // temp dirs — idempotent and harmless.
+    var path = sharedPaths.get(key)
+    if (path == null) {
       val (persisted, result) = build
       val out = Files.createTempDirectory("graft_shared_").toString
       result.write.mode("overwrite").parquet(out)
       persisted.foreach(_.unpersist())
-      out
-    })
+      val prev = sharedPaths.putIfAbsent(key, out)
+      path = if (prev == null) out else prev
+    }
     spark.read.parquet(path)
   }
 }

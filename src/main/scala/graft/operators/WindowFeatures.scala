@@ -31,7 +31,14 @@ object WindowFeatures extends QueryModule {
     * (l_orderkey, l_linenumber) is not unique in the fixtures, so the
     * sequence is tie-broken by the price cents (CoreBatch q02 note).
     */
-  private[operators] def bars(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def bars(spark: SparkSession, dir: String): DataFrame =
+    // materialized derived table (the reference's own architecture: the
+    // gold daily table is written once and read by every notebook —
+    // build_training_dataset.py:70-79). Nine queries consume these rows;
+    // build once per dir, read parquet after.
+    Scoped.shared(spark, s"daily_bars:$dir")((Nil, barsBuild(spark, dir)))
+
+  private def barsBuild(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .withColumn("seq",

@@ -330,5 +330,39 @@ object Streams extends QueryModule {
       FROM sid GROUP BY user_id, sid
       ORDER BY user_id, session_start"""))
 
-  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74)
+  // ---------------------------------------------------------------------
+  // q77 — streaming deduplication (P8's streaming twin): at-least-once
+  // sources redeliver messages on recovery, and the standard guard is
+  // dropDuplicatesWithinWatermark on the message key — state holds one
+  // entry per key only until the watermark passes it, so it is bounded
+  // (plain streaming dropDuplicates grows state forever). The fixture
+  // replay has no redelivery, so the oracle checks the pass-through
+  // plumbing end-to-end; the actual dropping of a redelivered event is
+  // asserted in StreamingSpec with an injected duplicate.
+  // ---------------------------------------------------------------------
+  private val q77 = QueryDef(
+    "q77_stream_dedup",
+    (spark, dir) => {
+      import spark.implicits._
+      val deduped = eventsStream(spark, dir)
+        .filter($"ts".isNotNull)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      runToParquet(deduped, "append")
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          sum($"value".cast(DecimalType(28, 2))).cast("double").as("total_value"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             count(DISTINCT user_id) AS n_users,
+             CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type ORDER BY event_type"""))
+
+  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77)
 }

@@ -63,7 +63,7 @@ class PlanSpec extends AnyFunSuite {
     // sink round-trips) — their side effects don't belong in a plan test
     val eager = Set("q41_stream_features_15m", "q42_stream_static_join",
       "q43_stream_sink_roundtrip", "q46_csv_roundtrip", "q47_upsert_latest",
-      "q66_bucketed_join")
+      "q66_bucketed_join", "q74_stream_session_window", "q77_stream_dedup")
     SparkEntry.queries.keys.filterNot(eager).foreach { name =>
       assert(!planOf(name).contains("CartesianProduct"), s"$name is cartesian")
     }
@@ -80,6 +80,10 @@ class PlanSpec extends AnyFunSuite {
       val p = numbered.queryExecution.executedPlan.toString
       assert(p.contains("rangepartitioning"), p.linesIterator.take(15).mkString("\n"))
     } finally persisted.foreach(_.unpersist())
+  }
+
+  test("q73: min-max scaler broadcasts the per-key stats side") {
+    assert(planOf("q73_minmax_scaler").contains("BroadcastHashJoin"))
   }
 
   test("q58: vocab top-k plans TakeOrderedAndProject, not rank-then-filter") {

@@ -186,6 +186,27 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("dropDuplicatesWithinWatermark drops a redelivered key across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.EventRow]
+    val q = in.toDS()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("t_dedup").outputMode("append").start()
+    try {
+      in.addData(Streams.EventRow(1L, t("2021-01-01 10:00:00"), 7L, "a", 1.0))
+      q.processAllAvailable()
+      // redelivery of event 1 in a later batch, still within the watermark
+      in.addData(
+        Streams.EventRow(1L, t("2021-01-01 10:00:00"), 7L, "a", 1.0),
+        Streams.EventRow(2L, t("2021-01-01 10:01:00"), 7L, "b", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("t_dedup").select($"event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L)) // duplicate dropped, not re-emitted
+    } finally q.stop()
+  }
+
   test("session_window merges an event landing exactly at session end (boundary pinned)") {
     import spark.implicits._
     // q74's oracle breaks sessions on gap > 30 min (equality merges) — pin
