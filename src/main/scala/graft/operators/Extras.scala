@@ -303,5 +303,84 @@ object Extras extends QueryModule {
       GROUP BY 1 ORDER BY date"""
     })
 
-  override val defs: Seq[QueryDef] = Seq(q46, q47, q48, q49, q50, q51, q52, q70, q71)
+  // ---------------------------------------------------------------------
+  // q78 — dynamic-partition-overwrite incremental restatement (S7 at
+  // operating scale): a daily pipeline never rewrites the whole table to
+  // restate one slice — with partitionOverwriteMode=dynamic, an overwrite
+  // replaces ONLY the partitions present in the incoming frame. Here the
+  // full events table lands partitioned by event_type, then the purchase
+  // slice is restated (values doubled) and re-landed: one partition
+  // replaced, four untouched. The read-back aggregate proves exactly the
+  // purchase rows changed. Doubling a 2-decimal double is exact (×2 is a
+  // power of two), so cents stay oracle-exact.
+  // ---------------------------------------------------------------------
+  private val q78 = QueryDef(
+    "q78_incremental_overwrite",
+    (spark, dir) => {
+      import spark.implicits._
+      val out = Files.createTempDirectory("graft_dynpart_").toString + "/events"
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(modeKey)
+      try {
+        spark.conf.set(modeKey, "dynamic")
+        val ev = Tables.events(spark, dir).filter($"ts".isNotNull)
+          .select($"event_id", $"event_type", $"user_id", $"value")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        ev.filter($"event_type" === "purchase")
+          .withColumn("value", $"value" * 2)
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        spark.read.parquet(out)
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            dsumCents($"value").as("value_cents"))
+          .orderBy($"event_type")
+      } finally spark.conf.set(modeKey, prev)
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(CAST(
+               CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END
+               AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------------
+  // q79 — schema-evolution merge read (S4's real-world cousin): a table
+  // whose early files lack a later-added column must read as one frame
+  // with nulls in the missing cells. Two parquet generations (one without
+  // n_chars, one with) re-read under mergeSchema; the aggregate counts
+  // non-null presence per lang so every evolved cell is checked.
+  // ---------------------------------------------------------------------
+  private val q79 = QueryDef(
+    "q79_schema_evolution",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Files.createTempDirectory("graft_evo_").toString
+      val docs = Tables.documents(spark, dir)
+      // generation 1: before the n_chars column existed
+      docs.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"lang")
+        .write.parquet(s"$base/gen1")
+      // generation 2: schema grew
+      docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"lang", $"n_chars")
+        .write.parquet(s"$base/gen2")
+      spark.read.option("mergeSchema", "true")
+        .parquet(s"$base/gen1", s"$base/gen2")
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count($"n_chars").as("n_with_chars"),
+          sum(coalesce($"n_chars", lit(0L))).as("total_chars"))
+        .orderBy($"lang")
+    },
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_chars,
+             CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS total_chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q46, q47, q48, q49, q50, q51, q52, q70, q71, q78, q79)
 }

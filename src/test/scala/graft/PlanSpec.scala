@@ -63,7 +63,8 @@ class PlanSpec extends AnyFunSuite {
     // sink round-trips) — their side effects don't belong in a plan test
     val eager = Set("q41_stream_features_15m", "q42_stream_static_join",
       "q43_stream_sink_roundtrip", "q46_csv_roundtrip", "q47_upsert_latest",
-      "q66_bucketed_join", "q74_stream_session_window", "q77_stream_dedup")
+      "q66_bucketed_join", "q74_stream_session_window", "q77_stream_dedup",
+      "q78_incremental_overwrite", "q79_schema_evolution")
     SparkEntry.queries.keys.filterNot(eager).foreach { name =>
       assert(!planOf(name).contains("CartesianProduct"), s"$name is cartesian")
     }

@@ -186,6 +186,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpointed file-source query resumes without reprocessing (T4 recovery)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = java.nio.file.Files.createTempDirectory("t4_src_").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("t4_sink_").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("t4_ckpt_").toString
+    val schema = org.apache.spark.sql.Encoders.product[Ev].schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(sinkDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .start()
+      q.awaitTermination(); q.stop()
+    }
+    Seq(Ev(t("2021-01-01 10:00:00"), "a", 1.0)).toDF()
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(spark.read.parquet(sinkDir).count() === 1)
+    // two more events arrive; a RESTARTED query on the same checkpoint
+    // must process only the new file — a re-read of the first would give 4
+    Seq(Ev(t("2021-01-01 10:01:00"), "b", 2.0),
+        Ev(t("2021-01-01 10:02:00"), "c", 3.0)).toDF()
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(spark.read.parquet(sinkDir).count() === 3)
+  }
+
   test("dropDuplicatesWithinWatermark drops a redelivered key across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
