@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoreBatch, Curation, Dedup, Extras, Multimodal, ScalePatterns, Scoring, Serde, Similarity, Temporal, TextOps, WindowFeatures}
+import graft.operators.{CoreBatch, Curation, Dedup, Extras, Indicators, Multimodal, ScalePatterns, Scoring, Search, Serde, Similarity, Temporal, TextOps, WindowFeatures}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,7 +14,8 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     CoreBatch, WindowFeatures, TextOps, Scoring, Dedup, Similarity,
-    Streams, Multimodal, Extras, Serde, ScalePatterns, Curation, Temporal)
+    Streams, Multimodal, Extras, Serde, ScalePatterns, Curation, Temporal,
+    Indicators, Search)
 
   private lazy val allDefs: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

@@ -203,5 +203,73 @@ object ScalePatterns extends QueryModule {
              max(n_distinct) AS exact_distinct
       FROM ranked GROUP BY event_type ORDER BY event_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q59, q60, q65, q66)
+  // ---------------------------------------------------------------------
+  // q87 — runtime bloom-filter join pruning (§4's row-level runtime
+  // filtering): Catalyst's InjectRuntimeFilter plants a
+  // bloom_filter_agg over the filtered dim side's join keys and rewrites
+  // the fact scan's condition to `might_contain(bloom, xxhash64(key))` —
+  // fact rows that cannot match are dropped AT THE SCAN, before the join
+  // shuffle (`might_contain` in the plan, asserted in PlanSpec). At
+  // 100 TB this is the difference between shuffling the full fact table
+  // and shuffling the ~1/5 that survives the dim predicate; false
+  // positives are removed by the join itself, so semantics are untouched
+  // (oracle = the plain join). The thresholds are lowered because the
+  // injection heuristics are sized for cluster-scale scans, not local
+  // fixtures; broadcast is disabled so the shuffle the bloom protects
+  // actually exists (with a broadcastable dim Spark would — correctly —
+  // prefer a plain BroadcastHashJoin).
+  // ---------------------------------------------------------------------
+  private val bloomConfs = Map(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** Run `body` with the bloom-injection confs set, restoring after; the
+    * terminal action must run INSIDE (conf is read at planning time) —
+    * exposed for the PlanSpec assertion.
+    */
+  private[graft] def withBloomConfs[A](spark: SparkSession)(body: => A): A = {
+    val prev = bloomConfs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      bloomConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      body
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private[graft] def bloomJoinFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_orderstatus")
+    Tables.lineitem(spark, dir)
+      .join(urgent, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(($"l_extendedprice".cast(DecimalType(28, 2)) * 100).cast("long"))
+          .as("price_cents"))
+  }
+
+  private val q87 = QueryDef(
+    "q87_bloom_filtered_join",
+    (spark, dir) => {
+      import spark.implicits._
+      withBloomConfs(spark) {
+        // materialize inside the conf scope — the optimizer reads SQLConf
+        // when the action runs, not when the frame is declared
+        Scoped.materialize()(bloomJoinFrame(spark, dir))
+      }.orderBy($"o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS price_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  override val defs: Seq[QueryDef] = Seq(q59, q60, q65, q66, q87)
 }

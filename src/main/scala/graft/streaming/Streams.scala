@@ -364,5 +364,59 @@ object Streams extends QueryModule {
       FROM events WHERE ts IS NOT NULL
       GROUP BY event_type ORDER BY event_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77)
+  // ---------------------------------------------------------------------
+  // q86 — stream–stream interval join (the J-family's fully-streaming
+  // form, completing the join surface beyond q42's stream–static): each
+  // purchase joined to the same user's clicks in the trailing 10 minutes,
+  // both sides live streams. Spark's stateful symmetric hash join keeps
+  // both sides' state keyed by user; the event-time range condition plus
+  // the two watermarks bound state eviction (a click older than
+  // purchase-watermark − 10 min can never match again and is dropped) —
+  // without the range constraint state grows unboundedly, which is the
+  // 100 TB failure mode this operator exists to avoid. Inner join ⇒
+  // append mode; matched pairs emit as soon as both sides arrive.
+  // ---------------------------------------------------------------------
+  private val q86 = QueryDef(
+    "q86_stream_stream_join",
+    (spark, dir) => {
+      import spark.implicits._
+      val purchases = eventsStream(spark, dir)
+        .filter($"ts".isNotNull && $"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"ts".as("p_ts"),
+          $"user_id".as("p_user"), $"value".as("p_value"))
+        .withWatermark("p_ts", "10 minutes")
+      val clicks = eventsStream(spark, dir)
+        .filter($"ts".isNotNull && $"event_type" === "click")
+        .select($"event_id".as("c_id"), $"ts".as("c_ts"),
+          $"user_id".as("c_user"), $"value".as("c_value"))
+        .withWatermark("c_ts", "10 minutes")
+      val joined = purchases.join(clicks,
+        $"p_user" === $"c_user" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 10 MINUTES") &&
+          $"c_ts" <= $"p_ts")
+      runToParquet(
+        joined.select($"p_id", $"p_ts", $"c_id", $"c_value"), "append")
+        .groupBy(to_date($"p_ts").as("date"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct($"p_id").as("n_purchases"),
+          sum(($"c_value".cast(DecimalType(28, 2)) * 100).cast("long")).as("click_cents"))
+        .orderBy($"date")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events WHERE ts IS NOT NULL),
+      j AS (
+        SELECT p.event_id AS p_id, p.ts AS p_ts, c.value AS c_value
+        FROM ev p JOIN ev c
+          ON p.event_type = 'purchase' AND c.event_type = 'click'
+         AND p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts)
+      SELECT CAST(p_ts AS DATE) AS date, count(*) AS n_pairs,
+             count(DISTINCT p_id) AS n_purchases,
+             CAST(sum(CAST(CAST(c_value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS click_cents
+      FROM j GROUP BY 1 ORDER BY date"""))
+
+  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86)
 }

@@ -64,7 +64,8 @@ class PlanSpec extends AnyFunSuite {
     val eager = Set("q41_stream_features_15m", "q42_stream_static_join",
       "q43_stream_sink_roundtrip", "q46_csv_roundtrip", "q47_upsert_latest",
       "q66_bucketed_join", "q74_stream_session_window", "q77_stream_dedup",
-      "q78_incremental_overwrite", "q79_schema_evolution")
+      "q78_incremental_overwrite", "q79_schema_evolution",
+      "q86_stream_stream_join", "q87_bloom_filtered_join")
     SparkEntry.queries.keys.filterNot(eager).foreach { name =>
       assert(!planOf(name).contains("CartesianProduct"), s"$name is cartesian")
     }
@@ -121,6 +122,15 @@ class PlanSpec extends AnyFunSuite {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("q87: runtime bloom filter prunes the fact scan before the join shuffle") {
+    graft.operators.ScalePatterns.withBloomConfs(spark) {
+      val df = graft.operators.ScalePatterns.bloomJoinFrame(spark, TestSpark.Sf001)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), p.linesIterator.take(20).mkString("\n"))
+      assert(p.contains("bloom_filter_agg"), p)
     }
   }
 
