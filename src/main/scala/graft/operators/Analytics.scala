@@ -1,0 +1,251 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-analytics and governance operators over the events table — the
+  * product-analytics layer a pipeline like the reference's dashboard
+  * (orchestration/app.py) grows into: cohort retention, conversion
+  * funnels, data-quality auditing, and CDC-style changeset merge.
+  *
+  * Scale notes: retention and funnel are each ONE shuffle on user_id —
+  * the per-user window/aggregate reuses that partitioning for every
+  * subsequent step; cohort sizes are a tiny broadcast. The DQ audit is a
+  * single full-scan aggregate (every metric computed in one pass, then
+  * unpivoted — never one scan per metric). The merge is a key-partitioned
+  * full-outer join; at operating scale the changeset side is typically
+  * small enough to broadcast, which drops even that shuffle.
+  *
+  * Determinism: counts and integer date arithmetic throughout; every
+  * rate is exact-int / exact-int in one double division.
+  */
+object Analytics extends QueryModule {
+
+  // ---------------------------------------------------------------------
+  // q88 — weekly retention cohorts: users grouped by first-seen week;
+  // for each (cohort, week-offset k) the distinct users still active.
+  // week_k is pure integer date arithmetic (days div 7) — no float, no
+  // interval ambiguity; both engines truncate weeks to Monday.
+  // ---------------------------------------------------------------------
+  private val q88 = QueryDef(
+    "q88_retention_cohorts",
+    (spark, dir) => {
+      import spark.implicits._
+      val active = Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .select($"user_id", to_date(date_trunc("week", $"ts")).as("week"))
+        .distinct()
+      val cohort = active.groupBy($"user_id")
+        .agg(min($"week").as("cohort_week"))
+      val sizes = cohort.groupBy($"cohort_week")
+        .agg(count(lit(1)).as("cohort_size"))
+      active.join(cohort, "user_id")
+        .withColumn("week_k",
+          expr("CAST(datediff(week, cohort_week) div 7 AS BIGINT)"))
+        .groupBy($"cohort_week", $"week_k")
+        .agg(countDistinct($"user_id").as("n_active"))
+        .join(broadcast(sizes), "cohort_week")
+        .withColumn("retention",
+          $"n_active".cast("double") / $"cohort_size".cast("double"))
+        .orderBy($"cohort_week", $"week_k")
+    },
+    Some("""
+      WITH a AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events WHERE ts IS NOT NULL),
+      c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1),
+      s AS (SELECT cohort_week, count(*) AS cohort_size FROM c GROUP BY 1),
+      r AS (
+        SELECT c.cohort_week,
+               CAST((a.week - c.cohort_week) // 7 AS BIGINT) AS week_k,
+               count(DISTINCT a.user_id) AS n_active
+        FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2)
+      SELECT r.cohort_week, r.week_k, r.n_active, s.cohort_size,
+             CAST(r.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+      FROM r JOIN s ON r.cohort_week = s.cohort_week
+      ORDER BY r.cohort_week, r.week_k"""))
+
+  // ---------------------------------------------------------------------
+  // q89 — ordered conversion funnel (view → click → purchase, strictly
+  // increasing event time per user): each stage's timestamp is a
+  // conditional min over the user's partition referencing the previous
+  // stage — three chained window projections, ONE shuffle total. The
+  // per-user frame then collapses to corpus-level stage counts and
+  // conversion rates.
+  // ---------------------------------------------------------------------
+  private val q89 = QueryDef(
+    "q89_funnel",
+    (spark, dir) => {
+      import spark.implicits._
+      val wUser = Window.partitionBy("user_id")
+      val perUser = Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .withColumn("v_ts",
+          min(when($"event_type" === "view", $"ts")).over(wUser))
+        .withColumn("c_ts",
+          min(when($"event_type" === "click" && $"ts" > $"v_ts", $"ts")).over(wUser))
+        .withColumn("p_ts",
+          min(when($"event_type" === "purchase" && $"ts" > $"c_ts", $"ts")).over(wUser))
+        .groupBy($"user_id")
+        .agg(max($"v_ts").as("v"), max($"c_ts").as("c"), max($"p_ts").as("p"))
+      perUser.agg(
+          count(lit(1)).as("n_users"),
+          sum(when($"v".isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when($"c".isNotNull, 1L).otherwise(0L)).as("n_view_click"),
+          sum(when($"p".isNotNull, 1L).otherwise(0L)).as("n_full_funnel"))
+        .withColumn("click_through",
+          $"n_view_click".cast("double") / $"n_view".cast("double"))
+        .withColumn("purchase_through",
+          $"n_full_funnel".cast("double") / $"n_view_click".cast("double"))
+    },
+    Some("""
+      WITH staged AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id) AS v_ts,
+               ts, event_type
+        FROM events WHERE ts IS NOT NULL),
+      staged2 AS (
+        SELECT user_id, v_ts,
+               min(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END)
+                 OVER (PARTITION BY user_id) AS c_ts,
+               ts, event_type
+        FROM staged),
+      staged3 AS (
+        SELECT user_id, v_ts, c_ts,
+               min(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END)
+                 OVER (PARTITION BY user_id) AS p_ts
+        FROM staged2),
+      per_user AS (
+        SELECT user_id, max(v_ts) AS v, max(c_ts) AS c, max(p_ts) AS p
+        FROM staged3 GROUP BY 1),
+      agg AS (
+        SELECT count(*) AS n_users,
+               CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+               CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        FROM per_user)
+      SELECT n_users, n_view, n_view_click, n_full_funnel,
+             CAST(n_view_click AS DOUBLE) / CAST(n_view AS DOUBLE) AS click_through,
+             CAST(n_full_funnel AS DOUBLE) / CAST(n_view_click AS DOUBLE) AS purchase_through
+      FROM agg"""))
+
+  // ---------------------------------------------------------------------
+  // q90 — data-quality audit (the Deequ-style constraint report a
+  // production table carries): completeness, range, uniqueness and
+  // freshness metrics for lineitem, ALL computed in one full-scan
+  // aggregate and unpivoted with stack() — an audit must never cost one
+  // scan per metric. Values are integers (dates as days-since-epoch), so
+  // the report is exact.
+  // ---------------------------------------------------------------------
+  private val q90 = QueryDef(
+    "q90_dq_audit",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .agg(
+          count(lit(1)).as("row_count"),
+          sum(when($"l_shipdate".isNull, 1L).otherwise(0L)).as("null_shipdate"),
+          sum(when($"l_extendedprice".isNull, 1L).otherwise(0L)).as("null_price"),
+          sum(when($"l_extendedprice" <= 0, 1L).otherwise(0L)).as("nonpositive_price"),
+          sum(when($"l_quantity" < 1 || $"l_quantity" > 50, 1L).otherwise(0L))
+            .as("qty_out_of_range"),
+          countDistinct($"l_orderkey", $"l_linenumber").as("distinct_line_keys"),
+          countDistinct($"l_orderkey").as("distinct_orders"),
+          datediff(max(to_date($"l_shipdate")), lit("1992-01-01").cast("date"))
+            .cast("long").as("freshness_days"))
+        .withColumn("dup_line_keys", $"row_count" - $"distinct_line_keys")
+        .select(expr("""stack(9,
+          'dup_line_keys', dup_line_keys,
+          'distinct_line_keys', distinct_line_keys,
+          'distinct_orders', distinct_orders,
+          'freshness_days', freshness_days,
+          'nonpositive_price', nonpositive_price,
+          'null_price', null_price,
+          'null_shipdate', null_shipdate,
+          'qty_out_of_range', qty_out_of_range,
+          'row_count', row_count) AS (metric, value)"""))
+        .orderBy($"metric")
+    },
+    Some("""
+      WITH m AS (
+        SELECT count(*) AS row_count,
+               CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
+               CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price,
+               CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+               CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_out_of_range,
+               CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS distinct_line_keys,
+               count(DISTINCT l_orderkey) AS distinct_orders,
+               CAST(max(CAST(l_shipdate AS DATE)) - DATE '1992-01-01' AS BIGINT) AS freshness_days
+        FROM lineitem)
+      SELECT metric, value FROM (
+        SELECT 'dup_line_keys' AS metric, row_count - distinct_line_keys AS value FROM m
+        UNION ALL SELECT 'distinct_line_keys', distinct_line_keys FROM m
+        UNION ALL SELECT 'distinct_orders', distinct_orders FROM m
+        UNION ALL SELECT 'freshness_days', freshness_days FROM m
+        UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM m
+        UNION ALL SELECT 'null_price', null_price FROM m
+        UNION ALL SELECT 'null_shipdate', null_shipdate FROM m
+        UNION ALL SELECT 'qty_out_of_range', qty_out_of_range FROM m
+        UNION ALL SELECT 'row_count', row_count FROM m)
+      ORDER BY metric"""))
+
+  // ---------------------------------------------------------------------
+  // q91 — CDC changeset merge (MERGE INTO semantics without a table
+  // format): a deterministic changeset (updates: id%10=3 doubled;
+  // deletes: id%10=7; inserts: id%10=1 cloned above the id space) applied
+  // to the base snapshot through one key-partitioned full-outer join —
+  // update wins over base, delete drops the row, insert survives the
+  // null-base side. Doubling a 2-decimal double is exact (×2 is a power
+  // of two), so the verification cents stay oracle-exact. At operating
+  // scale the changeset is usually broadcast-sized, turning the merge
+  // into a map-side operation; the full-outer form shown is the
+  // worst-case (changeset ~ table) shape.
+  // ---------------------------------------------------------------------
+  private val q91 = QueryDef(
+    "q91_merge_changeset",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .select($"event_id", $"event_type", $"value")
+      val changes = base.filter($"event_id" % 10 === 3)
+        .withColumn("value", $"value" * 2)
+        .withColumn("op", lit("update"))
+        .unionByName(
+          base.filter($"event_id" % 10 === 7).withColumn("op", lit("delete")))
+        .unionByName(
+          base.filter($"event_id" % 10 === 1)
+            .withColumn("event_id", $"event_id" + lit(1000000000L))
+            .withColumn("op", lit("insert")))
+      base.as("b")
+        .join(changes.as("ch"), Seq("event_id"), "full_outer")
+        .filter(coalesce($"ch.op", lit("keep")) =!= "delete")
+        .select($"event_id",
+          coalesce($"ch.event_type", $"b.event_type").as("event_type"),
+          coalesce($"ch.value", $"b.value").as("value"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(($"value".cast(DecimalType(28, 2)) * 100).cast("long")).as("value_cents"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_id, event_type, value FROM events WHERE ts IS NOT NULL),
+      merged AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 10 = 3 THEN value * 2 ELSE value END AS value
+        FROM base WHERE event_id % 10 <> 7
+        UNION ALL
+        SELECT event_id + 1000000000, event_type, value
+        FROM base WHERE event_id % 10 = 1)
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+      FROM merged GROUP BY 1 ORDER BY event_type"""))
+
+  override val defs: Seq[QueryDef] = Seq(q88, q89, q90, q91)
+}

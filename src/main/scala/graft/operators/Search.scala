@@ -119,5 +119,86 @@ object Search extends QueryModule {
       HAVING 100 * count(*) >= (SELECT count(*) FROM toks)
       ORDER BY cnt DESC, token"""))
 
-  override val defs: Seq[QueryDef] = Seq(q84, q85)
+  // ---------------------------------------------------------------------
+  // q92 — bigram-novelty quality signal (the KenLM-filter shape without
+  // the float log-probs): corpus-frequent bigrams (count ≥ 5) form the
+  // "language model"; a document's novelty is the fraction of its bigram
+  // instances outside that set. High-novelty docs are gibberish/OCR-noise
+  // candidates. The flag is integer-exact (5·novel > total ⟺ novelty >
+  // 0.2), the reported ratio one double division. Scale shape: one
+  // explode, one hash-agg for the frequent set, one shuffle join on the
+  // gram key (the frequent set is NOT broadcast — at corpus scale it is
+  // itself large), per-doc and per-source roll-ups.
+  // ---------------------------------------------------------------------
+  private val q92 = QueryDef(
+    "q92_bigram_novelty",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val bigrams = docs
+        .withColumn("w", Portable.tokens(lower($"text")))
+        .select($"doc_id", $"source",
+          explode(transform(
+            sequence(lit(1), greatest(size($"w") - 1, lit(1))),
+            i => concat(element_at($"w", i), lit(" "),
+              element_at($"w", i + 1)))).as("g"))
+        .filter($"g".isNotNull)
+      val frequent = bigrams.groupBy($"g")
+        .agg(count(lit(1)).as("c"))
+        .filter($"c" >= 5)
+        .select($"g", lit(1L).as("known"))
+      val perDoc = bigrams
+        .join(frequent, Seq("g"), "left")
+        .groupBy($"doc_id", $"source")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(coalesce($"known", lit(0L))).as("n_known"))
+        .withColumn("n_novel", $"n_bigrams" - $"n_known")
+      // docs too short for a bigram: (0, 0), never flagged
+      docs.select($"doc_id", $"source")
+        .join(perDoc.drop("source"), Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_bigrams", "n_novel"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"n_novel" * 5 > $"n_bigrams", 1L).otherwise(0L)).as("n_flagged"),
+          sum($"n_bigrams").as("total_bigrams"),
+          sum($"n_novel").as("novel_bigrams"))
+        .withColumn("novelty_ratio",
+          $"novel_bigrams".cast("double") / $"total_bigrams".cast("double"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, source, ${Portable.tokensSql("lower(text)")} AS w
+        FROM documents),
+      bigrams AS (
+        SELECT doc_id, source, g FROM (
+          SELECT doc_id, source,
+                 unnest([w[i] || ' ' || w[i+1]
+                         for i in range(1, greatest(len(w) - 1, 1) + 1)]) AS g
+          FROM toks)
+        WHERE g IS NOT NULL),
+      freq AS (
+        SELECT g FROM (SELECT g, count(*) AS c FROM bigrams GROUP BY g)
+        WHERE c >= 5),
+      perdoc AS (
+        SELECT b.doc_id, b.source,
+               count(*) AS n_bigrams,
+               CAST(sum(CASE WHEN f.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM bigrams b LEFT JOIN freq f ON b.g = f.g
+        GROUP BY 1, 2),
+      alldocs AS (
+        SELECT d.doc_id, d.source,
+               COALESCE(p.n_bigrams, 0) AS n_bigrams,
+               COALESCE(p.n_novel, 0) AS n_novel
+        FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN n_novel * 5 > n_bigrams THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+             CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+             CAST(sum(n_novel) AS BIGINT) AS novel_bigrams,
+             CAST(sum(n_novel) AS DOUBLE) / CAST(sum(n_bigrams) AS DOUBLE) AS novelty_ratio
+      FROM alldocs GROUP BY source ORDER BY source"""))
+
+  override val defs: Seq[QueryDef] = Seq(q84, q85, q92)
 }

@@ -394,8 +394,20 @@ object Streams extends QueryModule {
         $"p_user" === $"c_user" &&
           $"c_ts" >= $"p_ts" - expr("INTERVAL 10 MINUTES") &&
           $"c_ts" <= $"p_ts")
-      runToParquet(
-        joined.select($"p_id", $"p_ts", $"c_id", $"c_value"), "append")
+      // the symmetric join pays a fixed state-store cost per partition per
+      // micro-batch (open + commit + snapshot, BOTH sides) — price the
+      // partition count for the state volume, not the session default
+      // sized for batch shuffles (32 × 2 stores for a few MB of state is
+      // pure overhead; a real deployment sizes this once at query start,
+      // which is also the only time Spark reads it)
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevParts = spark.conf.get(partKey)
+      val out = try {
+        spark.conf.set(partKey, "8")
+        runToParquet(
+          joined.select($"p_id", $"p_ts", $"c_id", $"c_value"), "append")
+      } finally spark.conf.set(partKey, prevParts)
+      out
         .groupBy(to_date($"p_ts").as("date"))
         .agg(
           count(lit(1)).as("n_pairs"),
