@@ -381,6 +381,29 @@ object Extras extends QueryModule {
              CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS total_chars
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  // ---------------------------------------------------------------------
+  // q93 — the SQL catalog surface: `Tables.registerAll` exposes every
+  // fixture table as a view and the query runs through `spark.sql` — the
+  // engine's second API. The SAME SQL text is the DuckDB oracle (one
+  // ANSI dialect, two engines), which is exactly the portability a SQL
+  // surface promises.
+  // ---------------------------------------------------------------------
+  private val sqlCatalogText = """
+      SELECT n.n_name, count(*) AS n_orders,
+             CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS price_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name ORDER BY n.n_name"""
+
+  private val q93 = QueryDef(
+    "q93_sql_catalog",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      spark.sql(sqlCatalogText)
+    },
+    Some(sqlCatalogText))
+
   override val defs: Seq[QueryDef] =
-    Seq(q46, q47, q48, q49, q50, q51, q52, q70, q71, q78, q79)
+    Seq(q46, q47, q48, q49, q50, q51, q52, q70, q71, q78, q79, q93)
 }

@@ -138,5 +138,52 @@ object Temporal extends QueryModule {
              max(dur_us) AS max_session_us
       FROM sessions GROUP BY user_id ORDER BY user_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q62, q63)
+  // ---------------------------------------------------------------------
+  // q94 — NATIVE as-of join (plans.AsOfJoinExec — the custom
+  // LogicalPlan/Strategy/SparkPlan operator): same quote-table domain as
+  // q62 but with UNBOUNDED lookback, which the interval-explode rewrite
+  // cannot express in bounded work. One co-partitioning exchange per
+  // side, sort within partitions, single merge-scan — the operator q62's
+  // Scaladoc promises as the exact form. DuckDB's native ASOF JOIN (no
+  // staleness cap this time) is the oracle: two independent first-class
+  // implementations of the operator must agree cell-for-cell.
+  // ---------------------------------------------------------------------
+  private val q94 = QueryDef(
+    "q94_asof_native",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .select($"event_id", $"event_type", to_date($"ts").as("d"), $"value")
+      val quotes = ev
+        .groupBy($"event_type", $"d")
+        .agg(cents($"value").as("close_cents"))
+        .filter(pmod(Portable.md5Hash64(
+          concat($"event_type", lit("|"), $"d".cast("string"))), lit(10)) < 7)
+        .select($"event_type".as("q_type"), $"d".as("qdate"), $"close_cents")
+      graft.plans.AsOf.join(ev, quotes,
+          Seq("event_type" -> "q_type"), "d", "qdate")
+        .filter($"qdate".isNotNull) // ASOF is inner; drop pre-first-quote rows
+        .withColumn("staleness", datediff($"d", $"qdate"))
+        .groupBy($"event_type", $"staleness")
+        .agg(count(lit(1)).as("n_events"), cents($"value").as("value_cents"))
+        .orderBy($"event_type", $"staleness")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_id, event_type, CAST(ts AS DATE) AS d, value
+        FROM events WHERE ts IS NOT NULL),
+      quotes AS (
+        SELECT event_type, d AS qdate,
+               sum(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS close_cents
+        FROM ev GROUP BY 1, 2
+        HAVING ${Portable.md5Hash64Sql("event_type || '|' || CAST(qdate AS VARCHAR)")} % 10 < 7)
+      SELECT e.event_type, e.d - q.qdate AS staleness,
+             count(*) AS n_events,
+             CAST(sum(CAST(CAST(e.value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+      FROM ev e ASOF JOIN quotes q
+        ON e.event_type = q.event_type AND e.d >= q.qdate
+      GROUP BY 1, 2 ORDER BY e.event_type, staleness"""))
+
+  override val defs: Seq[QueryDef] = Seq(q62, q63, q94)
 }

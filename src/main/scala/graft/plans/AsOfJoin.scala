@@ -1,0 +1,194 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join — the whole-operator custom-plan path (SURVEY.md
+  * §7.3 tier (c): LogicalPlan + SparkStrategy + SparkPlan, registered
+  * through `SparkSessionExtensions` / `spark.experimental.extraStrategies`).
+  *
+  * Semantics: left-outer as-of — every left row is paired with the LATEST
+  * right row having equal keys and right time ≤ left time, or nulls when
+  * no such row exists. The right side must be unique per (keys, time)
+  * (ties would be sort-order-dependent); derived quote tables are, by
+  * construction of their grouping.
+  *
+  * Why a custom operator: Spark has no batch as-of join, and the
+  * composition fallback (operators.Temporal q62's interval-explode) needs
+  * a bounded lookback to stay linear. This exec is the unbounded, exact
+  * form at SortMergeJoin cost: EnsureRequirements co-partitions both
+  * sides on the keys (`ClusteredDistribution`) and sorts within
+  * partitions by (keys, time) (`requiredChildOrdering`), then a single
+  * forward merge-scan pairs each left row with the running "best" right
+  * row — O(|L| + |R|) per partition, state = ONE buffered right row, no
+  * explode factor, no window shuffle. That is the 100 TB shape: one
+  * co-partitioning exchange each side (none if the tables are bucketed by
+  * key) and a streaming pass.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-partition both sides on the join keys; EnsureRequirements inserts
+  // the exchanges (or none, when the child layout already clusters — the
+  // bucketed case)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // sort within partitions by (keys, time) — the merge-scan's only input
+  // contract
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(
+      leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+      rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val rightWidth = right.output.length
+    val outAttrs = output
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+
+      new Iterator[InternalRow] {
+        // one-row lookahead into the right side (copied out of the
+        // iterator's reused buffers)
+        private var rRow: InternalRow = _
+        private var rKey: UnsafeRow = _
+        private var rTime: UnsafeRow = _
+        // the running best match for the current key region
+        private var best: InternalRow = _
+        private var bestKey: UnsafeRow = _
+        advanceRight()
+
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            val r = rIter.next()
+            rRow = r.copy()
+            rKey = rKeyProj(rRow).copy()
+            rTime = rTimeProj(rRow).copy()
+          } else { rRow = null; rKey = null; rTime = null }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l) // reused buffer — compared within this call only
+          val lt = lTimeProj(l)
+          // consume every right row at or before (lk, lt); the last one
+          // with key == lk is the as-of match
+          var cont = rRow != null
+          while (cont) {
+            val kc = keyOrd.compare(rKey, lk)
+            if (kc < 0 || (kc == 0 && timeOrd.compare(rTime, lt) <= 0)) {
+              if (kc == 0) { best = rRow; bestKey = rKey }
+              advanceRight()
+              cont = rRow != null
+            } else cont = false
+          }
+          if (best != null && keyOrd.compare(bestKey, lk) == 0)
+            resultProj(joined(l, best))
+          else
+            resultProj(joined(l, nullRight))
+        }
+      }
+    }
+  }
+}
+
+/** Dataset-level entry point. */
+object AsOf {
+  /** Left-outer as-of join: for each left row, the latest right row with
+    * equal keys and `rightTimeCol ≤ leftTimeCol` (nulls when none).
+    * Right columns must not collide with left column names — alias them
+    * first (which also gives them fresh exprIds, keeping self-derived
+    * sides unambiguous).
+    */
+  def join(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      keys: Seq[(String, String)],
+      leftTimeCol: String,
+      rightTimeCol: String): DataFrame = {
+    val spark = leftDf.sparkSession
+    ensureStrategy(spark)
+    val lPlan = leftDf.queryExecution.analyzed
+    val rPlan = rightDf.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    val dup = lPlan.output.map(_.name).toSet intersect rPlan.output.map(_.name).toSet
+    require(dup.isEmpty, s"colliding column names: ${dup.mkString(", ")} — alias the right side")
+    val node = AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map(k => attr(lPlan, k._1)), keys.map(k => attr(rPlan, k._2)),
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol))
+    org.apache.spark.sql.graft.bridge.dataset(spark, node)
+  }
+
+  /** Idempotently add the planner strategy to a live session (the
+    * `spark.sql.extensions=graft.GraftExtensions` config path injects it
+    * at session build instead).
+    */
+  def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+  }
+}

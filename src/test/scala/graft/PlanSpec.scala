@@ -125,6 +125,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q94: native as-of join plans the custom exec with sorted co-partitioned inputs") {
+    val p = planOf("q94_asof_native")
+    assert(p.contains("AsOfJoin"), p.linesIterator.take(20).mkString("\n"))
+    // the merge-scan's input contract materialized: sorts feeding the exec
+    assert(p.contains("Sort ["), p)
+  }
+
   test("q87: runtime bloom filter prunes the fact scan before the join shuffle") {
     graft.operators.ScalePatterns.withBloomConfs(spark) {
       val df = graft.operators.ScalePatterns.bloomJoinFrame(spark, TestSpark.Sf001)

@@ -1,0 +1,58 @@
+package graft.plans
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-case semantics of the native as-of operator (q94 covers the
+  * oracle-checked aggregate; this pins row-level behavior).
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def leftDf = Seq(
+    ("a", 5L), ("a", 1L), ("a", 2L), ("b", 3L), ("b", 9L), ("c", 4L))
+    .toDF("k", "t")
+  private def rightDf = Seq(
+    ("a", 2L, 10L), ("a", 5L, 20L), ("b", 4L, 30L), ("d", 1L, 99L))
+    .toDF("qk", "qt", "v")
+
+  private def result(leftParts: Int, rightParts: Int): Set[(String, Long, Option[Long], Option[Long])] =
+    AsOf.join(
+        leftDf.repartition(leftParts), rightDf.repartition(rightParts),
+        Seq("k" -> "qk"), "t", "qt")
+      .select($"k", $"t", $"qt", $"v")
+      .as[(String, Long, Option[Long], Option[Long])]
+      .collect().toSet
+
+  private val expected = Set(
+    ("a", 5L, Some(5L), Some(20L)),  // equal time matches
+    ("a", 1L, None, None),           // before first quote
+    ("a", 2L, Some(2L), Some(10L)),
+    ("b", 3L, None, None),           // right key exists, all later
+    ("b", 9L, Some(4L), Some(30L)),  // unbounded lookback
+    ("c", 4L, None, None))           // key absent from right
+
+  test("as-of semantics: latest right ≤ left time, nulls otherwise") {
+    assert(result(1, 1) === expected)
+  }
+
+  test("result is partitioning-independent") {
+    assert(result(4, 4) === expected)
+    assert(result(7, 2) === expected)
+    assert(result(2, 7) === expected)
+  }
+
+  test("empty right side yields all-null matches") {
+    val got = AsOf.join(
+        leftDf, rightDf.filter($"qk" === "nope"),
+        Seq("k" -> "qk"), "t", "qt")
+      .select($"qt").as[Option[Long]].collect()
+    assert(got.length === 6 && got.forall(_.isEmpty))
+  }
+
+  test("physical plan contains the custom exec") {
+    val df = AsOf.join(leftDf, rightDf, Seq("k" -> "qk"), "t", "qt")
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+  }
+}
