@@ -247,5 +247,50 @@ object Analytics extends QueryModule {
              CAST(sum(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
       FROM merged GROUP BY 1 ORDER BY event_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q88, q89, q90, q91)
+  // ---------------------------------------------------------------------
+  // q95 — DAU / trailing-30-day MAU / stickiness per day. The naive MAU
+  // (per-day distinct over a 30-day range) rescans each row 30× inside a
+  // window; the scalable rewrite explodes each DISTINCT (user, day) into
+  // the ≤ 30 window-days it contributes to — a bounded ×30 fan-out of the
+  // already-deduplicated activity table, then one (user, window-day)
+  // dedup. The DuckDB oracle states the same semantics as a range join,
+  // checking the rewrite against the declarative form.
+  // ---------------------------------------------------------------------
+  private val q95 = QueryDef(
+    "q95_active_users",
+    (spark, dir) => {
+      import spark.implicits._
+      val a = Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .select($"user_id", to_date($"ts").as("day"))
+        .distinct()
+      val days = a.select($"day").distinct()
+      val dau = a.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val mau = a
+        .select($"user_id",
+          explode(sequence($"day", date_add($"day", 29))).as("day"))
+        .join(broadcast(days), Seq("day"), "leftsemi")
+        .distinct()
+        .groupBy($"day").agg(count(lit(1)).as("mau"))
+      dau.join(mau, "day")
+        .withColumn("stickiness",
+          $"dau".cast("double") / $"mau".cast("double"))
+        .orderBy($"day")
+    },
+    Some("""
+      WITH a AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE ts IS NOT NULL),
+      days AS (SELECT DISTINCT day FROM a),
+      dau AS (SELECT day, count(*) AS dau FROM a GROUP BY 1),
+      m AS (
+        SELECT DISTINCT a.user_id, d.day
+        FROM a JOIN days d ON d.day BETWEEN a.day AND a.day + 29),
+      mau AS (SELECT day, count(*) AS mau FROM m GROUP BY 1)
+      SELECT dau.day, dau.dau, mau.mau,
+             CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+      FROM dau JOIN mau ON dau.day = mau.day
+      ORDER BY dau.day"""))
+
+  override val defs: Seq[QueryDef] = Seq(q88, q89, q90, q91, q95)
 }

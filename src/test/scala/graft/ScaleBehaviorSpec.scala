@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-behavior evidence that needs a harness, not an oracle: AQE's
+  * skew-join split actually engages on a skewed key, and results are
+  * invariant to the shuffle-partition count (the conf a cluster retunes
+  * most often).
+  */
+class ScaleBehaviorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // fixture-sized thresholds: anything over ~64KB counts as skewed
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // 200k rows, 95% on one key — the classic skewed fact
+      val fact = spark.range(0, 200000)
+        .select(
+          when($"id" % 20 =!= 0, lit(7L)).otherwise($"id" % 1000).as("k"),
+          concat(lit("payload_payload_payload_payload_"), $"id").as("v"))
+      val dim = spark.range(0, 1000).select($"id".as("k"), ($"id" * 2).as("w"))
+      // global aggregate: its partial phase accepts any partitioning, so
+      // AQE is free to split the skewed join partition (a groupBy on the
+      // join key would pin the partitioning and veto the split)
+      val joined = fact.join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum(length($"v")).as("bytes"))
+      val row = joined.collect()(0)
+      assert(row.getLong(0) === 200000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.linesIterator.take(25).mkString("\n"))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("query results are invariant to spark.sql.shuffle.partitions") {
+    val names = Seq("q01_pricing_summary", "q63_sessionize", "q83_outlier_days",
+      "q85_heavy_hitters", "q88_retention_cohorts")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    def runAll(): Map[String, Seq[String]] =
+      names.map { n =>
+        n -> SparkEntry.queries(n)(spark, TestSpark.Sf001)
+          .collect().map(_.toString).toSeq
+      }.toMap
+    try {
+      spark.conf.set(key, "3")
+      val a = runAll()
+      spark.conf.set(key, "17")
+      val b = runAll()
+      names.foreach(n => assert(a(n) === b(n), s"$n diverged across partition counts"))
+      assert(a(names.head).nonEmpty)
+    } finally spark.conf.set(key, prev)
+  }
+}

@@ -217,6 +217,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sinkDir).count() === 3)
   }
 
+  test("foreachBatch exactly-once pattern: batchId-keyed overwrite absorbs redelivery") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = java.nio.file.Files.createTempDirectory("eo_src_").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("eo_sink_").toString
+    val schema = org.apache.spark.sql.Encoders.product[Ev].schema
+    Seq(Ev(t("2021-01-01 10:00:00"), "a", 1.0),
+        Ev(t("2021-01-01 10:01:00"), "b", 2.0)).toDF()
+      .write.mode("append").parquet(srcDir)
+    def run(): Unit = {
+      // deterministic per-batch target + overwrite = idempotent sink: a
+      // replayed batchId rewrites its own directory instead of appending
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("eo_ckpt_").toString)
+        .start()
+      q.awaitTermination(); q.stop()
+    }
+    run()
+    assert(spark.read.parquet(sinkDir).count() === 2)
+    // FRESH checkpoint ⇒ the source replays batch 0 in full — the
+    // redelivery case an at-least-once sink doubles on
+    run()
+    assert(spark.read.parquet(sinkDir).count() === 2)
+  }
+
   test("dropDuplicatesWithinWatermark drops a redelivered key across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
