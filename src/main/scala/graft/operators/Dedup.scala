@@ -253,6 +253,66 @@ object Dedup extends QueryModule {
     })
 
   // ---------------------------------------------------------------------
+  // q96 — fuzzy near-dup by edit distance: candidate pairs are docs
+  // sharing ≥ 1 word-3-gram inside a (lang, length-bucket) block (the
+  // q37 candidate generator — never all-pairs), verified by Levenshtein
+  // over the 80-char prefixes at distance ≤ 20. Edit distance is integer
+  // DP — bit-identical on any engine — so unlike float-similarity
+  // verifiers the pair set needs no tolerance. The distance pass costs
+  // O(candidates · 80²), bounded by the same blocking that bounds q37.
+  // ---------------------------------------------------------------------
+  private val q96 = QueryDef(
+    "q96_fuzzy_editdist",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val grams = docs
+        .withColumn("w", Portable.tokens($"text"))
+        .select($"doc_id", $"lang", (($"n_chars" / 100).cast("long")).as("lb"),
+          explode(array_distinct(
+            transform(
+              sequence(lit(1), greatest(size($"w") - 2, lit(1))),
+              i => concat(element_at($"w", i), lit(" "),
+                element_at($"w", i + 1), lit(" "),
+                element_at($"w", i + 2))))).as("s"))
+        .filter($"s".isNotNull)
+      val cands = grams.as("a").join(grams.as("b"),
+          col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      val texts = docs.select($"doc_id", substring($"text", 1, 80).as("p"))
+      cands
+        .join(texts.as("ta"), col("ta.doc_id") === $"i")
+        .join(texts.as("tb"), col("tb.doc_id") === $"j")
+        .withColumn("dist", levenshtein(col("ta.p"), col("tb.p")))
+        .filter($"dist" <= 20)
+        .select($"i", $"j", $"dist")
+        .orderBy($"i", $"j")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang, n_chars // 100 AS lb,
+               ${Portable.tokensSql("text")} AS w
+        FROM documents),
+      grams AS (
+        SELECT doc_id, lang, lb, s FROM (
+          SELECT doc_id, lang, lb, unnest(list_distinct(
+            [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS s
+          FROM toks)
+        WHERE s IS NOT NULL),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM grams a JOIN grams b
+          ON a.lang = b.lang AND a.lb = b.lb AND a.s = b.s AND a.doc_id < b.doc_id),
+      texts AS (SELECT doc_id, substr(text, 1, 80) AS p FROM documents)
+      SELECT i, j, levenshtein(ta.p, tb.p) AS dist
+      FROM cands JOIN texts ta ON ta.doc_id = i JOIN texts tb ON tb.doc_id = j
+      WHERE levenshtein(ta.p, tb.p) <= 20
+      ORDER BY i, j"""))
+
+  // ---------------------------------------------------------------------
   // q37 — blocked n-gram Jaccard: word-3-gram shingle sets compared only
   // inside (lang, 100-char length bucket) blocks; pairs at Jaccard ≥ 0.5.
   // ---------------------------------------------------------------------
@@ -419,5 +479,5 @@ object Dedup extends QueryModule {
              max(node) AS max_doc_id
       FROM labeled GROUP BY label ORDER BY cluster_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q38, q72)
+  override val defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q38, q72, q96)
 }

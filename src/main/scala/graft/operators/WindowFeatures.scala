@@ -401,6 +401,36 @@ object WindowFeatures extends QueryModule {
       FROM bars b JOIN stats s ON b.ticker = s.ticker
       ORDER BY b.ticker, b.date"""))
 
+  // ---------------------------------------------------------------------
+  // q97 — grouped top-k (top-3 volume days per ticker): the rank-filter
+  // form, which Catalyst rewrites to WindowGroupLimit — each partition
+  // keeps only k rows per group BEFORE the full window sort materializes
+  // (asserted in PlanSpec). The fully-tied-broken ordering (volume desc,
+  // date) makes row_number deterministic.
+  // ---------------------------------------------------------------------
+  private val q97 = QueryDef(
+    "q97_grouped_topk",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy("ticker").orderBy($"volume".desc, $"date")
+      bars(spark, dir)
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"ticker", $"date", $"volume", $"rank",
+          ($"close".cast(DecimalType(28, 2)) * 100).cast("long").as("close_cents"))
+        .orderBy($"ticker", $"rank")
+    },
+    Some(s"""
+      WITH $barsSql,
+      ranked AS (
+        SELECT ticker, date, volume,
+               row_number() OVER (PARTITION BY ticker
+                                  ORDER BY volume DESC, date) AS rank,
+               CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT) AS close_cents
+        FROM bars)
+      SELECT ticker, date, volume, rank, close_cents
+      FROM ranked WHERE rank <= 3 ORDER BY ticker, rank"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q73)
+    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q73, q97)
 }

@@ -125,6 +125,11 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q97: rank-filter top-k plans WindowGroupLimit (per-partition k-row cap)") {
+    val p = planOf("q97_grouped_topk")
+    assert(p.contains("WindowGroupLimit"), p.linesIterator.take(15).mkString("\n"))
+  }
+
   test("q94: native as-of join plans the custom exec with sorted co-partitioned inputs") {
     val p = planOf("q94_asof_native")
     assert(p.contains("AsOfJoin"), p.linesIterator.take(20).mkString("\n"))
