@@ -266,16 +266,7 @@ object Dedup extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val docs = Tables.documents(spark, dir)
-      val grams = docs
-        .withColumn("w", Portable.tokens($"text"))
-        .select($"doc_id", $"lang", (($"n_chars" / 100).cast("long")).as("lb"),
-          explode(array_distinct(
-            transform(
-              sequence(lit(1), greatest(size($"w") - 2, lit(1))),
-              i => concat(element_at($"w", i), lit(" "),
-                element_at($"w", i + 1), lit(" "),
-                element_at($"w", i + 2))))).as("s"))
-        .filter($"s".isNotNull)
+      val grams = word3grams(spark, dir)
       val cands = grams.as("a").join(grams.as("b"),
           col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -312,15 +303,19 @@ object Dedup extends QueryModule {
       WHERE levenshtein(ta.p, tb.p) <= 20
       ORDER BY i, j"""))
 
-  // ---------------------------------------------------------------------
-  // q37 — blocked n-gram Jaccard: word-3-gram shingle sets compared only
-  // inside (lang, 100-char length bucket) blocks; pairs at Jaccard ≥ 0.5.
-  // ---------------------------------------------------------------------
-  private val q37 = QueryDef(
-    "q37_ngram_jaccard",
-    (spark, dir) => {
+  /** Word-3-gram table (doc_id, lang, 100-char length bucket, gram) as a
+    * shared derived table: the blocked candidate generator behind q37
+    * (Jaccard verify) and q96 (edit-distance verify). The tokenize →
+    * transform → array_distinct → explode subtree is the expensive half of
+    * both queries, and a self-join would otherwise evaluate it once PER
+    * SIDE (the broadcast side does not reuse the streamed side's exchange)
+    * — so it is built once per input dir and every consumer/side reads the
+    * parquet (silver-table pattern, same as the minhash pair table).
+    */
+  private def word3grams(spark: SparkSession, dir: String): DataFrame =
+    Scoped.shared(spark, s"word3grams:$dir")((Nil, {
       import spark.implicits._
-      val grams = Tables.documents(spark, dir)
+      Tables.documents(spark, dir)
         .withColumn("w", Portable.tokens($"text"))
         .select($"doc_id", $"lang", (($"n_chars" / 100).cast("long")).as("lb"),
           explode(array_distinct(
@@ -330,7 +325,17 @@ object Dedup extends QueryModule {
                 element_at($"w", i + 1), lit(" "),
                 element_at($"w", i + 2))))).as("s"))
         .filter($"s".isNotNull)
-        .persist() // referenced by sizes and both sides of the block join
+    }))
+
+  // ---------------------------------------------------------------------
+  // q37 — blocked n-gram Jaccard: word-3-gram shingle sets compared only
+  // inside (lang, 100-char length bucket) blocks; pairs at Jaccard ≥ 0.5.
+  // ---------------------------------------------------------------------
+  private val q37 = QueryDef(
+    "q37_ngram_jaccard",
+    (spark, dir) => {
+      import spark.implicits._
+      val grams = word3grams(spark, dir)
       val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = grams.as("a").join(grams.as("b"),
           col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
@@ -344,7 +349,7 @@ object Dedup extends QueryModule {
           $"k".cast("double") / (col("na.n") + col("nb.n") - $"k").cast("double"))
         .filter($"jaccard" >= 0.5)
         .select($"i", $"j", $"jaccard")
-      Scoped.materialize(grams)(verified).orderBy($"i", $"j")
+      verified.orderBy($"i", $"j")
     },
     Some(s"""
       WITH toks AS (

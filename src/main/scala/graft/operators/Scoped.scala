@@ -21,9 +21,34 @@ import java.nio.file.Files
   */
 private[graft] object Scoped {
 
+  // Every temp dir this object creates is registered here and deleted on
+  // JVM shutdown — a long-lived session would otherwise accumulate one
+  // parquet copy per materialized scope on local disk for its whole life.
+  // (At cluster scale these would be managed silver tables with a
+  // retention policy; the shutdown hook is the in-process analog.)
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private def newTempDir(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix).toString
+    tempDirs.add(dir)
+    dir
+  }
+
+  sys.addShutdownHook {
+    tempDirs.forEach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(java.nio.file.Paths.get(d)).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(Files.deleteIfExists(_))
+      } catch { case _: Exception => () } // best-effort cleanup
+    }
+  }
+
   def materialize(persisted: DataFrame*)(result: DataFrame): DataFrame = {
     val spark = result.sparkSession
-    val out = Files.createTempDirectory("graft_mat_").toString
+    val out = newTempDir("graft_mat_")
     result.write.mode("overwrite").parquet(out)
     persisted.foreach(_.unpersist())
     spark.read.parquet(out)
@@ -39,6 +64,14 @@ private[graft] object Scoped {
     * first caller builds + writes parquet and releases its caches; every
     * later caller (any query, any pass) reads the parquet. Unlike
     * `persist()` reuse, nothing occupies executor memory between queries.
+    *
+    * ASSUMES IMMUTABLE INPUTS for the life of the session: the cache keys
+    * on the logical name (which embeds the input dir path), so if the
+    * files under that path are rewritten the cached derivation is stale.
+    * That matches the fixture contract (driver-generated parquet, never
+    * mutated); a deployment with mutable inputs would key on a content
+    * fingerprint (e.g. max modification time + file count) instead —
+    * call `invalidate()` to drop the cache explicitly.
     */
   private val sharedPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -52,7 +85,7 @@ private[graft] object Scoped {
     var path = sharedPaths.get(key)
     if (path == null) {
       val (persisted, result) = build
-      val out = Files.createTempDirectory("graft_shared_").toString
+      val out = newTempDir("graft_shared_")
       result.write.mode("overwrite").parquet(out)
       persisted.foreach(_.unpersist())
       val prev = sharedPaths.putIfAbsent(key, out)
@@ -60,4 +93,8 @@ private[graft] object Scoped {
     }
     spark.read.parquet(path)
   }
+
+  /** Drop every cached derived table (next caller rebuilds). For tests and
+    * for callers that know an input dir changed under its path. */
+  def invalidate(): Unit = sharedPaths.clear()
 }

@@ -116,13 +116,26 @@ case class AsOfJoinExec(
         private var bestKey: UnsafeRow = _
         advanceRight()
 
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            val r = rIter.next()
-            rRow = r.copy()
-            rKey = rKeyProj(rRow).copy()
-            rTime = rTimeProj(rRow).copy()
-          } else { rRow = null; rKey = null; rTime = null }
+        // SQL comparison semantics: a NULL key or NULL time never matches
+        // (DuckDB ASOF agrees), so right rows carrying one are skipped here
+        // rather than buffered as a candidate. They sort first (nulls-first
+        // natural ordering), so skipping keeps the merge contract intact.
+        private def advanceRight(): Unit = {
+          var settled = false
+          while (!settled) {
+            if (rIter.hasNext) {
+              val r = rIter.next()
+              val k = rKeyProj(r)
+              val t = rTimeProj(r)
+              if (!k.anyNull && !t.isNullAt(0)) {
+                rRow = r.copy()
+                rKey = k.copy()
+                rTime = t.copy()
+                settled = true
+              }
+            } else { rRow = null; rKey = null; rTime = null; settled = true }
+          }
+        }
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -130,6 +143,11 @@ case class AsOfJoinExec(
           val l = lIter.next()
           val lk = lKeyProj(l) // reused buffer — compared within this call only
           val lt = lTimeProj(l)
+          // a left row with a NULL key or NULL time can match nothing —
+          // left-outer it immediately (they also sort first, so no right
+          // rows are skipped by not advancing)
+          if (lk.anyNull || lt.isNullAt(0))
+            return resultProj(joined(l, nullRight))
           // consume every right row at or before (lk, lt); the last one
           // with key == lk is the as-of match
           var cont = rRow != null
@@ -155,6 +173,9 @@ case class AsOfJoinExec(
 object AsOf {
   /** Left-outer as-of join: for each left row, the latest right row with
     * equal keys and `rightTimeCol ≤ leftTimeCol` (nulls when none).
+    * NULL semantics match SQL equi-join / DuckDB ASOF: a NULL key or NULL
+    * time on either side never matches — such left rows emit with null
+    * right columns, such right rows are never candidates.
     * Right columns must not collide with left column names — alias them
     * first (which also gives them fresh exprIds, keeping self-derived
     * sides unambiguous).

@@ -27,6 +27,24 @@ import java.nio.file.Files
   */
 object Streams extends QueryModule {
 
+  /** Session clone for a streaming query run (same SparkContext, isolated
+    * SQLConf). Two reasons, both scale-facing:
+    *   - stateful operators pay a fixed state-store cost per shuffle
+    *     partition per micro-batch (open + commit + maintenance, per
+    *     store), so streaming state is planned at 8 partitions instead of
+    *     the batch default that is sized for shuffle VOLUME — a real
+    *     deployment sizes this once at query start, which is also the only
+    *     time Spark reads it;
+    *   - the override lives on the clone, so a batch query planned
+    *     concurrently on the shared session can never observe it (conf
+    *     mutation on a shared session is not thread-safe scoping).
+    */
+  private def streamSession(spark: SparkSession): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   /** Streaming scan of the events fixture (S2 as file source). Schema is
     * declared, never inferred (§1.2); nanosecond timestamps arrive as
     * longs (Tables.events note) and are truncated to µs exactly like the
@@ -121,7 +139,14 @@ object Streams extends QueryModule {
       .start()
     q.awaitTermination()
     q.stop()
-    spark.read.parquet(out)
+    // a stream that yielded no rows wrote no files — return an empty frame
+    // with the stream's schema instead of letting parquet schema inference
+    // throw on the empty directory
+    val wrote = Option(new java.io.File(out).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (wrote) spark.read.parquet(out)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
   }
 
   // ---------------------------------------------------------------------
@@ -134,7 +159,8 @@ object Streams extends QueryModule {
   // ---------------------------------------------------------------------
   private val q41 = QueryDef(
     "q41_stream_features_15m",
-    (spark, dir) => {
+    (outer, dir) => {
+      val spark = streamSession(outer)
       import spark.implicits._
       runToParquet(features15m(eventsStream(spark, dir)), "complete")
         .orderBy($"window_start", $"event_type")
@@ -156,7 +182,8 @@ object Streams extends QueryModule {
   // ---------------------------------------------------------------------
   private val q42 = QueryDef(
     "q42_stream_static_join",
-    (spark, dir) => {
+    (outer, dir) => {
+      val spark = streamSession(outer)
       import spark.implicits._
       val cust = Tables.customer(spark, dir)
         .select($"c_custkey", $"c_name", $"c_mktsegment")
@@ -177,7 +204,8 @@ object Streams extends QueryModule {
   // ---------------------------------------------------------------------
   private val q43 = QueryDef(
     "q43_stream_sink_roundtrip",
-    (spark, dir) => {
+    (outer, dir) => {
+      val spark = streamSession(outer)
       import spark.implicits._
       import org.apache.spark.sql.streaming.Trigger
       val out = Files.createTempDirectory("graft_bronze_").toString
@@ -243,7 +271,8 @@ object Streams extends QueryModule {
 
   private val q55 = QueryDef(
     "q55_stateful_user_state",
-    (spark, dir) => {
+    (outer, dir) => {
+      val spark = streamSession(outer)
       import spark.implicits._
       import org.apache.spark.sql.streaming.GroupStateTimeout
       val updates = eventsStream(spark, dir)
@@ -296,7 +325,8 @@ object Streams extends QueryModule {
   private val SessionGap = "30 minutes"
   private val q74 = QueryDef(
     "q74_stream_session_window",
-    (spark, dir) => {
+    (outer, dir) => {
+      val spark = streamSession(outer)
       import spark.implicits._
       val sessions = eventsStream(spark, dir)
         .filter($"ts".isNotNull)
@@ -342,7 +372,8 @@ object Streams extends QueryModule {
   // ---------------------------------------------------------------------
   private val q77 = QueryDef(
     "q77_stream_dedup",
-    (spark, dir) => {
+    (outer, dir) => {
+      val spark = streamSession(outer)
       import spark.implicits._
       val deduped = eventsStream(spark, dir)
         .filter($"ts".isNotNull)
@@ -378,7 +409,8 @@ object Streams extends QueryModule {
   // ---------------------------------------------------------------------
   private val q86 = QueryDef(
     "q86_stream_stream_join",
-    (spark, dir) => {
+    (outer, dir) => {
+      val spark = streamSession(outer)
       import spark.implicits._
       val purchases = eventsStream(spark, dir)
         .filter($"ts".isNotNull && $"event_type" === "purchase")
@@ -394,20 +426,11 @@ object Streams extends QueryModule {
         $"p_user" === $"c_user" &&
           $"c_ts" >= $"p_ts" - expr("INTERVAL 10 MINUTES") &&
           $"c_ts" <= $"p_ts")
-      // the symmetric join pays a fixed state-store cost per partition per
-      // micro-batch (open + commit + snapshot, BOTH sides) — price the
-      // partition count for the state volume, not the session default
-      // sized for batch shuffles (32 × 2 stores for a few MB of state is
-      // pure overhead; a real deployment sizes this once at query start,
-      // which is also the only time Spark reads it)
-      val partKey = "spark.sql.shuffle.partitions"
-      val prevParts = spark.conf.get(partKey)
-      val out = try {
-        spark.conf.set(partKey, "8")
-        runToParquet(
+      // the symmetric join keeps state on BOTH sides — the streamSession
+      // clone's 8-partition setting is what prices the per-partition
+      // store cost here (2 stores per partition per micro-batch)
+      runToParquet(
           joined.select($"p_id", $"p_ts", $"c_id", $"c_value"), "append")
-      } finally spark.conf.set(partKey, prevParts)
-      out
         .groupBy(to_date($"p_ts").as("date"))
         .agg(
           count(lit(1)).as("n_pairs"),

@@ -51,6 +51,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.length === 6 && got.forall(_.isEmpty))
   }
 
+  test("NULL keys and times never match (SQL / DuckDB ASOF semantics)") {
+    // left: a null key, a null time, and a normal row; right: a null key
+    // and a null time row that must never be candidates, plus one real
+    // quote the normal row should find
+    val l = Seq(
+      (Option.empty[String], Option(5L)),   // null key → left-outer nulls
+      (Option("a"), Option.empty[Long]),    // null time → left-outer nulls
+      (Option("a"), Option(5L)))            // matches the (a, 2) quote
+      .toDF("k", "t")
+    val r = Seq(
+      (Option.empty[String], Option(1L), 7L),  // null key: never a candidate
+      (Option("a"), Option.empty[Long], 8L),   // null time: never a candidate
+      (Option("a"), Option(2L), 9L))
+      .toDF("qk", "qt", "v")
+    val got = AsOf.join(l, r, Seq("k" -> "qk"), "t", "qt")
+      .select($"k", $"t", $"qt", $"v")
+      .as[(Option[String], Option[Long], Option[Long], Option[Long])]
+      .collect().toSet
+    assert(got === Set(
+      (None, Some(5L), None, None),
+      (Some("a"), None, None, None),
+      (Some("a"), Some(5L), Some(2L), Some(9L))))
+  }
+
   test("physical plan contains the custom exec") {
     val df = AsOf.join(leftDf, rightDf, Seq("k" -> "qk"), "t", "qt")
     assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
