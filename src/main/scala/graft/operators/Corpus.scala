@@ -1,0 +1,267 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import graft.functions.Portable
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data operators: distributed k-means over the
+  * embeddings table (the clustering primitive behind semantic dedup and
+  * IVF codebook training), TF-IDF term ranking, and duplicate-passage
+  * removal (the C4-style "any repeated span is dropped, first occurrence
+  * kept" rule).
+  *
+  * All three follow the scaled-integer determinism contract (SURVEY.md §5):
+  * embedding coordinates become `floor(x · 1e6)` longs so distances and
+  * centroid means are exact integer arithmetic on both engines, and TF-IDF
+  * scores are exact integer floor divisions — no float accumulation
+  * anywhere, so every query hash-matches its DuckDB oracle.
+  */
+object Corpus extends QueryModule {
+
+  private val K = 8
+  private val Iters = 2
+  private val SegWords = 10
+
+  // ---------------------------------------------------------------------
+  // q98 — distributed k-means (Lloyd's), the clustering stage of
+  // SemDeDup-style semantic dedup and of IVF codebook refinement.
+  //
+  // Scale shape (the MLlib shape): the k×64 centroid model is the ONLY
+  // state that ever leaves the executors — each iteration is one corpus
+  // scan with the centroids broadcast, argmin folded map-side via
+  // min(struct(dist, cid, xs)) so the shuffle carries one row per vector,
+  // then a (cid, pos) partial-sum update whose map-side combine collapses
+  // each partition to k×64 cells. The driver collects only the k×64
+  // updated centroids between iterations (model state, not data), which
+  // also bounds plan lineage to one scan per pass.
+  //
+  // Determinism: coordinates are floor(x·1e6) longs; distances are exact
+  // integer squared-L2 (≤ 64·(1e6)² ≈ 6.4e13 per vector, well inside
+  // long); centroid means are exact floor division (s - pmod(s,n)) div n;
+  // argmin ties break on cid. Seeds are vec_id 0..K-1 (vec_ids start at
+  // 0 in the fixture — asserted by the seed count).
+  // ---------------------------------------------------------------------
+  private val q98 = QueryDef(
+    "q98_kmeans",
+    (spark, dir) => {
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir).select(
+        $"vec_id",
+        transform($"embedding",
+          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("xs"))
+
+      def assign(cents: DataFrame): DataFrame =
+        emb.crossJoin(broadcast(cents))
+          .withColumn("dist",
+            aggregate(zip_with($"xs", $"cs", (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, d) => acc + d))
+          .groupBy($"vec_id")
+          .agg(min(struct($"dist", $"cid", $"xs")).as("m"))
+          .select($"vec_id", $"m.cid".as("cid"), $"m.dist".as("dist"),
+            $"m.xs".as("xs"))
+
+      def update(assigned: DataFrame): DataFrame =
+        assigned.select($"cid", posexplode($"xs"))
+          .groupBy($"cid", $"pos")
+          .agg(sum($"col").as("s"), count(lit(1)).as("n"))
+          .withColumn("c", expr("(s - pmod(s, n)) div n")) // exact floor mean
+          .groupBy($"cid")
+          .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+            p => p.getField("c")).as("cs"))
+
+      var cents = emb.filter($"vec_id" < K)
+        .select($"vec_id".as("cid"), $"xs".as("cs"))
+      for (_ <- 1 to Iters) {
+        // k×64 longs of model state — the one legitimate driver round-trip
+        val local = update(assign(cents))
+          .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+        cents = local.toDF("cid", "cs")
+      }
+      val stats = assign(cents)
+        .groupBy($"cid")
+        .agg(count(lit(1)).as("n"), sum($"dist").as("inertia"))
+      val checks = cents.select($"cid",
+        aggregate($"cs", lit(0L), (a, x) => a + x).as("checksum"))
+      stats.join(checks, "cid")
+        .select($"cid", $"n", $"inertia", $"checksum")
+        .orderBy($"cid")
+    },
+    Some(kmeansOracle))
+
+  /** The oracle unrolls the same `Iters` Lloyd's iterations as CTE pairs
+    * (assign_i from cents_{i-1}, cents_i from assign_i); helpers generate
+    * each pair so both engines run the identical recurrence.
+    */
+  private def assignCte(name: String, cents: String): String = s"""
+    $name AS (
+      SELECT vec_id, xs, cid, dist FROM (
+        SELECT vec_id, xs, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM (
+          SELECT e.vec_id, e.xs, c.cid,
+                 list_sum(list_transform(list_zip(e.xs, c.cs),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+          FROM emb e CROSS JOIN $cents c))
+      WHERE rn = 1)"""
+
+  private def updateCte(name: String, assigned: String): String = s"""
+    $name AS (
+      SELECT cid, list(c ORDER BY pos) AS cs FROM (
+        SELECT cid, pos,
+               CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS c
+        FROM (
+          SELECT cid, u.pos AS pos, sum(u.v) AS s, count(*) AS n
+          FROM (
+            SELECT cid,
+                   unnest([{'pos': i, 'v': xs[i]}
+                           for i in range(1, len(xs) + 1)]) AS u
+            FROM $assigned)
+          GROUP BY cid, u.pos))
+      GROUP BY cid)"""
+
+  private def kmeansOracle: String = {
+    val iters = (1 to Iters).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      assignCte(s"a$i", prev) + "," + updateCte(s"c$i", s"a$i")
+    }.mkString(",")
+    s"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xs
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, xs AS cs FROM emb WHERE vec_id < $K),
+    $iters,
+    ${assignCte("fin", s"c$Iters")}
+    SELECT f.cid AS cid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(f.dist) AS BIGINT) AS inertia,
+           ck.checksum AS checksum
+    FROM fin f
+    JOIN (SELECT cid, CAST(list_sum(cs) AS BIGINT) AS checksum FROM c$Iters) ck
+      USING (cid)
+    GROUP BY f.cid, ck.checksum
+    ORDER BY cid"""
+  }
+
+  // ---------------------------------------------------------------------
+  // q99 — TF-IDF top terms per document. tf and df are exact counts; the
+  // score is the exact integer (tf · N · 1e6) div df — same ordering as
+  // tf·N/df without a cross-engine `ln`, whose last-ulp rounding is not
+  // portable. Document frequency is computed over the FULL corpus (one
+  // shuffle on term — at 100 TB the df table is the big side and stays
+  // distributed; the filtered per-doc tf side is what AQE broadcasts),
+  // then per-doc top-5 by (score desc, term) via ranked window.
+  // ---------------------------------------------------------------------
+  private val q99 = QueryDef(
+    "q99_tfidf",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val tf = docs
+        .select($"doc_id", explode(Portable.tokens($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"score_1e6".desc, $"term".asc)
+      tf.filter($"doc_id" < 20)
+        .join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score_1e6", expr("(tf * n_docs * 1000000) div df"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"doc_id", $"rank", $"term", $"tf", $"df", $"score_1e6")
+        .orderBy($"doc_id", $"rank")
+    },
+    Some(s"""
+      WITH tfc AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+          SELECT doc_id, unnest(${Portable.tokensSql("text")}) AS term
+          FROM documents)
+        GROUP BY doc_id, term),
+      dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+      nd AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT doc_id, rank, term, tf, df, score_1e6
+      FROM (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               CAST((t.tf * n.n_docs * 1000000) // d.df AS BIGINT) AS score_1e6,
+               row_number() OVER (
+                 PARTITION BY t.doc_id
+                 ORDER BY CAST((t.tf * n.n_docs * 1000000) // d.df AS BIGINT) DESC,
+                          t.term) AS rank
+        FROM tfc t JOIN dfc d USING (term) CROSS JOIN nd n
+        WHERE t.doc_id < 20)
+      WHERE rank <= 5
+      ORDER BY doc_id, rank"""))
+
+  // ---------------------------------------------------------------------
+  // q100 — duplicate-passage removal (C4 rule): split each document into
+  // consecutive $SegWords-word passages, drop every passage whose exact
+  // text occurs more than once in the corpus EXCEPT its first occurrence
+  // (min (doc_id, seg), encoded as one long so both engines argmin the
+  // same scalar). Per-document audit: segments, duplicated segments,
+  // words kept.
+  //
+  // Scale shape: the passage never leaves the executor as text — the
+  // occurrence count groups on its 60-bit md5, so the one corpus-wide
+  // shuffle carries 8-byte keys, not strings (the same trick exact dedup
+  // uses). Second shuffle is the per-doc audit rollup.
+  // ---------------------------------------------------------------------
+  private val q100 = QueryDef(
+    "q100_passage_dedup",
+    (spark, dir) => {
+      import spark.implicits._
+      val segs = Tables.documents(spark, dir)
+        .select($"doc_id", Portable.tokens($"text").as("w"))
+        .filter(size($"w") > 0)
+        .select($"doc_id", posexplode(
+          transform(
+            sequence(lit(0), expr(s"(size(w) - 1) div $SegWords").cast("int")),
+            i => slice($"w", i * SegWords + 1, lit(SegWords)))))
+        .select($"doc_id", $"pos".as("seg"),
+          Portable.md5Hash64(array_join($"col", " ")).as("ph"),
+          size($"col").as("nw"))
+        .withColumn("k", $"doc_id" * 1000000 + $"seg")
+      val occ = segs.groupBy($"ph")
+        .agg(count(lit(1)).as("cnt"), min($"k").as("keep"))
+      segs.join(occ, "ph")
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_segs"),
+          sum(when($"cnt" > 1, 1L).otherwise(0L)).as("n_dup_segs"),
+          sum(when($"cnt" === 1 || $"k" === $"keep", $"nw")
+            .otherwise(0L)).as("n_words_kept"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH segs AS (
+        SELECT doc_id, u.seg AS seg,
+               ${Portable.md5Hash64Sql("array_to_string(u.p, ' ')")} AS ph,
+               len(u.p) AS nw,
+               doc_id * 1000000 + u.seg AS k
+        FROM (
+          SELECT doc_id,
+                 unnest([{'seg': i,
+                          'p': w[(i * $SegWords + 1):((i + 1) * $SegWords)]}
+                         for i in range(0, ((len(w) - 1) // $SegWords) + 1)]) AS u
+          FROM (
+            SELECT doc_id, ${Portable.tokensSql("text")} AS w FROM documents)
+          WHERE len(w) > 0)),
+      occ AS (
+        SELECT ph, count(*) AS cnt, min(k) AS keep FROM segs GROUP BY ph)
+      SELECT s.doc_id AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_segs,
+             CAST(sum(CASE WHEN o.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_segs,
+             CAST(sum(CASE WHEN o.cnt = 1 OR s.k = o.keep THEN s.nw ELSE 0 END)
+               AS BIGINT) AS n_words_kept
+      FROM segs s JOIN occ o USING (ph)
+      GROUP BY s.doc_id
+      ORDER BY doc_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q98, q99, q100)
+}
