@@ -203,6 +203,11 @@ object Dedup extends QueryModule {
   // hamming-distance pairs (≤ 3 bits) inside language blocks.
   // ---------------------------------------------------------------------
   private val SimBits = 32
+  private val SimHammingMax = 3
+  // pigeonhole: any pair at hamming ≤ 3 differs in ≤ 3 of the 4 bands, so
+  // it agrees EXACTLY on ≥ 1 band — banding is lossless for this threshold
+  private val SimBands = 4
+  private val SimBandBits = SimBits / SimBands
   private val q36 = QueryDef(
     "q36_simhash",
     (spark, dir) => {
@@ -217,15 +222,30 @@ object Dedup extends QueryModule {
             sum(when(shiftright($"h", b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$b")): _*)
       val fp = (0 until SimBits).map(b =>
         when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-      // self-joined below — materialize the 500-row signature table once
+      // band-exploded below — materialize the signature table once
       val sigs = bitSums.select($"doc_id", $"lang", fp.as("fp")).persist()
-      val pairs = sigs.as("a").join(sigs.as("b"),
-          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming",
-          bit_count(col("a.fp").bitwiseXOR(col("b.fp"))))
-        .filter($"hamming" <= 3)
+      // Candidate generation joins on (lang, band, band bits), never on
+      // the language block alone: at corpus scale "lang = en" is most of
+      // the data and a lang-only self-join is O(n²) inside that block,
+      // while a band bucket holds only near-identical signatures.
+      val bandCols = (0 until SimBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright($"fp", b * SimBandBits).bitwiseAND(lit((1L << SimBandBits) - 1)).as("bits")))
+      val bands = sigs
+        .select($"doc_id", $"lang", $"fp", explode(array(bandCols: _*)).as("bb"))
+        .select($"doc_id", $"lang", $"fp", $"bb.band".as("band"), $"bb.bits".as("bits"))
+      // fp is functionally dependent on doc_id, so carrying it through the
+      // pair-dedup distinct saves the signature re-join at verify time
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+            col("a.bits") === col("b.bits") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.lang").as("lang"), col("a.doc_id").as("i"),
-          col("b.doc_id").as("j"), $"hamming")
+          col("b.doc_id").as("j"), col("a.fp").as("fa"), col("b.fp").as("fb"))
+        .distinct()
+      val pairs = cand
+        .withColumn("hamming", bit_count($"fa".bitwiseXOR($"fb")))
+        .filter($"hamming" <= SimHammingMax)
+        .select($"lang", $"i", $"j", $"hamming")
       Scoped.materialize(sigs)(pairs).orderBy($"lang", $"i", $"j")
     },
     Some {
@@ -235,6 +255,7 @@ object Dedup extends QueryModule {
       val fp = (0 until SimBits).map(b =>
         s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
         .mkString(" + ")
+      val mask = (1L << SimBandBits) - 1
       s"""
       WITH toks AS (
         SELECT doc_id, lang, ${Portable.md5Hash64Sql("w")} AS h
@@ -244,30 +265,64 @@ object Dedup extends QueryModule {
         SELECT doc_id, lang,
                $sums
         FROM toks GROUP BY doc_id, lang),
-      sigs AS (SELECT doc_id, lang, $fp AS fp FROM bitsums)
-      SELECT a.lang, a.doc_id AS i, b.doc_id AS j,
-             bit_count(xor(a.fp, b.fp)) AS hamming
-      FROM sigs a JOIN sigs b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.fp, b.fp)) <= 3
-      ORDER BY a.lang, i, j"""
+      sigs AS (SELECT doc_id, lang, $fp AS fp FROM bitsums),
+      bands AS (
+        SELECT doc_id, lang, fp, band,
+               (fp >> (band * $SimBandBits)) & $mask AS bits
+        FROM sigs, (SELECT unnest(range($SimBands)) AS band)),
+      cand AS (
+        SELECT DISTINCT a.lang AS lang, a.doc_id AS i, b.doc_id AS j,
+               a.fp AS fa, b.fp AS fb
+        FROM bands a JOIN bands b
+          ON a.lang = b.lang AND a.band = b.band AND a.bits = b.bits
+         AND a.doc_id < b.doc_id)
+      SELECT lang, i, j, bit_count(xor(fa, fb)) AS hamming
+      FROM cand
+      WHERE bit_count(xor(fa, fb)) <= $SimHammingMax
+      ORDER BY lang, i, j"""
     })
 
   // ---------------------------------------------------------------------
   // q96 — fuzzy near-dup by edit distance: candidate pairs are docs
-  // sharing ≥ 1 word-3-gram inside a (lang, length-bucket) block (the
-  // q37 candidate generator — never all-pairs), verified by Levenshtein
+  // sharing ≥ 1 RARE word-3-gram (df ≤ GramDfCap) inside a
+  // (lang, length-bucket) block (the q37 candidate generator — never
+  // all-pairs, never stop-gram-quadratic), verified by Levenshtein
   // over the 80-char prefixes at distance ≤ 20. Edit distance is integer
   // DP — bit-identical on any engine — so unlike float-similarity
   // verifiers the pair set needs no tolerance. The distance pass costs
   // O(candidates · 80²), bounded by the same blocking that bounds q37.
   // ---------------------------------------------------------------------
+  private val GramDfCap = 50
+
+  /** Shared oracle CTEs: full gram table + df-capped candidate cut.
+    * (Declared before q96/q37, which interpolate it at object init.)
+    */
+  private val gramsSql = s"""
+      toks AS (
+        SELECT doc_id, lang, n_chars // 100 AS lb,
+               ${Portable.tokensSql("text")} AS w
+        FROM documents),
+      grams AS (
+        SELECT doc_id, lang, lb, s FROM (
+          SELECT doc_id, lang, lb, unnest(list_distinct(
+            [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS s
+          FROM toks)
+        WHERE s IS NOT NULL),
+      rare AS (
+        SELECT doc_id, lang, lb, s FROM (
+          SELECT doc_id, lang, lb, s,
+                 count(*) OVER (PARTITION BY lang, lb, s) AS df
+          FROM grams)
+        WHERE df <= $GramDfCap)"""
+
   private val q96 = QueryDef(
     "q96_fuzzy_editdist",
     (spark, dir) => {
       import spark.implicits._
       val docs = Tables.documents(spark, dir)
-      val grams = word3grams(spark, dir)
-      val cands = grams.as("a").join(grams.as("b"),
+      val rare = rareGrams(spark, dir)
+      val cands = rare.as("a").join(rare.as("b"),
           col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
@@ -282,20 +337,10 @@ object Dedup extends QueryModule {
         .orderBy($"i", $"j")
     },
     Some(s"""
-      WITH toks AS (
-        SELECT doc_id, lang, n_chars // 100 AS lb,
-               ${Portable.tokensSql("text")} AS w
-        FROM documents),
-      grams AS (
-        SELECT doc_id, lang, lb, s FROM (
-          SELECT doc_id, lang, lb, unnest(list_distinct(
-            [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-             for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS s
-          FROM toks)
-        WHERE s IS NOT NULL),
+      WITH $gramsSql,
       cands AS (
         SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-        FROM grams a JOIN grams b
+        FROM rare a JOIN rare b
           ON a.lang = b.lang AND a.lb = b.lb AND a.s = b.s AND a.doc_id < b.doc_id),
       texts AS (SELECT doc_id, substr(text, 1, 80) AS p FROM documents)
       SELECT i, j, levenshtein(ta.p, tb.p) AS dist
@@ -327,6 +372,30 @@ object Dedup extends QueryModule {
         .filter($"s".isNotNull)
     }))
 
+  /** Candidate-generation cut of [[word3grams]]: grams whose document
+    * frequency within their (lang, length-bucket) block is ≤ [[GramDfCap]].
+    * Without the cap a single stop-gram ("one of the") pairs nearly every
+    * doc in its block — candidates go quadratic whenever a frequent gram
+    * exists, which at corpus scale is always. Rare grams preserve recall
+    * for NEAR-DUPLICATES (docs sharing ≥ half their grams share many rare
+    * ones); the cap only prunes pairs whose sole overlap is boilerplate.
+    * Standard discipline in suffix-array / Gopher-style dedup. Candidates
+    * come from this table; VERIFICATION (Jaccard in q37) still runs over
+    * the full gram sets, so the similarity metric itself is uncapped.
+    * One window shuffle on (lang, lb, s) — the same key the candidate
+    * self-join needs anyway.
+    */
+  private def rareGrams(spark: SparkSession, dir: String): DataFrame =
+    Scoped.shared(spark, s"rare3grams:$dir")((Nil, {
+      import spark.implicits._
+      word3grams(spark, dir)
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"lang", $"lb", $"s")))
+        .filter($"df" <= GramDfCap)
+        .drop("df")
+    }))
+
+
   // ---------------------------------------------------------------------
   // q37 — blocked n-gram Jaccard: word-3-gram shingle sets compared only
   // inside (lang, 100-char length bucket) blocks; pairs at Jaccard ≥ 0.5.
@@ -336,12 +405,19 @@ object Dedup extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val grams = word3grams(spark, dir)
-      val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = grams.as("a").join(grams.as("b"),
+      val rare = rareGrams(spark, dir)
+      // candidates from the df-capped cut; Jaccard verified over the FULL
+      // gram sets (q35's candidate/verify split, same reason)
+      val cands = rare.as("a").join(rare.as("b"),
           col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .agg(count(lit(1)).as("k"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = cands
+        .join(grams.as("a"), col("a.doc_id") === $"i")
+        .join(grams.as("b"), col("b.doc_id") === $"j" && col("b.s") === col("a.s"))
+        .groupBy($"i", $"j").agg(count(lit(1)).as("k"))
       val verified = inter
         .join(sizes.as("na"), col("na.doc_id") === $"i")
         .join(sizes.as("nb"), col("nb.doc_id") === $"j")
@@ -352,22 +428,16 @@ object Dedup extends QueryModule {
       verified.orderBy($"i", $"j")
     },
     Some(s"""
-      WITH toks AS (
-        SELECT doc_id, lang, n_chars // 100 AS lb,
-               ${Portable.tokensSql("text")} AS w
-        FROM documents),
-      grams AS (
-        SELECT doc_id, lang, lb, s FROM (
-          SELECT doc_id, lang, lb, unnest(list_distinct(
-            [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-             for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS s
-          FROM toks)
-        WHERE s IS NOT NULL),
+      WITH $gramsSql,
+      cands AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM rare a JOIN rare b
+          ON a.lang = b.lang AND a.lb = b.lb AND a.s = b.s AND a.doc_id < b.doc_id),
       sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
       inter AS (
-        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS k
-        FROM grams a JOIN grams b
-          ON a.lang = b.lang AND a.lb = b.lb AND a.s = b.s AND a.doc_id < b.doc_id
+        SELECT i, j, count(*) AS k
+        FROM cands JOIN grams a ON a.doc_id = i
+                   JOIN grams b ON b.doc_id = j AND b.s = a.s
         GROUP BY 1, 2)
       SELECT i, j, CAST(k AS DOUBLE) / CAST(na.n + nb.n - k AS DOUBLE) AS jaccard
       FROM inter JOIN sizes na ON na.doc_id = i JOIN sizes nb ON nb.doc_id = j

@@ -85,7 +85,10 @@ private[graft] object Scoped {
     var path = sharedPaths.get(key)
     if (path == null) {
       val (persisted, result) = build
-      val out = newTempDir("graft_shared_")
+      // embed the logical name in the dir so plans/listings show WHICH
+      // derived table a scan reads (the slug drops the input-dir path)
+      val slug = key.takeWhile(_ != ':').replaceAll("[^A-Za-z0-9_]", "_")
+      val out = newTempDir(s"graft_shared_${slug}_")
       result.write.mode("overwrite").parquet(out)
       persisted.foreach(_.unpersist())
       val prev = sharedPaths.putIfAbsent(key, out)

@@ -146,6 +146,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q36: simhash candidates join on band buckets, never the lang block alone") {
+    val p = planOf("q36_simhash")
+    // every equi-join in the plan either keys on the band bits (the
+    // pigeonhole bucket) or is the pair-verify re-join on doc ids; a
+    // lang-only join key would be O(n²) inside the dominant language
+    val joinKeyLines = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("lang")).toSeq
+    assert(joinKeyLines.forall(_.contains("bits")),
+      joinKeyLines.mkString("\n"))
+  }
+
+  test("q37/q96: candidate grams come from the df-capped shared table") {
+    // the rare-gram cut is a materialized shared table; both consumers must
+    // read it (path contains the cache key slug) rather than re-deriving
+    // candidates from the uncapped gram table
+    Seq("q37_ngram_jaccard", "q96_fuzzy_editdist").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("rare3grams"), s"$q does not read rare3grams:\n" +
+        p.linesIterator.take(15).mkString("\n"))
+    }
+  }
+
   test("dot_scaled is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     val got = spark.sql(
