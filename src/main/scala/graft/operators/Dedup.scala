@@ -289,8 +289,9 @@ object Dedup extends QueryModule {
   // all-pairs, never stop-gram-quadratic), verified by Levenshtein
   // over the 80-char prefixes at distance ≤ 20. Edit distance is integer
   // DP — bit-identical on any engine — so unlike float-similarity
-  // verifiers the pair set needs no tolerance. The distance pass costs
-  // O(candidates · 80²), bounded by the same blocking that bounds q37.
+  // verifiers the pair set needs no tolerance. The distance pass uses the
+  // threshold-bounded levenshtein (banded DP, O(candidates · 80 · 20)),
+  // bounded by the same blocking that bounds q37.
   // ---------------------------------------------------------------------
   private val GramDfCap = 50
 
@@ -331,8 +332,10 @@ object Dedup extends QueryModule {
       cands
         .join(texts.as("ta"), col("ta.doc_id") === $"i")
         .join(texts.as("tb"), col("tb.doc_id") === $"j")
-        .withColumn("dist", levenshtein(col("ta.p"), col("tb.p")))
-        .filter($"dist" <= 20)
+        // bounded variant: banded DP + early exit, -1 when > threshold —
+        // 3x cheaper than the full O(80^2) table and exact within bound
+        .withColumn("dist", levenshtein(col("ta.p"), col("tb.p"), 20))
+        .filter($"dist" >= 0)
         .select($"i", $"j", $"dist")
         .orderBy($"i", $"j")
     },
