@@ -1,0 +1,143 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Serialized gradient-boosted-tree model artifact + distributed scoring
+  * (SURVEY.md §2.9 X3): the real-artifact counterpart of q33's linear
+  * surrogate. The reference loads a pickled XGBoost model and scores rows
+  * one at a time on the driver (reference data_processing/
+  * stock_pipeline.py:138-261); here the artifact is a self-describing
+  * byte blob (a public, XGBoost-dump-shaped format: bias + a list of
+  * binary decision trees over indexed features) that is DESERIALIZED FROM
+  * BYTES and compiled into a native Catalyst expression — each tree
+  * becomes a nested `when/otherwise` chain, the ensemble their sum.
+  *
+  * Scale shape: model state reaches executors as a few dozen literal
+  * doubles inside whole-stage-codegen'd expressions — the compiled-plan
+  * equivalent of broadcasting the weight arrays, with zero per-row
+  * interpretation cost (contrast a UDF closure: per-row function call,
+  * boxed doubles, no codegen). A 10k-tree model would switch to a
+  * broadcast variable + one vectorized mapPartitions pass; the artifact
+  * format and load path are identical either way.
+  *
+  * Wire format (little-endian):
+  *   magic "GBT1" (int 0x47425431) | numFeatures int | bias double |
+  *   numTrees int | per tree: numNodes int, then per node:
+  *     kind byte (0 = internal, 1 = leaf)
+  *     internal: featureIdx int | threshold double | leftIdx int | rightIdx int
+  *     leaf:     value double
+  * Node 0 is the root; left = branch taken when feature < threshold.
+  */
+object GbtArtifact {
+
+  sealed trait Node
+  final case class Internal(feat: Int, thr: Double, left: Int, right: Int) extends Node
+  final case class Leaf(value: Double) extends Node
+  final case class Tree(nodes: IndexedSeq[Node])
+  final case class Model(numFeatures: Int, bias: Double, trees: Seq[Tree])
+
+  private val Magic = 0x47425431
+
+  def serialize(m: Model): Array[Byte] = {
+    val size = 4 + 4 + 8 + 4 + m.trees.map(t => 4 + t.nodes.map {
+      case _: Internal => 1 + 4 + 8 + 4 + 4
+      case _: Leaf     => 1 + 8
+    }.sum).sum
+    val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(Magic).putInt(m.numFeatures).putDouble(m.bias)
+      .putInt(m.trees.size)
+    m.trees.foreach { t =>
+      buf.putInt(t.nodes.size)
+      t.nodes.foreach {
+        case Internal(f, thr, l, r) =>
+          buf.put(0: Byte).putInt(f).putDouble(thr).putInt(l).putInt(r)
+        case Leaf(v) => buf.put(1: Byte).putDouble(v)
+      }
+    }
+    buf.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): Model = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.getInt() == Magic, "not a GBT1 artifact")
+    val nf = buf.getInt()
+    val bias = buf.getDouble()
+    val trees = Seq.fill(buf.getInt()) {
+      Tree(IndexedSeq.fill(buf.getInt()) {
+        buf.get() match {
+          case 0 => Internal(buf.getInt(), buf.getDouble(), buf.getInt(), buf.getInt())
+          case 1 => Leaf(buf.getDouble())
+          case k => throw new IllegalArgumentException(s"bad node kind $k")
+        }
+      })
+    }
+    require(!buf.hasRemaining, "trailing bytes in artifact")
+    Model(nf, bias, trees)
+  }
+
+  /** Compile the model to a scoring Column over the feature columns
+    * (features(i) feeds tree splits on feature index i). Trees sum in
+    * artifact order; each tree unrolls to nested when/otherwise, so the
+    * whole ensemble stays inside whole-stage codegen.
+    */
+  def score(m: Model, features: Seq[Column]): Column = {
+    require(features.size == m.numFeatures,
+      s"model expects ${m.numFeatures} features, got ${features.size}")
+    def walk(t: Tree, i: Int): Column = t.nodes(i) match {
+      case Leaf(v) => lit(v)
+      case Internal(f, thr, l, r) =>
+        when(features(f) < lit(thr), walk(t, l)).otherwise(walk(t, r))
+    }
+    m.trees.foldLeft(lit(m.bias))((acc, t) => acc + walk(t, 0))
+  }
+
+  /** The same ensemble as ANSI SQL (nested CASE WHEN over the feature
+    * column names) for the DuckDB oracle. Literals print via
+    * Double.toString, which round-trips exactly on both engines.
+    */
+  def scoreSql(m: Model, featNames: Seq[String]): String = {
+    require(featNames.size == m.numFeatures)
+    def walk(t: Tree, i: Int): String = t.nodes(i) match {
+      case Leaf(v) => v.toString
+      case Internal(f, thr, l, r) =>
+        s"(CASE WHEN ${featNames(f)} < $thr THEN ${walk(t, l)} ELSE ${walk(t, r)} END)"
+    }
+    m.trees.map(walk(_, 0)).mkString(s"(${m.bias} + ", " + ", ")")
+  }
+
+  /** Driver-side reference scorer (plain Scala tree walk) for specs. */
+  def scoreLocal(m: Model, feats: Seq[Double]): Double = {
+    def walk(t: Tree, i: Int): Double = t.nodes(i) match {
+      case Leaf(v) => v
+      case Internal(f, thr, l, r) => if (feats(f) < thr) walk(t, l) else walk(t, r)
+    }
+    m.bias + m.trees.map(walk(_, 0)).sum
+  }
+
+  /** The fixture model artifact: a fixed 3-tree ensemble over
+    * (f0 = daily_return, f1 = vol_signal), stored as SERIALIZED BYTES —
+    * the query path must go through [[deserialize]], so the full
+    * bytes → model → compiled-expression load path is what the oracle
+    * checks. (A production flow reads these bytes from a model store;
+    * the format is the contract, not the storage.)
+    */
+  val demoArtifact: Array[Byte] = serialize(Model(
+    numFeatures = 2,
+    bias = 0.0005,
+    trees = Seq(
+      Tree(IndexedSeq(
+        Internal(0, 0.0, 1, 2),
+        Internal(1, 1.0e-4, 3, 4), Internal(0, 0.02, 5, 6),
+        Leaf(0.004), Leaf(0.009), Leaf(-0.001), Leaf(-0.006))),
+      Tree(IndexedSeq(
+        Internal(1, 5.0e-5, 1, 2),
+        Internal(0, -0.01, 3, 4), Internal(0, 0.01, 5, 6),
+        Leaf(0.003), Leaf(-0.002), Leaf(0.001), Leaf(-0.004))),
+      Tree(IndexedSeq(
+        Internal(0, 0.005, 1, 2),
+        Leaf(0.002), Internal(1, 2.0e-4, 3, 4),
+        Leaf(-0.003), Leaf(0.0015))))))
+}

@@ -38,49 +38,116 @@ object Corpus extends QueryModule {
   // updated centroids between iterations (model state, not data), which
   // also bounds plan lineage to one scan per pass.
   //
+  // Seeding is a deterministic k-means||-style pass (Bahmani et al.,
+  // VLDB'12 shape): a hash-argmin first center, then a FEW batched rounds
+  // each adding the l points farthest from the current center set —
+  // d²-top-l in place of k-means||'s d²-proportional sampling, so the
+  // result is reproducible and oracle-checkable while keeping the paper's
+  // round structure (O(1) corpus scans, a batch of centers per round —
+  // NOT k sequential k-means++ scans). Each round is one scan with the
+  // current seed set broadcast; top-l is TakeOrdered (no global sort);
+  // the driver sees only the ≤k×64 seed state.
+  //
   // Determinism: coordinates are floor(x·1e6) longs; distances are exact
   // integer squared-L2 (≤ 64·(1e6)² ≈ 6.4e13 per vector, well inside
   // long); centroid means are exact floor division (s - pmod(s,n)) div n;
-  // argmin ties break on cid. Seeds are vec_id 0..K-1 (vec_ids start at
-  // 0 in the fixture — asserted by the seed count).
+  // argmin ties break on cid; farthest-point ties break on vec_id.
   // ---------------------------------------------------------------------
+  /** Seed-round batch sizes: 1 hash-picked + 3 + 4 = K centers. */
+  private val SeedRounds = Seq(3, 4)
+
+  private def embScaled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir).select(
+      $"vec_id",
+      transform($"embedding",
+        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("xs"))
+  }
+
+  private def sqd(xs: org.apache.spark.sql.Column, cs: org.apache.spark.sql.Column) =
+    aggregate(zip_with(xs, cs, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, d) => acc + d)
+
+  private def assign(emb: DataFrame, cents: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.crossJoin(broadcast(cents))
+      .withColumn("dist", sqd($"xs", $"cs"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"dist", $"cid", $"xs")).as("m"))
+      .select($"vec_id", $"m.cid".as("cid"), $"m.dist".as("dist"),
+        $"m.xs".as("xs"))
+  }
+
+  private def update(assigned: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
+    assigned.select($"cid", posexplode($"xs"))
+      .groupBy($"cid", $"pos")
+      .agg(sum($"col").as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("(s - pmod(s, n)) div n")) // exact floor mean
+      .groupBy($"cid")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        p => p.getField("c")).as("cs"))
+  }
+
+  /** Deterministic k-means||-style seeds: (cid 0..K-1, coords), labeled by
+    * ascending vec_id. Exposed for the seeding/inertia spec.
+    */
+  private[operators] def seedCentroids(
+      spark: SparkSession, dir: String): Seq[(Long, Seq[Long])] = {
+    import spark.implicits._
+    val emb = embScaled(spark, dir)
+    // pseudo-random but reproducible first center: argmin of a salted hash
+    var seeds: Seq[(Long, Seq[Long])] = emb
+      .withColumn("hv", Portable.md5Hash64($"vec_id".cast("string")))
+      .orderBy($"hv", $"vec_id").limit(1)
+      .select($"vec_id", $"xs").as[(Long, Seq[Long])].collect().toSeq
+    for (l <- SeedRounds) {
+      val cdf = seeds.map(_._2).zipWithIndex
+        .map { case (cs, i) => (i.toLong, cs) }.toDF("cid", "cs")
+      val far = emb.crossJoin(broadcast(cdf))
+        .withColumn("d", sqd($"xs", $"cs"))
+        .groupBy($"vec_id")
+        .agg(min(struct($"d", $"xs")).as("m"))
+        .select($"vec_id", $"m.d".as("d"), $"m.xs".as("xs"))
+      seeds = seeds ++ far.orderBy($"d".desc, $"vec_id").limit(l)
+        .select($"vec_id", $"xs").as[(Long, Seq[Long])].collect().toSeq
+    }
+    seeds.sortBy(_._1).zipWithIndex.map { case ((_, xs), i) => (i.toLong, xs) }
+  }
+
+  /** `iters` Lloyd's passes from the deterministic seeds → final (cid,
+    * coords) model state. Exposed for the inertia spec.
+    */
+  private[operators] def kmeansCentroids(
+      spark: SparkSession, dir: String, iters: Int): DataFrame = {
+    import spark.implicits._
+    val emb = embScaled(spark, dir)
+    var cents = seedCentroids(spark, dir).toDF("cid", "cs")
+    for (_ <- 1 to iters) {
+      // k×64 longs of model state — the one legitimate driver round-trip
+      val local = update(assign(emb, cents))
+        .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+      cents = local.toDF("cid", "cs")
+    }
+    cents
+  }
+
+  /** Total inertia (sum of squared distances to the nearest centroid) of a
+    * centroid set over the corpus — one scan. Exposed for the spec.
+    */
+  private[operators] def inertia(
+      spark: SparkSession, dir: String, cents: DataFrame): Long = {
+    import spark.implicits._
+    assign(embScaled(spark, dir), cents)
+      .agg(sum($"dist")).as[Long].head()
+  }
+
   private val q98 = QueryDef(
     "q98_kmeans",
     (spark, dir) => {
       import spark.implicits._
-      val emb = Tables.embeddings(spark, dir).select(
-        $"vec_id",
-        transform($"embedding",
-          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("xs"))
-
-      def assign(cents: DataFrame): DataFrame =
-        emb.crossJoin(broadcast(cents))
-          .withColumn("dist",
-            aggregate(zip_with($"xs", $"cs", (a, b) => (a - b) * (a - b)),
-              lit(0L), (acc, d) => acc + d))
-          .groupBy($"vec_id")
-          .agg(min(struct($"dist", $"cid", $"xs")).as("m"))
-          .select($"vec_id", $"m.cid".as("cid"), $"m.dist".as("dist"),
-            $"m.xs".as("xs"))
-
-      def update(assigned: DataFrame): DataFrame =
-        assigned.select($"cid", posexplode($"xs"))
-          .groupBy($"cid", $"pos")
-          .agg(sum($"col").as("s"), count(lit(1)).as("n"))
-          .withColumn("c", expr("(s - pmod(s, n)) div n")) // exact floor mean
-          .groupBy($"cid")
-          .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
-            p => p.getField("c")).as("cs"))
-
-      var cents = emb.filter($"vec_id" < K)
-        .select($"vec_id".as("cid"), $"xs".as("cs"))
-      for (_ <- 1 to Iters) {
-        // k×64 longs of model state — the one legitimate driver round-trip
-        val local = update(assign(cents))
-          .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
-        cents = local.toDF("cid", "cs")
-      }
-      val stats = assign(cents)
+      val cents = kmeansCentroids(spark, dir, Iters)
+      val stats = assign(embScaled(spark, dir), cents)
         .groupBy($"cid")
         .agg(count(lit(1)).as("n"), sum($"dist").as("inertia"))
       val checks = cents.select($"cid",
@@ -122,7 +189,22 @@ object Corpus extends QueryModule {
           GROUP BY cid, u.pos))
       GROUP BY cid)"""
 
+  /** One deterministic seeding round: d² of every vector to the current
+    * seed set, then the top-`l` farthest (ties on vec_id) join the set.
+    */
+  private def seedRoundCte(i: Int, l: Int): String = s"""
+    d$i AS (
+      SELECT e.vec_id, e.xs,
+             min(list_sum(list_transform(list_zip(e.xs, c.xs),
+               p -> (p[1] - p[2]) * (p[1] - p[2])))) AS d
+      FROM emb e CROSS JOIN seeds$i c GROUP BY e.vec_id, e.xs),
+    s$i AS (SELECT vec_id, xs FROM d$i ORDER BY d DESC, vec_id LIMIT $l),
+    seeds${i + 1} AS (SELECT * FROM seeds$i UNION ALL SELECT * FROM s$i)"""
+
   private def kmeansOracle: String = {
+    val seedRounds = SeedRounds.zipWithIndex
+      .map { case (l, i) => seedRoundCte(i + 1, l) }.mkString(",")
+    val lastSeeds = s"seeds${SeedRounds.size + 1}"
     val iters = (1 to Iters).map { i =>
       val prev = if (i == 1) "c0" else s"c${i - 1}"
       assignCte(s"a$i", prev) + "," + updateCte(s"c$i", s"a$i")
@@ -133,7 +215,16 @@ object Corpus extends QueryModule {
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xs
       FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, xs AS cs FROM emb WHERE vec_id < $K),
+    seeds1 AS (
+      SELECT vec_id, xs FROM (
+        SELECT vec_id, xs,
+               ${Portable.md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS hv
+        FROM emb)
+      ORDER BY hv, vec_id LIMIT 1),
+    $seedRounds,
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, xs AS cs
+      FROM $lastSeeds),
     $iters,
     ${assignCte("fin", s"c$Iters")}
     SELECT f.cid AS cid,

@@ -485,53 +485,103 @@ object Dedup extends QueryModule {
 
   // ---------------------------------------------------------------------
   // q72 — near-dup clusters: connected components over the verified pair
-  // graph (q35), by iterative min-label propagation — each doc ends up
-  // labeled with the smallest doc_id reachable from it, the unique fixed
-  // point, so the result is deterministic no matter how iterations
-  // interleave. The driver loop only COORDINATES (diameter-many rounds,
-  // one small count per round — the standard shape of Spark iterative
-  // graph algorithms); every step is a distributed join/aggregate over
-  // the pair graph, which is tiny relative to the corpus by construction.
+  // graph (q35), by alternating large-star/small-star contraction
+  // (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  // SoCC'14) — the round count scales with log of component size, NOT
+  // graph diameter, so an adversarial 10k-long near-dup chain converges
+  // in ~15 rounds where plain min-label propagation needs 10k. Each doc
+  // ends up labeled with the smallest doc_id in its component — the same
+  // unique fixed point as min-label propagation, so q72's result (and
+  // its oracle) is unchanged. The driver loop only COORDINATES (one
+  // count + one emptiness probe per round); every step is a distributed
+  // groupBy/join over the pair graph, which is tiny relative to the
+  // corpus by construction.
   // Oracle: DuckDB recursive-CTE transitive closure + min per node.
   // ---------------------------------------------------------------------
+  /** Connected components over an undirected pair list (columns `i`, `j`)
+    * → (node, label) with label = min node id of the component.
+    *
+    * Alternating star contraction: per round,
+    *   large-star — every node links its LARGER neighbors to its minimum
+    *     neighborhood member m = min(Γ(u) ∪ {u}): emit (v, m) ∀ v ∈ Γ(u),
+    *     v > u;
+    *   small-star — every node links its smaller neighbors (and itself) to
+    *     its minimum smaller neighbor m = min{v ∈ Γ(u) : v < u}: emit
+    *     (v, m) ∀ v ∈ {v ∈ Γ(u) : v < u} ∪ {u}, v ≠ m.
+    * Both preserve connectivity and the component minimum; the fixed point
+    * is a star per component rooted at its minimum. Rounds are
+    * O(log |component|) — contraction halves star depth like pointer
+    * jumping — and each round is two groupBy+join shuffles over the edge
+    * set. Exposed separately from the q35 wiring so specs can drive it
+    * with adversarial graphs (deep paths) directly.
+    */
+  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    def sym(e: DataFrame): DataFrame = e.union(e.select($"v".as("u"), $"u".as("v")))
+    // localCheckpoint (eager) after every round, NOT persist: each round's
+    // plan references the previous round's SEVERAL times (sym + joins), so
+    // carrying logical lineage across rounds grows the plan exponentially
+    // and Catalyst re-optimization stalls the driver after ~10 rounds.
+    // Checkpointing cuts the plan back to a flat scan per round — on a
+    // cluster this is the classic iterate-then-checkpoint loop (reliable
+    // checkpoint dir or a per-round silver table instead of local blocks).
+    var edges = pairs
+      .select(col("i").as("u"), col("j").as("v"))
+      .filter($"u" =!= $"v").distinct()
+      .localCheckpoint(true)
+    var n = edges.count()
+    var converged = false
+    var iter = 0
+    val MaxRounds = 60 // ~log2 of any feasible component size, with slack
+    while (!converged && iter < MaxRounds) {
+      val s = sym(edges)
+      // large-star: m(u) = min(Γ(u) ∪ {u}); (v, m) for larger neighbors v
+      val minsL = s.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+      val large = s.filter($"v" > $"u")
+        .join(minsL, "u")
+        .select($"v".as("u"), $"m".as("v"))
+        .distinct() // v > u ≥ m, so never a self-loop
+      // small-star on the large-star result: m(u) = min smaller neighbor;
+      // re-link the smaller neighborhood (and u itself) onto m
+      val below = sym(large).filter($"v" < $"u")
+      val minsS = below.groupBy($"u").agg(min($"v").as("m"))
+      val next = below.join(minsS, "u")
+        .filter($"v" =!= $"m")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(minsS.select($"u", $"m".as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      val nNext = next.count()
+      // fixed point = the edge set is literally unchanged (size equality
+      // makes the one-sided except a full set-equality test)
+      converged = nNext == n && next.except(edges).isEmpty
+      edges.unpersist()
+      edges = next
+      n = nNext
+      iter += 1
+    }
+    // a silent partial fixed point would hand wrong cluster_ids downstream
+    // with no signal — fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not converge within $MaxRounds rounds " +
+          s"($n edges at the cap) — not a feasible component size; input bug")
+    // stars: (leaf, root) edges, roots only on the right — every node's
+    // label is the root it points at; roots label themselves
+    val labels = edges.select($"u".as("node"), $"v".as("label"))
+      .union(edges.select($"v".as("node"), $"v".as("label")))
+      .distinct()
+    Scoped.materialize(edges)(labels)
+  }
+
   /** (node, label) table of the min-label fixed point over the verified
     * pair graph — exposed for the co-clustering invariant test.
     */
   private[operators] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = nearDupPairs(spark, dir).select($"i", $"j")
-    val edges = pairs
-      .union(pairs.select($"j".as("i"), $"i".as("j")))
-      .persist()
-    var labels = edges.select($"i".as("node")).distinct()
-      .withColumn("label", $"node")
-      .persist()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 25) {
-      val neigh = edges.join(labels, edges("i") === labels("node"))
-        .groupBy(edges("j").as("nb")).agg(min($"label").as("nl"))
-      // convergence test straight off the neighbor minima — one count per
-      // round, and the final (no-op) round never builds an unused table
-      changed = labels.join(neigh, labels("node") === neigh("nb"))
-        .filter($"nl" < $"label").count()
-      if (changed > 0) {
-        val next = labels.join(neigh, labels("node") === neigh("nb"), "left")
-          .select($"node", least($"label", coalesce($"nl", $"label")).as("label"))
-          .persist()
-        labels.unpersist()
-        labels = next
-      }
-      iter += 1
-    }
-    // a silent partial fixed point would hand wrong cluster_ids downstream
-    // with no signal — fail loudly instead (at adversarial diameters the
-    // fix is the large-star/small-star contraction, see SCALE.md)
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"min-label propagation did not converge after $iter iterations " +
-          s"($changed labels still improving); graph diameter exceeds the cap")
-    Scoped.materialize(edges, labels)(labels)
+    connectedComponents(nearDupPairs(spark, dir).select($"i", $"j"))
   }
 
   private val q72 = QueryDef(

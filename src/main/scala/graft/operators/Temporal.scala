@@ -185,5 +185,59 @@ object Temporal extends QueryModule {
         ON e.event_type = q.event_type AND e.d >= q.qdate
       GROUP BY 1, 2 ORDER BY e.event_type, staleness"""))
 
-  override val defs: Seq[QueryDef] = Seq(q62, q63, q94)
+  // ---------------------------------------------------------------------
+  // q101 — native as-of join, LEFT-OUTER surface: the exec has emitted
+  // null-extended rows for match-less left rows since day one (q94 filters
+  // them away to meet DuckDB's inner ASOF); here they are kept and
+  // aggregated as the NULL-staleness cell per event type. The quote table
+  // deliberately starts a week into the event range, so a pre-first-quote
+  // population exists at every SF and the outer path is genuinely
+  // exercised. Oracle: DuckDB ASOF LEFT JOIN — two independent first-class
+  // implementations of the outer form must agree cell-for-cell, including
+  // the NULL cells.
+  // ---------------------------------------------------------------------
+  private val QuoteStart = "2024-01-08"
+  private val q101 = QueryDef(
+    "q101_asof_left",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .select($"event_id", $"event_type", to_date($"ts").as("d"), $"value")
+      val quotes = ev
+        .groupBy($"event_type", $"d")
+        .agg(cents($"value").as("close_cents"))
+        .filter(pmod(Portable.md5Hash64(
+          concat($"event_type", lit("|"), $"d".cast("string"))), lit(10)) < 7 &&
+          $"d" >= lit(QuoteStart).cast("date"))
+        .select($"event_type".as("q_type"), $"d".as("qdate"), $"close_cents")
+      graft.plans.AsOf.join(ev, quotes,
+          Seq("event_type" -> "q_type"), "d", "qdate")
+        .withColumn("staleness", datediff($"d", $"qdate")) // NULL ⇔ no quote yet
+        .groupBy($"event_type", $"staleness")
+        .agg(
+          count(lit(1)).as("n_events"),
+          count($"qdate").as("n_matched"),
+          cents($"value").as("value_cents"))
+        .orderBy($"event_type", $"staleness".asc_nulls_first)
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_id, event_type, CAST(ts AS DATE) AS d, value
+        FROM events WHERE ts IS NOT NULL),
+      quotes AS (
+        SELECT event_type, d AS qdate,
+               sum(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS close_cents
+        FROM ev GROUP BY 1, 2
+        HAVING ${Portable.md5Hash64Sql("event_type || '|' || CAST(qdate AS VARCHAR)")} % 10 < 7
+           AND qdate >= DATE '$QuoteStart')
+      SELECT e.event_type, e.d - q.qdate AS staleness,
+             count(*) AS n_events,
+             count(q.qdate) AS n_matched,
+             CAST(sum(CAST(CAST(e.value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+      FROM ev e ASOF LEFT JOIN quotes q
+        ON e.event_type = q.event_type AND e.d >= q.qdate
+      GROUP BY 1, 2 ORDER BY e.event_type, staleness NULLS FIRST"""))
+
+  override val defs: Seq[QueryDef] = Seq(q62, q63, q94, q101)
 }

@@ -28,7 +28,13 @@ object Tables {
     * TIMESTAMP_NS → TIMESTAMP, so oracle values line up exactly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // harness init normally pins this at session build (Verify/Bench/spec
+    // builders); the guarded set below is a first-read fallback for ad-hoc
+    // sessions. It is safe where variable conf mutation is not: the value
+    // is a process-lifetime constant ("true", never restored), so no
+    // concurrently-planning query can observe a transient state.
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

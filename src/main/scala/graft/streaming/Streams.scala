@@ -42,6 +42,11 @@ object Streams extends QueryModule {
   private def streamSession(spark: SparkSession): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // the events fixture's TIMESTAMP(NANOS) column needs the legacy
+    // nanos-as-long read path (Tables.events note); set on the CLONE so the
+    // shared session's conf is never mutated mid-flight — same scoping rule
+    // as the partitions override above
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ss
   }
 
@@ -51,7 +56,12 @@ object Streams extends QueryModule {
     * batch reader and the DuckDB oracle.
     */
   private[graft] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // requires spark.sql.legacy.parquet.nanosAsLong=true on the session —
+    // streamSession sets it on its clone; a caller-supplied session must
+    // arrive pre-configured (harness init), never be mutated here
+    require(
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "eventsStream needs spark.sql.legacy.parquet.nanosAsLong=true (set at session init)")
     val schema = new StructType()
       .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
       .add("event_type", StringType).add("value", DoubleType)

@@ -9,6 +9,9 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // events fixture is TIMESTAMP(NANOS): pin the legacy read path at
+    // session init so no query mutates shared conf at plan time
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 
   val Sf001 = "/root/testdata/sf0.001"

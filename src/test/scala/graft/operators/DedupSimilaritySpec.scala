@@ -92,4 +92,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .filter(col("n_distinct") + col("n_dup_docs") =!= col("n_docs")).count()
     assert(bad === 0)
   }
+
+  test("q98 k-means: deterministic k-means|| seeds, inertia strictly improves per Lloyd's pass") {
+    val seeds = Corpus.seedCentroids(spark, TestSpark.Sf001)
+    assert(seeds.size === 8)
+    assert(seeds.map(_._1) === (0L until 8L)) // relabeled 0..K-1
+    assert(seeds.map(_._2).distinct.size === 8) // farthest-point ⇒ distinct centers
+    // rerun-deterministic (the whole point of the d²-top-l selection)
+    assert(Corpus.seedCentroids(spark, TestSpark.Sf001) === seeds)
+    // Lloyd's monotonicity, strictly: each pass must reduce total inertia
+    // (a plateau this early would mean the update step is a no-op)
+    val inertias = (0 to 2).map { it =>
+      Corpus.inertia(spark, TestSpark.Sf001,
+        Corpus.kmeansCentroids(spark, TestSpark.Sf001, it))
+    }
+    assert(inertias(1) < inertias(0),
+      s"pass 1 did not improve inertia: ${inertias(0)} -> ${inertias(1)}")
+    assert(inertias(2) < inertias(1),
+      s"pass 2 did not improve inertia: ${inertias(1)} -> ${inertias(2)}")
+  }
 }

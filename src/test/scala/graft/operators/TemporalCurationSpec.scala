@@ -137,6 +137,29 @@ class TemporalCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q72 contraction: adversarial 200-deep path converges (diameter-free round count)") {
+    // a path graph is the worst case for diameter-bounded label
+    // propagation (the pre-contraction implementation capped at 25
+    // rounds); star contraction's rounds scale with log of component
+    // size, so 200 hops converge in ~a dozen rounds. Ids are scrambled
+    // (deterministic LCG permutation) so path order ≠ id order — the
+    // min label genuinely has to travel the whole chain.
+    val ids = (0 until 200).map(k => (k * 73L + 11L) % 200L) // bijection mod 200
+    val pathPairs = ids.sliding(2).map { case Seq(a, b) => (a, b) }.toSeq
+      .toDF("i", "j")
+    val labels = Dedup.connectedComponents(pathPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size === 200)
+    assert(labels.values.toSet === Set(0L)) // one component, min-labeled
+    // two disjoint deep paths stay separate components
+    val two = (0 until 120).sliding(2).map { case Seq(a, b) => (a.toLong, b.toLong) }.toSeq ++
+      (1000 until 1120).sliding(2).map { case Seq(a, b) => (a.toLong, b.toLong) }.toSeq
+    val labels2 = Dedup.connectedComponents(two.toDF("i", "j"))
+      .as[(Long, Long)].collect().toMap
+    assert(labels2.count(_._2 == 0L) === 120)
+    assert(labels2.count(_._2 == 1000L) === 120)
+  }
+
   test("q64 stratified sample: per-class cap respected, rerun-deterministic") {
     val r1 = run("q64_stratified_sample").collect()
     val r2 = run("q64_stratified_sample").collect()
