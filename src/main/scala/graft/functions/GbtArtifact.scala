@@ -108,13 +108,17 @@ object GbtArtifact {
     m.trees.map(walk(_, 0)).mkString(s"(${m.bias} + ", " + ", ")")
   }
 
-  /** Driver-side reference scorer (plain Scala tree walk) for specs. */
+  /** Driver-side reference scorer (plain Scala tree walk) for specs.
+    * Accumulates in the same left-fold order as [[score]]/[[scoreSql]] —
+    * float addition is non-associative, so the order is part of the
+    * contract.
+    */
   def scoreLocal(m: Model, feats: Seq[Double]): Double = {
     def walk(t: Tree, i: Int): Double = t.nodes(i) match {
       case Leaf(v) => v
       case Internal(f, thr, l, r) => if (feats(f) < thr) walk(t, l) else walk(t, r)
     }
-    m.bias + m.trees.map(walk(_, 0)).sum
+    m.trees.foldLeft(m.bias)((acc, t) => acc + walk(t, 0))
   }
 
   /** The fixture model artifact: a fixed 3-tree ensemble over

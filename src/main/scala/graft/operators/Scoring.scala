@@ -155,5 +155,61 @@ object Scoring extends QueryModule {
              'surrogate_linear' AS model_type
       FROM scored ORDER BY ticker, date"""))
 
-  override val defs: Seq[QueryDef] = Seq(q31, q32, q33)
+  // ---------------------------------------------------------------------
+  // q102 — REAL artifact scoring (X3 completed): the same feature assembly
+  // as q33, but the model is a serialized GBT ensemble DESERIALIZED FROM
+  // BYTES (functions.GbtArtifact wire format — the engine-side analog of
+  // the reference's pickled-XGBoost load at stock_pipeline.py:138) and
+  // compiled into a native when/otherwise expression chain: bytes →
+  // parsed trees → whole-stage-codegen'd scoring, no driver loop, no UDF.
+  // The oracle scores with CASE WHEN SQL generated from the SAME parsed
+  // model, so the full load path (deserialize + compile) is what the
+  // hash-compare checks.
+  // ---------------------------------------------------------------------
+  private val q102 = QueryDef(
+    "q102_model_artifact_score",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.GbtArtifact
+      val model = GbtArtifact.deserialize(GbtArtifact.demoArtifact)
+      val w = Window.partitionBy("ticker").orderBy("date")
+      val prev = lag($"close", 1).over(w)
+      WindowFeatures.bars(spark, dir)
+        .withColumn("daily_return", ($"close" - prev) / prev)
+        .withColumn("vol_signal", lit(1.0) / ($"volume".cast("double") + lit(1.0)))
+        .withColumn("close_next", lead($"close", 1).over(w))
+        .filter($"daily_return".isNotNull && $"close_next".isNotNull)
+        .withColumn("pred_return",
+          GbtArtifact.score(model, Seq($"daily_return", $"vol_signal")))
+        .withColumn("predicted_price", $"close" * (lit(1.0) + $"pred_return"))
+        .withColumn("model_type", lit("gbt_artifact_v1"))
+        .select($"ticker", $"date", $"close", $"daily_return", $"vol_signal",
+          $"pred_return", $"predicted_price", $"close_next".as("actual_price"),
+          $"model_type")
+        .orderBy($"ticker", $"date")
+    },
+    Some {
+      val model = graft.functions.GbtArtifact
+        .deserialize(graft.functions.GbtArtifact.demoArtifact)
+      val scoreSql = graft.functions.GbtArtifact
+        .scoreSql(model, Seq("daily_return", "vol_signal"))
+      s"""
+      WITH ${WindowFeatures.barsSql},
+      feat AS (
+        SELECT ticker, date, close, volume,
+               (close - lag(close,1) OVER w) / lag(close,1) OVER w AS daily_return,
+               1.0 / (CAST(volume AS DOUBLE) + 1.0) AS vol_signal,
+               lead(close,1) OVER w AS close_next
+        FROM bars WINDOW w AS (PARTITION BY ticker ORDER BY date)),
+      scored AS (
+        SELECT *, $scoreSql AS pred_return
+        FROM feat WHERE daily_return IS NOT NULL AND close_next IS NOT NULL)
+      SELECT ticker, date, close, daily_return, vol_signal, pred_return,
+             close * (1.0 + pred_return) AS predicted_price,
+             close_next AS actual_price,
+             'gbt_artifact_v1' AS model_type
+      FROM scored ORDER BY ticker, date"""
+    })
+
+  override val defs: Seq[QueryDef] = Seq(q31, q32, q33, q102)
 }
