@@ -120,7 +120,200 @@ object SentimentLex {
     "unhappy" -> -18, "unsafe" -> -19, "upset" -> -19, "useless" -> -17,
     "victim" -> -19, "violence" -> -29, "violent" -> -29, "war" -> -29,
     "warning" -> -14, "waste" -> -18, "weak" -> -19, "worried" -> -18,
-    "worry" -> -19, "wrong" -> -21)
+    "worry" -> -19, "wrong" -> -21,
+    // ---- expanded coverage (round 4): positive ----
+    "accomplish" -> 19, "accomplished" -> 19, "achievement" -> 21,
+    "admire" -> 21, "admired" -> 21, "adorable" -> 22, "adore" -> 25,
+    "advantage" -> 16, "agree" -> 15, "agreeable" -> 18, "amused" -> 16,
+    "amusing" -> 16, "appreciate" -> 20, "appreciated" -> 21,
+    "approval" -> 18, "approve" -> 19, "attractive" -> 19, "benefit" -> 20,
+    "bless" -> 21, "blessed" -> 29, "bliss" -> 27, "bonus" -> 23,
+    "boost" -> 17, "brave" -> 24, "bright" -> 19, "calm" -> 13,
+    "capable" -> 16, "care" -> 22, "cared" -> 20, "caring" -> 22,
+    "champion" -> 26, "cherish" -> 21, "classic" -> 11, "comfy" -> 17,
+    "commend" -> 19, "compassion" -> 21, "congrats" -> 26,
+    "congratulations" -> 26, "courage" -> 22, "courageous" -> 25,
+    "courteous" -> 19, "cozy" -> 13, "dazzling" -> 24, "dear" -> 16,
+    "decent" -> 15, "dedicated" -> 17, "delightful" -> 28,
+    "dependable" -> 18, "desirable" -> 18, "devoted" -> 20, "dream" -> 11,
+    "dynamic" -> 14, "earnest" -> 16, "effective" -> 18, "empower" -> 18,
+    "empowered" -> 19, "enchanting" -> 23, "endorse" -> 15,
+    "engaging" -> 16, "enrich" -> 18, "epic" -> 20, "exceptional" -> 24,
+    "exciting" -> 23, "exquisite" -> 26, "faithful" -> 21, "famous" -> 17,
+    "fancy" -> 13, "fascinating" -> 22, "favor" -> 17, "fearless" -> 20,
+    "festive" -> 20, "fit" -> 13, "flourish" -> 21, "fond" -> 18,
+    "forgive" -> 15, "forgiven" -> 16, "fortune" -> 21, "freely" -> 15,
+    "friendship" -> 22, "fulfilled" -> 21, "gain" -> 15, "gained" -> 16,
+    "genius" -> 24, "genuine" -> 17, "gifted" -> 20, "glow" -> 14,
+    "golden" -> 16, "goodness" -> 21, "gorgeous" -> 27, "graceful" -> 19,
+    "gracious" -> 20, "grand" -> 19, "gratitude" -> 21, "greatest" -> 32,
+    "grin" -> 16, "growth" -> 16, "handsome" -> 22, "harmony" -> 20,
+    "heal" -> 17, "healed" -> 18, "heartfelt" -> 19, "heaven" -> 23,
+    "heavenly" -> 25, "hero" -> 26, "heroic" -> 26, "honor" -> 22,
+    "honored" -> 23, "hug" -> 18, "humble" -> 12, "humor" -> 16,
+    "ideal" -> 21, "important" -> 11, "improvement" -> 19,
+    "innocent" -> 13, "inspiring" -> 24, "intelligent" -> 21,
+    "inviting" -> 16, "jolly" -> 22, "jubilant" -> 27, "justice" -> 19,
+    "keen" -> 14, "laughed" -> 21, "laughter" -> 23, "legendary" -> 21,
+    "liberty" -> 19, "lively" -> 18, "lovable" -> 25, "lovely" -> 26,
+    "lover" -> 21, "loyal" -> 19, "luckily" -> 21, "luxury" -> 20,
+    "masterpiece" -> 25, "mature" -> 14, "merit" -> 15, "merry" -> 23,
+    "mighty" -> 17, "miracle" -> 26, "motivated" -> 18, "neat" -> 16,
+    "noble" -> 20, "nurture" -> 16, "okay" -> 9, "opportunity" -> 16,
+    "paradise" -> 28, "passion" -> 20, "passionate" -> 21, "patient" -> 13,
+    "peace" -> 25, "perfection" -> 28, "playful" -> 19, "polite" -> 18,
+    "precious" -> 21, "prestige" -> 17, "prize" -> 21, "productive" -> 17,
+    "prosper" -> 22, "prosperity" -> 23, "protect" -> 15,
+    "protected" -> 16, "radiant" -> 22, "recommend" -> 15,
+    "recommended" -> 16, "refresh" -> 14, "refreshing" -> 18,
+    "rejoice" -> 25, "resilient" -> 18, "resolve" -> 13, "respected" -> 22,
+    "restore" -> 13, "robust" -> 14, "romantic" -> 20, "satisfy" -> 18,
+    "satisfying" -> 20, "save" -> 12, "saved" -> 14, "savior" -> 22,
+    "sensational" -> 24, "serene" -> 20, "share" -> 12, "shine" -> 16,
+    "shiny" -> 14, "sincere" -> 18, "skilled" -> 16, "skillful" -> 17,
+    "soothe" -> 15, "soothing" -> 17, "spectacular" -> 26, "stable" -> 12,
+    "stellar" -> 23, "stunning" -> 24, "sublime" -> 23, "succeeded" -> 23,
+    "superior" -> 19, "supportive" -> 19, "supreme" -> 22,
+    "surprised" -> 10, "sustain" -> 11, "tender" -> 16, "thrilled" -> 27,
+    "thrilling" -> 25, "tidy" -> 14, "tolerant" -> 15, "tranquil" -> 19,
+    "treasure" -> 21, "treat" -> 14, "trusted" -> 20, "truthful" -> 19,
+    "upbeat" -> 19, "uplift" -> 19, "uplifting" -> 21, "usable" -> 12,
+    "vital" -> 13, "vivid" -> 14, "wealthy" -> 20, "welcomed" -> 19,
+    "wellness" -> 18, "wholesome" -> 18, "wise" -> 19, "wisdom" -> 20,
+    "won" -> 27, "worthy" -> 17, "yay" -> 26, "youthful" -> 14,
+    "zeal" -> 17, "zest" -> 17,
+    // ---- expanded coverage (round 4): negative ----
+    "abandoned" -> -20, "abysmal" -> -26, "accident" -> -19,
+    "accuse" -> -18, "accused" -> -19, "ache" -> -17, "addict" -> -17,
+    "addicted" -> -18, "adverse" -> -16, "aggravate" -> -19,
+    "aggressive" -> -12, "agonizing" -> -27, "agony" -> -27,
+    "alarm" -> -14, "alarming" -> -17, "alone" -> -10, "anger" -> -25,
+    "anguish" -> -25, "annoyance" -> -18, "apathetic" -> -12,
+    "appalling" -> -25, "arrogant" -> -21, "assault" -> -24,
+    "atrocious" -> -27, "ban" -> -14, "banned" -> -16, "bankrupt" -> -25,
+    "beaten" -> -18, "betrayal" -> -29, "betrayed" -> -29, "bias" -> -11,
+    "biased" -> -13, "bizarre" -> -10, "bleak" -> -18, "bothered" -> -15,
+    "breakdown" -> -19, "bribe" -> -21, "bully" -> -24, "burden" -> -16,
+    "burn" -> -16, "burned" -> -17, "careless" -> -16, "chaos" -> -21,
+    "chaotic" -> -20, "cheap" -> -10, "cheated" -> -26, "clumsy" -> -14,
+    "cold" -> -9, "complained" -> -16, "conflict" -> -17, "confuse" -> -13,
+    "confusing" -> -13, "corrupt" -> -26, "corruption" -> -26,
+    "coward" -> -20, "crashed" -> -16, "creepy" -> -19, "cried" -> -21,
+    "criminal" -> -24, "critical" -> -12, "criticize" -> -15,
+    "criticized" -> -16, "crude" -> -14, "cursed" -> -22, "cynical" -> -14,
+    "damaged" -> -22, "damn" -> -16, "dark" -> -10, "deadly" -> -28,
+    "debt" -> -19, "deceive" -> -23, "deceived" -> -24, "deception" -> -23,
+    "decline" -> -13, "declined" -> -14, "defect" -> -17,
+    "defective" -> -19, "deficit" -> -15, "degrade" -> -19,
+    "dejected" -> -20, "demolish" -> -17, "denied" -> -17,
+    "depress" -> -21, "depressing" -> -22, "depression" -> -23,
+    "deprive" -> -18, "desolate" -> -20, "despair" -> -24,
+    "despise" -> -26, "destruction" -> -25, "destructive" -> -24,
+    "deteriorate" -> -18, "devastate" -> -27, "devastated" -> -28,
+    "devastating" -> -28, "dictator" -> -22, "dire" -> -18,
+    "disadvantage" -> -16, "disagree" -> -12, "disappointing" -> -22,
+    "disapprove" -> -15, "discourage" -> -17, "discouraged" -> -18,
+    "disgrace" -> -22, "disgraceful" -> -23, "disgusted" -> -27,
+    "disgusting" -> -28, "dismal" -> -20, "dismiss" -> -12,
+    "disorder" -> -15, "dispute" -> -13, "disrupt" -> -14,
+    "distress" -> -21, "distressed" -> -22, "disturb" -> -16,
+    "disturbed" -> -18, "disturbing" -> -19, "divorce" -> -16,
+    "doom" -> -23, "doomed" -> -25, "downfall" -> -19, "drastic" -> -12,
+    "dreadful" -> -25, "drown" -> -22, "drunk" -> -14, "dying" -> -27,
+    "embarrassing" -> -17, "emergency" -> -17, "endanger" -> -20,
+    "enrage" -> -24, "enraged" -> -26, "erode" -> -12, "erratic" -> -13,
+    "excluded" -> -14, "exhausted" -> -16, "exploit" -> -19,
+    "exploited" -> -20, "explode" -> -16, "explosion" -> -16,
+    "fatal" -> -26, "fatigue" -> -14, "faulty" -> -17, "fearful" -> -22,
+    "feeble" -> -15, "fell" -> -9, "fiasco" -> -21, "filthy" -> -22,
+    "flaw" -> -15, "flawed" -> -17, "flee" -> -14, "foolish" -> -17,
+    "forbidden" -> -14, "forced" -> -12, "forgotten" -> -12,
+    "foul" -> -19, "fragile" -> -11, "fright" -> -20, "frightened" -> -22,
+    "frightening" -> -23, "frustrating" -> -23, "frustration" -> -23,
+    "furious" -> -27, "fury" -> -26, "gloom" -> -20, "gloomy" -> -20,
+    "greed" -> -22, "greedy" -> -23, "grief" -> -24, "grim" -> -19,
+    "gross" -> -19, "gruesome" -> -25, "harmed" -> -24, "harmful" -> -24,
+    "hassle" -> -15, "hatred" -> -30, "hazard" -> -18, "hazardous" -> -19,
+    "heartbreaking" -> -26, "heartbroken" -> -27, "hideous" -> -24,
+    "hopeless" -> -23, "horrendous" -> -27, "horrific" -> -28,
+    "horrified" -> -27, "hostile" -> -22, "humiliate" -> -24,
+    "humiliated" -> -25, "humiliating" -> -25, "hunger" -> -15,
+    "hungry" -> -10, "hurting" -> -23, "hysteria" -> -18, "idiot" -> -23,
+    "idiotic" -> -23, "ignorant" -> -18, "ignored" -> -16,
+    "immoral" -> -22, "impatient" -> -12, "impossible" -> -13,
+    "inability" -> -13, "inadequate" -> -16, "incompetent" -> -20,
+    "inconvenient" -> -13, "indifferent" -> -9, "inferior" -> -17,
+    "infuriate" -> -25, "injury" -> -18, "injustice" -> -22,
+    "insane" -> -17, "insecure" -> -15, "insulted" -> -23,
+    "insulting" -> -23, "intimidate" -> -20, "irrational" -> -14,
+    "irritate" -> -19, "irritated" -> -20, "irritating" -> -21,
+    "isolated" -> -13, "jail" -> -19, "jeopardy" -> -18, "junk" -> -16,
+    "lame" -> -16, "lament" -> -17, "liar" -> -26, "limitation" -> -11,
+    "limited" -> -9, "losing" -> -22, "lying" -> -23, "malicious" -> -25,
+    "manipulate" -> -17, "manipulated" -> -18, "meltdown" -> -20,
+    "menace" -> -20, "messy" -> -15, "misery" -> -26, "mislead" -> -19,
+    "misleading" -> -20, "mock" -> -17, "mocked" -> -18, "monster" -> -19,
+    "mourn" -> -21, "murder" -> -31, "murdered" -> -31, "nasty" -> -24,
+    "naughty" -> -12, "neglect" -> -19, "neglected" -> -20,
+    "nightmare" -> -25, "noisy" -> -11, "nonsense" -> -15,
+    "obnoxious" -> -21, "offend" -> -18, "offended" -> -19,
+    "offensive" -> -21, "oppress" -> -22, "oppressed" -> -22,
+    "outrage" -> -24, "outraged" -> -25, "outrageous" -> -21,
+    "overdue" -> -11, "overwhelm" -> -13, "overwhelmed" -> -14,
+    "painfully" -> -24, "panicked" -> -23, "paranoid" -> -17,
+    "pessimistic" -> -16, "petty" -> -13, "pity" -> -14, "plague" -> -21,
+    "pointless" -> -16, "poison" -> -23, "poisoned" -> -24,
+    "pollute" -> -18, "polluted" -> -19, "pollution" -> -18,
+    "poverty" -> -21, "powerless" -> -17, "prejudice" -> -20,
+    "pressure" -> -11, "prison" -> -20, "problematic" -> -16,
+    "protest" -> -11, "punished" -> -22, "punishment" -> -22,
+    "rage" -> -25, "reckless" -> -19, "refuse" -> -14, "refused" -> -15,
+    "regret" -> -18, "regretful" -> -19, "resent" -> -19,
+    "resentment" -> -20, "restless" -> -11, "retreat" -> -10,
+    "revenge" -> -20, "ridicule" -> -19, "ridiculous" -> -17,
+    "rigged" -> -19, "riot" -> -19, "rot" -> -18, "rotten" -> -21,
+    "ruin" -> -22, "ruined" -> -24, "ruthless" -> -23, "sabotage" -> -21,
+    "sarcastic" -> -12, "savage" -> -19, "scare" -> -20, "scary" -> -21,
+    "scream" -> -16, "screamed" -> -17, "severe" -> -16, "shady" -> -15,
+    "shaky" -> -12, "shocked" -> -14, "shocking" -> -16, "shortage" -> -14,
+    "sin" -> -18, "sinister" -> -21, "skeptical" -> -11, "slam" -> -13,
+    "slammed" -> -14, "slave" -> -24, "sloppy" -> -15, "sluggish" -> -13,
+    "smash" -> -12, "smashed" -> -13, "sneaky" -> -13, "sob" -> -19,
+    "somber" -> -14, "spite" -> -18, "spiteful" -> -21, "squander" -> -17,
+    "stale" -> -11, "starve" -> -22, "starving" -> -21, "stink" -> -18,
+    "stinks" -> -19, "stolen" -> -21, "strain" -> -13, "stranded" -> -15,
+    "stressful" -> -20, "strict" -> -9, "stricken" -> -17, "stuck" -> -12,
+    "substandard" -> -16, "suck" -> -19, "sucks" -> -20, "sue" -> -14,
+    "sued" -> -15, "suffering" -> -25, "suicide" -> -26, "suspect" -> -12,
+    "swindle" -> -22, "tamper" -> -14, "tantrum" -> -16, "tarnish" -> -15,
+    "tears" -> -15, "tense" -> -13, "tension" -> -14, "terribly" -> -22,
+    "terrified" -> -26, "terrifying" -> -27, "terror" -> -28,
+    "terrorist" -> -31, "theft" -> -22, "thief" -> -22, "threaten" -> -21,
+    "threatened" -> -22, "threatening" -> -23, "timid" -> -11,
+    "torture" -> -28, "tortured" -> -28, "toxic" -> -23, "tragic" -> -26,
+    "trapped" -> -17, "trauma" -> -23, "traumatic" -> -24,
+    "troubled" -> -19, "troubling" -> -19, "tumble" -> -10,
+    "turmoil" -> -19, "unacceptable" -> -19, "unbearable" -> -22,
+    "uncertain" -> -11, "uncomfortable" -> -15, "undermine" -> -15,
+    "undesirable" -> -16, "uneasy" -> -14, "unethical" -> -21,
+    "unfortunate" -> -17, "unfortunately" -> -16, "unforgiving" -> -18,
+    "unhealthy" -> -17, "unjust" -> -20, "unlucky" -> -17,
+    "unpleasant" -> -18, "unpopular" -> -15, "unreliable" -> -17,
+    "unstable" -> -15, "unsuccessful" -> -19, "unwanted" -> -16,
+    "unwelcome" -> -16, "upsetting" -> -20, "urgent" -> -10, "vague" -> -9,
+    "vain" -> -14, "vengeance" -> -20, "vicious" -> -24, "vile" -> -26,
+    "villain" -> -22, "vulnerable" -> -12, "warned" -> -14, "weary" -> -14,
+    "weep" -> -20, "wicked" -> -21, "withdraw" -> -10, "woe" -> -19,
+    "worthless" -> -21, "wound" -> -20, "wounded" -> -21, "wreck" -> -19,
+    "wrecked" -> -20)
+
+  // duplicate keys would silently diverge between the engines: the oracle
+  // CASE chain takes the FIRST match while the codegen HashMap keeps the
+  // LAST put — refuse at class-init instead
+  require(Lexicon.map(_._1).distinct.size == Lexicon.size, {
+    val dups = Lexicon.groupBy(_._1).collect { case (w, vs) if vs.size > 1 => w }
+    s"duplicate lexicon keys: ${dups.mkString(", ")}"
+  })
 
   /** Negators: flip-and-damp the following lexicon hit by −0.74
     * (reference VADER N_SCALAR). Apostrophe-free contraction forms only —

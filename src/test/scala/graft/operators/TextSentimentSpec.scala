@@ -63,6 +63,42 @@ class TextSentimentSpec extends AnyFunSuite {
       Seq(2193L, -2793L, 1607L, -207L, 2193L))
   }
 
+  test("sentiment multi-clause negation: each clause's negator scopes only its own hit") {
+    val df = Seq(
+      // two independently negated clauses: -74×19 + -74×-25 = -1406 + 1850
+      "not good and never bad",
+      // negation then boost in separate clauses: -1406 + (3100 + 293)
+      "not good but very great",
+      // "so" intensifies good (negator out of lookback scope); "that"
+      // breaks never's scope: (1900 + 293) + (-2500)
+      "not so good and never that bad",
+      // clause break resets context: negator before a non-hit leaves the
+      // following clause's hit unmodified ("not today … good" → 1900)
+      "not today but good news",
+      // three clauses, expanded-lexicon words:
+      // -74×26 + (2200 + 293) + -74×-24 = -1924 + 2493 + 1776
+      "not lovely yet very fascinating and never nasty"
+    ).toDF("text")
+      .withColumn("raw", SentimentLex.rawScore(Portable.tokens($"text")))
+    assert(df.select("raw").as[Long].collect().toSeq ===
+      Seq(444L, 1987L, -307L, 1900L, 2345L))
+  }
+
+  test("expanded lexicon: distinct keys, VADER-scale magnitudes, both polarities covered") {
+    val words = SentimentLex.Lexicon.map(_._1)
+    assert(words.distinct.size === words.size)
+    assert(SentimentLex.Lexicon.size >= 700, s"lexicon shrank: ${words.size}")
+    assert(SentimentLex.Lexicon.count(_._2 > 0) >= 300)
+    assert(SentimentLex.Lexicon.count(_._2 < 0) >= 300)
+    // decivalence range matches VADER's [-4, 4] valence band
+    assert(SentimentLex.Lexicon.forall { case (_, v) => v >= -40 && v <= 40 })
+    // lookback modifier words must not double as lexicon entries (a word
+    // can't be both a hit and the next word's modifier in this design)
+    val mods = (SentimentLex.Negations ++ SentimentLex.Intensifiers ++
+      SentimentLex.Dampeners).toSet
+    assert(words.forall(!mods.contains(_)))
+  }
+
   test("codegen sentiment expression equals the declarative HOF form on the corpus") {
     val docs = graft.sources.Tables.documents(spark, graft.TestSpark.Sf001)
     val mismatches = docs
