@@ -463,5 +463,94 @@ object Streams extends QueryModule {
              CAST(sum(CAST(CAST(c_value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS click_cents
       FROM j GROUP BY 1 ORDER BY date"""))
 
-  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86)
+  // ---------------------------------------------------------------------
+  // q103/q104 — the Kafka-SHAPED scan path, executed (S1/S2): the
+  // `kafka-replay` DSv2 connector (graft.sources.KafkaReplay) emits the
+  // exact spark-sql-kafka record schema from the events fixture, so the
+  // full production plan — `.load()` → value bytes → `from_json` decode →
+  // transforms — runs end-to-end with real per-partition offsets and
+  // admission control. Swapping in real Kafka is the format string + the
+  // kafkaSourceOptions builder above; every line downstream of `.load()`
+  // is shared.
+  // ---------------------------------------------------------------------
+  /** The producers' JSON wire schema (value bytes decode to this; `ts` is
+    * epoch micros).
+    */
+  private val eventWireSchema = new StructType()
+    .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
+    .add("event_type", StringType).add("value", DoubleType)
+    .add("props", StringType)
+
+  private def replayReaderOptions(dir: String) = Map(
+    "path" -> s"$dir/events.parquet",
+    "topic" -> "events",
+    "numPartitions" -> "3")
+
+  /** value bytes → decoded event frame (shared by q103/q104 — identical to
+    * what the production Kafka reader's downstream would run).
+    */
+  private def decodeKafkaValue(raw: DataFrame): DataFrame = {
+    import raw.sparkSession.implicits._
+    raw.select(from_json($"value".cast("string"), eventWireSchema).as("d"))
+      .select($"d.*")
+      .withColumn("ts", timestamp_micros($"ts"))
+  }
+
+  // q103 — Kafka BATCH scan (S1: spark_consumer.py:69-74 reads the topic
+  // from earliest with spark.read.format("kafka")): full-topic batch read
+  // through the connector, decode, aggregate. The oracle sees only the
+  // events table — a decode defect (bad escaping, wrong ts unit, dropped
+  // partition) breaks the hash.
+  private val q103 = QueryDef(
+    "q103_kafka_batch_scan",
+    (spark, dir) => {
+      import spark.implicits._
+      val raw = replayReaderOptions(dir)
+        .foldLeft(spark.read.format("kafka-replay")) {
+          case (r, (k, v)) => r.option(k, v) }
+        .load()
+      decodeKafkaValue(raw)
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          sum($"value".cast(DecimalType(28, 2))).cast("double").as("total_value"),
+          max($"ts").as("max_ts"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             count(DISTINCT user_id) AS n_users,
+             CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value,
+             max(CAST(ts AS TIMESTAMP)) AS max_ts
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // q104 — Kafka STREAMING scan (S2): readStream through the connector
+  // with the reference's rate limiting (maxOffsetsPerTrigger → admission
+  // control → multiple micro-batches), decode, then the §3.1 silver
+  // transform — the full reddit_pipeline.py shape, executed. Result must
+  // equal q41's (same transform, file-source twin) and the batch oracle.
+  private val q104 = QueryDef(
+    "q104_kafka_stream_features",
+    (outer, dir) => {
+      val spark = streamSession(outer)
+      import spark.implicits._
+      val raw = (replayReaderOptions(dir) + ("maxOffsetsPerTrigger" -> "5000"))
+        .foldLeft(spark.readStream.format("kafka-replay")) {
+          case (r, (k, v)) => r.option(k, v) }
+        .load()
+      runToParquet(features15m(decodeKafkaValue(raw)), "complete")
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+             time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end,
+             event_type, count(*) AS post_count,
+             CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_score,
+             max(value) AS max_score
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2, 3
+      ORDER BY window_start, event_type"""))
+
+  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104)
 }

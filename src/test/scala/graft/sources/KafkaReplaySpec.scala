@@ -1,0 +1,101 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** kafka-replay DSv2 connector: record-schema fidelity, round-robin
+  * partition/offset invariants, JSON decode round-trip, and streaming
+  * admission control (maxOffsetsPerTrigger ⇒ multiple micro-batches that
+  * drain exactly once under AvailableNow).
+  */
+class KafkaReplaySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val NParts = 3
+  private def load() = spark.read.format("kafka-replay")
+    .option("path", s"${TestSpark.Sf001}/events.parquet")
+    .option("topic", "events").option("numPartitions", NParts.toString)
+    .load()
+
+  private val wire = new StructType()
+    .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
+    .add("event_type", StringType).add("value", DoubleType)
+    .add("props", StringType)
+
+  test("batch scan emits the exact spark-sql-kafka record schema") {
+    val df = load()
+    assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq === Seq(
+      "key" -> BinaryType, "value" -> BinaryType, "topic" -> StringType,
+      "partition" -> IntegerType, "offset" -> LongType,
+      "timestamp" -> TimestampType, "timestampType" -> IntegerType))
+  }
+
+  test("round-robin partitions and contiguous per-partition offsets") {
+    val rows = load()
+      .select($"partition", $"offset", $"topic", $"timestampType")
+      .collect()
+    val total = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet").count()
+    assert(rows.length === total)
+    assert(rows.forall(_.getString(2) == "events"))
+    assert(rows.forall(_.getInt(3) == 0)) // CreateTime
+    val byPart = rows.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(1)).sorted)
+    assert(byPart.keySet === (0 until NParts).toSet)
+    // unkeyed round-robin: partition sizes differ by at most 1
+    val sizes = byPart.values.map(_.length).toSeq
+    assert(sizes.max - sizes.min <= 1)
+    // offsets are 0..n_p-1 with no gaps, like a real topic partition
+    byPart.foreach { case (p, offs) =>
+      assert(offs.toSeq === (0L until offs.length.toLong), s"partition $p")
+    }
+  }
+
+  test("value bytes decode losslessly back to the source rows") {
+    val decoded = load()
+      .select(from_json($"value".cast("string"), wire).as("d"))
+      .select($"d.*")
+      .withColumn("ts", timestamp_micros($"ts"))
+    // a single malformed JSON value (bad escaping) nulls every field of
+    // its row — the anti-join catches any such row
+    assert(decoded.filter($"event_id".isNull).count() === 0)
+    val src = graft.sources.Tables.events(spark, TestSpark.Sf001)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(decoded.select(cols.map(col): _*)
+      .exceptAll(src.select(cols.map(col): _*)).count() === 0)
+    assert(src.select(cols.map(col): _*)
+      .exceptAll(decoded.select(cols.map(col): _*)).count() === 0)
+  }
+
+  test("maxOffsetsPerTrigger rate-limits into multiple exactly-once micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val raw = ss.readStream.format("kafka-replay")
+      .option("path", s"${TestSpark.Sf001}/events.parquet")
+      .option("topic", "events").option("numPartitions", NParts.toString)
+      .option("maxOffsetsPerTrigger", "300") // 1000 fixture rows ⇒ ≥ 4 batches
+      .load()
+    val batches = new AtomicInteger(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = raw.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        rows.addAndGet(b.count())
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_kr_ckpt_").toString)
+      .start()
+    q.awaitTermination()
+    q.stop()
+    val total = spark.read.parquet(s"${TestSpark.Sf001}/events.parquet").count()
+    assert(rows.get() === total) // drained exactly once
+    assert(batches.get() >= 4,
+      s"admission control did not split the replay (batches=${batches.get()})")
+  }
+}
