@@ -519,17 +519,22 @@ object Dedup extends QueryModule {
     val spark = pairs.sparkSession
     import spark.implicits._
     def sym(e: DataFrame): DataFrame = e.union(e.select($"v".as("u"), $"u".as("v")))
-    // localCheckpoint (eager) after every round, NOT persist: each round's
-    // plan references the previous round's SEVERAL times (sym + joins), so
-    // carrying logical lineage across rounds grows the plan exponentially
-    // and Catalyst re-optimization stalls the driver after ~10 rounds.
-    // Checkpointing cuts the plan back to a flat scan per round — on a
-    // cluster this is the classic iterate-then-checkpoint loop (reliable
-    // checkpoint dir or a per-round silver table instead of local blocks).
-    var edges = pairs
+    // Truncate LOGICAL lineage after every round: each round's plan
+    // references the previous round's SEVERAL times (sym + joins), so
+    // carrying Catalyst lineage across rounds grows the plan exponentially
+    // and re-optimization stalls the driver after ~10 rounds. Rewrapping
+    // the round's RDD as a fresh LogicalRDD keeps the plan one scan deep;
+    // persist + the convergence count materialize it so the parent round
+    // can be released (df.unpersist() works here, unlike localCheckpoint,
+    // whose block storage bypasses the CacheManager — CacheHygieneSpec
+    // guards the difference). On a cluster this is the classic
+    // iterate-then-checkpoint loop (reliable checkpoint dir / per-round
+    // silver table).
+    def rewrap(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema).persist()
+    var edges = rewrap(pairs
       .select(col("i").as("u"), col("j").as("v"))
-      .filter($"u" =!= $"v").distinct()
-      .localCheckpoint(true)
+      .filter($"u" =!= $"v").distinct())
     var n = edges.count()
     var converged = false
     var iter = 0
@@ -547,12 +552,11 @@ object Dedup extends QueryModule {
       // re-link the smaller neighborhood (and u itself) onto m
       val below = sym(large).filter($"v" < $"u")
       val minsS = below.groupBy($"u").agg(min($"v").as("m"))
-      val next = below.join(minsS, "u")
+      val next = rewrap(below.join(minsS, "u")
         .filter($"v" =!= $"m")
         .select($"v".as("u"), $"m".as("v"))
         .union(minsS.select($"u", $"m".as("v")))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       val nNext = next.count()
       // fixed point = the edge set is literally unchanged (size equality
       // makes the one-sided except a full set-equality test)

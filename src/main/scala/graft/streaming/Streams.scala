@@ -535,7 +535,9 @@ object Streams extends QueryModule {
     (outer, dir) => {
       val spark = streamSession(outer)
       import spark.implicits._
-      val raw = (replayReaderOptions(dir) + ("maxOffsetsPerTrigger" -> "5000"))
+      // sized to a handful of micro-batches at the bench SF (the ≥4-batch
+      // admission-control invariant is KafkaReplaySpec's job, at sf0.001)
+      val raw = (replayReaderOptions(dir) + ("maxOffsetsPerTrigger" -> "30000"))
         .foldLeft(spark.readStream.format("kafka-replay")) {
           case (r, (k, v)) => r.option(k, v) }
         .load()
