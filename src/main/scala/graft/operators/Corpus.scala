@@ -64,7 +64,7 @@ object Corpus extends QueryModule {
         x => floor(x.cast("double") * lit(1e6)).cast("long")).as("xs"))
   }
 
-  private def sqd(xs: org.apache.spark.sql.Column, cs: org.apache.spark.sql.Column) =
+  private[operators] def sqd(xs: org.apache.spark.sql.Column, cs: org.apache.spark.sql.Column) =
     aggregate(zip_with(xs, cs, (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, d) => acc + d)
 
@@ -116,21 +116,28 @@ object Corpus extends QueryModule {
   }
 
   /** `iters` Lloyd's passes from the deterministic seeds → final (cid,
-    * coords) model state. Exposed for the inertia spec.
+    * coords) model state. A Scoped.shared derived table: the trained
+    * codebook is consumed by q98 (cluster stats) AND q105 (IVF index),
+    * and a model you trained once is exactly what you materialize.
+    * Exposed for the inertia spec.
     */
   private[operators] def kmeansCentroids(
-      spark: SparkSession, dir: String, iters: Int): DataFrame = {
-    import spark.implicits._
-    val emb = embScaled(spark, dir)
-    var cents = seedCentroids(spark, dir).toDF("cid", "cs")
-    for (_ <- 1 to iters) {
-      // k×64 longs of model state — the one legitimate driver round-trip
-      val local = update(assign(emb, cents))
-        .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
-      cents = local.toDF("cid", "cs")
-    }
-    cents
-  }
+      spark: SparkSession, dir: String, iters: Int): DataFrame =
+    Scoped.shared(spark, s"kmeans_cents_$iters:$dir")((Nil, {
+      import spark.implicits._
+      val emb = embScaled(spark, dir)
+      var cents = seedCentroids(spark, dir).toDF("cid", "cs")
+      for (_ <- 1 to iters) {
+        // k×64 longs of model state — the one legitimate driver round-trip
+        val local = update(assign(emb, cents))
+          .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+        cents = local.toDF("cid", "cs")
+      }
+      cents
+    }))
+
+  /** The configured Lloyd's depth (oracle centroid table is `c<KmIters>`). */
+  private[operators] def KmIters: Int = Iters
 
   /** Total inertia (sum of squared distances to the nearest centroid) of a
     * centroid set over the corpus — one scan. Exposed for the spec.
@@ -201,7 +208,12 @@ object Corpus extends QueryModule {
     s$i AS (SELECT vec_id, xs FROM d$i ORDER BY d DESC, vec_id LIMIT $l),
     seeds${i + 1} AS (SELECT * FROM seeds$i UNION ALL SELECT * FROM s$i)"""
 
-  private def kmeansOracle: String = {
+  /** The full seeding + Lloyd's pipeline as oracle CTEs (no WITH keyword):
+    * defines `emb` (vec_id, scaled xs) and ends at the trained centroid
+    * table `c<KmIters>` (cid, cs). Shared by q98's oracle and q105's
+    * (IVF over the trained codebook).
+    */
+  private[operators] def centroidPipelineCtes: String = {
     val seedRounds = SeedRounds.zipWithIndex
       .map { case (l, i) => seedRoundCte(i + 1, l) }.mkString(",")
     val lastSeeds = s"seeds${SeedRounds.size + 1}"
@@ -209,8 +221,7 @@ object Corpus extends QueryModule {
       val prev = if (i == 1) "c0" else s"c${i - 1}"
       assignCte(s"a$i", prev) + "," + updateCte(s"c$i", s"a$i")
     }.mkString(",")
-    s"""
-    WITH emb AS (
+    s"""emb AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xs
@@ -225,7 +236,12 @@ object Corpus extends QueryModule {
     c0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, xs AS cs
       FROM $lastSeeds),
-    $iters,
+    $iters"""
+  }
+
+  private def kmeansOracle: String = {
+    s"""
+    WITH ${centroidPipelineCtes},
     ${assignCte("fin", s"c$Iters")}
     SELECT f.cid AS cid,
            CAST(count(*) AS BIGINT) AS n,

@@ -332,5 +332,84 @@ object Similarity extends QueryModule {
       GROUP BY label, u.pos
       ORDER BY label, pos"""))
 
-  override val defs: Seq[QueryDef] = Seq(q39, q40, q56, q57, q76)
+  // ---------------------------------------------------------------------
+  // q105 — IVF with a TRAINED codebook: q56's inverted-file plan, but the
+  // cells are the q98 deterministic k-means||+Lloyd's centroids instead
+  // of the first-16 stand-in — the real IVF construction (train codebook
+  // → assign corpus → probe nprobe cells → exact re-rank). The codebook
+  // is the shared trained-model table (built once, read by q98 and here);
+  // assignment is one broadcast-join map pass over the corpus with exact
+  // scaled-integer L2 (the k-means metric), re-ranking is exact cosine
+  // inside the probed cells. The oracle re-trains the same pipeline in
+  // SQL (Corpus.centroidPipelineCtes) and replays the index construction.
+  // ---------------------------------------------------------------------
+  private val q105 = QueryDef(
+    "q105_ivf_trained",
+    (spark, dir) => {
+      import spark.implicits._
+      val cents = Corpus.kmeansCentroids(spark, dir, Corpus.KmIters)
+      val emb = Tables.embeddings(spark, dir)
+        .withColumn("nrm", VectorOps.normScaled($"embedding"))
+        .withColumn("xs", transform($"embedding",
+          x => floor(x.cast("double") * lit(1e6)).cast("long")))
+        .persist()
+      val dists = emb.crossJoin(broadcast(cents))
+        .withColumn("d", Corpus.sqd($"xs", $"cs"))
+      val wCell = Window.partitionBy($"vec_id").orderBy($"d".asc, $"cid".asc)
+      val ranked = dists.withColumn("rn", row_number().over(wCell))
+      val assign = ranked.filter($"rn" === 1)
+        .select($"vec_id", $"embedding", $"nrm", $"cid".as("cell"))
+        .persist()
+      val probes = ranked.filter($"vec_id" < NumQueries && $"rn" <= NumProbes)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+          $"nrm".as("q_nrm"), $"cid".as("cell"))
+      val wRank = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      val topk = assign.join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos", VectorOps.cosineFromScaled(
+          VectorOps.dotScaled($"embedding", $"q_emb"), $"nrm", $"q_nrm"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank", $"vec_id", $"cos")
+      Scoped.materialize(emb, assign)(topk).orderBy($"q_id", $"rank")
+    },
+    Some(s"""
+      WITH ${Corpus.centroidPipelineCtes},
+      emb2 AS (
+        SELECT vec_id, embedding,
+               ${VectorOps.normScaledSql("embedding")} AS nrm,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xs
+        FROM embeddings),
+      dist AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(list_zip(e.xs, c.cs),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+        FROM emb2 e CROSS JOIN c${Corpus.KmIters} c),
+      ranked AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dist),
+      assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS q_id, cid AS cell FROM ranked
+        WHERE vec_id < $NumQueries AND rn <= $NumProbes),
+      pairs AS (
+        SELECT p.q_id, a.vec_id,
+               ${VectorOps.cosineFromScaledSql(
+                 VectorOps.dotScaledSql("qe.embedding", "ae.embedding"),
+                 "qe.nrm", "ae.nrm")} AS cos
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id
+        JOIN emb2 qe ON qe.vec_id = p.q_id
+        JOIN emb2 ae ON ae.vec_id = a.vec_id)
+      SELECT q_id, rank, vec_id, cos FROM (
+        SELECT q_id, vec_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM pairs)
+      WHERE rank <= $K
+      ORDER BY q_id, rank"""))
+
+  override val defs: Seq[QueryDef] = Seq(q39, q40, q56, q57, q76, q105)
 }

@@ -157,14 +157,18 @@ class PlanSpec extends AnyFunSuite {
       joinKeyLines.mkString("\n"))
   }
 
-  test("q37/q96: candidate grams come from the df-capped shared table") {
-    // the rare-gram cut is a materialized shared table; both consumers must
-    // read it (path contains the cache key slug) rather than re-deriving
-    // candidates from the uncapped gram table
+  test("q37/q96: candidate grams are df-capped at the shared gram scan") {
+    // the df column is precomputed in the materialized word3grams table;
+    // the candidate side must apply the df ≤ cap cut as a PUSHED filter on
+    // that scan (a post-scan window recomputation would mean the cap never
+    // shrinks what's read, and an uncapped candidate join means stop-grams
+    // go quadratic)
     Seq("q37_ngram_jaccard", "q96_fuzzy_editdist").foreach { q =>
       val p = planOf(q)
-      assert(p.contains("rare3grams"), s"$q does not read rare3grams:\n" +
+      assert(p.contains("word3grams"), s"$q does not read word3grams:\n" +
         p.linesIterator.take(15).mkString("\n"))
+      assert(p.contains("LessThanOrEqual(df,50)"),
+        s"$q has no pushed df-cap filter on the gram scan")
     }
   }
 
