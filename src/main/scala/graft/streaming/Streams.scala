@@ -535,9 +535,13 @@ object Streams extends QueryModule {
     (outer, dir) => {
       val spark = streamSession(outer)
       import spark.implicits._
-      // sized to a handful of micro-batches at the bench SF (the ≥4-batch
-      // admission-control invariant is KafkaReplaySpec's job, at sf0.001)
-      val raw = (replayReaderOptions(dir) + ("maxOffsetsPerTrigger" -> "30000"))
+      // sized to TWO micro-batches per partition at the bench SF — enough
+      // to exercise multi-batch offset progression; the ≥4-batch
+      // admission-control invariant is KafkaReplaySpec's job (at sf0.001).
+      // Each micro-batch re-parses the backing file up to its slice bound
+      // (replay-harness cost, see KafkaReplay scaladoc), so batch count is
+      // the cost knob.
+      val raw = (replayReaderOptions(dir) + ("maxOffsetsPerTrigger" -> "60000"))
         .foldLeft(spark.readStream.format("kafka-replay")) {
           case (r, (k, v)) => r.option(k, v) }
         .load()
