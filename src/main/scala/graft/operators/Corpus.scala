@@ -370,5 +370,76 @@ object Corpus extends QueryModule {
       GROUP BY s.doc_id
       ORDER BY doc_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q98, q99, q100)
+  // ---------------------------------------------------------------------
+  // q106 — sequence packing (GPT-style concat-and-chunk): the corpus token
+  // stream, concatenated in doc_id order, cut into fixed CtxLen-token
+  // training windows; per pack, the docs and token counts it contains.
+  // This is the packing step every LLM training pipeline runs between
+  // curation and tokenized-shard writing.
+  //
+  // Scale shape: a GLOBAL token offset is a total order, but NOT a
+  // single-partition sort — same discipline as the q22 global row-number:
+  // range-repartition on doc_id, per-partition prefix sums, plus the
+  // broadcast exclusive sum of per-partition token totals (≤ partitions
+  // rows). A doc spanning [off, off+n) overlaps at most n/CtxLen + 1
+  // packs, so the doc→pack explode is linear in corpus tokens; the one
+  // real shuffle is the final groupBy(pack_id), whose cardinality grows
+  // with data (parallelism does too). Integer arithmetic throughout.
+  // ---------------------------------------------------------------------
+  private val CtxLen = 512L
+  private val q106 = QueryDef(
+    "q106_sequence_packing",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = Tables.documents(spark, dir)
+        .select($"doc_id", size(Portable.tokens($"text")).cast("long").as("n"))
+        .filter($"n" > 0)
+      val parted = toks.repartitionByRange($"doc_id")
+        .withColumn("_pid", spark_partition_id())
+        .persist()
+      val offsets = parted.groupBy($"_pid").agg(sum($"n").as("_cnt"))
+        .withColumn("_offset",
+          coalesce(sum($"_cnt").over(
+            Window.orderBy($"_pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val wLocal = Window.partitionBy($"_pid").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offd = parted
+        .join(broadcast(offsets.select($"_pid", $"_offset")), Seq("_pid"))
+        .withColumn("off", $"_offset" + coalesce(sum($"n").over(wLocal), lit(0L)))
+      val packs = offd
+        .select($"doc_id", $"n", $"off",
+          explode(sequence(
+            expr(s"off div $CtxLen"),
+            expr(s"(off + n - 1) div $CtxLen"))).as("pack_id"))
+        .groupBy($"pack_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(least(($"pack_id" + 1) * CtxLen, $"off" + $"n") -
+            greatest($"pack_id" * CtxLen, $"off")).as("n_tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+      Scoped.materialize(parted)(packs).orderBy($"pack_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, CAST(len(${Portable.tokensSql("text")}) AS BIGINT) AS n
+        FROM documents),
+      nz AS (SELECT doc_id, n FROM toks WHERE n > 0),
+      offd AS (
+        SELECT doc_id, n,
+               CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        FROM nz),
+      spans AS (
+        SELECT doc_id, n, off,
+               unnest(range(off // $CtxLen, (off + n - 1) // $CtxLen + 1)) AS pack_id
+        FROM offd)
+      SELECT pack_id, count(*) AS n_docs,
+             CAST(sum(least((pack_id + 1) * $CtxLen, off + n)
+                    - greatest(pack_id * $CtxLen, off)) AS BIGINT) AS n_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM spans GROUP BY pack_id ORDER BY pack_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q98, q99, q100, q106)
 }

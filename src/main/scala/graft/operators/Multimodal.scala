@@ -97,5 +97,63 @@ object Multimodal extends QueryModule {
         FROM documents)
       ORDER BY doc_id, frame_idx"""))
 
-  override val defs: Seq[QueryDef] = Seq(q44, q45)
+  // ---------------------------------------------------------------------
+  // q107 — REAL audio decode (functions.RiffWav): per doc, a synthesized
+  // RIFF/WAV PCM blob (deterministic params + samples from doc_id) is
+  // carried as a binary column and decoded by a genuine chunk-walking
+  // WAV parser — fmt /data discovery, word alignment, PCM validation —
+  // inside a typed mapPartitions (the real-codec integration point q44
+  // stubs for images/video). The oracle recomputes every feature from
+  // the synthesis recurrence in SQL, so a parser that misreads ANY
+  // header field or sample byte breaks the hash. Decode is pure
+  // per-partition map work: no shuffle, scales with executors.
+  // ---------------------------------------------------------------------
+  final case class WavFeatures(
+      doc_id: Long, channels: Long, sample_rate: Long, n_frames: Long,
+      duration_ms: Long, abs_sum: Long, peak: Long)
+
+  private[graft] def synthWav(docId: Long): Array[Byte] = {
+    import graft.functions.RiffWav
+    val channels = (1 + docId % 2).toInt
+    val nFrames = (200 + docId % 800).toInt
+    val samples = Array.tabulate(nFrames * channels)(i =>
+      (((docId * 31 + i.toLong * 17) % 2003) - 1001).toShort)
+    RiffWav.encode(RiffWav.Wav(channels, 8000, 16, samples))
+  }
+
+  private val q107 = QueryDef(
+    "q107_wav_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.RiffWav
+      val assets: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, synthWav(id))))
+      assets.mapPartitions(_.map { case (id, bytes) =>
+        val w = RiffWav.decode(bytes)
+        val nFrames = w.samples.length / w.channels
+        var absSum = 0L
+        var peak = 0L
+        w.samples.foreach { s =>
+          val a = math.abs(s.toLong); absSum += a; if (a > peak) peak = a
+        }
+        WavFeatures(id, w.channels.toLong, w.sampleRate.toLong, nFrames.toLong,
+          nFrames.toLong * 1000L / w.sampleRate, absSum, peak)
+      }).toDF().orderBy($"doc_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+               CAST(200 + doc_id % 800 AS BIGINT) AS n_frames
+        FROM documents)
+      SELECT doc_id, channels, CAST(8000 AS BIGINT) AS sample_rate, n_frames,
+             n_frames * 1000 // 8000 AS duration_ms,
+             CAST(list_sum(list_transform(range(0, n_frames * channels),
+               i -> abs((doc_id * 31 + i * 17) % 2003 - 1001))) AS BIGINT) AS abs_sum,
+             CAST(list_max(list_transform(range(0, n_frames * channels),
+               i -> abs((doc_id * 31 + i * 17) % 2003 - 1001))) AS BIGINT) AS peak
+      FROM p ORDER BY doc_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q44, q45, q107)
 }

@@ -93,6 +93,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("q106 packing: token conservation, full packs everywhere but the tail") {
+    import graft.sources.Tables
+    import graft.functions.Portable
+    val packs = run("q106_sequence_packing").collect()
+    val totalTokens = Tables.documents(spark, TestSpark.Sf001)
+      .select(sum(size(Portable.tokens(col("text"))).cast("long")))
+      .as[Long].head()
+    // every corpus token lands in exactly one pack
+    assert(packs.map(_.getAs[Long]("n_tokens")).sum === totalTokens)
+    // pack ids are contiguous from 0; all but the last hold exactly CtxLen
+    assert(packs.map(_.getAs[Long]("pack_id")).toSeq ===
+      (0L until packs.length.toLong))
+    packs.init.foreach(r => assert(r.getAs[Long]("n_tokens") === 512L))
+    // doc ranges tile the corpus in order: the next pack starts at the
+    // previous pack's last doc (straddle) or later — never earlier
+    packs.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("first_doc") >= a.getAs[Long]("last_doc"))
+    }
+  }
+
   test("q98 k-means: deterministic k-means|| seeds, inertia strictly improves per Lloyd's pass") {
     val seeds = Corpus.seedCentroids(spark, TestSpark.Sf001)
     assert(seeds.size === 8)
