@@ -343,20 +343,53 @@ object Similarity extends QueryModule {
   // inside the probed cells. The oracle re-trains the same pipeline in
   // SQL (Corpus.centroidPipelineCtes) and replays the index construction.
   // ---------------------------------------------------------------------
+  /** Every vector's trained-codebook cells ranked by exact scaled-integer
+    * L2 (rn = 1 is the IVF assignment; rn ≤ nprobe the probe set). Shared
+    * by q105 (index construction) and q108 (semantic dedup). Returns the
+    * persisted embedding frame too so callers can release it via
+    * Scoped.materialize.
+    */
+  private def cellRanked(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val cents = Corpus.kmeansCentroids(spark, dir, Corpus.KmIters)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", VectorOps.normScaled($"embedding"))
+      .withColumn("xs", transform($"embedding",
+        x => floor(x.cast("double") * lit(1e6)).cast("long")))
+      .persist()
+    val dists = emb.crossJoin(broadcast(cents))
+      .withColumn("d", Corpus.sqd($"xs", $"cs"))
+    val wCell = Window.partitionBy($"vec_id").orderBy($"d".asc, $"cid".asc)
+    (emb, dists.withColumn("rn", row_number().over(wCell)))
+  }
+
+  /** The q105/q108 oracle twin of [[cellRanked]]: CTEs from the trained
+    * centroid table `c<KmIters>` to `assign` (vec_id → cell).
+    */
+  private def cellAssignSql: String = s"""
+      emb2 AS (
+        SELECT vec_id, embedding,
+               ${VectorOps.normScaledSql("embedding")} AS nrm,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xs
+        FROM embeddings),
+      dist AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(list_zip(e.xs, c.cs),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+        FROM emb2 e CROSS JOIN c${Corpus.KmIters} c),
+      ranked AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dist),
+      assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1)"""
+
   private val q105 = QueryDef(
     "q105_ivf_trained",
     (spark, dir) => {
       import spark.implicits._
-      val cents = Corpus.kmeansCentroids(spark, dir, Corpus.KmIters)
-      val emb = Tables.embeddings(spark, dir)
-        .withColumn("nrm", VectorOps.normScaled($"embedding"))
-        .withColumn("xs", transform($"embedding",
-          x => floor(x.cast("double") * lit(1e6)).cast("long")))
-        .persist()
-      val dists = emb.crossJoin(broadcast(cents))
-        .withColumn("d", Corpus.sqd($"xs", $"cs"))
-      val wCell = Window.partitionBy($"vec_id").orderBy($"d".asc, $"cid".asc)
-      val ranked = dists.withColumn("rn", row_number().over(wCell))
+      val (emb, ranked) = cellRanked(spark, dir)
       val assign = ranked.filter($"rn" === 1)
         .select($"vec_id", $"embedding", $"nrm", $"cid".as("cell"))
         .persist()
@@ -375,22 +408,7 @@ object Similarity extends QueryModule {
     },
     Some(s"""
       WITH ${Corpus.centroidPipelineCtes},
-      emb2 AS (
-        SELECT vec_id, embedding,
-               ${VectorOps.normScaledSql("embedding")} AS nrm,
-               list_transform(embedding,
-                 x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xs
-        FROM embeddings),
-      dist AS (
-        SELECT e.vec_id, c.cid,
-               list_sum(list_transform(list_zip(e.xs, c.cs),
-                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
-        FROM emb2 e CROSS JOIN c${Corpus.KmIters} c),
-      ranked AS (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        FROM dist),
-      assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+      $cellAssignSql,
       probes AS (
         SELECT vec_id AS q_id, cid AS cell FROM ranked
         WHERE vec_id < $NumQueries AND rn <= $NumProbes),
@@ -411,5 +429,68 @@ object Similarity extends QueryModule {
       WHERE rank <= $K
       ORDER BY q_id, rank"""))
 
-  override val defs: Seq[QueryDef] = Seq(q39, q40, q56, q57, q76, q105)
+  // ---------------------------------------------------------------------
+  // q108 — SemDeDup-style semantic dedup (the operator q98's clustering
+  // exists to serve): assign every embedding to its trained-codebook
+  // cluster, compare pairs ONLY inside a cluster (the cluster plays the
+  // LSH-bucket role — pair work is cluster-bounded, never corpus²), and
+  // drop the higher vec_id of every pair at cosine ≥ τ. Emitted as the
+  // per-cluster dedup audit (sizes, dup pairs, drops). τ is fixture-
+  // scaled (the synthetic corpus has few true near-dups); production
+  // SemDeDup uses τ≈0.95 with the identical plan.
+  // ---------------------------------------------------------------------
+  private val SemTau = 0.4
+  private val q108 = QueryDef(
+    "q108_semantic_dedup",
+    (spark, dir) => {
+      import spark.implicits._
+      val (emb, ranked) = cellRanked(spark, dir)
+      val assign = ranked.filter($"rn" === 1)
+        .select($"vec_id", $"embedding", $"nrm", $"cid".as("cell"))
+        .persist()
+      val pairs = assign.as("a").join(assign.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", VectorOps.cosineFromScaled(
+          VectorOps.dotScaled(col("a.embedding"), col("b.embedding")),
+          col("a.nrm"), col("b.nrm")))
+        .filter($"cos" >= SemTau)
+        .select(col("a.cell").as("cell"), col("a.vec_id").as("i"),
+          col("b.vec_id").as("j"))
+        .persist()
+      val nPairs = pairs.groupBy($"cell").agg(count(lit(1)).as("n_dup_pairs"))
+      val nDropped = pairs.select($"cell", $"j").distinct()
+        .groupBy($"cell").agg(count(lit(1)).as("n_dropped"))
+      val audit = assign.groupBy($"cell").agg(count(lit(1)).as("n_vectors"))
+        .join(nPairs, Seq("cell"), "left")
+        .join(nDropped, Seq("cell"), "left")
+        .select($"cell".as("cluster_id"), $"n_vectors",
+          coalesce($"n_dup_pairs", lit(0L)).as("n_dup_pairs"),
+          coalesce($"n_dropped", lit(0L)).as("n_dropped"))
+      Scoped.materialize(emb, assign, pairs)(audit).orderBy($"cluster_id")
+    },
+    Some(s"""
+      WITH ${Corpus.centroidPipelineCtes},
+      $cellAssignSql,
+      pairs AS (
+        SELECT a.cell, a.vec_id AS i, b.vec_id AS j
+        FROM assign a
+        JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN emb2 ea ON ea.vec_id = a.vec_id
+        JOIN emb2 eb ON eb.vec_id = b.vec_id
+        WHERE ${VectorOps.cosineFromScaledSql(
+          VectorOps.dotScaledSql("ea.embedding", "eb.embedding"),
+          "ea.nrm", "eb.nrm")} >= $SemTau),
+      np AS (SELECT cell, count(*) AS n_dup_pairs FROM pairs GROUP BY cell),
+      nd AS (SELECT cell, count(*) AS n_dropped
+             FROM (SELECT DISTINCT cell, j FROM pairs) GROUP BY cell),
+      nv AS (SELECT cell, count(*) AS n_vectors FROM assign GROUP BY cell)
+      SELECT nv.cell AS cluster_id, nv.n_vectors,
+             coalesce(np.n_dup_pairs, 0) AS n_dup_pairs,
+             coalesce(nd.n_dropped, 0) AS n_dropped
+      FROM nv
+      LEFT JOIN np ON np.cell = nv.cell
+      LEFT JOIN nd ON nd.cell = nv.cell
+      ORDER BY cluster_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q39, q40, q56, q57, q76, q105, q108)
 }
