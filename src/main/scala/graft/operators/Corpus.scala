@@ -21,9 +21,31 @@ import org.apache.spark.sql.functions._
   */
 object Corpus extends QueryModule {
 
-  private val K = 8
+  /** Codebook size is data-derived (the SemDeDup discipline: production
+    * runs train tens of thousands of clusters precisely so cells stay
+    * O(corpus/k) small): k = clamp(ceil(n / TargetCell), MinK, n), so a
+    * cell holds ~TargetCell vectors at ANY corpus size and intra-cell
+    * pair work (q108) is O(n · TargetCell), never corpus². MinK keeps the
+    * fixture codebook stable at tiny SFs; at sf0.01 (n=500) k resolves
+    * to MinK=8, at sf0.1 (n=2000) to 32, at 100 TB to n/64.
+    */
+  private val MinK = 8
+  private val TargetCell = 64
   private val Iters = 2
   private val SegWords = 10
+
+  /** Pure derivation twin shared by the Spark path, the oracle SQL, and
+    * the ScaleBehaviorSpec invariant: min(n, max(MinK, ceil(n/TargetCell))).
+    */
+  private[graft] def derivedK(n: Long): Long =
+    math.min(n, math.max(MinK.toLong, (n + TargetCell - 1) / TargetCell))
+
+  /** The data-derived codebook size for this corpus (one count scan). */
+  private[graft] def derivedK(spark: SparkSession, dir: String): Long =
+    derivedK(Tables.embeddings(spark, dir).count())
+
+  /** Cell-size target, exposed for the spec invariant n/k ≤ TargetCellSize. */
+  private[graft] def TargetCellSize: Int = TargetCell
 
   // ---------------------------------------------------------------------
   // q98 — distributed k-means (Lloyd's), the clustering stage of
@@ -53,8 +75,21 @@ object Corpus extends QueryModule {
   // long); centroid means are exact floor division (s - pmod(s,n)) div n;
   // argmin ties break on cid; farthest-point ties break on vec_id.
   // ---------------------------------------------------------------------
-  /** Seed-round batch sizes: 1 hash-picked + 3 + 4 = K centers. */
-  private val SeedRounds = Seq(3, 4)
+  /** Seed-round batch sizes for codebook size k: 1 hash-picked center plus
+    * two farthest-point rounds of ~(k-1)/2 each — the same O(1)-round
+    * k-means|| shape at every k (round count stays constant as k grows;
+    * only the per-round batch widens). Integer floor division matches the
+    * oracle's `//` exactly.
+    */
+  private def seedRounds(k: Int): Seq[Int] =
+    Seq((k - 1) / 2, (k - 1) - (k - 1) / 2)
+
+  /** Local-mode codebook size: the derived k as an Int (safe — a k that
+    * overflows Int implies a corpus no single driver trains a codebook
+    * for; the formula itself is Long-total for the spec invariant).
+    */
+  private def localK(spark: SparkSession, dir: String): Int =
+    derivedK(spark, dir).toInt
 
   private def embScaled(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -96,12 +131,13 @@ object Corpus extends QueryModule {
       spark: SparkSession, dir: String): Seq[(Long, Seq[Long])] = {
     import spark.implicits._
     val emb = embScaled(spark, dir)
+    val k = localK(spark, dir)
     // pseudo-random but reproducible first center: argmin of a salted hash
     var seeds: Seq[(Long, Seq[Long])] = emb
       .withColumn("hv", Portable.md5Hash64($"vec_id".cast("string")))
       .orderBy($"hv", $"vec_id").limit(1)
       .select($"vec_id", $"xs").as[(Long, Seq[Long])].collect().toSeq
-    for (l <- SeedRounds) {
+    for (l <- seedRounds(k)) {
       val cdf = seeds.map(_._2).zipWithIndex
         .map { case (cs, i) => (i.toLong, cs) }.toDF("cid", "cs")
       val far = emb.crossJoin(broadcast(cdf))
@@ -198,14 +234,21 @@ object Corpus extends QueryModule {
 
   /** One deterministic seeding round: d² of every vector to the current
     * seed set, then the top-`l` farthest (ties on vec_id) join the set.
+    * `lSql` is a batch-size expression over the `kval` CTE's data-derived
+    * `k`, so the oracle's round sizes track the corpus exactly like the
+    * Spark side's `seedRounds(k)`.
     */
-  private def seedRoundCte(i: Int, l: Int): String = s"""
+  private def seedRoundCte(i: Int, lSql: String): String = s"""
     d$i AS (
       SELECT e.vec_id, e.xs,
              min(list_sum(list_transform(list_zip(e.xs, c.xs),
                p -> (p[1] - p[2]) * (p[1] - p[2])))) AS d
       FROM emb e CROSS JOIN seeds$i c GROUP BY e.vec_id, e.xs),
-    s$i AS (SELECT vec_id, xs FROM d$i ORDER BY d DESC, vec_id LIMIT $l),
+    s$i AS (
+      SELECT vec_id, xs FROM (
+        SELECT vec_id, xs, row_number() OVER (ORDER BY d DESC, vec_id) AS rn
+        FROM d$i)
+      WHERE rn <= (SELECT $lSql FROM kval)),
     seeds${i + 1} AS (SELECT * FROM seeds$i UNION ALL SELECT * FROM s$i)"""
 
   /** The full seeding + Lloyd's pipeline as oracle CTEs (no WITH keyword):
@@ -214,9 +257,11 @@ object Corpus extends QueryModule {
     * (IVF over the trained codebook).
     */
   private[operators] def centroidPipelineCtes: String = {
-    val seedRounds = SeedRounds.zipWithIndex
+    // Batch-size expressions mirror seedRounds(k): (k-1)//2 then the rest.
+    val roundSizeSql = Seq("(k - 1) // 2", "(k - 1) - (k - 1) // 2")
+    val seedRoundsSql = roundSizeSql.zipWithIndex
       .map { case (l, i) => seedRoundCte(i + 1, l) }.mkString(",")
-    val lastSeeds = s"seeds${SeedRounds.size + 1}"
+    val lastSeeds = s"seeds${roundSizeSql.size + 1}"
     val iters = (1 to Iters).map { i =>
       val prev = if (i == 1) "c0" else s"c${i - 1}"
       assignCte(s"a$i", prev) + "," + updateCte(s"c$i", s"a$i")
@@ -226,13 +271,17 @@ object Corpus extends QueryModule {
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xs
       FROM embeddings),
+    kval AS (
+      SELECT least(count(*),
+                   greatest($MinK, (count(*) + ${TargetCell - 1}) // $TargetCell)) AS k
+      FROM embeddings),
     seeds1 AS (
       SELECT vec_id, xs FROM (
         SELECT vec_id, xs,
                ${Portable.md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS hv
         FROM emb)
       ORDER BY hv, vec_id LIMIT 1),
-    $seedRounds,
+    $seedRoundsSql,
     c0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, xs AS cs
       FROM $lastSeeds),

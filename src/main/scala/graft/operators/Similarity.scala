@@ -433,7 +433,10 @@ object Similarity extends QueryModule {
   // q108 — SemDeDup-style semantic dedup (the operator q98's clustering
   // exists to serve): assign every embedding to its trained-codebook
   // cluster, compare pairs ONLY inside a cluster (the cluster plays the
-  // LSH-bucket role — pair work is cluster-bounded, never corpus²), and
+  // LSH-bucket role), and because the codebook size is data-derived
+  // (Corpus.derivedK: k ≈ n / 64, so a cell holds ~64 vectors at ANY
+  // corpus size) the intra-cell pair join is O(n · 64) — cluster-bounded,
+  // never corpus². The oracle derives the same k from the same count, and
   // drop the higher vec_id of every pair at cosine ≥ τ. Emitted as the
   // per-cluster dedup audit (sizes, dup pairs, drops). τ is fixture-
   // scaled (the synthetic corpus has few true near-dups); production

@@ -47,6 +47,23 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("codebook size scales with the corpus: expected cell size stays bounded") {
+    import graft.operators.Corpus
+    // the fixture sizes pin the concrete values both engines derive
+    assert(Corpus.derivedK(500L) === 8L)   // sf0.001/sf0.01 — MinK floor
+    assert(Corpus.derivedK(2000L) === 32L) // sf0.1 — ceil(n/64)
+    // the invariant the q108 pair join depends on: n/k ≤ TargetCellSize at
+    // EVERY corpus size, so intra-cell pair work is O(n · TargetCellSize)
+    for (n <- Seq(1L, 7L, 100L, 512L, 513L, 100000L, 10000000L, 1562500000000L)) {
+      val k = Corpus.derivedK(n)
+      assert(k >= 1 && k <= n)
+      assert(n.toDouble / k <= Corpus.TargetCellSize.toDouble,
+        s"n=$n k=$k mean cell ${n.toDouble / k} exceeds target")
+    }
+    // the Spark count path and the pure formula agree on real data
+    assert(Corpus.derivedK(spark, TestSpark.Sf001) === Corpus.derivedK(500L))
+  }
+
   test("query results are invariant to spark.sql.shuffle.partitions") {
     val names = Seq("q01_pricing_summary", "q63_sessionize", "q83_outlier_days",
       "q85_heavy_hitters", "q88_retention_cohorts")
