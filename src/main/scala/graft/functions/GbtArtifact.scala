@@ -66,13 +66,27 @@ object GbtArtifact {
     val nf = buf.getInt()
     val bias = buf.getDouble()
     val trees = Seq.fill(buf.getInt()) {
-      Tree(IndexedSeq.fill(buf.getInt()) {
+      val nodes = IndexedSeq.fill(buf.getInt()) {
         buf.get() match {
           case 0 => Internal(buf.getInt(), buf.getDouble(), buf.getInt(), buf.getInt())
           case 1 => Leaf(buf.getDouble())
           case k => throw new IllegalArgumentException(s"bad node kind $k")
         }
-      })
+      }
+      // structural validation at LOAD time: children must point strictly
+      // forward and in range, so a corrupt artifact fails here with a
+      // clear message instead of as an IndexOutOfBounds/StackOverflow
+      // mid-score (forward-only edges also rule out cycles); feature
+      // indices must address the declared feature vector
+      nodes.zipWithIndex.foreach {
+        case (Internal(f, _, l, r), i) =>
+          require(l > i && l < nodes.size && r > i && r < nodes.size,
+            s"corrupt artifact: node $i children ($l, $r) outside (${i}, ${nodes.size})")
+          require(f >= 0 && f < nf,
+            s"corrupt artifact: node $i splits on feature $f of $nf")
+        case _ => ()
+      }
+      Tree(nodes)
     }
     require(!buf.hasRemaining, "trailing bytes in artifact")
     Model(nf, bias, trees)
@@ -125,8 +139,9 @@ object GbtArtifact {
     * (f0 = daily_return, f1 = vol_signal), stored as SERIALIZED BYTES —
     * the query path must go through [[deserialize]], so the full
     * bytes → model → compiled-expression load path is what the oracle
-    * checks. (A production flow reads these bytes from a model store;
-    * the format is the contract, not the storage.)
+    * checks. q102 does not read this constant directly: [[loadFromStore]]
+    * round-trips it through a parquet model-store table first, so the
+    * bytes cross a real storage boundary.
     */
   val demoArtifact: Array[Byte] = serialize(Model(
     numFeatures = 2,
@@ -144,4 +159,27 @@ object GbtArtifact {
         Internal(0, 0.005, 1, 2),
         Leaf(0.002), Internal(1, 2.0e-4, 3, 4),
         Leaf(-0.003), Leaf(0.0015))))))
+
+  /** Load a named model's bytes from the session model-store table — a
+    * parquet table of (model_name string, artifact binary) rows, the
+    * engine-side analog of the reference's pickle file on disk (reference
+    * data_processing/stock_pipeline.py:138). The store is written once
+    * per session (Scoped.shared) and every load READS THE PARQUET BACK:
+    * serialize → columnar file → filtered scan → driver bytes →
+    * [[deserialize]], so the storage boundary is exercised end-to-end,
+    * not simulated from an in-process constant. The driver-side head() is
+    * the model-load step itself (one row, a few hundred bytes — the same
+    * state every scoring framework holds on the driver before
+    * broadcasting); scoring stays fully distributed via [[score]]'s
+    * compiled expression.
+    */
+  def loadFromStore(spark: org.apache.spark.sql.SparkSession, name: String): Model = {
+    val store = graft.operators.Scoped.shared(spark, "gbt_model_store") {
+      (Nil, spark.createDataFrame(Seq(("gbt_v1", demoArtifact)))
+        .toDF("model_name", "artifact"))
+    }
+    val bytes = store.filter(col("model_name") === name)
+      .select(col("artifact")).head().getAs[Array[Byte]](0)
+    deserialize(bytes)
+  }
 }

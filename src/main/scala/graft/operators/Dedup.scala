@@ -489,10 +489,13 @@ object Dedup extends QueryModule {
 
   // ---------------------------------------------------------------------
   // q72 — near-dup clusters: connected components over the verified pair
-  // graph (q35), by alternating large-star/small-star contraction
-  // (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  // SoCC'14) — the round count scales with log of component size, NOT
-  // graph diameter, so an adversarial 10k-long near-dup chain converges
+  // graph (q35). Adaptive: two rounds of min-label propagation first —
+  // the cheap path that already converges on the shallow graphs band
+  // buckets actually produce — then, only if not converged, alternating
+  // large-star/small-star contraction (Kiveris et al., "Connected
+  // Components in MapReduce and Beyond", SoCC'14) — whose round count
+  // scales with log of component size, NOT graph diameter, so an
+  // adversarial 10k-long near-dup chain converges
   // in ~15 rounds where plain min-label propagation needs 10k. Each doc
   // ends up labeled with the smallest doc_id in its component — the same
   // unique fixed point as min-label propagation, so q72's result (and
@@ -540,6 +543,33 @@ object Dedup extends QueryModule {
       .select(col("i").as("u"), col("j").as("v"))
       .filter($"u" =!= $"v").distinct())
     var n = edges.count()
+    // Phase 1 — two min-label-propagation rounds on the ORIGINAL edge set.
+    // Real near-dup graphs are shallow (cliques and stars from band
+    // buckets), where LP hits its fixed point immediately and costs one
+    // join+groupBy per round — less per-round work than contraction's two
+    // shuffled star steps. LP and contraction share the min-label fixed
+    // point, so a converged LP answer IS the answer; a deep graph (the
+    // adversarial chain case) fails the convergence probe and falls
+    // through to diameter-free star contraction below.
+    val symEdges = sym(edges)
+    def propagate(labels: DataFrame): DataFrame =
+      rewrap(symEdges
+        .join(labels.withColumnRenamed("node", "u"), "u")
+        .select($"v".as("node"), $"label")
+        .union(labels)
+        .groupBy($"node").agg(min($"label").as("label")))
+    val l0 = rewrap(symEdges.select($"u".as("node"), $"u".as("label")).distinct())
+    val l1 = propagate(l0)
+    val l2 = propagate(l1)
+    // labels only ever decrease, and both tables hold one row per node —
+    // size-equal set difference is a full equality probe
+    val lpConverged = l2.except(l1).isEmpty
+    l0.unpersist(); l1.unpersist()
+    if (lpConverged) {
+      edges.unpersist()
+      return Scoped.materialize(l2)(l2)
+    }
+    l2.unpersist()
     var converged = false
     var iter = 0
     val MaxRounds = 60 // ~log2 of any feasible component size, with slack

@@ -6,12 +6,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (builder brief): image/audio/video handled
-  * as opaque `binary` columns with typed metadata. The container has no
-  * media codecs, so the DECODE step is a clearly-marked deterministic
-  * stub — but everything Spark-side is real and tested: the binary
-  * schema, the typed `Dataset` encoders, per-partition batch iteration
-  * (the JVM analog of `mapInPandas` batch shape), and the generator that
-  * fans frames out of per-asset metadata.
+  * as opaque `binary` columns with typed metadata. AUDIO (q107, RIFF/WAV)
+  * and IMAGES (q109, 24-bit BMP) decode with genuine codec-free byte
+  * parsers; only VIDEO keeps a clearly-marked deterministic stub (its
+  * codecs genuinely aren't in the container). Everything Spark-side is
+  * real and tested either way: the binary schema, the typed `Dataset`
+  * encoders, per-partition batch iteration (the JVM analog of
+  * `mapInPandas` batch shape), and the generator that fans frames out of
+  * per-asset metadata.
   *
   * At 100 TB the binary column lives in parquet alongside its metadata;
   * decode/feature-extract is pure per-partition map work (no shuffle),
@@ -29,9 +31,9 @@ object Multimodal extends QueryModule {
       fake_height: Long,
       n_frames: Long)
 
-  /** STUB decoder — deterministic fake in place of a real image/video
-    * decode (no codec libs in this container). Derives plausible metadata
-    * from the byte stream only.
+  /** STUB decoder — deterministic fake in place of a real VIDEO decode
+    * (no codec libs in this container; audio and images decode for real
+    * in q107/q109). Derives plausible metadata from the byte stream only.
     */
   private def stubDecode(docId: Long, bytes: Array[Byte]): AssetFeatures = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -155,5 +157,83 @@ object Multimodal extends QueryModule {
                i -> abs((doc_id * 31 + i * 17) % 2003 - 1001))) AS BIGINT) AS peak
       FROM p ORDER BY doc_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q44, q45, q107)
+  // ---------------------------------------------------------------------
+  // q109 — REAL image decode (functions.BmpImage): per doc, a synthesized
+  // 24-bit uncompressed BMP (deterministic dimensions + pixel recurrence
+  // from doc_id; every third doc stored TOP-DOWN via negative height, the
+  // rest bottom-up) is carried as a binary column and decoded by a
+  // genuine header-parsing, stride-de-padding BMP reader inside a typed
+  // mapPartitions — the image counterpart of q107's WAV path; after this,
+  // only video decode remains stubbed. Features include a position-
+  // weighted hash, so a parser that misreads the row order, the stride
+  // padding, or the BGR byte order breaks the oracle hash — not just the
+  // channel sums. The oracle recomputes everything from the synthesis
+  // recurrence in SQL. Decode is pure per-partition map work: no shuffle,
+  // scales with executors.
+  // ---------------------------------------------------------------------
+  final case class BmpFeatures(
+      doc_id: Long, width: Long, height: Long, n_bytes: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, pos_hash: Long)
+
+  private[graft] def synthBmp(docId: Long): Array[Byte] = {
+    import graft.functions.BmpImage
+    val w = (3 + docId % 13).toInt
+    val h = (2 + docId % 7).toInt
+    val pixels = Array.tabulate(w * h) { i =>
+      val x = i % w
+      val y = i / w
+      val b = ((docId * 7 + 3 * x + 5 * y) % 256).toInt
+      val g = ((docId * 11 + x + 2 * y) % 256).toInt
+      val r = ((docId * 13 + 5 * x + y) % 256).toInt
+      (r << 16) | (g << 8) | b
+    }
+    BmpImage.encode(BmpImage.Bmp(w, h, pixels), topDown = docId % 3 == 0)
+  }
+
+  private val q109 = QueryDef(
+    "q109_bmp_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.BmpImage
+      val assets: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, synthBmp(id))))
+      assets.mapPartitions(_.map { case (id, bytes) =>
+        val img = BmpImage.decode(bytes)
+        var sumR, sumG, sumB, posHash = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          val p = img.pixels(i)
+          val r = (p >> 16) & 0xff
+          val g = (p >> 8) & 0xff
+          val b = p & 0xff
+          sumR += r; sumG += g; sumB += b
+          posHash += (i + 1).toLong * (b + 2L * g + 3L * r)
+          i += 1
+        }
+        BmpFeatures(id, img.width.toLong, img.height.toLong, bytes.length.toLong,
+          sumR, sumG, sumB, posHash)
+      }).toDF().orderBy($"doc_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CAST(3 + doc_id % 13 AS BIGINT) AS width,
+               CAST(2 + doc_id % 7 AS BIGINT) AS height
+        FROM documents)
+      SELECT doc_id, width, height,
+             54 + ((width * 3 + 3) // 4) * 4 * height AS n_bytes,
+             CAST(list_sum(list_transform(range(0, width * height),
+               i -> (doc_id * 13 + 5 * (i % width) + (i // width)) % 256)) AS BIGINT) AS sum_r,
+             CAST(list_sum(list_transform(range(0, width * height),
+               i -> (doc_id * 11 + (i % width) + 2 * (i // width)) % 256)) AS BIGINT) AS sum_g,
+             CAST(list_sum(list_transform(range(0, width * height),
+               i -> (doc_id * 7 + 3 * (i % width) + 5 * (i // width)) % 256)) AS BIGINT) AS sum_b,
+             CAST(list_sum(list_transform(range(0, width * height),
+               i -> (i + 1) * ((doc_id * 7 + 3 * (i % width) + 5 * (i // width)) % 256
+                     + 2 * ((doc_id * 11 + (i % width) + 2 * (i // width)) % 256)
+                     + 3 * ((doc_id * 13 + 5 * (i % width) + (i // width)) % 256)))) AS BIGINT) AS pos_hash
+      FROM p ORDER BY doc_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q44, q45, q107, q109)
 }

@@ -162,6 +162,9 @@ object Scoring extends QueryModule {
   // the reference's pickled-XGBoost load at stock_pipeline.py:138) and
   // compiled into a native when/otherwise expression chain: bytes →
   // parsed trees → whole-stage-codegen'd scoring, no driver loop, no UDF.
+  // The bytes cross a REAL storage boundary: loadFromStore writes the
+  // artifact to a parquet model-store table once per session and the
+  // query reads it back (scan → driver bytes → deserialize → compile).
   // The oracle scores with CASE WHEN SQL generated from the SAME parsed
   // model, so the full load path (deserialize + compile) is what the
   // hash-compare checks.
@@ -171,7 +174,7 @@ object Scoring extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       import graft.functions.GbtArtifact
-      val model = GbtArtifact.deserialize(GbtArtifact.demoArtifact)
+      val model = GbtArtifact.loadFromStore(spark, "gbt_v1")
       val w = Window.partitionBy("ticker").orderBy("date")
       val prev = lag($"close", 1).over(w)
       WindowFeatures.bars(spark, dir)

@@ -7,8 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
-import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
-import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -51,12 +50,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - timestamp = event time (CreateTime, timestampType 0).
   *
   * Scale shape: executors read the backing parquet directly (one reader
-  * per topic-partition, early-terminated at its slice bound) — rows never
-  * route through the driver. The driver tracks only per-partition counts
-  * (from footer metadata, no data read) — the simulated broker's offset
-  * bookkeeping, exactly the state the Kafka source keeps per topic. The
-  * per-micro-batch rescan-and-skip is replay-harness cost, not a
-  * production path (a broker seeks by offset natively).
+  * per topic-partition, row-group-seeked to its slice start and early-
+  * terminated at its slice bound) — rows never route through the driver.
+  * The driver tracks only per-partition counts (from footer metadata, no
+  * data read) — the simulated broker's offset bookkeeping, exactly the
+  * state the Kafka source keeps per topic. The broker's offset seek maps
+  * to parquet row-group skipping: a batch starting at offset N skips the
+  * row groups below it from footer row counts alone, so per-batch cost is
+  * O(batch), not O(N).
   */
 class KafkaReplaySource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kafka-replay"
@@ -97,7 +98,13 @@ object KafkaReplay {
     * round-robin assignment makes them pure arithmetic on the row count).
     */
   private[sources] def partitionCounts(path: String, nPart: Int): Array[Long] = {
-    val in = HadoopInputFile.fromPath(new Path(path), new Configuration())
+    val hp = new Path(path)
+    val conf = new Configuration()
+    // the replay fixture is a single parquet FILE; a Spark-written dataset
+    // directory would otherwise surface as an obscure Hadoop read error
+    require(hp.getFileSystem(conf).getFileStatus(hp).isFile,
+      s"kafka-replay 'path' must be a single parquet file, got: $path")
+    val in = HadoopInputFile.fromPath(hp, conf)
     val reader = ParquetFileReader.open(in)
     val total = try reader.getRecordCount finally reader.close()
     Array.tabulate(nPart)(p => total / nPart + (if (p < total % nPart) 1L else 0L))
@@ -131,8 +138,10 @@ object KafkaReplay {
   }
 
   private[sources] def toRecord(g: Group, cfg: Config, p: Int, offset: Long): InternalRow = {
-    val tsMicros = if (g.getFieldRepetitionCount("ts") > 0)
-      g.getLong("ts", 0) / 1000L else 0L
+    // an absent event ts yields a NULL record timestamp (recordSchema's
+    // TimestampType is nullable), not epoch-0 rows
+    val tsMicros: Any = if (g.getFieldRepetitionCount("ts") > 0)
+      g.getLong("ts", 0) / 1000L else null
     new GenericInternalRow(Array[Any](
       null,
       toJson(g).getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -184,37 +193,73 @@ private[sources] object ReplayReaderFactory extends PartitionReaderFactory {
     new ReplayReader(partition.asInstanceOf[ReplayPartition])
 }
 
+/** Reads records [startOff, endOff) of topic-partition `p` — the broker
+  * "seek" is parquet row-group skipping: row groups whose footer-declared
+  * row range ends before the slice's first global row are skipped without
+  * touching their pages (`skipNextRowGroup`), and the reader early-
+  * terminates past the slice's last row. A micro-batch at offset N
+  * therefore costs O(one row group + batch rows), not O(N) scan-and-skip.
+  */
 private[sources] final class ReplayReader(part: ReplayPartition)
     extends PartitionReader[InternalRow] {
-  private val reader = ParquetReader
-    .builder(new GroupReadSupport(), new Path(part.cfg.path))
-    .withConf(new Configuration())
-    .build()
-  private var rowIdx = -1L
-  private var current: InternalRow = _
-  // global row index of this slice's LAST record — the reader stops there
-  // instead of draining the file
+  import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+  import org.apache.parquet.io.{ColumnIOFactory, RecordReader}
+
+  private val fileReader = ParquetFileReader.open(
+    HadoopInputFile.fromPath(new Path(part.cfg.path), new Configuration()))
+  private val fileSchema = fileReader.getFooter.getFileMetaData.getSchema
+  // global row index of this slice's FIRST and LAST records — everything
+  // outside [firstIdx, lastIdx] is footer-skipped or early-terminated
+  private val firstIdx = part.startOff * part.cfg.nPart + part.p
   private val lastIdx = (part.endOff - 1) * part.cfg.nPart + part.p
+  // skip whole row groups strictly below the slice start (footer row
+  // counts only — no page I/O); nextIdx tracks the global index of the
+  // next record the record-reader will produce
+  private var nextIdx = 0L
+  if (part.endOff > part.startOff) {
+    val it = fileReader.getRowGroups.iterator()
+    var skipping = true
+    while (skipping && it.hasNext) {
+      val rows = it.next().getRowCount
+      if (nextIdx + rows <= firstIdx) {
+        fileReader.skipNextRowGroup()
+        nextIdx += rows
+      } else skipping = false
+    }
+  }
+  private var groupReader: RecordReader[Group] = _
+  private var groupRemaining = 0L
+  private var current: InternalRow = _
+
+  private def advanceRowGroup(): Boolean = {
+    val pages = fileReader.readNextRowGroup()
+    if (pages == null) false
+    else {
+      groupReader = new ColumnIOFactory().getColumnIO(fileSchema)
+        .getRecordReader(pages, new GroupRecordConverter(fileSchema))
+      groupRemaining = pages.getRowCount
+      true
+    }
+  }
 
   override def next(): Boolean = {
     if (part.endOff <= part.startOff) return false
-    while (rowIdx < lastIdx) {
-      val g = reader.read()
-      if (g == null) return false
-      rowIdx += 1
-      if (rowIdx % part.cfg.nPart == part.p) {
-        val off = rowIdx / part.cfg.nPart
-        if (off >= part.startOff) {
-          current = KafkaReplay.toRecord(g, part.cfg, part.p, off)
-          return true
-        }
+    while (nextIdx <= lastIdx) {
+      if (groupRemaining == 0 && !advanceRowGroup()) return false
+      val g = groupReader.read()
+      groupRemaining -= 1
+      val idx = nextIdx
+      nextIdx += 1
+      if (idx % part.cfg.nPart == part.p && idx / part.cfg.nPart >= part.startOff) {
+        current = KafkaReplay.toRecord(g, part.cfg, part.p, idx / part.cfg.nPart)
+        return true
       }
     }
     false
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = fileReader.close()
 }
 
 /** Per-partition consumed-count offsets, JSON-serialized like the Kafka
@@ -254,16 +299,30 @@ private[sources] class KafkaReplayMicroBatch(cfg: KafkaReplay.Config)
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
+  /** Admission control: `maxOffsetsPerTrigger` rows are distributed
+    * proportionally to each partition's remaining lag (Kafka's rate-limit
+    * semantics) — the batch admits EXACTLY min(maxRows, totalLag) rows:
+    * floor-proportional shares first, then the remainder one row at a
+    * time to the laggiest partitions (ties → lower partition id). A cap
+    * smaller than the partition count still makes progress and never
+    * exceeds the cap.
+    */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ReplayOffset].counts
     val target = if (availableNowTarget != null) availableNowTarget else totals
-    val perPart = limit match {
-      case r: ReadMaxRows => math.max(1L, r.maxRows() / cfg.nPart)
-      case _ => Long.MaxValue
+    val lag = Array.tabulate(cfg.nPart)(p => target(p) - s(p))
+    val totalLag = lag.sum
+    val admitted = limit match {
+      case r: ReadMaxRows => math.min(r.maxRows(), totalLag)
+      case _ => totalLag
     }
-    ReplayOffset(Array.tabulate(cfg.nPart) { p =>
-      math.min(target(p), s(p) + math.min(perPart, target(p) - s(p)))
-    })
+    val share = Array.tabulate(cfg.nPart) { p =>
+      if (totalLag == 0) 0L else admitted * lag(p) / totalLag
+    }
+    var rem = admitted - share.sum
+    val order = (0 until cfg.nPart).sortBy(p => (-(lag(p) - share(p)), p))
+    for (p <- order if rem > 0 && share(p) < lag(p)) { share(p) += 1; rem -= 1 }
+    ReplayOffset(Array.tabulate(cfg.nPart)(p => s(p) + share(p)))
   }
 
   override def reportLatestOffset(): Offset = ReplayOffset(totals)

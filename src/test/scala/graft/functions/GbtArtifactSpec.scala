@@ -53,4 +53,27 @@ class GbtArtifactSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       score(model, Seq(lit(0.0)))) // wrong feature arity
   }
+
+  test("corrupt node structure is rejected at load time, not at score time") {
+    // backward child pointer (a cycle) — must fail deserialize, not
+    // stack-overflow later inside score()
+    val cyclic = Model(2, 0.0, Seq(Tree(IndexedSeq(
+      Internal(0, 0.5, 1, 2), Internal(1, 0.5, 0, 2), Leaf(1.0)))))
+    intercept[IllegalArgumentException](deserialize(serialize(cyclic)))
+    // out-of-range child index
+    val oob = Model(2, 0.0, Seq(Tree(IndexedSeq(
+      Internal(0, 0.5, 1, 7), Leaf(0.0)))))
+    intercept[IllegalArgumentException](deserialize(serialize(oob)))
+    // split on a feature index outside the declared vector
+    val badFeat = Model(1, 0.0, Seq(Tree(IndexedSeq(
+      Internal(3, 0.5, 1, 2), Leaf(0.0), Leaf(1.0)))))
+    intercept[IllegalArgumentException](deserialize(serialize(badFeat)))
+  }
+
+  test("loadFromStore round-trips the artifact through parquet") {
+    val loaded = GbtArtifact.loadFromStore(spark, "gbt_v1")
+    assert(loaded === model)
+    // unknown model names fail loudly (empty scan → no head row)
+    intercept[NoSuchElementException](GbtArtifact.loadFromStore(spark, "nope"))
+  }
 }

@@ -101,6 +101,66 @@ class KafkaReplaySpec extends AnyFunSuite {
       s"admission control did not split the replay (batches=${batches.get()})")
   }
 
+  test("row-group seek: a late slice on a multi-row-group file reads exactly its records") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    // synthesize a single parquet FILE with many small row groups so the
+    // seek path (skipNextRowGroup below the slice start) actually runs
+    val dir = java.nio.file.Files.createTempDirectory("graft_kr_rg_").toString
+    spark.range(20000).select(
+        $"id".as("event_id"),
+        (lit(1600000000000000000L) + $"id" * 1000000000L).as("ts"),
+        ($"id" % 97).as("user_id"),
+        concat(lit("t"), ($"id" % 5).cast("string")).as("event_type"),
+        ($"id" * 0.5).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1)
+      .write.option("parquet.block.size", (64 * 1024).toString)
+      .mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get.getAbsolutePath
+    val pf = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(file), new org.apache.hadoop.conf.Configuration()))
+    val nGroups = try pf.getRowGroups.size() finally pf.close()
+    assert(nGroups >= 3, s"fixture must span several row groups, got $nGroups")
+    // slice [5000, 5010) of partition 1 → global rows 3·off+1, event_id = idx
+    val cfg = KafkaReplay.Config(file, "events", NParts, None)
+    val reader = new ReplayReader(ReplayPartition(cfg, 1, 5000L, 5010L))
+    val got = Iterator.continually(reader)
+      .takeWhile(_.next())
+      .map { r =>
+        val json = new String(r.get().getBinary(1), java.nio.charset.StandardCharsets.UTF_8)
+        val id = "\"event_id\":(\\d+)".r.findFirstMatchIn(json).get.group(1).toLong
+        (r.get().getLong(4), id)
+      }.toSeq
+    reader.close()
+    assert(got === (5000L until 5010L).map(off => off -> (off * NParts + 1)))
+  }
+
+  test("admission control admits exactly min(cap, lag) rows, even when cap < partitions") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val cfg = KafkaReplay.Config(s"${TestSpark.Sf001}/events.parquet", "events", NParts, Some(2L))
+    val mb = new KafkaReplayMicroBatch(cfg)
+    val total = spark.read.parquet(cfg.path).count()
+    var cur = mb.initialOffset().asInstanceOf[ReplayOffset]
+    var steps = 0
+    val maxSteps = (total / 2 + NParts + 2).toInt
+    while (cur.counts.sum < total && steps < maxSteps) {
+      val nxt = mb.latestOffset(cur, ReadLimit.maxRows(2)).asInstanceOf[ReplayOffset]
+      val admitted = nxt.counts.sum - cur.counts.sum
+      assert(admitted > 0, "rate limit stalled with lag remaining")
+      assert(admitted <= 2, s"batch exceeded the cap: $admitted")
+      cur = nxt
+      steps += 1
+    }
+    assert(cur.counts.sum === total, "drain did not complete under a sub-partition-count cap")
+    // a drained topic admits nothing more
+    val fin = mb.latestOffset(cur, ReadLimit.maxRows(2)).asInstanceOf[ReplayOffset]
+    assert(fin.counts.toSeq === cur.counts.toSeq)
+  }
+
   test("checkpoint restart resumes from the committed offsets, no replay, no loss") {
     import org.apache.spark.sql.streaming.Trigger
     val ss = spark.newSession()
