@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * This is the native-expression port of the three VADER mechanics that
   * dominate its behavior (Hutto & Gilbert 2014, public method):
   *
-  *   1. a large word→valence lexicon (here ~290 entries at VADER-like
-  *      magnitudes, stored as integer decivalences = valence × 10);
+  *   1. a large word→valence lexicon (several thousand entries at
+  *      VADER-like magnitudes — a hand-curated core plus morphologically
+  *      derived inflections and finance/slang/emoticon batches, see
+  *      [[Lexicon]] — stored as integer decivalences = valence × 10);
   *   2. negation: a lexicon hit preceded by a negator flips and damps its
   *      valence by VADER's factor −0.74 ("not good" scores −0.74 × 1.9);
   *   3. intensity boosters: a preceding intensifier/dampener shifts the
@@ -33,8 +35,11 @@ import org.apache.spark.sql.functions._
   */
 object SentimentLex {
 
-  /** word → integer decivalence (VADER-like valence × 10). */
-  val Lexicon: Seq[(String, Int)] = Seq(
+  /** Hand-curated word → integer decivalence (VADER-like valence × 10).
+    * [[Lexicon]] below merges this with the morphologically derived and
+    * domain batches; curated values win on collision.
+    */
+  val Curated: Seq[(String, Int)] = Seq(
     // fixture vocabulary (synthetic corpus surface)
     "fast" -> 20, "slow" -> -20, "big" -> 10, "small" -> -10,
     "dup" -> -10, "value" -> 10, "spark" -> 10,
@@ -307,13 +312,370 @@ object SentimentLex {
     "worthless" -> -21, "wound" -> -20, "wounded" -> -21, "wreck" -> -19,
     "wrecked" -> -20)
 
-  // duplicate keys would silently diverge between the engines: the oracle
-  // CASE chain takes the FIRST match while the codegen HashMap keeps the
-  // LAST put — refuse at class-init instead
-  require(Lexicon.map(_._1).distinct.size == Lexicon.size, {
-    val dups = Lexicon.groupBy(_._1).collect { case (w, vs) if vs.size > 1 => w }
+  // duplicate keys in the hand-curated list are author errors — refuse at
+  // class-init (the merged Lexicon dedupes derived/domain entries by
+  // construction, curated values winning)
+  require(Curated.map(_._1).distinct.size == Curated.size, {
+    val dups = Curated.groupBy(_._1).collect { case (w, vs) if vs.size > 1 => w }
     s"duplicate lexicon keys: ${dups.mkString(", ")}"
   })
+
+  // ---------------------------------------------------------------------
+  // Lexicon breadth (round 5). The published VADER lexicon (~7.5k
+  // entries) is not present in this container and there is no network to
+  // fetch it, so full-file parity is unreachable offline; breadth comes
+  // instead from (a) rule-based morphological derivation over POS-tagged
+  // sentiment stems — the standard lexicon-expansion technique (inflected
+  // forms carry their stem's valence, which matches VADER's own practice
+  // of near-identical scores across inflections), (b) a finance/
+  // markets-forum batch matching the reference's r/wallstreetbets corpus
+  // (stock_pipeline.py:139), and (c) slang + emoticon tokens (the \S+
+  // tokenizer delivers ":)" as a clean token). Every derived form is
+  // generated from an explicitly tagged stem via standard English
+  // spelling rules, so the list stays real words with deterministic
+  // exact-integer valences on both engines.
+  // ---------------------------------------------------------------------
+
+  /** Verb stems (infinitive, decivalence) that inflect regularly; each
+    * contributes base, 3rd-person -s, past -ed, and gerund -ing forms.
+    */
+  private[graft] val VerbStems: Seq[(String, Int)] = Seq(
+    // positive
+    "applaud" -> 17, "assist" -> 15, "attain" -> 16, "captivate" -> 20,
+    "collaborate" -> 14, "compliment" -> 19, "conquer" -> 16,
+    "cooperate" -> 14, "cure" -> 19, "dazzle" -> 21, "dedicate" -> 15,
+    "elevate" -> 14, "embrace" -> 16, "enchant" -> 21, "endear" -> 16,
+    "energize" -> 17, "enhance" -> 16, "enlighten" -> 18,
+    "entertain" -> 16, "excel" -> 20, "excite" -> 21, "flatter" -> 13,
+    "gratify" -> 18, "greet" -> 12, "guide" -> 12, "help" -> 17,
+    "illuminate" -> 13, "impress" -> 20, "innovate" -> 16,
+    "invigorate" -> 18, "liberate" -> 18, "mentor" -> 14,
+    "motivate" -> 17, "nourish" -> 16, "please" -> 18, "prevail" -> 17,
+    "promote" -> 14, "reassure" -> 16, "recover" -> 15,
+    "rejuvenate" -> 18, "relax" -> 16, "relish" -> 17, "renew" -> 13,
+    "repair" -> 12, "revive" -> 15, "sparkle" -> 17, "stabilize" -> 12,
+    "strengthen" -> 15, "thrive" -> 21, "unite" -> 15, "volunteer" -> 14,
+    "accelerate" -> 10, "adorn" -> 12, "advocate" -> 11, "affirm" -> 13,
+    "amaze" -> 25, "amuse" -> 16, "astonish" -> 17, "attract" -> 13,
+    "beam" -> 14, "befriend" -> 16, "bloom" -> 16, "blossom" -> 17,
+    "brighten" -> 17, "charm" -> 18, "cheer" -> 21, "clarify" -> 10,
+    "console" -> 12, "cultivate" -> 11, "donate" -> 15, "ease" -> 13,
+    "educate" -> 12, "embolden" -> 14, "enliven" -> 16, "enrapture" -> 22,
+    "entice" -> 12, "exhilarate" -> 22, "fascinate" -> 19, "foster" -> 12,
+    "glisten" -> 12, "gleam" -> 12, "hearten" -> 16, "intrigue" -> 12,
+    "jest" -> 10, "mend" -> 12, "pamper" -> 14, "perfect" -> 21,
+    "persevere" -> 15, "polish" -> 10, "redeem" -> 13, "refine" -> 11,
+    "reunite" -> 16, "revitalize" -> 17, "salute" -> 14, "savor" -> 16,
+    "shelter" -> 11, "simplify" -> 10, "soar" -> 17, "succor" -> 13,
+    "surpass" -> 15, "sustain" -> 11, "tempt" -> 8, "toast" -> 11,
+    "upgrade" -> 14, "validate" -> 11, "venerate" -> 16, "vindicate" -> 13,
+    // negative
+    "afflict" -> -19, "alienate" -> -17, "ambush" -> -20,
+    "antagonize" -> -18, "argue" -> -12, "belittle" -> -18,
+    "blunder" -> -16, "boycott" -> -14, "bungle" -> -16,
+    "complicate" -> -12, "condemn" -> -20, "confiscate" -> -15,
+    "contaminate" -> -20, "crumble" -> -14, "decay" -> -16,
+    "defame" -> -20, "deflate" -> -12, "defraud" -> -24, "demean" -> -18,
+    "demote" -> -14, "denounce" -> -17, "deplete" -> -14,
+    "deplore" -> -18, "deride" -> -17, "detest" -> -24, "devalue" -> -13,
+    "discredit" -> -16, "dishonor" -> -20, "disparage" -> -18,
+    "displease" -> -17, "distort" -> -14, "dwindle" -> -13,
+    "embezzle" -> -24, "evict" -> -17, "exaggerate" -> -10,
+    "exclude" -> -13, "expel" -> -16, "falter" -> -13, "flounder" -> -13,
+    "forfeit" -> -15, "fumble" -> -12, "grieve" -> -21, "harass" -> -23,
+    "hinder" -> -14, "impair" -> -15, "implode" -> -17, "imprison" -> -19,
+    "incriminate" -> -17, "infect" -> -18, "inflame" -> -14,
+    "invade" -> -18, "jeopardize" -> -18, "loathe" -> -25,
+    "malfunction" -> -16, "mismanage" -> -16, "mistreat" -> -21,
+    "obstruct" -> -14, "overcharge" -> -14, "overreact" -> -11,
+    "penalize" -> -15, "perish" -> -22, "pester" -> -15,
+    "plummet" -> -17, "plunder" -> -20, "provoke" -> -13,
+    "ransack" -> -19, "ravage" -> -21, "rebuke" -> -15, "regress" -> -12,
+    "reprimand" -> -14, "retaliate" -> -15, "scold" -> -14,
+    "scorn" -> -18, "shatter" -> -17, "shun" -> -15, "slander" -> -21,
+    "squabble" -> -12, "stagnate" -> -13, "stumble" -> -11,
+    "suffocate" -> -22, "terrorize" -> -27, "torment" -> -23,
+    "trespass" -> -13, "underperform" -> -14, "vandalize" -> -20,
+    "violate" -> -19, "wail" -> -15, "weaken" -> -13, "whine" -> -13,
+    "worsen" -> -16, "abduct" -> -23, "abhor" -> -25, "agitate" -> -13,
+    "annihilate" -> -25, "backfire" -> -15, "banish" -> -16,
+    "blackmail" -> -23, "capsize" -> -15, "censor" -> -13,
+    "choke" -> -16, "clash" -> -13, "concede" -> -9, "cringe" -> -14,
+    "cripple" -> -19, "crush" -> -14, "deceive" -> -23, "decompose" -> -12,
+    "deflect" -> -8, "demonize" -> -18, "derail" -> -15,
+    "desert" -> -15, "despoil" -> -18, "disable" -> -13, "disown" -> -16,
+    "distrust" -> -17, "dread" -> -22, "flail" -> -11, "flop" -> -15,
+    "frighten" -> -20, "frustrate" -> -21, "grumble" -> -12,
+    "heckle" -> -14, "hijack" -> -22, "hoard" -> -12, "infest" -> -17,
+    "infringe" -> -13, "injure" -> -19, "instigate" -> -12,
+    "interrogate" -> -11, "intrude" -> -13, "lynch" -> -28,
+    "mangle" -> -18, "menace" -> -20, "misfire" -> -13,
+    "mourn" -> -21, "nag" -> -13, "obliterate" -> -22,
+    "overwork" -> -13, "paralyze" -> -19, "persecute" -> -22,
+    "pilfer" -> -16, "pressurize" -> -10, "punish" -> -23,
+    "quarrel" -> -13, "ridicule" -> -19, "rust" -> -9, "scavenge" -> -9,
+    "smuggle" -> -15, "snub" -> -14, "spoil" -> -15, "stain" -> -12,
+    "stall" -> -10, "stifle" -> -13, "strangle" -> -24, "swindle" -> -22,
+    "tease" -> -10, "threaten" -> -21, "traumatize" -> -24,
+    "tremble" -> -13, "unsettle" -> -12, "uproot" -> -11, "vex" -> -15,
+    "victimize" -> -20, "wither" -> -13, "wreck" -> -19)
+
+  /** Adjectives (decivalence) whose -ly adverb is well-formed; each
+    * contributes the adjective and the adverb.
+    */
+  private[graft] val AdjStems: Seq[(String, Int)] = Seq(
+    // positive
+    "abundant" -> 14, "admirable" -> 20, "affectionate" -> 20,
+    "agile" -> 11, "ambitious" -> 13, "ample" -> 11, "artful" -> 11,
+    "astute" -> 13, "blissful" -> 26, "bountiful" -> 17, "breezy" -> 10,
+    "calm" -> 13, "candid" -> 11, "cheery" -> 21, "cordial" -> 15,
+    "crisp" -> 9, "dainty" -> 10, "diligent" -> 14, "divine" -> 22,
+    "effortless" -> 15, "elated" -> 24, "eloquent" -> 15,
+    "enjoyable" -> 20, "enviable" -> 12, "ethical" -> 15,
+    "exuberant" -> 21, "fabled" -> 11, "fertile" -> 10, "fervent" -> 12,
+    "flawless" -> 29, "fluent" -> 12, "fragrant" -> 13, "generous" -> 23,
+    "glamorous" -> 18, "gleeful" -> 22, "graceful" -> 19,
+    "harmonious" -> 18, "hearty" -> 14, "honorable" -> 19,
+    "hospitable" -> 16, "humane" -> 16, "immaculate" -> 20,
+    "impeccable" -> 21, "ingenious" -> 19, "jovial" -> 20,
+    "jubilant" -> 27, "judicious" -> 12, "lavish" -> 13, "lucid" -> 10,
+    "luminous" -> 14, "lush" -> 12, "majestic" -> 21, "masterful" -> 18,
+    "mellow" -> 11, "meritorious" -> 16, "mindful" -> 12,
+    "miraculous" -> 24, "nimble" -> 11, "nifty" -> 14, "opulent" -> 14,
+    "ornate" -> 10, "picturesque" -> 17,
+    "plentiful" -> 14, "poetic" -> 11, "prompt" -> 10,
+    "prudent" -> 11, "punctual" -> 11, "quaint" -> 10, "resolute" -> 13,
+    "resourceful" -> 15, "reverent" -> 12, "savvy" -> 13, "seamless" -> 15,
+    "selfless" -> 19, "sensible" -> 12, "serendipitous" -> 18,
+    "skillful" -> 17, "spirited" -> 14, "spotless" -> 16,
+    "steadfast" -> 14, "sturdy" -> 11, "suave" -> 12, "sublime" -> 23,
+    "swift" -> 10, "tactful" -> 13, "thoughtful" -> 17, "thrifty" -> 10,
+    "tranquil" -> 19, "trustworthy" -> 21, "unselfish" -> 16,
+    "valiant" -> 18, "versatile" -> 13, "vigilant" -> 11,
+    "virtuous" -> 18, "vivacious" -> 19, "warmhearted" -> 21,
+    "whimsical" -> 12, "witty" -> 17, "zealous" -> 13,
+    // negative
+    "abrasive" -> -14, "abrupt" -> -9, "absurd" -> -14,
+    "anemic" -> -11, "apprehensive" -> -13, "barbaric" -> -23,
+    "belligerent" -> -18, "blatant" -> -12,
+    "brash" -> -11, "brutish" -> -21, "callous" -> -18, "catty" -> -13,
+    "clueless" -> -15, "coarse" -> -10, "combative" -> -13,
+    "contemptuous" -> -18, "corrosive" -> -13, "crabby" -> -14,
+    "cranky" -> -14, "crass" -> -13,
+    "crooked" -> -17, "cumbersome" -> -12,
+    "deceitful" -> -22, "deceptive" -> -18, "defiant" -> -11,
+    "deplorable" -> -22, "desperate" -> -14,
+    "despicable" -> -24, "detrimental" -> -16, "devious" -> -16,
+    "dingy" -> -12, "disastrous" -> -26, "disloyal" -> -19,
+    "dismissive" -> -12, "disrespectful" -> -20, "drab" -> -11,
+    "dubious" -> -12, "egregious" -> -19, "erroneous" -> -13,
+    "flagrant" -> -14, "flimsy" -> -12, "frail" -> -12,
+    "frantic" -> -14, "fraudulent" -> -25, "frivolous" -> -10,
+    "futile" -> -15, "ghastly" -> -22, "glum" -> -16, "grating" -> -12,
+    "grotesque" -> -20, "grouchy" -> -14, "grudging" -> -11,
+    "hapless" -> -13, "haughty" -> -13, "heartless" -> -22,
+    "heinous" -> -26, "hollow" -> -9, "inept" -> -16, "infamous" -> -16,
+    "insidious" -> -17, "insufferable" -> -19, "irate" -> -21,
+    "irksome" -> -13, "joyless" -> -18, "lackluster" -> -13,
+    "lousy" -> -18, "ludicrous" -> -14, "malignant" -> -21,
+    "mediocre" -> -11, "merciless" -> -21, "moody" -> -11,
+    "morbid" -> -16, "mundane" -> -8, "murky" -> -10, "needless" -> -11,
+    "negligent" -> -17, "nefarious" -> -21,
+    "odious" -> -21, "ominous" -> -16, "onerous" -> -12,
+    "oppressive" -> -19, "perilous" -> -18, "pompous" -> -13,
+    "precarious" -> -13, "pretentious" -> -13, "rancid" -> -18,
+    "reckless" -> -19, "regrettable" -> -15, "repugnant" -> -22,
+    "repulsive" -> -23, "resentful" -> -17, "ruinous" -> -19,
+    "scandalous" -> -17, "senseless" -> -15, "shameful" -> -20,
+    "shoddy" -> -16, "sour" -> -11, "spurious" -> -13, "squalid" -> -18,
+    "stagnant" -> -12, "stern" -> -8, "tactless" -> -14, "tedious" -> -12,
+    "treacherous" -> -21, "tyrannical" -> -22, "unbearable" -> -22,
+    "uncouth" -> -13, "ungrateful" -> -17, "unkind" -> -17,
+    "unscrupulous" -> -20,
+    "vengeful" -> -18, "vulgar" -> -16, "wasteful" -> -14,
+    "woeful" -> -18, "wretched" -> -22)
+
+  /** Nouns (decivalence) with natural plurals; each contributes singular
+    * and plural.
+    */
+  private[graft] val NounStems: Seq[(String, Int)] = Seq(
+    // positive
+    "accolade" -> 17, "ally" -> 13, "asset" -> 13, "award" -> 20,
+    "bargain" -> 14, "blessing" -> 22, "bonanza" -> 19, "boon" -> 16,
+    "breakthrough" -> 20, "celebration" -> 23, "compliment" -> 18,
+    "darling" -> 19, "discovery" -> 14, "feast" -> 15, "festival" -> 15,
+    "genius" -> 24, "hug" -> 18, "jewel" -> 16, "keepsake" -> 12,
+    "kindness" -> 21, "luxury" -> 20, "medal" -> 16, "milestone" -> 13,
+    "opportunity" -> 16, "ovation" -> 18, "paradise" -> 28,
+    "perk" -> 13, "promotion" -> 16, "remedy" -> 13, "sanctuary" -> 14,
+    "smile" -> 21, "solution" -> 12, "sweetheart" -> 22, "talent" -> 20,
+    "treasure" -> 21, "trophy" -> 17, "upside" -> 12, "victory" -> 27,
+    "virtue" -> 16, "windfall" -> 19, "wonder" -> 17,
+    // negative
+    "ailment" -> -15, "atrocity" -> -26, "backlash" -> -14,
+    "bottleneck" -> -11, "calamity" -> -24, "casualty" -> -21,
+    "collision" -> -14, "complication" -> -12, "controversy" -> -12,
+    "culprit" -> -13, "deadlock" -> -12, "debacle" -> -19,
+    "defect" -> -17, "deficiency" -> -14, "dilemma" -> -11,
+    "downturn" -> -15, "drawback" -> -12, "epidemic" -> -20,
+    "eyesore" -> -14, "famine" -> -23, "felony" -> -21, "feud" -> -14,
+    "fiasco" -> -21, "glitch" -> -12, "grievance" -> -14,
+    "hardship" -> -17, "hazard" -> -18, "hoax" -> -17, "hurdle" -> -10,
+    "insurgent" -> -16, "lawsuit" -> -13, "liability" -> -13,
+    "massacre" -> -29, "mishap" -> -13, "mistake" -> -17,
+    "nuisance" -> -14, "obstacle" -> -11, "outbreak" -> -16,
+    "pandemic" -> -20, "pitfall" -> -13, "quagmire" -> -14,
+    "rascal" -> -10, "recession" -> -19, "rift" -> -11, "riot" -> -19,
+    "setback" -> -14, "shortcoming" -> -12, "slump" -> -14,
+    "stalemate" -> -10, "tyrant" -> -22, "upheaval" -> -14,
+    "villain" -> -22)
+
+  /** Finance / markets-forum vocabulary — the reference corpus is
+    * r/wallstreetbets posts scored with VADER (stock_pipeline.py:139),
+    * so ticker-chat slang carries most of the real signal there.
+    */
+  private[graft] val FinanceBatch: Seq[(String, Int)] = Seq(
+    "bull" -> 13, "bullish" -> 19, "bulls" -> 13, "bear" -> -12,
+    "bearish" -> -19, "bears" -> -12, "rally" -> 17, "rallies" -> 17,
+    "rallied" -> 17, "moon" -> 22, "mooning" -> 23, "rocket" -> 19,
+    "rockets" -> 19, "surge" -> 16, "surged" -> 17, "surging" -> 17,
+    "soared" -> 18, "soaring" -> 18, "breakout" -> 14, "uptrend" -> 15,
+    "downtrend" -> -15, "dip" -> -8, "dipped" -> -9, "selloff" -> -16,
+    "sell-off" -> -16, "plunge" -> -18, "plunged" -> -19,
+    "plunging" -> -19, "tank" -> -15, "tanked" -> -18, "tanking" -> -18,
+    "crater" -> -16, "cratered" -> -18, "dump" -> -14, "dumped" -> -15,
+    "dumping" -> -15, "bagholder" -> -17, "bagholders" -> -17,
+    "rekt" -> -21, "margin-call" -> -19, "liquidated" -> -19,
+    "liquidation" -> -17, "default" -> -16, "defaulted" -> -17,
+    "insolvent" -> -21, "insolvency" -> -20, "bankruptcy" -> -24,
+    "delisted" -> -18, "delisting" -> -17, "dilution" -> -13,
+    "diluted" -> -12, "shorted" -> -8, "squeeze" -> 11, "gains" -> 19,
+    "gainz" -> 20, "profits" -> 19, "profitable" -> 19, "dividend" -> 12,
+    "dividends" -> 12, "undervalued" -> 13, "overvalued" -> -12,
+    "outperform" -> 15, "outperformed" -> 16, "underperformed" -> -15,
+    "beat" -> 11, "beats" -> 12, "missed" -> -13, "guidance-cut" -> -16,
+    "upgrade" -> 14, "upgraded" -> 15, "downgrade" -> -15,
+    "downgraded" -> -16, "bubble" -> -12, "correction" -> -11,
+    "volatile" -> -10, "volatility" -> -9, "stonks" -> 15,
+    "tendies" -> 20, "yolo" -> 8, "fomo" -> -9, "fud" -> -14,
+    "hodl" -> 10, "diamondhands" -> 14, "paperhands" -> -12,
+    "shill" -> -14, "shilling" -> -14, "pump" -> 8, "pumped" -> 10,
+    "rugpull" -> -23, "rug-pull" -> -23, "scammy" -> -20,
+    "ponzi" -> -24, "overbought" -> -9, "oversold" -> 7,
+    "capitulation" -> -16, "capitulate" -> -14, "deleveraging" -> -10,
+    "writedown" -> -14, "write-off" -> -13, "impairment" -> -13,
+    "windfalls" -> 19, "blowout" -> 13, "stellar-quarter" -> 21,
+    "record-high" -> 18, "all-time-high" -> 19, "ath" -> 16,
+    "all-time-low" -> -18, "haircut" -> -12, "freefall" -> -20,
+    "bloodbath" -> -22, "carnage" -> -21, "meltup" -> 12,
+    "circuit-breaker" -> -15, "halted" -> -12, "frothy" -> -9,
+    "resilience" -> 14, "headwind" -> -11, "headwinds" -> -12,
+    "tailwind" -> 12, "tailwinds" -> 13, "beatdown" -> -15,
+    "squeezed" -> 8, "margin" -> 0, "leveraged" -> -5, "solvency" -> 6)
+
+  /** Slang + emoticon tokens (the \S+ tokenizer hands these over as-is;
+    * lookups lowercase, so only lowercase keys).
+    */
+  private[graft] val SlangBatch: Seq[(String, Int)] = Seq(
+    ":)" -> 20, ":-)" -> 20, ":))" -> 22, ":d" -> 23, ":-d" -> 23,
+    ";)" -> 14, ";-)" -> 14, ":(" -> -19, ":-(" -> -19, ":((" -> -22,
+    ":/" -> -11, ":-/" -> -11, ":|" -> -5, ":p" -> 12, ":-p" -> 12,
+    "<3" -> 26, "</3" -> -24, "=)" -> 19, "=(" -> -18, "^_^" -> 21,
+    "-_-" -> -11, "t_t" -> -18, "xd" -> 21, "xoxo" -> 22, "lol" -> 16,
+    "lmao" -> 18, "rofl" -> 19, "haha" -> 17, "hahaha" -> 19,
+    "hehe" -> 13, "yikes" -> -13, "ugh" -> -15, "meh" -> -7,
+    "blah" -> -8, "wtf" -> -17, "omg" -> 8, "smh" -> -12, "ffs" -> -17,
+    "gg" -> 14, "ez" -> 9, "noob" -> -11, "pwned" -> -9, "epic-win" -> 24,
+    "epic-fail" -> -22, "fail-whale" -> -15, "facepalm" -> -13,
+    "derp" -> -9, "cringe" -> -14, "cringey" -> -15, "based" -> 12,
+    "goat" -> 21, "lit" -> 16, "dope" -> 16, "sick" -> -22,
+    "rad" -> 17, "stoked" -> 20, "psyched" -> 19, "hyped" -> 17,
+    "salty" -> -12, "toxicity" -> -21, "troll" -> -14, "trolls" -> -14,
+    "trolling" -> -15, "spammy" -> -14, "clickbait" -> -13,
+    "garbage-tier" -> -19, "god-tier" -> 22, "banger" -> 18,
+    "bop" -> 14, "slaps" -> 16, "vibes" -> 12, "vibing" -> 14,
+    "sus" -> -12, "yeet" -> 9, "bruh" -> -7, "oof" -> -12, "rip" -> -14,
+    "pog" -> 18, "poggers" -> 19, "kek" -> 12, "copium" -> -11,
+    "hopium" -> -6, "doomer" -> -14, "bloomer" -> 12, "chad" -> 13,
+    "legend" -> 20, "dub" -> 13, "ratio" -> -9,
+    "flex" -> 8, "simp" -> -9, "savage" -> -19, "slay" -> 15)
+
+  // ---- morphological derivation (standard English spelling rules) ----
+
+  /** Stems whose final consonant doubles before -ed/-ing. */
+  private val DoubleFinal =
+    Set("expel", "excel", "nag", "snub", "stun", "flop", "shun", "abhor")
+
+  /** Words whose inflections are irregular or unnatural — entered as
+    * explicit single forms instead of through the derivation rules.
+    */
+  private[graft] val ExtraWords: Seq[(String, Int)] = Seq(
+    "bogus" -> -17, "obsolete" -> -10, "fickle" -> -10, "unruly" -> -12,
+    "untimely" -> -11, "outgoing" -> 13, "poised" -> 12, "alarmed" -> -15,
+    "cringeworthy" -> -16, "derelict" -> -14, "cutthroat" -> -15,
+    "vermin" -> -17, "wreckage" -> -18, "misled" -> -20,
+    "overpay" -> -11, "overpays" -> -11, "overpaid" -> -11,
+    "overpaying" -> -11, "flung" -> -8, "forsaken" -> -17,
+    "forsook" -> -16, "stole" -> -23, "overthrew" -> -14,
+    "overthrown" -> -14, "outshone" -> 15, "uplifted" -> 20,
+    "overcame" -> 17, "overcome" -> 14, "withstood" -> 12,
+    "withstand" -> 10, "heartwarming" -> 24, "awestruck" -> 19,
+    "spellbound" -> 17, "standout" -> 16, "standstill" -> -11,
+    "shipwreck" -> -17, "downhearted" -> -18, "crestfallen" -> -18,
+    "browbeaten" -> -16, "woebegone" -> -17)
+
+  private def endsWithAny(w: String, ss: String*): Boolean = ss.exists(w.endsWith)
+  private def consY(w: String): Boolean =
+    w.length > 1 && w.endsWith("y") && !"aeiou".contains(w.charAt(w.length - 2))
+
+  /** 3rd-person-s / plural: -es after sibilants, -ies after consonant+y. */
+  private[graft] def sForm(w: String): String =
+    if (consY(w)) w.dropRight(1) + "ies"
+    else if (endsWithAny(w, "s", "x", "z", "ch", "sh")) w + "es"
+    else w + "s"
+
+  private def doubled(w: String): String = w + w.last
+
+  private[graft] def pastForm(w: String): String =
+    if (w.endsWith("e")) w + "d"
+    else if (consY(w)) w.dropRight(1) + "ied"
+    else if (DoubleFinal(w)) doubled(w) + "ed"
+    else w + "ed"
+
+  private[graft] def ingForm(w: String): String =
+    if (w.endsWith("ee")) w + "ing"
+    else if (w.endsWith("e")) w.dropRight(1) + "ing"
+    else if (DoubleFinal(w)) doubled(w) + "ing"
+    else w + "ing"
+
+  private[graft] def lyForm(w: String): String =
+    if (consY(w)) w.dropRight(1) + "ily"
+    else if (w.endsWith("ic")) w + "ally"
+    else if (w.endsWith("le") && w.length > 2 && !"aeiou".contains(w.charAt(w.length - 3)))
+      w.dropRight(1) + "y"
+    else if (w.endsWith("ll")) w + "y"
+    else if (w.endsWith("ue")) w.dropRight(1) + "ly"
+    else w + "ly"
+
+  private def derivedEntries: Seq[(String, Int)] =
+    VerbStems.flatMap { case (w, v) =>
+      Seq(w -> v, sForm(w) -> v, pastForm(w) -> v, ingForm(w) -> v) } ++
+    AdjStems.flatMap { case (w, v) => Seq(w -> v, lyForm(w) -> v) } ++
+    NounStems.flatMap { case (w, v) => Seq(w -> v, sForm(w) -> v) } ++
+    ExtraWords ++ FinanceBatch ++ SlangBatch
+
+  /** word → integer decivalence (VADER-like valence × 10): the curated
+    * core merged with the derived/domain batches. First occurrence wins
+    * (curated precedence), so the list is duplicate-free by construction
+    * and both engines' lookups agree.
+    */
+  val Lexicon: Seq[(String, Int)] = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    (Curated ++ derivedEntries).foreach { case (w, v) =>
+      if (!seen.contains(w)) seen(w) = v
+    }
+    seen.toSeq
+  }
 
   /** Negators: flip-and-damp the following lexicon hit by −0.74
     * (reference VADER N_SCALAR). Apostrophe-free contraction forms only —

@@ -87,16 +87,76 @@ class TextSentimentSpec extends AnyFunSuite {
   test("expanded lexicon: distinct keys, VADER-scale magnitudes, both polarities covered") {
     val words = SentimentLex.Lexicon.map(_._1)
     assert(words.distinct.size === words.size)
-    assert(SentimentLex.Lexicon.size >= 700, s"lexicon shrank: ${words.size}")
-    assert(SentimentLex.Lexicon.count(_._2 > 0) >= 300)
-    assert(SentimentLex.Lexicon.count(_._2 < 0) >= 300)
+    assert(SentimentLex.Lexicon.size >= 2500, s"lexicon shrank: ${words.size}")
+    assert(SentimentLex.Lexicon.count(_._2 > 0) >= 1000)
+    assert(SentimentLex.Lexicon.count(_._2 < 0) >= 1200)
     // decivalence range matches VADER's [-4, 4] valence band
     assert(SentimentLex.Lexicon.forall { case (_, v) => v >= -40 && v <= 40 })
+    // every key must be a clean lowercase token (the lookup lowercases,
+    // and the oracle CASE quotes keys with single quotes)
+    assert(words.forall(w => w.nonEmpty && w == w.toLowerCase && !w.contains("'")))
     // lookback modifier words must not double as lexicon entries (a word
     // can't be both a hit and the next word's modifier in this design)
     val mods = (SentimentLex.Negations ++ SentimentLex.Intensifiers ++
       SentimentLex.Dampeners).toSet
     assert(words.forall(!mods.contains(_)))
+  }
+
+  test("morphological derivation spells standard inflections correctly") {
+    import SentimentLex._
+    assert(sForm("rally") === "rallies")
+    assert(sForm("harass") === "harasses")
+    assert(sForm("vex") === "vexes")
+    assert(sForm("relish") === "relishes")
+    assert(sForm("decay") === "decays")
+    assert(pastForm("please") === "pleased")
+    assert(pastForm("clarify") === "clarified")
+    assert(pastForm("excel") === "excelled")
+    assert(pastForm("flop") === "flopped")
+    assert(pastForm("abhor") === "abhorred")
+    assert(ingForm("embrace") === "embracing")
+    assert(ingForm("shun") === "shunning")
+    assert(ingForm("decay") === "decaying")
+    assert(lyForm("dainty") === "daintily")
+    assert(lyForm("majestic") === "majestically")
+    assert(lyForm("sensible") === "sensibly")
+    assert(lyForm("masterful") === "masterfully")
+    // derived entries landed in the merged lexicon with the stem valence
+    val lex = Lexicon.toMap
+    assert(lex("applauded") === lex("applaud"))
+    assert(lex("daintily") === lex("dainty"))
+    assert(lex("allies") === lex("ally"))
+  }
+
+  test("broad-sample scoring matches hand-computed milli-valences and compounds") {
+    // sentences spanning the finance, slang/emoticon, derived-inflection
+    // and modifier machinery; expected raws derived by hand from the
+    // documented arithmetic (base v*100, negation -74*v, booster ±293)
+    val samples = Seq(
+      // stonks 15, rallied 17, moon 22, :) 20 — no modifiers
+      "stonks rallied to the moon :)" -> (1500L + 1700L + 2200L + 2000L),
+      // not bullish → -74*19; bloodbath -22
+      "not bullish on this bloodbath" -> (-74L * 19L - 2200L),
+      // very stoked → 20*100+293; slightly worried → least(0, -1800+293)
+      "very stoked and slightly worried" -> (2293L - 1507L),
+      // paperhands -12, panic -23, lol 16
+      "paperhands panic selling lol" -> (-1200L - 2300L + 1600L),
+      // applauded 17 (derived from applaud), heartwarming 24, rally 17
+      "applauded the heartwarming rally" -> (1700L + 2400L + 1700L),
+      // daintily 10 (derived), woefully -18 (derived), mediocre -11
+      "daintily decorated but woefully mediocre" -> (1000L - 1800L - 1100L),
+      // rugpull -23, rekt -21, :( -19
+      "total rugpull got rekt :(" -> (-2300L - 2100L - 1900L),
+      "" -> 0L)
+    val df = samples.map(_._1).toDF("text")
+      .withColumn("raw", SentimentLex.rawScore(Portable.tokens($"text")))
+      .withColumn("c", SentimentLex.compound($"raw"))
+    val got = df.select("raw", "c").as[(Long, Double)].collect()
+    got.zip(samples).foreach { case ((raw, c), (text, expected)) =>
+      assert(raw === expected, s"raw mismatch on: $text")
+      val r = expected.toDouble / 1000.0
+      assert(math.abs(c - r / math.sqrt(r * r + 15.0)) < 1e-12, s"compound on: $text")
+    }
   }
 
   test("codegen sentiment expression equals the declarative HOF form on the corpus") {
