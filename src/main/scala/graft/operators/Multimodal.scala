@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (builder brief): image/audio/video handled
   * as opaque `binary` columns with typed metadata. AUDIO (q107, RIFF/WAV)
   * and IMAGES (q109, 24-bit BMP) decode with genuine codec-free byte
-  * parsers; only VIDEO keeps a clearly-marked deterministic stub (its
-  * codecs genuinely aren't in the container). Everything Spark-side is
-  * real and tested either way: the binary schema, the typed `Dataset`
-  * encoders, per-partition batch iteration (the JVM analog of
-  * `mapInPandas` batch shape), and the generator that fans frames out of
-  * per-asset metadata.
+  * parsers, and VIDEO containers parse for real too (q110, AVI
+  * header/frame-chunk walk) — only the video frame-PAYLOAD decode keeps
+  * a clearly-marked deterministic stub (its codecs genuinely aren't in
+  * the container). Everything Spark-side is real and tested either way:
+  * the binary schema, the typed `Dataset` encoders, per-partition batch
+  * iteration (the JVM analog of `mapInPandas` batch shape), and the
+  * generator that fans frames out of per-asset metadata.
   *
   * At 100 TB the binary column lives in parquet alongside its metadata;
   * decode/feature-extract is pure per-partition map work (no shuffle),
@@ -235,5 +236,64 @@ object Multimodal extends QueryModule {
                      + 3 * ((doc_id * 13 + 5 * (i % width) + (i // width)) % 256)))) AS BIGINT) AS pos_hash
       FROM p ORDER BY doc_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q44, q45, q107, q109)
+  // ---------------------------------------------------------------------
+  // q110 — REAL video CONTAINER parse (functions.RiffAvi): per doc, a
+  // synthesized single-stream AVI (header recurrence from doc_id, opaque
+  // deterministic frame payloads) is parsed by a genuine RIFF chunk
+  // walker — avih header fields, movi frame-chunk census, payload byte
+  // sums — inside a typed mapPartitions. This is the honest limit of the
+  // video path without codec libraries: container metadata is REAL parse
+  // output (and the parser cross-checks header totalFrames against the
+  // movi walk), while frame payloads stay opaque bytes — exactly how
+  // production pipelines treat video before a GPU decode stage. The
+  // oracle recomputes every feature from the synthesis recurrence.
+  // ---------------------------------------------------------------------
+  final case class AviFeatures(
+      doc_id: Long, width: Long, height: Long, n_frames: Long,
+      duration_ms: Long, payload_bytes: Long, payload_sum: Long)
+
+  private[graft] def synthAvi(docId: Long): Array[Byte] = {
+    import graft.functions.RiffAvi
+    val w = (16 + (docId % 9) * 4).toInt
+    val h = (12 + (docId % 5) * 4).toInt
+    val nFrames = (2 + docId % 9).toInt
+    val frames = Seq.tabulate(nFrames) { i =>
+      val len = (10 + (docId + i) % 50).toInt
+      Array.tabulate(len)(k => ((docId * 5 + i * 7 + k * 11) % 256).toByte)
+    }
+    RiffAvi.encode(w, h, 33333, frames)
+  }
+
+  private val q110 = QueryDef(
+    "q110_avi_container",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.RiffAvi
+      val assets: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, synthAvi(id))))
+      assets.mapPartitions(_.map { case (id, bytes) =>
+        val m = RiffAvi.parse(bytes)
+        AviFeatures(id, m.width.toLong, m.height.toLong, m.totalFrames.toLong,
+          m.totalFrames.toLong * m.usecPerFrame.toLong / 1000L,
+          m.payloadBytes, m.payloadSum)
+      }).toDF().orderBy($"doc_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CAST(16 + (doc_id % 9) * 4 AS BIGINT) AS width,
+               CAST(12 + (doc_id % 5) * 4 AS BIGINT) AS height,
+               CAST(2 + doc_id % 9 AS BIGINT) AS n_frames
+        FROM documents)
+      SELECT doc_id, width, height, n_frames,
+             n_frames * 33333 // 1000 AS duration_ms,
+             CAST(list_sum(list_transform(range(0, n_frames),
+               i -> 10 + (doc_id + i) % 50)) AS BIGINT) AS payload_bytes,
+             CAST(list_sum(list_transform(range(0, n_frames), i ->
+               list_sum(list_transform(range(0, 10 + (doc_id + i) % 50),
+                 k -> (doc_id * 5 + i * 7 + k * 11) % 256)))) AS BIGINT) AS payload_sum
+      FROM p ORDER BY doc_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q44, q45, q107, q109, q110)
 }
