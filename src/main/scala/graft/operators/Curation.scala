@@ -280,5 +280,119 @@ object Curation extends QueryModule {
       WHERE d.doc_id % 50 <> 0
       GROUP BY d.source ORDER BY d.source"""))
 
-  override val defs: Seq[QueryDef] = Seq(q61, q64, q67, q68, q69)
+  // ---------------------------------------------------------------------
+  // q111 — deterministic corpus shuffle + shard manifest: the export step
+  // of a training-data pipeline. Training order must be pseudorandom but
+  // REPRODUCIBLE, so the permutation key is a salted portable hash of the
+  // doc id (never `rand()` — non-reseedable across retries/engines), and
+  // shard assignment is hash mod nShards. The query emits the per-shard
+  // manifest (doc/token counts, order-hash extents, a content checksum,
+  // and the hash-order boundary docs) that an exporter writes next to the
+  // shard files; the write itself is `.write.partitionBy("shard")` on the
+  // same frame. Scale shape: per-row map work + ONE shuffle (the shard
+  // groupBy) — the sort-by-hash happens per shard file at write time, not
+  // globally.
+  // ---------------------------------------------------------------------
+  private val ShuffleSalt = "shuf42:"
+  private val NShards = 8
+  private val q111 = QueryDef(
+    "q111_shuffle_shards",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      Tables.documents(spark, dir)
+        .withColumn("order_hash",
+          Portable.md5Hash64(concat(lit(ShuffleSalt), $"doc_id".cast("string"))))
+        .withColumn("shard", pmod($"order_hash", lit(NShards.toLong)))
+        .withColumn("n_tokens", size(Portable.tokens($"text")).cast("long"))
+        .groupBy($"shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("n_tokens"),
+          min($"order_hash").as("min_hash"),
+          max($"order_hash").as("max_hash"),
+          pmod(sum(pmod(Portable.md5Hash64($"text"), lit(Portable.P))),
+            lit(Portable.P)).as("doc_checksum"),
+          min_by($"doc_id", $"order_hash").as("first_doc_id"),
+          max_by($"doc_id", $"order_hash").as("last_doc_id"))
+        .orderBy($"shard")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id, text,
+               ${graft.functions.Portable.md5Hash64Sql(
+                 s"'$ShuffleSalt' || CAST(doc_id AS VARCHAR)")} AS order_hash,
+               len(${graft.functions.Portable.tokensSql("text")}) AS n_tokens
+        FROM documents)
+      SELECT order_hash % $NShards AS shard,
+             count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             min(order_hash) AS min_hash,
+             max(order_hash) AS max_hash,
+             CAST(sum(${graft.functions.Portable.md5Hash64Sql("text")}
+               % ${graft.functions.Portable.P}) % ${graft.functions.Portable.P}
+               AS BIGINT) AS doc_checksum,
+             arg_min(doc_id, order_hash) AS first_doc_id,
+             arg_max(doc_id, order_hash) AS last_doc_id
+      FROM h GROUP BY 1 ORDER BY shard"""))
+
+  // ---------------------------------------------------------------------
+  // q112 — source-weighted mixture (data mixing / epoch weights): each
+  // source gets a fractional epoch weight (e.g. 2.5 = two full copies plus
+  // a deterministic 50% sample of a third) — the standard way training
+  // mixes up-weight high-quality sources. Weights are exact integer
+  // millis; the fractional copy is chosen by salted hash, so the mixture
+  // is reproducible row-by-row across engines and retries. The query
+  // materializes the actual duplicated rows (array_repeat → explode — a
+  // generator, zero shuffle) and aggregates the per-source manifest the
+  // oracle recomputes in closed form.
+  // ---------------------------------------------------------------------
+  private val MixSalt = "mix42:"
+  private val q112 = QueryDef(
+    "q112_source_mixture",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val docs = Tables.documents(spark, dir)
+        // weight class from the numeric source suffix: srcN → N % 4
+        .withColumn("w_milli",
+          element_at(
+            array(lit(2500L), lit(1000L), lit(500L), lit(1500L)),
+            (substring($"source", 4, 10).cast("int") % 4) + 1))
+        .withColumn("extra",
+          when(pmod(Portable.md5Hash64(
+            concat(lit(MixSalt), $"doc_id".cast("string"))), lit(1000L))
+            < $"w_milli" % 1000L, 1L).otherwise(0L))
+        .withColumn("n_copies", floor($"w_milli" / 1000L).cast("long") + $"extra")
+      docs
+        .withColumn("copy", explode(array_repeat(lit(1), $"n_copies".cast("int"))))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("mixture_docs"))
+        .join(docs.groupBy($"source")
+          .agg(count(lit(1)).as("input_docs"), max($"w_milli").as("weight_milli")),
+          Seq("source"), "right")
+        .select($"source", $"input_docs", $"weight_milli",
+          coalesce($"mixture_docs", lit(0L)).as("mixture_docs"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, source,
+               CASE CAST(substr(source, 4) AS INT) % 4
+                 WHEN 0 THEN 2500 WHEN 1 THEN 1000
+                 WHEN 2 THEN 500 ELSE 1500 END AS w_milli
+        FROM documents),
+      c AS (
+        SELECT source, w_milli,
+               w_milli // 1000 +
+               CASE WHEN ${graft.functions.Portable.md5Hash64Sql(
+                 s"'$MixSalt' || CAST(doc_id AS VARCHAR)")} % 1000
+                 < w_milli % 1000 THEN 1 ELSE 0 END AS n_copies
+        FROM w)
+      SELECT source, count(*) AS input_docs,
+             CAST(max(w_milli) AS BIGINT) AS weight_milli,
+             CAST(sum(n_copies) AS BIGINT) AS mixture_docs
+      FROM c GROUP BY source ORDER BY source"""))
+
+  override val defs: Seq[QueryDef] = Seq(q61, q64, q67, q68, q69, q111, q112)
 }

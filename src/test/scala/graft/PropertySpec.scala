@@ -85,4 +85,56 @@ class PropertySpec extends AnyFunSuite {
       assert(agg(1) === agg(7))
     }
   }
+
+  test("BMP encode/decode round-trips arbitrary images in both row orders") {
+    import graft.functions.BmpImage
+    val imgGen = for {
+      w <- Gen.choose(1, 17)
+      h <- Gen.choose(1, 9)
+      topDown <- Gen.oneOf(true, false)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 0xffffff))
+    } yield (BmpImage.Bmp(w, h, px.toArray), topDown)
+    for ((img, topDown) <- samples(imgGen, 25)) {
+      val back = BmpImage.decode(BmpImage.encode(img, topDown))
+      assert(back.width === img.width)
+      assert(back.height === img.height)
+      assert(back.pixels.toSeq === img.pixels.toSeq,
+        s"w=${img.width} h=${img.height} topDown=$topDown")
+    }
+  }
+
+  test("WAV encode/decode round-trips arbitrary PCM sample streams") {
+    import graft.functions.RiffWav
+    val wavGen = for {
+      ch <- Gen.choose(1, 4)
+      frames <- Gen.choose(0, 200)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      xs <- Gen.listOfN(ch * frames,
+        Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield RiffWav.Wav(ch, rate, 16, xs.map(_.toShort).toArray)
+    for (w <- samples(wavGen, 25)) {
+      val back = RiffWav.decode(RiffWav.encode(w))
+      assert(back.channels === w.channels)
+      assert(back.sampleRate === w.sampleRate)
+      assert(back.samples.toSeq === w.samples.toSeq)
+    }
+  }
+
+  test("AVI encode/parse accounts for arbitrary frame payloads exactly") {
+    import graft.functions.RiffAvi
+    val aviGen = for {
+      w <- Gen.choose(1, 640)
+      h <- Gen.choose(1, 480)
+      frames <- Gen.listOf(Gen.listOf(Gen.choose(-128, 127))
+        .map(_.map(_.toByte).toArray))
+    } yield (w, h, frames)
+    for ((w, h, frames) <- samples(aviGen, 25)) {
+      val m = RiffAvi.parse(RiffAvi.encode(w, h, 33333, frames))
+      assert(m.width === w)
+      assert(m.height === h)
+      assert(m.totalFrames === frames.size)
+      assert(m.payloadBytes === frames.map(_.length.toLong).sum)
+      assert(m.payloadSum === frames.flatten.map(b => (b & 0xff).toLong).sum)
+    }
+  }
 }
