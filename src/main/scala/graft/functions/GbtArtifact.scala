@@ -110,16 +110,21 @@ object GbtArtifact {
 
   /** The same ensemble as ANSI SQL (nested CASE WHEN over the feature
     * column names) for the DuckDB oracle. Literals print via
-    * Double.toString, which round-trips exactly on both engines.
+    * Double.toString, which round-trips exactly on both engines — but
+    * every additive term is CAST to DOUBLE explicitly: DuckDB types a
+    * plain decimal literal like `0.5` as DECIMAL, and a DECIMAL-summed
+    * score diverges from Spark's double arithmetic (scientific-notation
+    * literals dodge this by accident; short decimals don't).
     */
   def scoreSql(m: Model, featNames: Seq[String]): String = {
     require(featNames.size == m.numFeatures)
+    def d(v: Double): String = s"CAST($v AS DOUBLE)"
     def walk(t: Tree, i: Int): String = t.nodes(i) match {
-      case Leaf(v) => v.toString
+      case Leaf(v) => d(v)
       case Internal(f, thr, l, r) =>
-        s"(CASE WHEN ${featNames(f)} < $thr THEN ${walk(t, l)} ELSE ${walk(t, r)} END)"
+        s"(CASE WHEN ${featNames(f)} < ${d(thr)} THEN ${walk(t, l)} ELSE ${walk(t, r)} END)"
     }
-    m.trees.map(walk(_, 0)).mkString(s"(${m.bias} + ", " + ", ")")
+    m.trees.map(walk(_, 0)).mkString(s"(${d(m.bias)} + ", " + ", ")")
   }
 
   /** Driver-side reference scorer (plain Scala tree walk) for specs.
@@ -160,6 +165,30 @@ object GbtArtifact {
         Leaf(0.002), Internal(1, 2.0e-4, 3, 4),
         Leaf(-0.003), Leaf(0.0015))))))
 
+  /** A second store-resident artifact: a document-QUALITY classifier over
+    * (f0 = stop_ratio, f1 = avg_word_len, f2 = ws_tokens) — the
+    * model-scored curation filter (the modern replacement for hand-tuned
+    * quality heuristics: train a small classifier on labeled quality
+    * judgments, score the whole corpus with it). Same wire format, same
+    * load path as [[demoArtifact]]; consumed by q113.
+    */
+  val qualityArtifact: Array[Byte] = serialize(Model(
+    numFeatures = 3,
+    bias = 0.5,
+    trees = Seq(
+      Tree(IndexedSeq( // stopword-ratio band: too few = keyword soup
+        Internal(0, 0.06, 1, 2),
+        Leaf(0.15), Internal(0, 0.12, 3, 4),
+        Leaf(0.05), Leaf(-0.25))),
+      Tree(IndexedSeq( // avg word length band: too short or too long = junk
+        Internal(1, 4.5, 1, 2),
+        Leaf(-0.2), Internal(1, 7.5, 3, 4),
+        Leaf(0.1), Leaf(-0.05))),
+      Tree(IndexedSeq( // document length in tokens
+        Internal(2, 40.0, 1, 2),
+        Leaf(-0.15), Internal(2, 120.0, 3, 4),
+        Leaf(0.05), Leaf(0.1))))))
+
   /** Load a named model's bytes from the session model-store table — a
     * parquet table of (model_name string, artifact binary) rows, the
     * engine-side analog of the reference's pickle file on disk (reference
@@ -175,7 +204,8 @@ object GbtArtifact {
     */
   def loadFromStore(spark: org.apache.spark.sql.SparkSession, name: String): Model = {
     val store = graft.operators.Scoped.shared(spark, "gbt_model_store") {
-      (Nil, spark.createDataFrame(Seq(("gbt_v1", demoArtifact)))
+      (Nil, spark.createDataFrame(
+        Seq(("gbt_v1", demoArtifact), ("quality_v1", qualityArtifact)))
         .toDF("model_name", "artifact"))
     }
     val bytes = store.filter(col("model_name") === name)

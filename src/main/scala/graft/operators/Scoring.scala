@@ -214,5 +214,45 @@ object Scoring extends QueryModule {
       FROM scored ORDER BY ticker, date"""
     })
 
-  override val defs: Seq[QueryDef] = Seq(q31, q32, q33, q102)
+  // ---------------------------------------------------------------------
+  // q113 — MODEL-BASED quality filtering: the curation step where a small
+  // trained classifier replaces hand-tuned quality heuristics (score
+  // every doc with a model, keep above threshold). The quality GBT
+  // artifact loads from the same parquet model store as q102
+  // (bytes → validate → deserialize → compiled when/otherwise), scores
+  // the q29 quality features row-by-row inside whole-stage codegen, and
+  // emits the per-doc verdict. Per-row map work over a scan — no shuffle
+  // except the output sort; at 100 TB this is a linear pass that writes
+  // the kept partition, exactly like the heuristic filter it replaces.
+  // Oracle: CASE WHEN SQL generated from the SAME parsed model over the
+  // same feature CTE — left-fold order matches, so doubles hash-compare.
+  // ---------------------------------------------------------------------
+  private val q113 = QueryDef(
+    "q113_model_quality_filter",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.GbtArtifact
+      val model = GbtArtifact.loadFromStore(spark, "quality_v1")
+      TextOps.withQuality(Tables.documents(spark, dir))
+        .withColumn("q_score", GbtArtifact.score(model,
+          Seq($"stop_ratio", $"avg_word_len", $"ws_tokens".cast("double"))))
+        .withColumn("kept", ($"q_score" >= 0.5).cast("int"))
+        .select($"doc_id", $"source", $"q_score", $"kept")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val model = graft.functions.GbtArtifact
+        .deserialize(graft.functions.GbtArtifact.qualityArtifact)
+      val scoreSql = graft.functions.GbtArtifact.scoreSql(model,
+        Seq("(CAST(stop_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE))",
+          "(CAST(nospace_chars AS DOUBLE) / CAST(ws_tokens AS DOUBLE))",
+          "CAST(ws_tokens AS DOUBLE)"))
+      s"""
+      WITH q AS (${TextOps.qualitySql})
+      SELECT doc_id, source, $scoreSql AS q_score,
+             CASE WHEN $scoreSql >= 0.5 THEN 1 ELSE 0 END AS kept
+      FROM q ORDER BY doc_id"""
+    })
+
+  override val defs: Seq[QueryDef] = Seq(q31, q32, q33, q102, q113)
 }

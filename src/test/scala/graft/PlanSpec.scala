@@ -172,6 +172,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q111: shuffle-shard manifest plans exactly one aggregation exchange") {
+    // the per-row permutation hash + shard assignment must stay map-side;
+    // the only shuffle the manifest needs is the shard groupBy (plus the
+    // tiny final sort) — a second aggregation exchange would mean the
+    // hash or token work leaked into a shuffled stage
+    val p = planOf("q111_shuffle_shards")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q112: mixture copies come from a generator, not a join or extra shuffle") {
+    // fractional-epoch duplication must be explode(array_repeat(...)) —
+    // per-row generator work — never a join against a copies table
+    val p = planOf("q112_source_mixture")
+    assert(p.contains("Generate explode"), p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q102: artifact scoring stays native — no UDF in the plan") {
+    // the deserialized GBT compiles to when/otherwise literals; a UDF
+    // here would fence whole-stage codegen on every scored row
+    val p = planOf("q102_model_artifact_score")
+    assert(!p.toLowerCase.contains("batchevalpython"))
+    assert(!p.contains("UDF"), p.linesIterator.filter(_.contains("UDF")).mkString("\n"))
+  }
+
   test("dot_scaled is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     val got = spark.sql(
