@@ -645,5 +645,60 @@ object Dedup extends QueryModule {
              max(node) AS max_doc_id
       FROM labeled GROUP BY label ORDER BY cluster_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q38, q72, q96)
+  // ---------------------------------------------------------------------
+  // q114 — INCREMENTAL dedup: a delta batch (doc_id % 5 = 0 plays the
+  // newly-arrived slice) is checked against the EXISTING corpus (the
+  // rest) without reprocessing the base: exact via a hash semi-probe of
+  // the base content-hash set, near-dup via the shared verified pair
+  // table restricted to cross (delta × base) pairs. Signatures are
+  // per-doc, so the cross-restriction of the full pair table equals
+  // probing delta signatures against a persisted base band index — the
+  // production shape, where the signature/band table is the durable
+  // index and each arriving batch only hashes ITS OWN docs and probes
+  // (the same survivor-restriction argument the q61 funnel uses). Every
+  // delta doc gets a verdict: exact > near > unique.
+  // ---------------------------------------------------------------------
+  private val q114 = QueryDef(
+    "q114_incremental_dedup",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val delta = docs.filter(pmod($"doc_id", lit(5)) === 0)
+      val base = docs.filter(pmod($"doc_id", lit(5)) =!= 0)
+      val baseHashes = base.select(md5($"text").as("bh")).distinct()
+      val nearIds = nearDupPairs(spark, dir)
+        .filter((pmod($"i", lit(5)) === 0) =!= (pmod($"j", lit(5)) === 0))
+        .select(when(pmod($"i", lit(5)) === 0, $"i").otherwise($"j").as("nd_id"))
+        .distinct()
+      delta
+        .withColumn("h", md5($"text"))
+        .join(baseHashes, $"h" === $"bh", "left")
+        .join(nearIds, $"doc_id" === $"nd_id", "left")
+        .withColumn("exact_dup", $"bh".isNotNull.cast("int"))
+        .withColumn("near_dup", $"nd_id".isNotNull.cast("int"))
+        .withColumn("verdict",
+          when($"exact_dup" === 1, "exact")
+            .when($"near_dup" === 1, "near")
+            .otherwise("unique"))
+        .select($"doc_id", $"source", $"exact_dup", $"near_dup", $"verdict")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH pairs AS ($minhashOracle),
+      delta AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
+      base AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
+      nd AS (
+        SELECT DISTINCT CASE WHEN i % 5 = 0 THEN i ELSE j END AS doc_id
+        FROM pairs WHERE (i % 5 = 0) <> (j % 5 = 0))
+      SELECT d.doc_id, d.source,
+             CASE WHEN md5(d.text) IN (SELECT md5(text) FROM base)
+               THEN 1 ELSE 0 END AS exact_dup,
+             CASE WHEN d.doc_id IN (SELECT doc_id FROM nd)
+               THEN 1 ELSE 0 END AS near_dup,
+             CASE WHEN md5(d.text) IN (SELECT md5(text) FROM base) THEN 'exact'
+                  WHEN d.doc_id IN (SELECT doc_id FROM nd) THEN 'near'
+                  ELSE 'unique' END AS verdict
+      FROM delta d ORDER BY d.doc_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q38, q72, q96, q114)
 }
