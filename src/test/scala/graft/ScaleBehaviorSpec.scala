@@ -65,8 +65,12 @@ class ScaleBehaviorSpec extends AnyFunSuite {
   }
 
   test("query results are invariant to spark.sql.shuffle.partitions") {
+    // q111/q112 are here because their whole point is reproducibility:
+    // the shuffle permutation and the fractional-epoch sample must not
+    // depend on how the data happens to be partitioned
     val names = Seq("q01_pricing_summary", "q63_sessionize", "q83_outlier_days",
-      "q85_heavy_hitters", "q88_retention_cohorts")
+      "q85_heavy_hitters", "q88_retention_cohorts", "q111_shuffle_shards",
+      "q112_source_mixture")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     def runAll(): Map[String, Seq[String]] =

@@ -175,29 +175,41 @@ class KafkaReplaySpec extends AnyFunSuite {
     def record(b: org.apache.spark.sql.DataFrame): Unit =
       b.select($"partition".cast("long") * 1000000L + $"offset")
         .as[Long].collect().foreach(seen.add)
-    // first run: let exactly ONE rate-limited batch commit, hold the next
-    // batch at a gate, and stop the query — a mid-topic checkpoint
-    // (Trigger.Once can't produce one: it ignores admission control)
+    // first run: let exactly ONE rate-limited batch commit, then ABORT
+    // batch 1 with a deliberate failure before it records or commits — a
+    // mid-topic checkpoint (Trigger.Once can't produce one: it ignores
+    // admission control). Batch 1 spins on a volatile flag instead of
+    // blocking on an unbounded latch: stop()'s interrupt can land inside
+    // one of the stream thread's uninterruptible sections and be
+    // deferred past the point of delivery, in which case a latch-parked
+    // foreachBatch never wakes and stop()'s join hangs the suite — the
+    // flag+throw path needs no interrupt at all (and if the interrupt
+    // DOES arrive mid-sleep, the InterruptedException aborts the batch
+    // identically).
     val firstDone = new java.util.concurrent.CountDownLatch(1)
-    val gate = new java.util.concurrent.CountDownLatch(1) // never opens
+    @volatile var stopRequested = false
     val q1 = reader().writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        if (id > 0) gate.await() // interrupted by stop() before reading
+        if (id > 0) {
+          while (!stopRequested) Thread.sleep(20)
+          throw new RuntimeException("test: abort batch 1 uncommitted")
+        }
         record(b)
-        if (id == 0) firstDone.countDown()
+        firstDone.countDown()
         ()
       }
       .option("checkpointLocation", ckpt)
       .start()
     assert(firstDone.await(120, java.util.concurrent.TimeUnit.SECONDS))
     // wait for batch 0's COMMIT-log entry to be durable before stopping:
-    // stop() mid-commit-write leaves batch 0 uncommitted and the restart
-    // re-runs it (correct at-least-once foreachBatch semantics, but this
-    // test pins the clean-resume path)
+    // stopping mid-commit-write leaves batch 0 uncommitted and the
+    // restart re-runs it (correct at-least-once foreachBatch semantics,
+    // but this test pins the clean-resume path)
     val commit0 = new java.io.File(s"$ckpt/commits/0")
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     while (!commit0.exists() && System.nanoTime() < deadline) Thread.sleep(50)
     assert(commit0.exists(), "batch 0 commit never became durable")
+    stopRequested = true
     q1.stop()
     val afterFirst = seen.size()
     assert(afterFirst > 0 && afterFirst < 1000, s"first run consumed $afterFirst")
