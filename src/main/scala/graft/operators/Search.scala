@@ -82,6 +82,87 @@ object Search extends QueryModule {
     })
 
   // ---------------------------------------------------------------------
+  // q115 — BM25 ranking: the standard retrieval scorer q84's tf·idf
+  // lacks — doc-length normalization (k1 = 1.2, b = 0.75), so long
+  // keyword-stuffed docs stop dominating. Engine-portability discipline:
+  // idf is q84's scaled-integer variant (no libm ln), and the per-term
+  // length-normalized tf is FLOORED to an integer (the double arithmetic
+  // inside the floor is a fixed sequence of IEEE ops, bit-identical on
+  // both engines) so the per-doc aggregation sums exact integers — a
+  // float sum's addition ORDER differs between engines and would break
+  // the hash gate. Scale shape matches q84: postings filtered to the
+  // query terms at the scan; the doc-length table is the one extra
+  // full-corpus aggregate (at 100 TB it's a column you materialize once
+  // next to the corpus, not a per-query pass); df/avgdl are tiny
+  // broadcast sides; top-k is a TakeOrderedAndProject. The 10^6 idf and
+  // 2.2·10^6 tf scale factors fit fixture N comfortably in a BIGINT
+  // product; at extreme corpus sizes the scale constants shrink in step.
+  // ---------------------------------------------------------------------
+  private val q115 = QueryDef(
+    "q115_bm25",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val toks = docs
+        .select($"doc_id", explode(Portable.tokens(lower($"text"))).as("term"))
+      val docLen = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val corpus = docLen.agg(
+        sum($"dl").as("sum_dl"), count(lit(1)).as("n_docs"))
+      val postings = toks
+        .filter($"term".isInCollection(QueryTerms))
+        .groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("tf"))
+      val dfCounts = postings.groupBy($"term")
+        .agg(countDistinct($"doc_id").as("df"))
+      postings
+        .join(broadcast(dfCounts), "term")
+        .join(docLen, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs".cast("double"))
+        .withColumn("idf_scaled", expr("(1000000 * n_docs) div df"))
+        .withColumn("denom",
+          $"tf".cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * ($"dl".cast("double") / $"avgdl")))
+        .withColumn("tfn_scaled",
+          floor(($"tf".cast("double") * lit(2200000.0)) / $"denom").cast("long"))
+        .groupBy($"doc_id")
+        .agg(
+          sum($"idf_scaled" * $"tfn_scaled").as("score"),
+          count(lit(1)).as("n_terms"),
+          max($"dl").as("dl"))
+        .orderBy($"score".desc, $"doc_id")
+        .limit(20)
+    },
+    Some {
+      val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(${Portable.tokensSql("lower(text)")}) AS term
+        FROM documents),
+      dlt AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      corpus AS (
+        SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+               count(*) AS n_docs
+        FROM dlt),
+      p AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term IN ($termList) GROUP BY 1, 2),
+      d AS (SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY 1),
+      scored AS (
+        SELECT p.doc_id,
+               ((1000000 * c.n_docs) // d.df) *
+               CAST(floor((CAST(p.tf AS DOUBLE) * CAST(2200000.0 AS DOUBLE)) /
+                 (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                   (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                     (CAST(dlt.dl AS DOUBLE) / c.avgdl)))) AS BIGINT) AS s,
+               dlt.dl AS dl
+        FROM p JOIN d ON p.term = d.term JOIN dlt ON dlt.doc_id = p.doc_id, corpus c)
+      SELECT doc_id, CAST(sum(s) AS BIGINT) AS score,
+             count(*) AS n_terms, max(dl) AS dl
+      FROM scored GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20"""
+    })
+
+  // ---------------------------------------------------------------------
   // q85 — heavy-hitter tokens (exact counts for every token with
   // frequency ≥ 1% of the corpus) via sketch-then-verify: Misra–Gries
   // candidates (functions.FreqSketchAgg, k=256 ⇒ every token with count
@@ -200,5 +281,5 @@ object Search extends QueryModule {
              CAST(sum(n_novel) AS DOUBLE) / CAST(sum(n_bigrams) AS DOUBLE) AS novelty_ratio
       FROM alldocs GROUP BY source ORDER BY source"""))
 
-  override val defs: Seq[QueryDef] = Seq(q84, q85, q92)
+  override val defs: Seq[QueryDef] = Seq(q84, q85, q92, q115)
 }
