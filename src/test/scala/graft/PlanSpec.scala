@@ -191,6 +191,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q115: BM25 broadcasts the tiny sides and plans top-k, not a global sort") {
+    val p = planOf("q115_bm25")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q102: artifact scoring stays native — no UDF in the plan") {
     // the deserialized GBT compiles to when/otherwise literals; a UDF
     // here would fence whole-stage codegen on every scored row
