@@ -21,31 +21,49 @@ import org.apache.spark.sql.functions._
   */
 object Corpus extends QueryModule {
 
-  /** Codebook size is data-derived (the SemDeDup discipline: production
-    * runs train tens of thousands of clusters precisely so cells stay
-    * O(corpus/k) small): k = clamp(ceil(n / TargetCell), MinK, n), so a
-    * cell holds ~TargetCell vectors at ANY corpus size and intra-cell
-    * pair work (q108) is O(n · TargetCell), never corpus². MinK keeps the
-    * fixture codebook stable at tiny SFs; at sf0.01 (n=500) k resolves
-    * to MinK=8, at sf0.1 (n=2000) to 32, at 100 TB to n/64.
+  /** Codebook size is data-derived on the FAISS/SemDeDup discipline:
+    * k = clamp(C·⌈√n⌉, MinK, MaxK) (and never above n). A sub-linear √n
+    * law keeps EVERY side of the k-means family bounded at scale:
+    * assignment is n·k ≤ C·n^1.5 distance computations per pass (vs the
+    * quadratic n²/cell a linear k = n/cell law degenerates to), and the
+    * broadcast codebook / driver model state is k×64 longs ≤ MaxK×64×8 B
+    * = 64 MB — a constant, not O(n). Cells grow as √n/C, so intra-cell
+    * pair work (q108) is bounded separately by the rank-window discipline
+    * in Similarity (each vector pairs with ≤ PairWindow neighbors in
+    * centroid-distance order), not by cell size. MinK keeps the fixture
+    * codebook stable at tiny SFs; at sf0.01 (n=500) k resolves to 92, at
+    * sf0.1 (n=2000) to 180, and k saturates at MaxK = 2^17 near n ≈ 10^9.
+    *
+    * ⌈√n⌉ is computed as ceil(sqrt(double)) on BOTH engines: IEEE-754
+    * sqrt is correctly rounded, so Java's Math.sqrt and DuckDB's sqrt
+    * return the identical double for the identical input — the derived k
+    * is bit-equal cross-engine without integer-sqrt gymnastics.
     */
   private val MinK = 8
-  private val TargetCell = 64
+  private val MaxK = 131072 // 2^17 — hard cap on broadcast/driver model state
+  private val SqrtCoef = 4  // C in k ≈ C·√n (FAISS guidance: 4–16)
   private val Iters = 2
   private val SegWords = 10
 
   /** Pure derivation twin shared by the Spark path, the oracle SQL, and
-    * the ScaleBehaviorSpec invariant: min(n, max(MinK, ceil(n/TargetCell))).
+    * the ScaleBehaviorSpec invariants:
+    * min(n, MaxK, max(MinK, C·⌈√n⌉)).
     */
-  private[graft] def derivedK(n: Long): Long =
-    math.min(n, math.max(MinK.toLong, (n + TargetCell - 1) / TargetCell))
+  private[graft] def derivedK(n: Long): Long = {
+    val c = SqrtCoef * math.ceil(math.sqrt(n.toDouble)).toLong
+    math.min(n, math.min(MaxK.toLong, math.max(MinK.toLong, c)))
+  }
+
+  /** The model-state cap, exposed for the spec invariant k ≤ MaxK. */
+  private[graft] def MaxCodebookK: Int = MaxK
+
+  /** The √n coefficient, exposed for the spec invariant n·k ∈ O(n^1.5). */
+  private[graft] def SqrtCoefC: Int = SqrtCoef
 
   /** The data-derived codebook size for this corpus (one count scan). */
   private[graft] def derivedK(spark: SparkSession, dir: String): Long =
     derivedK(Tables.embeddings(spark, dir).count())
 
-  /** Cell-size target, exposed for the spec invariant n/k ≤ TargetCellSize. */
-  private[graft] def TargetCellSize: Int = TargetCell
 
   // ---------------------------------------------------------------------
   // q98 — distributed k-means (Lloyd's), the clustering stage of
@@ -99,18 +117,30 @@ object Corpus extends QueryModule {
         x => floor(x.cast("double") * lit(1e6)).cast("long")).as("xs"))
   }
 
+  /** Exact squared L2 over scaled-long coordinate arrays — the native
+    * codegen'd kernel (SqdLongExpr); the interpreted zip_with+aggregate
+    * form is what it replaces in the n·k hot loops.
+    */
   private[operators] def sqd(xs: org.apache.spark.sql.Column, cs: org.apache.spark.sql.Column) =
-    aggregate(zip_with(xs, cs, (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, d) => acc + d)
+    org.apache.spark.sql.graft.bridge.column(graft.functions.SqdLongExpr(
+      org.apache.spark.sql.graft.bridge.expression(xs),
+      org.apache.spark.sql.graft.bridge.expression(cs)))
 
+  /** Nearest-centroid assignment. The n×k candidate expansion stays
+    * SKINNY — (vec_id, cid, dist) only; the 64-long coordinate array is
+    * joined back by vec_id AFTER the argmin, so neither the map-side
+    * combine nor the shuffle ever carries payload×k (the old
+    * min(struct(dist, cid, xs)) form serialized the array into every
+    * candidate struct — k array copies per vector).
+    */
   private def assign(emb: DataFrame, cents: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
-    emb.crossJoin(broadcast(cents))
-      .withColumn("dist", sqd($"xs", $"cs"))
+    val amin = emb.select($"vec_id", $"xs").crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid", sqd($"xs", $"cs").as("dist"))
       .groupBy($"vec_id")
-      .agg(min(struct($"dist", $"cid", $"xs")).as("m"))
-      .select($"vec_id", $"m.cid".as("cid"), $"m.dist".as("dist"),
-        $"m.xs".as("xs"))
+      .agg(min(struct($"dist", $"cid")).as("m"))
+      .select($"vec_id", $"m.cid".as("cid"), $"m.dist".as("dist"))
+    amin.join(emb, "vec_id").select($"vec_id", $"cid", $"dist", $"xs")
   }
 
   private def update(assigned: DataFrame): DataFrame = {
@@ -140,12 +170,13 @@ object Corpus extends QueryModule {
     for (l <- seedRounds(k)) {
       val cdf = seeds.map(_._2).zipWithIndex
         .map { case (cs, i) => (i.toLong, cs) }.toDF("cid", "cs")
-      val far = emb.crossJoin(broadcast(cdf))
-        .withColumn("d", sqd($"xs", $"cs"))
-        .groupBy($"vec_id")
-        .agg(min(struct($"d", $"xs")).as("m"))
-        .select($"vec_id", $"m.d".as("d"), $"m.xs".as("xs"))
-      seeds = seeds ++ far.orderBy($"d".desc, $"vec_id").limit(l)
+      // skinny d²-top-l: argmin and TakeOrdered see only (vec_id, d);
+      // coordinates join back for just the l winners
+      val far = emb.select($"vec_id", $"xs").crossJoin(broadcast(cdf))
+        .select($"vec_id", sqd($"xs", $"cs").as("d"))
+        .groupBy($"vec_id").agg(min($"d").as("d"))
+      val top = far.orderBy($"d".desc, $"vec_id").limit(l).select($"vec_id")
+      seeds = seeds ++ emb.join(broadcast(top), "vec_id")
         .select($"vec_id", $"xs").as[(Long, Seq[Long])].collect().toSeq
     }
     seeds.sortBy(_._1).zipWithIndex.map { case ((_, xs), i) => (i.toLong, xs) }
@@ -272,8 +303,8 @@ object Corpus extends QueryModule {
                x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xs
       FROM embeddings),
     kval AS (
-      SELECT least(count(*),
-                   greatest($MinK, (count(*) + ${TargetCell - 1}) // $TargetCell)) AS k
+      SELECT least(count(*), least($MaxK, greatest($MinK,
+               $SqrtCoef * CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)))) AS k
       FROM embeddings),
     seeds1 AS (
       SELECT vec_id, xs FROM (

@@ -358,8 +358,12 @@ object Similarity extends QueryModule {
       .withColumn("xs", transform($"embedding",
         x => floor(x.cast("double") * lit(1e6)).cast("long")))
       .persist()
-    val dists = emb.crossJoin(broadcast(cents))
-      .withColumn("d", Corpus.sqd($"xs", $"cs"))
+    // the n×k expansion and its ranking window stay SKINNY (vec_id, cid,
+    // d) — ranking rows that carried embedding+xs payload would shuffle
+    // payload×k; consumers join the vectors back by vec_id after slicing
+    // the ranks they need
+    val dists = emb.select($"vec_id", $"xs").crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid", Corpus.sqd($"xs", $"cs").as("d"))
     val wCell = Window.partitionBy($"vec_id").orderBy($"d".asc, $"cid".asc)
     (emb, dists.withColumn("rn", row_number().over(wCell)))
   }
@@ -380,10 +384,10 @@ object Similarity extends QueryModule {
                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
         FROM emb2 e CROSS JOIN c${Corpus.KmIters} c),
       ranked AS (
-        SELECT vec_id, cid,
+        SELECT vec_id, cid, d,
                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         FROM dist),
-      assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1)"""
+      assign AS (SELECT vec_id, cid AS cell, d FROM ranked WHERE rn = 1)"""
 
   private val q105 = QueryDef(
     "q105_ivf_trained",
@@ -391,11 +395,14 @@ object Similarity extends QueryModule {
       import spark.implicits._
       val (emb, ranked) = cellRanked(spark, dir)
       val assign = ranked.filter($"rn" === 1)
-        .select($"vec_id", $"embedding", $"nrm", $"cid".as("cell"))
+        .select($"vec_id", $"cid".as("cell"))
+        .join(emb.select($"vec_id", $"embedding", $"nrm"), "vec_id")
         .persist()
       val probes = ranked.filter($"vec_id" < NumQueries && $"rn" <= NumProbes)
+        .select($"vec_id", $"cid".as("cell"))
+        .join(emb.select($"vec_id", $"embedding", $"nrm"), "vec_id")
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-          $"nrm".as("q_nrm"), $"cid".as("cell"))
+          $"nrm".as("q_nrm"), $"cell")
       val wRank = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
       val topk = assign.join(broadcast(probes), Seq("cell"))
         .filter($"vec_id" =!= $"q_id")
@@ -432,33 +439,69 @@ object Similarity extends QueryModule {
   // ---------------------------------------------------------------------
   // q108 — SemDeDup-style semantic dedup (the operator q98's clustering
   // exists to serve): assign every embedding to its trained-codebook
-  // cluster, compare pairs ONLY inside a cluster (the cluster plays the
-  // LSH-bucket role), and because the codebook size is data-derived
-  // (Corpus.derivedK: k ≈ n / 64, so a cell holds ~64 vectors at ANY
-  // corpus size) the intra-cell pair join is O(n · 64) — cluster-bounded,
-  // never corpus². The oracle derives the same k from the same count, and
-  // drop the higher vec_id of every pair at cosine ≥ τ. Emitted as the
-  // per-cluster dedup audit (sizes, dup pairs, drops). τ is fixture-
+  // cluster and compare pairs ONLY inside a cluster (the cluster plays
+  // the LSH-bucket role). Under the √n codebook law (Corpus.derivedK)
+  // cells grow as √n/C, so an unbounded intra-cell self-join would be
+  // O(n^1.5); pair work is instead bounded by a RANK WINDOW: members of
+  // a cell are ranked by (distance-to-centroid, vec_id) and each vector
+  // pairs with at most the PairWindow vectors directly above it in that
+  // ranking. Centroid distance is the pre-filter — near-duplicates have
+  // near-identical distances to their shared centroid, so they sit
+  // adjacent in the ranking (the sorted-LSH-window discipline) — and the
+  // window is the hard cap: pair work ≤ n · PairWindow at ANY corpus or
+  // cell size, never corpus². At fixture sizes every cell is smaller
+  // than the window, so the windowed join covers ALL intra-cell pairs.
+  // The oracle derives the same k, the same ranking, and the same window
+  // rule; drop the higher vec_id of every pair at cosine ≥ τ. Emitted as
+  // the per-cluster dedup audit (sizes, dup pairs, drops). τ is fixture-
   // scaled (the synthetic corpus has few true near-dups); production
   // SemDeDup uses τ≈0.95 with the identical plan.
   // ---------------------------------------------------------------------
   private val SemTau = 0.4
+  private val PairWindow = 64
+
+  /** The window cap on per-vector pair work, exposed for the spec. */
+  private[graft] def SemPairWindow: Int = PairWindow
+
+  /** Rank-window candidate pairs inside cells: input (vec_id, cell, d,
+    * embedding, nrm); output one row per unordered pair whose members
+    * are ≤ PairWindow apart in the cell's (d, vec_id) ranking, with the
+    * exact cosine attached. The explode side carries the lower rank of
+    * each pair, so the join is a pure equi-join on (cell, rank) — no
+    * range condition, no skew, and by construction ≤ PairWindow
+    * candidates per vector. Exposed for the ScaleBehaviorSpec bound.
+    */
+  private[graft] def rankWindowPairs(assign: DataFrame): DataFrame = {
+    import assign.sparkSession.implicits._
+    val wCell = Window.partitionBy($"cell").orderBy($"d".asc, $"vec_id".asc)
+    val withRank = assign
+      .withColumn("r", row_number().over(wCell).cast("long"))
+    val bSide = withRank.filter($"r" >= 2)
+      .select($"cell", $"r", $"vec_id".as("vb"),
+        $"embedding".as("eb"), $"nrm".as("nb"),
+        explode(sequence(greatest(lit(1L), $"r" - PairWindow), $"r" - 1))
+          .as("ra"))
+    val aSide = withRank.select($"cell", $"r".as("ra"), $"vec_id".as("va"),
+      $"embedding".as("ea"), $"nrm".as("na"))
+    bSide.join(aSide, Seq("cell", "ra"))
+      .withColumn("cos", VectorOps.cosineFromScaled(
+        VectorOps.dotScaled($"ea", $"eb"), $"na", $"nb"))
+      .select($"cell", least($"va", $"vb").as("i"),
+        greatest($"va", $"vb").as("j"), $"cos")
+  }
+
   private val q108 = QueryDef(
     "q108_semantic_dedup",
     (spark, dir) => {
       import spark.implicits._
       val (emb, ranked) = cellRanked(spark, dir)
       val assign = ranked.filter($"rn" === 1)
-        .select($"vec_id", $"embedding", $"nrm", $"cid".as("cell"))
+        .select($"vec_id", $"cid".as("cell"), $"d")
+        .join(emb.select($"vec_id", $"embedding", $"nrm"), "vec_id")
         .persist()
-      val pairs = assign.as("a").join(assign.as("b"),
-          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", VectorOps.cosineFromScaled(
-          VectorOps.dotScaled(col("a.embedding"), col("b.embedding")),
-          col("a.nrm"), col("b.nrm")))
+      val pairs = rankWindowPairs(assign)
         .filter($"cos" >= SemTau)
-        .select(col("a.cell").as("cell"), col("a.vec_id").as("i"),
-          col("b.vec_id").as("j"))
+        .select($"cell", $"i", $"j")
         .persist()
       val nPairs = pairs.groupBy($"cell").agg(count(lit(1)).as("n_dup_pairs"))
       val nDropped = pairs.select($"cell", $"j").distinct()
@@ -474,10 +517,17 @@ object Similarity extends QueryModule {
     Some(s"""
       WITH ${Corpus.centroidPipelineCtes},
       $cellAssignSql,
+      cr AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) AS r
+        FROM assign),
       pairs AS (
-        SELECT a.cell, a.vec_id AS i, b.vec_id AS j
-        FROM assign a
-        JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        SELECT a.cell,
+               least(a.vec_id, b.vec_id) AS i,
+               greatest(a.vec_id, b.vec_id) AS j
+        FROM cr a
+        JOIN cr b ON a.cell = b.cell
+                 AND b.r > a.r AND b.r <= a.r + $PairWindow
         JOIN emb2 ea ON ea.vec_id = a.vec_id
         JOIN emb2 eb ON eb.vec_id = b.vec_id
         WHERE ${VectorOps.cosineFromScaledSql(

@@ -65,6 +65,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sqd_long matches the interpreted zip_with form and is symmetric") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-2000000L, 2000000L))
+    def native(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.bridge.column(graft.functions.SqdLongExpr(
+        org.apache.spark.sql.graft.bridge.expression(a),
+        org.apache.spark.sql.graft.bridge.expression(b)))
+    for ((a, b) <- samples(Gen.zip(vecGen, vecGen), 5)) {
+      val r = Seq((a.toArray, b.toArray)).toDF("a", "b")
+        .select(
+          native($"a", $"b").as("ab"),
+          native($"b", $"a").as("ba"),
+          aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, d) => acc + d).as("ref"))
+        .collect()(0)
+      assert(r.getAs[Long]("ab") === r.getAs[Long]("ref"))
+      assert(r.getAs[Long]("ab") === r.getAs[Long]("ba"))
+      assert(r.getAs[Long]("ab") >= 0L)
+    }
+  }
+
   test("rolling hash changes when any token changes (collision sanity)") {
     val wsGen = Gen.listOfN(5, Gen.alphaNumStr.suchThat(_.nonEmpty))
     for (ws <- samples(wsGen, 5)) {

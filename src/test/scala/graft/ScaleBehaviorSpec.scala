@@ -47,21 +47,52 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     }
   }
 
-  test("codebook size scales with the corpus: expected cell size stays bounded") {
+  test("codebook law: k capped, assignment O(n^1.5), model state bounded") {
     import graft.operators.Corpus
     // the fixture sizes pin the concrete values both engines derive
-    assert(Corpus.derivedK(500L) === 8L)   // sf0.001/sf0.01 — MinK floor
-    assert(Corpus.derivedK(2000L) === 32L) // sf0.1 — ceil(n/64)
-    // the invariant the q108 pair join depends on: n/k ≤ TargetCellSize at
-    // EVERY corpus size, so intra-cell pair work is O(n · TargetCellSize)
-    for (n <- Seq(1L, 7L, 100L, 512L, 513L, 100000L, 10000000L, 1562500000000L)) {
+    assert(Corpus.derivedK(500L) === 92L)   // sf0.001/sf0.01 — 4·⌈√500⌉
+    assert(Corpus.derivedK(2000L) === 180L) // sf0.1 — 4·⌈√2000⌉
+    for (n <- Seq(1L, 7L, 100L, 512L, 513L, 100000L, 10000000L,
+        1562500000000L, Long.MaxValue / 4)) {
       val k = Corpus.derivedK(n)
       assert(k >= 1 && k <= n)
-      assert(n.toDouble / k <= Corpus.TargetCellSize.toDouble,
-        s"n=$n k=$k mean cell ${n.toDouble / k} exceeds target")
+      // (a) hard cap: broadcast codebook / driver model state never exceeds
+      // MaxK×64 longs, no matter the corpus
+      assert(k <= Corpus.MaxCodebookK, s"n=$n k=$k exceeds MaxK")
+      // (b) sub-quadratic assignment: k ≤ max(MinK, C·⌈√n⌉), so per-pass
+      // work n·k ∈ O(n^1.5) — the law that kills the old n²/cell shape
+      val sqrtBound =
+        math.max(8L, Corpus.SqrtCoefC * math.ceil(math.sqrt(n.toDouble)).toLong)
+      assert(k <= sqrtBound, s"n=$n k=$k exceeds C·⌈√n⌉ bound $sqrtBound")
     }
+    // the cap actually engages for planet-scale corpora
+    assert(Corpus.derivedK(Long.MaxValue / 4) === Corpus.MaxCodebookK.toLong)
     // the Spark count path and the pure formula agree on real data
     assert(Corpus.derivedK(spark, TestSpark.Sf001) === Corpus.derivedK(500L))
+  }
+
+  test("q108 pair work is window-capped: ≤ PairWindow candidates per vector") {
+    import graft.operators.Similarity
+    val W = Similarity.SemPairWindow
+    // one deliberately oversized cell — 4× the window — with distinct
+    // distances; the windowed join must NOT go quadratic in cell size
+    val n = 4 * W
+    val assign = spark.range(0, n).select(
+      $"id".as("vec_id"), lit(0L).as("cell"), ($"id" * 7L).as("d"),
+      transform(sequence(lit(1), lit(64)),
+        i => (i + $"id").cast("float")).as("embedding"),
+      lit(1000000L).as("nrm"))
+    val pairs = Similarity.rankWindowPairs(assign)
+      .select($"i", $"j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exact candidate count: sum over rank r of min(r-1, W)
+    val expected = (1 to n).map(r => math.min(r - 1, W)).sum
+    assert(pairs.length === expected,
+      s"windowed pair count ${pairs.length} != $expected (n=$n W=$W)")
+    // no pair reaches farther back than W ranks (rank = vec_id here since
+    // d is monotone in vec_id)
+    assert(pairs.forall { case (i, j) => j - i >= 1 && j - i <= W })
+    // and it is genuinely sub-quadratic: the full self-join would be n(n-1)/2
+    assert(pairs.length < n.toLong * (n - 1) / 2)
   }
 
   test("query results are invariant to spark.sql.shuffle.partitions") {

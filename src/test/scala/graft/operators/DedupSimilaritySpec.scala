@@ -114,10 +114,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("q98 k-means: deterministic k-means|| seeds, inertia strictly improves per Lloyd's pass") {
+    val k = Corpus.derivedK(500L).toInt // sf0.001 corpus → 4·⌈√500⌉ = 92
     val seeds = Corpus.seedCentroids(spark, TestSpark.Sf001)
-    assert(seeds.size === 8)
-    assert(seeds.map(_._1) === (0L until 8L)) // relabeled 0..K-1
-    assert(seeds.map(_._2).distinct.size === 8) // farthest-point ⇒ distinct centers
+    assert(seeds.size === k)
+    assert(seeds.map(_._1) === (0L until k.toLong)) // relabeled 0..K-1
+    assert(seeds.map(_._2).distinct.size === k) // farthest-point ⇒ distinct centers
     // rerun-deterministic (the whole point of the d²-top-l selection)
     assert(Corpus.seedCentroids(spark, TestSpark.Sf001) === seeds)
     // Lloyd's monotonicity, strictly: each pass must reduce total inertia
