@@ -111,7 +111,10 @@ object RiffAvi {
       while (buf.position() + 8 <= end) {
         val id = cc()
         val len = buf.getInt()
-        require(len >= 0 && buf.position() + len <= end, s"chunk $id overruns file")
+        // bound check in Long: a declared len near Int.MaxValue must fail
+        // here, not wrap negative and surface later as an index error
+        require(len >= 0 && buf.position().toLong + len <= end,
+          s"chunk $id overruns file")
         val next = buf.position() + len + (len & 1)
         id match {
           case "LIST" =>

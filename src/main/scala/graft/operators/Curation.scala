@@ -311,8 +311,13 @@ object Curation extends QueryModule {
           sum($"n_tokens").as("n_tokens"),
           min($"order_hash").as("min_hash"),
           max($"order_hash").as("max_hash"),
-          pmod(sum(pmod(Portable.md5Hash64($"text"), lit(Portable.P))),
-            lit(Portable.P)).as("doc_checksum"),
+          // residues are summed in DECIMAL(38,0) — a Long sum of <1e9
+          // residues silently overflows past ~9e9 rows per shard, while
+          // the DuckDB oracle sums in HUGEINT; decimal holds to ~1e29 rows
+          pmod(sum(pmod(Portable.md5Hash64($"text"), lit(Portable.P))
+              .cast("decimal(38,0)")),
+            lit(Portable.P).cast("decimal(38,0)"))
+            .cast("long").as("doc_checksum"),
           min_by($"doc_id", $"order_hash").as("first_doc_id"),
           max_by($"doc_id", $"order_hash").as("last_doc_id"))
         .orderBy($"shard")

@@ -313,11 +313,18 @@ private[sources] class KafkaReplayMicroBatch(cfg: KafkaReplay.Config)
     val lag = Array.tabulate(cfg.nPart)(p => target(p) - s(p))
     val totalLag = lag.sum
     val admitted = limit match {
-      case r: ReadMaxRows => math.min(r.maxRows(), totalLag)
+      // clamp to ≥1 while lag remains: a cap of 0 must still make
+      // progress (and eventually terminate), not stall the query forever
+      case r: ReadMaxRows =>
+        if (totalLag == 0) 0L else math.max(1L, math.min(r.maxRows(), totalLag))
       case _ => totalLag
     }
     val share = Array.tabulate(cfg.nPart) { p =>
-      if (totalLag == 0) 0L else admitted * lag(p) / totalLag
+      // BigInt guards the proportional multiply: admitted and lag(p) can
+      // each be ~totalLag, so the Long product overflows past ~3e9 rows
+      // of replay lag
+      if (totalLag == 0) 0L
+      else (BigInt(admitted) * lag(p) / totalLag).toLong
     }
     var rem = admitted - share.sum
     val order = (0 until cfg.nPart).sortBy(p => (-(lag(p) - share(p)), p))
