@@ -21,17 +21,34 @@ import org.apache.spark.sql.functions._
   *      valence magnitude by VADER's ±0.293 ("very good" = 1.9 + 0.293),
   *      clamped so a dampener never flips the sign.
   *
-  * Simplification vs full VADER (documented, deliberate): one-token
-  * lookback instead of a 3-token decayed window, and no punctuation/
-  * ALL-CAPS emphasis — those need the raw string, not the token stream.
+  * Since the `\\S+` tokenizer preserves case and punctuation, VADER's
+  * EMPHASIS mechanics apply too (all on the token stream):
   *
-  * All arithmetic is exact-integer at scale ×1000 (milli-valences):
-  * base = 100 × decivalence; negated = −74 × decivalence (−0.74 exactly);
-  * boosted = base ± 293. A dictionary scorer is a pure function of the
-  * token stream, so the Spark-native form is an expression chain — never
-  * a Python UDF (which would fence codegen and pushdown, SURVEY.md §4) —
-  * and every downstream distribution statistic (A5) stays exact-arithmetic
-  * and engine-portable for the DuckDB oracle replay.
+  *   4. ALL-CAPS emphasis: a fully-capitalized hit in MIXED-case text
+  *      gains ±0.733 toward its sign (VADER C_INCR with the allcap
+  *      differential — text that is entirely caps gets no boost);
+  *   5. exclamation amplification: min(count of `!` in the text, 3) ×
+  *      0.292 added toward the final sum's sign (VADER's punctuation
+  *      emphasis, capped);
+  *   6. contrastive `but`: contributions before the first `but` are
+  *      halved, contributions after it weighted 1.5× (VADER's but-check).
+  *
+  * Tokens are matched on their CORE — trailing emphasis punctuation
+  * ([[EmphasisPunct]]) stripped — so "great!!" hits the lexicon AND
+  * counts its bangs. Simplification vs full VADER (documented,
+  * deliberate): one-token lookback instead of a 3-token decayed window,
+  * and no question-mark amplification or idiom table.
+  *
+  * All arithmetic is exact-integer at scale ×100000 (1e-5 valence
+  * units): base = 10000 × decivalence; caps adds ±73300; negated =
+  * −74 × base/100 (exact — base is always a multiple of 100); boosted =
+  * base ± 29300; but-weighting halves/1.5×-es even integers exactly;
+  * the bang amplifier is 29200 per `!`. A dictionary scorer is a pure
+  * function of the token stream, so the Spark-native form is an
+  * expression chain — never a Python UDF (which would fence codegen and
+  * pushdown, SURVEY.md §4) — and every downstream distribution statistic
+  * (A5) stays exact-arithmetic and engine-portable for the DuckDB oracle
+  * replay.
   */
 object SentimentLex {
 
@@ -702,13 +719,22 @@ object SentimentLex {
     "sorta", "almost", "nearly", "moderately", "occasionally", "mildly",
     "little", "less")
 
-  private val alpha = 15.0
-  // milli-valence scale factors: base ×100 over decivalence (= ×1000 over
-  // valence); negation −0.74 × 100 = −74 exactly; booster 0.293 × 1000
-  private val NegScalar = -74L
-  private val BoostMilli = 293L
+  /** Trailing characters stripped from a token to find its lexicon CORE;
+    * `!` among them is also the emphasis-amplifier character.
+    */
+  val EmphasisPunct: String = "!?.,;:"
 
-  /** Decivalence of a lowercased token — flat CASE over the lexicon. */
+  private val alpha = 15.0
+  // 1e-5-valence scale factors: base ×10000 over decivalence (= ×100000
+  // over valence); negation −0.74 (exact on base/100); booster 0.293;
+  // ALL-CAPS emphasis 0.733; per-`!` amplifier 0.292 capped at 3 bangs
+  private val NegScalar = -74L
+  private val Boost = 29300L
+  private val CapsBoost = 73300L
+  private val BangAmp = 29200L
+  private val MaxBangs = 3L
+
+  /** Decivalence of a lowercased core token — flat CASE over the lexicon. */
   private def valence(w: Column): Column = {
     val first = when(w === Lexicon.head._1, lit(Lexicon.head._2.toLong))
     Lexicon.tail.foldLeft(first) { case (e, (word, v)) =>
@@ -716,83 +742,166 @@ object SentimentLex {
     }.otherwise(lit(0L))
   }
 
-  /** Context-aware milli-valence score of one token given its predecessor
-    * (null predecessor = sentence start = no modifier).
-    */
-  private def tokenScore(w: Column, prev: Column): Column = {
-    val d = valence(w)
-    when(d === 0, lit(0L))
-      .when(prev.isin(Negations: _*), lit(NegScalar) * d)
-      .when(prev.isin(Intensifiers: _*),
-        when(d > 0, d * 100L + BoostMilli).otherwise(d * 100L - BoostMilli))
-      .when(prev.isin(Dampeners: _*),
-        when(d > 0, greatest(lit(0L), d * 100L - BoostMilli))
-          .otherwise(least(lit(0L), d * 100L + BoostMilli)))
-      .otherwise(d * 100L)
-  }
-
-  /** Integer raw score in milli-valences: context-aware sum over the token
-    * stream, as the codegen'd [[SentimentScoreExpr]] (the declarative
-    * higher-order form below is kept as the semantic reference — HOF
-    * lambdas evaluate interpreted, which makes the big lexicon CASE the
-    * hottest loop in the engine; the native expression is a one-pass
-    * hash-lookup loop inside whole-stage codegen).
+  /** Integer raw score in 1e-5 valence units: context-aware sum over the
+    * token stream with VADER's emphasis mechanics, as the codegen'd
+    * [[SentimentScoreExpr]] (the declarative higher-order form below is
+    * kept as the semantic reference — HOF lambdas evaluate interpreted,
+    * which makes the big lexicon CASE the hottest loop in the engine; the
+    * native expression is a one-pass hash-lookup loop inside whole-stage
+    * codegen).
     */
   def rawScore(tokens: Column): Column =
     org.apache.spark.sql.graft.bridge.column(
       SentimentScoreExpr(org.apache.spark.sql.graft.bridge.expression(tokens)))
 
   /** The declarative HOF twin of [[rawScore]] — semantics documentation
-    * and equivalence-test target, not the production path.
+    * and equivalence-test target, not the production path. Stage for
+    * stage it mirrors [[SentimentScore.score]]: cores/caps/bang/but
+    * census first, then the per-token emphasis-and-context stack, then
+    * the sign-aware bang amplifier.
     */
-  private[graft] def rawScoreDeclarative(tokens: Column): Column =
-    aggregate(
-      transform(tokens, (w, i) =>
-        tokenScore(lower(w), lower(get(tokens, i - lit(1))))),
-      lit(0L), (acc, s) => acc + s)
+  private[graft] def rawScoreDeclarative(tokens: Column): Column = {
+    val cores = transform(tokens,
+      w => lower(regexp_replace(w, s"[$EmphasisPunct]+$$", "")))
+    val capsFlags = transform(tokens, w => {
+      val core = regexp_replace(w, s"[$EmphasisPunct]+$$", "")
+      (core === upper(core) && core =!= lower(core)).cast("long")
+    })
+    val nCaps = aggregate(capsFlags, lit(0L), (a, x) => a + x)
+    val capsDiff = nCaps > 0 && nCaps < size(tokens)
+    val butIdx = array_position(cores, "but") // 1-based; 0 = absent
+    val nExcl = aggregate(
+      transform(tokens, w =>
+        (length(w) - length(regexp_replace(w, "!", ""))).cast("long")),
+      lit(0L), (a, x) => a + x)
+    // the ~2900-branch valence CASE must appear in the plan exactly ONCE
+    // (as the transform input below); every later reference to the hit's
+    // strength is the `base` LAMBDA VARIABLE, never a re-expansion — the
+    // naive nesting blows the plan string up combinatorially. The caps
+    // add keeps sign(base) == sign(d) and base == 0 ⟺ d == 0, so base
+    // alone drives every sign test.
+    val bases = zip_with(transform(cores, c => valence(c)), capsFlags,
+      (d, cf) => d * 10000L +
+        when(capsDiff && cf === 1L,
+          when(d > 0, lit(CapsBoost)).otherwise(-lit(CapsBoost)))
+          .otherwise(lit(0L)))
+    val terms = transform(bases, (base, i0) => {
+      val i = i0 + lit(1) // 1-based position, as the oracle comprehension
+      val prev = element_at(cores, when(i > 1, i - 1).otherwise(lit(1))) // guarded below
+      // Column `/` is double division; base is a multiple of 100 and ctx
+      // is even, so the casts back to long are exact
+      val ctx = when(i === 1, base)
+        .when(prev.isin(Negations: _*),
+          lit(NegScalar) * (base / 100L).cast("long"))
+        .when(prev.isin(Intensifiers: _*),
+          when(base > 0, base + Boost).otherwise(base - Boost))
+        .when(prev.isin(Dampeners: _*),
+          when(base > 0, greatest(lit(0L), base - Boost))
+            .otherwise(least(lit(0L), base + Boost)))
+        .otherwise(base)
+      val weighted = when(butIdx === 0, ctx)
+        .when(i < butIdx, (ctx / 2L).cast("long"))
+        .when(i > butIdx, (lit(3L) * ctx / 2L).cast("long"))
+        .otherwise(ctx)
+      when(base === 0, lit(0L)).otherwise(weighted)
+    })
+    val s = aggregate(terms, lit(0L), (a, x) => a + x)
+    val amp = least(nExcl, lit(MaxBangs)) * BangAmp
+    when(s > 0, s + amp).when(s < 0, s - amp).otherwise(s)
+  }
 
-  /** VADER compound normalization of the milli-valence raw score:
+  /** VADER compound normalization of the 1e-5-scale raw score:
     * r / sqrt(r² + 15) over the unscaled sum, in (−1, 1). Pure double
     * arithmetic over an exact integer — portable.
     */
   def compound(raw: Column): Column = {
-    val r = raw.cast("double") / lit(1000.0)
+    val r = raw.cast("double") / lit(100000.0)
     r / sqrt(r * r + lit(alpha))
   }
 
   // ---- DuckDB-side equivalents (same tables, same arithmetic) ----
 
-  /** Decivalence array for a token-array expression — inline this ONCE
+  /** Lowercased-core array (trailing emphasis punctuation stripped) for a
+    * token-array expression — the lookup/lookback surface.
+    */
+  def coresArraySql(toksCol: String): String =
+    s"list_transform($toksCol, w -> lower(regexp_replace(w, '[$EmphasisPunct]+$$', '')))"
+
+  /** Decivalence array for a CORES-array expression — inline this ONCE
     * (the ~290-branch CASE is large); downstream score SQL references the
     * resulting column by name.
     */
-  def valenceArraySql(toksCol: String): String = {
+  def valenceArraySql(coresCol: String): String = {
     val cases = Lexicon.map { case (k, v) =>
       s"WHEN '$k' THEN CAST($v AS BIGINT)" }.mkString(" ")
-    s"list_transform($toksCol, w -> CASE lower(w) $cases ELSE CAST(0 AS BIGINT) END)"
+    s"list_transform($coresCol, w -> CASE w $cases ELSE CAST(0 AS BIGINT) END)"
   }
 
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
-  /** Milli-valence raw score from named token/decivalence array columns
-    * (`toksCol`, `dsCol`) — mirrors [[rawScore]]'s one-token lookback.
+  /** ALL-CAPS flag array (1/0 per token) for a token-array expression. */
+  def capsFlagsArraySql(toksCol: String): String = {
+    val core = s"regexp_replace(w, '[$EmphasisPunct]+$$', '')"
+    s"list_transform($toksCol, w -> CASE WHEN $core = upper($core) " +
+      s"AND $core <> lower($core) THEN 1 ELSE 0 END)"
+  }
+
+  /** Mixed-case test from the caps-flag array (VADER allcap differential). */
+  def capsDiffSql(cfCol: String, toksCol: String): String =
+    s"(coalesce(list_sum($cfCol), 0) > 0 AND " +
+      s"coalesce(list_sum($cfCol), 0) < len($toksCol))"
+
+  /** 1-based index of the first contrastive `but` core; 0 = absent. */
+  def butIdxSql(csCol: String): String =
+    s"coalesce(list_position($csCol, 'but'), 0)"
+
+  /** Count of `!` characters across the tokens (== across the text). */
+  def nExclSql(toksCol: String): String =
+    s"coalesce(list_sum(list_transform($toksCol, " +
+      s"w -> len(w) - len(replace(w, '!', '')))), 0)"
+
+  /** UNAMPLIFIED 1e-5-valence sum from per-doc census columns: `csCol`
+    * (cores), `dsCol` (decivalences), `cfCol` (caps flags), `cdCol`
+    * (caps-diff bool), `biCol` (but index). Mirrors [[rawScore]]'s
+    * per-token emphasis-and-context stack; apply [[ampRawSql]] one level
+    * up for the bang amplifier.
     */
-  def rawFromSql(toksCol: String, dsCol: String): String =
+  def rawBaseSql(csCol: String, dsCol: String, cfCol: String,
+      cdCol: String, biCol: String): String = {
+    val base = s"($dsCol[i] * 10000 + CASE WHEN $cdCol AND $cfCol[i] = 1 " +
+      s"THEN CASE WHEN $dsCol[i] > 0 THEN $CapsBoost ELSE -$CapsBoost END " +
+      s"ELSE 0 END)"
+    val ctx = s"""CASE
+             WHEN $csCol[i-1] IN (${inList(Negations)})
+               THEN $NegScalar * ($base // 100)
+             WHEN $csCol[i-1] IN (${inList(Intensifiers)})
+               THEN CASE WHEN $dsCol[i] > 0 THEN $base + $Boost
+                         ELSE $base - $Boost END
+             WHEN $csCol[i-1] IN (${inList(Dampeners)})
+               THEN CASE WHEN $dsCol[i] > 0
+                         THEN greatest(CAST(0 AS BIGINT), $base - $Boost)
+                         ELSE least(CAST(0 AS BIGINT), $base + $Boost) END
+             ELSE $base END"""
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        [CASE WHEN $dsCol[i] = 0 THEN CAST(0 AS BIGINT)
-             WHEN lower($toksCol[i-1]) IN (${inList(Negations)})
-               THEN $NegScalar * $dsCol[i]
-             WHEN lower($toksCol[i-1]) IN (${inList(Intensifiers)})
-               THEN CASE WHEN $dsCol[i] > 0 THEN $dsCol[i] * 100 + $BoostMilli
-                         ELSE $dsCol[i] * 100 - $BoostMilli END
-             WHEN lower($toksCol[i-1]) IN (${inList(Dampeners)})
-               THEN CASE WHEN $dsCol[i] > 0
-                         THEN greatest(CAST(0 AS BIGINT), $dsCol[i] * 100 - $BoostMilli)
-                         ELSE least(CAST(0 AS BIGINT), $dsCol[i] * 100 + $BoostMilli) END
-             ELSE $dsCol[i] * 100 END
-        for i in range(1, len($toksCol) + 1)]), (a, b) -> a + b)"""
+             WHEN $biCol = 0 THEN $ctx
+             WHEN i < $biCol THEN ($ctx) // 2
+             WHEN i > $biCol THEN (3 * ($ctx)) // 2
+             ELSE $ctx END
+        for i in range(1, len($csCol) + 1)]), (a, b) -> a + b)"""
+  }
+
+  /** Sign-aware exclamation amplifier over a pre-computed raw-base column
+    * and bang-count column — the final raw score.
+    */
+  def ampRawSql(raw0Col: String, neCol: String): String =
+    s"""CAST(CASE WHEN $raw0Col > 0
+              THEN $raw0Col + least($neCol, $MaxBangs) * $BangAmp
+              WHEN $raw0Col < 0
+              THEN $raw0Col - least($neCol, $MaxBangs) * $BangAmp
+              ELSE $raw0Col END AS BIGINT)"""
 
   def compoundSql(rawExpr: String): String =
-    s"(CAST($rawExpr AS DOUBLE) / 1000.0) / " +
-      s"sqrt((CAST($rawExpr AS DOUBLE) / 1000.0) * (CAST($rawExpr AS DOUBLE) / 1000.0) + $alpha)"
+    s"(CAST($rawExpr AS DOUBLE) / 100000.0) / " +
+      s"sqrt((CAST($rawExpr AS DOUBLE) / 100000.0) * (CAST($rawExpr AS DOUBLE) / 100000.0) + $alpha)"
 }

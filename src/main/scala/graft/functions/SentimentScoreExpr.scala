@@ -65,38 +65,85 @@ object SentimentScore extends Serializable {
   private val intensifiers = toSet(SentimentLex.Intensifiers)
   private val dampeners = toSet(SentimentLex.Dampeners)
 
-  /** One pass over the token array: per lexicon hit, apply the one-token
-    * lookback rules (negation −0.74; booster ±0.293, dampener clamped at
-    * zero) in exact milli-valence integers — identical arithmetic to
-    * [[SentimentLex.rawFromSql]]'s oracle form.
+  private def stripCore(s: String): String = {
+    var e = s.length
+    while (e > 0 && SentimentLex.EmphasisPunct.indexOf(s.charAt(e - 1)) >= 0) e -= 1
+    s.substring(0, e)
+  }
+
+  /** Two passes over the token array, all in exact 1e-5-valence integers —
+    * identical arithmetic to [[SentimentLex.rawFromSql]]'s oracle form.
+    *
+    * Pass 1 (emphasis census): per token, strip trailing emphasis
+    * punctuation to its CORE, count `!` characters (text-global, VADER's
+    * punctuation emphasis), flag ALL-CAPS cores, and find the first
+    * contrastive `but`. Pass 2 (scoring): per lexicon hit on the lowered
+    * core, stack VADER's mechanics — caps emphasis ±0.733 (only when the
+    * text is MIXED case, VADER's allcap differential), then the one-token
+    * lookback (negation −0.74 multiplicative; booster ±0.293; dampener
+    * clamped at zero), then the but-clause re-weighting (×½ before the
+    * first `but`, ×1½ after — every term is even, so both are exact).
+    * Finally the exclamation amplifier: min(n_excl, 3) × 0.292 toward the
+    * sum's sign.
     */
   def score(arr: ArrayData): Long = {
-    var sum = 0L
-    var prev: UTF8String = null
     val n = arr.numElements()
+    val cores = new Array[UTF8String](n)
+    val caps = new Array[Boolean](n)
+    var nCaps = 0
+    var nWords = 0
+    var nExcl = 0
+    var butIdx = -1
     var i = 0
     while (i < n) {
       val w = arr.getUTF8String(i)
-      if (w == null) {
+      if (w != null) {
+        val s = w.toString
+        var j = 0
+        while (j < s.length) { if (s.charAt(j) == '!') nExcl += 1; j += 1 }
+        val core = stripCore(s)
+        val lower = core.toLowerCase(java.util.Locale.ROOT)
+        val upper = core.toUpperCase(java.util.Locale.ROOT)
+        caps(i) = core == upper && core != lower
+        if (caps(i)) nCaps += 1
+        nWords += 1
+        if (butIdx < 0 && lower == "but") butIdx = i
+        cores(i) = UTF8String.fromString(lower)
+      }
+      i += 1
+    }
+    val capsDiff = nCaps > 0 && nCaps < nWords
+    var sum = 0L
+    var prev: UTF8String = null
+    i = 0
+    while (i < n) {
+      val lw = cores(i)
+      if (lw == null) {
         prev = null
       } else {
-        val lw = w.toLowerCase
         val dBox = valences.get(lw)
-        if (dBox != null) {
+        if (dBox != null && dBox.longValue() != 0L) {
           val d = dBox.longValue()
-          sum +=
-            (if (prev != null && negations.contains(prev)) -74L * d
-             else if (prev != null && intensifiers.contains(prev))
-               (if (d > 0) d * 100L + 293L else d * 100L - 293L)
-             else if (prev != null && dampeners.contains(prev))
-               (if (d > 0) math.max(0L, d * 100L - 293L)
-                else math.min(0L, d * 100L + 293L))
-             else d * 100L)
+          var e = d * 10000L
+          if (capsDiff && caps(i)) e += (if (d > 0) 73300L else -73300L)
+          if (prev != null && negations.contains(prev)) e = -74L * (e / 100L)
+          else if (prev != null && intensifiers.contains(prev))
+            e += (if (d > 0) 29300L else -29300L)
+          else if (prev != null && dampeners.contains(prev))
+            e =
+              (if (d > 0) math.max(0L, e - 29300L)
+               else math.min(0L, e + 29300L))
+          if (butIdx >= 0) {
+            if (i < butIdx) e = e / 2L
+            else if (i > butIdx) e = 3L * e / 2L
+          }
+          sum += e
         }
         prev = lw
       }
       i += 1
     }
-    sum
+    val amp = math.min(nExcl, 3).toLong * 29200L
+    if (sum > 0L) sum + amp else if (sum < 0L) sum - amp else sum
   }
 }

@@ -38,13 +38,24 @@ object Scoring extends QueryModule {
     Some(s"""
       SELECT doc_id, lang, raw, ${SentimentLex.compoundSql("raw")} AS compound
       FROM (
-        SELECT doc_id, lang, ${SentimentLex.rawFromSql("toks", "ds")} AS raw
+        SELECT doc_id, lang,
+               ${SentimentLex.ampRawSql("raw0", "ne")} AS raw
         FROM (
-          SELECT doc_id, lang, toks,
-                 ${SentimentLex.valenceArraySql("toks")} AS ds
-          FROM (SELECT doc_id, lang,
-                       ${Portable.tokensSql("text")} AS toks
-                FROM documents)))
+          SELECT doc_id, lang,
+                 ${SentimentLex.rawBaseSql("cs", "ds", "cf", "cd", "bi")} AS raw0,
+                 ${SentimentLex.nExclSql("toks")} AS ne
+          FROM (
+            SELECT doc_id, lang, toks, cs, cf,
+                   ${SentimentLex.valenceArraySql("cs")} AS ds,
+                   ${SentimentLex.capsDiffSql("cf", "toks")} AS cd,
+                   ${SentimentLex.butIdxSql("cs")} AS bi
+            FROM (
+              SELECT doc_id, lang, toks,
+                     ${SentimentLex.coresArraySql("toks")} AS cs,
+                     ${SentimentLex.capsFlagsArraySql("toks")} AS cf
+              FROM (SELECT doc_id, lang,
+                           ${Portable.tokensSql("text")} AS toks
+                    FROM documents)))))
       ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------------
@@ -64,7 +75,10 @@ object Scoring extends QueryModule {
         .agg(
           count(lit(1)).as("n"),
           sum($"raw").as("s1"),
-          sum($"raw" * $"raw").as("s2"),
+          // squares sum in decimal: raw² is up to ~1e16 at the 1e-5 scale,
+          // so a Long sum overflows within ~1k rows; DuckDB sums HUGEINT
+          sum($"raw".cast("decimal(19,0)") * $"raw".cast("decimal(19,0)"))
+            .as("s2"),
           sum(($"raw" > 0).cast("long")).as("n_pos"),
           sum(($"raw" < 0).cast("long")).as("n_neg"))
         .select(
@@ -88,11 +102,22 @@ object Scoring extends QueryModule {
                sum(CAST(raw > 0 AS BIGINT)) AS n_pos,
                sum(CAST(raw < 0 AS BIGINT)) AS n_neg
         FROM (
-          SELECT lang, ${SentimentLex.rawFromSql("toks", "ds")} AS raw
+          SELECT lang, ${SentimentLex.ampRawSql("raw0", "ne")} AS raw
           FROM (
-            SELECT lang, toks, ${SentimentLex.valenceArraySql("toks")} AS ds
-            FROM (SELECT lang, ${Portable.tokensSql("text")} AS toks
-                  FROM documents)))
+            SELECT lang,
+                   ${SentimentLex.rawBaseSql("cs", "ds", "cf", "cd", "bi")} AS raw0,
+                   ${SentimentLex.nExclSql("toks")} AS ne
+            FROM (
+              SELECT lang, toks, cs, cf,
+                     ${SentimentLex.valenceArraySql("cs")} AS ds,
+                     ${SentimentLex.capsDiffSql("cf", "toks")} AS cd,
+                     ${SentimentLex.butIdxSql("cs")} AS bi
+              FROM (
+                SELECT lang, toks,
+                       ${SentimentLex.coresArraySql("toks")} AS cs,
+                       ${SentimentLex.capsFlagsArraySql("toks")} AS cf
+                FROM (SELECT lang, ${Portable.tokensSql("text")} AS toks
+                      FROM documents)))))
         GROUP BY lang)
       ORDER BY lang"""))
 

@@ -28,60 +28,90 @@ class TextSentimentSpec extends AnyFunSuite {
     assert(got(3) === Set.empty)
   }
 
-  test("sentiment rawScore sums lexicon milli-valences over tokens") {
+  test("sentiment rawScore sums lexicon valences over tokens (1e-5 scale)") {
     val df = Seq(
-      "fast fast slow",    // 2000 + 2000 - 2000
-      "great terrible",    // 3100 - 2100
+      "fast fast slow",    // 200000 + 200000 - 200000
+      "great terrible",    // 310000 - 210000
       "unknown words only" // 0
     ).toDF("text")
       .withColumn("raw", SentimentLex.rawScore(Portable.tokens($"text")))
-    assert(df.select("raw").as[Long].collect().toSeq === Seq(2000L, 1000L, 0L))
+    assert(df.select("raw").as[Long].collect().toSeq ===
+      Seq(200000L, 100000L, 0L))
   }
 
   test("sentiment negation flips and damps by -0.74 (VADER N_SCALAR)") {
     val df = Seq(
-      "good",           // 1900
-      "not good",       // -74 × 19 = -1406
-      "never bad",      // -74 × -25 = 1850
-      "not not good"    // only the adjacent negator applies → -1406
+      "good",           // 190000
+      "not good",       // -74 × 1900 = -140600
+      "never bad",      // -74 × -2500 = 185000
+      "not not good"    // only the adjacent negator applies → -140600
     ).toDF("text")
       .withColumn("raw", SentimentLex.rawScore(Portable.tokens($"text")))
     assert(df.select("raw").as[Long].collect().toSeq ===
-      Seq(1900L, -1406L, 1850L, -1406L))
+      Seq(190000L, -140600L, 185000L, -140600L))
   }
 
   test("sentiment boosters shift magnitude by ±0.293 (VADER B_INCR/B_DECR)") {
     val df = Seq(
-      "very good",      // 1900 + 293
-      "very bad",       // -2500 - 293
-      "slightly good",  // 1900 - 293
-      "slightly sorry", // -500 + 293 = -207 (damped toward zero, no flip)
-      "VERY GOOD"       // case-insensitive matching
+      "very good",      // 190000 + 29300
+      "very bad",       // -250000 - 29300
+      "slightly good",  // 190000 - 29300
+      "slightly sorry", // -50000 + 29300 = -20700 (damped toward zero, no flip)
+      "VERY GOOD"       // ALL-caps text → no caps boost, plain boosted hit
     ).toDF("text")
       .withColumn("raw", SentimentLex.rawScore(Portable.tokens($"text")))
     assert(df.select("raw").as[Long].collect().toSeq ===
-      Seq(2193L, -2793L, 1607L, -207L, 2193L))
+      Seq(219300L, -279300L, 160700L, -20700L, 219300L))
   }
 
   test("sentiment multi-clause negation: each clause's negator scopes only its own hit") {
     val df = Seq(
-      // two independently negated clauses: -74×19 + -74×-25 = -1406 + 1850
+      // two independently negated clauses: -140600 + 185000
       "not good and never bad",
-      // negation then boost in separate clauses: -1406 + (3100 + 293)
+      // negation then boost ACROSS a contrastive but: the pre-but clause
+      // halves (-140600/2), the post-but boosted hit gains 3/2
+      // ((310000 + 29300) × 3/2)
       "not good but very great",
       // "so" intensifies good (negator out of lookback scope); "that"
-      // breaks never's scope: (1900 + 293) + (-2500)
+      // breaks never's scope: (190000 + 29300) + (-250000)
       "not so good and never that bad",
-      // clause break resets context: negator before a non-hit leaves the
-      // following clause's hit unmodified ("not today … good" → 1900)
+      // clause break resets context AND the post-but hit is re-weighted:
+      // 190000 × 3/2
       "not today but good news",
-      // three clauses, expanded-lexicon words:
-      // -74×26 + (2200 + 293) + -74×-24 = -1924 + 2493 + 1776
+      // three clauses, expanded-lexicon words, no but:
+      // -74×2600 + (220000 + 29300) + -74×-2400
       "not lovely yet very fascinating and never nasty"
     ).toDF("text")
       .withColumn("raw", SentimentLex.rawScore(Portable.tokens($"text")))
     assert(df.select("raw").as[Long].collect().toSeq ===
-      Seq(444L, 1987L, -307L, 1900L, 2345L))
+      Seq(44400L, -70300L + 508950L, -30700L, 285000L, 234500L))
+  }
+
+  test("VADER emphasis: caps, bangs and contrastive-but variants order correctly") {
+    def s(t: String): Long =
+      Seq(t).toDF("text")
+        .select(SentimentLex.rawScore(Portable.tokens($"text"))).as[Long].head()
+    // ALL-CAPS emphasis (+0.733) applies only in MIXED-case text
+    assert(s("GREAT day") === 310000L + 73300L)
+    assert(s("great day") === 310000L)
+    assert(s("GREAT DAY") === 310000L) // allcap differential: no boost
+    assert(s("GREAT day") > s("great day"))
+    // exclamation amplification (+0.292 each), capped at 3 bangs
+    assert(s("great day!") === 310000L + 29200L)
+    assert(s("great day!!!") === 310000L + 3 * 29200L)
+    assert(s("great day!!!!!") === s("great day!!!"))
+    assert(s("bad!") === -250000L - 29200L) // amplifies toward the sign
+    // trailing punctuation strips to the lexicon core; negation looks
+    // back through stripped cores too
+    assert(s("not good.") === -140600L)
+    assert(s("good,") === 190000L)
+    // contrastive but: pre-but halves, post-but gains 3/2 — the post-but
+    // clause dominates
+    assert(s("good but bad") === 190000L / 2 - 250000L * 3 / 2)
+    assert(s("bad but good") === -250000L / 2 + 190000L * 3 / 2)
+    assert(s("good but bad") < 0 && s("bad but good") > 0)
+    // stacked: caps + bang + negation stay exact integers
+    assert(s("not GREAT news!") === -74L * ((310000L + 73300L) / 100L) - 29200L)
   }
 
   test("expanded lexicon: distinct keys, VADER-scale magnitudes, both polarities covered") {
@@ -128,25 +158,29 @@ class TextSentimentSpec extends AnyFunSuite {
     assert(lex("allies") === lex("ally"))
   }
 
-  test("broad-sample scoring matches hand-computed milli-valences and compounds") {
-    // sentences spanning the finance, slang/emoticon, derived-inflection
-    // and modifier machinery; expected raws derived by hand from the
-    // documented arithmetic (base v*100, negation -74*v, booster ±293)
+  test("broad-sample scoring matches hand-computed valences and compounds") {
+    // sentences spanning the finance, slang/emoticon, derived-inflection,
+    // modifier and emphasis machinery; expected raws derived by hand from
+    // the documented arithmetic (1e-5 scale: base v*10000, negation
+    // -74*(base/100), booster ±29300, but-weighting ½ / 3/2)
     val samples = Seq(
-      // stonks 15, rallied 17, moon 22, :) 20 — no modifiers
-      "stonks rallied to the moon :)" -> (1500L + 1700L + 2200L + 2000L),
-      // not bullish → -74*19; bloodbath -22
-      "not bullish on this bloodbath" -> (-74L * 19L - 2200L),
-      // very stoked → 20*100+293; slightly worried → least(0, -1800+293)
-      "very stoked and slightly worried" -> (2293L - 1507L),
+      // stonks 15, rallied 17, moon 22, :) 20 — no modifiers, no emphasis
+      "stonks rallied to the moon :)" ->
+        (150000L + 170000L + 220000L + 200000L),
+      // not bullish → -74*1900; bloodbath -22
+      "not bullish on this bloodbath" -> (-74L * 1900L - 220000L),
+      // very stoked → 200000+29300; slightly worried → least(0, -180000+29300)
+      "very stoked and slightly worried" -> (229300L - 150700L),
       // paperhands -12, panic -23, lol 16
-      "paperhands panic selling lol" -> (-1200L - 2300L + 1600L),
+      "paperhands panic selling lol" -> (-120000L - 230000L + 160000L),
       // applauded 17 (derived from applaud), heartwarming 24, rally 17
-      "applauded the heartwarming rally" -> (1700L + 2400L + 1700L),
-      // daintily 10 (derived), woefully -18 (derived), mediocre -11
-      "daintily decorated but woefully mediocre" -> (1000L - 1800L - 1100L),
+      "applauded the heartwarming rally" -> (170000L + 240000L + 170000L),
+      // daintily 10 halves before the but; woefully -18 and mediocre -11
+      // gain 3/2 after it
+      "daintily decorated but woefully mediocre" ->
+        (100000L / 2 - 180000L * 3 / 2 - 110000L * 3 / 2),
       // rugpull -23, rekt -21, :( -19
-      "total rugpull got rekt :(" -> (-2300L - 2100L - 1900L),
+      "total rugpull got rekt :(" -> (-230000L - 210000L - 190000L),
       "" -> 0L)
     val df = samples.map(_._1).toDF("text")
       .withColumn("raw", SentimentLex.rawScore(Portable.tokens($"text")))
@@ -154,7 +188,7 @@ class TextSentimentSpec extends AnyFunSuite {
     val got = df.select("raw", "c").as[(Long, Double)].collect()
     got.zip(samples).foreach { case ((raw, c), (text, expected)) =>
       assert(raw === expected, s"raw mismatch on: $text")
-      val r = expected.toDouble / 1000.0
+      val r = expected.toDouble / 100000.0
       assert(math.abs(c - r / math.sqrt(r * r + 15.0)) < 1e-12, s"compound on: $text")
     }
   }
