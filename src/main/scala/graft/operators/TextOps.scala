@@ -365,5 +365,124 @@ object TextOps extends QueryModule {
              CAST(sum(dup) AS DOUBLE) / CAST(sum(total) AS DOUBLE) AS rep_ratio
       FROM alldocs GROUP BY source ORDER BY source"""))
 
-  override val defs: Seq[QueryDef] = Seq(q26, q27, q28, q29, q30, q58, q75)
+  // ---------------------------------------------------------------------
+  // q117 — BPE merge training (the tokenizer-training op q58's frequency
+  // table feeds): iterative byte-pair encoding over the word-frequency
+  // vocabulary — count adjacent symbol pairs weighted by word count,
+  // merge the argmax pair everywhere (greedy left-to-right,
+  // non-overlapping), repeat for BpeRounds rounds. Ties break on
+  // (freq desc, lhs asc, rhs asc), so the merge table is fully
+  // deterministic; the emitted rows are the trained artifact (ordered
+  // merge rules + vocab-size trajectory), which IS a BPE tokenizer.
+  //
+  // Scale shape: training runs on the AGGREGATED word-freq table
+  // (|vocab| rows — corpus size only enters the one token-count
+  // aggregation), each round is one pair-count aggregation plus a 1-row
+  // TakeOrdered argmax, and the merge itself is a per-row string map.
+  // Symbol sequences live as single-space-delimited strings with
+  // sentinel spaces, so the merge is a literal ' l r ' → ' lr '
+  // replace — both engines scan left-to-right non-overlapping, which is
+  // exactly BPE's greedy merge semantics. The per-round argmax collect
+  // is model state (the merge table), the k-means discipline.
+  // ---------------------------------------------------------------------
+  private val BpeRounds = 20
+  private val BpeMinCount = 2
+  private val MergePasses = 3
+
+  private val q117 = QueryDef(
+    "q117_bpe_train",
+    (spark, dir) => {
+      import spark.implicits._
+      val words = Tables.documents(spark, dir)
+        .select(explode(Portable.tokens($"text")).as("tok"))
+        .select(lower($"tok").as("word"))
+        .filter($"word".rlike("^[a-z]+$"))
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" >= BpeMinCount)
+      // " a b c " — sentinel spaces make every symbol boundary explicit.
+      // localCheckpoint each round: an iterative transform would otherwise
+      // grow a 20-deep logical plan (the GraphX/ALS iteration discipline).
+      var seqs = words.select(
+        concat(lit(" "), regexp_replace($"word", "(.)", "$1 ")).as("seq"),
+        $"cnt").localCheckpoint()
+      val merges =
+        scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long, Long)]()
+      for (r <- 1 to BpeRounds) {
+        val best = seqs
+          .select($"cnt", split(trim($"seq"), " ").as("s"))
+          .filter(size($"s") >= 2)
+          .select($"cnt", explode(transform(
+            sequence(lit(1), size($"s") - 1),
+            i => struct(element_at($"s", i).as("l"),
+              element_at($"s", i + 1).as("r")))).as("p"))
+          .groupBy($"p.l".as("lhs"), $"p.r".as("rhs"))
+          .agg(sum($"cnt").as("f"))
+          .orderBy($"f".desc, $"lhs".asc, $"rhs".asc).limit(1)
+          .collect()(0)
+        val (l, rr, f) =
+          (best.getString(0), best.getString(1), best.getLong(2))
+        // symbols are [a-z]+ by construction — safe to inline literally.
+        // The literal replace consumes the shared delimiter space, so one
+        // pass can miss a repeat that abuts a merged occurrence
+        // (" a b a b " → " ab a b "); MergePasses applications catch the
+        // leftovers — identical iteration on the oracle side.
+        val merge = (1 to MergePasses).foldLeft("seq")((e, _) =>
+          s"replace($e, ' $l $rr ', ' $l$rr ')")
+        val next = seqs.select(expr(merge).as("seq"), $"cnt").localCheckpoint()
+        seqs = next
+        val vocab = seqs
+          .select(explode(split(trim($"seq"), " ")).as("sym"))
+          .agg(countDistinct($"sym")).as[Long].head()
+        merges += ((r.toLong, l, rr, l + rr, f, vocab))
+      }
+      merges.toSeq
+        .toDF("merge_round", "lhs", "rhs", "merged", "pair_freq", "vocab_size")
+        .orderBy($"merge_round")
+    },
+    Some {
+      // every CTE is MATERIALIZED: v(r-1) is referenced twice per round
+      // (pair count + merge), so DuckDB's default inlining would expand
+      // the 20-round chain into a 2^20-leaf plan
+      val rounds = (1 to BpeRounds).map { r =>
+        s"""
+        p$r AS MATERIALIZED (
+          SELECT u.l AS lhs, u.r AS rhs, CAST(sum(cnt) AS BIGINT) AS f FROM (
+            SELECT cnt, unnest([{'l': s[i], 'r': s[i + 1]}
+                                for i in range(1, len(s))]) AS u
+            FROM (SELECT cnt, string_split(trim(seq), ' ') AS s
+                  FROM v${r - 1}))
+          GROUP BY 1, 2),
+        b$r AS MATERIALIZED (SELECT lhs, rhs, f FROM p$r
+                ORDER BY f DESC, lhs, rhs LIMIT 1),
+        v$r AS MATERIALIZED (SELECT ${(1 to MergePasses).foldLeft("seq")((e, _) =>
+          s"replace($e, ' ' || b.lhs || ' ' || b.rhs || ' ', " +
+            s"' ' || b.lhs || b.rhs || ' ')")} AS seq, cnt
+                FROM v${r - 1}, b$r b),
+        s$r AS MATERIALIZED (SELECT count(DISTINCT sym) AS vocab_size FROM (
+                SELECT unnest(string_split(trim(seq), ' ')) AS sym FROM v$r))"""
+      }.mkString(",")
+      val union = (1 to BpeRounds).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS merge_round, b.lhs, b.rhs,
+                   b.lhs || b.rhs AS merged, b.f AS pair_freq,
+                   s.vocab_size
+            FROM b$r b, s$r s"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH w AS MATERIALIZED (
+        SELECT word, count(*) AS cnt FROM (
+          SELECT lower(t) AS word FROM (
+            SELECT unnest(${Portable.tokensSql("text")}) AS t FROM documents))
+        WHERE regexp_matches(word, '^[a-z]+$$')
+        GROUP BY word HAVING count(*) >= $BpeMinCount),
+      v0 AS MATERIALIZED (
+        SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq, cnt
+        FROM w),
+      $rounds
+      SELECT * FROM (
+        $union)
+      ORDER BY merge_round"""
+    })
+
+  override val defs: Seq[QueryDef] =
+    Seq(q26, q27, q28, q29, q30, q58, q75, q117)
 }

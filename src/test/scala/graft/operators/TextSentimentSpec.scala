@@ -213,6 +213,25 @@ class TextSentimentSpec extends AnyFunSuite {
     assert(cs(0) === -cs(4) && cs(1) === -cs(3)) // odd symmetry
   }
 
+  test("q117 BPE training: invariants of the merge table") {
+    val rows = graft.SparkEntry.queries("q117_bpe_train")(
+      spark, graft.TestSpark.Sf001).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getAs[Long]("merge_round")).toSeq === (1L to 20L))
+    rows.foreach { r =>
+      // the merged symbol is the concatenation of its parents, all [a-z]+
+      assert(r.getAs[String]("merged") ===
+        r.getAs[String]("lhs") + r.getAs[String]("rhs"))
+      assert(r.getAs[String]("merged").matches("[a-z]+"))
+      assert(r.getAs[Long]("pair_freq") >= 1L)
+    }
+    // the argmax pair frequency never increases round over round: every
+    // post-merge pair instance derives from a pre-merge adjacency
+    val freqs = rows.map(_.getAs[Long]("pair_freq")).toSeq
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => b <= a },
+      s"pair_freq not non-increasing: $freqs")
+  }
+
   test("rolling hash: order-sensitive, deterministic") {
     val df = Seq("a b c", "c b a", "a b c").toDF("text")
       .withColumn("fp", Portable.rollingHash(Portable.tokens($"text")))
