@@ -700,5 +700,119 @@ object Dedup extends QueryModule {
                   ELSE 'unique' END AS verdict
       FROM delta d ORDER BY d.doc_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q34, q35, q36, q37, q38, q72, q96, q114)
+  // ---------------------------------------------------------------------
+  // q118 — substring-level dedup (the deduplicate-text-datasets operator,
+  // Lee et al. 2021 shape): exact repeated TOKEN SPANS of length ≥ L,
+  // within and across documents, removed everywhere except their first
+  // occurrence — q100 dedups fixed passages; this finds VARIABLE-length
+  // repeats. The suffix-array reduction: a depth-L-bounded suffix sort
+  // groups positions by their L-token prefix, and a maximal repeat of
+  // length ≥ L is exactly a maximal union of OVERLAPPING duplicated
+  // L-grams — so the plan is (1) every position keys on the md5 of its
+  // depth-L prefix (8-byte shuffle, the bounded-depth sort bucket),
+  // (2) one groupBy finds duplicated keys and their first occurrence
+  // (min doc·1e6+pos — that occurrence is kept), (3) surviving removal
+  // starts merge into spans per doc via gaps-and-islands (a new span
+  // when the gap exceeds L, since each start covers [p, p+L−1]).
+  // Per-doc manifest: token count, duplicated starts, removed spans and
+  // removed-token total. No all-pairs stage anywhere: one 8-byte-key
+  // corpus shuffle + per-doc windows.
+  // ---------------------------------------------------------------------
+  private val SpanL = 8
+  private val q118 = QueryDef(
+    "q118_substring_dedup",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(spark, dir)
+        .select($"doc_id", Portable.tokens($"text").as("w"))
+        .select($"doc_id", size($"w").cast("long").as("n_tokens"), $"w")
+      val starts = toks.filter(size($"w") >= SpanL)
+        .select($"doc_id", posexplode(transform(
+          sequence(lit(1), size($"w") - SpanL + 1),
+          i => Portable.md5Hash64(array_join(slice($"w", i, lit(SpanL)), " ")))))
+        .select($"doc_id", ($"pos" + 1).cast("long").as("start"),
+          $"col".as("gh"))
+        .withColumn("k", $"doc_id" * 1000000L + $"start")
+      val occ = starts.groupBy($"gh")
+        .agg(count(lit(1)).as("cnt"), min($"k").as("keep"))
+      val removalStarts = starts.join(occ, "gh")
+        .filter($"cnt" > 1 && $"k" =!= $"keep")
+        .select($"doc_id", $"start")
+      val wDoc = Window.partitionBy($"doc_id").orderBy($"start")
+      val spans = removalStarts
+        .withColumn("brk",
+          when(lag($"start", 1).over(wDoc).isNull ||
+            $"start" - lag($"start", 1).over(wDoc) > SpanL, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum($"brk").over(
+          wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"doc_id", $"island")
+        .agg(min($"start").as("s"), (max($"start") + SpanL - 1).as("e"))
+      val perDoc = spans.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum($"e" - $"s" + 1).as("n_removed_tokens"))
+      val nDup = removalStarts.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_dup_starts"))
+      toks.select($"doc_id", $"n_tokens")
+        .join(nDup, Seq("doc_id"), "left")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"n_dup_starts", lit(0L)).as("n_dup_starts"),
+          coalesce($"n_spans", lit(0L)).as("n_spans"),
+          coalesce($"n_removed_tokens", lit(0L)).as("n_removed_tokens"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, ${Portable.tokensSql("text")} AS w FROM documents),
+      starts AS (
+        SELECT doc_id, u.s AS start,
+               ${Portable.md5Hash64Sql("array_to_string(u.p, ' ')")} AS gh,
+               doc_id * 1000000 + u.s AS k
+        FROM (
+          SELECT doc_id,
+                 unnest([{'s': i, 'p': w[(i):(i + $SpanL - 1)]}
+                         for i in range(1, len(w) - $SpanL + 2)]) AS u
+          FROM toks WHERE len(w) >= $SpanL)),
+      occ AS (
+        SELECT gh, count(*) AS cnt, min(k) AS keep FROM starts GROUP BY gh),
+      rs AS (
+        SELECT s.doc_id, s.start
+        FROM starts s JOIN occ o USING (gh)
+        WHERE o.cnt > 1 AND s.k <> o.keep),
+      isl AS (
+        SELECT doc_id, start,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM (
+          SELECT doc_id, start,
+                 CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start)
+                        IS NULL
+                      OR start - lag(start) OVER (PARTITION BY doc_id
+                                                  ORDER BY start) > $SpanL
+                      THEN 1 ELSE 0 END AS brk
+          FROM rs)),
+      spans AS (
+        SELECT doc_id, island, min(start) AS s,
+               max(start) + $SpanL - 1 AS e
+        FROM isl GROUP BY doc_id, island),
+      per_doc AS (
+        SELECT doc_id, count(*) AS n_spans,
+               sum(e - s + 1) AS n_removed_tokens
+        FROM spans GROUP BY doc_id),
+      nd AS (
+        SELECT doc_id, count(*) AS n_dup_starts FROM rs GROUP BY doc_id)
+      SELECT t.doc_id,
+             CAST(len(t.w) AS BIGINT) AS n_tokens,
+             CAST(coalesce(nd.n_dup_starts, 0) AS BIGINT) AS n_dup_starts,
+             CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(coalesce(p.n_removed_tokens, 0) AS BIGINT) AS n_removed_tokens
+      FROM toks t
+      LEFT JOIN nd ON nd.doc_id = t.doc_id
+      LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+      ORDER BY t.doc_id"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q34, q35, q36, q37, q38, q72, q96, q114, q118)
 }
