@@ -15,7 +15,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     build: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracleGen: Option[() => String]) {
+
+  /** The oracle SQL, generated on demand — most queries carry a plain
+    * string; a DEFERRED oracle (e.g. q113's, which derives its CASE-WHEN
+    * from bytes read back out of the parquet model store) is generated at
+    * dump time, when a SparkSession exists.
+    */
+  def oracle: Option[String] = oracleGen.map(_())
+}
+
+object QueryDef {
+  /** Plain-string oracle — the common case. (DummyImplicit dodges the
+    * erasure clash with the synthesized Option[() => String] apply.)
+    */
+  def apply(
+      name: String,
+      build: (SparkSession, String) => DataFrame,
+      oracle: Option[String])(implicit d: DummyImplicit): QueryDef =
+    QueryDef(name, build, oracle.map(s => () => s))
+
+  /** Oracle generated lazily at dump time (session-dependent inputs). */
+  def deferred(
+      name: String,
+      build: (SparkSession, String) => DataFrame)(gen: => String): QueryDef =
+    QueryDef(name, build, Some(() => gen))
+}
 
 trait QueryModule {
   def defs: Seq[QueryDef]

@@ -252,7 +252,7 @@ object Scoring extends QueryModule {
   // Oracle: CASE WHEN SQL generated from the SAME parsed model over the
   // same feature CTE — left-fold order matches, so doubles hash-compare.
   // ---------------------------------------------------------------------
-  private val q113 = QueryDef(
+  private val q113 = QueryDef.deferred(
     "q113_model_quality_filter",
     (spark, dir) => {
       import spark.implicits._
@@ -264,10 +264,15 @@ object Scoring extends QueryModule {
         .withColumn("kept", ($"q_score" >= 0.5).cast("int"))
         .select($"doc_id", $"source", $"q_score", $"kept")
         .orderBy($"doc_id")
-    },
-    Some {
-      val model = graft.functions.GbtArtifact
-        .deserialize(graft.functions.GbtArtifact.qualityArtifact)
+    }) {
+      // DEFERRED oracle: the CASE-WHEN is generated from bytes read BACK
+      // out of the written parquet model store — the same serialize →
+      // columnar file → filtered scan → deserialize path the Spark side
+      // takes — not from the in-process constant, so a store-write bug
+      // would break the oracle too. Generated at dump time, when the
+      // session (and therefore the store) exists.
+      val spark = org.apache.spark.sql.SparkSession.active
+      val model = graft.functions.GbtArtifact.loadFromStore(spark, "quality_v1")
       val scoreSql = graft.functions.GbtArtifact.scoreSql(model,
         Seq("(CAST(stop_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE))",
           "(CAST(nospace_chars AS DOUBLE) / CAST(ws_tokens AS DOUBLE))",
@@ -277,7 +282,7 @@ object Scoring extends QueryModule {
       SELECT doc_id, source, $scoreSql AS q_score,
              CASE WHEN $scoreSql >= 0.5 THEN 1 ELSE 0 END AS kept
       FROM q ORDER BY doc_id"""
-    })
+    }
 
   override val defs: Seq[QueryDef] = Seq(q31, q32, q33, q102, q113)
 }
