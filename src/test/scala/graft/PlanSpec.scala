@@ -198,6 +198,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q108: rank-window pairs join as a pure equi-join, never cartesian") {
+    // the windowed pair builder must plan a hash/sort-merge equi-join on
+    // (cell, rank) — a range-condition formulation would fall back to
+    // BroadcastNestedLoopJoin/CartesianProduct and go quadratic per cell
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val assign = spark.range(0, 64).select(
+      $"id".as("vec_id"), ($"id" % 4).as("cell"), ($"id" * 3L).as("d"),
+      transform(sequence(lit(1), lit(64)),
+        i => (i + $"id").cast("float")).as("embedding"),
+      lit(1000000L).as("nrm"))
+    val p = graft.operators.Similarity.rankWindowPairs(assign)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("Generate explode"), p.take(800)) // the window offsets
+  }
+
+  test("q118: substring dedup shuffles 8-byte gram keys, no cartesian") {
+    val p = planOf("q118_substring_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // the occurrence count groups on the md5 gram hash, not the gram text
+    assert(p.contains("Generate posexplode"), p.take(800))
+  }
+
   test("q102: artifact scoring stays native — no UDF in the plan") {
     // the deserialized GBT compiles to when/otherwise literals; a UDF
     // here would fence whole-stage codegen on every scored row
