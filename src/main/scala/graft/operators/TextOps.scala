@@ -389,10 +389,25 @@ object TextOps extends QueryModule {
   private val BpeMinCount = 2
   private val MergePasses = 3
 
-  private val q117 = QueryDef(
-    "q117_bpe_train",
-    (spark, dir) => {
+  /** One trained BPE merge rule (round, lhs, rhs, merged, pair freq,
+    * vocab size after).
+    */
+  private type BpeMerge = (Long, String, String, String, Long, Long)
+
+  // driver-side memo of the trained merge table per corpus dir — the
+  // artifact is ~20 tiny rows of model state (the Scoped.shared
+  // discipline, but the value is driver-resident like the k-means
+  // seeds); q117 emits it and q119 applies it without retraining
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[BpeMerge]]()
+
+  /** Train the BPE merge table on `dir`'s corpus (see q117 comment). */
+  private[operators] def trainBpe(
+      spark: SparkSession, dir: String): Seq[BpeMerge] =
+    bpeCache.computeIfAbsent(dir, _ => {
       import spark.implicits._
+      val sc = spark.sparkContext
+      val cachedBefore = sc.getPersistentRDDs.keySet
       val words = Tables.documents(spark, dir)
         .select(explode(Portable.tokens($"text")).as("tok"))
         .select(lower($"tok").as("word"))
@@ -405,8 +420,7 @@ object TextOps extends QueryModule {
       var seqs = words.select(
         concat(lit(" "), regexp_replace($"word", "(.)", "$1 ")).as("seq"),
         $"cnt").localCheckpoint()
-      val merges =
-        scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long, Long)]()
+      val merges = scala.collection.mutable.ArrayBuffer[BpeMerge]()
       for (r <- 1 to BpeRounds) {
         val best = seqs
           .select($"cnt", split(trim($"seq"), " ").as("s"))
@@ -421,30 +435,61 @@ object TextOps extends QueryModule {
           .collect()(0)
         val (l, rr, f) =
           (best.getString(0), best.getString(1), best.getLong(2))
-        // symbols are [a-z]+ by construction — safe to inline literally.
-        // The literal replace consumes the shared delimiter space, so one
-        // pass can miss a repeat that abuts a merged occurrence
-        // (" a b a b " → " ab a b "); MergePasses applications catch the
-        // leftovers — identical iteration on the oracle side.
-        val merge = (1 to MergePasses).foldLeft("seq")((e, _) =>
-          s"replace($e, ' $l $rr ', ' $l$rr ')")
-        val next = seqs.select(expr(merge).as("seq"), $"cnt").localCheckpoint()
+        // symbols are [a-z]+ by construction — safe to inline literally
+        val next = seqs
+          .select(expr(mergeExprSql("seq", l, rr)).as("seq"), $"cnt")
+          .localCheckpoint()
         seqs = next
         val vocab = seqs
           .select(explode(split(trim($"seq"), " ")).as("sym"))
           .agg(countDistinct($"sym")).as[Long].head()
         merges += ((r.toLong, l, rr, l + rr, f, vocab))
       }
+      // the merge table is driver state now — release every checkpoint
+      // block the loop pinned (cache hygiene: a long-lived session must
+      // not accumulate 21 RDDs per training run)
+      (sc.getPersistentRDDs.keySet -- cachedBefore).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       merges.toSeq
+    })
+
+  /** The literal ' l r ' → ' lr ' merge, applied MergePasses times: the
+    * replace consumes the shared delimiter space, so one pass can miss a
+    * repeat that abuts a merged occurrence (" a b a b " → " ab a b ");
+    * repeated application catches the leftovers — identical on the
+    * oracle side.
+    */
+  private def mergeExprSql(col: String, l: String, r: String): String =
+    (1 to MergePasses).foldLeft(col)((e, _) =>
+      s"replace($e, ' $l $r ', ' $l$r ')")
+
+  private val q117 = QueryDef(
+    "q117_bpe_train",
+    (spark, dir) => {
+      import spark.implicits._
+      trainBpe(spark, dir)
         .toDF("merge_round", "lhs", "rhs", "merged", "pair_freq", "vocab_size")
         .orderBy($"merge_round")
     },
     Some {
-      // every CTE is MATERIALIZED: v(r-1) is referenced twice per round
-      // (pair count + merge), so DuckDB's default inlining would expand
-      // the 20-round chain into a 2^20-leaf plan
-      val rounds = (1 to BpeRounds).map { r =>
-        s"""
+      s"""
+      WITH $bpeTrainCtes
+      SELECT * FROM (
+        $bpeMergeUnionSql)
+      ORDER BY merge_round"""
+    })
+
+  /** The full BPE-training pipeline as oracle CTEs (no WITH keyword):
+    * word-freq table `w`, initial sequences `v0`, then per round r the
+    * pair counts `p_r`, argmax `b_r`, merged sequences `v_r`, vocab size
+    * `s_r`. Every CTE is MATERIALIZED: v(r-1) is referenced twice per
+    * round (pair count + merge), so DuckDB's default inlining would
+    * expand the 20-round chain into a 2^20-leaf plan. Shared by q117's
+    * oracle (emits the merge table) and q119's (applies the rules).
+    */
+  private def bpeTrainCtes: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""
         p$r AS MATERIALIZED (
           SELECT u.l AS lhs, u.r AS rhs, CAST(sum(cnt) AS BIGINT) AS f FROM (
             SELECT cnt, unnest([{'l': s[i], 'r': s[i + 1]}
@@ -455,20 +500,13 @@ object TextOps extends QueryModule {
         b$r AS MATERIALIZED (SELECT lhs, rhs, f FROM p$r
                 ORDER BY f DESC, lhs, rhs LIMIT 1),
         v$r AS MATERIALIZED (SELECT ${(1 to MergePasses).foldLeft("seq")((e, _) =>
-          s"replace($e, ' ' || b.lhs || ' ' || b.rhs || ' ', " +
-            s"' ' || b.lhs || b.rhs || ' ')")} AS seq, cnt
+        s"replace($e, ' ' || b.lhs || ' ' || b.rhs || ' ', " +
+          s"' ' || b.lhs || b.rhs || ' ')")} AS seq, cnt
                 FROM v${r - 1}, b$r b),
         s$r AS MATERIALIZED (SELECT count(DISTINCT sym) AS vocab_size FROM (
                 SELECT unnest(string_split(trim(seq), ' ')) AS sym FROM v$r))"""
-      }.mkString(",")
-      val union = (1 to BpeRounds).map { r =>
-        s"""SELECT CAST($r AS BIGINT) AS merge_round, b.lhs, b.rhs,
-                   b.lhs || b.rhs AS merged, b.f AS pair_freq,
-                   s.vocab_size
-            FROM b$r b, s$r s"""
-      }.mkString("\n        UNION ALL\n        ")
-      s"""
-      WITH w AS MATERIALIZED (
+    }.mkString(",")
+    s"""w AS MATERIALIZED (
         SELECT word, count(*) AS cnt FROM (
           SELECT lower(t) AS word FROM (
             SELECT unnest(${Portable.tokensSql("text")}) AS t FROM documents))
@@ -477,12 +515,91 @@ object TextOps extends QueryModule {
       v0 AS MATERIALIZED (
         SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq, cnt
         FROM w),
-      $rounds
-      SELECT * FROM (
-        $union)
-      ORDER BY merge_round"""
+      $rounds"""
+  }
+
+  private def bpeMergeUnionSql: String =
+    (1 to BpeRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_round, b.lhs, b.rhs,
+                   b.lhs || b.rhs AS merged, b.f AS pair_freq,
+                   s.vocab_size
+            FROM b$r b, s$r s"""
+    }.mkString("\n        UNION ALL\n        ")
+
+  // ---------------------------------------------------------------------
+  // q119 — BPE ENCODE (tokenizer application, the consumer of q117's
+  // artifact): every document's alphabetic words are encoded with the
+  // trained merge rules applied in training order, and the per-doc token
+  // accounting is emitted — the token-counting step every training
+  // pipeline runs with its REAL tokenizer rather than a whitespace
+  // proxy (q27). Per doc: alpha word count, character count (= initial
+  // symbol count), and the BPE token count after all merges; fewer
+  // tokens than characters = the learned compression.
+  //
+  // Scale shape: the merge table is ~20 driver-held rules (model state,
+  // memoized from q117's training); encoding is a per-row string map —
+  // a 60-deep literal-replace chain inside whole-stage codegen, no
+  // shuffle beyond the per-doc rollup. The oracle re-trains the same
+  // rules via the shared CTE chain and applies them as scalar
+  // subqueries, so a drift in EITHER training or application breaks the
+  // hash.
+  // ---------------------------------------------------------------------
+  private val q119 = QueryDef(
+    "q119_bpe_encode",
+    (spark, dir) => {
+      import spark.implicits._
+      val merges = trainBpe(spark, dir)
+      val encExpr = merges.foldLeft(
+        "concat(' ', regexp_replace(word, '(.)', '$1 '))")(
+        (e, m) => mergeExprSql(e, m._2, m._3))
+      val encoded = Tables.documents(spark, dir)
+        .select($"doc_id", explode(Portable.tokens($"text")).as("tok"))
+        .select($"doc_id", lower($"tok").as("word"))
+        .filter($"word".rlike("^[a-z]+$"))
+        .select($"doc_id", length($"word").cast("long").as("n_chars"),
+          expr(encExpr).as("seq"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_alpha_words"),
+          sum($"n_chars").as("n_chars"),
+          sum(size(split(trim($"seq"), " ")).cast("long")).as("n_bpe_tokens"))
+      Tables.documents(spark, dir).select($"doc_id")
+        .join(encoded, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_alpha_words", lit(0L)).as("n_alpha_words"),
+          coalesce($"n_chars", lit(0L)).as("n_chars"),
+          coalesce($"n_bpe_tokens", lit(0L)).as("n_bpe_tokens"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val encExpr = (1 to BpeRounds).foldLeft(
+        "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')") { (e, r) =>
+        (1 to MergePasses).foldLeft(e)((e2, _) =>
+          s"replace($e2, ' ' || (SELECT lhs FROM b$r) || ' ' || " +
+            s"(SELECT rhs FROM b$r) || ' ', ' ' || (SELECT lhs FROM b$r) " +
+            s"|| (SELECT rhs FROM b$r) || ' ')")
+      }
+      s"""
+      WITH $bpeTrainCtes,
+      dw AS (
+        SELECT doc_id, lower(t) AS word FROM (
+          SELECT doc_id, unnest(${Portable.tokensSql("text")}) AS t
+          FROM documents)),
+      enc AS (
+        SELECT doc_id, len(word) AS n_chars,
+               len(string_split(trim($encExpr), ' ')) AS n_tok
+        FROM dw WHERE regexp_matches(word, '^[a-z]+$$')),
+      agg AS (
+        SELECT doc_id, count(*) AS n_alpha_words,
+               sum(n_chars) AS n_chars, sum(n_tok) AS n_bpe_tokens
+        FROM enc GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(a.n_alpha_words, 0) AS BIGINT) AS n_alpha_words,
+             CAST(coalesce(a.n_chars, 0) AS BIGINT) AS n_chars,
+             CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+      FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
     })
 
   override val defs: Seq[QueryDef] =
-    Seq(q26, q27, q28, q29, q30, q58, q75, q117)
+    Seq(q26, q27, q28, q29, q30, q58, q75, q117, q119)
 }

@@ -17,7 +17,10 @@ class CacheHygieneSpec extends AnyFunSuite {
       "q22_train_test_split", "q23_timeseries_cv", "q35_minhash_lsh",
       "q36_simhash", "q37_ngram_jaccard", "q38_embedding_neardup",
       "q39_knn_brute", "q40_knn_lsh", "q56_ivf_ann",
-      "q61_curation_pipeline", "q72_dedup_clusters")
+      "q61_curation_pipeline", "q72_dedup_clusters",
+      // q117 localCheckpoints 21 per-round frames during BPE training and
+      // must release every one once the merge table is driver state
+      "q117_bpe_train")
     val before = spark.sparkContext.getPersistentRDDs.keySet
     persistingQueries.foreach { q =>
       SparkEntry.queries(q)(spark, TestSpark.Sf001)

@@ -232,6 +232,22 @@ class TextSentimentSpec extends AnyFunSuite {
       s"pair_freq not non-increasing: $freqs")
   }
 
+  test("q119 BPE encode: token counts bounded by chars and words, real compression") {
+    val rows = graft.SparkEntry.queries("q119_bpe_encode")(
+      spark, graft.TestSpark.Sf001).collect()
+    var chars = 0L; var toks = 0L
+    rows.foreach { r =>
+      val (w, c, t) = (r.getAs[Long]("n_alpha_words"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_bpe_tokens"))
+      // every word encodes to between 1 and len(word) symbols
+      assert(t <= c, s"doc ${r.getAs[Long]("doc_id")}: more tokens than chars")
+      assert(t >= w, s"doc ${r.getAs[Long]("doc_id")}: fewer tokens than words")
+      chars += c; toks += t
+    }
+    // 20 trained merges must compress the corpus overall
+    assert(toks < chars, s"no corpus-level compression: $toks tokens / $chars chars")
+  }
+
   test("rolling hash: order-sensitive, deterministic") {
     val df = Seq("a b c", "c b a", "a b c").toDF("text")
       .withColumn("fp", Portable.rollingHash(Portable.tokens($"text")))
