@@ -40,4 +40,14 @@ object Portable {
   /** Whitespace tokens of a text column. */
   def tokens(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
   def tokensSql(e: String): String = s"regexp_extract_all($e, '\\S+')"
+
+  /** JVM twin of [[md5Hash64]] — the identical 60-bit value for the same
+    * string, usable inside typed map functions where no Column exists.
+    */
+  def md5Hash64Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
 }

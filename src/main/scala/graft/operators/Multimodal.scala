@@ -390,5 +390,97 @@ object Multimodal extends QueryModule {
                              + 9 * frame_idx) % 256)))) AS BIGINT) AS pos_hash
       FROM f ORDER BY doc_id, frame_idx"""))
 
-  override val defs: Seq[QueryDef] = Seq(q44, q45, q107, q109, q110, q116)
+  // ---------------------------------------------------------------------
+  // q121 — WebDataset shard packing (functions.Ustar): the EXPORT format
+  // of large multimodal training pipelines — samples packed as members of
+  // plain POSIX tar files ("shards"), read sequentially at training time.
+  // Each document becomes a `<doc_id>.txt` member; shard assignment and
+  // within-shard order reuse q111's salted-hash shuffle discipline (never
+  // `rand()`), so archive bytes are a pure function of the corpus. The
+  // engine BUILDS each shard as real ustar bytes, then PARSES them back
+  // with the independent header walker — n_valid counts members whose
+  // stored header checksum and magic re-verify, and content_hash is a
+  // position-weighted hash over the ROUND-TRIPPED payload bytes, so any
+  // mis-write or mis-parse (octal fields, block padding, trailer) breaks
+  // the oracle compare. The oracle recomputes the census arithmetically:
+  // archive size is 2 trailer blocks + per member one header block plus
+  // the payload rounded up to 512.
+  //
+  // Scale shape: one shuffle (the shard groupBy). The per-shard aggregate
+  // is bounded by design — WebDataset pins shard SIZE (~1 GB) and grows
+  // the shard COUNT with the corpus, so the member list a task packs
+  // stays executor-sized at any corpus scale; a production exporter
+  // streams members to the shard file instead of materializing bytes.
+  // ---------------------------------------------------------------------
+  private val TarSalt = "wds42:"
+  private val TarShards = 8L
+
+  final case class TarShardCensus(
+      shard: Long, n_members: Long, payload_bytes: Long,
+      archive_bytes: Long, n_valid: Long, content_hash: Long)
+
+  private val q121 = QueryDef(
+    "q121_webdataset_shards",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.{Portable, Ustar}
+      val members = Tables.documents(spark, dir)
+        .withColumn("oh",
+          Portable.md5Hash64(concat(lit(TarSalt), $"doc_id".cast("string"))))
+        .withColumn("shard", pmod($"oh", lit(TarShards)))
+        .groupBy($"shard")
+        .agg(sort_array(collect_list(struct($"oh", $"doc_id", $"text")))
+          .as("ms"))
+        .as[(Long, Seq[(Long, Long, String)])]
+      members.map { case (shard, ms) =>
+        val tar = Ustar.encode(ms.map { case (_, id, text) =>
+          Ustar.Member(f"$id%012d.txt",
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        })
+        val entries = Ustar.parse(tar)
+        var payload = 0L
+        var valid = 0L
+        var chash = 0L
+        var i = 0
+        while (i < entries.length) {
+          val e = entries(i)
+          payload += e.size
+          if (e.checksumOk && e.magicOk && e.name.endsWith(".txt")) valid += 1
+          val h = Portable.md5Hash64Jvm(
+            new String(e.payload, java.nio.charset.StandardCharsets.UTF_8))
+          chash = (chash + ((i + 1).toLong % Portable.P) * (h % Portable.P)) %
+            Portable.P
+          i += 1
+        }
+        TarShardCensus(shard, entries.length.toLong, payload,
+          tar.length.toLong, valid, chash)
+      }.toDF().orderBy($"shard")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id, text,
+               ${graft.functions.Portable.md5Hash64Sql(
+                 s"'$TarSalt' || CAST(doc_id AS VARCHAR)")} AS oh,
+               strlen(text) AS nb
+        FROM documents),
+      s AS (
+        SELECT *, oh % $TarShards AS shard,
+               row_number() OVER (
+                 PARTITION BY oh % $TarShards ORDER BY oh, doc_id) AS rn
+        FROM h)
+      SELECT shard,
+             count(*) AS n_members,
+             CAST(sum(nb) AS BIGINT) AS payload_bytes,
+             CAST(1024 + sum(512 + 512 * ((nb + 511) // 512)) AS BIGINT)
+               AS archive_bytes,
+             count(*) AS n_valid,
+             CAST(sum(((rn % ${graft.functions.Portable.P}) *
+                       (${graft.functions.Portable.md5Hash64Sql("text")}
+                        % ${graft.functions.Portable.P}))
+                      % ${graft.functions.Portable.P})
+                  % ${graft.functions.Portable.P} AS BIGINT) AS content_hash
+      FROM s GROUP BY shard ORDER BY shard"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q44, q45, q107, q109, q110, q116, q121)
 }

@@ -281,5 +281,137 @@ object Search extends QueryModule {
              CAST(sum(n_novel) AS DOUBLE) / CAST(sum(n_bigrams) AS DOUBLE) AS novelty_ratio
       FROM alldocs GROUP BY source ORDER BY source"""))
 
-  override val defs: Seq[QueryDef] = Seq(q84, q85, q92, q115)
+  // ---------------------------------------------------------------------
+  // q120 — n-gram LM perplexity filter (the REAL KenLM-shaped curation op
+  // q92 approximates): an add-one-smoothed word-bigram language model is
+  // trained on the trusted reference slice (lang = 'en' — the CCNet
+  // discipline of scoring everything against a clean-corpus LM), and
+  // every document is scored by its total smoothed surprisal. Surprisal
+  // is EXACT log-domain integer arithmetic — no libm: for a smoothed
+  // probability p = (c12+1)/(c1+V) with c12 ≤ c1, the per-bigram
+  // surprisal ⌊log₂(1/p)⌋ equals bitlen((c1+V) div (c12+1)) − 1, because
+  // for any rational ≥ 1 the integer quotient shares its floor-log₂.
+  // Both engines compute bitlen as the length of the base-2 digit string
+  // (Spark `conv(q,10,2)`, DuckDB `format('{:b}', q)`), so the per-doc
+  // sums are exact integers and the hash gate holds. The tail threshold
+  // is corpus-derived, CCNet-style: one whole bit above the reference
+  // slice's own mean bits-per-bigram (exact integer millibits).
+  //
+  // Scale shape: the unigram/bigram count tables come from the reference
+  // slice only and join the scored bigram stream on 8-byte md5 keys —
+  // corpus-scale SHUFFLE joins, never broadcast (a 100 TB corpus's bigram
+  // dictionary is itself large; q92's discipline). V and the reference
+  // mean are 1-row broadcast scalars; everything else is one explode, two
+  // hash-joins, and per-doc/per-lang roll-ups — no windows, no collect.
+  // ---------------------------------------------------------------------
+  private val q120 = QueryDef(
+    "q120_lm_perplexity",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = Tables.documents(spark, dir)
+        .select($"doc_id", $"lang", Portable.tokens(lower($"text")).as("w"))
+      val pairs = toks
+        .select($"doc_id", $"lang",
+          explode(transform(
+            sequence(lit(1), greatest(size($"w") - 1, lit(1))),
+            i => struct(element_at($"w", i).as("w1"),
+              element_at($"w", i + 1).as("w2")))).as("p"))
+        .filter($"p.w1".isNotNull && $"p.w2".isNotNull)
+        .select($"doc_id", $"lang", $"p.w1".as("w1"), $"p.w2".as("w2"))
+      val refToks = toks.filter($"lang" === "en")
+        .select(explode($"w").as("t"))
+      val uni = refToks
+        .groupBy(Portable.md5Hash64($"t").as("th"))
+        .agg(count(lit(1)).as("c1"))
+      val big = pairs.filter($"lang" === "en")
+        .groupBy(Portable.md5Hash64(concat($"w1", lit(" "), $"w2")).as("gh"))
+        .agg(count(lit(1)).as("c12"))
+      val vocab = refToks.agg(countDistinct($"t").as("v"))
+      val perDoc = pairs
+        .join(uni, Portable.md5Hash64($"w1") === uni("th"), "left")
+        .join(big,
+          Portable.md5Hash64(concat($"w1", lit(" "), $"w2")) === big("gh"),
+          "left")
+        .crossJoin(broadcast(vocab))
+        .withColumn("q",
+          expr("(coalesce(c1, 0L) + v) div (coalesce(c12, 0L) + 1L)"))
+        .withColumn("bits", (length(conv($"q", 10, 2)) - 1).cast("long"))
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_big"), sum($"bits").as("tb"))
+      val allDocs = Tables.documents(spark, dir)
+        .select($"doc_id", $"lang")
+        .join(perDoc.drop("lang"), Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_big", "tb"))
+        .withColumn("milli",
+          when($"n_big" > 0, expr("(1000L * tb) div n_big")).otherwise(0L))
+        .withColumn("bpt_bin",
+          when($"n_big" > 0, expr("tb div n_big")).otherwise(-1L))
+      val refMean = allDocs
+        .filter($"lang" === "en" && $"n_big" > 0)
+        .agg(expr("sum(milli) div count(1)").as("ref_milli"))
+      allDocs
+        .crossJoin(broadcast(refMean))
+        .groupBy($"lang", $"bpt_bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"milli").as("sum_milli_bpt"),
+          sum(when($"milli" > $"ref_milli" + 1000L, 1L).otherwise(0L))
+            .as("n_tail"))
+        .orderBy($"lang", $"bpt_bin")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang, ${Portable.tokensSql("lower(text)")} AS w
+        FROM documents),
+      pairs AS (
+        SELECT doc_id, lang, p['w1'] AS w1, p['w2'] AS w2 FROM (
+          SELECT doc_id, lang,
+                 unnest([{'w1': w[i], 'w2': w[i+1]}
+                         for i in range(1, greatest(len(w) - 1, 1) + 1)]) AS p
+          FROM toks)
+        WHERE p['w1'] IS NOT NULL AND p['w2'] IS NOT NULL),
+      uni AS (
+        SELECT ${Portable.md5Hash64Sql("t")} AS th, count(*) AS c1
+        FROM (SELECT unnest(w) AS t FROM toks WHERE lang = 'en')
+        GROUP BY 1),
+      big AS (
+        SELECT ${Portable.md5Hash64Sql("w1 || ' ' || w2")} AS gh,
+               count(*) AS c12
+        FROM pairs WHERE lang = 'en' GROUP BY 1),
+      vocab AS (
+        SELECT count(DISTINCT t) AS v
+        FROM (SELECT unnest(w) AS t FROM toks WHERE lang = 'en')),
+      scored AS (
+        SELECT p.doc_id, p.lang,
+               length(format('{:b}',
+                 (COALESCE(u.c1, 0) + v.v) // (COALESCE(b.c12, 0) + 1))) - 1
+                 AS bits
+        FROM pairs p
+        LEFT JOIN uni u ON ${Portable.md5Hash64Sql("p.w1")} = u.th
+        LEFT JOIN big b
+          ON ${Portable.md5Hash64Sql("p.w1 || ' ' || p.w2")} = b.gh,
+        vocab v),
+      perdoc AS (
+        SELECT doc_id, lang, count(*) AS n_big, sum(bits) AS tb
+        FROM scored GROUP BY 1, 2),
+      alldocs AS (
+        SELECT d.doc_id, d.lang,
+               COALESCE(p.n_big, 0) AS n_big, COALESCE(p.tb, 0) AS tb,
+               CAST(CASE WHEN COALESCE(p.n_big, 0) > 0
+                    THEN (1000 * p.tb) // p.n_big ELSE 0 END AS BIGINT) AS milli,
+               CAST(CASE WHEN COALESCE(p.n_big, 0) > 0
+                    THEN p.tb // p.n_big ELSE -1 END AS BIGINT) AS bpt_bin
+        FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id),
+      refm AS (
+        SELECT sum(milli) // count(*) AS ref_milli
+        FROM alldocs WHERE lang = 'en' AND n_big > 0)
+      SELECT lang, bpt_bin, count(*) AS n_docs,
+             CAST(sum(milli) AS BIGINT) AS sum_milli_bpt,
+             CAST(sum(CASE WHEN milli > r.ref_milli + 1000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_tail
+      FROM alldocs, refm r
+      GROUP BY lang, bpt_bin, r.ref_milli
+      ORDER BY lang, bpt_bin"""))
+
+  override val defs: Seq[QueryDef] = Seq(q84, q85, q92, q115, q120)
 }

@@ -157,4 +157,37 @@ class PropertySpec extends AnyFunSuite {
       assert(m.payloadSum === frames.flatten.map(b => (b & 0xff).toLong).sum)
     }
   }
+
+  test("q120 integer surprisal equals floor(log2(num/den)) for num >= den >= 1") {
+    // bitlen(num div den) - 1 == floor(log2(num/den)): verified against the
+    // exact rational definition 2^b * den <= num < 2^(b+1) * den
+    val genPair = for {
+      den <- Gen.choose(1L, 1L << 40)
+      num <- Gen.choose(den, 1L << 45)
+    } yield (num, den)
+    for ((num, den) <- samples(genPair, 200)) {
+      val b = java.lang.Long.toBinaryString(num / den).length - 1
+      assert(BigInt(num) >= (BigInt(1) << b) * den)
+      assert(BigInt(num) < (BigInt(1) << (b + 1)) * den)
+    }
+  }
+
+  test("ustar archives round-trip arbitrary member lists byte-exactly") {
+    import graft.functions.Ustar
+    val memberGen = for {
+      n <- Gen.choose(0, 6)
+      sizes <- Gen.listOfN(n, Gen.choose(0, 1200))
+    } yield sizes.zipWithIndex.map { case (sz, i) =>
+      Ustar.Member(f"m$i%04d.bin",
+        Array.tabulate[Byte](sz)(k => ((k * 31 + i * 7) % 251).toByte))
+    }
+    for (ms <- samples(memberGen, 20)) {
+      val back = Ustar.parse(Ustar.encode(ms))
+      assert(back.map(_.name) === ms.map(_.name))
+      assert(back.forall(e => e.checksumOk && e.magicOk))
+      back.zip(ms).foreach { case (e, m) =>
+        assert(e.payload.toSeq === m.payload.toSeq)
+      }
+    }
+  }
 }
