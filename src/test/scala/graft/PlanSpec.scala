@@ -232,6 +232,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("UDF"), p.linesIterator.filter(_.contains("UDF")).mkString("\n"))
   }
 
+  test("q120: LM scoring is UDF-free and never falls back to a cartesian") {
+    // the surprisal arithmetic (integer quotient + conv-based bit length)
+    // must stay native expressions inside codegen; the count-table joins
+    // must be equi-joins on the md5 keys (shuffled or, at fixture size,
+    // AQE-broadcast — either is a hash join, never a nested loop over the
+    // bigram stream)
+    val p = planOf("q120_lm_perplexity")
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("Generate explode"), p.take(800))
+  }
+
+  test("q121: shard packing plans exactly one aggregation exchange") {
+    // like q111: the salted hash + shard assignment are map-side; the one
+    // shuffle is the shard groupBy feeding the per-shard tar build. The
+    // tar encode/parse runs inside the typed map after the aggregate —
+    // more exchanges would mean per-member work leaked into extra stages
+    val p = planOf("q121_webdataset_shards")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("dot_scaled is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     val got = spark.sql(
