@@ -284,5 +284,98 @@ object Scoring extends QueryModule {
       FROM q ORDER BY doc_id"""
     }
 
-  override val defs: Seq[QueryDef] = Seq(q31, q32, q33, q102, q113)
+  // ---------------------------------------------------------------------
+  // q122 — IN-ENGINE model training (batch perceptron): closes the model
+  // triangle — q122 trains, q102/q113 store-load and score. The task is
+  // heuristic distillation, a real curation pattern: learn a linear model
+  // over the RAW integer counts (bias, tokens, stop-hits, chars) that
+  // reproduces q29's nonlinear hand-tuned quality verdict, so the cheap
+  // model can replace the heuristic at the scan. The batch perceptron is
+  // the one classical trainer with NO transcendentals: each round scores
+  // every doc against the current weights (margin = y·(w·x), exact BIGINT
+  // products), sums y·x over misclassified docs (margin ≤ 0), and adds
+  // the sum to w. Updates are order-independent integer sums, so training
+  // is partitioning-independent and the oracle can re-train bit-exactly
+  // as a chain of MATERIALIZED CTEs (the q117 discipline).
+  //
+  // Scale shape: the feature frame is one linear pass (persisted across
+  // rounds); each round is ONE map-side-combined aggregation over it with
+  // the weights inlined as literals — plans stay flat, no lineage growth,
+  // and the per-round driver collect is the 1-row model state (k-means
+  // discipline). 10 rounds = 10 scans of a 4-column integer frame.
+  // ---------------------------------------------------------------------
+  private val PerceptronRounds = 10
+
+  private val q122 = QueryDef(
+    "q122_perceptron_train",
+    (spark, dir) => {
+      import spark.implicits._
+      val feats = TextOps.withQuality(Tables.documents(spark, dir))
+        .select(
+          when($"score" >= 0.6, 1L).otherwise(-1L).as("y"),
+          lit(1L).as("x0"),
+          $"ws_tokens".cast("long").as("x1"),
+          $"stop_tokens".cast("long").as("x2"),
+          $"nospace_chars".cast("long").as("x3"))
+        .persist()
+      try {
+        var w = Array(0L, 0L, 0L, 0L)
+        val hist = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
+        for (r <- 1 to PerceptronRounds) {
+          val g = feats
+            .withColumn("margin",
+              $"y" * (lit(w(0)) * $"x0" + lit(w(1)) * $"x1" +
+                lit(w(2)) * $"x2" + lit(w(3)) * $"x3"))
+            .filter($"margin" <= 0L)
+            .agg(
+              coalesce(sum($"y" * $"x0"), lit(0L)).as("g0"),
+              coalesce(sum($"y" * $"x1"), lit(0L)).as("g1"),
+              coalesce(sum($"y" * $"x2"), lit(0L)).as("g2"),
+              coalesce(sum($"y" * $"x3"), lit(0L)).as("g3"),
+              count(lit(1)).as("n_mis"))
+            .collect()(0) // 1-row model state per round — k-means discipline
+          w = Array(w(0) + g.getLong(0), w(1) + g.getLong(1),
+            w(2) + g.getLong(2), w(3) + g.getLong(3))
+          hist += ((r.toLong, w(0), w(1), w(2), w(3), g.getLong(4)))
+        }
+        hist.result()
+          .toDF("round", "w_bias", "w_tokens", "w_stop", "w_chars", "n_mis")
+          .orderBy($"round")
+      } finally feats.unpersist()
+    },
+    Some {
+      val rounds = (1 to PerceptronRounds).map { r =>
+        val prev = s"r${r - 1}"
+        // LEFT JOIN keeps the round total when no doc misclassifies;
+        // count(f.y) (not count(*)) so the null row doesn't count as one
+        s"""r$r AS MATERIALIZED (
+        SELECT w0 + coalesce(sum(y * x0), 0) AS w0,
+               w1 + coalesce(sum(y * x1), 0) AS w1,
+               w2 + coalesce(sum(y * x2), 0) AS w2,
+               w3 + coalesce(sum(y * x3), 0) AS w3,
+               count(f.y) AS n_mis
+        FROM $prev LEFT JOIN f
+          ON y * (w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3) <= 0
+        GROUP BY w0, w1, w2, w3)"""
+      }.mkString(",\n      ")
+      val emit = (1 to PerceptronRounds).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, CAST(w0 AS BIGINT) AS w_bias,
+               CAST(w1 AS BIGINT) AS w_tokens, CAST(w2 AS BIGINT) AS w_stop,
+               CAST(w3 AS BIGINT) AS w_chars, CAST(n_mis AS BIGINT) AS n_mis
+        FROM r$r"""
+      }.mkString("\n      UNION ALL ")
+      s"""
+      WITH q AS (${TextOps.qualitySql}),
+      f AS (
+        SELECT CASE WHEN score >= 0.6 THEN 1 ELSE -1 END AS y,
+               1 AS x0, ws_tokens AS x1, stop_tokens AS x2,
+               nospace_chars AS x3
+        FROM q),
+      r0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                    CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+      $rounds
+      SELECT * FROM ($emit) ORDER BY round"""
+    })
+
+  override val defs: Seq[QueryDef] = Seq(q31, q32, q33, q102, q113, q122)
 }

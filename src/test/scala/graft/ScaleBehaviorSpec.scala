@@ -98,10 +98,13 @@ class ScaleBehaviorSpec extends AnyFunSuite {
   test("query results are invariant to spark.sql.shuffle.partitions") {
     // q111/q112 are here because their whole point is reproducibility:
     // the shuffle permutation and the fractional-epoch sample must not
-    // depend on how the data happens to be partitioned
+    // depend on how the data happens to be partitioned; q122 because the
+    // trained weights must not depend on row order (integer batch updates
+    // are order-independent sums — the property that makes in-engine
+    // training reproducible at all)
     val names = Seq("q01_pricing_summary", "q63_sessionize", "q83_outlier_days",
       "q85_heavy_hitters", "q88_retention_cohorts", "q111_shuffle_shards",
-      "q112_source_mixture")
+      "q112_source_mixture", "q122_perceptron_train")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     def runAll(): Map[String, Seq[String]] =
