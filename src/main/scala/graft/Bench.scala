@@ -38,8 +38,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events fixture is TIMESTAMP(NANOS): pin the legacy read path at
-      // session init so no query mutates shared conf at plan time
+      // legacy-fixture back-compat (TIMESTAMP(NANOS) generations): pin at
+      // session init so no query mutates shared conf at plan time; the
+      // current TIMESTAMP(MICROS) fixture ignores this conf entirely
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // 72 queries × 2 passes blow through the default 100-entry codegen
       // class cache; evictions force Janino recompiles mid-timed-pass and

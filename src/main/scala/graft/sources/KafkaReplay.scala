@@ -40,8 +40,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Simulation contract:
   *   - record value = the event row as JSON bytes (the reference
   *     producers' dict→JSON wire format, producer_training_data.py:22);
-  *     `ts` is serialized as epoch MICROseconds (nanos floored, the
-  *     engine-wide truncation);
+  *     `ts` is serialized as epoch MICROseconds (the engine-wide
+  *     timestamp precision, whatever the fixture's physical unit);
   *   - record key = null (the reference producers send unkeyed →
   *     round-robin partitioning);
   *   - partition = rowIndex mod numPartitions (the unkeyed round-robin a
@@ -124,6 +124,25 @@ object KafkaReplay {
     sb.toString
   }
 
+  /** The fixture's `ts` int64, normalized to epoch micros by the parquet
+    * logical-type annotation: TIMESTAMP(MICROS) passes through (current
+    * fixture), TIMESTAMP(NANOS)/unannotated int64-nanos floor-divides
+    * (older generations) — the engine-wide µs truncation either way.
+    */
+  private[sources] def tsMicros(g: Group): Long = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val raw = g.getLong("ts", 0)
+    g.getType.getType("ts").asPrimitiveType().getLogicalTypeAnnotation match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        t.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+          case _                                     => raw / 1000L // NANOS
+        }
+      case _ => raw / 1000L // legacy raw-nanos fixture
+    }
+  }
+
   /** Event row (parquet Group) → the producer wire format. Field layout
     * mirrors the fixture schema; absent values serialize as JSON null.
     */
@@ -131,7 +150,7 @@ object KafkaReplay {
     def has(f: String) = g.getFieldRepetitionCount(f) > 0
     def jl(f: String) = if (has(f)) g.getLong(f, 0).toString else "null"
     def js(f: String) = if (has(f)) "\"" + esc(g.getString(f, 0)) + "\"" else "null"
-    val ts = if (has("ts")) (g.getLong("ts", 0) / 1000L).toString else "null"
+    val ts = if (has("ts")) tsMicros(g).toString else "null"
     val v = if (has("value")) g.getDouble("value", 0).toString else "null"
     s"""{"event_id":${jl("event_id")},"ts":$ts,"user_id":${jl("user_id")},""" +
       s""""event_type":${js("event_type")},"value":$v,"props":${js("props")}}"""
@@ -140,15 +159,14 @@ object KafkaReplay {
   private[sources] def toRecord(g: Group, cfg: Config, p: Int, offset: Long): InternalRow = {
     // an absent event ts yields a NULL record timestamp (recordSchema's
     // TimestampType is nullable), not epoch-0 rows
-    val tsMicros: Any = if (g.getFieldRepetitionCount("ts") > 0)
-      g.getLong("ts", 0) / 1000L else null
+    val tsM: Any = if (g.getFieldRepetitionCount("ts") > 0) tsMicros(g) else null
     new GenericInternalRow(Array[Any](
       null,
       toJson(g).getBytes(java.nio.charset.StandardCharsets.UTF_8),
       UTF8String.fromString(cfg.topic),
       p,
       offset,
-      tsMicros,
+      tsM,
       0)) // Kafka TimestampType.CREATE_TIME
   }
 }

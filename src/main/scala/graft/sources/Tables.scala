@@ -22,12 +22,17 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 rejects outright. Read nanos as long (legacy conf) and truncate
-    * to a microsecond timestamp — the same floor DuckDB applies when casting
-    * TIMESTAMP_NS → TIMESTAMP, so oracle values line up exactly.
+  /** The events fixture's `ts` column has shipped in two physical layouts:
+    * parquet TIMESTAMP(MICROS) without UTC adjustment (current — Spark 4
+    * reads it as TIMESTAMP_NTZ) and TIMESTAMP(NANOS) (older generations —
+    * Spark 4 only reads it via the legacy nanos-as-long conf). Normalize
+    * both to session-zoned TimestampType at microsecond precision: sessions
+    * here pin UTC, so the NTZ→TZ cast is value-identity and matches DuckDB's
+    * naive-TIMESTAMP view of the same file exactly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     // harness init normally pins this at session build (Verify/Bench/spec
     // builders); the guarded set below is a first-read fallback for ad-hoc
     // sessions. It is safe where variable conf mutation is not: the value
@@ -35,9 +40,13 @@ object Tables {
     // concurrently-planning query can observe a transient state.
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy TIMESTAMP(NANOS) fixture read as raw nanos
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // TIMESTAMP(MICROS)/NTZ fixture: wall-clock == UTC instant
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -42,35 +42,26 @@ object Streams extends QueryModule {
   private def streamSession(spark: SparkSession): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    // the events fixture's TIMESTAMP(NANOS) column needs the legacy
-    // nanos-as-long read path (Tables.events note); set on the CLONE so the
-    // shared session's conf is never mutated mid-flight — same scoping rule
-    // as the partitions override above
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ss
   }
 
   /** Streaming scan of the events fixture (S2 as file source). Schema is
-    * declared, never inferred (§1.2); nanosecond timestamps arrive as
-    * longs (Tables.events note) and are truncated to µs exactly like the
-    * batch reader and the DuckDB oracle.
+    * declared, never inferred (§1.2): the fixture stores `ts` as parquet
+    * TIMESTAMP(MICROS) without UTC adjustment, declared here as NTZ and
+    * cast to session-zoned TimestampType — sessions pin UTC, so the cast
+    * is value-identity and matches the batch reader (Tables.events) and
+    * the DuckDB oracle exactly.
     */
   private[graft] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    // requires spark.sql.legacy.parquet.nanosAsLong=true on the session —
-    // streamSession sets it on its clone; a caller-supplied session must
-    // arrive pre-configured (harness init), never be mutated here
-    require(
-      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "eventsStream needs spark.sql.legacy.parquet.nanosAsLong=true (set at session init)")
     val schema = new StructType()
-      .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
+      .add("event_id", LongType).add("ts", TimestampNTZType).add("user_id", LongType)
       .add("event_type", StringType).add("value", DoubleType)
       .add("props", StringType)
     // the file source wants a directory: scan the fixture dir filtered to
     // the events table file
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Production Kafka source configuration (S2). These are the exact

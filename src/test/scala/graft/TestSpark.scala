@@ -9,8 +9,9 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    // events fixture is TIMESTAMP(NANOS): pin the legacy read path at
-    // session init so no query mutates shared conf at plan time
+    // legacy-fixture back-compat (TIMESTAMP(NANOS) generations): pin at
+    // session init so no query mutates shared conf at plan time; the
+    // current TIMESTAMP(MICROS) fixture ignores this conf entirely
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 
