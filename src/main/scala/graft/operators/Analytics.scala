@@ -292,5 +292,64 @@ object Analytics extends QueryModule {
       FROM dau JOIN mau ON dau.day = mau.day
       ORDER BY dau.day"""))
 
-  override val defs: Seq[QueryDef] = Seq(q88, q89, q90, q91, q95)
+  // ---------------------------------------------------------------------
+  // q124 — batch sessionization (gaps-and-islands): the batch twin of
+  // q74's streaming session_window. A session breaks after 30 min of
+  // per-user inactivity; session ids are a running sum of break flags
+  // over the (user_id) partition ordered by (ts, event_id) — the unique
+  // ordering key makes lag/sum frames identical on both engines. Scale
+  // shape: ONE shuffle (partition by user_id), two window passes over the
+  // same partitioning (Catalyst plans them in a single sort), then a
+  // partial-aggregated groupBy on (user_id, session_seq) that reuses the
+  // partitioning — no second exchange. Gap arithmetic is integer epoch
+  // micros end-to-end; money is exact cents.
+  // ---------------------------------------------------------------------
+  private val q124 = QueryDef(
+    "q124_batch_sessionize",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .withColumn("tus", unix_micros($"ts"))
+        .withColumn("gap_us", $"tus" - lag($"tus", 1).over(w))
+        .withColumn("new_s",
+          when($"gap_us".isNull || $"gap_us" > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum($"new_s").over(w))
+        .groupBy($"user_id", $"session_seq")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min($"ts").as("session_start"),
+          max($"ts").as("session_end"),
+          min($"tus").as("min_tus"),
+          max($"tus").as("max_tus"),
+          sum(($"value".cast(DecimalType(28, 2)) * 100).cast("long")).as("value_cents"))
+        // integer floor-div, never float: a double quotient can land an
+        // ulp below the true integer and flip the truncation
+        .withColumn("session_secs", expr("(max_tus - min_tus) div 1000000"))
+        .drop("min_tus", "max_tus")
+        .orderBy($"user_id", $"session_seq")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, ts, value, epoch_us(ts) AS tus
+        FROM events WHERE ts IS NOT NULL),
+      g AS (
+        SELECT *,
+               tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS gap_us
+        FROM e),
+      s AS (
+        SELECT *,
+               sum(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY tus, event_id) AS session_seq
+        FROM g)
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             count(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end,
+             CAST((max(tus) - min(tus)) // 1000000 AS BIGINT) AS session_secs,
+             CAST(sum(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+      FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq"""))
+
+  override val defs: Seq[QueryDef] = Seq(q88, q89, q90, q91, q95, q124)
 }

@@ -404,6 +404,43 @@ object Extras extends QueryModule {
     },
     Some(sqlCatalogText))
 
+  // ---------------------------------------------------------------------
+  // q123 — ORC sink + scan round-trip (second columnar format beside
+  // parquet: S7/S8's export surface on Spark's built-in ORC source). The
+  // gold table goes out as ORC and comes back through a filtered scan —
+  // the volume predicate reaches the ORC reader as a pushed search
+  // argument (PlanSpec asserts it), so at 100 TB the read prunes stripes
+  // from ORC's min/max indexes instead of decoding them. Values survive
+  // the round-trip bit-exactly (ORC stores typed columns, no CSV
+  // parse/format loss), which the oracle's hash compare proves by
+  // computing the same aggregate straight from the source tables.
+  // ---------------------------------------------------------------------
+  private val q123 = QueryDef(
+    "q123_orc_roundtrip",
+    (spark, dir) => {
+      import spark.implicits._
+      val out = Files.createTempDirectory("graft_orc_").toString + "/gold"
+      CoreBatch.goldDaily(spark, dir)
+        .write.mode("overwrite").orc(out)
+      spark.read.orc(out)
+        .filter($"volume" > 0)
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_days"),
+          dsumCents($"close").as("close_cents"),
+          sum($"volume").as("total_volume"),
+          max($"date").as("last_date"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH gold AS (${CoreBatch.goldOracle})
+      SELECT event_type, count(*) AS n_days,
+             CAST(sum(CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS close_cents,
+             CAST(sum(volume) AS BIGINT) AS total_volume,
+             max(date) AS last_date
+      FROM gold WHERE volume > 0
+      GROUP BY event_type ORDER BY event_type"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q46, q47, q48, q49, q50, q51, q52, q70, q71, q78, q79, q93)
+    Seq(q46, q47, q48, q49, q50, q51, q52, q70, q71, q78, q79, q93, q123)
 }

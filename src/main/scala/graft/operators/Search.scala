@@ -413,5 +413,97 @@ object Search extends QueryModule {
       GROUP BY lang, bpt_bin, r.ref_milli
       ORDER BY lang, bpt_bin"""))
 
-  override val defs: Seq[QueryDef] = Seq(q84, q85, q92, q115, q120)
+  // ---------------------------------------------------------------------
+  // q125 — TextRank keyword extraction: PageRank over the word
+  // co-occurrence graph (nodes = alphabetic tokens ≥3 chars, undirected
+  // edges = adjacent-token pairs weighted by corpus co-occurrence count),
+  // damping 0.85, 3 unrolled iterations, top-20 keywords. The classic
+  // graph-centrality phrase miner (Mihalcea & Tarau 2004), and the
+  // engine's iterative-sparse-matvec shape: each iteration is rank ⋈
+  // edges on src → groupBy dst — the PageRank-on-Spark pattern, where at
+  // cluster scale the edge table is hash-partitioned by src ONCE (it is a
+  // Scoped.shared derived table, built and materialized a single time)
+  // and every iteration reuses that partitioning for its join.
+  //
+  // Arithmetic is integer fixed-point end-to-end (rank scale 10^6, per
+  // edge floor((r·w)/wdeg), update 150000 + floor(85·Σ/100)) so the
+  // result is bit-equal cross-engine — float mat-vec would diverge under
+  // partial-sum reordering. Bounds: Σ contributions into a node ≤ total
+  // mass n·10^6, per-term r·w ≤ mass·max_w — both orders of magnitude
+  // inside int64 even at 10^9-token vocabularies.
+  // ---------------------------------------------------------------------
+  /** Weighted undirected co-occurrence edges with per-src weighted degree:
+    * (src, dst, w, wdeg) — one derived table per corpus, shared by the 3
+    * rank iterations (and any future graph query) via Scoped.shared.
+    */
+  private def textrankEdges(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Scoped.shared(spark, s"textrank_edges:$dir")((Nil, {
+      import spark.implicits._
+      val toks = Tables.documents(spark, dir)
+        .withColumn("w", regexp_extract_all(lower($"text"), lit("[a-z]{3,}"), lit(0)))
+        .filter(size($"w") >= 2)
+      val bi = toks.select(
+        explode(transform(
+          sequence(lit(1), size($"w") - 1),
+          i => struct(element_at($"w", i).as("a"), element_at($"w", i + 1).as("b")))).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
+        .filter($"a" =!= $"b")
+      val und = bi.select($"a".as("src"), $"b".as("dst"))
+        .unionAll(bi.select($"b".as("src"), $"a".as("dst")))
+      val e = und.groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      val deg = e.groupBy($"src").agg(sum($"w").as("wdeg"))
+      e.join(deg, "src").select($"src", $"dst", $"w", $"wdeg")
+    }))
+
+  private val q125 = QueryDef(
+    "q125_textrank",
+    (spark, dir) => {
+      import spark.implicits._
+      val edges = textrankEdges(spark, dir)
+      // every node of the undirected graph appears as a src (and has ≥1
+      // in-edge), so the distinct src set IS the node set and the inner
+      // join below never drops a node
+      var ranks = edges.select($"src".as("token")).distinct()
+        .withColumn("r", lit(1000000L))
+      for (_ <- 1 to 3) {
+        ranks = edges
+          .join(ranks.withColumnRenamed("token", "src"), "src")
+          .select($"dst", expr("(r * w) div wdeg").as("c"))
+          .groupBy($"dst").agg(sum($"c").as("cin"))
+          .select($"dst".as("token"), expr("150000 + (85 * cin) div 100").as("r"))
+      }
+      ranks.select($"token", $"r".as("rank_fp"))
+        .orderBy($"rank_fp".desc, $"token").limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{3,}') AS w
+          FROM documents)
+        WHERE len(w) >= 2),
+      bi AS (
+        SELECT p.a AS a, p.b AS b FROM (
+          SELECT unnest([{'a': w[i], 'b': w[i+1]}
+                         for i in range(1, len(w))]) AS p
+          FROM toks)
+        WHERE p.a <> p.b),
+      und AS (SELECT a AS src, b AS dst FROM bi
+              UNION ALL SELECT b AS src, a AS dst FROM bi),
+      e AS (SELECT src, dst, count(*) AS w FROM und GROUP BY 1, 2),
+      deg AS (SELECT src, sum(w) AS wdeg FROM e GROUP BY 1),
+      ew AS (SELECT e.src, e.dst, e.w, d.wdeg FROM e JOIN deg d ON e.src = d.src),
+      r0 AS (SELECT src AS token, CAST(1000000 AS BIGINT) AS r FROM deg),
+      r1 AS (SELECT ew.dst AS token,
+                    150000 + (85 * sum((p.r * ew.w) // ew.wdeg)) // 100 AS r
+             FROM ew JOIN r0 p ON ew.src = p.token GROUP BY ew.dst),
+      r2 AS (SELECT ew.dst AS token,
+                    150000 + (85 * sum((p.r * ew.w) // ew.wdeg)) // 100 AS r
+             FROM ew JOIN r1 p ON ew.src = p.token GROUP BY ew.dst),
+      r3 AS (SELECT ew.dst AS token,
+                    150000 + (85 * sum((p.r * ew.w) // ew.wdeg)) // 100 AS r
+             FROM ew JOIN r2 p ON ew.src = p.token GROUP BY ew.dst)
+      SELECT token, CAST(r AS BIGINT) AS rank_fp FROM r3
+      ORDER BY rank_fp DESC, token LIMIT 20"""))
+
+  override val defs: Seq[QueryDef] = Seq(q84, q85, q92, q115, q120, q125)
 }

@@ -255,6 +255,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q123: the volume predicate pushes into the ORC scan") {
+    // the round-trip's read side must prune on ORC min/max stripe stats at
+    // scale — a post-scan filter would decode every stripe of a 100 TB
+    // export just to drop rows
+    val df = SparkEntry.queries("q123_orc_roundtrip")(spark, TestSpark.Sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("OrcScan") || p.contains("Format: ORC") ||
+      p.toLowerCase.contains("orc"), p.linesIterator.take(20).mkString("\n"))
+    assert(p.contains("PushedFilters: [IsNotNull(volume), GreaterThan(volume"),
+      p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+  }
+
+  test("q124: sessionize plans one user_id exchange shared by windows and agg") {
+    // gaps-and-islands = two window passes + a groupBy, all keyed by
+    // user_id: Catalyst must reuse the single hashpartitioning(user_id)
+    // exchange — a second exchange would re-shuffle the full event stream
+    // per pass at cluster scale
+    val df = SparkEntry.queries("q124_batch_sessionize")(spark, TestSpark.Sf001)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q125: rank iterations join edge-to-rank as equi-joins, never cartesian") {
+    val df = SparkEntry.queries("q125_textrank")(spark, TestSpark.Sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the final top-20 is a bounded top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("dot_scaled is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     val got = spark.sql(

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior tests for the round-7 additions: the ORC round-trip is
+  * lossless (q123), batch sessionization satisfies the gaps-and-islands
+  * contract (q124), and TextRank is deterministic fixed-point arithmetic
+  * (q125).
+  */
+class GraphFormatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private def run(name: String) = SparkEntry.queries(name)(spark, TestSpark.Sf001)
+
+  test("q123 ORC round-trip: equals the same aggregate computed without the trip") {
+    val direct = CoreBatch.goldDaily(spark, TestSpark.Sf001)
+      .filter($"volume" > 0)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(($"close".cast("decimal(28,2)") * 100).cast("long")).as("close_cents"),
+        sum($"volume").as("total_volume"),
+        max($"date").as("last_date"))
+      .orderBy($"event_type")
+      .collect().toSeq
+    val tripped = run("q123_orc_roundtrip").collect().toSeq
+    assert(tripped === direct) // bit-exact: ORC stores typed columns
+  }
+
+  test("q124 sessionize: conserves events and never merges across a >30min gap") {
+    val sessions = run("q124_batch_sessionize")
+    val nEvents = Tables.events(spark, TestSpark.Sf001)
+      .filter($"ts".isNotNull).count()
+    assert(sessions.agg(sum($"n_events")).as[Long].head() === nEvents)
+
+    // defining property: consecutive sessions of one user are separated by
+    // MORE than the 30-min inactivity threshold (else they'd be one island)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"session_seq")
+    val gaps = sessions
+      .withColumn("prev_end", lag($"session_end", 1).over(w))
+      .filter($"prev_end".isNotNull)
+      .select((unix_micros($"session_start") - unix_micros($"prev_end")).as("gap_us"))
+      .as[Long].collect()
+    assert(gaps.nonEmpty)
+    assert(gaps.forall(_ > 1800L * 1000000L))
+
+    // a single-event session has zero duration by construction
+    val singles = sessions.filter($"n_events" === 1)
+      .select($"session_secs").as[Long].collect()
+    assert(singles.forall(_ === 0L))
+  }
+
+  test("q125 textrank: 20 distinct keywords, ranks above the damping floor, rerun-stable") {
+    val a = run("q125_textrank").collect().toSeq
+    assert(a.size === 20)
+    assert(a.map(_.getString(0)).distinct.size === 20)
+    // every node's rank = 150000 + 0.85·(weighted in-mass) ≥ the floor;
+    // top-20 of a connected co-occurrence graph sits well above it
+    assert(a.forall(_.getLong(1) >= 150000L))
+    // integer fixed-point must be run-to-run identical (hash-gate safety)
+    val b = run("q125_textrank").collect().toSeq
+    assert(a === b)
+  }
+}
