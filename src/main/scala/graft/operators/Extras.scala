@@ -441,6 +441,120 @@ object Extras extends QueryModule {
       FROM gold WHERE volume > 0
       GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------------
+  // q126 — Z-order (Morton) data layout: the lakehouse multi-dimensional
+  // clustering technique (Delta OPTIMIZE ZORDER BY / Iceberg sort orders).
+  // Both dims are min-max normalized to 16 bits, bit-interleaved into a
+  // 32-bit Morton code, and rows are blocked by the code's top 4 bits —
+  // exactly the file/stripe blocks a z-sorted write would produce. The
+  // output is each block's bounding box over BOTH original dims: every
+  // block confines user_id AND day to ~1/4 of their span simultaneously,
+  // which is the data-skipping property (a predicate on either dim prunes
+  // ~3/4 of blocks from min/max stats; a 1-D sort only prunes its own
+  // dim). At 100 TB this runs as write-side `repartitionByRange(zcode)` —
+  // the layout pass is one range shuffle; here the layout QUALITY is what
+  // the query measures. All arithmetic is integer bit ops inside
+  // whole-stage codegen.
+  // ---------------------------------------------------------------------
+  /** Bit-interleave x (even bits) and y (odd bits), both 16-bit. The same
+    * expression is generated per engine from one loop, so Spark and the
+    * oracle compute identical codes.
+    */
+  private def mortonCol(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .plus(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+  private def mortonSql(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+
+  private val q126 = QueryDef(
+    "q126_zorder_layout",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+      val ext = e.agg(
+        min($"user_id").as("minu"), max($"user_id").as("maxu"),
+        min($"day").as("mind"), max($"day").as("maxd"))
+      val norm = e.crossJoin(broadcast(ext)) // 1-row extents, never shuffles
+        .withColumn("xn", expr("((user_id - minu) * 65535) div greatest(maxu - minu, 1)"))
+        .withColumn("yn", expr("((day - mind) * 65535) div greatest(maxd - mind, 1)"))
+      norm
+        .withColumn("z", mortonCol($"xn", $"yn"))
+        .withColumn("block", expr("z div 268435456")) // top 4 of 32 bits
+        .groupBy($"block")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min($"user_id").as("min_user"), max($"user_id").as("max_user"),
+          min($"day").as("min_day"), max($"day").as("max_day"))
+        .withColumn("user_span", $"max_user" - $"min_user")
+        .withColumn("day_span", $"max_day" - $"min_day")
+        .orderBy($"block")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events WHERE ts IS NOT NULL),
+      ext AS (
+        SELECT min(user_id) AS minu, max(user_id) AS maxu,
+               min(day) AS mind, max(day) AS maxd FROM e),
+      norm AS (
+        SELECT user_id, day,
+               ((user_id - minu) * 65535) // greatest(maxu - minu, 1) AS xn,
+               ((day - mind) * 65535) // greatest(maxd - mind, 1) AS yn
+        FROM e, ext),
+      z AS (SELECT user_id, day, ${mortonSql("xn", "yn")} // 268435456 AS block
+            FROM norm)
+      SELECT block, count(*) AS n_rows,
+             min(user_id) AS min_user, max(user_id) AS max_user,
+             min(day) AS min_day, max(day) AS max_day,
+             max(user_id) - min(user_id) AS user_span,
+             max(day) - min(day) AS day_span
+      FROM z GROUP BY block ORDER BY block"""))
+
+  // ---------------------------------------------------------------------
+  // q127 — JSONL corpus round-trip: the lingua franca of LLM corpus
+  // interchange (one JSON object per line). The documents table goes out
+  // through Spark's JSON writer and back through a schema'd scan (never
+  // inferred — §1.2), and the content proof is a position-independent
+  // per-source hash sum over (doc_id, text, lang): any escaping defect —
+  // quotes, newlines, unicode, backslashes in text — breaks the hash
+  // against the oracle computed straight from the source table. Scale
+  // shape: both legs are embarrassingly parallel scans; the JSON decode
+  // is Jackson inside whole-stage codegen, no UDF.
+  // ---------------------------------------------------------------------
+  private val q127 = QueryDef(
+    "q127_jsonl_roundtrip",
+    (spark, dir) => {
+      import spark.implicits._
+      val out = Files.createTempDirectory("graft_jsonl_").toString + "/docs"
+      Tables.documents(spark, dir).write.mode("overwrite").json(out)
+      val schema = new StructType()
+        .add("doc_id", LongType).add("text", StringType).add("lang", StringType)
+        .add("source", StringType).add("n_chars", LongType)
+      spark.read.schema(schema).json(out)
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          sum(graft.functions.Portable.md5Hash64(
+            concat($"doc_id".cast("string"), lit("|"), $"text", lit("|"), $"lang"))
+            % graft.functions.Portable.P).as("content_hash"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(${graft.functions.Portable.md5Hash64Sql(
+               "(CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang)")}
+               % ${graft.functions.Portable.P}) AS BIGINT) AS content_hash
+      FROM documents GROUP BY source ORDER BY source"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q46, q47, q48, q49, q50, q51, q52, q70, q71, q78, q79, q93, q123)
+    Seq(q46, q47, q48, q49, q50, q51, q52, q70, q71, q78, q79, q93, q123,
+      q126, q127)
 }

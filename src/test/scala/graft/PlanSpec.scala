@@ -288,6 +288,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q126: extents broadcast to the scan side; one exchange for the block rollup") {
+    // the 1-row extents frame must reach every row as a broadcast (a
+    // shuffle against a single row would serialize the whole table); the
+    // only hash exchange is the final block groupBy
+    val df = SparkEntry.queries("q126_zorder_layout")(spark, TestSpark.Sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges\n$p")
+  }
+
   test("dot_scaled is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     val got = spark.sql(

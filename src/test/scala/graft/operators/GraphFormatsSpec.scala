@@ -54,6 +54,35 @@ class GraphFormatsSpec extends AnyFunSuite {
     assert(singles.forall(_ === 0L))
   }
 
+  test("q126 zorder: every block bounds BOTH dims to ~1/4 span (the skipping property)") {
+    val blocks = run("q126_zorder_layout").collect()
+    assert(blocks.nonEmpty && blocks.length <= 16)
+    val uSpan = blocks.map(_.getLong(2)).min to blocks.map(_.getLong(3)).max
+    val dSpan = blocks.map(_.getLong(4)).min to blocks.map(_.getLong(5)).max
+    val uQuarter = (uSpan.max - uSpan.min) / 4 + 2 // +rounding slack
+    val dQuarter = (dSpan.max - dSpan.min) / 4 + 2
+    blocks.foreach { r =>
+      assert(r.getLong(6) <= uQuarter, s"user_span ${r.getLong(6)} > $uQuarter")
+      assert(r.getLong(7) <= dQuarter, s"day_span ${r.getLong(7)} > $dQuarter")
+    }
+    // a date-sorted layout could never do this: its blocks span ALL users
+  }
+
+  test("q127 jsonl: equals the same aggregate computed without the trip") {
+    val direct = Tables.documents(spark, TestSpark.Sf001)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum(graft.functions.Portable.md5Hash64(
+          concat($"doc_id".cast("string"), lit("|"), $"text", lit("|"), $"lang"))
+          % graft.functions.Portable.P).as("content_hash"))
+      .orderBy($"source")
+      .collect().toSeq
+    val tripped = run("q127_jsonl_roundtrip").collect().toSeq
+    assert(tripped === direct) // escaping-lossless for quotes/newlines/unicode
+  }
+
   test("q125 textrank: 20 distinct keywords, ranks above the damping floor, rerun-stable") {
     val a = run("q125_textrank").collect().toSeq
     assert(a.size === 20)
