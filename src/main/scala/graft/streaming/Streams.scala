@@ -252,20 +252,29 @@ object Streams extends QueryModule {
       user_id: Long, n: Long, cents: Long,
       last_event_id: Long, last_ts: java.sql.Timestamp, last_type: String)
 
-  private[graft] def mergeState(
-      key: Long, rows: Iterator[EventRow],
-      state: org.apache.spark.sql.streaming.GroupState[UserState]): UserState = {
-    val prev = state.getOption.getOrElse(
-      UserState(key, 0L, 0L, Long.MinValue, new java.sql.Timestamp(Long.MinValue), ""))
-    val next = rows.foldLeft(prev) { (s, e) =>
+  private[graft] def emptyState(key: Long): UserState =
+    UserState(key, 0L, 0L, Long.MinValue, new java.sql.Timestamp(Long.MinValue), "")
+
+  /** The state fold shared by BOTH arbitrary-state APIs (q55's
+    * mapGroupsWithState and q128's transformWithState): commutative/
+    * associative counts + exact cents, last-event by the (ts, event_id)
+    * total order — batching-independent by construction.
+    */
+  private[graft] def foldEvents(prev: UserState, rows: Iterator[EventRow]): UserState =
+    rows.foldLeft(prev) { (s, e) =>
       val cents = math.round(e.value * 100) // value has a 2-decimal grid
       val newer = e.ts.after(s.last_ts) ||
         (e.ts.equals(s.last_ts) && e.event_id > s.last_event_id)
-      UserState(key, s.n + 1, s.cents + cents,
+      UserState(s.user_id, s.n + 1, s.cents + cents,
         if (newer) e.event_id else s.last_event_id,
         if (newer) e.ts else s.last_ts,
         if (newer) e.event_type else s.last_type)
     }
+
+  private[graft] def mergeState(
+      key: Long, rows: Iterator[EventRow],
+      state: org.apache.spark.sql.streaming.GroupState[UserState]): UserState = {
+    val next = foldEvents(state.getOption.getOrElse(emptyState(key)), rows)
     state.update(next)
     next
   }
@@ -294,6 +303,73 @@ object Streams extends QueryModule {
     // oracle tie-break matches the engine's pinned (ts, event_id) total
     // order exactly — arg_max(x, ts) alone is nondeterministic when a user
     // has two events in the same microsecond (latent flake at higher SF)
+    Some("""
+      WITH last AS (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      agg AS (
+        SELECT user_id, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY user_id)
+      SELECT a.user_id, a.n, a.cents,
+             l.event_id AS last_event_id, l.event_type AS last_type
+      FROM agg a JOIN last l ON a.user_id = l.user_id AND l.rn = 1
+      ORDER BY a.user_id"""))
+
+  // ---------------------------------------------------------------------
+  // q128 — transformWithState (T9 on the NEW Spark 4 arbitrary-state
+  // API): the same per-user running state as q55, held in a typed
+  // ValueState through a StatefulProcessor. This is the API Spark is
+  // moving arbitrary stateful processing to (SPARK-43563); it requires
+  // the RocksDB state-store provider, so the query also exercises T7's
+  // provider swap on its session clone. The state fold is SHARED with
+  // q55 (foldEvents), so both APIs provably compute identical semantics
+  // and the same DuckDB oracle checks both. At scale the processor holds
+  // one small fixed-size value per user in the keyed store — state is
+  // O(users), batch cost O(events in batch).
+  // ---------------------------------------------------------------------
+  private[graft] class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, UserState] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserState]("user_stats",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[EventRow], tv: TimerValues): Iterator[UserState] = {
+      val next = foldEvents(if (st.exists()) st.get() else emptyState(key), rows)
+      st.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  private val q128 = QueryDef(
+    "q128_transform_with_state",
+    (outer, dir) => {
+      val spark = streamSession(outer)
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      // transformWithState requires the RocksDB provider; scoped to the
+      // clone so batch queries never see it
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val updates = eventsStream(spark, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventRow]
+        .groupByKey(_.user_id)
+        .transformWithState(new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
+        .toDF()
+      // same final-state rollup as q55: update mode emits one row per key
+      // per batch, n grows monotonically
+      runToParquet(updates, "update")
+        .groupBy($"user_id")
+        .agg(max_by(struct($"n", $"cents", $"last_event_id", $"last_type"), $"n").as("s"))
+        .select($"user_id", $"s.n".as("n"), $"s.cents".as("cents"),
+          $"s.last_event_id".as("last_event_id"), $"s.last_type".as("last_type"))
+        .orderBy($"user_id")
+    },
     Some("""
       WITH last AS (
         SELECT user_id, event_id, event_type,
@@ -549,5 +625,5 @@ object Streams extends QueryModule {
       GROUP BY 1, 2, 3
       ORDER BY window_start, event_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104)
+  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104, q128)
 }

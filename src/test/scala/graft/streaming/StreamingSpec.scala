@@ -299,4 +299,16 @@ class StreamingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("q128 transformWithState equals q55 mapGroupsWithState row-for-row (T9)") {
+    // both arbitrary-state APIs share foldEvents; the full-query results
+    // must be identical — a divergence means one API's state lifecycle
+    // (init/exists/update) is wired wrong
+    val via55 = graft.SparkEntry.queries("q55_stateful_user_state")(
+      spark, TestSpark.Sf001).collect().toSeq
+    val via128 = graft.SparkEntry.queries("q128_transform_with_state")(
+      spark, TestSpark.Sf001).collect().toSeq
+    assert(via128 === via55)
+    assert(via128.nonEmpty)
+  }
 }
