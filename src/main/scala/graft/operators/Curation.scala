@@ -399,5 +399,113 @@ object Curation extends QueryModule {
              CAST(sum(n_copies) AS BIGINT) AS mixture_docs
       FROM c GROUP BY source ORDER BY source"""))
 
-  override val defs: Seq[QueryDef] = Seq(q61, q64, q67, q68, q69, q111, q112)
+  // ---------------------------------------------------------------------
+  // q129 — DSIR-style importance selection (Xie et al. 2023, "Data
+  // Selection for Language Models via Importance Resampling"): documents
+  // are scored by how much more likely their hashed-BIGRAM features are
+  // under the TARGET distribution (here the lang='en' slice) than under
+  // the raw corpus, and selection keeps docs with positive importance —
+  // "more target-like than corpus-like". Bigrams, not unigrams, exactly
+  // as in the paper — and measurably: this corpus's languages share one
+  // unigram vocabulary (unigram ratios carry zero signal; an earlier
+  // unigram variant separated nothing) while their Markov transition
+  // structure differs, which is what hashed bigrams capture.
+  //
+  // The log-likelihood-ratio is exact-integer throughout (the hash-gate
+  // discipline): per feature bucket b the smoothed ratio is
+  // cross-multiplied FIRST and floored ONCE —
+  //   w[b] = bitlen((ct[b]+1)·(Nr+1)) − bitlen((cr[b]+1)·(Nt+1))
+  // ≈ log₂ of the add-one-smoothed probability ratio, via base-2
+  // digit-string length (Spark `conv(x,10,2)`, DuckDB `format('{:b}',x)`
+  // — the q120 discipline). Flooring each log term separately loses a
+  // systematic ~1 bit per token (enough to flip every target doc's sign,
+  // which the separation spec caught); the single-comparison form has
+  // ±0.5-bit error with no systematic drift. Products stay ≤ ~10¹⁸ even
+  // at 10⁹-instance corpora per bucket, inside int64. A doc's importance
+  // is the SUM of its instances' bucket weights. Scale shape: feature hashing keeps the
+  // weight table at a FIXED 4096 buckets however large the vocabulary —
+  // two count aggregations over token instances, then the bucket weights
+  // and instance totals broadcast (≤4096 rows + 1 row) into a map-side
+  // join; per-doc scoring is one groupBy(doc_id). Nothing in the plan
+  // grows with vocabulary size.
+  // ---------------------------------------------------------------------
+  private val q129 = QueryDef(
+    "q129_dsir_importance",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val B = 4096
+      val inst = Tables.documents(spark, dir)
+        .withColumn("w", Portable.tokens(lower($"text")))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", $"lang",
+          explode(transform(
+            sequence(lit(1), size($"w") - 1),
+            i => concat(element_at($"w", i), lit(" "), element_at($"w", i + 1)))).as("g"))
+        .withColumn("b", pmod(Portable.md5Hash64($"g"), lit(B.toLong)))
+        .select($"doc_id", $"lang", $"b")
+      val cr = inst.groupBy($"b").agg(count(lit(1)).as("cr"))
+      val ct = inst.filter($"lang" === "en")
+        .groupBy($"b").agg(count(lit(1)).as("ct"))
+      val totals = inst.agg(
+        count(lit(1)).as("nr"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("nt"))
+      // bucket spine = buckets observed in the corpus (a bucket no doc
+      // touches can never be scored); add-one smoothing covers ct=0
+      val weights = cr.join(ct, Seq("b"), "left")
+        .na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(totals))
+        .withColumn("w",
+          (length(conv(($"ct" + 1) * ($"nr" + 1), 10, 2)) -
+            length(conv(($"cr" + 1) * ($"nt" + 1), 10, 2))).cast("long"))
+        .select($"b", $"w")
+      val perDoc = inst
+        .join(broadcast(weights), "b") // ≤4096 rows: map-side, no shuffle
+        .groupBy($"doc_id", $"lang")
+        .agg(sum($"w").as("importance"), count(lit(1)).as("n_toks"))
+      perDoc
+        .withColumn("kept", ($"importance" > 0).cast("boolean"))
+        .groupBy($"lang", $"kept")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"importance").as("sum_importance"),
+          sum($"n_toks").as("sum_toks"))
+        .orderBy($"lang", $"kept")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang, w FROM (
+          SELECT doc_id, lang,
+                 ${graft.functions.Portable.tokensSql("lower(text)")} AS w
+          FROM documents)
+        WHERE len(w) >= 2),
+      inst AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS b
+        FROM (SELECT doc_id, lang,
+                     unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+              FROM toks)),
+      cr AS (SELECT b, count(*) AS cr FROM inst GROUP BY b),
+      ct AS (SELECT b, count(*) AS ct FROM inst WHERE lang = 'en' GROUP BY b),
+      tot AS (SELECT count(*) AS nr,
+                     CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt
+              FROM inst),
+      w AS (
+        SELECT cr.b,
+               CAST(length(format('{:b}', (COALESCE(ct.ct, 0) + 1) * (tot.nr + 1)))
+                  - length(format('{:b}', (cr.cr + 1) * (tot.nt + 1))) AS BIGINT) AS w
+        FROM cr LEFT JOIN ct ON cr.b = ct.b, tot),
+      perdoc AS (
+        SELECT i.doc_id, i.lang,
+               CAST(sum(w.w) AS BIGINT) AS importance,
+               count(*) AS n_toks
+        FROM inst i JOIN w ON i.b = w.b
+        GROUP BY 1, 2)
+      SELECT lang, importance > 0 AS kept, count(*) AS n_docs,
+             CAST(sum(importance) AS BIGINT) AS sum_importance,
+             CAST(sum(n_toks) AS BIGINT) AS sum_toks
+      FROM perdoc GROUP BY 1, 2 ORDER BY lang, kept"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q61, q64, q67, q68, q69, q111, q112, q129)
 }

@@ -299,6 +299,16 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges\n$p")
   }
 
+  test("q129: the fixed-width weight table broadcasts to the instance stream") {
+    // the 4096-bucket weight table must join map-side: a shuffle join here
+    // would re-exchange every token instance of a 100 TB corpus against a
+    // table that fits in one broadcast block
+    val df = SparkEntry.queries("q129_dsir_importance")(spark, TestSpark.Sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("dot_scaled is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     val got = spark.sql(

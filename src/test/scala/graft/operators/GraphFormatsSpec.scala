@@ -83,6 +83,22 @@ class GraphFormatsSpec extends AnyFunSuite {
     assert(tripped === direct) // escaping-lossless for quotes/newlines/unicode
   }
 
+  test("q129 dsir: target-language keep-rate dominates every other language's") {
+    val rows = run("q129_dsir_importance")
+      .select($"lang", $"kept", $"n_docs").as[(String, Boolean, Long)].collect()
+    def rate(lang: String): Double = {
+      val kept = rows.collect { case (l, true, c) if l == lang => c }.sum
+      val all = rows.collect { case (l, _, c) if l == lang => c }.sum
+      kept.toDouble / all
+    }
+    // the hashed-bigram importance weights must carry real distributional
+    // signal: en docs are kept at a multiple of any other language's rate
+    // (floor-log quantization keeps absolute rates modest at tiny SF, so
+    // the claim is relative, which is also what selection actually uses)
+    for (l <- Seq("de", "es", "fr", "zh"))
+      assert(rate("en") > 2.0 * rate(l), s"en ${rate("en")} vs $l ${rate(l)}")
+  }
+
   test("q125 textrank: 20 distinct keywords, ranks above the damping floor, rerun-stable") {
     val a = run("q125_textrank").collect().toSeq
     assert(a.size === 20)
