@@ -77,5 +77,45 @@ object Serde extends QueryModule {
       FROM bars b LEFT JOIN daily d ON b.date = d.date
       ORDER BY b.date, b.event_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q53, q54)
+  // ---------------------------------------------------------------------
+  // q130 — VariantType semi-structured ingestion (the Spark 4 successor
+  // to schema'd `from_json` when the payload schema drifts): `parse_json`
+  // shreds the props JSON into an open VARIANT value once at the scan
+  // edge; downstream `variant_get` path extraction is typed and
+  // codegen'd, and `try_variant_get` degrades missing paths to NULL
+  // instead of failing the batch — the schema-evolution posture a 100 TB
+  // ingest needs (producers add fields without coordinating redeploys).
+  // Scale shape: per-row map work into one partial+final aggregate, no
+  // UDF, no shuffle beyond the rollup.
+  // ---------------------------------------------------------------------
+  private val q130 = QueryDef(
+    "q130_variant_shred",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("v", parse_json($"props"))
+        .withColumn("k", variant_get($"v", "$.k", "bigint"))
+        .withColumn("absent", try_variant_get($"v", "$.not_there", "bigint"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"k").as("sum_k"),
+          min($"k").as("min_k"),
+          max($"k").as("max_k"),
+          sum(when($"k".isNull, 1L).otherwise(0L)).as("n_null_k"),
+          sum(when($"absent".isNull, 1L).otherwise(0L)).as("n_absent"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+             CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+             CAST(sum(CASE WHEN json_extract_string(props, '$.not_there') IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_absent
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  override val defs: Seq[QueryDef] = Seq(q53, q54, q130)
 }
