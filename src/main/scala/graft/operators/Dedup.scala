@@ -813,6 +813,44 @@ object Dedup extends QueryModule {
       LEFT JOIN per_doc p ON p.doc_id = t.doc_id
       ORDER BY t.doc_id"""))
 
+  // ---------------------------------------------------------------------
+  // q131 — recursive-CTE bounded closure (Spark 4's WITH RECURSIVE, new
+  // SQL surface): ≤3-hop reachability over the verified near-dup pair
+  // graph, per origin doc — the SQL-native spelling of the dedup-cluster
+  // expansion. Spark's recursion currently supports UNION ALL only (no
+  // UNION-distinct fixpoint), so the recursion is DEPTH-BOUNDED by a
+  // level counter and duplicate paths collapse in the final DISTINCT
+  // aggregation — terminating on cyclic graphs by construction. This is
+  // deliberately the bounded-exploration shape; UNBOUNDED closure at
+  // corpus scale stays with q72's label-propagation/star-contraction
+  // plan, which converges in O(log diameter) rounds instead of
+  // materializing paths. The pair graph is the df-capped VERIFIED set
+  // (tiny relative to the corpus), so 3-hop path multiplicity stays
+  // bounded by max-degree³ of a sparse graph.
+  // ---------------------------------------------------------------------
+  private val recursiveBody = """
+      edges AS (
+        SELECT i AS src, j AS dst FROM ndp
+        UNION ALL
+        SELECT j AS src, i AS dst FROM ndp),
+      reach(node, origin, depth) AS (
+        SELECT src, src, 0 FROM (SELECT DISTINCT src FROM edges)
+        UNION ALL
+        SELECT e.dst, reach.origin, reach.depth + 1
+        FROM reach JOIN edges e ON e.src = reach.node
+        WHERE reach.depth < 3)
+      SELECT origin, count(DISTINCT node) AS n_reach3,
+             min(node) AS root3
+      FROM reach GROUP BY origin ORDER BY origin"""
+
+  private val q131 = QueryDef(
+    "q131_recursive_closure",
+    (spark, dir) => {
+      nearDupPairs(spark, dir).select("i", "j").createOrReplaceTempView("q131_ndp")
+      spark.sql(s"WITH RECURSIVE ndp AS (SELECT i, j FROM q131_ndp),$recursiveBody")
+    },
+    Some(s"WITH RECURSIVE ndp AS ($minhashOracle),$recursiveBody"))
+
   override val defs: Seq[QueryDef] =
-    Seq(q34, q35, q36, q37, q38, q72, q96, q114, q118)
+    Seq(q34, q35, q36, q37, q38, q72, q96, q114, q118, q131)
 }
