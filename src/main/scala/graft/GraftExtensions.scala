@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotScaledFn)
     // the native as-of join operator (plans.AsOfJoinPlan → AsOfJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // and its filter-pushdown rule — stock Catalyst can't push predicates
+    // through an unknown logical node
+    ext.injectOptimizerRule(_ => graft.plans.PushThroughAsOfJoin)
   }
 }
 

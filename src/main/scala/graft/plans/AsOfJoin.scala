@@ -53,6 +53,39 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule for the custom node (SURVEY.md §7.3 tier (c)'s missing
+  * piece): Catalyst's stock `PushDownPredicates` cannot see through an
+  * unknown logical operator, so `asof(...).filter(p)` would evaluate `p`
+  * AFTER the join — the full left side rides the co-partitioning
+  * exchange and the merge-scan just to be discarded above them. This
+  * rule splits the filter's conjuncts and moves every deterministic,
+  * left-side-only predicate below the join, shrinking the left exchange.
+  *
+  * Correctness: the operator is a left-outer as-of — each left row's
+  * match is a function of that row and the RIGHT side alone, never of
+  * other left rows — so dropping left rows early changes nothing for the
+  * survivors. Right-side predicates are NOT movable: evaluated above the
+  * join they see the matched row; evaluated below they change which
+  * right row is "latest ≤ t" (a filtered-out candidate would fall back
+  * to an older one instead of failing the predicate). Non-deterministic
+  * predicates stay put, same as stock pushdown.
+  */
+object PushThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(c => c.deterministic && c.references.subsetOf(j.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
@@ -203,13 +236,16 @@ object AsOf {
     org.apache.spark.sql.graft.bridge.dataset(spark, node)
   }
 
-  /** Idempotently add the planner strategy to a live session (the
-    * `spark.sql.extensions=graft.GraftExtensions` config path injects it
-    * at session build instead).
+  /** Idempotently add the planner strategy AND the pushdown rule to a
+    * live session (the `spark.sql.extensions=graft.GraftExtensions`
+    * config path injects both at session build instead).
     */
   def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(PushThroughAsOfJoin))
+      spark.experimental.extraOptimizations = opts :+ PushThroughAsOfJoin
   }
 }

@@ -79,4 +79,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     val df = AsOf.join(leftDf, rightDf, Seq("k" -> "qk"), "t", "qt")
     assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
   }
+
+  test("left-only filter conjuncts push below the join; right-side ones stay above") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val df = AsOf.join(leftDf, rightDf, Seq("k" -> "qk"), "t", "qt")
+      .filter($"t" >= 2L && $"v" > 15L) // left conjunct + right conjunct
+    val opt = df.queryExecution.optimizedPlan
+    // the as-of node's left child subtree must now contain the t-filter…
+    val j = opt.collectFirst { case a: AsOfJoinPlan => a }.get
+    val leftFilters = j.left.collect { case f: LFilter => f.condition.sql }
+    assert(leftFilters.exists(_.contains("t")), opt.treeString)
+    // …and the residual filter above the join references only v
+    val above = opt.collectFirst { case f: LFilter => f.condition.sql }
+    assert(above.exists(c => c.contains("v") && !c.contains("`t`")), opt.treeString)
+  }
+
+  test("pushdown rule preserves semantics vs the unpushed plan") {
+    val mk = () => AsOf.join(leftDf, rightDf, Seq("k" -> "qk"), "t", "qt")
+      .filter($"t" >= 2L && $"v" > 15L)
+      .select($"k", $"t", $"qt", $"v")
+    val pushed = mk().collect().toSet // rule active (ensureStrategy adds it)
+    // optimization is lazy: build the frame first (AsOf.join re-registers
+    // the rule), THEN clear extraOptimizations, so the action optimizes
+    // the same query without the rule — the unpushed baseline
+    val unpushedDf = mk()
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    try {
+      val unpushed = unpushedDf.collect().toSet
+      assert(pushed === unpushed)
+      assert(pushed.nonEmpty)
+    } finally spark.experimental.extraOptimizations = saved
+  }
 }
