@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // and its filter-pushdown rule — stock Catalyst can't push predicates
     // through an unknown logical node
     ext.injectOptimizerRule(_ => graft.plans.PushThroughAsOfJoin)
+    ext.injectOptimizerRule(_ => graft.plans.PruneThroughAsOfJoin)
   }
 }
 

@@ -86,6 +86,39 @@ object PushThroughAsOfJoin
   }
 }
 
+/** Column pruning through the custom node — the other half of the same
+  * blind spot: stock `ColumnPruning` leaves every left and right column
+  * flowing through the as-of join's exchanges and sort even when the
+  * query projects two of them. When a Project sits on the join, this
+  * rule narrows each child to (columns the Project references) ∪ (join
+  * keys and times), so the co-partitioning shuffle carries only what the
+  * query needs — at 100 TB the difference between shuffling a 2-column
+  * frame and a 40-column one. Pruned child outputs keep their exprIds,
+  * so the Project above rebinds unchanged; the rule is convergent (a
+  * second pass finds nothing further to drop).
+  */
+object PruneThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projectList, j: AsOfJoinPlan) =>
+      val needed = AttributeSet(
+        projectList.flatMap(_.references) ++
+          j.leftKeys.flatMap(_.references) ++ j.rightKeys.flatMap(_.references) ++
+          j.leftTime.references ++ j.rightTime.references)
+      def prune(child: LogicalPlan): Option[LogicalPlan] = {
+        val keep = child.output.filter(needed.contains)
+        if (keep.size < child.output.size) Some(Project(keep, child)) else None
+      }
+      (prune(j.left), prune(j.right)) match {
+        case (None, None) => p
+        case (l, r) =>
+          Project(projectList,
+            j.copy(left = l.getOrElse(j.left), right = r.getOrElse(j.right)))
+      }
+  }
+}
+
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
@@ -245,7 +278,8 @@ object AsOf {
     if (!cur.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
     val opts = spark.experimental.extraOptimizations
-    if (!opts.contains(PushThroughAsOfJoin))
-      spark.experimental.extraOptimizations = opts :+ PushThroughAsOfJoin
+    val missing = Seq(PushThroughAsOfJoin, PruneThroughAsOfJoin).filterNot(opts.contains)
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations = opts ++ missing
   }
 }

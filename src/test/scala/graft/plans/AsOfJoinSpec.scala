@@ -94,6 +94,33 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(above.exists(c => c.contains("v") && !c.contains("`t`")), opt.treeString)
   }
 
+  test("column pruning narrows both join inputs to referenced ∪ key/time columns") {
+    // wide left (3 extra cols) and right (2 extra); the query touches one
+    // non-key column per side — the pruned children must drop the rest
+    val wl = leftDf.withColumn("lx", $"t" * 2).withColumn("ly", $"t" * 3)
+      .withColumn("lz", $"t" * 5)
+    val wr = rightDf.withColumn("rx", $"v" * 2)
+    val df = AsOf.join(wl, wr, Seq("k" -> "qk"), "t", "qt")
+      .select($"k", $"lx", $"v")
+    val j = df.queryExecution.optimizedPlan
+      .collectFirst { case a: AsOfJoinPlan => a }.get
+    val lCols = j.left.output.map(_.name).toSet
+    val rCols = j.right.output.map(_.name).toSet
+    assert(lCols === Set("k", "t", "lx"), lCols)   // keys/time + referenced
+    assert(rCols === Set("qk", "qt", "v"), rCols)
+    // and the narrowed plan agrees with the same query optimized WITHOUT
+    // the rules (clear-extraOptimizations-before-action baseline)
+    val got = df.as[(String, Option[Long], Option[Long])].collect().toSet
+    val baselineDf = AsOf.join(wl, wr, Seq("k" -> "qk"), "t", "qt")
+      .select($"k", $"lx", $"v")
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    try {
+      val want = baselineDf.as[(String, Option[Long], Option[Long])].collect().toSet
+      assert(got.nonEmpty && got === want)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("pushdown rule preserves semantics vs the unpushed plan") {
     val mk = () => AsOf.join(leftDf, rightDf, Seq("k" -> "qk"), "t", "qt")
       .filter($"t" >= 2L && $"v" > 15L)
