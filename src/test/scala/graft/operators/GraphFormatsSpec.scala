@@ -99,6 +99,40 @@ class GraphFormatsSpec extends AnyFunSuite {
       assert(rate("en") > 2.0 * rate(l), s"en ${rate("en")} vs $l ${rate(l)}")
   }
 
+  test("q132 incremental merge == full recompute on constructed boundary data") {
+    // the fixture's users are too sparse to ever straddle the cutoff
+    // within 30 min, so the merge branch gets synthetic coverage: u1's
+    // boundary pair fuses (10-min gap), u2's must not (45-min gap), u3 is
+    // delta-only, u4 base-only
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val rows = Seq(
+      // (user, event, minute, value)
+      (1L, 1L, 0L, 1.0), (1L, 2L, 5L, 1.0),     // base u1 session
+      (1L, 3L, 70L, 1.0),                       // base u1 boundary session
+      (1L, 4L, 80L, 1.0), (1L, 5L, 85L, 1.0),   // delta u1 — merges (10m gap)
+      (2L, 6L, 0L, 2.0), (2L, 7L, 30L, 2.0),    // base u2 boundary session
+      (2L, 8L, 120L, 2.0),                      // delta u2 — 90m gap, no merge
+      (3L, 9L, 90L, 3.0), (3L, 10L, 95L, 3.0),  // delta-only u3
+      (4L, 11L, 10L, 4.0))                      // base-only u4
+    val ev = rows.map { case (u, e, m, v) => (e, t(m), u, "x", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val cutoffMin = 75L // between u1's boundary session and its delta tail
+    val base = ev.filter($"ts" < t(cutoffMin))
+    val delta = ev.filter($"ts" >= t(cutoffMin))
+    val incremental = Analytics
+      .incrementalMerge(Analytics.sessionize(base), Analytics.sessionize(delta))
+    val full = Analytics.sessionize(ev)
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select($"user_id", $"session_seq", $"n_events", $"min_tus", $"max_tus",
+        $"value_cents")
+      .collect().toSet
+    assert(key(incremental) === key(full))
+    // and the merge branch actually fired: u1 has 2 sessions, not 3
+    val u1 = incremental.filter($"user_id" === 1L).count()
+    assert(u1 === 2L)
+  }
+
   test("q125 textrank: 20 distinct keywords, ranks above the damping floor, rerun-stable") {
     val a = run("q125_textrank").collect().toSeq
     assert(a.size === 20)
