@@ -95,6 +95,89 @@ case class KmvSketchAgg(
     copy(child = newChildren.head)
 }
 
+/** The same KMV sketch evaluated to its FULL state — the sorted k-min
+  * distinct-hash array — instead of the (n_kept, kth) summary. This is
+  * the STORAGE form: a per-partition (e.g. per-day) sketch written to a
+  * table re-aggregates exactly, because the k smallest of a union equal
+  * the k smallest of the union of each part's k smallest — so
+  * `explode(stored_sketch)` → re-sketch reproduces the direct corpus
+  * sketch bit-for-bit (q133 proves it against the q65 oracle). That is
+  * the pre-aggregated-cube discipline: daily sketch rows are a few
+  * hundred bytes, and any date range's distinct estimate comes from
+  * merging them without touching raw data again.
+  */
+case class KmvArraySketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_sketch_array"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last) {
+      if (buf.add(h)) { buf.remove(buf.last); () }
+    }
+  }
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      a: java.util.TreeSet[java.lang.Long],
+      b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) insert(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val s = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { s.add(bb.getLong()); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvArraySketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvArraySketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvArraySketchAgg =
+    copy(child = newChildren.head)
+}
+
 object KmvSketchAgg {
   import org.apache.spark.sql.Column
 
@@ -102,5 +185,11 @@ object KmvSketchAgg {
   def sketch(hashCol: Column, k: Int): Column =
     org.apache.spark.sql.graft.bridge.column(
       KmvSketchAgg(org.apache.spark.sql.graft.bridge.expression(hashCol), k)
+        .toAggregateExpression())
+
+  /** `kmv_sketch_array(hashCol, k)` → the sorted k-min array (storage form). */
+  def sketchArray(hashCol: Column, k: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      KmvArraySketchAgg(org.apache.spark.sql.graft.bridge.expression(hashCol), k)
         .toAggregateExpression())
 }

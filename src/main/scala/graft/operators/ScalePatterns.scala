@@ -183,7 +183,14 @@ object ScalePatterns extends QueryModule {
           $"exact_distinct")
         .orderBy($"event_type")
     },
-    Some(s"""
+    Some(kmvOracle))
+
+  /** Direct-corpus KMV oracle, shared by q65 (one-level sketch) and q133
+    * (daily sketches re-aggregated): the re-aggregation is EXACT — the
+    * k smallest of a union are the k smallest of the union of each
+    * part's k smallest — so both queries must hash-match this SQL.
+    */
+  private lazy val kmvOracle: String = s"""
       WITH h AS (
         SELECT DISTINCT event_type,
                ${graft.functions.Portable.md5Hash64Sql("CAST(user_id AS VARCHAR)")} AS h
@@ -201,7 +208,50 @@ object ScalePatterns extends QueryModule {
                   ELSE ${KmvEstConst} / CAST(max(CASE WHEN rn = $KmvK THEN h END) AS DOUBLE)
              END AS est_distinct,
              max(n_distinct) AS exact_distinct
-      FROM ranked GROUP BY event_type ORDER BY event_type"""))
+      FROM ranked GROUP BY event_type ORDER BY event_type"""
+
+  // ---------------------------------------------------------------------
+  // q133 — sketch RE-AGGREGATION (the pre-aggregated-cube discipline):
+  // per-(type, day) KMV sketches in STORAGE form (the sorted k-min hash
+  // array, functions.KmvArraySketchAgg) stand in for a materialized daily
+  // cube; the corpus estimate then comes from exploding the stored
+  // sketches and re-sketching — never touching raw events again. KMV
+  // merge is EXACT (k smallest of a union = k smallest of the union of
+  // per-part k smallest), so the oracle is q65's DIRECT-corpus SQL,
+  // unchanged: the hash gate proves two-level merge ≡ one-level sketch.
+  // At 100 TB the daily cube rows are ≤ k longs each — any date range's
+  // distinct-user estimate is a merge over a few hundred tiny rows.
+  // ---------------------------------------------------------------------
+  private val q133 = QueryDef(
+    "q133_kmv_reaggregate",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.{KmvSketchAgg, Portable}
+      val hashed = Tables.events(spark, dir)
+        .filter($"user_id".isNotNull)
+        .select($"event_type", to_date($"ts").as("day"),
+          Portable.md5Hash64($"user_id".cast("string")).as("h"))
+      // level 1: the stored daily cube (one small array row per type+day)
+      val daily = hashed.groupBy($"event_type", $"day")
+        .agg(KmvSketchAgg.sketchArray($"h", KmvK).as("sk"))
+      // level 2: merge the stored sketches — raw data never re-read
+      val merged = daily
+        .select($"event_type", explode($"sk").as("h"))
+        .groupBy($"event_type")
+        .agg(KmvSketchAgg.sketchArray($"h", KmvK).as("sk"))
+      val exact = hashed.groupBy($"event_type")
+        .agg(countDistinct($"h").as("exact_distinct"))
+      merged.join(exact, Seq("event_type"))
+        .select($"event_type",
+          size($"sk").cast("long").as("n_kept"),
+          when(size($"sk") === KmvK, element_at($"sk", KmvK)).as("kth"),
+          when(size($"sk") < KmvK, size($"sk").cast("double"))
+            .otherwise(lit(KmvEstConst) / element_at($"sk", KmvK).cast("double"))
+            .as("est_distinct"),
+          $"exact_distinct")
+        .orderBy($"event_type")
+    },
+    Some(kmvOracle))
 
   // ---------------------------------------------------------------------
   // q87 — runtime bloom-filter join pruning (§4's row-level runtime
@@ -271,5 +321,5 @@ object ScalePatterns extends QueryModule {
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY 1 ORDER BY o_orderstatus"""))
 
-  override val defs: Seq[QueryDef] = Seq(q59, q60, q65, q66, q87)
+  override val defs: Seq[QueryDef] = Seq(q59, q60, q65, q66, q87, q133)
 }

@@ -53,4 +53,22 @@ class KmvSketchSpec extends AnyFunSuite {
     val (n, kth) = kmvOf(vs, 3)
     assert(n === 5L && kth.isEmpty)
   }
+
+  test("array-form sketch re-aggregates exactly (two-level == direct)") {
+    // split values into 4 arbitrary "days", sketch each, explode + re-sketch
+    // — must equal the direct one-level sketch ELEMENT-WISE (the q133
+    // storage/merge property: k-min of union == k-min of union of k-mins)
+    val vs = (1L to 200L)
+    val df = vs.toDF("v")
+      .withColumn("day", pmod($"v", lit(4L)))
+      .withColumn("h", Portable.md5Hash64($"v".cast("string")))
+    val direct = df.agg(KmvSketchAgg.sketchArray($"h", K).as("sk"))
+      .select($"sk").as[Seq[Long]].head()
+    val daily = df.groupBy($"day").agg(KmvSketchAgg.sketchArray($"h", K).as("sk"))
+    val merged = daily.select(explode($"sk").as("h"))
+      .agg(KmvSketchAgg.sketchArray($"h", K).as("sk"))
+      .select($"sk").as[Seq[Long]].head()
+    assert(merged === direct)
+    assert(direct.length === K && direct === direct.sorted)
+  }
 }
