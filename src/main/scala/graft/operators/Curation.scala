@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, QueryModule}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** The end-to-end corpus-curation pipeline (the 100 TB use case the
   * extension operators exist for): quality-filter → exact dedup →
@@ -506,6 +507,62 @@ object Curation extends QueryModule {
              CAST(sum(n_toks) AS BIGINT) AS sum_toks
       FROM perdoc GROUP BY 1, 2 ORDER BY lang, kept"""))
 
+  // ---------------------------------------------------------------------
+  // q134 — token-budget apportionment (largest-remainder / Hamilton
+  // method): a training run has a GLOBAL token budget; each source gets
+  // floor(B·n_s / N) tokens, and the leftover B − Σfloor goes one token
+  // at a time to the largest fractional remainders (ties broken by
+  // source name — total order, so the allocation is unique). This is the
+  // mixture-PLANNING step upstream of q112's mixture execution: exact
+  // integers end-to-end, Σ alloc == B by construction (spec-asserted).
+  // Scale shape: one aggregate over the corpus to get per-source counts
+  // (sources are bounded — thousands, not corpus-sized), a 1-row totals
+  // broadcast, and a rank window over the tiny source frame.
+  // ---------------------------------------------------------------------
+  private val BudgetTokens = 1000000L
+  private val q134 = QueryDef(
+    "q134_token_budget",
+    (spark, dir) => {
+      import spark.implicits._
+      val perSource = Tables.documents(spark, dir)
+        .groupBy($"source")
+        // the engine-wide chars-div-4 token proxy
+        .agg(sum(expr("n_chars div 4")).as("n_tokens"))
+      val totals = perSource.agg(sum($"n_tokens").as("total"))
+      val floored = perSource.crossJoin(broadcast(totals))
+        .withColumn("floor_alloc", expr(s"($BudgetTokens * n_tokens) div total"))
+        .withColumn("remainder", expr(s"($BudgetTokens * n_tokens) % total"))
+      val leftover = floored.agg(
+        (lit(BudgetTokens) - sum($"floor_alloc")).as("leftover"))
+      val w = Window.orderBy($"remainder".desc, $"source")
+      floored.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("alloc",
+          $"floor_alloc" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+        .select($"source", $"n_tokens", $"floor_alloc", $"remainder", $"alloc")
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH per_source AS (
+        SELECT source, CAST(sum(n_chars // 4) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per_source),
+      floored AS (
+        SELECT source, n_tokens,
+               ($BudgetTokens * n_tokens) // total AS floor_alloc,
+               ($BudgetTokens * n_tokens) % total AS remainder
+        FROM per_source, tot),
+      lo AS (SELECT $BudgetTokens - CAST(sum(floor_alloc) AS BIGINT) AS leftover
+             FROM floored),
+      ranked AS (
+        SELECT *, row_number() OVER (ORDER BY remainder DESC, source) AS rk
+        FROM floored)
+      SELECT source, n_tokens,
+             CAST(floor_alloc AS BIGINT) AS floor_alloc,
+             CAST(remainder AS BIGINT) AS remainder,
+             CAST(floor_alloc + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      FROM ranked, lo ORDER BY source"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q61, q64, q67, q68, q69, q111, q112, q129)
+    Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134)
 }

@@ -133,6 +133,13 @@ class GraphFormatsSpec extends AnyFunSuite {
     assert(u1 === 2L)
   }
 
+  test("q134 token budget: allocations sum to the budget exactly, floors respected") {
+    val rows = run("q134_token_budget")
+      .select($"floor_alloc", $"alloc").as[(Long, Long)].collect()
+    assert(rows.map(_._2).sum === 1000000L) // Σ alloc == B, the Hamilton invariant
+    assert(rows.forall { case (f, a) => a == f || a == f + 1 })
+  }
+
   test("q125 textrank: 20 distinct keywords, ranks above the damping floor, rerun-stable") {
     val a = run("q125_textrank").collect().toSeq
     assert(a.size === 20)
