@@ -431,6 +431,66 @@ object WindowFeatures extends QueryModule {
       SELECT ticker, date, volume, rank, close_cents
       FROM ranked WHERE rank <= 3 ORDER BY ticker, rank"""))
 
+  // ---------------------------------------------------------------------
+  // q135 — equi-depth (quantile) feature binning (the GBDT/feature-store
+  // discretization step): every event value lands in one of 16
+  // equal-population bins, bin = ⌊(rn−1)·K / n⌋ over the GLOBAL
+  // (cents, event_id) order. The global order uses q22's discipline — a
+  // rangepartitioning exchange + per-partition row_number + broadcast
+  // partition offsets — never a single-partition window (the plan that
+  // serializes a 100 TB sort through one task). Same formula on both
+  // engines (DuckDB mirrors with row_number, not ntile, so the extras
+  // distribution is pinned rather than engine-defined); exact cents.
+  // ---------------------------------------------------------------------
+  private val NBins = 16
+  private val q135 = QueryDef(
+    "q135_equidepth_bins",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"value".isNotNull)
+        .select($"event_id",
+          ($"value".cast(DecimalType(28, 2)) * 100).cast("long").as("cents"))
+      val parted = ev.repartitionByRange($"cents", $"event_id")
+        .withColumn("_pid", spark_partition_id())
+        .persist()
+      val offsets = parted.groupBy($"_pid").agg(count(lit(1)).as("_cnt"))
+        .withColumn("_offset",
+          coalesce(sum($"_cnt").over(
+            Window.orderBy($"_pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val total = offsets.agg(sum($"_cnt").as("n_total"))
+      val binned = parted
+        .join(broadcast(offsets.select($"_pid", $"_offset")), Seq("_pid"))
+        .withColumn("rn",
+          $"_offset" + row_number().over(
+            Window.partitionBy($"_pid").orderBy($"cents", $"event_id")))
+        .crossJoin(broadcast(total))
+        .withColumn("bin", expr(s"((rn - 1) * $NBins) div n_total"))
+        .groupBy($"bin")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min($"cents").as("lo_cents"),
+          max($"cents").as("hi_cents"),
+          sum($"cents").as("sum_cents"))
+      Scoped.materialize(parted)(binned).orderBy($"bin")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT event_id,
+               CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL),
+      r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, event_id) AS rn,
+               count(*) OVER () AS n
+        FROM e)
+      SELECT ((rn - 1) * $NBins) // n AS bin,
+             count(*) AS n_rows,
+             min(cents) AS lo_cents, max(cents) AS hi_cents,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM r GROUP BY 1 ORDER BY bin"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q73, q97)
+    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q73, q97, q135)
 }

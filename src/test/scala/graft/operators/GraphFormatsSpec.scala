@@ -140,6 +140,18 @@ class GraphFormatsSpec extends AnyFunSuite {
     assert(rows.forall { case (f, a) => a == f || a == f + 1 })
   }
 
+  test("q135 bins: equal population ±1 and non-overlapping value ranges") {
+    val bins = run("q135_equidepth_bins")
+      .select($"bin", $"n_rows", $"lo_cents", $"hi_cents")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(bins.length === 16)
+    val sizes = bins.map(_._2)
+    assert(sizes.max - sizes.min <= 1) // equi-depth
+    bins.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"bin ${a._1} hi ${a._4} > bin ${b._1} lo ${b._3}")
+    }
+  }
+
   test("q125 textrank: 20 distinct keywords, ranks above the damping floor, rerun-stable") {
     val a = run("q125_textrank").collect().toSeq
     assert(a.size === 20)
