@@ -625,5 +625,56 @@ object Streams extends QueryModule {
       GROUP BY 1, 2, 3
       ORDER BY window_start, event_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104, q128)
+  // ---------------------------------------------------------------------
+  // q136 — CUSTOM aggregate under streaming state: the KMV distinct
+  // sketch (functions.KmvSketchAgg, a TypedImperativeAggregate) running
+  // inside an incremental stateful aggregation. Each micro-batch updates
+  // the per-type sketch buffer THROUGH the state store — the aggregate's
+  // serialize/deserialize is exercised on every batch commit, which is
+  // the contract a custom sketch must honor to be usable in streaming at
+  // all. Complete mode over the bounded replay means the final sketch
+  // equals the batch sketch over all events, so q65's direct-corpus
+  // oracle shape gates it (distinct-user estimate next to the sketch
+  // internals). Scale: state per (event_type) key is ≤ k longs, the
+  // whole point of a bounded sketch.
+  // ---------------------------------------------------------------------
+  private val KmvK = 64
+  private val KmvEstConst: Double = (KmvK - 1).toDouble * 1152921504606846976.0
+  private val q136 = QueryDef(
+    "q136_stream_kmv_sketch",
+    (outer, dir) => {
+      val spark = streamSession(outer)
+      import spark.implicits._
+      import graft.functions.{KmvSketchAgg, Portable}
+      val sketched = eventsStream(spark, dir)
+        .filter($"user_id".isNotNull)
+        .groupBy($"event_type")
+        .agg(KmvSketchAgg.sketch(
+          Portable.md5Hash64($"user_id".cast("string")), KmvK).as("kmv"))
+        .select($"event_type", $"kmv.n_kept".as("n_kept"), $"kmv.kth".as("kth"),
+          when($"kmv.kth".isNull, $"kmv.n_kept".cast("double"))
+            .otherwise(lit(KmvEstConst) / $"kmv.kth".cast("double"))
+            .as("est_distinct"))
+      runToParquet(sketched, "complete").orderBy($"event_type")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT DISTINCT event_type,
+               ${graft.functions.Portable.md5Hash64Sql("CAST(user_id AS VARCHAR)")} AS h
+        FROM events WHERE user_id IS NOT NULL),
+      ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_distinct
+        FROM h)
+      SELECT event_type,
+             CAST(least(max(n_distinct), $KmvK) AS BIGINT) AS n_kept,
+             max(CASE WHEN rn = $KmvK THEN h END) AS kth,
+             CASE WHEN max(CASE WHEN rn = $KmvK THEN h END) IS NULL
+                  THEN CAST(least(max(n_distinct), $KmvK) AS DOUBLE)
+                  ELSE ${KmvEstConst} / CAST(max(CASE WHEN rn = $KmvK THEN h END) AS DOUBLE)
+             END AS est_distinct
+      FROM ranked GROUP BY event_type ORDER BY event_type"""))
+
+  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104, q128, q136)
 }

@@ -300,6 +300,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("KMV sketch state survives micro-batch boundaries (custom agg in streaming)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.{KmvSketchAgg, Portable}
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("v")
+      .groupBy(lit(1).as("g"))
+      .agg(KmvSketchAgg.sketch(Portable.md5Hash64($"v".cast("string")), 8).as("kmv"))
+      .select($"kmv.n_kept", $"kmv.kth")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kmv_stream").start()
+    try {
+      in.addData(1L to 50L: _*); q.processAllAvailable()
+      in.addData(51L to 100L: _*); q.processAllAvailable() // state reloaded+merged
+      val row = spark.table("kmv_stream").head()
+      val direct = (1L to 100L).toDF("v")
+        .agg(KmvSketchAgg.sketch(Portable.md5Hash64($"v".cast("string")), 8).as("kmv"))
+        .select($"kmv.n_kept", $"kmv.kth").head()
+      assert(row === direct) // two-batch streaming sketch == one-shot batch sketch
+    } finally q.stop()
+  }
+
   test("q128 transformWithState equals q55 mapGroupsWithState row-for-row (T9)") {
     // both arbitrary-state APIs share foldEvents; the full-query results
     // must be identical — a divergence means one API's state lifecycle
