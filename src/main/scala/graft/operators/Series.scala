@@ -1,0 +1,269 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import graft.functions.Portable
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Time-series warehouse operators the reference's daily-bar layer
+  * (data_processing/build_training_dataset.py:40-72) grows into once the
+  * series feed production models: calendar densification with
+  * forward-fill (gap repair before feature extraction), closed-form OLS
+  * trend per series, SCD Type-2 history compression of a changing
+  * attribute, and a count-min frequency sketch next to its exact counts.
+  *
+  * Scale notes (100 TB stance):
+  *   - q137/q138 aggregate the fact table ONCE per query down to
+  *     (series, day) grain — everything after that tiny rollup is
+  *     calendar arithmetic against a broadcast bounds row; the dense
+  *     calendar is |series| × |days| rows, never fact-sized.
+  *   - q139 is one shuffle on user_id; both window passes and the
+  *     run-collapse reuse that single partitioning.
+  *   - q140's sketch is the POINT at scale: the shuffle carries at most
+  *     d×w = 2048 cells per map partition (map-side combine), while the
+  *     exact top-k it is audited against must shuffle every distinct
+  *     token. The probe join broadcasts the ≤2048-cell sketch.
+  *
+  * Determinism: exact decimal sums for money-grid doubles, integer date
+  * arithmetic, full-tie-break orderings, and the engine-portable md5
+  * hash ([[Portable.md5Hash64]]) for sketch cells.
+  */
+object Series extends QueryModule {
+
+  /** Exact, order-invariant sum of a 0.01-grid double (same discipline as
+    * CoreBatch.dsum; SURVEY.md §7.4).
+    */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(28, 2))).cast("double")
+  private def dsumSql(e: String): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(28,2))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------------
+  // q137 — calendar gap-fill: per-type daily sums densified over the
+  // GLOBAL day span (all series share one calendar), missing days
+  // forward-filled from the last observed value. The dense calendar is
+  // sequence(lo, hi) exploded against the distinct-series list — both
+  // sides derived from the same single fact rollup, bounds broadcast as
+  // one row. Forward fill is last(ignoreNulls) over the per-series
+  // day order — one window pass on the already-small dense frame.
+  // ---------------------------------------------------------------------
+  private val q137 = QueryDef(
+    "q137_gap_fill",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir).filter($"ts".isNotNull)
+      val daily = ev.groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(dsum($"value").as("day_sum"))
+      val bounds = ev.agg(
+        min(to_date($"ts")).as("lo"), max(to_date($"ts")).as("hi"))
+      val cal = ev.select($"event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select($"event_type",
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val ffill = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("filled_sum", last($"day_sum", ignoreNulls = true).over(ffill))
+        .withColumn("is_gap", when($"day_sum".isNull, 1).otherwise(0))
+        .orderBy($"event_type", $"day")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ${dsumSql("value")} AS day_sum
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      b AS (
+        SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        FROM events WHERE ts IS NOT NULL),
+      cal AS (
+        SELECT t.event_type,
+               CAST(unnest(generate_series(CAST(b.lo AS TIMESTAMP),
+                 CAST(b.hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM (SELECT DISTINCT event_type FROM events WHERE ts IS NOT NULL) t
+        CROSS JOIN b)
+      SELECT cal.event_type, cal.day, d.day_sum,
+             last_value(d.day_sum IGNORE NULLS) OVER (
+               PARTITION BY cal.event_type ORDER BY cal.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+             CAST(CASE WHEN d.day_sum IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+      FROM cal LEFT JOIN d
+        ON cal.event_type = d.event_type AND cal.day = d.day
+      ORDER BY cal.event_type, cal.day"""))
+
+  // ---------------------------------------------------------------------
+  // q138 — per-series OLS trend, closed form over exact sums:
+  // slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = integer day
+  // index from the global first day, y = exact-decimal daily sum. Every
+  // accumulator is exact (BIGINT / DECIMAL), so the slope/intercept are
+  // each ONE fixed-order double expression — partition-order invariant,
+  // unlike regr_slope's float covariance accumulation.
+  // ---------------------------------------------------------------------
+  private val q138 = QueryDef(
+    "q138_ols_trend",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir).filter($"ts".isNotNull)
+      val daily = ev.groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(sum($"value".cast(DecimalType(28, 2))).as("y"))
+      val first = ev.agg(min(to_date($"ts")).as("lo"))
+      val s = daily.crossJoin(broadcast(first))
+        .withColumn("x", datediff($"day", $"lo").cast("long"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum($"x").as("sx"),
+          sum($"x" * $"x").as("sxx"),
+          sum($"y").as("sy"),
+          sum($"y" * $"x").as("sxy"))
+      s.withColumn("slope",
+          ($"n_days" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n_days" * $"sxx" - $"sx" * $"sx").cast("double"))
+        .withColumn("intercept",
+          ($"sy".cast("double") - $"slope" * $"sx".cast("double")) /
+            $"n_days".cast("double"))
+        .select($"event_type", $"n_days", $"slope", $"intercept")
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               sum(CAST(value AS DECIMAL(28,2))) AS y
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      f AS (SELECT min(CAST(ts AS DATE)) AS lo FROM events WHERE ts IS NOT NULL),
+      s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+               sum(y) AS sy, sum(y * x) AS sxy
+        FROM (SELECT event_type,
+                     CAST(date_diff('day', f.lo, day) AS BIGINT) AS x, y
+              FROM d CROSS JOIN f)
+        GROUP BY 1)
+      SELECT event_type, n_days,
+             CAST(n_days * sxy - sx * sy AS DOUBLE) /
+               CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope,
+             (CAST(sy AS DOUBLE) -
+              (CAST(n_days * sxy - sx * sy AS DOUBLE) /
+               CAST(n_days * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
+               CAST(n_days AS DOUBLE) AS intercept
+      FROM s ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------------
+  // q139 — SCD Type-2 history: per-user runs of the tracked attribute
+  // (event_type) collapsed into versioned validity intervals —
+  // change-flag via lag, version via running sum (gaps-and-islands),
+  // then one grouped collapse and a lead() for valid_to. All four steps
+  // share the single user_id shuffle; ties on ts break on the unique
+  // event_id so runs are identical on both engines.
+  // ---------------------------------------------------------------------
+  private val q139 = QueryDef(
+    "q139_scd2_history",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val runs = Tables.events(spark, dir)
+        .filter($"ts".isNotNull && $"user_id".isNotNull)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .withColumn("chg",
+          when($"prev".isNull || $"prev" =!= $"event_type", 1L).otherwise(0L))
+        .withColumn("version", sum($"chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val hist = runs.groupBy($"user_id", $"version")
+        .agg(
+          min($"event_type").as("event_type"),
+          min($"ts").as("valid_from"),
+          count(lit(1)).as("n_events"))
+      val wv = Window.partitionBy($"user_id").orderBy($"version")
+      hist
+        .withColumn("valid_to", lead($"valid_from", 1).over(wv))
+        .withColumn("is_current", when($"valid_to".isNull, 1).otherwise(0))
+        .orderBy($"user_id", $"version")
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      v AS (
+        SELECT *, CAST(sum(chg) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        FROM r),
+      h AS (
+        SELECT user_id, version, min(event_type) AS event_type,
+               min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+        FROM v GROUP BY 1, 2)
+      SELECT user_id, version, event_type, valid_from, n_events,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+             CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+                       IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+      FROM h ORDER BY user_id, version"""))
+
+  // ---------------------------------------------------------------------
+  // q140 — count-min sketch audited against exact counts: d=4 hash rows
+  // × w=512 columns over whitespace tokens; the estimate for each of the
+  // exact top-20 tokens is the min over its d cells. The cell hash is the
+  // engine-portable md5 ([[Portable.md5Hash64]]) salted with the row
+  // index, so the sketch itself is bit-reproducible. The sketch shuffle
+  // is bounded by d×w cells (map-side combine); the probe join
+  // broadcasts the sketch.
+  // ---------------------------------------------------------------------
+  private val CmsW = 512L
+  private val CmsD = 4
+  private def cmsCells(token: Column): Column = array(
+    (0 until CmsD).map(d => struct(
+      lit(d).as("r"),
+      pmod(Portable.md5Hash64(concat_ws(":", lit(d.toString), token)),
+        lit(CmsW)).as("c"))): _*)
+
+  private val q140 = QueryDef(
+    "q140_cms_frequency",
+    (spark, dir) => {
+      import spark.implicits._
+      val tok = Tables.documents(spark, dir)
+        .select(explode(Portable.tokens(lower($"text"))).as("token"))
+      val exact = tok.groupBy($"token").agg(count(lit(1)).as("exact_n"))
+        .orderBy($"exact_n".desc, $"token").limit(20)
+      val cells = tok.select(explode(cmsCells($"token")).as("rc"))
+        .groupBy($"rc.r".as("r"), $"rc.c".as("c"))
+        .agg(count(lit(1)).as("cell_n"))
+      val probes = exact
+        .select($"token", $"exact_n", explode(cmsCells($"token")).as("rc"))
+        .select($"token", $"exact_n", $"rc.r".as("r"), $"rc.c".as("c"))
+      probes.join(broadcast(cells), Seq("r", "c"))
+        .groupBy($"token")
+        .agg(max($"exact_n").as("exact_n"), min($"cell_n").as("cms_n"))
+        .withColumn("overcount", $"cms_n" - $"exact_n")
+        .orderBy($"exact_n".desc, $"token")
+    },
+    Some {
+      val h = (r: String) =>
+        Portable.md5Hash64Sql(s"CAST($r AS VARCHAR) || ':' || token")
+      s"""
+      WITH tok AS (
+        SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+        FROM documents),
+      rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      exact AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+        FROM tok GROUP BY 1 ORDER BY exact_n DESC, token LIMIT 20),
+      cells AS (
+        SELECT r, ${h("r")} % $CmsW AS c, CAST(count(*) AS BIGINT) AS cell_n
+        FROM tok CROSS JOIN rows_ GROUP BY 1, 2),
+      probes AS (
+        SELECT token, exact_n, r, ${h("r")} % $CmsW AS c
+        FROM exact CROSS JOIN rows_)
+      SELECT p.token, max(p.exact_n) AS exact_n, min(c2.cell_n) AS cms_n,
+             min(c2.cell_n) - max(p.exact_n) AS overcount
+      FROM probes p JOIN cells c2 ON p.r = c2.r AND p.c = c2.c
+      GROUP BY p.token ORDER BY exact_n DESC, token"""
+    })
+
+  override val defs: Seq[QueryDef] = Seq(q137, q138, q139, q140)
+}
