@@ -481,6 +481,135 @@ object Multimodal extends QueryModule {
                   % ${graft.functions.Portable.P} AS BIGINT) AS content_hash
       FROM s GROUP BY shard ORDER BY shard"""))
 
+  // ---------------------------------------------------------------------
+  // q141 — image RESIZE/feature-extract (mean-pool): the decoded q109
+  // BMP down-sampled to a 2×2 grid — each cell is the floored per-channel
+  // mean over its pixel region (cell = ((x·2)÷w, (y·2)÷h), the standard
+  // adaptive-pool partition, exact under integer arithmetic for any
+  // w×h). Pooling happens INSIDE the per-partition decode (no pixel
+  // explode, no shuffle) — the scale-right shape for a resize stage:
+  // per-asset work is O(pixels), output is O(assets·grid). The oracle
+  // recomputes every cell from the synthesis recurrence, so a pool that
+  // assigns even one boundary pixel to the wrong cell breaks the hash.
+  // ---------------------------------------------------------------------
+  final case class PoolCell(
+      doc_id: Long, cy: Int, cx: Int, n_px: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      mean_r: Long, mean_g: Long, mean_b: Long)
+
+  private val q141 = QueryDef(
+    "q141_image_pool",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.BmpImage
+      val assets: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, synthBmp(id))))
+      assets.mapPartitions(_.flatMap { case (id, bytes) =>
+        val img = BmpImage.decode(bytes)
+        val w = img.width
+        val h = img.height
+        val sumR, sumG, sumB, nPx = Array.ofDim[Long](4)
+        var i = 0
+        while (i < img.pixels.length) {
+          val cell = ((i / w) * 2 / h) * 2 + (i % w) * 2 / w
+          val p = img.pixels(i)
+          sumR(cell) += (p >> 16) & 0xff
+          sumG(cell) += (p >> 8) & 0xff
+          sumB(cell) += p & 0xff
+          nPx(cell) += 1
+          i += 1
+        }
+        (0 until 4).map { c =>
+          PoolCell(id, c / 2, c % 2, nPx(c), sumR(c), sumG(c), sumB(c),
+            sumR(c) / nPx(c), sumG(c) / nPx(c), sumB(c) / nPx(c))
+        }
+      }).toDF().orderBy($"doc_id", $"cy", $"cx")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CAST(3 + doc_id % 13 AS BIGINT) AS w,
+               CAST(2 + doc_id % 7 AS BIGINT) AS h
+        FROM documents),
+      g AS (
+        SELECT p.*, cyt.cy, cxt.cx,
+               list_filter(range(0, w * h),
+                 i -> ((i % w) * 2) // w = cxt.cx
+                  AND ((i // w) * 2) // h = cyt.cy) AS pix
+        FROM p
+        CROSS JOIN (SELECT unnest([0, 1]) AS cy) cyt
+        CROSS JOIN (SELECT unnest([0, 1]) AS cx) cxt)
+      SELECT doc_id, cy, cx, CAST(len(pix) AS BIGINT) AS n_px,
+             CAST(list_sum(list_transform(pix,
+               i -> (doc_id * 13 + 5 * (i % w) + (i // w)) % 256)) AS BIGINT) AS sum_r,
+             CAST(list_sum(list_transform(pix,
+               i -> (doc_id * 11 + (i % w) + 2 * (i // w)) % 256)) AS BIGINT) AS sum_g,
+             CAST(list_sum(list_transform(pix,
+               i -> (doc_id * 7 + 3 * (i % w) + 5 * (i // w)) % 256)) AS BIGINT) AS sum_b,
+             CAST(list_sum(list_transform(pix,
+               i -> (doc_id * 13 + 5 * (i % w) + (i // w)) % 256)) AS BIGINT)
+               // CAST(len(pix) AS BIGINT) AS mean_r,
+             CAST(list_sum(list_transform(pix,
+               i -> (doc_id * 11 + (i % w) + 2 * (i // w)) % 256)) AS BIGINT)
+               // CAST(len(pix) AS BIGINT) AS mean_g,
+             CAST(list_sum(list_transform(pix,
+               i -> (doc_id * 7 + 3 * (i % w) + 5 * (i // w)) % 256)) AS BIGINT)
+               // CAST(len(pix) AS BIGINT) AS mean_b
+      FROM g ORDER BY doc_id, cy, cx"""))
+
+  // ---------------------------------------------------------------------
+  // q142 — audio windowed energy: the decoded q107 WAV framed into
+  // 256-sample windows (flat interleaved index, trailing partial window
+  // kept); per window the exact integer energy Σs² and peak |s| — the
+  // short-time-energy pass upstream of any VAD/silence-trim stage.
+  // Framing happens inside the per-partition decode (no sample explode,
+  // no shuffle): per-asset work is O(samples), output O(assets·windows).
+  // The oracle recomputes each window from the synthesis recurrence.
+  // ---------------------------------------------------------------------
+  final case class AudioWindow(
+      doc_id: Long, win_idx: Long, n_samples: Long, energy: Long, peak: Long)
+
+  private val WinLen = 256
+
+  private val q142 = QueryDef(
+    "q142_audio_energy",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.RiffWav
+      val assets: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, synthWav(id))))
+      assets.mapPartitions(_.flatMap { case (id, bytes) =>
+        val w = RiffWav.decode(bytes)
+        w.samples.grouped(WinLen).zipWithIndex.map { case (chunk, win) =>
+          AudioWindow(id, win.toLong, chunk.length.toLong,
+            chunk.map(s => s.toLong * s).sum,
+            chunk.map(s => math.abs(s.toLong)).max)
+        }
+      }).toDF().orderBy($"doc_id", $"win_idx")
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT doc_id,
+               (200 + doc_id % 800) * (1 + doc_id % 2) AS n_samp
+        FROM documents),
+      w AS (
+        SELECT doc_id, n_samp,
+               unnest(range(0, (n_samp + ${WinLen - 1}) // $WinLen)) AS win_idx
+        FROM p),
+      s AS (
+        SELECT doc_id, win_idx,
+               list_transform(
+                 range(win_idx * $WinLen, least((win_idx + 1) * $WinLen, n_samp)),
+                 i -> (doc_id * 31 + i * 17) % 2003 - 1001) AS vals
+        FROM w)
+      SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+             CAST(len(vals) AS BIGINT) AS n_samples,
+             CAST(list_sum(list_transform(vals, v -> v * v)) AS BIGINT) AS energy,
+             CAST(list_max(list_transform(vals, v -> abs(v))) AS BIGINT) AS peak
+      FROM s ORDER BY doc_id, win_idx"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q44, q45, q107, q109, q110, q116, q121)
+    Seq(q44, q45, q107, q109, q110, q116, q121, q141, q142)
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q141/q142 feature-extraction invariants: the pooled/framed outputs
+  * must reconcile exactly with the whole-asset decode they derive from.
+  */
+class MultimodalFeaturesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = TestSpark.Sf001
+
+  test("q141: pooled cells partition the image and reconcile with the q109 whole-image sums") {
+    val pool = graft.SparkEntry.queries("q141_image_pool")(spark, dir).cache()
+    val img = graft.SparkEntry.queries("q109_bmp_decode")(spark, dir)
+      .select($"doc_id", ($"width" * $"height").as("n_px_img"),
+        $"sum_r".as("r_img"), $"sum_g".as("g_img"), $"sum_b".as("b_img"))
+    // exactly 4 cells per doc, cells partition the pixel set, channel
+    // sums reconcile with the whole-image decode
+    val agg = pool.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_cells"), sum($"n_px").as("n_px"),
+      sum($"sum_r").as("r"), sum($"sum_g").as("g"), sum($"sum_b").as("b"))
+    val bad = agg.join(img, "doc_id").filter(
+      $"n_cells" =!= 4L || $"n_px" =!= $"n_px_img" ||
+        $"r" =!= $"r_img" || $"g" =!= $"g_img" || $"b" =!= $"b_img")
+    assert(bad.isEmpty)
+    // floored means stay inside the byte range and match sum/n
+    assert(pool.filter($"mean_r" =!= floor($"sum_r" / $"n_px") ||
+      $"mean_r" < 0 || $"mean_r" > 255).isEmpty)
+    pool.unpersist()
+  }
+
+  test("q142: windows partition the sample stream and reconcile with the q107 whole-clip stats") {
+    val win = graft.SparkEntry.queries("q142_audio_energy")(spark, dir).cache()
+    val wav = graft.SparkEntry.queries("q107_wav_decode")(spark, dir)
+      .select($"doc_id", ($"n_frames" * $"channels").as("n_samp"), $"peak".as("clip_peak"))
+    val agg = win.groupBy($"doc_id").agg(
+      sum($"n_samples").as("n_samp_w"), max($"peak").as("peak_w"),
+      count(lit(1)).as("n_wins"), max($"win_idx").as("max_idx"))
+    val bad = agg.join(wav, "doc_id").filter(
+      $"n_samp_w" =!= $"n_samp" || $"peak_w" =!= $"clip_peak" ||
+        $"n_wins" =!= floor(($"n_samp" + 255) / lit(256)).cast("long") ||
+        $"max_idx" =!= $"n_wins" - 1)
+    assert(bad.isEmpty)
+    // every window except the last is full
+    assert(win.join(agg.select($"doc_id", $"max_idx"), "doc_id")
+      .filter($"win_idx" < $"max_idx" && $"n_samples" =!= 256L).isEmpty)
+    // energy bound: n · peak²
+    assert(win.filter($"energy" > $"n_samples" * $"peak" * $"peak").isEmpty)
+    win.unpersist()
+  }
+}
