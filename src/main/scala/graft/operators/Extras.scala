@@ -554,7 +554,42 @@ object Extras extends QueryModule {
                % ${graft.functions.Portable.P}) AS BIGINT) AS content_hash
       FROM documents GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------------
+  // q143 — GROUPING SETS (the general form q50's ROLLUP is a special case
+  // of): the ((flag,status),(flag),()) lattice over lineitem with
+  // grouping_id disambiguating aggregated-away NULLs from data NULLs —
+  // the semantics a reporting layer needs when the dimension itself is
+  // nullable. Catalyst plans the whole lattice as ONE expand + hash
+  // aggregate (one shuffle for all three granularities), not one scan
+  // per set. Exact cent sums keep the hash gate engine-portable.
+  // ---------------------------------------------------------------------
+  private val q143 = QueryDef(
+    "q143_grouping_sets",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .groupingSets(
+          Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq()),
+          $"l_returnflag", $"l_linestatus")
+        .agg(
+          grouping_id($"l_returnflag", $"l_linestatus").as("gid"),
+          count(lit(1)).as("n"),
+          dsumCents($"l_quantity").as("qty_cents"),
+          dsumCents($"l_extendedprice").as("price_cents"))
+        .orderBy($"gid", $"l_returnflag".asc_nulls_first,
+          $"l_linestatus".asc_nulls_first)
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             count(*) AS n,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS qty_cents,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS price_cents
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q46, q47, q48, q49, q50, q51, q52, q70, q71, q78, q79, q93, q123,
-      q126, q127)
+      q126, q127, q143)
 }

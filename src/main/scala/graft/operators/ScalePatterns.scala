@@ -321,5 +321,99 @@ object ScalePatterns extends QueryModule {
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY 1 ORDER BY o_orderstatus"""))
 
-  override val defs: Seq[QueryDef] = Seq(q59, q60, q65, q66, q87, q133)
+  // ---------------------------------------------------------------------
+  // q144 — mergeable equi-width HISTOGRAM quantile estimate, audited
+  // against the exact percentile (q70's discipline) in the same row. The
+  // scale story: the histogram's state is ≤ B=64 bins per group however
+  // large the group — partial bin counts merge by addition on the
+  // shuffle (plain partial hash agg), while exact percentile is a
+  // sort-based aggregate that must see every value. Bin assignment and
+  // the estimate (bin lower edge + half width at the first bin where the
+  // cumulative count reaches ⌈q·n⌉) are pure integer arithmetic over the
+  // broadcast global [lo, hi] — bit-equal cross-engine, any partitioning.
+  // At 100 TB you keep the histogram and drop the exact column; the err
+  // column here IS the audit of that trade.
+  // ---------------------------------------------------------------------
+  private val HistB = 64L
+  private val q144 = QueryDef(
+    "q144_histogram_quantiles",
+    (spark, dir) => {
+      import spark.implicits._
+      val cents = Tables.events(spark, dir)
+        .filter($"value".isNotNull)
+        .select($"event_type",
+          ($"value".cast(DecimalType(28, 2)) * 100).cast("long").as("cents"))
+      val bounds = cents.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+      val binned = cents.crossJoin(broadcast(bounds))
+        .withColumn("span", $"hi" - $"lo" + 1L)
+        .withColumn("bin", expr(s"(cents - lo) * $HistB div span"))
+        .groupBy($"event_type", $"lo", $"span", $"bin")
+        .agg(count(lit(1)).as("bin_n"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+      // estimate = lower edge of the first bin whose cumulative count
+      // reaches k = ceil(q·n), plus half the bin width — all integer divs
+      val cum = binned
+        .withColumn("cum", sum($"bin_n").over(wCum))
+        .withColumn("n", sum($"bin_n").over(wAll))
+        .withColumn("b50",
+          min(when($"cum" >= expr("(n + 1) div 2"), $"bin")).over(wAll))
+        .withColumn("b90",
+          min(when($"cum" >= expr("(n * 9 + 9) div 10"), $"bin")).over(wAll))
+        .groupBy($"event_type")
+        .agg(max($"n").as("n"),
+          max(expr(s"lo + b50 * span div $HistB + (span div $HistB) div 2"))
+            .as("est_p50"),
+          max(expr(s"lo + b90 * span div $HistB + (span div $HistB) div 2"))
+            .as("est_p90"))
+      val exact = cents.groupBy($"event_type")
+        .agg(percentile($"cents", lit(0.5)).as("exact_p50"),
+          percentile($"cents", lit(0.9)).as("exact_p90"))
+      cum.join(exact, "event_type")
+        .withColumn("err_p50", $"est_p50".cast("double") - $"exact_p50")
+        .withColumn("err_p90", $"est_p90".cast("double") - $"exact_p90")
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL),
+      b AS (SELECT min(cents) AS lo, max(cents) - min(cents) + 1 AS span FROM c),
+      h AS (
+        SELECT event_type, lo, span,
+               ((cents - lo) * $HistB) // span AS bin,
+               CAST(count(*) AS BIGINT) AS bin_n
+        FROM c CROSS JOIN b GROUP BY 1, 2, 3, 4),
+      cum AS (
+        SELECT *,
+               CAST(sum(bin_n) OVER (PARTITION BY event_type ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(bin_n) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM h),
+      sel AS (
+        SELECT event_type, lo, span, n,
+               min(CASE WHEN cum >= (n + 1) // 2 THEN bin END)
+                 OVER (PARTITION BY event_type) AS b50,
+               min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN bin END)
+                 OVER (PARTITION BY event_type) AS b90
+        FROM cum),
+      est AS (
+        SELECT event_type, max(n) AS n,
+               max(lo + b50 * span // $HistB + (span // $HistB) // 2) AS est_p50,
+               max(lo + b90 * span // $HistB + (span // $HistB) // 2) AS est_p90
+        FROM sel GROUP BY event_type),
+      ex AS (
+        SELECT event_type, quantile_cont(cents, 0.5) AS exact_p50,
+               quantile_cont(cents, 0.9) AS exact_p90
+        FROM c GROUP BY 1)
+      SELECT est.event_type, n, est_p50, est_p90, exact_p50, exact_p90,
+             CAST(est_p50 AS DOUBLE) - exact_p50 AS err_p50,
+             CAST(est_p90 AS DOUBLE) - exact_p90 AS err_p90
+      FROM est JOIN ex ON est.event_type = ex.event_type
+      ORDER BY est.event_type"""))
+
+  override val defs: Seq[QueryDef] = Seq(q59, q60, q65, q66, q87, q133, q144)
 }

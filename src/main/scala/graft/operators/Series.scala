@@ -265,5 +265,135 @@ object Series extends QueryModule {
       GROUP BY p.token ORDER BY exact_n DESC, token"""
     })
 
-  override val defs: Seq[QueryDef] = Seq(q137, q138, q139, q140)
+  // ---------------------------------------------------------------------
+  // q145 — winsorized robust means: per-series p01/p99 DISCRETE
+  // thresholds (the value at rank ⌈q·n⌉ — percentile_disc semantics, so
+  // thresholds are actual data values and everything stays integer),
+  // then every value clipped into [lo, hi] and re-aggregated. The
+  // thresholds come from the (type, cents) DISTINCT-VALUE grain with a
+  // cumulative count — the cardinality-bounded form that avoids a
+  // row-per-row rank window (q135's discipline); the 5-row threshold
+  // table broadcasts back onto the fact scan.
+  // ---------------------------------------------------------------------
+  private val q145 = QueryDef(
+    "q145_winsorize",
+    (spark, dir) => {
+      import spark.implicits._
+      val cents = Tables.events(spark, dir)
+        .filter($"value".isNotNull)
+        .select($"event_type",
+          ($"value".cast(DecimalType(28, 2)) * 100).cast("long").as("cents"))
+      val wCum = Window.partitionBy($"event_type").orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy($"event_type")
+      val thr = cents.groupBy($"event_type", $"cents")
+        .agg(count(lit(1)).as("vn"))
+        .withColumn("cum", sum($"vn").over(wCum))
+        .withColumn("n", sum($"vn").over(wAll))
+        .groupBy($"event_type")
+        .agg(
+          min(when($"cum" >= expr("(n + 99) div 100"), $"cents")).as("lo"),
+          min(when($"cum" >= expr("(n * 99 + 99) div 100"), $"cents")).as("hi"))
+      cents.join(broadcast(thr), "event_type")
+        .withColumn("clipped", least(greatest($"cents", $"lo"), $"hi"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          max($"lo").as("lo_cents"), max($"hi").as("hi_cents"),
+          sum($"cents").as("raw_sum_cents"),
+          sum($"clipped").as("wins_sum_cents"),
+          sum(when($"cents" < $"lo" || $"cents" > $"hi", 1L).otherwise(0L))
+            .as("n_clipped"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL),
+      d AS (
+        SELECT event_type, cents, CAST(count(*) AS BIGINT) AS vn
+        FROM c GROUP BY 1, 2),
+      cum AS (
+        SELECT *,
+               CAST(sum(vn) OVER (PARTITION BY event_type ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(vn) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM d),
+      thr AS (
+        SELECT event_type,
+               min(CASE WHEN cum >= (n + 99) // 100 THEN cents END) AS lo,
+               min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN cents END) AS hi
+        FROM cum GROUP BY 1)
+      SELECT c.event_type, count(*) AS n,
+             max(t.lo) AS lo_cents, max(t.hi) AS hi_cents,
+             CAST(sum(c.cents) AS BIGINT) AS raw_sum_cents,
+             CAST(sum(least(greatest(c.cents, t.lo), t.hi)) AS BIGINT) AS wins_sum_cents,
+             CAST(sum(CASE WHEN c.cents < t.lo OR c.cents > t.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+      FROM c JOIN thr t ON c.event_type = t.event_type
+      GROUP BY c.event_type ORDER BY c.event_type"""))
+
+  // ---------------------------------------------------------------------
+  // q146 — contingency table with standardized residuals: event_type ×
+  // day-of-week observed counts vs independence expectation E = r·c/N,
+  // per-cell Pearson residual (O−E)/√E and χ² contribution (O−E)²/E.
+  // Day-of-week is PORTABLE integer arithmetic ((epoch_day + 4) mod 7,
+  // 0 = Sunday) — never an engine's locale-dependent dayofweek. Each
+  // residual is a fixed-order scalar double expression over exact
+  // integer O/r/c/N (IEEE sqrt is correctly rounded on both engines);
+  // emitting per-CELL rows avoids any float re-aggregation. Marginals
+  // are two tiny aggregates broadcast back onto the 35-cell grid.
+  // ---------------------------------------------------------------------
+  private val q146 = QueryDef(
+    "q146_contingency_residuals",
+    (spark, dir) => {
+      import spark.implicits._
+      val cells = Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .select($"event_type",
+          pmod(datediff(to_date($"ts"), to_date(lit("1970-01-01"))) + 4, lit(7))
+            .cast("int").as("dow"))
+        .groupBy($"event_type", $"dow")
+        .agg(count(lit(1)).as("o"))
+      val rowTot = cells.groupBy($"event_type").agg(sum($"o").as("r"))
+      val colTot = cells.groupBy($"dow").agg(sum($"o").as("c"))
+      val total = cells.agg(sum($"o").as("n"))
+      cells
+        .join(broadcast(rowTot), "event_type")
+        .join(broadcast(colTot), "dow")
+        .crossJoin(broadcast(total))
+        .withColumn("e", ($"r" * $"c").cast("double") / $"n".cast("double"))
+        .withColumn("residual",
+          ($"o".cast("double") - $"e") / sqrt($"e"))
+        .withColumn("chi2_term",
+          ($"o".cast("double") - $"e") * ($"o".cast("double") - $"e") / $"e")
+        .select($"event_type", $"dow", $"o", $"r", $"c", $"n",
+          $"e", $"residual", $"chi2_term")
+        .orderBy($"event_type", $"dow")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT event_type,
+               CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+                 AS INT) AS dow,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      tt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+      SELECT cells.event_type, cells.dow, o, r, c, n,
+             CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+             (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt(CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)) AS residual,
+             (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)) AS chi2_term
+      FROM cells
+      JOIN rt ON cells.event_type = rt.event_type
+      JOIN ct ON cells.dow = ct.dow
+      CROSS JOIN tt
+      ORDER BY cells.event_type, cells.dow"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q137, q138, q139, q140, q145, q146)
 }

@@ -84,6 +84,60 @@ class SeriesSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q143: grouping-sets lattice levels reconcile (cells -> marginals -> grand total)") {
+    val out = graft.SparkEntry.queries("q143_grouping_sets")(spark, dir).cache()
+    val cells = out.filter($"gid" === 0L)
+    val flagTot = out.filter($"gid" === 1L)
+    val grand = out.filter($"gid" === 3L)
+    assert(grand.count() === 1)
+    val totalN = grand.select($"n").as[Long].head()
+    assert(cells.agg(sum($"n")).as[Long].head() === totalN)
+    assert(flagTot.agg(sum($"n")).as[Long].head() === totalN)
+    // per-flag marginal equals the sum of its cells, for every measure
+    val rolled = cells.groupBy($"l_returnflag").agg(
+      sum($"n").as("n2"), sum($"qty_cents").as("q2"), sum($"price_cents").as("p2"))
+    assert(flagTot.join(rolled, "l_returnflag")
+      .filter($"n" =!= $"n2" || $"qty_cents" =!= $"q2" || $"price_cents" =!= $"p2")
+      .isEmpty)
+    out.unpersist()
+  }
+
+  test("q144: histogram estimate lands within one bin width of the exact percentile") {
+    val out = graft.SparkEntry.queries("q144_histogram_quantiles")(spark, dir).cache()
+    val ev = Tables.events(spark, dir).filter($"value".isNotNull)
+    val (lo, hi) = ev
+      .select(($"value".cast(org.apache.spark.sql.types.DecimalType(28, 2)) * 100)
+        .cast("long").as("c"))
+      .agg(min($"c"), max($"c")).as[(Long, Long)].head()
+    val binWidth = (hi - lo + 1) / 64.0 + 1
+    assert(out.filter(abs($"err_p50") > binWidth).isEmpty)
+    assert(out.filter(abs($"err_p90") > binWidth).isEmpty)
+    assert(out.agg(sum($"n")).as[Long].head() === ev.count())
+    out.unpersist()
+  }
+
+  test("q145: clip fraction bounded by 2%, winsorized sum bracketed by thresholds") {
+    val out = graft.SparkEntry.queries("q145_winsorize")(spark, dir).cache()
+    assert(out.filter($"n_clipped" * 100 > $"n" * 2).isEmpty)
+    assert(out.filter($"wins_sum_cents" < $"n" * $"lo_cents" ||
+      $"wins_sum_cents" > $"n" * $"hi_cents").isEmpty)
+    assert(out.filter($"lo_cents" > $"hi_cents").isEmpty)
+    out.unpersist()
+  }
+
+  test("q146: marginals reconcile and residual^2 equals the chi-square term") {
+    val out = graft.SparkEntry.queries("q146_contingency_residuals")(spark, dir).cache()
+    // row marginal: sum of o over dow = r; grand total n constant and = sum of o
+    assert(out.groupBy($"event_type").agg(sum($"o").as("so"), max($"r").as("mr"))
+      .filter($"so" =!= $"mr").isEmpty)
+    val totals = out.select($"n").distinct().as[Long].collect()
+    assert(totals.length === 1)
+    assert(out.agg(sum($"o")).as[Long].head() === totals(0))
+    assert(out.filter($"chi2_term" < 0).isEmpty)
+    assert(out.filter(abs($"residual" * $"residual" - $"chi2_term") > 1e-9).isEmpty)
+    out.unpersist()
+  }
+
   test("q140: count-min never undercounts, and the sketch stays within d*w cells") {
     val out = graft.SparkEntry.queries("q140_cms_frequency")(spark, dir).cache()
     assert(out.count() === 20)
