@@ -531,6 +531,88 @@ object Streams extends QueryModule {
       FROM j GROUP BY 1 ORDER BY date"""))
 
   // ---------------------------------------------------------------------
+  // q147 — stream–stream LEFT OUTER interval join: q86's inner join also
+  // EMITS the unmatched purchases (null click side) once the watermark
+  // proves no future click can match — the state-eviction semantics that
+  // make outer streaming joins production-viable (without the event-time
+  // bound, null-side rows could never be emitted at all). A left row is
+  // provably unmatchable once the watermark passes p_ts (clicks satisfy
+  // c_ts ≤ p_ts, and future rows arrive above the watermark), so with a
+  // 10-min delay every purchase below max_ts − 10 min has flushed —
+  // matched or null — by end of replay. The post-stream filter pins the
+  // comparison to that provably-flushed region with margin (the
+  // watermark-tail rows whose emission depends on micro-batch timing are
+  // excluded on BOTH engines, so the gate stays exact); at 100 TB the
+  // stream never ends and the tail is perpetually in-flight state.
+  // ---------------------------------------------------------------------
+  private val q147 = QueryDef(
+    "q147_stream_outer_join",
+    (outer, dir) => {
+      val spark = streamSession(outer)
+      import spark.implicits._
+      val purchases = eventsStream(spark, dir)
+        .filter($"ts".isNotNull && $"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"ts".as("p_ts"),
+          $"user_id".as("p_user"), $"value".as("p_value"))
+        .withWatermark("p_ts", "10 minutes")
+      val clicks = eventsStream(spark, dir)
+        .filter($"ts".isNotNull && $"event_type" === "click")
+        .select($"event_id".as("c_id"), $"ts".as("c_ts"),
+          $"user_id".as("c_user"), $"value".as("c_value"))
+        .withWatermark("c_ts", "10 minutes")
+      val joined = purchases.join(clicks,
+        $"p_user" === $"c_user" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 10 MINUTES") &&
+          $"c_ts" <= $"p_ts",
+        "leftOuter")
+      val emitted = runToParquet(
+        joined.select($"p_id", $"p_ts", $"c_id", $"c_value"), "append")
+      // cutoff from the BATCH table (same definition as the oracle) — the
+      // emitted set itself can't define it, since whether the max-ts
+      // purchase appears depends on its own match state. The GLOBAL
+      // watermark is the min over both inputs' per-stream watermarks, so
+      // the provably-flushed bound keys off the EARLIER of the two maxima.
+      val cutoff = graft.sources.Tables.events(spark, dir)
+        .filter($"ts".isNotNull &&
+          ($"event_type" === "purchase" || $"event_type" === "click"))
+        .groupBy($"event_type").agg(max($"ts").as("m"))
+        .agg(min($"m")).first().getTimestamp(0)
+      emitted
+        .filter($"p_ts" <= lit(cutoff) - expr("INTERVAL 20 MINUTES"))
+        .groupBy(to_date($"p_ts").as("date"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct($"p_id").as("n_purchases"),
+          countDistinct(when($"c_id".isNull, $"p_id")).as("n_unmatched"),
+          sum(($"c_value".cast(DecimalType(28, 2)) * 100).cast("long"))
+            .as("click_cents"))
+        .orderBy($"date")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events WHERE ts IS NOT NULL),
+      j AS (
+        SELECT p.event_id AS p_id, p.ts AS p_ts, c.event_id AS c_id,
+               c.value AS c_value
+        FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts),
+      f AS (
+        SELECT * FROM j
+        WHERE p_ts <= (SELECT min(m) FROM (
+                        SELECT event_type, max(ts) AS m FROM ev
+                        WHERE event_type IN ('purchase', 'click')
+                        GROUP BY event_type))
+                      - INTERVAL 20 MINUTE)
+      SELECT CAST(p_ts AS DATE) AS date, count(*) AS n_rows,
+             count(DISTINCT p_id) AS n_purchases,
+             count(DISTINCT CASE WHEN c_id IS NULL THEN p_id END) AS n_unmatched,
+             CAST(sum(CAST(CAST(c_value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS click_cents
+      FROM f GROUP BY 1 ORDER BY date"""))
+
+  // ---------------------------------------------------------------------
   // q103/q104 — the Kafka-SHAPED scan path, executed (S1/S2): the
   // `kafka-replay` DSv2 connector (graft.sources.KafkaReplay) emits the
   // exact spark-sql-kafka record schema from the events fixture, so the
@@ -676,5 +758,5 @@ object Streams extends QueryModule {
              END AS est_distinct
       FROM ranked GROUP BY event_type ORDER BY event_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104, q128, q136)
+  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104, q128, q136, q147)
 }

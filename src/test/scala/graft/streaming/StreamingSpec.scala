@@ -333,4 +333,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(via128 === via55)
     assert(via128.nonEmpty)
   }
+
+  test("q147 left-outer stream-stream join exercises BOTH match paths") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val out = graft.SparkEntry.queries("q147_stream_outer_join")(
+      spark, TestSpark.Sf001).cache()
+    // null-side (watermark-evicted) rows actually emitted…
+    assert(out.agg(sum(col("n_unmatched"))).first().getLong(0) > 0)
+    // …alongside matched pairs, and unmatched never exceeds purchases
+    assert(out.agg(sum(col("n_rows")) - sum(col("n_unmatched")))
+      .first().getLong(0) > 0)
+    assert(out.filter(col("n_unmatched") > col("n_purchases")).isEmpty)
+    out.unpersist()
+  }
 }
