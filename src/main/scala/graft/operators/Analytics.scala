@@ -452,5 +452,51 @@ object Analytics extends QueryModule {
     bKept.unionByName(mergedOut).unionByName(dShifted)
   }
 
-  override val defs: Seq[QueryDef] = Seq(q88, q89, q90, q91, q95, q124, q132)
+  // ---------------------------------------------------------------------
+  // q150 — first-order Markov transition matrix over per-user event
+  // sequences: P(next event type | current) estimated from adjacent
+  // pairs in (ts, event_id) order — the behavioral-model counterpart of
+  // q89's fixed funnel. One user_id shuffle for the lead() pass, one
+  // (from, to) roll-up; the probability is exact-int / exact-int in a
+  // single double division. Unique event_id tie-break keeps adjacent
+  // pairs engine-identical under timestamp collisions.
+  // ---------------------------------------------------------------------
+  private val q150 = QueryDef(
+    "q150_markov_transitions",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = Tables.events(spark, dir)
+        .filter($"ts".isNotNull && $"user_id".isNotNull)
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTot = pairs.groupBy($"from_type").agg(sum($"n").as("n_from"))
+      pairs.join(broadcast(fromTot), "from_type")
+        .withColumn("p", $"n".cast("double") / $"n_from".cast("double"))
+        .withColumn("self_loop", when($"from_type" === $"to_type", 1).otherwise(0))
+        .select($"from_type", $"to_type", $"n", $"n_from", $"p", $"self_loop")
+        .orderBy($"from_type", $"to_type")
+    },
+    Some("""
+      WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS next_type
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      ft AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+             FROM pairs GROUP BY 1)
+      SELECT p.from_type, p.to_type, p.n, ft.n_from,
+             CAST(p.n AS DOUBLE) / CAST(ft.n_from AS DOUBLE) AS p,
+             CAST(CASE WHEN p.from_type = p.to_type THEN 1 ELSE 0 END AS INT)
+               AS self_loop
+      FROM pairs p JOIN ft ON p.from_type = ft.from_type
+      ORDER BY p.from_type, p.to_type"""))
+
+  override val defs: Seq[QueryDef] = Seq(q88, q89, q90, q91, q95, q124, q132, q150)
 }

@@ -563,6 +563,119 @@ object Curation extends QueryModule {
              CAST(floor_alloc + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
       FROM ranked, lo ORDER BY source"""))
 
+  // ---------------------------------------------------------------------
+  // q149 — in-engine multinomial NAIVE BAYES language classifier over
+  // BIGRAM features (this corpus's languages share one unigram vocabulary
+  // and differ only in transition structure — q129's lesson; unigram NB
+  // collapses every class into the majority prior): per-lang bigram
+  // models trained on the labeled corpus (add-one smoothing), every doc
+  // scored against all five classes, prediction by argmin total
+  // surprisal, output the confusion matrix. Surprisal is q120's EXACT
+  // log-domain integer discipline — ⌊log₂((c_l+V)/(c_tl+1))⌋ as
+  // bitlen(quotient)−1 — plus the class-prior bits, so per-(doc, lang)
+  // scores are exact integer sums and argmin (surprisal, lang) is a total
+  // order both engines resolve identically.
+  //
+  // Scale shape: the (tok, lang) weight table is vocabulary-sized and
+  // joins the (doc, tok) occurrence stream on the token key — a SHUFFLE
+  // join (q92/q120's discipline: corpus-scale dictionaries never
+  // broadcast); the 5-row class table and V are broadcast scalars. The
+  // doc×class scoring frame is |doc tokens|×5 — linear with a constant
+  // class factor — and collapses by one (doc) and one (true, pred)
+  // roll-up.
+  // ---------------------------------------------------------------------
+  private val q149 = QueryDef(
+    "q149_naive_bayes_langid",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val occ = Tables.documents(spark, dir)
+        .select($"doc_id", $"lang", Portable.tokens(lower($"text")).as("w"))
+        .select($"doc_id", $"lang",
+          explode(transform(
+            sequence(lit(1), greatest(size($"w") - 1, lit(1))),
+            i => struct(element_at($"w", i).as("w1"),
+              element_at($"w", i + 1).as("w2")))).as("p"))
+        .filter($"p.w1".isNotNull && $"p.w2".isNotNull)
+        .select($"doc_id", $"lang",
+          concat($"p.w1", lit(" "), $"p.w2").as("tok"))
+        .groupBy($"doc_id", $"lang", $"tok")
+        .agg(count(lit(1)).as("n_occ"))
+      val ctl = occ.groupBy($"tok", $"lang".as("model"))
+        .agg(sum($"n_occ").as("ctl"))
+      val cl = occ.groupBy($"lang".as("model"))
+        .agg(sum($"n_occ").as("cl"), countDistinct($"doc_id").as("docs_l"))
+      val scal = Tables.documents(spark, dir).agg(
+        count(lit(1)).as("n_docs"))
+        .crossJoin(occ.agg(countDistinct($"tok").as("v")))
+      val scored = occ.drop("lang")
+        .crossJoin(broadcast(cl))
+        .join(ctl, Seq("tok", "model"), "left")
+        .crossJoin(broadcast(scal))
+        .withColumn("q", expr("(cl + v) div (coalesce(ctl, 0L) + 1L)"))
+        .withColumn("bits", (length(conv($"q", 10, 2)) - 1).cast("long"))
+        .groupBy($"doc_id", $"model", $"docs_l", $"n_docs")
+        .agg(sum($"n_occ" * $"bits").as("tok_bits"))
+        .withColumn("prior_bits",
+          (length(conv(expr("n_docs div docs_l"), 10, 2)) - 1).cast("long"))
+        .withColumn("surprisal", $"tok_bits" + $"prior_bits")
+      val wPred = Window.partitionBy($"doc_id")
+        .orderBy($"surprisal", $"model")
+      val pred = scored
+        .withColumn("rn", row_number().over(wPred))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"model".as("pred_lang"))
+      Tables.documents(spark, dir).select($"doc_id", $"lang")
+        .join(pred, "doc_id")
+        .groupBy($"lang", $"pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"pred_lang")
+    },
+    Some(s"""
+      WITH occ AS (
+        SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS n_occ
+        FROM (
+          SELECT doc_id, lang, p['w1'] || ' ' || p['w2'] AS tok FROM (
+            SELECT doc_id, lang,
+                   unnest([{'w1': w[i], 'w2': w[i+1]}
+                           for i in range(1, greatest(len(w) - 1, 1) + 1)]) AS p
+            FROM (SELECT doc_id, lang,
+                         ${graft.functions.Portable.tokensSql("lower(text)")} AS w
+                  FROM documents))
+          WHERE p['w1'] IS NOT NULL AND p['w2'] IS NOT NULL)
+        GROUP BY 1, 2, 3),
+      ctl AS (
+        SELECT tok, lang AS model, CAST(sum(n_occ) AS BIGINT) AS ctl
+        FROM occ GROUP BY 1, 2),
+      cl AS (
+        SELECT lang AS model, CAST(sum(n_occ) AS BIGINT) AS cl,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_l
+        FROM occ GROUP BY 1),
+      scal AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT count(DISTINCT tok) FROM occ) AS v),
+      scored AS (
+        SELECT o.doc_id, c.model, c.docs_l, scal.n_docs,
+               CAST(sum(o.n_occ *
+                 (length(format('{:b}',
+                    (c.cl + scal.v) // (COALESCE(t.ctl, 0) + 1))) - 1)) AS BIGINT)
+               + (length(format('{:b}', scal.n_docs // c.docs_l)) - 1) AS surprisal
+        FROM occ o
+        CROSS JOIN cl c
+        LEFT JOIN ctl t ON o.tok = t.tok AND c.model = t.model
+        CROSS JOIN scal
+        GROUP BY 1, 2, 3, 4),
+      pred AS (
+        SELECT doc_id, model AS pred_lang FROM (
+          SELECT doc_id, model,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY surprisal, model) AS rn
+          FROM scored)
+        WHERE rn = 1)
+      SELECT d.lang, p.pred_lang, count(*) AS n_docs
+      FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134)
+    Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134, q149)
 }

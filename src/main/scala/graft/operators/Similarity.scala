@@ -545,5 +545,80 @@ object Similarity extends QueryModule {
       LEFT JOIN nd ON nd.cell = nv.cell
       ORDER BY cluster_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q39, q40, q56, q57, q76, q105, q108)
+  // ---------------------------------------------------------------------
+  // q148 — top principal direction by POWER ITERATION in exact fixed
+  // point: three unrolled rounds of v ← (XᵀX)v computed as Xᵀ(Xv) — the
+  // covariance matrix is never materialized; each round is one broadcast
+  // of the 64-long direction, one per-row dot product, and one (dim)
+  // grouped sum (map-side combinable). Everything is integer: components
+  // quantize to floor(x·1000), and each round renormalizes to max-abs
+  // 1000 with a sign-symmetric positive-operand div (Spark `div`
+  // truncates toward zero while DuckDB `//` floors — they agree only on
+  // non-negative operands, so the sign is peeled first). No collect: the
+  // direction re-packs into a 1-row array via sorted collect_list.
+  // Overflow envelope: |u_d| ≤ n·10³·6.4·10⁷ — int64-safe to n ≈ 1.4·10⁸
+  // vectors; past that the accumulators move to DECIMAL(38) (q120's
+  // wider-lane discipline).
+  // ---------------------------------------------------------------------
+  private val q148 = QueryDef(
+    "q148_power_iteration",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Tables.embeddings(spark, dir)
+        .select($"vec_id",
+          transform($"embedding",
+            x => floor(x.cast("double") * 1000).cast("long")).as("e"))
+      // one power-iteration round: returns the renormalized direction as
+      // a 1-row array<long> frame
+      def round(v: DataFrame): DataFrame = {
+        val s = e.crossJoin(broadcast(v))
+          .withColumn("s", aggregate(
+            zip_with($"e", $"varr", (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+          .select($"s", posexplode($"e"))
+          .groupBy($"pos".as("d"))
+          .agg(sum($"col" * $"s").as("u"))
+        val m = s.agg(max(abs($"u")).as("m"))
+        s.crossJoin(broadcast(m))
+          .withColumn("vd",
+            when($"u" < 0, -expr("((-u) * 1000) div m"))
+              .otherwise(expr("(u * 1000) div m")))
+          .agg(transform(array_sort(collect_list(struct($"d", $"vd"))),
+            p => p("vd")).as("varr"))
+      }
+      val v0 = spark.range(1)
+        .select(transform(sequence(lit(1), lit(64)), _ => lit(1000L)).as("varr"))
+      val v3 = round(round(round(v0)))
+      v3.select(posexplode($"varr"))
+        .select(($"pos" + 1).as("d"), $"col".as("v"))
+        .orderBy($"d")
+    },
+    Some {
+      def rnd(i: Int): String = {
+        val prev = if (i == 1) "v0" else s"v${i - 1}"
+        s"""
+      s$i AS (
+        SELECT vec_id, CAST(sum(ed * v) AS BIGINT) AS s
+        FROM e JOIN $prev USING (d) GROUP BY vec_id),
+      u$i AS (
+        SELECT d, CAST(sum(ed * s) AS BIGINT) AS u
+        FROM e JOIN s$i USING (vec_id) GROUP BY d),
+      m$i AS (SELECT max(abs(u)) AS m FROM u$i),
+      v$i AS (
+        SELECT d, CASE WHEN u < 0 THEN -(((-u) * 1000) // m)
+                       ELSE (u * 1000) // m END AS v
+        FROM u$i CROSS JOIN m$i)"""
+      }
+      s"""
+      WITH e AS (
+        SELECT vec_id, r.d + 1 AS d,
+               CAST(floor(CAST(embedding[r.d + 1] AS DOUBLE) * 1000) AS BIGINT) AS ed
+        FROM embeddings CROSS JOIN range(0, 64) r(d)),
+      v0 AS (SELECT unnest(range(1, 65)) AS d, CAST(1000 AS BIGINT) AS v),
+      ${rnd(1)},
+      ${rnd(2)},
+      ${rnd(3)}
+      SELECT CAST(d AS BIGINT) AS d, v FROM v3 ORDER BY d"""
+    })
+
+  override val defs: Seq[QueryDef] = Seq(q39, q40, q56, q57, q76, q105, q108, q148)
 }
