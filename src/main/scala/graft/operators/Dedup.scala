@@ -851,6 +851,54 @@ object Dedup extends QueryModule {
     },
     Some(s"WITH RECURSIVE ndp AS ($minhashOracle),$recursiveBody"))
 
+  // ---------------------------------------------------------------------
+  // q151 — distributed TRIANGLE COUNT on the verified near-dup graph:
+  // per-node triangle membership via the canonical ordered-wedge join —
+  // edges kept as i<j only, wedges (a<b<c) from pairs sharing endpoint
+  // b... closed by probing (a,c) against the edge set. Ordering every
+  // edge once (instead of symmetrizing) is THE classic shuffle-volume
+  // trick: each triangle is counted exactly once, and the wedge fan-out
+  // is bounded by per-node out-degree in the ordering, which the
+  // df-capped pair graph keeps small. Output: per-node membership plus
+  // degree (the clustering-coefficient numerator/denominator pair).
+  // ---------------------------------------------------------------------
+  private val q151 = QueryDef(
+    "q151_triangle_count",
+    (spark, dir) => {
+      import spark.implicits._
+      val edges = nearDupPairs(spark, dir).select($"i", $"j").distinct()
+      val tri = edges.as("ab")
+        .join(edges.as("bc"), col("ab.j") === col("bc.i"))
+        .join(edges.as("ac"),
+          col("ab.i") === col("ac.i") && col("bc.j") === col("ac.j"))
+        .select(col("ab.i").as("a"), col("ab.j").as("b"), col("bc.j").as("c"))
+      val membership = tri.select(explode(array($"a", $"b", $"c")).as("node"))
+        .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+      val degree = edges
+        .select(explode(array($"i", $"j")).as("node"))
+        .groupBy($"node").agg(count(lit(1)).as("degree"))
+      degree.join(membership, Seq("node"), "left")
+        .na.fill(0L, Seq("n_triangles"))
+        .orderBy($"node")
+    },
+    Some(s"""
+      WITH pairs AS ($minhashOracle),
+      edges AS (SELECT DISTINCT i, j FROM pairs),
+      tri AS (
+        SELECT ab.i AS a, ab.j AS b, bc.j AS c
+        FROM edges ab
+        JOIN edges bc ON ab.j = bc.i
+        JOIN edges ac ON ab.i = ac.i AND bc.j = ac.j),
+      membership AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1),
+      degree AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT unnest([i, j]) AS node FROM edges) GROUP BY 1)
+      SELECT d.node, d.degree, COALESCE(m.n_triangles, 0) AS n_triangles
+      FROM degree d LEFT JOIN membership m ON d.node = m.node
+      ORDER BY d.node"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q34, q35, q36, q37, q38, q72, q96, q114, q118, q131)
+    Seq(q34, q35, q36, q37, q38, q72, q96, q114, q118, q131, q151)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, QueryModule}
+import graft.sources.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -249,5 +250,145 @@ object Indicators extends QueryModule {
              max(CASE WHEN is_outlier THEN date END) AS last_outlier
       FROM f GROUP BY ticker ORDER BY ticker"""))
 
-  override val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83)
+  // ---------------------------------------------------------------------
+  // q153 — VWAP (volume-weighted average price) per ticker-day, plus each
+  // day's deviation of the close from its own VWAP in basis points. TPC-H
+  // lineitem plays the trade tape: l_extendedprice is the notional
+  // (price×size), l_quantity the size, so VWAP = Σnotional / Σsize per
+  // (ticker, day) — exact cent/centi-unit integer sums, ONE double
+  // division at the end, one rollup on the fact table.
+  // ---------------------------------------------------------------------
+  private val q153 = QueryDef(
+    "q153_vwap",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .groupBy($"l_suppkey".as("ticker"), to_date($"l_shipdate").as("date"))
+        .agg(
+          sum(($"l_extendedprice".cast(DecimalType(28, 2)) * 100).cast("long"))
+            .as("notional_cents"),
+          sum(($"l_quantity".cast(DecimalType(28, 2)) * 100).cast("long"))
+            .as("size_centi"),
+          count(lit(1)).as("n_trades"))
+        .withColumn("vwap",
+          $"notional_cents".cast("double") / $"size_centi".cast("double"))
+        .orderBy($"ticker", $"date")
+    },
+    Some("""
+      SELECT l_suppkey AS ticker, CAST(l_shipdate AS DATE) AS date,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS notional_cents,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS size_centi,
+             count(*) AS n_trades,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)) AS DOUBLE)
+               / CAST(sum(CAST(CAST(l_quantity AS DECIMAL(28,2)) * 100 AS BIGINT)) AS DOUBLE) AS vwap
+      FROM lineitem GROUP BY 1, 2 ORDER BY ticker, date"""))
+
+  // ---------------------------------------------------------------------
+  // q154 — MACD, SMA variant (q80's Cutler stance: the published EMA form
+  // needs α = 2/13, 2/27 — not dyadic, not bit-portable; the SMA
+  // crossover variant keeps EVERY intermediate an exact integer over a
+  // common denominator): macd·312 = 26·Σ₁₂ − 12·Σ₂₆ cents, signal·2808 =
+  // Σ₉ macd·312, histogram from the same integers; three doubles emitted
+  // by fixed single divisions at the very end. Both window passes and
+  // the lag reuse ONE ticker partitioning.
+  // ---------------------------------------------------------------------
+  private val q154 = QueryDef(
+    "q154_macd",
+    (spark, dir) => {
+      import spark.implicits._
+      val w12 = wTicker.rowsBetween(-11, 0)
+      val w26 = wTicker.rowsBetween(-25, 0)
+      val w9 = wTicker.rowsBetween(-8, 0)
+      barsCents(spark, dir)
+        .withColumn("n", count($"cents").over(w26))
+        .withColumn("macd312",
+          lit(26L) * sum($"cents").over(w12) - lit(12L) * sum($"cents").over(w26))
+        .filter($"n" === 26)
+        .withColumn("n9", count($"macd312").over(w9))
+        .withColumn("signal2808", sum($"macd312").over(w9))
+        .filter($"n9" === 9)
+        .select($"ticker", $"date",
+          ($"macd312".cast("double") / 312.0).as("macd_cents"),
+          ($"signal2808".cast("double") / 2808.0).as("signal_cents"),
+          (($"macd312" * 9L - $"signal2808").cast("double") / 2808.0)
+            .as("histogram_cents"))
+        .orderBy($"ticker", $"date")
+    },
+    Some(s"""
+      WITH ${WindowFeatures.barsSql},
+      c AS (SELECT ticker, date, $centsSql AS cents FROM bars),
+      m AS (
+        SELECT ticker, date,
+               26 * sum(cents) OVER (PARTITION BY ticker ORDER BY date
+                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+             - 12 * sum(cents) OVER (PARTITION BY ticker ORDER BY date
+                 ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) AS macd312,
+               count(cents) OVER (PARTITION BY ticker ORDER BY date
+                 ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) AS n
+        FROM c),
+      s AS (
+        SELECT ticker, date, macd312,
+               CAST(sum(macd312) OVER wt9 AS BIGINT) AS signal2808,
+               count(macd312) OVER wt9 AS n9
+        FROM m WHERE n = 26
+        WINDOW wt9 AS (PARTITION BY ticker ORDER BY date
+                       ROWS BETWEEN 8 PRECEDING AND CURRENT ROW))
+      SELECT ticker, date,
+             CAST(macd312 AS DOUBLE) / 312.0 AS macd_cents,
+             CAST(signal2808 AS DOUBLE) / 2808.0 AS signal_cents,
+             CAST(macd312 * 9 - signal2808 AS DOUBLE) / 2808.0 AS histogram_cents
+      FROM s WHERE n9 = 9 ORDER BY ticker, date"""))
+
+  // ---------------------------------------------------------------------
+  // q155 — maximum drawdown per ticker: running peak of the close, per-row
+  // drawdown in integer basis points ((peak − close)·10⁴ div peak), then
+  // each ticker's worst drawdown with the FIRST date it was reached
+  // (min_by over the (drawdown desc, date asc) total order via max_by on
+  // a composite key). Single ticker partitioning shared by the running
+  // max and the final rollup; all integer until the emitted double.
+  // ---------------------------------------------------------------------
+  private val q155 = QueryDef(
+    "q155_max_drawdown",
+    (spark, dir) => {
+      import spark.implicits._
+      val wRun = wTicker.rowsBetween(Window.unboundedPreceding, 0)
+      barsCents(spark, dir)
+        .withColumn("peak", max($"cents").over(wRun))
+        .withColumn("dd_bp", expr("(peak - cents) * 10000 div peak"))
+        .groupBy($"ticker")
+        .agg(
+          max($"dd_bp").as("max_dd_bp"),
+          min_by($"date", struct((-$"dd_bp").as("a"), $"date".as("b")))
+            .as("trough_date"),
+          max($"peak").as("peak_cents"),
+          count(lit(1)).as("n_days"))
+        .withColumn("max_dd_frac", $"max_dd_bp".cast("double") / 10000.0)
+        .orderBy($"ticker")
+    },
+    Some(s"""
+      WITH ${WindowFeatures.barsSql},
+      c AS (SELECT ticker, date, $centsSql AS cents FROM bars),
+      r AS (
+        SELECT ticker, date, cents,
+               max(cents) OVER (PARTITION BY ticker ORDER BY date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM c),
+      d AS (
+        SELECT ticker, date, peak, (peak - cents) * 10000 // peak AS dd_bp
+        FROM r),
+      best AS (
+        SELECT ticker, date AS trough_date,
+               row_number() OVER (PARTITION BY ticker
+                 ORDER BY dd_bp DESC, date) AS rn
+        FROM d),
+      agg AS (
+        SELECT ticker, CAST(max(dd_bp) AS BIGINT) AS max_dd_bp,
+               max(peak) AS peak_cents, count(*) AS n_days
+        FROM d GROUP BY ticker)
+      SELECT a.ticker, a.max_dd_bp, b.trough_date, a.peak_cents, a.n_days,
+             CAST(a.max_dd_bp AS DOUBLE) / 10000.0 AS max_dd_frac
+      FROM agg a JOIN best b ON a.ticker = b.ticker AND b.rn = 1
+      ORDER BY a.ticker"""))
+
+  override val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q153, q154, q155)
 }

@@ -394,6 +394,86 @@ object Series extends QueryModule {
       CROSS JOIN tt
       ORDER BY cells.event_type, cells.dow"""))
 
+  // ---------------------------------------------------------------------
+  // q152 — delete-a-group JACKKNIFE standard error of the mean, with
+  // deterministic hash folds: rows assigned to k=10 folds by the portable
+  // md5 of the row key (no RNG — the same rows land in the same folds on
+  // any engine, any partitioning, any run), leave-one-fold-out means from
+  // EXACT integer per-fold sums, then the jackknife variance folded over
+  // the fold-sorted array with an ORDERED reduce (Spark `aggregate` ≡
+  // DuckDB `list_reduce`, both left-associative) — never a float SUM();
+  // this is how a float-valued variance survives the hash gate. The
+  // per-fold state is k sums+counts per group however large the group —
+  // the resampling-without-resampling discipline at scale.
+  // ---------------------------------------------------------------------
+  private val JkFolds = 10
+  private val q152 = QueryDef(
+    "q152_jackknife_se",
+    (spark, dir) => {
+      import spark.implicits._
+      val folds = Tables.events(spark, dir)
+        .filter($"value".isNotNull)
+        .select($"event_type",
+          ($"value".cast(DecimalType(28, 2)) * 100).cast("long").as("cents"),
+          pmod(Portable.md5Hash64($"event_id".cast("string")), lit(JkFolds.toLong))
+            .as("fold"))
+        .groupBy($"event_type", $"fold")
+        .agg(sum($"cents").as("s_f"), count(lit(1)).as("n_f"))
+      val wAll = Window.partitionBy($"event_type")
+      val loo = folds
+        .withColumn("s", sum($"s_f").over(wAll))
+        .withColumn("n", sum($"n_f").over(wAll))
+        .withColumn("mu_loo",
+          ($"s" - $"s_f").cast("double") / ($"n" - $"n_f").cast("double"))
+      loo.groupBy($"event_type")
+        .agg(
+          max($"n").as("n"), max($"s").as("s"),
+          transform(array_sort(collect_list(struct($"fold", $"mu_loo"))),
+            p => p("mu_loo")).as("arr"))
+        .withColumn("mean_cents", $"s".cast("double") / $"n".cast("double"))
+        .withColumn("jk_mean",
+          aggregate($"arr", lit(0.0), (acc, x) => acc + x) / lit(JkFolds.toDouble))
+        .withColumn("jk_se", sqrt(
+          aggregate($"arr", lit(0.0),
+            (acc, x) => acc + ($"jk_mean" - x) * ($"jk_mean" - x))
+            * lit((JkFolds - 1).toDouble / JkFolds)))
+        .select($"event_type", $"n", $"mean_cents", $"jk_mean", $"jk_se")
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT event_type,
+               ${Portable.md5Hash64Sql("CAST(event_id AS VARCHAR)")} % $JkFolds AS fold,
+               CAST(sum(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS s_f,
+               CAST(count(*) AS BIGINT) AS n_f
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      t AS (
+        SELECT event_type, CAST(sum(s_f) AS BIGINT) AS s,
+               CAST(sum(n_f) AS BIGINT) AS n FROM f GROUP BY 1),
+      loo AS (
+        SELECT f.event_type, f.fold,
+               CAST(t.s - f.s_f AS DOUBLE) / CAST(t.n - f.n_f AS DOUBLE) AS mu_loo,
+               t.s, t.n
+        FROM f JOIN t ON f.event_type = t.event_type),
+      arrs AS (
+        SELECT event_type, max(s) AS s, max(n) AS n,
+               list_transform(
+                 list_sort(list({'fold': fold, 'mu_loo': mu_loo})),
+                 p -> p.mu_loo) AS arr
+        FROM loo GROUP BY 1),
+      stats AS (
+        SELECT event_type, n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE), arr),
+                 (acc, x) -> acc + x) / ${JkFolds.toDouble} AS jk_mean,
+               arr
+        FROM arrs)
+      SELECT event_type, n, mean_cents, jk_mean,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), arr),
+                    (acc, x) -> acc + (jk_mean - x) * (jk_mean - x))
+                  * ${(JkFolds - 1).toDouble / JkFolds}) AS jk_se
+      FROM stats ORDER BY event_type"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q137, q138, q139, q140, q145, q146)
+    Seq(q137, q138, q139, q140, q145, q146, q152)
 }

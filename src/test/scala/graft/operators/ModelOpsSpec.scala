@@ -61,6 +61,52 @@ class ModelOpsSpec extends AnyFunSuite {
     cm.unpersist()
   }
 
+  test("q151: triangle memberships are wedge-bounded and divisible by 3 in total") {
+    val t = graft.SparkEntry.queries("q151_triangle_count")(spark, dir).cache()
+    assert(t.filter($"degree" < 1).isEmpty)
+    // a node in T triangles needs at least T distinct neighbor pairs
+    assert(t.filter($"n_triangles" * 2 > $"degree" * ($"degree" - 1)).isEmpty)
+    // every triangle contributes exactly 3 memberships
+    assert(t.agg(sum($"n_triangles")).as[Long].head() % 3 === 0)
+    t.unpersist()
+  }
+
+  test("q152: jackknife SE is positive and the jackknife mean tracks the sample mean") {
+    val j = graft.SparkEntry.queries("q152_jackknife_se")(spark, dir).cache()
+    assert(j.filter($"jk_se" <= 0.0).isEmpty)
+    // delete-a-group jackknife of the MEAN recenters within a few SEs
+    assert(j.filter(abs($"mean_cents" - $"jk_mean") > $"jk_se" * 5 + 1.0).isEmpty)
+    j.unpersist()
+  }
+
+  test("q153: VWAP sits inside each day's unit-price envelope") {
+    val v = graft.SparkEntry.queries("q153_vwap")(spark, dir)
+    val env = Tables.lineitem(spark, dir)
+      .withColumn("unit", $"l_extendedprice" / $"l_quantity")
+      .groupBy($"l_suppkey".as("ticker"),
+        to_date($"l_shipdate").as("date"))
+      .agg(min($"unit").as("lo"), max($"unit").as("hi"))
+    // vwap is in cents-per-centiunit = dollars-per-unit
+    assert(v.join(env, Seq("ticker", "date"))
+      .filter($"vwap" < $"lo" * 0.999 || $"vwap" > $"hi" * 1.001).isEmpty)
+    assert(v.agg(sum($"n_trades")).as[Long].head() ===
+      Tables.lineitem(spark, dir).count())
+  }
+
+  test("q154: histogram is exactly macd minus signal") {
+    val m = graft.SparkEntry.queries("q154_macd")(spark, dir)
+    assert(m.filter(
+      abs($"histogram_cents" - ($"macd_cents" - $"signal_cents")) > 1e-9).isEmpty)
+  }
+
+  test("q155: drawdown is a fraction of peak and the trough date is in range") {
+    val d = graft.SparkEntry.queries("q155_max_drawdown")(spark, dir).cache()
+    assert(d.filter($"max_dd_bp" < 0 || $"max_dd_bp" >= 10000).isEmpty)
+    assert(d.filter($"max_dd_frac" =!= $"max_dd_bp".cast("double") / 10000.0).isEmpty)
+    assert(d.filter($"trough_date".isNull).isEmpty)
+    d.unpersist()
+  }
+
   test("q150: transition rows partition each from-state and probabilities are consistent") {
     val t = graft.SparkEntry.queries("q150_markov_transitions")(spark, dir)
       .cache()
