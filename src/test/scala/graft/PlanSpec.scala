@@ -309,6 +309,54 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q140: the probe side joins the broadcast sketch, never a shuffle of cells") {
+    // the d*w-cell sketch must broadcast: a shuffle join here re-exchanges
+    // the (tiny, bounded) sketch against every probe at scale for nothing
+    val p = planOf("q140_cms_frequency")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q137: calendar bounds broadcast; the only cross is the 1-row bounds frame") {
+    val p = planOf("q137_gap_fill")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q148: every power-iteration round broadcasts the direction — no cartesian") {
+    val p = planOf("q148_power_iteration")
+    assert(!p.contains("CartesianProduct"), p)
+    // three rounds -> at least three broadcast exchanges of the 1-row frame
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("q149: NB scoring never goes cartesian and keeps broadcast for the class table") {
+    // note: at fixture scale the planner ALSO auto-broadcasts the weight
+    // table (it is below the threshold — correct); at corpus scale its
+    // stats exceed the threshold and the same plan degrades to a shuffle
+    // join on its own, which is why the code carries no broadcast hint on
+    // the weights
+    val p = planOf("q149_naive_bayes_langid")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q153: VWAP is one partial+final aggregate straight off the scan") {
+    val p = planOf("q153_vwap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // exactly one shuffle: the rollup's exchange (plus nothing else)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q155: drawdown shares ONE ticker exchange between window and rollup") {
+    val p = planOf("q155_max_drawdown")
+    // bars build has its own exchanges; the drawdown stage adds at most
+    // one ticker hash exchange reused by the running-max sort and groupBy
+    assert(!p.contains("CartesianProduct"))
+    val drawdownExchanges = "Exchange hashpartitioning\\(ticker".r.findAllIn(p).size
+    assert(drawdownExchanges <= 1, p)
+  }
+
   test("dot_scaled is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     val got = spark.sql(
