@@ -555,6 +555,46 @@ object Extras extends QueryModule {
       FROM documents GROUP BY source ORDER BY source"""))
 
   // ---------------------------------------------------------------------
+  // q156 — XML corpus round-trip (Spark 4's built-in XML source — the
+  // spark-xml connector merged into core): documents out through the XML
+  // writer (one <doc> row element per record), back through a SCHEMA'd
+  // XML scan, proven by the same position-independent per-source content
+  // hash q127 uses for JSONL — any escaping defect (angle brackets,
+  // ampersands, quotes, unicode in text) breaks the hash against the
+  // oracle computed straight from the source table. Both legs are
+  // embarrassingly parallel scans; the XML decode is StAX inside the
+  // scan, no UDF.
+  // ---------------------------------------------------------------------
+  private val q156 = QueryDef(
+    "q156_xml_roundtrip",
+    (spark, dir) => {
+      import spark.implicits._
+      val out = Files.createTempDirectory("graft_xml_").toString + "/docs"
+      Tables.documents(spark, dir).write.mode("overwrite")
+        .option("rootTag", "corpus").option("rowTag", "doc")
+        .xml(out)
+      val schema = new StructType()
+        .add("doc_id", LongType).add("text", StringType).add("lang", StringType)
+        .add("source", StringType).add("n_chars", LongType)
+      spark.read.schema(schema).option("rowTag", "doc").xml(out)
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          sum(graft.functions.Portable.md5Hash64(
+            concat($"doc_id".cast("string"), lit("|"), $"text", lit("|"), $"lang"))
+            % graft.functions.Portable.P).as("content_hash"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(${graft.functions.Portable.md5Hash64Sql(
+               "(CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang)")}
+               % ${graft.functions.Portable.P}) AS BIGINT) AS content_hash
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  // ---------------------------------------------------------------------
   // q143 — GROUPING SETS (the general form q50's ROLLUP is a special case
   // of): the ((flag,status),(flag),()) lattice over lineitem with
   // grouping_id disambiguating aggregated-away NULLs from data NULLs —
@@ -591,5 +631,5 @@ object Extras extends QueryModule {
 
   override val defs: Seq[QueryDef] =
     Seq(q46, q47, q48, q49, q50, q51, q52, q70, q71, q78, q79, q93, q123,
-      q126, q127, q143)
+      q126, q127, q143, q156)
 }

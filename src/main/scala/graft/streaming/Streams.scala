@@ -531,6 +531,54 @@ object Streams extends QueryModule {
       FROM j GROUP BY 1 ORDER BY date"""))
 
   // ---------------------------------------------------------------------
+  // q157 — streaming SLIDING (hop) windows: 15-minute windows every 5
+  // minutes — each event lands in exactly 3 overlapping windows, the
+  // smoothing shape dashboards want that q41's tumbling windows can't
+  // give. Spark plans the hop as ONE stateful aggregate whose grouping
+  // expands each row to its ⌈len/slide⌉ windows (state scales with
+  // windows-per-slide × keys, bounded by the watermark); complete-mode
+  // replay emits every window for the bounded fixture. The oracle states
+  // the same expansion declaratively: 3 candidate starts from the 5-min
+  // epoch grid, filtered to containment.
+  // ---------------------------------------------------------------------
+  private val q157 = QueryDef(
+    "q157_stream_sliding_windows",
+    (outer, dir) => {
+      val spark = streamSession(outer)
+      import spark.implicits._
+      val agg = eventsStream(spark, dir)
+        .filter($"ts".isNotNull)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "15 minutes", "5 minutes"), $"event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum($"value".cast(DecimalType(28, 2))).cast("double").as("total_value"))
+        .select($"window.start".as("window_start"), $"window.end".as("window_end"),
+          $"event_type", $"n_events", $"total_value")
+      runToParquet(agg, "complete")
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""
+      WITH hops AS (
+        SELECT event_type, value,
+               make_timestamp((epoch_us(ts) // 300000000) * 300000000
+                              - k.k * 300000000) AS window_start
+        FROM events
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+        WHERE ts IS NOT NULL
+          AND ts >= make_timestamp((epoch_us(ts) // 300000000) * 300000000
+                                   - k.k * 300000000)
+          AND ts <  make_timestamp((epoch_us(ts) // 300000000) * 300000000
+                                   - k.k * 300000000) + INTERVAL 15 MINUTE)
+      SELECT window_start,
+             window_start + INTERVAL 15 MINUTE AS window_end,
+             event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+      FROM hops GROUP BY 1, 2, 3
+      ORDER BY window_start, event_type"""))
+
+  // ---------------------------------------------------------------------
   // q147 — stream–stream LEFT OUTER interval join: q86's inner join also
   // EMITS the unmatched purchases (null click side) once the watermark
   // proves no future click can match — the state-eviction semantics that
@@ -758,5 +806,5 @@ object Streams extends QueryModule {
              END AS est_distinct
       FROM ranked GROUP BY event_type ORDER BY event_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104, q128, q136, q147)
+  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104, q128, q136, q147, q157)
 }
