@@ -595,6 +595,51 @@ object Extras extends QueryModule {
       FROM documents GROUP BY source ORDER BY source"""))
 
   // ---------------------------------------------------------------------
+  // q159 — UNPIVOT (melt): q71's wide daily frame folded back to long
+  // form through Spark's native unpivot operator — the inverse reshape a
+  // reporting layer needs when a wide export feeds a long-format
+  // consumer. Catalyst plans unpivot as an Expand (rows × |value
+  // columns|, no shuffle); the round-trip wide→long is proven against
+  // the oracle's direct dense long-form aggregate (calendar × type grid
+  // with zero-fill), so a melt that loses the zero-filled cells or
+  // mislabels a column breaks the gate.
+  // ---------------------------------------------------------------------
+  private val q159 = QueryDef(
+    "q159_unpivot_melt",
+    (spark, dir) => {
+      import spark.implicits._
+      val wide = Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .withColumn("date", to_date($"ts"))
+        .withColumn("cents", ($"value".cast(DecimalType(28, 2)) * 100).cast("long"))
+        .groupBy($"date")
+        .pivot("event_type", EventTypes)
+        .agg(sum($"cents"))
+        .na.fill(0L, EventTypes)
+      wide.unpivot(
+          Array($"date"), EventTypes.map(col).toArray,
+          "event_type", "cents")
+        .orderBy($"date", $"event_type")
+    },
+    Some {
+      val types = EventTypes.map("'" + _ + "'").mkString(", ")
+      s"""
+      WITH grid AS (
+        SELECT d.date, t.event_type
+        FROM (SELECT DISTINCT CAST(ts AS DATE) AS date
+              FROM events WHERE ts IS NOT NULL) d
+        CROSS JOIN (SELECT unnest([$types]) AS event_type) t),
+      sums AS (
+        SELECT CAST(ts AS DATE) AS date, event_type,
+               CAST(sum(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+      SELECT g.date, g.event_type, COALESCE(s.cents, 0) AS cents
+      FROM grid g LEFT JOIN sums s
+        ON g.date = s.date AND g.event_type = s.event_type
+      ORDER BY g.date, g.event_type"""
+    })
+
+  // ---------------------------------------------------------------------
   // q143 — GROUPING SETS (the general form q50's ROLLUP is a special case
   // of): the ((flag,status),(flag),()) lattice over lineitem with
   // grouping_id disambiguating aggregated-away NULLs from data NULLs —
@@ -631,5 +676,5 @@ object Extras extends QueryModule {
 
   override val defs: Seq[QueryDef] =
     Seq(q46, q47, q48, q49, q50, q51, q52, q70, q71, q78, q79, q93, q123,
-      q126, q127, q143, q156)
+      q126, q127, q143, q156, q159)
 }

@@ -239,5 +239,63 @@ object Temporal extends QueryModule {
         ON e.event_type = q.event_type AND e.d >= q.qdate
       GROUP BY 1, 2 ORDER BY e.event_type, staleness NULLS FIRST"""))
 
-  override val defs: Seq[QueryDef] = Seq(q62, q63, q94, q101)
+  // ---------------------------------------------------------------------
+  // q158 — as-of join with TOLERANCE (pandas merge_asof(tolerance=...)):
+  // the native as-of match is kept only while the quote is ≤ 3 days
+  // stale; older matches are demoted to unmatched — the staleness cap a
+  // production feature-store join needs so a dead symbol doesn't serve
+  // week-old features forever. Expressed as the SAME native as-of plan
+  // (one co-partitioned merge-scan) plus a post-join conditional null-out
+  // — tolerance never changes WHICH row is latest, only whether it
+  // qualifies, so no second join and no plan change. Oracle: DuckDB ASOF
+  // LEFT JOIN with the identical CASE demotion.
+  // ---------------------------------------------------------------------
+  private val TolDays = 3
+  private val q158 = QueryDef(
+    "q158_asof_tolerance",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .select($"event_id", $"event_type", to_date($"ts").as("d"), $"value")
+      val quotes = ev
+        .groupBy($"event_type", $"d")
+        .agg(cents($"value").as("close_cents"))
+        .filter(pmod(Portable.md5Hash64(
+          concat($"event_type", lit("|"), $"d".cast("string"))), lit(10)) < 7 &&
+          $"d" >= lit(QuoteStart).cast("date"))
+        .select($"event_type".as("q_type"), $"d".as("qdate"), $"close_cents")
+      graft.plans.AsOf.join(ev, quotes,
+          Seq("event_type" -> "q_type"), "d", "qdate")
+        .withColumn("raw_staleness", datediff($"d", $"qdate"))
+        .withColumn("staleness",
+          when($"raw_staleness" <= TolDays, $"raw_staleness")) // else NULL
+        .groupBy($"event_type", $"staleness")
+        .agg(
+          count(lit(1)).as("n_events"),
+          count($"staleness").as("n_in_tolerance"),
+          cents($"value").as("value_cents"))
+        .orderBy($"event_type", $"staleness".asc_nulls_first)
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_id, event_type, CAST(ts AS DATE) AS d, value
+        FROM events WHERE ts IS NOT NULL),
+      quotes AS (
+        SELECT event_type, d AS qdate,
+               sum(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS close_cents
+        FROM ev GROUP BY 1, 2
+        HAVING ${Portable.md5Hash64Sql("event_type || '|' || CAST(qdate AS VARCHAR)")} % 10 < 7
+           AND qdate >= DATE '$QuoteStart'),
+      j AS (
+        SELECT e.event_type, e.value,
+               CASE WHEN e.d - q.qdate <= $TolDays THEN e.d - q.qdate END AS staleness
+        FROM ev e ASOF LEFT JOIN quotes q
+          ON e.event_type = q.event_type AND e.d >= q.qdate)
+      SELECT event_type, staleness, count(*) AS n_events,
+             count(staleness) AS n_in_tolerance,
+             CAST(sum(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+      FROM j GROUP BY 1, 2 ORDER BY event_type, staleness NULLS FIRST"""))
+
+  override val defs: Seq[QueryDef] = Seq(q62, q63, q94, q101, q158)
 }

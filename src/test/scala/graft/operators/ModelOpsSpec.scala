@@ -107,6 +107,26 @@ class ModelOpsSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("in-engine k-means is cost-competitive with MLlib KMeans at the same k") {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = Corpus.derivedK(spark, dir).toInt
+    val ours = Corpus.inertia(spark, dir,
+      Corpus.kmeansCentroids(spark, dir, Corpus.KmIters))
+    // our coordinates are floor(x·1e6) longs → distances carry 1e12
+    val oursRaw = ours.toDouble / 1e12
+    val feats = Tables.embeddings(spark, dir)
+      .select(array_to_vector($"embedding".cast("array<double>")).as("features"))
+    val mllib = new KMeans().setK(k).setSeed(42L).setMaxIter(20)
+      .fit(feats).summary.trainingCost
+    // the deterministic 3-round Lloyd's must land within 2× of MLlib's
+    // 20-iteration k-means|| cost — "competitive", not "identical": the
+    // in-engine form trades iterations for bit-reproducibility
+    assert(oursRaw <= mllib * 2.0,
+      s"ours=$oursRaw mllib=$mllib k=$k")
+    assert(oursRaw > 0.0)
+  }
+
   test("q150: transition rows partition each from-state and probabilities are consistent") {
     val t = graft.SparkEntry.queries("q150_markov_transitions")(spark, dir)
       .cache()
