@@ -899,6 +899,80 @@ object Dedup extends QueryModule {
       FROM degree d LEFT JOIN membership m ON d.node = m.node
       ORDER BY d.node"""))
 
+  // ---------------------------------------------------------------------
+  // q163 — ASYMMETRIC gram containment (quote / subset detection): the
+  // near-dup family's missing direction. Jaccard (q37) misses the case a
+  // curation pipeline most wants flagged — a short doc that is mostly a
+  // QUOTE of a long one (|A∩B|/|A| high while |A∩B|/|A∪B| is low because
+  // |B| dominates the union). Containment(A→B) = |grams(A)∩grams(B)| /
+  // |grams(A)| per direction; pairs flagged when either direction ≥ 0.8.
+  //
+  // Candidates deliberately drop q37's length-bucket block — containment
+  // pairs SHORT against LONG by nature, so blocking on length would
+  // blind the operator to its own use case. The df cap moves to the
+  // (lang, gram) grain instead: one window pass on the same key the
+  // candidate self-join shuffles on, and the fan-out bound is the same
+  // ≤ cap² per rare gram as q37/q96 (SURVEY §4's anti-quadratic rule).
+  // Verification counts run over the FULL gram sets (candidate/verify
+  // split). Containment is emitted as exact integer millis —
+  // (1000·k) div n, non-negative operands, portable truncation.
+  // ---------------------------------------------------------------------
+  private val q163 = QueryDef(
+    "q163_gram_containment",
+    (spark, dir) => {
+      import spark.implicits._
+      val grams = word3grams(spark, dir)
+      val rareGlobal = grams
+        .withColumn("df2", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"lang", $"s")))
+        .filter($"df2" <= GramDfCap)
+        .select($"doc_id", $"lang", $"s")
+      val cands = rareGlobal.as("a").join(rareGlobal.as("b"),
+          col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = cands
+        .join(grams.as("ga"), col("ga.doc_id") === $"i")
+        .join(grams.as("gb"), col("gb.doc_id") === $"j" && col("gb.s") === col("ga.s"))
+        .groupBy($"i", $"j").agg(count(lit(1)).as("k"))
+      inter
+        .join(sizes.as("na"), col("na.doc_id") === $"i")
+        .join(sizes.as("nb"), col("nb.doc_id") === $"j")
+        .select($"i", $"j", $"k",
+          col("na.n").as("n_i"), col("nb.n").as("n_j"),
+          expr("(1000 * k) div na.n").as("cont_i_milli"),
+          expr("(1000 * k) div nb.n").as("cont_j_milli"))
+        .filter(greatest($"cont_i_milli", $"cont_j_milli") >= 800)
+        .orderBy($"i", $"j")
+    },
+    Some(s"""
+      WITH $gramsSql,
+      rare2 AS (
+        SELECT doc_id, lang, s FROM (
+          SELECT doc_id, lang, s,
+                 count(*) OVER (PARTITION BY lang, s) AS df2
+          FROM grams)
+        WHERE df2 <= $GramDfCap),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM rare2 a JOIN rare2 b
+          ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      inter AS (
+        SELECT i, j, count(*) AS k
+        FROM cands JOIN grams ga ON ga.doc_id = i
+                   JOIN grams gb ON gb.doc_id = j AND gb.s = ga.s
+        GROUP BY 1, 2)
+      SELECT i, j, CAST(k AS BIGINT) AS k,
+             CAST(na.n AS BIGINT) AS n_i, CAST(nb.n AS BIGINT) AS n_j,
+             CAST((1000 * k) // na.n AS BIGINT) AS cont_i_milli,
+             CAST((1000 * k) // nb.n AS BIGINT) AS cont_j_milli
+      FROM inter JOIN sizes na ON na.doc_id = i JOIN sizes nb ON nb.doc_id = j
+      WHERE greatest((1000 * k) // na.n, (1000 * k) // nb.n) >= 800
+      ORDER BY i, j"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q34, q35, q36, q37, q38, q72, q96, q114, q118, q131, q151)
+    Seq(q34, q35, q36, q37, q38, q72, q96, q114, q118, q131, q151, q163)
 }

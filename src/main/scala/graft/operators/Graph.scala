@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the verified near-dup pair graph —
+  * the operator family q151 (triangle count) and q72 (connected
+  * components) open: PageRank-style link analysis, the centrality score
+  * a dedup/curation pipeline uses to pick the CANONICAL document of a
+  * duplicate cluster (keep the most-linked representative, drop the
+  * rest) and a search layer uses as a static rank signal.
+  *
+  * Scale stance (100 TB): the rank vector is a DataFrame keyed by node —
+  * it is NEVER collected to the driver and never broadcast (contrast the
+  * naive "ranks in a driver map" formulation, which caps at driver
+  * memory). Each iteration is (a) one node-key join of ranks to
+  * out-degrees — both sides already partitioned by node from the
+  * previous round's rollup, (b) one edge-key shuffle of per-node
+  * contributions to edge destinations, (c) one dst rollup whose integer
+  * partial sums combine map-side. Cost per round is O(|E|) shuffle
+  * bytes, rounds are a fixed constant — the standard Pregel-class
+  * envelope, expressed in plain DataFrame ops so Catalyst/AQE handle
+  * skew and partition sizing.
+  *
+  * Determinism: ranks are exact integer micro-mass (10^6 per node seed).
+  * The damping update r' = 0.15·10^6 + 0.85·Σ(r div deg) is computed as
+  * `150000 + (17·s) div 20` — every operand non-negative, so Spark's
+  * truncating `div` and DuckDB's flooring `//` agree (q148's sign
+  * discipline), and integer sums are partition-order invariant. Mass is
+  * deliberately NOT renormalized between rounds: truncation leaks ≤ 1
+  * unit per (node, round), bounded and reproducible, and the jackknife
+  * of exactness beats a cosmetically-conserved float total (q152's
+  * ordered-reduce lesson).
+  *
+  * Reference anchor: the reference keeps one row per (subreddit, symbol)
+  * mention stream and has no graph layer — this is the brief's
+  * "training-data pipeline at scale" extension, companion to q151.
+  */
+object Graph extends QueryModule {
+
+  private val Rounds = 3
+  private val SeedMass = 1000000L
+
+  /** One PageRank round: ranks (node, r) → next ranks, over symmetric
+    * edges (src, dst) and per-node degrees (node, degree).
+    */
+  private def prRound(r: DataFrame, deg: DataFrame, sym: DataFrame): DataFrame = {
+    // every round re-joins frames sharing the edge-table lineage — fresh
+    // column aliases (new exprIds) keep the self-join unambiguous
+    val d = deg.select(col("node").as("dnode"), col("degree").as("ddeg"))
+    val e = sym.select(col("src").as("esrc"), col("dst").as("edst"))
+    r.join(d, col("node") === col("dnode"))
+      .withColumn("c", expr("r div ddeg"))
+      .join(e, col("node") === col("esrc"))
+      .groupBy(col("edst"))
+      .agg(sum(col("c")).as("s"))
+      .select(col("edst").as("node"),
+        (lit(150000L) + expr("(17 * s) div 20")).as("r"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q160 — fixed-round integer PageRank on the near-dup graph. The
+  // undirected pair set is symmetrized (both directions), so every node
+  // in the graph has out-degree ≥ 1 — no dangling-mass term — and the
+  // per-round recurrence is exactly:
+  //   r₀(v)   = 10^6
+  //   rₜ₊₁(v) = 150000 + (17 · Σ_{u→v} (rₜ(u) div deg(u))) div 20
+  // Output: per node, its degree and the round-3 rank — the (canonical-
+  // doc-selection, static-rank) pair. Isolated docs (no verified near-dup
+  // edge) are out of scope by construction, as in q151.
+  // ---------------------------------------------------------------------
+  private val q160 = QueryDef(
+    "q160_pagerank",
+    (spark, dir) => {
+      import spark.implicits._
+      val edges = Dedup.nearDupPairs(spark, dir).select($"i", $"j").distinct()
+      val sym = edges.select($"i".as("src"), $"j".as("dst"))
+        .unionAll(edges.select($"j".as("src"), $"i".as("dst")))
+      val deg = sym.groupBy($"src".as("node"))
+        .agg(count(lit(1)).as("degree"))
+      val r0 = deg.select($"node", lit(SeedMass).as("r"))
+      val r3 = (1 to Rounds).foldLeft(r0)((r, _) => prRound(r, deg, sym))
+      deg.join(r3.withColumnRenamed("r", "pr3"), Seq("node"))
+        .select($"node", $"degree", $"pr3")
+        .orderBy($"node")
+    },
+    Some {
+      def roundSql(prev: String, cur: String): String = s"""
+      s_$cur AS (
+        SELECT e.dst AS node, sum(r.r // d.degree) AS s
+        FROM r_$prev r
+        JOIN deg d ON d.node = r.node
+        JOIN sym e ON e.src = r.node
+        GROUP BY 1),
+      r_$cur AS (
+        SELECT node, CAST(150000 + (17 * s) // 20 AS BIGINT) AS r
+        FROM s_$cur)"""
+      s"""
+      WITH pairs AS (${Dedup.minhashOracle}),
+      edges AS (SELECT DISTINCT i, j FROM pairs),
+      sym AS (
+        SELECT i AS src, j AS dst FROM edges
+        UNION ALL
+        SELECT j AS src, i AS dst FROM edges),
+      deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM sym GROUP BY 1),
+      r_0 AS (SELECT node, CAST($SeedMass AS BIGINT) AS r FROM deg),
+      ${(1 to Rounds).map(t => roundSql((t - 1).toString, t.toString)).mkString(",")}
+      SELECT d.node, d.degree, r.r AS pr3
+      FROM deg d JOIN r_$Rounds r ON r.node = d.node
+      ORDER BY d.node"""
+    })
+
+  override val defs: Seq[QueryDef] = Seq(q160)
+}

@@ -415,5 +415,103 @@ object ScalePatterns extends QueryModule {
       FROM est JOIN ex ON est.event_type = ex.event_type
       ORDER BY est.event_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q59, q60, q65, q66, q87, q133, q144)
+  // ---------------------------------------------------------------------
+  // q161 — HLL-style REGISTER sketch next to q65's KMV: per event_type,
+  // m = 64 max-leading-zero registers over the 60-bit portable hash
+  // (bucket = h mod 64; rho = leading-zero run of the 54-bit suffix + 1,
+  // capped at 41 so the harmonic term 2^(41−r) stays an exact integer).
+  // q65's comment calls native HLL non-reproducible — THIS formulation
+  // is the reproducible counterexample the engine ships instead: every
+  // register is an integer max (mergeable by max, bounded at m bytes per
+  // group — the reason HLL beats KMV's k longs at very high cardinality),
+  // the harmonic sum Σ 2^(41−r) is an exact integer fold over the fixed
+  // 64-bucket grid, and the estimate is ONE IEEE division by the
+  // dyadic-mantissa constant 2903·2^41 (alpha_64 ≈ 2903/4096 = 0.70874,
+  // so alpha·m²·2^41 has a 12-bit mantissa — exactly representable).
+  // Registers with no hash contribute r = 0 (term 2^41) via the dense
+  // bucket grid, exactly as the estimator requires. The exact distinct
+  // count rides alongside so the error is visible (q65/q140 discipline).
+  // At 100 TB: the shuffle carries ≤ 64 (bucket, max) cells per map
+  // partition per group — map-side combine on max — while the exact
+  // column ships every distinct user; drop the exact column and this is
+  // the production distinct-counter for billion-user streams.
+  // ---------------------------------------------------------------------
+  private val HllW = 54      // suffix bits after the 6-bit bucket
+  private val HllRCap = 41   // register cap keeping 2^(41-r) integral
+  // alpha_64·m²·2^41 with alpha_64 ≈ 2903/4096: 2903·2^41 (12-bit
+  // mantissa — one exact double literal on both engines)
+  private val HllEstConst: Double = 2903.0 * 2199023255552.0
+  private val q161 = QueryDef(
+    "q161_hll_registers",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val h = Tables.events(spark, dir)
+        .filter($"user_id".isNotNull)
+        .select($"event_type",
+          Portable.md5Hash64($"user_id".cast("string")).as("h"))
+      val reg = h
+        .withColumn("bkt", expr("h % 64"))
+        .withColumn("w", expr("h div 64"))
+        .withColumn("rho",
+          when($"w" === 0, lit(HllW + 1L))
+            .otherwise(lit(HllW + 1L) - length(conv($"w", 10, 2)).cast("long")))
+        .withColumn("r0", least($"rho", lit(HllRCap.toLong)))
+        .groupBy($"event_type", $"bkt")
+        .agg(max($"r0").as("r"))
+      val grid = h.select($"event_type").distinct()
+        .select($"event_type", explode(sequence(lit(0L), lit(63L))).as("bkt"))
+      val dense = grid.join(reg, Seq("event_type", "bkt"), "left")
+        .na.fill(0L, Seq("r"))
+      val sketch = dense.groupBy($"event_type")
+        .agg(
+          expr(s"sum(shiftleft(CAST(1 AS BIGINT), CAST($HllRCap - r AS INT)))")
+            .as("s_int"),
+          sum(when($"r" === 0, 1L).otherwise(0L)).as("n_zero"))
+      val exact = h.groupBy($"event_type")
+        .agg(countDistinct($"h").as("exact_distinct"))
+      sketch.join(exact, Seq("event_type"))
+        .select($"event_type", $"s_int", $"n_zero",
+          (lit(HllEstConst) / $"s_int".cast("double")).as("est_distinct"),
+          $"exact_distinct")
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type,
+               ${graft.functions.Portable.md5Hash64Sql("CAST(user_id AS VARCHAR)")} AS h
+        FROM events WHERE user_id IS NOT NULL),
+      rows_r AS (
+        SELECT event_type, h % 64 AS bkt,
+               least(CASE WHEN h // 64 = 0 THEN ${HllW + 1}
+                     ELSE ${HllW + 1} - length(format('{:b}', h // 64)) END,
+                 $HllRCap) AS r0
+        FROM h),
+      reg AS (
+        SELECT event_type, bkt, max(r0) AS r
+        FROM rows_r GROUP BY 1, 2),
+      grid AS (
+        SELECT t.event_type, CAST(b AS BIGINT) AS bkt
+        FROM (SELECT DISTINCT event_type FROM h) t
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
+      dense AS (
+        SELECT g.event_type, g.bkt, COALESCE(reg.r, 0) AS r
+        FROM grid g LEFT JOIN reg
+          ON reg.event_type = g.event_type AND reg.bkt = g.bkt),
+      sk AS (
+        SELECT event_type,
+               CAST(sum(CAST(1 AS BIGINT) << ($HllRCap - r)) AS BIGINT) AS s_int,
+               CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        FROM dense GROUP BY 1),
+      ex AS (
+        SELECT event_type, CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct
+        FROM h GROUP BY 1)
+      SELECT sk.event_type, s_int, n_zero,
+             $HllEstConst / CAST(s_int AS DOUBLE) AS est_distinct,
+             exact_distinct
+      FROM sk JOIN ex ON sk.event_type = ex.event_type
+      ORDER BY sk.event_type"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q59, q60, q65, q66, q87, q133, q144, q161)
 }

@@ -620,5 +620,57 @@ object Similarity extends QueryModule {
       SELECT CAST(d AS BIGINT) AS d, v FROM v3 ORDER BY d"""
     })
 
-  override val defs: Seq[QueryDef] = Seq(q39, q40, q56, q57, q76, q105, q108, q148)
+  // ---------------------------------------------------------------------
+  // q162 — ANN RECALL AUDIT: recall@K of the two approximate indexes
+  // (q40 hyperplane-LSH, q56 IVF 2-probe) against q39's brute-force
+  // ground truth, per query and exact. This is the operator that makes
+  // approximate search SHIPPABLE — an index without a measured recall
+  // number is a guess, and the standard methodology (FAISS/ann-benchmarks)
+  // is exactly this: brute-force a small query sample, intersect top-K
+  // sets, report hits/K. At 100 TB the ground truth is only ever computed
+  // for the sampled queries (one broadcast pass over the corpus — q39's
+  // plan), so the audit costs one extra corpus scan regardless of index
+  // size; hit counts are integer, the recall fraction is one division.
+  // The oracle nests all three queries' full SQL as derived tables, so
+  // this green row re-proves brute, LSH and IVF in one hash.
+  // ---------------------------------------------------------------------
+  private val q162 = QueryDef(
+    "q162_ann_recall",
+    (spark, dir) => {
+      import spark.implicits._
+      val brute = q39.build(spark, dir).select($"q_id", $"vec_id")
+      val lsh = q40.build(spark, dir)
+        .select($"q_id", $"vec_id", lit(1L).as("in_lsh"))
+      val ivf = q56.build(spark, dir)
+        .select($"q_id", $"vec_id", lit(1L).as("in_ivf"))
+      brute
+        .join(lsh, Seq("q_id", "vec_id"), "left")
+        .join(ivf, Seq("q_id", "vec_id"), "left")
+        .groupBy($"q_id")
+        .agg(
+          sum(coalesce($"in_lsh", lit(0L))).as("lsh_hits"),
+          sum(coalesce($"in_ivf", lit(0L))).as("ivf_hits"))
+        .select($"q_id", $"lsh_hits", $"ivf_hits",
+          ($"lsh_hits".cast("double") / K).as("lsh_recall"),
+          ($"ivf_hits".cast("double") / K).as("ivf_recall"))
+        .orderBy($"q_id")
+    },
+    Some(s"""
+      WITH brute AS (SELECT q_id, vec_id FROM (${q39.oracle.get})),
+      lshq AS (SELECT q_id, vec_id, CAST(1 AS BIGINT) AS in_lsh
+               FROM (${q40.oracle.get})),
+      ivfq AS (SELECT q_id, vec_id, CAST(1 AS BIGINT) AS in_ivf
+               FROM (${q56.oracle.get}))
+      SELECT b.q_id,
+             CAST(sum(COALESCE(l.in_lsh, 0)) AS BIGINT) AS lsh_hits,
+             CAST(sum(COALESCE(v.in_ivf, 0)) AS BIGINT) AS ivf_hits,
+             CAST(sum(COALESCE(l.in_lsh, 0)) AS DOUBLE) / $K AS lsh_recall,
+             CAST(sum(COALESCE(v.in_ivf, 0)) AS DOUBLE) / $K AS ivf_recall
+      FROM brute b
+      LEFT JOIN lshq l ON l.q_id = b.q_id AND l.vec_id = b.vec_id
+      LEFT JOIN ivfq v ON v.q_id = b.q_id AND v.vec_id = b.vec_id
+      GROUP BY b.q_id ORDER BY b.q_id"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q39, q40, q56, q57, q76, q105, q108, q148, q162)
 }
