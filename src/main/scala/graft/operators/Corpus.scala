@@ -521,5 +521,92 @@ object Corpus extends QueryModule {
              min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM spans GROUP BY pack_id ORDER BY pack_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q98, q99, q100, q106)
+  // ---------------------------------------------------------------------
+  // q165 — LENGTH-BUCKETED BATCHING (the training-dataloader step next
+  // to q106's sequence packing): docs binned into 64-token-granularity
+  // length buckets, batched B=8 at a time in (tokens desc, doc_id)
+  // order, with each batch's padding efficiency emitted two ways —
+  // static (pad to bucket cap) and dynamic (pad to the batch max).
+  // Those two integer-milli columns ARE the operator's point: they
+  // quantify what length-bucketing buys over naive global batching
+  // before anyone trains on the layout.
+  //
+  // The within-bucket global order uses q135/q22's discipline — a
+  // rangepartitioning exchange on (bucket, tokens desc, doc_id),
+  // per-partition row_number, broadcast per-(partition, bucket)
+  // offsets — NEVER a single-partition-per-bucket window, because at
+  // corpus scale one bucket holds billions of docs (the skew that
+  // kills the naive partitionBy(bucket) plan). Batch ids and both
+  // efficiency ratios are pure integer arithmetic over exact token
+  // counts; the one fixed divisor keeps everything hash-stable.
+  // ---------------------------------------------------------------------
+  private val BatchB = 8
+  private val BucketGran = 64L
+  private val q165 = QueryDef(
+    "q165_length_batching",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = Tables.documents(spark, dir)
+        .select($"doc_id",
+          size(Portable.tokens($"text")).cast("long").as("tokens"))
+        .withColumn("bucket_cap",
+          // empty docs land in the first bucket (cap 64), keeping every
+          // divisor strictly positive on both engines
+          expr(s"greatest(((tokens + ${BucketGran - 1}) div $BucketGran) * $BucketGran, $BucketGran)"))
+      val parted = toks
+        .repartitionByRange($"bucket_cap", $"tokens".desc, $"doc_id")
+        .withColumn("_pid", spark_partition_id())
+        .persist()
+      val offsets = parted.groupBy($"_pid", $"bucket_cap")
+        .agg(count(lit(1)).as("_cnt"))
+        .withColumn("_offset",
+          coalesce(sum($"_cnt").over(
+            Window.partitionBy($"bucket_cap").orderBy($"_pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val batched = parted
+        .join(broadcast(offsets.select($"_pid", $"bucket_cap", $"_offset")),
+          Seq("_pid", "bucket_cap"))
+        .withColumn("rn",
+          $"_offset" + row_number().over(
+            Window.partitionBy($"_pid", $"bucket_cap")
+              .orderBy($"tokens".desc, $"doc_id")))
+        .withColumn("batch_no", expr(s"(rn - 1) div $BatchB"))
+        .groupBy($"bucket_cap", $"batch_no")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"tokens").as("sum_tokens"),
+          max($"tokens").as("batch_max_tokens"))
+        .withColumn("eff_static_milli",
+          expr("(1000 * sum_tokens) div (n_docs * bucket_cap)"))
+        .withColumn("eff_dyn_milli",
+          expr("(1000 * sum_tokens) div (n_docs * greatest(batch_max_tokens, 1L))"))
+      Scoped.materialize(parted)(batched).orderBy($"bucket_cap", $"batch_no")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id,
+               CAST(len(${Portable.tokensSql("text")}) AS BIGINT) AS tokens
+        FROM documents),
+      b AS (
+        SELECT *,
+               greatest(((tokens + ${BucketGran - 1}) // $BucketGran) * $BucketGran,
+                 $BucketGran) AS bucket_cap
+        FROM toks),
+      r AS (
+        SELECT *,
+               row_number() OVER (
+                 PARTITION BY bucket_cap
+                 ORDER BY tokens DESC, doc_id) AS rn
+        FROM b)
+      SELECT bucket_cap, (rn - 1) // $BatchB AS batch_no,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+             CAST(max(tokens) AS BIGINT) AS batch_max_tokens,
+             CAST((1000 * sum(tokens)) // (count(*) * bucket_cap) AS BIGINT)
+               AS eff_static_milli,
+             CAST((1000 * sum(tokens)) // (count(*) * greatest(max(tokens), 1)) AS BIGINT)
+               AS eff_dyn_milli
+      FROM r GROUP BY 1, 2 ORDER BY bucket_cap, batch_no"""))
+
+  override val defs: Seq[QueryDef] = Seq(q98, q99, q100, q106, q165)
 }

@@ -676,6 +676,161 @@ object Curation extends QueryModule {
       FROM documents d JOIN pred p ON d.doc_id = p.doc_id
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ---------------------------------------------------------------------
+  // q164 — COSMETIC-UNICODE normalization dedup: the cleanup pass every
+  // web corpus runs before hashing — NBSP → space, zero-width characters
+  // stripped, curly quotes / en-em dashes / ellipsis folded to ASCII,
+  // whitespace runs collapsed, then dedup on the md5 of the lowered
+  // cleaned text. Two byte-different documents that differ only in these
+  // cosmetics MUST collapse to one key, and exact dedup (q34) provably
+  // cannot do it (different bytes → different md5).
+  //
+  // The fixture corpus is synthetic ASCII, so the query PLANTS its own
+  // evidence (q127/q156's synthesis-roundtrip proof shape): every third
+  // doc gets a cosmetically-dirtied twin (spaces → NBSP, apostrophes →
+  // U+2019, a trailing U+200B), the union is cleaned, and the output
+  // counts per source: corpus size, docs the cleaner changed, and
+  // twin GROUPS (cleaned keys covering ≥ 2 distinct raw contents) plus
+  // member docs. The oracle replays the identical plant + clean chain,
+  // so a cleaner that misses any mapping (or over-cleans) breaks the
+  // hash in either direction.
+  //
+  // Scale: per-row map work + ONE groupBy on the 64-bit cleaned key —
+  // exactly q34's envelope; the plant stage vanishes in production
+  // (real corpora arrive pre-dirtied).
+  // ---------------------------------------------------------------------
+  private val CosFrom = " ‘’“”–—"
+  private val CosTo = " ''\"\"--"
+  private val ZwClass = "[\\x{200b}\\x{200c}\\x{200d}]"
+  private val q164 = QueryDef(
+    "q164_unicode_cleanup",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val docs = Tables.documents(spark, dir)
+        .select($"doc_id", $"source", $"text")
+      val dirty = docs.filter($"doc_id" % 3 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"source",
+          concat(translate($"text", " '", " ’"), lit("​"))
+            .as("text"))
+      val corpus = docs.unionByName(dirty)
+      def clean(c: org.apache.spark.sql.Column) =
+        trim(regexp_replace(
+          regexp_replace(
+            translate(replace(c, lit("…"), lit("...")), CosFrom, CosTo),
+            ZwClass, ""),
+          " +", " "))
+      corpus
+        .withColumn("ckey", Portable.md5Hash64(lower(clean($"text"))))
+        .withColumn("raw_h", Portable.md5Hash64($"text"))
+        .withColumn("changed", when(clean($"text") =!= $"text", 1L).otherwise(0L))
+        .withColumn("n_raw", size(collect_set($"raw_h").over(
+          Window.partitionBy($"ckey"))))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"changed").as("n_changed"),
+          countDistinct(when($"n_raw" >= 2, $"ckey")).as("n_twin_groups"),
+          sum(when($"n_raw" >= 2, 1L).otherwise(0L)).as("n_twin_docs"))
+        .orderBy($"source")
+    },
+    Some {
+      // single interpolated builder for the clean chain — used for both
+      // the key and the changed flag so the two can never diverge
+      def cleanSqlOf(e: String): String =
+        s"trim(regexp_replace(regexp_replace(" +
+          s"translate(replace($e, '\u2026', '...'), '$CosFrom', ' ''''\"\"--'), " +
+          s"'$ZwClass', '', 'g'), ' +', ' ', 'g'))"
+      s"""
+      WITH base AS (SELECT doc_id, source, text FROM documents),
+      dirty AS (
+        SELECT doc_id + 1000000 AS doc_id, source,
+               translate(text, ' ''', chr(160) || chr(8217)) || chr(8203) AS text
+        FROM base WHERE doc_id % 3 = 0),
+      corpus AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+      cleaned AS (
+        SELECT source,
+               ${graft.functions.Portable.md5Hash64Sql(
+                 s"lower(${cleanSqlOf("text")})")} AS ckey,
+               ${graft.functions.Portable.md5Hash64Sql("text")} AS raw_h,
+               CASE WHEN ${cleanSqlOf("text")} <> text
+                 THEN 1 ELSE 0 END AS changed
+        FROM corpus),
+      marked AS (
+        SELECT *, count(DISTINCT raw_h) OVER (PARTITION BY ckey) AS n_raw
+        FROM cleaned)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(changed) AS BIGINT) AS n_changed,
+             CAST(count(DISTINCT CASE WHEN n_raw >= 2 THEN ckey END) AS BIGINT)
+               AS n_twin_groups,
+             CAST(sum(CASE WHEN n_raw >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_twin_docs
+      FROM marked GROUP BY source ORDER BY source"""
+    })
+
+  // ---------------------------------------------------------------------
+  // q168 — SPLIT-LEAKAGE AUDIT: hash-assign every doc to train (80%) /
+  // val (20%) by the portable content-independent id hash, then count
+  // verified near-dup pairs that CROSS the boundary — the eval-hygiene
+  // check behind every honest benchmark number (a val doc whose near-dup
+  // twin sits in train is a leaked answer; Lee et al.'s dedup-the-test-
+  // set lesson). Output is the full 2×2 split-pair matrix (ordered
+  // lexicographically) with pair and distinct-doc counts, so train-train
+  // / val-val rows calibrate how much near-dup mass the split splits.
+  //
+  // Scale: the pair table is the already-materialized silver table
+  // (q35's); the audit is two broadcast-sized hash-key joins of split
+  // labels onto it plus one 4-row rollup — it costs nothing beyond the
+  // dedup pipeline that must run anyway, which is exactly why there is
+  // no excuse for skipping it.
+  // ---------------------------------------------------------------------
+  private val q168 = QueryDef(
+    "q168_split_leakage",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val split = Tables.documents(spark, dir).select($"doc_id",
+        when(Portable.md5Hash64($"doc_id".cast("string")) % 10 < 8, "train")
+          .otherwise("val").as("split"))
+      val pairs = Dedup.nearDupPairs(spark, dir).select($"i", $"j").distinct()
+      pairs
+        .join(split.select($"doc_id".as("i"), $"split".as("s_i")), Seq("i"))
+        .join(split.select($"doc_id".as("j"), $"split".as("s_j")), Seq("j"))
+        .select(least($"s_i", $"s_j").as("split_a"),
+          greatest($"s_i", $"s_j").as("split_b"),
+          $"i", $"j")
+        .groupBy($"split_a", $"split_b")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct($"i").as("n_docs_lo"),
+          countDistinct($"j").as("n_docs_hi"))
+        .withColumn("is_leak",
+          when($"split_a" =!= $"split_b", 1L).otherwise(0L))
+        .orderBy($"split_a", $"split_b")
+    },
+    Some(s"""
+      WITH pairs0 AS (${Dedup.minhashOracle}),
+      pairs AS (SELECT DISTINCT i, j FROM pairs0),
+      split AS (
+        SELECT doc_id,
+               CASE WHEN ${graft.functions.Portable
+                 .md5Hash64Sql("CAST(doc_id AS VARCHAR)")} % 10 < 8
+                 THEN 'train' ELSE 'val' END AS split
+        FROM documents),
+      tagged AS (
+        SELECT least(a.split, b.split) AS split_a,
+               greatest(a.split, b.split) AS split_b, p.i, p.j
+        FROM pairs p
+        JOIN split a ON a.doc_id = p.i
+        JOIN split b ON b.doc_id = p.j)
+      SELECT split_a, split_b,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(DISTINCT i) AS BIGINT) AS n_docs_lo,
+             CAST(count(DISTINCT j) AS BIGINT) AS n_docs_hi,
+             CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS BIGINT)
+               AS is_leak
+      FROM tagged GROUP BY 1, 2 ORDER BY split_a, split_b"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134, q149)
+    Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134, q149, q164, q168)
 }

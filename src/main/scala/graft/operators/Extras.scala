@@ -674,7 +674,63 @@ object Extras extends QueryModule {
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
 
+  // ---------------------------------------------------------------------
+  // q169 — RANK-FAMILY analytic functions (the W-family completion:
+  // ntile / percent_rank / cume_dist, the three the feature queries
+  // never needed). Deciles over exact cents per event_type, under a
+  // TOTAL order (cents, event_id) — the tie-break is what makes all
+  // three functions engine-identical: with a unique order,
+  // percent_rank = (rn−1)/(n−1) and cume_dist = rn/n are each ONE IEEE
+  // division, and ntile's uneven-bucket rule (first n mod k buckets get
+  // the extra row) is deterministic on both engines. Output is rolled up
+  // per (event_type, decile) so the gate pins every row's bucket
+  // assignment through the counts and boundary ranks without emitting
+  // 600k rows. Scale: one event_type-key window pass; at 100 TB a
+  // per-KEY global order is the q135 rangepartition discipline — noted
+  // there; here the grouped window is the point being exposed.
+  // ---------------------------------------------------------------------
+  private val q169 = QueryDef(
+    "q169_rank_family",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"value".isNotNull)
+        .select($"event_type", $"event_id",
+          ($"value".cast(DecimalType(28, 2)) * 100).cast("long").as("cents"))
+      val w = Window.partitionBy($"event_type").orderBy($"cents", $"event_id")
+      ev
+        .withColumn("decile", ntile(10).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .groupBy($"event_type", $"decile")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min($"cents").as("lo_cents"),
+          max($"cents").as("hi_cents"),
+          min($"pr").as("first_pr"),
+          max($"pr").as("last_pr"),
+          max($"cd").as("last_cd"))
+        .orderBy($"event_type", $"decile")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, event_id,
+               CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL),
+      r AS (
+        SELECT event_type, cents,
+               ntile(10) OVER w AS decile,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd
+        FROM e
+        WINDOW w AS (PARTITION BY event_type ORDER BY cents, event_id))
+      SELECT event_type, CAST(decile AS INT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(cents) AS lo_cents, max(cents) AS hi_cents,
+             min(pr) AS first_pr, max(pr) AS last_pr, max(cd) AS last_cd
+      FROM r GROUP BY 1, 2 ORDER BY event_type, decile"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q46, q47, q48, q49, q50, q51, q52, q70, q71, q78, q79, q93, q123,
-      q126, q127, q143, q156, q159)
+      q126, q127, q143, q156, q159, q169)
 }

@@ -70,23 +70,28 @@ object Graph extends QueryModule {
   // doc-selection, static-rank) pair. Isolated docs (no verified near-dup
   // edge) are out of scope by construction, as in q151.
   // ---------------------------------------------------------------------
-  private val q160 = QueryDef(
-    "q160_pagerank",
-    (spark, dir) => {
-      import spark.implicits._
-      val edges = Dedup.nearDupPairs(spark, dir).select($"i", $"j").distinct()
-      val sym = edges.select($"i".as("src"), $"j".as("dst"))
-        .unionAll(edges.select($"j".as("src"), $"i".as("dst")))
-      val deg = sym.groupBy($"src".as("node"))
-        .agg(count(lit(1)).as("degree"))
-      val r0 = deg.select($"node", lit(SeedMass).as("r"))
-      val r3 = (1 to Rounds).foldLeft(r0)((r, _) => prRound(r, deg, sym))
-      deg.join(r3.withColumnRenamed("r", "pr3"), Seq("node"))
-        .select($"node", $"degree", $"pr3")
-        .orderBy($"node")
-    },
-    Some {
-      def roundSql(prev: String, cur: String): String = s"""
+  /** Unordered (node, degree, pr3) PageRank table over the near-dup
+    * graph — q160's body, reusable by composing operators (q167's
+    * canonical-doc selection).
+    */
+  private[operators] def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = Dedup.nearDupPairs(spark, dir).select($"i", $"j").distinct()
+    val sym = edges.select($"i".as("src"), $"j".as("dst"))
+      .unionAll(edges.select($"j".as("src"), $"i".as("dst")))
+    val deg = sym.groupBy($"src".as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val r0 = deg.select($"node", lit(SeedMass).as("r"))
+    val r3 = (1 to Rounds).foldLeft(r0)((r, _) => prRound(r, deg, sym))
+    deg.join(r3.withColumnRenamed("r", "pr3"), Seq("node"))
+      .select($"node", $"degree", $"pr3")
+  }
+
+  /** q160's rank-recurrence CTE chain (everything after `pairs`),
+    * shared verbatim with q167's oracle.
+    */
+  private[operators] def pageRankCtes: String = {
+    def roundSql(prev: String, cur: String): String = s"""
       s_$cur AS (
         SELECT e.dst AS node, sum(r.r // d.degree) AS s
         FROM r_$prev r
@@ -96,8 +101,7 @@ object Graph extends QueryModule {
       r_$cur AS (
         SELECT node, CAST(150000 + (17 * s) // 20 AS BIGINT) AS r
         FROM s_$cur)"""
-      s"""
-      WITH pairs AS (${Dedup.minhashOracle}),
+    s"""
       edges AS (SELECT DISTINCT i, j FROM pairs),
       sym AS (
         SELECT i AS src, j AS dst FROM edges
@@ -107,11 +111,75 @@ object Graph extends QueryModule {
         SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
         FROM sym GROUP BY 1),
       r_0 AS (SELECT node, CAST($SeedMass AS BIGINT) AS r FROM deg),
-      ${(1 to Rounds).map(t => roundSql((t - 1).toString, t.toString)).mkString(",")}
+      ${(1 to Rounds).map(t => roundSql((t - 1).toString, t.toString)).mkString(",")}"""
+  }
+
+  private val q160 = QueryDef(
+    "q160_pagerank",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      pageRank(spark, dir).orderBy(col("node"))
+    },
+    Some(s"""
+      WITH pairs AS (${Dedup.minhashOracle}),
+      $pageRankCtes
       SELECT d.node, d.degree, r.r AS pr3
       FROM deg d JOIN r_$Rounds r ON r.node = d.node
-      ORDER BY d.node"""
-    })
+      ORDER BY d.node"""))
 
-  override val defs: Seq[QueryDef] = Seq(q160)
+  // ---------------------------------------------------------------------
+  // q167 — CANONICAL-DOC SELECTION: the operator the whole graph family
+  // exists to feed. Near-dup clusters (q72's connected components) keep
+  // exactly one representative; picking it by doc_id (q61's greedy) is
+  // arbitrary — picking the cluster's PAGERANK argmax keeps the most
+  // central copy, the version other documents duplicate FROM (SemDeDup /
+  // web-curation practice: keep the canonical origin, drop mirrors).
+  // Composition is two node-keyed joins over q72's labels and q160's
+  // ranks — both already distributed tables, no new shuffle class; the
+  // per-cluster argmax is one row_number window over cluster-sized
+  // groups (bounded: a near-dup cluster is df-cap bounded, never
+  // corpus-sized). Deterministic: ties on (pr3 desc, node asc).
+  // The oracle nests BOTH parents' CTE chains off one shared pair table,
+  // so this green row re-proves components and PageRank agree on the
+  // same graph.
+  // ---------------------------------------------------------------------
+  private val q167 = QueryDef(
+    "q167_canonical_docs",
+    (spark, dir) => {
+      import spark.implicits._
+      val labels = Dedup.clusterLabels(spark, dir) // (node, label)
+      val pr = pageRank(spark, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"label").orderBy($"pr3".desc, $"node".asc)
+      labels.join(pr, Seq("node"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"label")))
+        .filter($"rn" === 1)
+        .select($"label".as("cluster_id"), $"cluster_size",
+          $"node".as("canonical_doc"), $"pr3".as("canonical_pr3"))
+        .orderBy($"cluster_id")
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (${Dedup.minhashOracle}),
+      cedges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+      cnodes AS (SELECT DISTINCT i AS node FROM cedges),
+      reach(a, b) AS (
+        SELECT node, node FROM cnodes
+        UNION
+        SELECT r.a, e.j FROM reach r JOIN cedges e ON e.i = r.b),
+      labeled AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY a),
+      $pageRankCtes,
+      joined AS (
+        SELECT l.label, l.node, r.r AS pr3,
+               row_number() OVER (
+                 PARTITION BY l.label ORDER BY r.r DESC, l.node ASC) AS rn,
+               count(*) OVER (PARTITION BY l.label) AS cluster_size
+        FROM labeled l JOIN r_$Rounds r ON r.node = l.node)
+      SELECT label AS cluster_id,
+             CAST(cluster_size AS BIGINT) AS cluster_size,
+             node AS canonical_doc, pr3 AS canonical_pr3
+      FROM joined WHERE rn = 1 ORDER BY cluster_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q160, q167)
 }

@@ -505,5 +505,95 @@ object Search extends QueryModule {
       SELECT token, CAST(r AS BIGINT) AS rank_fp FROM r3
       ORDER BY rank_fp DESC, token LIMIT 20"""))
 
-  override val defs: Seq[QueryDef] = Seq(q84, q85, q92, q115, q120, q125)
+  // ---------------------------------------------------------------------
+  // q166 — POSITIONAL PHRASE SEARCH: the inverted-index feature q84/q115
+  // (bag-of-words ranking) cannot express — "these words ADJACENT, in
+  // this order". Postings carry token positions; a phrase match is the
+  // adjacency join p2.pos = p1.pos + 1 within a doc. The query set is
+  // self-derived for determinism: the corpus's top-3 bigrams by
+  // (count desc, w1, w2) — found via one gram-key rollup + global top-3
+  // (TakeOrdered), then broadcast.
+  //
+  // Scale shape: BOTH posting sides are semi-joined down to the ≤ 6
+  // query terms against the broadcast phrase table BEFORE the adjacency
+  // join, so the self-join touches |postings(query terms)| rows, never
+  // the corpus — the standard phrase-query plan of a positional inverted
+  // index (Lucene's positional postings intersect, distributed). Per-doc
+  // occurrence counts are exact integers; per-phrase doc ranking is
+  // q97's grouped top-k discipline (rank window over small per-phrase
+  // candidate sets, ties on doc_id).
+  // ---------------------------------------------------------------------
+  private val PhraseTopDocs = 10
+  private val q166 = QueryDef(
+    "q166_phrase_search",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = Tables.documents(spark, dir)
+        .select($"doc_id", Portable.tokens(lower($"text")).as("w"))
+      val posts = toks.select($"doc_id",
+          posexplode($"w").as(Seq("pos", "term")))
+      val phrases = toks
+        .select($"doc_id",
+          explode(transform(
+            sequence(lit(1), greatest(size($"w") - 1, lit(1))),
+            i => struct(element_at($"w", i).as("w1"),
+              element_at($"w", i + 1).as("w2")))).as("p"))
+        .filter($"p.w1".isNotNull && $"p.w2".isNotNull)
+        .groupBy($"p.w1".as("w1"), $"p.w2".as("w2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"w1", $"w2")
+        .limit(3)
+      val p1 = posts.join(broadcast(phrases), $"term" === $"w1")
+        .select($"doc_id", $"pos", $"w1", $"w2")
+      val p2 = posts.join(
+          broadcast(phrases.select($"w2".as("t2")).distinct()),
+          $"term" === $"t2")
+        .select($"doc_id".as("d2"), $"pos".as("pos2"), $"term".as("term2"))
+      val occ = p1.join(p2,
+          $"doc_id" === $"d2" && $"pos2" === $"pos" + 1 && $"term2" === $"w2")
+        .groupBy($"w1", $"w2", $"doc_id")
+        .agg(count(lit(1)).as("n_occ"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"w1", $"w2").orderBy($"n_occ".desc, $"doc_id")
+      occ.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= PhraseTopDocs)
+        .select(concat($"w1", lit(" "), $"w2").as("phrase"),
+          $"rank", $"doc_id", $"n_occ")
+        .orderBy($"phrase", $"rank")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, ${Portable.tokensSql("lower(text)")} AS w
+        FROM documents),
+      posts AS (
+        SELECT doc_id, CAST(p['i'] - 1 AS INT) AS pos, p['t'] AS term FROM (
+          SELECT doc_id,
+                 unnest([{'t': w[i], 'i': i} for i in range(1, len(w) + 1)]) AS p
+          FROM toks)),
+      bigr AS (
+        SELECT p['w1'] AS w1, p['w2'] AS w2, count(*) AS cnt FROM (
+          SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+                         for i in range(1, greatest(len(w) - 1, 1) + 1)]) AS p
+          FROM toks)
+        WHERE p['w1'] IS NOT NULL AND p['w2'] IS NOT NULL
+        GROUP BY 1, 2),
+      phrases AS (
+        SELECT w1, w2 FROM bigr ORDER BY cnt DESC, w1, w2 LIMIT 3),
+      occ AS (
+        SELECT ph.w1, ph.w2, a.doc_id, count(*) AS n_occ
+        FROM phrases ph
+        JOIN posts a ON a.term = ph.w1
+        JOIN posts b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                    AND b.term = ph.w2
+        GROUP BY 1, 2, 3),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY w1, w2 ORDER BY n_occ DESC, doc_id) AS rank
+        FROM occ)
+      SELECT w1 || ' ' || w2 AS phrase, rank, doc_id,
+             CAST(n_occ AS BIGINT) AS n_occ
+      FROM ranked WHERE rank <= $PhraseTopDocs
+      ORDER BY phrase, rank"""))
+
+  override val defs: Seq[QueryDef] = Seq(q84, q85, q92, q115, q120, q125, q166)
 }

@@ -80,6 +80,121 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum >= 16L, "IVF recall collapsed")
   }
 
+  test("q164 cleanup: planted cosmetic twins all collapse, counts reconcile") {
+    val rows = run("q164_unicode_cleanup").collect()
+    assert(rows.nonEmpty)
+    val nPlanted = graft.sources.Tables.documents(spark, TestSpark.Sf001)
+      .filter($"doc_id" % 3 === 0).count()
+    val nDocs = graft.sources.Tables.documents(spark, TestSpark.Sf001).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs + nPlanted) // corpus = base + dirty
+    // every planted twin is changed by the cleaner and lands in a twin
+    // group of ≥ 2 docs sharing a cleaned key with ≥ 2 raw variants
+    assert(rows.map(_.getLong(2)).sum >= nPlanted)
+    assert(rows.map(_.getLong(4)).sum >= 2 * nPlanted)
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 2 * r.getLong(3), s"twin docs < 2×groups: $r")
+    }
+  }
+
+  test("q165 batching: batch size cap, efficiency ordering, token bounds") {
+    val rows = run("q165_length_batching").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cap, n, sum, mx, effS, effD) = (r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(n >= 1L && n <= 8L)
+      assert(mx <= cap, s"batch max exceeds bucket cap: $r")
+      assert(sum <= n * cap)
+      // padding to the batch max can only beat padding to the bucket cap
+      assert(effD >= effS, s"dynamic eff below static: $r")
+      assert(effD <= 1000L && effS <= 1000L)
+    }
+    // within a bucket only the LAST batch may be short
+    rows.groupBy(_.getLong(0)).foreach { case (_, bs) =>
+      val sorted = bs.sortBy(_.getLong(1))
+      sorted.dropRight(1).foreach(r => assert(r.getLong(2) === 8L))
+    }
+  }
+
+  test("q166 phrase search: 3 self-derived phrases, ranked adjacency counts") {
+    val rows = run("q166_phrase_search").collect()
+    assert(rows.nonEmpty)
+    val phrases = rows.map(_.getString(0)).distinct
+    assert(phrases.length === 3)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 10)
+      assert(r.getLong(3) >= 1L)
+    }
+    // ranks strictly ordered by (n_occ desc, doc_id) within each phrase
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) > b.getLong(3) ||
+            (a.getLong(3) === b.getLong(3) && a.getLong(2) < b.getLong(2)))
+        case _ => ()
+      }
+    }
+  }
+
+  test("q167 canonical docs: one representative per cluster, rank-argmax, sizes reconcile") {
+    val canon = run("q167_canonical_docs").collect()
+    val clusters = run("q72_dedup_clusters").collect()
+    // exactly the q72 clusters, same sizes
+    assert(canon.map(r => r.getLong(0) -> r.getLong(1)).sorted ===
+      clusters.map(r => r.getLong(0) -> r.getLong(1)).sorted)
+    // the canonical doc really is the cluster's rank argmax
+    val pr = Graph.pageRank(spark, TestSpark.Sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val labels = Dedup.clusterLabels(spark, TestSpark.Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = labels.groupBy(_._2)
+    canon.foreach { r =>
+      val (cid, doc, rank) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val members = byCluster(cid).map(_._1)
+      assert(members.contains(doc))
+      val best = members.map(m => (-pr(m), m)).min
+      assert((pr(doc), doc) === (-best._1, best._2),
+        s"cluster $cid picked $doc, expected ${best._2}")
+      assert(rank === pr(doc))
+    }
+  }
+
+  test("q168 split leakage: pair counts conserve and the leak flag marks cross rows") {
+    val rows = run("q168_split_leakage").collect()
+    val totalPairs = Dedup.nearDupPairs(spark, TestSpark.Sf001)
+      .select($"i", $"j").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === totalPairs) // every pair lands in one cell
+    rows.foreach { r =>
+      val (a, b, leak) = (r.getString(0), r.getString(1), r.getLong(5))
+      assert(a <= b) // canonical cell ordering
+      assert(leak === (if (a != b) 1L else 0L))
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(4) <= r.getLong(2))
+    }
+  }
+
+  test("q169 rank family: decile populations balanced, boundary ranks ordered") {
+    val rows = run("q169_rank_family").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted === (1 to 10).toArray) // all 10 deciles
+      val n = rs.map(_.getLong(2)).sum
+      rs.foreach { r =>
+        // ntile balance: every decile holds ⌊n/10⌋ or ⌈n/10⌉ rows
+        assert(math.abs(r.getLong(2) - n / 10) <= 1)
+        assert(r.getDouble(6) >= r.getDouble(5)) // last_pr ≥ first_pr
+        assert(r.getDouble(7) >= r.getDouble(6)) // cume_dist ≥ percent_rank at row
+      }
+      // decile value ranges are non-overlapping and ordered
+      rs.sortBy(_.getInt(1)).sliding(2).foreach {
+        case Array(lo, hi) => assert(lo.getLong(4) <= hi.getLong(3))
+        case _ => ()
+      }
+      // the last decile's cume_dist reaches exactly 1.0
+      assert(rs.maxBy(_.getInt(1)).getDouble(7) === 1.0)
+    }
+  }
+
   test("q163 containment: millis bounded, intersection bounded, threshold holds") {
     val rows = run("q163_gram_containment").collect()
     assert(rows.nonEmpty)
