@@ -613,6 +613,87 @@ object CoreBatch extends QueryModule {
       FROM active a FULL OUTER JOIN inactive i ON a.r_name = i.r_name
       ORDER BY r_name"""))
 
+  // ---------------------------------------------------------------------
+  // q171 — SET-OPERATION completion (EXCEPT / INTERSECT, distinct AND
+  // multiset ALL forms): the U-family rows union covered but the
+  // retention-style "who is in A but not B" never exercised as native
+  // set ops. A = (user, type) activity in the FIRST half of the global
+  // date range, B = second half (midpoint from a broadcast 1-row bounds
+  // aggregate — integer epoch-day arithmetic). Per event_type:
+  // |A∩B| / |A−B| / |B−A| over DISTINCT pairs, plus the EXCEPT ALL
+  // surplus (multiset semantics: how many A-side occurrence slots
+  // survive after B's are cancelled — ≥ the distinct count by
+  // definition, the gap being repeat activity). Spark plans these as
+  // aggregate/anti-join rewrites — set ops cost ONE shuffle each on the
+  // compared key, no sort; the four branches reuse the same two scans.
+  // ---------------------------------------------------------------------
+  private val q171 = QueryDef(
+    "q171_set_ops",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"ts".isNotNull && $"user_id".isNotNull)
+        .select($"user_id", $"event_type", to_date($"ts").as("day"))
+      val bounds = ev.agg(
+        min($"day").as("lo"),
+        expr("date_add(min(day), CAST(datediff(max(day), min(day)) div 2 AS INT))")
+          .as("mid"))
+      val tagged = ev.crossJoin(broadcast(bounds))
+      val a = tagged.filter($"day" <= $"mid").select($"user_id", $"event_type")
+      val b = tagged.filter($"day" > $"mid").select($"user_id", $"event_type")
+      val inter = a.intersect(b)
+        .groupBy($"event_type").agg(count(lit(1)).as("n_both"))
+      val onlyA = a.except(b)
+        .groupBy($"event_type").agg(count(lit(1)).as("n_only_first"))
+      val onlyB = b.except(a)
+        .groupBy($"event_type").agg(count(lit(1)).as("n_only_second"))
+      val surplusA = a.exceptAll(b)
+        .groupBy($"event_type").agg(count(lit(1)).as("n_first_surplus_all"))
+      inter
+        .join(onlyA, Seq("event_type"), "full_outer")
+        .join(onlyB, Seq("event_type"), "full_outer")
+        .join(surplusA, Seq("event_type"), "full_outer")
+        .na.fill(0L, Seq("n_both", "n_only_first", "n_only_second",
+          "n_first_surplus_all"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS DATE) AS day
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      bounds AS (
+        SELECT min(day) AS lo,
+               min(day) + CAST((max(day) - min(day)) // 2 AS INT) AS mid
+        FROM ev),
+      a AS (SELECT user_id, event_type FROM ev, bounds WHERE day <= mid),
+      b AS (SELECT user_id, event_type FROM ev, bounds WHERE day > mid),
+      inter AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_both
+        FROM (SELECT * FROM a INTERSECT SELECT * FROM b) GROUP BY 1),
+      onlya AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_only_first
+        FROM (SELECT * FROM a EXCEPT SELECT * FROM b) GROUP BY 1),
+      onlyb AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_only_second
+        FROM (SELECT * FROM b EXCEPT SELECT * FROM a) GROUP BY 1),
+      surplus AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_first_surplus_all
+        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1),
+      keys AS (
+        SELECT event_type FROM inter UNION SELECT event_type FROM onlya
+        UNION SELECT event_type FROM onlyb UNION SELECT event_type FROM surplus)
+      SELECT k.event_type,
+             COALESCE(i.n_both, 0) AS n_both,
+             COALESCE(oa.n_only_first, 0) AS n_only_first,
+             COALESCE(ob.n_only_second, 0) AS n_only_second,
+             COALESCE(s.n_first_surplus_all, 0) AS n_first_surplus_all
+      FROM keys k
+      LEFT JOIN inter i ON i.event_type = k.event_type
+      LEFT JOIN onlya oa ON oa.event_type = k.event_type
+      LEFT JOIN onlyb ob ON ob.event_type = k.event_type
+      LEFT JOIN surplus s ON s.event_type = k.event_type
+      ORDER BY k.event_type"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q171)
 }

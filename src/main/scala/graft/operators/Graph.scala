@@ -181,5 +181,83 @@ object Graph extends QueryModule {
              node AS canonical_doc, pr3 AS canonical_pr3
       FROM joined WHERE rn = 1 ORDER BY cluster_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q160, q167)
+  // ---------------------------------------------------------------------
+  // q170 — CLUSTERING MODULARITY AUDIT: is the q72 partition actually a
+  // community structure, or an artifact? Newman modularity
+  // Q = Σ_c [e_c/m − (d_c/2m)²] scored EXACTLY: with common denominator
+  // 4m², each cluster's contribution is the integer 4·m·e_c − d_c², so
+  // the per-cluster rows (and their sum) carry no float accumulation at
+  // all — one final division turns the total into the familiar [−½, 1]
+  // score. This is the audit number a dedup pipeline checks before
+  // trusting cluster-level decisions (canonical selection q167, cluster
+  // caps): Q near 0 means the "clusters" are noise.
+  //
+  // Scale: e_c is one join of the (i<j) edge list to labels on both
+  // endpoints + a label rollup; d_c is the degree table (already built
+  // for q160) joined to labels + a rollup — all node/edge-keyed
+  // shuffles on tables that exist anyway; m is a 1-row broadcast.
+  // Envelope: |labels| + |edges|, same class as one PageRank round.
+  // ---------------------------------------------------------------------
+  private val q170 = QueryDef(
+    "q170_modularity",
+    (spark, dir) => {
+      import spark.implicits._
+      val edges = Dedup.nearDupPairs(spark, dir).select($"i", $"j").distinct()
+      val labels = Dedup.clusterLabels(spark, dir) // (node, label)
+      val m = edges.agg(count(lit(1)).as("m"))
+      val intra = edges
+        .join(labels.select($"node".as("i"), $"label".as("l_i")), Seq("i"))
+        .join(labels.select($"node".as("j"), $"label".as("l_j")), Seq("j"))
+        .filter($"l_i" === $"l_j")
+        .groupBy($"l_i".as("label")).agg(count(lit(1)).as("e_intra"))
+      val degSum = edges
+        .select(explode(array($"i", $"j")).as("node"))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+        .join(labels, Seq("node"))
+        .groupBy($"label").agg(sum($"deg").as("d_sum"), count(lit(1)).as("n_nodes"))
+      degSum.join(intra, Seq("label"), "left")
+        .na.fill(0L, Seq("e_intra"))
+        .crossJoin(broadcast(m))
+        .select($"label".as("cluster_id"), $"n_nodes", $"e_intra", $"d_sum",
+          (lit(4L) * $"m" * $"e_intra" - $"d_sum" * $"d_sum")
+            .as("q_contrib_4m2"),
+          $"m")
+        .orderBy($"cluster_id")
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (${Dedup.minhashOracle}),
+      edges AS (SELECT DISTINCT i, j FROM pairs),
+      cedges AS (SELECT i, j FROM edges UNION SELECT j AS i, i AS j FROM edges),
+      cnodes AS (SELECT DISTINCT i AS node FROM cedges),
+      reach(a, b) AS (
+        SELECT node, node FROM cnodes
+        UNION
+        SELECT r.a, e.j FROM reach r JOIN cedges e ON e.i = r.b),
+      labeled AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY a),
+      mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+      intra AS (
+        SELECT li.label, CAST(count(*) AS BIGINT) AS e_intra
+        FROM edges e
+        JOIN labeled li ON li.node = e.i
+        JOIN labeled lj ON lj.node = e.j
+        WHERE li.label = lj.label
+        GROUP BY 1),
+      degsum AS (
+        SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS d_sum,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM (
+          SELECT node, count(*) AS deg
+          FROM (SELECT unnest([i, j]) AS node FROM edges) GROUP BY 1) d
+        JOIN labeled l ON l.node = d.node
+        GROUP BY 1)
+      SELECT ds.label AS cluster_id, ds.n_nodes,
+             COALESCE(i.e_intra, 0) AS e_intra, ds.d_sum,
+             CAST(4 * mm.m * COALESCE(i.e_intra, 0) - ds.d_sum * ds.d_sum
+               AS BIGINT) AS q_contrib_4m2,
+             mm.m
+      FROM degsum ds LEFT JOIN intra i ON i.label = ds.label
+      CROSS JOIN mm
+      ORDER BY cluster_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q160, q167, q170)
 }

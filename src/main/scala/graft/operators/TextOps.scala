@@ -600,6 +600,77 @@ object TextOps extends QueryModule {
       ORDER BY d.doc_id"""
     })
 
+  // ---------------------------------------------------------------------
+  // q172 — TOKEN-ENTROPY quality floor (the information-theoretic form
+  // of q75's repetition heuristics): per document, the empirical token
+  // distribution's Shannon entropy in FLOOR BITS — q120's exact
+  // log-domain trick (⌊log₂(n/c)⌋ = bitlen(n div c) − 1 for c ≤ n)
+  // summed as Σ c·(bitlen(n div c) − 1), so total_bits is an exact
+  // integer on both engines (true entropy is within 1 bit/token above
+  // it; the floor is a sound LOWER bound, which is the direction a
+  // repetitiveness FILTER needs — a doc flagged low-entropy really is).
+  // A doc of one repeated token scores 0; rich vocabulary scores near
+  // log₂(n). Output: per (source, half-bit bin of milli-bits/token) doc
+  // counts + the exact bit mass, the corpus fingerprint a curation run
+  // tracks release-over-release.
+  //
+  // Scale: explode → (doc, token) rollup → doc-keyed window for the
+  // total (doc-sized groups — embarrassingly parallel) → (doc) rollup;
+  // every aggregation combines map-side, no joins, same envelope as q27.
+  // ---------------------------------------------------------------------
+  private val q172 = QueryDef(
+    "q172_token_entropy",
+    (spark, dir) => {
+      import spark.implicits._
+      val counts = Tables.documents(spark, dir)
+        .select($"doc_id", $"source",
+          explode(Portable.tokens(lower($"text"))).as("t"))
+        .groupBy($"doc_id", $"source", $"t")
+        .agg(count(lit(1)).as("c"))
+      val perDoc = counts
+        .withColumn("n", sum($"c").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+        .withColumn("bits",
+          $"c" * (length(conv(expr("n div c"), 10, 2)) - 1).cast("long"))
+        .groupBy($"doc_id", $"source")
+        .agg(sum($"bits").as("total_bits"), max($"n").as("n_tokens"))
+        .withColumn("milli_bpt",
+          expr("(1000 * total_bits) div greatest(n_tokens, 1L)"))
+      perDoc
+        .groupBy($"source", expr("milli_bpt div 500").as("half_bit_bin"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"total_bits").as("sum_bits"),
+          sum($"n_tokens").as("sum_tokens"))
+        .orderBy($"source", $"half_bit_bin")
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT doc_id, source, t, count(*) AS c FROM (
+          SELECT doc_id, source,
+                 unnest(${Portable.tokensSql("lower(text)")}) AS t
+          FROM documents)
+        GROUP BY 1, 2, 3),
+      perdoc AS (
+        SELECT doc_id, source,
+               CAST(sum(c * (length(format('{:b}', n // c)) - 1)) AS BIGINT)
+                 AS total_bits,
+               max(n) AS n_tokens
+        FROM (SELECT *, CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+              FROM counts)
+        GROUP BY 1, 2),
+      binned AS (
+        SELECT source,
+               ((1000 * total_bits) // greatest(n_tokens, 1)) // 500
+                 AS half_bit_bin,
+               total_bits, n_tokens
+        FROM perdoc)
+      SELECT source, CAST(half_bit_bin AS BIGINT) AS half_bit_bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(total_bits) AS BIGINT) AS sum_bits,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      FROM binned GROUP BY 1, 2 ORDER BY source, half_bit_bin"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q26, q27, q28, q29, q30, q58, q75, q117, q119)
+    Seq(q26, q27, q28, q29, q30, q58, q75, q117, q119, q172)
 }

@@ -195,6 +195,51 @@ class SketchGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q170 modularity: components capture every edge, Q in range and positive") {
+    val rows = run("q170_modularity").collect()
+    assert(rows.nonEmpty)
+    val m = rows.head.getLong(5)
+    assert(rows.forall(_.getLong(5) === m))
+    // connected components contain ALL their edges by definition — the
+    // sharp invariant a wrong label join would break instantly
+    assert(rows.map(_.getLong(2)).sum === m)
+    // degree-sum handshake: Σ d_c = 2m
+    assert(rows.map(_.getLong(3)).sum === 2 * m)
+    rows.foreach { r =>
+      assert(r.getLong(4) === 4 * m * r.getLong(2) - r.getLong(3) * r.getLong(3))
+    }
+    val q = rows.map(_.getLong(4)).sum.toDouble / (4.0 * m * m)
+    assert(q > 0.0 && q <= 1.0, s"modularity $q out of range")
+  }
+
+  test("q171 set ops: distinct partition identity and multiset dominance") {
+    val rows = run("q171_set_ops").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (both, onlyA, onlyB, surplus) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(both >= 0L && onlyA >= 0L && onlyB >= 0L)
+      // EXCEPT ALL keeps at least one occurrence of every EXCEPT survivor
+      assert(surplus >= onlyA, s"multiset surplus below distinct except: $r")
+    }
+  }
+
+  test("q172 entropy: per-source doc counts reconcile and the floor bound holds") {
+    val rows = run("q172_token_entropy").collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.sources.Tables.documents(spark, TestSpark.Sf001).count()
+    assert(rows.map(_.getLong(2)).sum === nDocs) // every doc lands in one bin
+    rows.foreach { r =>
+      val (bin, n, bits, toks) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(bin >= 0L && n >= 1L && bits >= 0L)
+      // entropy floor can never exceed log2(vocab) < 20 bits per token
+      assert(bits <= toks * 20L, s"impossible bit mass: $r")
+      // bin is milli-bits-per-token / 500 — sanity ceiling ~15 bits/token
+      assert(bin <= 30L)
+    }
+  }
+
   test("q163 containment: millis bounded, intersection bounded, threshold holds") {
     val rows = run("q163_gram_containment").collect()
     assert(rows.nonEmpty)
