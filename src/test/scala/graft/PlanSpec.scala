@@ -357,6 +357,51 @@ class PlanSpec extends AnyFunSuite {
     assert(drawdownExchanges <= 1, p)
   }
 
+  test("q160: every PageRank round is an equi-join — no cartesian, rank never collected") {
+    val p = planOf("q160_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q161: HLL registers aggregate with map-side partial max") {
+    val p = planOf("q161_hll_registers")
+    // the (event_type, bkt) register rollup must carry partial_max
+    // through the exchange — the bounded-state property the sketch is for
+    assert(p.contains("partial_max") || p.contains("max#"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q164: cleanup dedup is map work + hash aggregates — no joins at all") {
+    val p = planOf("q164_unicode_cleanup")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q166: phrase postings shrink through broadcast joins before the adjacency join") {
+    val p = planOf("q166_phrase_search")
+    assert(p.contains("BroadcastHashJoin"), p) // term filter is broadcast
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q171: native set ops plan as aggregates/joins with no global sort") {
+    val df = SparkEntry.queries("q171_set_ops")(spark, TestSpark.Sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    // the only sort allowed is the final ORDER BY (rangepartitioning);
+    // intersect/except themselves must not introduce global sorts.
+    // (count inside the Final Plan only — the adaptive dump repeats the
+    // Initial Plan below it)
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Exchange rangepartitioning".r.findAllIn(finalPlan).size <= 1, finalPlan)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q172: entropy is aggregates + one doc-keyed window — join-free") {
+    val p = planOf("q172_token_entropy")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("CartesianProduct"), p)
+  }
+
   test("dot_scaled is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     val got = spark.sql(
