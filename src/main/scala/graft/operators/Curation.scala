@@ -831,6 +831,83 @@ object Curation extends QueryModule {
                AS is_leak
       FROM tagged GROUP BY 1, 2 ORDER BY split_a, split_b"""))
 
+  // ---------------------------------------------------------------------
+  // q175 — CLUSTER-AWARE SHARDING: q111 shards by doc hash; this shards
+  // by CLUSTER hash, so a near-dup family always lands in one shard —
+  // the layout that makes shard-local dedup exhaustive (any downstream
+  // job can finish dedup within its shard, no cross-shard pair pass) and
+  // keeps a cluster's canonical-selection decision (q167) single-shard.
+  // Cluster key = q72 label for clustered docs, own doc_id otherwise
+  // (singletons are their own cluster). The audit column IS the
+  // operator's contract: n_split_clusters — clusters observed in more
+  // than one shard — computed globally and must be 0 by construction;
+  // it is emitted (not just spec'd) so the production run itself proves
+  // placement, q111's manifest discipline.
+  //
+  // Scale: one node-keyed left join of labels onto the corpus + the
+  // shard rollup; the split audit is a cluster-keyed two-level rollup.
+  // All map-side-combinable; labels come from the materialized pair
+  // silver table's component pass.
+  // ---------------------------------------------------------------------
+  private val NumClusterShards = 8
+  private val q175 = QueryDef(
+    "q175_cluster_shards",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val labels = Dedup.clusterLabels(spark, dir)
+        .select($"node".as("doc_id"), $"label")
+      val assigned = Tables.documents(spark, dir)
+        .select($"doc_id", $"n_chars")
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce($"label", $"doc_id"))
+        .withColumn("shard",
+          pmod(Portable.md5Hash64(concat(lit("shard|"), $"cluster".cast("string"))),
+            lit(NumClusterShards.toLong)))
+      val splitAudit = assigned.groupBy($"cluster")
+        .agg(countDistinct($"shard").as("n_shards"))
+        .agg(sum(when($"n_shards" > 1, 1L).otherwise(0L)).as("n_split_clusters"))
+      assigned.groupBy($"shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"cluster").as("n_clusters"),
+          sum($"n_chars").as("n_chars"),
+          sum(when($"label".isNotNull, 1L).otherwise(0L)).as("n_clustered_docs"))
+        .crossJoin(broadcast(splitAudit))
+        .orderBy($"shard")
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (${Dedup.minhashOracle}),
+      cedges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+      cnodes AS (SELECT DISTINCT i AS node FROM cedges),
+      reach(a, b) AS (
+        SELECT node, node FROM cnodes
+        UNION
+        SELECT r.a, e.j FROM reach r JOIN cedges e ON e.i = r.b),
+      labeled AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY a),
+      assigned AS (
+        SELECT d.doc_id, d.n_chars, l.label,
+               COALESCE(l.label, d.doc_id) AS cluster,
+               ${graft.functions.Portable.md5Hash64Sql(
+                 "'shard|' || CAST(COALESCE(l.label, d.doc_id) AS VARCHAR)")}
+                 % $NumClusterShards AS shard
+        FROM documents d LEFT JOIN labeled l ON l.node = d.doc_id),
+      audit AS (
+        SELECT CAST(sum(CASE WHEN n_shards > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_split_clusters
+        FROM (SELECT cluster, count(DISTINCT shard) AS n_shards
+              FROM assigned GROUP BY 1))
+      SELECT shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             CAST(sum(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clustered_docs,
+             audit.n_split_clusters
+      FROM assigned CROSS JOIN audit
+      GROUP BY shard, audit.n_split_clusters
+      ORDER BY shard"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134, q149, q164, q168)
+    Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134, q149, q164, q168, q175)
 }

@@ -983,6 +983,59 @@ object Dedup extends QueryModule {
       WHERE greatest((1000 * k) // na.n, (1000 * k) // nb.n) >= 800
       ORDER BY i, j"""))
 
+  // ---------------------------------------------------------------------
+  // q174 — CROSS-SOURCE OVERLAP MATRIX (corpus provenance): which
+  // subcorpora share content? Per unordered source pair, the Jaccard of
+  // their word-3-gram SETS in exact integer millis — the release-review
+  // table that catches one feed republishing another (the between-
+  // subcorpora form of the q168 split-leakage lesson). Reuses the
+  // word3grams silver table joined to doc sources; the pair fan-out is
+  // bounded by |sources|² per gram (a gram in k sources yields ≤ k²/2
+  // pairs — sources are FEW even when docs are 10¹¹, which is what makes
+  // the full matrix tractable where the doc-pair matrix is not).
+  // ---------------------------------------------------------------------
+  private val q174 = QueryDef(
+    "q174_source_overlap",
+    (spark, dir) => {
+      import spark.implicits._
+      val srcOf = Tables.documents(spark, dir).select($"doc_id", $"source")
+      val sg = word3grams(spark, dir).select($"doc_id", $"s")
+        .join(srcOf, Seq("doc_id"))
+        .select($"source", $"s").distinct()
+      val sizes = sg.groupBy($"source").agg(count(lit(1)).as("n_grams"))
+      val shared = sg.as("a").join(sg.as("b"),
+          col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(sizes.select($"source".as("src_a"), $"n_grams".as("n_a")), Seq("src_a"))
+        .join(sizes.select($"source".as("src_b"), $"n_grams".as("n_b")), Seq("src_b"))
+        .withColumn("jaccard_milli",
+          expr("(1000 * n_shared) div (n_a + n_b - n_shared)"))
+        .select($"src_a", $"src_b", $"n_shared", $"n_a", $"n_b", $"jaccard_milli")
+        .orderBy($"src_a", $"src_b")
+    },
+    Some(s"""
+      WITH $gramsSql,
+      sg AS (
+        SELECT DISTINCT d.source, g.s
+        FROM grams g JOIN documents d ON d.doc_id = g.doc_id),
+      sizes AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY 1),
+      shared AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        FROM sg a JOIN sg b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b,
+             CAST(n_shared AS BIGINT) AS n_shared,
+             CAST(na.n_grams AS BIGINT) AS n_a,
+             CAST(nb.n_grams AS BIGINT) AS n_b,
+             CAST((1000 * n_shared) // (na.n_grams + nb.n_grams - n_shared)
+               AS BIGINT) AS jaccard_milli
+      FROM shared
+      JOIN sizes na ON na.source = src_a
+      JOIN sizes nb ON nb.source = src_b
+      ORDER BY src_a, src_b"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q34, q35, q36, q37, q38, q72, q96, q114, q118, q131, q151, q163)
+    Seq(q34, q35, q36, q37, q38, q72, q96, q114, q118, q131, q151, q163, q174)
 }

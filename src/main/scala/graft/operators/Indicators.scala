@@ -390,5 +390,96 @@ object Indicators extends QueryModule {
       FROM agg a JOIN best b ON a.ticker = b.ticker AND b.rn = 1
       ORDER BY a.ticker"""))
 
-  override val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q153, q154, q155)
+  // ---------------------------------------------------------------------
+  // q176 — ROLLING CORRELATION vs the market (20-day Pearson of a
+  // ticker's daily milli-return against the equal-weight market mean
+  // return): the beta/hedging input one step past q81's single-series
+  // bands. Bit-portability engineering:
+  //   - milli-returns and the market mean use SIGN-PEELED integer
+  //     division (q148's rule — Spark `div` truncates, DuckDB `//`
+  //     floors, and return diffs go negative);
+  //   - all six rolling accumulators (n, Σx, Σy, Σx², Σy², Σxy) are
+  //     exact integers over the 20-row frame;
+  //   - the float tail is fixed-order: two sqrts of exactly-represented
+  //     integers (IEEE sqrt is correctly rounded — unlike ln/exp it IS
+  //     portable), one multiply, one divide. Flat windows emit NULL.
+  // Scale: the market mean is a date-keyed rollup broadcast back onto
+  // the bar stream; the rolling pass shares the single ticker exchange
+  // with every other indicator. One new shuffle class: the |dates|-row
+  // market table.
+  // ---------------------------------------------------------------------
+  private val q176 = QueryDef(
+    "q176_rolling_corr",
+    (spark, dir) => {
+      import spark.implicits._
+      val withPrev = barsCents(spark, dir)
+        .withColumn("prev", lag($"cents", 1).over(wTicker))
+        .filter($"prev".isNotNull && $"prev" > 0)
+        .withColumn("x", expr(
+          """CASE WHEN cents >= prev THEN ((cents - prev) * 1000) div prev
+             ELSE -(((prev - cents) * 1000) div prev) END"""))
+      val market = withPrev.groupBy($"date")
+        .agg(sum($"x").as("sx"), count(lit(1)).as("nx"))
+        .select($"date", expr(
+          """CASE WHEN sx >= 0 THEN sx div nx
+             ELSE -((-sx) div nx) END""").as("y"))
+      val w20 = wTicker.rowsBetween(-19, 0)
+      withPrev.join(broadcast(market), Seq("date"))
+        .withColumn("n", count(lit(1)).over(w20))
+        .withColumn("sx", sum($"x").over(w20))
+        .withColumn("sy", sum($"y").over(w20))
+        .withColumn("sxx", sum($"x" * $"x").over(w20))
+        .withColumn("syy", sum($"y" * $"y").over(w20))
+        .withColumn("sxy", sum($"x" * $"y").over(w20))
+        .filter($"n" === 20)
+        .withColumn("vx", $"n" * $"sxx" - $"sx" * $"sx")
+        .withColumn("vy", $"n" * $"syy" - $"sy" * $"sy")
+        .withColumn("corr20",
+          when($"vx" > 0 && $"vy" > 0,
+            ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              (sqrt($"vx".cast("double")) * sqrt($"vy".cast("double")))))
+        .select($"ticker", $"date", $"x".as("ret_milli"),
+          $"y".as("mkt_milli"), $"corr20")
+        .orderBy($"ticker", $"date")
+    },
+    Some(s"""
+      WITH ${WindowFeatures.barsSql},
+      c AS (
+        SELECT ticker, date, $centsSql AS cents,
+               lag($centsSql, 1) OVER (PARTITION BY ticker ORDER BY date) AS prev
+        FROM bars),
+      rets AS (
+        SELECT ticker, date,
+               CASE WHEN cents >= prev THEN ((cents - prev) * 1000) // prev
+                    ELSE -(((prev - cents) * 1000) // prev) END AS x
+        FROM c WHERE prev IS NOT NULL AND prev > 0),
+      market AS (
+        SELECT date,
+               CASE WHEN sum(x) >= 0 THEN CAST(sum(x) AS BIGINT) // count(*)
+                    ELSE -(CAST(-sum(x) AS BIGINT) // count(*)) END AS y
+        FROM rets GROUP BY 1),
+      j AS (
+        SELECT r.ticker, r.date, r.x, m.y
+        FROM rets r JOIN market m ON m.date = r.date),
+      acc AS (
+        SELECT ticker, date, x, y,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(x) OVER w AS BIGINT) AS sx,
+               CAST(sum(y) OVER w AS BIGINT) AS sy,
+               CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+               CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+        FROM j
+        WINDOW w AS (PARTITION BY ticker ORDER BY date
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      SELECT ticker, date, x AS ret_milli, y AS mkt_milli,
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+               THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+                    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                     sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             END AS corr20
+      FROM acc WHERE n = 20
+      ORDER BY ticker, date"""))
+
+  override val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q153, q154, q155, q176)
 }

@@ -806,5 +806,82 @@ object Streams extends QueryModule {
              END AS est_distinct
       FROM ranked GROUP BY event_type ORDER BY event_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104, q128, q136, q147, q157)
+  // ---------------------------------------------------------------------
+  // q173 — STREAMING HLL registers (q161's batch sketch under streaming
+  // state, the way q136 streams the KMV): per-(event_type, bucket) max
+  // register maintained incrementally through the state store — ONE long
+  // of state per key, merged by max on every micro-batch, which is
+  // exactly how a production streaming distinct-counter holds a billion
+  // users in 64 registers per group. The harmonic fold + estimate run
+  // BATCH-side on the complete-mode sink output (chained stateful
+  // aggregations are the one shape streaming doesn't allow; the fold is
+  // over ≤ 64·|groups| rows, so it costs nothing). Bounded replay ⇒ the
+  // final registers equal the batch registers, so q161's oracle (minus
+  // the exact-count audit column, which would need a second unbounded
+  // state) gates it.
+  // ---------------------------------------------------------------------
+  private val HllW = 54
+  private val HllRCap = 41
+  private val HllEstConst: Double = 2903.0 * 2199023255552.0
+  private val q173 = QueryDef(
+    "q173_stream_hll",
+    (outer, dir) => {
+      val spark = streamSession(outer)
+      import spark.implicits._
+      import graft.functions.Portable
+      val reg = eventsStream(spark, dir)
+        .filter($"user_id".isNotNull)
+        .select($"event_type",
+          Portable.md5Hash64($"user_id".cast("string")).as("h"))
+        .withColumn("bkt", expr("h % 64"))
+        .withColumn("w", expr("h div 64"))
+        .withColumn("rho",
+          when($"w" === 0, lit(HllW + 1L))
+            .otherwise(lit(HllW + 1L) - length(conv($"w", 10, 2)).cast("long")))
+        .groupBy($"event_type", $"bkt")
+        .agg(max(least($"rho", lit(HllRCap.toLong))).as("r"))
+      val regs = runToParquet(reg, "complete")
+      val grid = regs.select($"event_type").distinct()
+        .select($"event_type", explode(sequence(lit(0L), lit(63L))).as("bkt"))
+      grid.join(regs, Seq("event_type", "bkt"), "left")
+        .na.fill(0L, Seq("r"))
+        .groupBy($"event_type")
+        .agg(
+          expr(s"sum(shiftleft(CAST(1 AS BIGINT), CAST($HllRCap - r AS INT)))")
+            .as("s_int"),
+          sum(when($"r" === 0, 1L).otherwise(0L)).as("n_zero"))
+        .select($"event_type", $"s_int", $"n_zero",
+          (lit(HllEstConst) / $"s_int".cast("double")).as("est_distinct"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type,
+               ${graft.functions.Portable.md5Hash64Sql("CAST(user_id AS VARCHAR)")} AS h
+        FROM events WHERE user_id IS NOT NULL),
+      rows_r AS (
+        SELECT event_type, h % 64 AS bkt,
+               least(CASE WHEN h // 64 = 0 THEN ${HllW + 1}
+                     ELSE ${HllW + 1} - length(format('{:b}', h // 64)) END,
+                 $HllRCap) AS r0
+        FROM h),
+      reg AS (
+        SELECT event_type, bkt, max(r0) AS r
+        FROM rows_r GROUP BY 1, 2),
+      grid AS (
+        SELECT t.event_type, CAST(b AS BIGINT) AS bkt
+        FROM (SELECT DISTINCT event_type FROM h) t
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
+      dense AS (
+        SELECT g.event_type, g.bkt, COALESCE(reg.r, 0) AS r
+        FROM grid g LEFT JOIN reg
+          ON reg.event_type = g.event_type AND reg.bkt = g.bkt)
+      SELECT event_type,
+             CAST(sum(CAST(1 AS BIGINT) << ($HllRCap - r)) AS BIGINT) AS s_int,
+             CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+             $HllEstConst / CAST(sum(CAST(1 AS BIGINT) << ($HllRCap - r)) AS DOUBLE)
+               AS est_distinct
+      FROM dense GROUP BY 1 ORDER BY event_type"""))
+
+  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104, q128, q136, q147, q157, q173)
 }

@@ -240,6 +240,59 @@ class SketchGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q173 streaming HLL: registers identical to the batch sketch (q161)") {
+    val streamed = run("q173_stream_hll").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val batch = run("q161_hll_registers").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.sorted === batch.sorted,
+      "micro-batch max-merge drifted from the one-pass batch registers")
+  }
+
+  test("q174 source overlap: full matrix, jaccard and intersection bounds") {
+    val rows = run("q174_source_overlap").collect()
+    val nSources = graft.sources.Tables.documents(spark, TestSpark.Sf001)
+      .select($"source").distinct().count().toInt
+    assert(rows.length === nSources * (nSources - 1) / 2) // every unordered pair
+    rows.foreach { r =>
+      val (a, b, shared, na, nb, jac) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(a < b)
+      assert(shared <= math.min(na, nb), s"intersection exceeds a side: $r")
+      assert(jac >= 0L && jac <= 1000L)
+      assert(jac === 1000L * shared / (na + nb - shared))
+    }
+  }
+
+  test("q175 cluster shards: no cluster splits, docs and clusters conserve") {
+    val rows = run("q175_cluster_shards").collect()
+    val nDocs = graft.sources.Tables.documents(spark, TestSpark.Sf001).count()
+    assert(rows.forall(_.getLong(5) === 0L), "a near-dup cluster spans shards")
+    assert(rows.map(_.getLong(1)).sum === nDocs)
+    // because no cluster spans shards, per-shard cluster counts ADD UP to
+    // the global cluster count — the property doc-hash sharding (q111)
+    // cannot offer
+    val labels = Dedup.clusterLabels(spark, TestSpark.Sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = graft.sources.Tables.documents(spark, TestSpark.Sf001)
+      .select($"doc_id").as[Long].collect()
+    val globalClusters = ids.map(d => labels.getOrElse(d, d)).distinct.length
+    assert(rows.map(_.getLong(2)).sum === globalClusters)
+  }
+
+  test("q176 rolling corr: correlation bounded, full windows only") {
+    val rows = run("q176_rolling_corr").collect()
+    assert(rows.nonEmpty)
+    var nonNull = 0
+    rows.foreach { r =>
+      if (!r.isNullAt(4)) {
+        nonNull += 1
+        assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-9, s"corr out of range: $r")
+      }
+    }
+    assert(nonNull > rows.length / 2, "correlation mostly null — degenerate input")
+  }
+
   test("q163 containment: millis bounded, intersection bounded, threshold holds") {
     val rows = run("q163_gram_containment").collect()
     assert(rows.nonEmpty)
