@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryModule}
 import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -498,5 +499,171 @@ object Analytics extends QueryModule {
       FROM pairs p JOIN ft ON p.from_type = ft.from_type
       ORDER BY p.from_type, p.to_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q88, q89, q90, q91, q95, q124, q132, q150)
+  // ---------------------------------------------------------------------
+  // q178 — MERKLE-STYLE TABLE DIFF: reconcile two versions of a table
+  // without comparing every row — the rsync/Merkle idea as a relational
+  // plan. Version B is planted deterministically from A (value bumped
+  // for id % 97 = 0, rows id % 101 = 0 deleted, shifted-id inserts for
+  // id % 103 = 0). Both sides roll up to BLOCK digests (id div 1024:
+  // row-hash sum mod P + count); only blocks whose digests disagree are
+  // drilled — the row-level full-outer join is SEMI-JOINED down to the
+  // mismatched block list first, so its cost is O(changed blocks), not
+  // O(table). That pruning is the operator: at 100 TB, version diff
+  // against yesterday touches the few blocks that changed plus one
+  // digest pass per side, vs a full-table join every naive diff pays.
+  // Output: per diff class (added/removed/changed), row count + id
+  // extent, plus the blocks-touched audit the pruning claim rides on.
+  // ---------------------------------------------------------------------
+  private val DiffBlock = 1024L
+  private val q178 = QueryDef(
+    "q178_merkle_diff",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      def rowHash(value: Column, typ: Column, id: Column): Column =
+        Portable.md5Hash64(concat(id.cast("string"), lit("|"),
+          value.cast("string"), lit("|"), typ)) % Portable.P
+      val a = Tables.events(spark, dir)
+        .filter($"event_id".isNotNull && $"value".isNotNull)
+        .select($"event_id".as("id"),
+          ($"value".cast(DecimalType(28, 2)) * 100).cast("long").as("cents"),
+          $"event_type".as("typ"))
+      val b = a.filter($"id" % 101 =!= 0) // deletes
+        .withColumn("cents",
+          when($"id" % 97 === 0, $"cents" + 1).otherwise($"cents")) // updates
+        .unionByName(a.filter($"id" % 103 === 0)
+          .select(($"id" + 1000000000L).as("id"), $"cents", $"typ")) // inserts
+      def digests(t: DataFrame) = t
+        .groupBy(expr(s"id div $DiffBlock").as("blk"))
+        .agg(sum(rowHash($"cents", $"typ", $"id")).as("digest"),
+          count(lit(1)).as("n"))
+      val da = digests(a).select($"blk", $"digest".as("dig_a"), $"n".as("n_a"))
+      val db = digests(b).select($"blk", $"digest".as("dig_b"), $"n".as("n_b"))
+      val badBlocks = da.join(db, Seq("blk"), "full_outer")
+        .filter($"dig_a".isNull || $"dig_b".isNull || $"dig_a" =!= $"dig_b" ||
+          $"n_a" =!= $"n_b")
+        .select($"blk")
+      val aIn = a.withColumn("blk", expr(s"id div $DiffBlock"))
+        .join(badBlocks, Seq("blk"), "left_semi")
+      val bIn = b.withColumn("blk", expr(s"id div $DiffBlock"))
+        .join(badBlocks, Seq("blk"), "left_semi")
+      val rowDiff = aIn.select($"id", $"cents".as("c_a"), $"typ".as("t_a"))
+        .join(bIn.select($"id", $"cents".as("c_b"), $"typ".as("t_b")),
+          Seq("id"), "full_outer")
+        .withColumn("class",
+          when($"c_a".isNull, "added")
+            .when($"c_b".isNull, "removed")
+            .when($"c_a" =!= $"c_b" || $"t_a" =!= $"t_b", "changed"))
+        .filter($"class".isNotNull)
+      val nBlocks = badBlocks.agg(count(lit(1)).as("n_blocks_touched"))
+      rowDiff.groupBy($"class")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"id").as("min_id"), max($"id").as("max_id"))
+        .crossJoin(broadcast(nBlocks))
+        .orderBy($"class")
+    },
+    Some {
+      val rowHashSql = (id: String, cents: String, typ: String) =>
+        s"${graft.functions.Portable.md5Hash64Sql(
+          s"CAST($id AS VARCHAR) || '|' || CAST($cents AS VARCHAR) || '|' || $typ")} % ${graft.functions.Portable.P}"
+      s"""
+      WITH a AS (
+        SELECT event_id AS id,
+               CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents,
+               event_type AS typ
+        FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+      b AS (
+        SELECT id,
+               CASE WHEN id % 97 = 0 THEN cents + 1 ELSE cents END AS cents,
+               typ
+        FROM a WHERE id % 101 <> 0
+        UNION ALL
+        SELECT id + 1000000000, cents, typ FROM a WHERE id % 103 = 0),
+      da AS (
+        SELECT id // $DiffBlock AS blk,
+               CAST(sum(${rowHashSql("id", "cents", "typ")}) AS BIGINT) AS dig_a,
+               count(*) AS n_a
+        FROM a GROUP BY 1),
+      db AS (
+        SELECT id // $DiffBlock AS blk,
+               CAST(sum(${rowHashSql("id", "cents", "typ")}) AS BIGINT) AS dig_b,
+               count(*) AS n_b
+        FROM b GROUP BY 1),
+      bad AS (
+        SELECT COALESCE(da.blk, db.blk) AS blk
+        FROM da FULL OUTER JOIN db ON da.blk = db.blk
+        WHERE da.blk IS NULL OR db.blk IS NULL OR da.dig_a <> db.dig_b
+           OR da.n_a <> db.n_b),
+      rowdiff AS (
+        SELECT COALESCE(aa.id, bb.id) AS id,
+               CASE WHEN aa.id IS NULL THEN 'added'
+                    WHEN bb.id IS NULL THEN 'removed'
+                    WHEN aa.cents <> bb.cents OR aa.typ <> bb.typ THEN 'changed'
+               END AS class
+        FROM (SELECT * FROM a WHERE id // $DiffBlock IN (SELECT blk FROM bad)) aa
+        FULL OUTER JOIN
+             (SELECT * FROM b WHERE id // $DiffBlock IN (SELECT blk FROM bad)) bb
+          ON aa.id = bb.id),
+      nb AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks_touched FROM bad)
+      SELECT class, CAST(count(*) AS BIGINT) AS n_rows,
+             min(id) AS min_id, max(id) AS max_id, nb.n_blocks_touched
+      FROM rowdiff, nb WHERE class IS NOT NULL
+      GROUP BY class, nb.n_blocks_touched ORDER BY class"""
+    })
+
+  // ---------------------------------------------------------------------
+  // q179 — K-ANONYMITY AUDIT: the governance gate before any event-level
+  // dataset leaves the pipeline — every (event_type, day, value-band)
+  // cell must cover at least K distinct users, else the cell is
+  // re-identifiable. Value bands are integer cents div 5000 (portable
+  // bucketing, no quantile dependence). Output per event_type: cell
+  // census, sub-K cells, the at-risk exposure mass (Σ distinct users
+  // over sub-K cells), the minimum cell population, and the suppression
+  // fraction in exact millis — the numbers a privacy review actually
+  // asks for. One rollup to cells + one rollup to types; both
+  // map-side-combinable, the cell table is |types|×|days|×|bands|
+  // bounded however large the event log.
+  // ---------------------------------------------------------------------
+  private val AnonK = 5L
+  private val q179 = QueryDef(
+    "q179_k_anonymity",
+    (spark, dir) => {
+      import spark.implicits._
+      val cells = Tables.events(spark, dir)
+        .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull)
+        .groupBy($"event_type", to_date($"ts").as("day"),
+          (expr("CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) div 5000")
+            ).as("band"))
+        .agg(countDistinct($"user_id").as("k"))
+      cells.groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_cells"),
+          sum(when($"k" < AnonK, 1L).otherwise(0L)).as("n_small_cells"),
+          sum(when($"k" < AnonK, $"k").otherwise(0L)).as("exposures_at_risk"),
+          min($"k").as("min_k"))
+        .withColumn("suppress_milli",
+          expr("(1000 * n_small_cells) div n_cells"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) // 5000 AS band,
+               count(DISTINCT user_id) AS k
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2, 3)
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(CASE WHEN k < $AnonK THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small_cells,
+             CAST(sum(CASE WHEN k < $AnonK THEN k ELSE 0 END) AS BIGINT)
+               AS exposures_at_risk,
+             CAST(min(k) AS BIGINT) AS min_k,
+             CAST((1000 * sum(CASE WHEN k < $AnonK THEN 1 ELSE 0 END)) // count(*)
+               AS BIGINT) AS suppress_milli
+      FROM cells GROUP BY 1 ORDER BY event_type"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q88, q89, q90, q91, q95, q124, q132, q150, q178, q179)
 }

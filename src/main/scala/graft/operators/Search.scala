@@ -595,5 +595,102 @@ object Search extends QueryModule {
       FROM ranked WHERE rank <= $PhraseTopDocs
       ORDER BY phrase, rank"""))
 
-  override val defs: Seq[QueryDef] = Seq(q84, q85, q92, q115, q120, q125, q166)
+  // ---------------------------------------------------------------------
+  // q177 — HYBRID RETRIEVAL via RECIPROCAL-RANK FUSION: the standard way
+  // (RRF, Cormack et al.; the default hybrid combiner in every modern
+  // search stack) to merge two rankers whose scores live on incomparable
+  // scales — here q84's tf·idf and q115's BM25 over the same query. RRF
+  // needs only the RANKS: score = Σ 1/(60 + rank), computed here as the
+  // exact integer Σ 10⁹ div (60 + rank), so fusion adds zero float risk
+  // on top of the scorers. Both scorers share ONE postings/df/doc-length
+  // build (the plan reuse a separate-query fusion would lose); ranks are
+  // over the CANDIDATE set (docs matching ≥ 1 query term — the same
+  // bounded universe q84's top-k ranks), ties on doc_id.
+  // ---------------------------------------------------------------------
+  private val RrfK = 60
+  private val q177 = QueryDef(
+    "q177_rrf_hybrid",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val toks = docs
+        .select($"doc_id", explode(Portable.tokens(lower($"text"))).as("term"))
+      val docLen = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val corpus = docLen.agg(sum($"dl").as("sum_dl"), count(lit(1)).as("n_docs"))
+      val postings = toks
+        .filter($"term".isInCollection(QueryTerms))
+        .groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("tf"))
+      val dfCounts = postings.groupBy($"term")
+        .agg(countDistinct($"doc_id").as("df"))
+      val scored = postings
+        .join(broadcast(dfCounts), "term")
+        .join(docLen, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs".cast("double"))
+        .withColumn("idf_scaled", expr("(1000000 * n_docs) div df"))
+        .withColumn("denom",
+          $"tf".cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * ($"dl".cast("double") / $"avgdl")))
+        .withColumn("tfn_scaled",
+          floor(($"tf".cast("double") * lit(2200000.0)) / $"denom").cast("long"))
+        .groupBy($"doc_id")
+        .agg(
+          sum($"tf" * $"idf_scaled").as("s_tfidf"),
+          sum($"idf_scaled" * $"tfn_scaled").as("s_bm25"))
+      val wT = org.apache.spark.sql.expressions.Window
+        .orderBy($"s_tfidf".desc, $"doc_id")
+      val wB = org.apache.spark.sql.expressions.Window
+        .orderBy($"s_bm25".desc, $"doc_id")
+      scored
+        .withColumn("r_tfidf", row_number().over(wT).cast("long"))
+        .withColumn("r_bm25", row_number().over(wB).cast("long"))
+        .withColumn("rrf_scaled",
+          expr(s"1000000000L div ($RrfK + r_tfidf) + 1000000000L div ($RrfK + r_bm25)"))
+        .orderBy($"rrf_scaled".desc, $"doc_id")
+        .limit(20)
+        .select($"doc_id", $"r_tfidf", $"r_bm25", $"rrf_scaled")
+    },
+    Some {
+      val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(${Portable.tokensSql("lower(text)")}) AS term
+        FROM documents),
+      dlt AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      corpus AS (
+        SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+               count(*) AS n_docs
+        FROM dlt),
+      p AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term IN ($termList) GROUP BY 1, 2),
+      d AS (SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY 1),
+      scored AS (
+        SELECT p.doc_id,
+               CAST(sum(p.tf * ((1000000 * c.n_docs) // d.df)) AS BIGINT)
+                 AS s_tfidf,
+               CAST(sum(((1000000 * c.n_docs) // d.df) *
+                 CAST(floor((CAST(p.tf AS DOUBLE) * CAST(2200000.0 AS DOUBLE)) /
+                   (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                     (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                       (CAST(dlt.dl AS DOUBLE) / c.avgdl)))) AS BIGINT))
+                 AS BIGINT) AS s_bm25
+        FROM p JOIN d ON p.term = d.term JOIN dlt ON dlt.doc_id = p.doc_id, corpus c
+        GROUP BY 1),
+      ranked AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY s_tfidf DESC, doc_id) AS BIGINT)
+                 AS r_tfidf,
+               CAST(row_number() OVER (ORDER BY s_bm25 DESC, doc_id) AS BIGINT)
+                 AS r_bm25
+        FROM scored)
+      SELECT doc_id, r_tfidf, r_bm25,
+             CAST(1000000000 // ($RrfK + r_tfidf)
+                + 1000000000 // ($RrfK + r_bm25) AS BIGINT) AS rrf_scaled
+      FROM ranked
+      ORDER BY rrf_scaled DESC, doc_id LIMIT 20"""
+    })
+
+  override val defs: Seq[QueryDef] = Seq(q84, q85, q92, q115, q120, q125, q166, q177)
 }

@@ -293,6 +293,56 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(nonNull > rows.length / 2, "correlation mostly null — degenerate input")
   }
 
+  test("q177 rrf: fusion arithmetic exact, output ordered, full top-20") {
+    val rows = run("q177_rrf_hybrid").collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (rt, rb, rrf) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rt >= 1L && rb >= 1L)
+      assert(rrf === 1000000000L / (60 + rt) + 1000000000L / (60 + rb))
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(3) > b.getLong(3) ||
+          (a.getLong(3) === b.getLong(3) && a.getLong(0) < b.getLong(0)))
+      case _ => ()
+    }
+  }
+
+  test("q178 merkle diff: recovers exactly the planted changes, prunes blocks") {
+    val rows = run("q178_merkle_diff").collect()
+    val byClass = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids = graft.sources.Tables.events(spark, TestSpark.Sf001)
+      .filter($"event_id".isNotNull && $"value".isNotNull)
+      .select($"event_id").as[Long].collect()
+    val expRemoved = ids.count(_ % 101 == 0).toLong
+    val expChanged = ids.count(i => i % 97 == 0 && i % 101 != 0).toLong
+    val expAdded = ids.count(_ % 103 == 0).toLong
+    assert(byClass.get("removed").contains(expRemoved), s"$byClass vs $expRemoved")
+    assert(byClass.get("changed").contains(expChanged), s"$byClass vs $expChanged")
+    assert(byClass.get("added").contains(expAdded), s"$byClass vs $expAdded")
+    // touched blocks bounded by the union of A's blocks and the shifted
+    // insert blocks (inserts land in fresh high-id blocks by design)
+    val aBlocks = ids.map(_ / 1024L).distinct.length
+    val insBlocks = ids.filter(_ % 103 == 0)
+      .map(i => (i + 1000000000L) / 1024L).distinct.length
+    val touched = rows.head.getLong(4)
+    assert(touched > 0L && touched <= aBlocks.toLong + insBlocks.toLong)
+  }
+
+  test("q179 k-anonymity: cell accounting and suppression arithmetic") {
+    val rows = run("q179_k_anonymity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cells, small, exposures, minK, milli) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(small <= cells)
+      assert(minK >= 1L)
+      assert(exposures <= small * 4L) // each sub-K cell holds < K = 5 users
+      assert(milli === 1000L * small / cells)
+    }
+  }
+
   test("q163 containment: millis bounded, intersection bounded, threshold holds") {
     val rows = run("q163_gram_containment").collect()
     assert(rows.nonEmpty)
