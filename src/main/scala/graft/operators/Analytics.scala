@@ -664,6 +664,112 @@ object Analytics extends QueryModule {
                AS BIGINT) AS suppress_milli
       FROM cells GROUP BY 1 ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------------
+  // q182 — RIGHT-TO-BE-FORGOTTEN CASCADE: a deletion-request batch
+  // (customers with custkey ≡ 0 mod 53 — the deterministic stand-in for
+  // the request queue) propagated through the referential chain
+  // customer → orders → lineitem, plus the event log by user key. Each
+  // table's audit row carries rows-before / rows-dropped / rows-after
+  // and a checksum over the SURVIVING rows — the erasure evidence a
+  // compliance review wants is about what REMAINS, not what left.
+  // Mechanics: one anti-join per table, each keyed on the parent's
+  // dropped-key set (broadcast-sized at operating scale — deletion
+  // batches are small); the lineitem stage semi-joins the DROPPED
+  // orders, never re-deriving from customers (single-parent chains keep
+  // the cascade linear in depth, not fan-out).
+  // ---------------------------------------------------------------------
+  private val q182 = QueryDef(
+    "q182_forget_cascade",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val P = Portable.P
+      // ONE pass per table: mark dropped keys with a left join, then a
+      // single aggregate carries before/dropped/after/checksum — no
+      // driver-side counts, no second scan
+      def audit(name: String, before: DataFrame, dropKeys: DataFrame,
+          keyCol: Column): DataFrame =
+        // distinct: the fixture's lineitem carries duplicate composite
+        // keys, and a duplicated key in the marker set would fan the
+        // left join out and inflate every count
+        before.join(dropKeys.distinct(), keyCol === col("_dk"), "left")
+          .agg(
+            lit(name).as("table_name"),
+            count(lit(1)).as("rows_before"),
+            sum(when(col("_dk").isNotNull, 1L).otherwise(0L)).as("rows_dropped"),
+            sum(when(col("_dk").isNull, 1L).otherwise(0L)).as("rows_after"),
+            sum(when(col("_dk").isNull,
+              Portable.md5Hash64(keyCol.cast("string")) % P).otherwise(0L))
+              .as("survivor_checksum"))
+      val cust = Tables.customer(spark, dir)
+      val custDrop = cust.filter($"c_custkey" % 53 === 0)
+      val orders = Tables.orders(spark, dir)
+      val ordDrop = orders.join(
+        custDrop.select($"c_custkey".as("o_custkey")), Seq("o_custkey"), "left_semi")
+      val li = Tables.lineitem(spark, dir)
+      val liDrop = li.join(
+        ordDrop.select($"o_orderkey".as("l_orderkey")), Seq("l_orderkey"), "left_semi")
+      val ev = Tables.events(spark, dir).filter($"event_id".isNotNull)
+      val evDrop = ev.filter($"user_id".isNotNull && $"user_id" % 53 === 0)
+      audit("customer", cust,
+          custDrop.select($"c_custkey".as("_dk")), col("c_custkey"))
+        .unionByName(audit("orders", orders,
+          ordDrop.select($"o_orderkey".as("_dk")), col("o_orderkey")))
+        .unionByName(audit("lineitem", li,
+          liDrop.select(($"l_orderkey" * 16 + $"l_linenumber").as("_dk")),
+          (col("l_orderkey") * 16 + col("l_linenumber"))))
+        .unionByName(audit("events", ev,
+          evDrop.select($"event_id".as("_dk")), col("event_id")))
+        .orderBy($"table_name")
+    },
+    Some {
+      val P = graft.functions.Portable.P
+      def ck(e: String) =
+        s"CAST(sum(${graft.functions.Portable.md5Hash64Sql(s"CAST($e AS VARCHAR)")} % $P) AS BIGINT)"
+      s"""
+      WITH custdrop AS (SELECT c_custkey FROM customer WHERE c_custkey % 53 = 0),
+      orddrop AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM custdrop)),
+      lidrop AS (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orddrop)),
+      evdrop AS (
+        SELECT event_id FROM events
+        WHERE user_id IS NOT NULL AND user_id % 53 = 0 AND event_id IS NOT NULL)
+      SELECT 'customer' AS table_name,
+             (SELECT count(*) FROM customer) AS rows_before,
+             (SELECT count(*) FROM custdrop) AS rows_dropped,
+             CAST(count(*) AS BIGINT) AS rows_after,
+             ${ck("c_custkey")} AS survivor_checksum
+      FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM custdrop)
+      UNION ALL
+      SELECT 'events',
+             (SELECT count(*) FROM events WHERE event_id IS NOT NULL),
+             (SELECT count(*) FROM evdrop),
+             CAST(count(*) AS BIGINT),
+             ${ck("event_id")}
+      FROM events WHERE event_id IS NOT NULL
+        AND event_id NOT IN (SELECT event_id FROM evdrop)
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lidrop),
+             CAST(count(*) AS BIGINT),
+             ${ck("l_orderkey * 16 + l_linenumber")}
+      FROM lineitem
+      WHERE l_orderkey * 16 + l_linenumber NOT IN (
+        SELECT l_orderkey * 16 + l_linenumber FROM lidrop)
+      UNION ALL
+      SELECT 'orders',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orddrop),
+             CAST(count(*) AS BIGINT),
+             ${ck("o_orderkey")}
+      FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orddrop)
+      ORDER BY table_name"""
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(q88, q89, q90, q91, q95, q124, q132, q150, q178, q179)
+    Seq(q88, q89, q90, q91, q95, q124, q132, q150, q178, q179, q182)
 }

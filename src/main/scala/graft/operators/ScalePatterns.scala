@@ -512,6 +512,66 @@ object ScalePatterns extends QueryModule {
       FROM sk JOIN ex ON sk.event_type = ex.event_type
       ORDER BY sk.event_type"""))
 
+  // ---------------------------------------------------------------------
+  // q180 — BITMAP PRESENCE MASKS (the roaring-bitmap idea at word
+  // grain): per (event_type, day), a 62-bit presence mask of user
+  // buckets (bit = 1 ⇔ some user with user_id mod 62 in that bucket was
+  // active), built with bit_or — the third mergeable-state sketch next
+  // to KMV (q65/q133) and HLL (q161/q173), and the one whose MERGE is
+  // not just exact but TRIVIAL: monthly presence = OR of ≤ 31 daily
+  // longs, never re-touching raw events (q133's stored-cube
+  // discipline). bit_count(mask) is the exact count of OCCUPIED buckets
+  // — a lower bound on distinct users that saturates at 62, emitted
+  // next to the exact distinct count so the saturation behavior is
+  // visible. At 100 TB the daily cube row is 8 BYTES of state per
+  // (type, day) — the cheapest possible activity index, and the same
+  // plan at 2^20-bit masks is a real user-presence bitmap index.
+  // ---------------------------------------------------------------------
+  private val q180 = QueryDef(
+    "q180_bitmap_presence",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"ts".isNotNull && $"user_id".isNotNull)
+        .select($"event_type", to_date($"ts").as("day"), $"user_id",
+          to_date(date_trunc("month", $"ts")).as("month"))
+      val daily = ev.groupBy($"event_type", $"month", $"day")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT)))")
+          .as("mask"))
+      val monthlyExact = ev.groupBy($"event_type", $"month")
+        .agg(countDistinct($"user_id").as("exact_users"))
+      daily.groupBy($"event_type", $"month")
+        .agg(
+          count(lit(1)).as("n_days"),
+          expr("bit_or(mask)").as("month_mask"))
+        .withColumn("n_buckets", expr("CAST(bit_count(month_mask) AS BIGINT)"))
+        .join(monthlyExact, Seq("event_type", "month"))
+        .orderBy($"event_type", $"month")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, user_id,
+               CAST(date_trunc('month', ts) AS DATE) AS month
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      daily AS (
+        SELECT event_type, month, day,
+               bit_or(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INT)) AS mask
+        FROM ev GROUP BY 1, 2, 3),
+      monthly AS (
+        SELECT event_type, month,
+               CAST(count(*) AS BIGINT) AS n_days,
+               bit_or(mask) AS month_mask
+        FROM daily GROUP BY 1, 2),
+      ex AS (
+        SELECT event_type, month,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM ev GROUP BY 1, 2)
+      SELECT m.event_type, m.month, m.n_days, m.month_mask,
+             CAST(bit_count(m.month_mask) AS BIGINT) AS n_buckets,
+             ex.exact_users
+      FROM monthly m JOIN ex ON ex.event_type = m.event_type AND ex.month = m.month
+      ORDER BY m.event_type, m.month"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q59, q60, q65, q66, q87, q133, q144, q161)
+    Seq(q59, q60, q65, q66, q87, q133, q144, q161, q180)
 }

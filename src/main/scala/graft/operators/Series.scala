@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryDef, QueryModule}
 import graft.functions.Portable
 import graft.sources.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -158,27 +158,60 @@ object Series extends QueryModule {
   // share the single user_id shuffle; ties on ts break on the unique
   // event_id so runs are identical on both engines.
   // ---------------------------------------------------------------------
+  /** SCD2 validity-interval history (q139's body before the final
+    * projection): (user_id, version, event_type, valid_from, n_events,
+    * valid_to). Shared with q181's point-in-time snapshot probe.
+    */
+  private[operators] def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val runs = Tables.events(spark, dir)
+      .filter($"ts".isNotNull && $"user_id".isNotNull)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .withColumn("chg",
+        when($"prev".isNull || $"prev" =!= $"event_type", 1L).otherwise(0L))
+      .withColumn("version", sum($"chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val hist = runs.groupBy($"user_id", $"version")
+      .agg(
+        min($"event_type").as("event_type"),
+        min($"ts").as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy($"user_id").orderBy($"version")
+    hist.withColumn("valid_to", lead($"valid_from", 1).over(wv))
+  }
+
+  /** q139's oracle CTE chain up to the `h2` table (history + valid_to),
+    * shared with q181.
+    */
+  private[operators] val scd2Sql: String = """
+      scd_r AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      scd_v AS (
+        SELECT *, CAST(sum(chg) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        FROM scd_r),
+      scd_h AS (
+        SELECT user_id, version, min(event_type) AS event_type,
+               min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+        FROM scd_v GROUP BY 1, 2),
+      scd_h2 AS (
+        SELECT *, lead(valid_from) OVER (
+          PARTITION BY user_id ORDER BY version) AS valid_to
+        FROM scd_h)"""
+
   private val q139 = QueryDef(
     "q139_scd2_history",
     (spark, dir) => {
       import spark.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      val runs = Tables.events(spark, dir)
-        .filter($"ts".isNotNull && $"user_id".isNotNull)
-        .select($"user_id", $"event_type", $"ts", $"event_id")
-        .withColumn("prev", lag($"event_type", 1).over(w))
-        .withColumn("chg",
-          when($"prev".isNull || $"prev" =!= $"event_type", 1L).otherwise(0L))
-        .withColumn("version", sum($"chg").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val hist = runs.groupBy($"user_id", $"version")
-        .agg(
-          min($"event_type").as("event_type"),
-          min($"ts").as("valid_from"),
-          count(lit(1)).as("n_events"))
-      val wv = Window.partitionBy($"user_id").orderBy($"version")
-      hist
-        .withColumn("valid_to", lead($"valid_from", 1).over(wv))
+      scd2History(spark, dir)
         .withColumn("is_current", when($"valid_to".isNull, 1).otherwise(0))
         .orderBy($"user_id", $"version")
     },

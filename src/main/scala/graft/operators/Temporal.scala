@@ -297,5 +297,73 @@ object Temporal extends QueryModule {
              CAST(sum(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
       FROM j GROUP BY 1, 2 ORDER BY event_type, staleness NULLS FIRST"""))
 
-  override val defs: Seq[QueryDef] = Seq(q62, q63, q94, q101, q158)
+  // ---------------------------------------------------------------------
+  // q181 — POINT-IN-TIME dimension snapshots (the SCD2 companion q139
+  // stores history FOR): "what was every user's state at each month
+  // end?" — the snapshot-table generation every warehouse runs off its
+  // dimension history, and the canonical PIT-correctness case for a
+  // feature store (training joins must see the version valid AT the
+  // label time, never the current one). The probe grid is |users| ×
+  // |month-ends| (dimension-grain, never event-grain); the lookup runs
+  // through the NATIVE as-of operator (plans/AsOfJoin — merge-scan, one
+  // buffered right row) on (user, snapshot ≥ valid_from), exercising it
+  // on a composed input rather than the raw fixture. DuckDB's built-in
+  // ASOF LEFT JOIN replays the identical semantics as the oracle.
+  // Output: per (snapshot, state) user census + the never-matched count
+  // (users whose history starts after the snapshot — the PIT-correct
+  // NULL a current-state join would silently fill).
+  // ---------------------------------------------------------------------
+  private val q181 = QueryDef(
+    "q181_pit_snapshots",
+    (spark, dir) => {
+      import spark.implicits._
+      val hist = Series.scd2History(spark, dir)
+        .select($"user_id".as("h_user"), $"event_type".as("state"),
+          $"valid_from")
+      val ev = Tables.events(spark, dir)
+        .filter($"ts".isNotNull && $"user_id".isNotNull)
+      val bounds = ev.agg(
+        to_date(date_trunc("month", min($"ts"))).as("lo"),
+        to_date(max($"ts")).as("hi"))
+      val snaps = broadcast(bounds)
+        .select(explode(expr(
+          "sequence(lo, hi, interval 1 month)")).as("m"))
+        .select(last_day($"m").cast("timestamp").as("snap_ts"))
+      val grid = ev.select($"user_id").distinct().crossJoin(broadcast(snaps))
+      val pit = graft.plans.AsOf.join(
+        grid, hist,
+        keys = Seq("user_id" -> "h_user"),
+        leftTimeCol = "snap_ts", rightTimeCol = "valid_from")
+      pit.groupBy(to_date($"snap_ts").as("snapshot"),
+          coalesce($"state", lit("<no-history-yet>")).as("state"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"snapshot", $"state")
+    },
+    Some(s"""
+      WITH ${Series.scd2Sql},
+      ev AS (
+        SELECT user_id, ts FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      bounds AS (
+        SELECT CAST(date_trunc('month', min(ts)) AS DATE) AS lo,
+               CAST(max(ts) AS DATE) AS hi
+        FROM ev),
+      snaps AS (
+        SELECT CAST(last_day(CAST(m AS DATE)) AS TIMESTAMP) AS snap_ts FROM (
+          SELECT unnest(generate_series(CAST(lo AS TIMESTAMP),
+            CAST(hi AS TIMESTAMP), INTERVAL 1 MONTH)) AS m
+          FROM bounds)),
+      grid AS (
+        SELECT u.user_id, s.snap_ts
+        FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN snaps s),
+      pit AS (
+        SELECT g.user_id, g.snap_ts, h.event_type AS state
+        FROM grid g ASOF LEFT JOIN scd_h2 h
+          ON g.user_id = h.user_id AND h.valid_from <= g.snap_ts)
+      SELECT CAST(snap_ts AS DATE) AS snapshot,
+             COALESCE(state, '<no-history-yet>') AS state,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM pit GROUP BY 1, 2 ORDER BY snapshot, state"""))
+
+  override val defs: Seq[QueryDef] = Seq(q62, q63, q94, q101, q158, q181)
 }

@@ -343,6 +343,63 @@ class SketchGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q180 bitmaps: OR-merge equals direct mask, bucket counts bounded") {
+    val rows = run("q180_bitmap_presence").collect()
+    assert(rows.nonEmpty)
+    // recompute the month mask DIRECTLY from raw events — the rollup of
+    // daily masks must be bit-identical (exact mergeability, the point)
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf001)
+      .filter($"ts".isNotNull && $"user_id".isNotNull)
+    val direct = ev.groupBy($"event_type",
+        to_date(date_trunc("month", $"ts")).as("month"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT)))")
+        .as("mask"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2))
+      .toMap
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getDate(1).toString)
+      assert(r.getLong(3) === direct(key), s"month mask drifted for $key")
+      val (nBuckets, exact) = (r.getLong(4), r.getLong(5))
+      assert(nBuckets >= 1L && nBuckets <= 62L)
+      assert(nBuckets <= exact) // occupied buckets lower-bound distinct users
+    }
+  }
+
+  test("q181 pit snapshots: every user accounted for at every snapshot") {
+    val rows = run("q181_pit_snapshots").collect()
+    assert(rows.nonEmpty)
+    val nUsers = graft.sources.Tables.events(spark, TestSpark.Sf001)
+      .filter($"ts".isNotNull && $"user_id".isNotNull)
+      .select($"user_id").distinct().count()
+    rows.groupBy(_.getDate(0).toString).foreach { case (snap, rs) =>
+      assert(rs.map(_.getLong(2)).sum === nUsers,
+        s"snapshot $snap lost users (PIT join must be total over the grid)")
+    }
+    // the final snapshot covers every user's history: no unmatched rows
+    val last = rows.maxBy(_.getDate(0).toString)
+    val lastRows = rows.filter(_.getDate(0).toString == last.getDate(0).toString)
+    assert(!lastRows.exists(_.getString(1) == "<no-history-yet>"))
+  }
+
+  test("q182 forget cascade: arithmetic closes and cascade depths agree") {
+    val rows = run("q182_forget_cascade").collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3),
+        s"before != dropped + after: $r")
+    }
+    val byTable = rows.map(r => r.getString(0) -> r).toMap
+    // referential sanity: dropping ~1/53 of customers drops a similar
+    // share of orders, and lineitem drops only via dropped orders
+    val custShare = byTable("customer").getLong(2).toDouble /
+      byTable("customer").getLong(1)
+    val ordShare = byTable("orders").getLong(2).toDouble /
+      byTable("orders").getLong(1)
+    assert(math.abs(custShare - ordShare) < 0.02)
+    assert(byTable("lineitem").getLong(2) > 0L)
+    assert(byTable("events").getLong(2) > 0L)
+  }
+
   test("q163 containment: millis bounded, intersection bounded, threshold holds") {
     val rows = run("q163_gram_containment").collect()
     assert(rows.nonEmpty)
