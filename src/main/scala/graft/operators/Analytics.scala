@@ -770,6 +770,135 @@ object Analytics extends QueryModule {
       ORDER BY table_name"""
     })
 
+  // ---------------------------------------------------------------------
+  // q184 — CONCURRENCY SWEEP-LINE (peak concurrent sessions per day):
+  // the capacity-planning number behind every "how many workers do we
+  // need" question. Sessions are the q124 gaps-and-islands (30-min
+  // inactivity), then the classic sweep: +1 at start, −1 at end,
+  // running sum, max. The scale move is the DAY SPLIT: a session
+  // crossing midnight is exploded into per-day segments FIRST, which
+  // turns the inherently-sequential global sweep into |days|
+  // independent day-local sweeps — the partition key the naive
+  // ORDER-BY-everything formulation doesn't have. Tie rule: at equal
+  // instants +1 sorts before −1 (a session ending exactly when another
+  // starts overlaps at that instant), pinned in both engines.
+  // ---------------------------------------------------------------------
+  private val q184 = QueryDef(
+    "q184_concurrency_sweep",
+    (spark, dir) => {
+      import spark.implicits._
+      val wU = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sessions = Tables.events(spark, dir)
+        .filter($"ts".isNotNull && $"user_id".isNotNull)
+        .withColumn("prev", lag($"ts", 1).over(wU))
+        .withColumn("gap",
+          when($"prev".isNull ||
+            unix_micros($"ts") - unix_micros($"prev") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum($"gap").over(
+          wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"island")
+        .agg(min($"ts").as("s_start"), max($"ts").as("s_end"))
+      // explode cross-midnight sessions into day-local segments
+      val segs = sessions
+        .withColumn("day", explode(expr(
+          "sequence(to_date(s_start), to_date(s_end), interval 1 day)")))
+        .withColumn("seg_start",
+          greatest($"s_start", $"day".cast("timestamp")))
+        .withColumn("seg_end",
+          least($"s_end", expr("CAST(date_add(day, 1) AS TIMESTAMP) - interval 1 microsecond")))
+      val points = segs.select($"day", $"seg_start".as("ts"), lit(1L).as("delta"))
+        .unionByName(segs.select($"day", $"seg_end".as("ts"), lit(-1L).as("delta")))
+      val wDay = Window.partitionBy($"day")
+        .orderBy($"ts", $"delta".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      points
+        .withColumn("running", sum($"delta").over(wDay))
+        .groupBy($"day")
+        .agg(max($"running").as("peak_concurrent"),
+          (sum(when($"delta" === 1L, 1L).otherwise(0L))).as("n_segments"))
+        .orderBy($"day")
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS gap
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      isl AS (
+        SELECT *, CAST(sum(gap) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        FROM r),
+      sess AS (
+        SELECT user_id, island, min(ts) AS s_start, max(ts) AS s_end
+        FROM isl GROUP BY 1, 2),
+      segs AS (
+        SELECT CAST(d AS DATE) AS day,
+               greatest(s_start, CAST(CAST(d AS DATE) AS TIMESTAMP)) AS seg_start,
+               least(s_end, CAST(CAST(d AS DATE) + 1 AS TIMESTAMP)
+                 - INTERVAL 1 MICROSECOND) AS seg_end
+        FROM (SELECT *, unnest(generate_series(CAST(CAST(s_start AS DATE) AS TIMESTAMP),
+                CAST(CAST(s_end AS DATE) AS TIMESTAMP), INTERVAL 1 DAY)) AS d
+              FROM sess)),
+      pts AS (
+        SELECT day, seg_start AS ts, CAST(1 AS BIGINT) AS delta FROM segs
+        UNION ALL
+        SELECT day, seg_end, CAST(-1 AS BIGINT) FROM segs),
+      sweep AS (
+        SELECT day, delta,
+               CAST(sum(delta) OVER (
+                 PARTITION BY day ORDER BY ts, delta DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS running
+        FROM pts)
+      SELECT day, max(running) AS peak_concurrent,
+             CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_segments
+      FROM sweep GROUP BY 1 ORDER BY day"""))
+
+  // ---------------------------------------------------------------------
+  // q185 — USER-JOURNEY PATH MINING: the top opening paths (first 4
+  // event types in (ts, event_id) order per user) with frequencies —
+  // the "what do users actually do first" table behind q89's FIXED
+  // funnel (q89 asks about one path; this discovers which paths are
+  // worth asking about). Determinism: the path is rebuilt from a
+  // collect_list SORTED by the unique (ts, event_id) key — never raw
+  // collect_list order, which is partition-dependent; top-20 ties
+  // break on the path string. One user rollup + one path rollup.
+  // ---------------------------------------------------------------------
+  private val q185 = QueryDef(
+    "q185_journey_paths",
+    (spark, dir) => {
+      import spark.implicits._
+      val paths = Tables.events(spark, dir)
+        .filter($"ts".isNotNull && $"user_id".isNotNull)
+        .groupBy($"user_id")
+        .agg(collect_list(struct($"ts", $"event_id", $"event_type")).as("evs"))
+        .select($"user_id",
+          array_join(
+            transform(slice(array_sort($"evs"), 1, 4), e => e("event_type")),
+            ">").as("path"))
+      paths.groupBy($"path")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"n_users".desc, $"path")
+        .limit(20)
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS full_path
+        FROM (
+          SELECT user_id, ts, event_id, event_type,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+        WHERE rn <= 4 GROUP BY 1)
+      SELECT full_path AS path, CAST(count(*) AS BIGINT) AS n_users
+      FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q88, q89, q90, q91, q95, q124, q132, q150, q178, q179, q182)
+    Seq(q88, q89, q90, q91, q95, q124, q132, q150, q178, q179, q182, q184, q185)
 }

@@ -400,6 +400,56 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(byTable("events").getLong(2) > 0L)
   }
 
+  test("q184 sweep: peaks match a brute-force overlap count") {
+    val rows = run("q184_concurrency_sweep").collect()
+    assert(rows.nonEmpty)
+    // independent reimplementation: build sessions in scala, then peak
+    // concurrency per day by probing every segment start instant
+    val evs = graft.sources.Tables.events(spark, TestSpark.Sf001)
+      .filter($"ts".isNotNull && $"user_id".isNotNull)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+      .as[(Long, Long, Long)].collect()
+    val sessions = evs.groupBy(_._1).values.flatMap { rows =>
+      val ts = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val bounds = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var start = ts.head; var prev = ts.head
+      ts.tail.foreach { t =>
+        if (t - prev > 1800000000L) { bounds += ((start, prev)); start = t }
+        prev = t
+      }
+      bounds += ((start, prev)); bounds
+    }.toArray
+    val dayUs = 86400000000L
+    rows.foreach { r =>
+      val day = r.getDate(0).toLocalDate.toEpochDay * dayUs
+      val segs = sessions.flatMap { case (s, e) =>
+        val lo = math.max(s, day); val hi = math.min(e, day + dayUs - 1)
+        if (lo <= hi) Some((lo, hi)) else None
+      }
+      val peak = (segs.map(_._1) :+ day)
+        .map(t => segs.count { case (s, e) => s <= t && t <= e }).max
+      assert(r.getLong(1) === peak.toLong, s"day ${r.getDate(0)}: $r vs $peak")
+      assert(r.getLong(2) === segs.length.toLong)
+    }
+  }
+
+  test("q185 journeys: path shape, ordering, and user conservation") {
+    val rows = run("q185_journey_paths").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val nUsers = graft.sources.Tables.events(spark, TestSpark.Sf001)
+      .filter($"ts".isNotNull && $"user_id".isNotNull)
+      .select($"user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum <= nUsers)
+    rows.foreach { r =>
+      assert(r.getString(0).split(">").length <= 4)
+      assert(r.getLong(1) >= 1L)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(1) >= b.getLong(1))
+      case _ => ()
+    }
+  }
+
   test("q163 containment: millis bounded, intersection bounded, threshold holds") {
     val rows = run("q163_gram_containment").collect()
     assert(rows.nonEmpty)
