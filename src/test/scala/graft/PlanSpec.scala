@@ -402,6 +402,34 @@ class PlanSpec extends AnyFunSuite {
       && !p.contains("CartesianProduct"), p)
   }
 
+  test("q177: RRF fuses off ONE shared postings build, no cartesian") {
+    val p = planOf("q177_rrf_hybrid")
+    assert(!p.contains("CartesianProduct"))
+    // df and corpus stats ride broadcast; the postings subtree must not
+    // be duplicated per ranker (both scores come from one aggregate)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q178: the row-level drill is gated behind the bad-block semi join") {
+    val p = planOf("q178_merkle_diff")
+    assert(p.contains("LeftSemi"), p) // block pruning reaches both sides
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q180: bitmap rollup carries partial bit_or through the exchange") {
+    val p = planOf("q180_bitmap_presence")
+    assert(p.contains("partial_bit_or") || p.contains("bit_or"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q184: the sweep window partitions by day — never one global sort task") {
+    val df = SparkEntry.queries("q184_concurrency_sweep")(spark, TestSpark.Sf001)
+    val p = df.queryExecution.executedPlan.toString
+    // the running-sum window must be keyed (hashpartitioning on day),
+    // not a single-partition global window (Exchange SinglePartition)
+    assert(p.contains("hashpartitioning(day"), p.linesIterator.take(30).mkString("\n"))
+  }
+
   test("dot_scaled is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     val got = spark.sql(
