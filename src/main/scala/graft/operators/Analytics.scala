@@ -899,6 +899,74 @@ object Analytics extends QueryModule {
       SELECT full_path AS path, CAST(count(*) AS BIGINT) AS n_users
       FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20"""))
 
+  // ---------------------------------------------------------------------
+  // q187 — TIME-TO-CONVERT distribution (the latency histogram behind
+  // q89's conversion RATE): for every user who completes view→purchase,
+  // hours from first view to first subsequent purchase, bucketed
+  // hourly and capped at 48h, with the cumulative conversion share per
+  // bucket in exact millis — the "how long do we wait before calling a
+  // user lost" curve. Same single user_id exchange as q89 (conditional
+  // window mins), then one |buckets|-row rollup + a tiny running-sum
+  // window over ≤ 49 rows.
+  // ---------------------------------------------------------------------
+  private val q187 = QueryDef(
+    "q187_convert_latency",
+    (spark, dir) => {
+      import spark.implicits._
+      val wUser = Window.partitionBy("user_id")
+      val lat = Tables.events(spark, dir)
+        .filter($"ts".isNotNull && $"user_id".isNotNull)
+        .withColumn("v_ts",
+          min(when($"event_type" === "view", $"ts")).over(wUser))
+        .withColumn("p_ts",
+          min(when($"event_type" === "purchase" && $"ts" > $"v_ts", $"ts")).over(wUser))
+        .groupBy($"user_id")
+        .agg(max($"v_ts").as("v"), max($"p_ts").as("p"))
+        .filter($"p".isNotNull)
+        .select($"user_id",
+          expr("(unix_micros(p) - unix_micros(v)) div 3600000000L").as("hrs"))
+        .select($"user_id", least($"hrs", lit(48L)).as("bucket_h"))
+      val total = lat.agg(count(lit(1)).as("n_total"))
+      val wCum = Window.orderBy($"bucket_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lat.groupBy($"bucket_h").agg(count(lit(1)).as("n_users"))
+        .withColumn("cum_users", sum($"n_users").over(wCum))
+        .crossJoin(broadcast(total))
+        .withColumn("cum_milli", expr("(1000 * cum_users) div n_total"))
+        .select($"bucket_h", $"n_users", $"cum_users", $"cum_milli")
+        .orderBy($"bucket_h")
+    },
+    Some("""
+      WITH staged AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id) AS v_ts
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      staged2 AS (
+        SELECT user_id, v_ts,
+               min(CASE WHEN event_type = 'purchase' AND ts > v_ts THEN ts END)
+                 OVER (PARTITION BY user_id) AS p_ts
+        FROM staged),
+      lat AS (
+        SELECT user_id,
+               least((epoch_us(max(p_ts)) - epoch_us(max(v_ts))) // 3600000000, 48)
+                 AS bucket_h
+        FROM staged2 GROUP BY 1
+        HAVING max(p_ts) IS NOT NULL),
+      hist AS (
+        SELECT bucket_h, CAST(count(*) AS BIGINT) AS n_users
+        FROM lat GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lat)
+      SELECT bucket_h, n_users,
+             CAST(sum(n_users) OVER (ORDER BY bucket_h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users,
+             CAST((1000 * sum(n_users) OVER (ORDER BY bucket_h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // tot.n_total
+               AS BIGINT) AS cum_milli
+      FROM hist, tot ORDER BY bucket_h"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q88, q89, q90, q91, q95, q124, q132, q150, q178, q179, q182, q184, q185)
+    Seq(q88, q89, q90, q91, q95, q124, q132, q150, q178, q179, q182, q184,
+      q185, q187)
 }

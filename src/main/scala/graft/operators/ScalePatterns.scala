@@ -572,6 +572,98 @@ object ScalePatterns extends QueryModule {
       FROM monthly m JOIN ex ON ex.event_type = m.event_type AND ex.month = m.month
       ORDER BY m.event_type, m.month"""))
 
+  // ---------------------------------------------------------------------
+  // q186 — SKETCH SET ALGEBRA (audience overlap): estimate every type
+  // pair's user-set intersection and Jaccard FROM STORED KMV SKETCHES
+  // ALONE — the theta-sketch trick that answers "how much do these two
+  // audiences overlap?" without ever joining the raw sets. Theory: the
+  // k smallest hashes of A ∪ B are a uniform sample of the union, so
+  // the fraction of them present in BOTH per-type sketches estimates
+  // Jaccard, and J × union-estimate gives the intersection. When the
+  // union sketch is not full the answer is EXACT (the sketches ARE the
+  // sets). Per-pair work is pure array algebra over two ≤ k-long rows —
+  // with T types, T(T−1)/2 tiny rows total, raw data touched only for
+  // the audit columns. k = 256 here (overlap needs more resolution than
+  // q65's cardinality-only 64).
+  // ---------------------------------------------------------------------
+  private val OvK = 256
+  private val OvEstConst: Double = (OvK - 1).toDouble * 1152921504606846976.0
+  private val q186 = QueryDef(
+    "q186_sketch_overlap",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.{KmvSketchAgg, Portable}
+      val hashed = Tables.events(spark, dir)
+        .filter($"user_id".isNotNull)
+        .select($"event_type",
+          Portable.md5Hash64($"user_id".cast("string")).as("h"))
+      val sketches = hashed.groupBy($"event_type")
+        .agg(KmvSketchAgg.sketchArray($"h", OvK).as("sk"))
+      val pairsEst = sketches.as("a")
+        .join(sketches.as("b"), col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          col("a.sk").as("ska"), col("b.sk").as("skb"))
+        .withColumn("u", slice(array_sort(array_union($"ska", $"skb")), 1, OvK))
+        .withColumn("n_u", size($"u").cast("long"))
+        .withColumn("shared", size(filter($"u",
+          x => array_contains($"ska", x) && array_contains($"skb", x))).cast("long"))
+        .withColumn("est_union",
+          when($"n_u" < OvK, $"n_u".cast("double"))
+            .otherwise(lit(OvEstConst) / element_at($"u", OvK).cast("double")))
+        .withColumn("est_jaccard", $"shared".cast("double") / $"n_u".cast("double"))
+        .withColumn("est_inter",
+          $"shared".cast("double") / $"n_u".cast("double") * $"est_union")
+      val ha = hashed.distinct()
+      val exactInter = ha.as("x").join(ha.as("y"),
+          col("x.h") === col("y.h") && col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      pairsEst.join(exactInter, Seq("type_a", "type_b"), "left")
+        .na.fill(0L, Seq("exact_inter"))
+        .select($"type_a", $"type_b", $"n_u", $"shared",
+          $"est_union", $"est_jaccard", $"est_inter", $"exact_inter")
+        .orderBy($"type_a", $"type_b")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT DISTINCT event_type,
+               ${graft.functions.Portable.md5Hash64Sql("CAST(user_id AS VARCHAR)")} AS h
+        FROM events WHERE user_id IS NOT NULL),
+      ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h),
+      sk AS (
+        SELECT event_type, list(h ORDER BY h) AS sk
+        FROM ranked WHERE rn <= $OvK GROUP BY 1),
+      p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.sk AS ska, b.sk AS skb,
+               list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:$OvK] AS u
+        FROM sk a JOIN sk b ON a.event_type < b.event_type),
+      est AS (
+        SELECT type_a, type_b,
+               CAST(len(u) AS BIGINT) AS n_u,
+               CAST(len(list_filter(u,
+                 x -> list_contains(ska, x) AND list_contains(skb, x)))
+                 AS BIGINT) AS shared,
+               CASE WHEN len(u) < $OvK THEN CAST(len(u) AS DOUBLE)
+                    ELSE $OvEstConst / CAST(u[$OvK] AS DOUBLE) END AS est_union,
+               ska, skb, u
+        FROM p),
+      ex AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS exact_inter
+        FROM h x JOIN h y ON x.h = y.h AND x.event_type < y.event_type
+        GROUP BY 1, 2)
+      SELECT e.type_a, e.type_b, e.n_u, e.shared, e.est_union,
+             CAST(e.shared AS DOUBLE) / CAST(e.n_u AS DOUBLE) AS est_jaccard,
+             CAST(e.shared AS DOUBLE) / CAST(e.n_u AS DOUBLE) * e.est_union
+               AS est_inter,
+             COALESCE(ex.exact_inter, 0) AS exact_inter
+      FROM est e LEFT JOIN ex ON ex.type_a = e.type_a AND ex.type_b = e.type_b
+      ORDER BY e.type_a, e.type_b"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q59, q60, q65, q66, q87, q133, q144, q161, q180)
+    Seq(q59, q60, q65, q66, q87, q133, q144, q161, q180, q186)
 }

@@ -671,6 +671,72 @@ object Similarity extends QueryModule {
       LEFT JOIN ivfq v ON v.q_id = b.q_id AND v.vec_id = b.vec_id
       GROUP BY b.q_id ORDER BY b.q_id"""))
 
+  // ---------------------------------------------------------------------
+  // q188 — EMBEDDING-SPACE DRIFT MONITOR: per label, the L2 distance
+  // between the centroid of the "old" corpus half and the "new" half
+  // (vec_id parity stands in for the release boundary) — the
+  // release-over-release number that catches a changed embedding model
+  // or a shifted data mix BEFORE anyone retrains on the blended corpus.
+  // Exactness discipline: per-dim micro-unit sums (floor(x·10⁶) — exact
+  // integers), sign-peeled integer means (q148's div rule), integer
+  // squared-distance accumulation (≤ 64·(2·10⁶)² — fits int64), and ONE
+  // IEEE sqrt at the end. Scale: posexplode to (label, half, dim) grain
+  // → two map-side-combinable rollups; the centroid table is
+  // |labels|×2×64 rows however large the corpus.
+  // ---------------------------------------------------------------------
+  private val q188 = QueryDef(
+    "q188_embedding_drift",
+    (spark, dir) => {
+      import spark.implicits._
+      val dims = Tables.embeddings(spark, dir)
+        .withColumn("half", ($"vec_id" % 2).cast("long"))
+        .select($"label", $"half",
+          posexplode($"embedding").as(Seq("d", "x")))
+        .select($"label", $"half", $"d",
+          floor($"x".cast("double") * 1e6).cast("long").as("xm"))
+      val cent = dims.groupBy($"label", $"half", $"d")
+        .agg(sum($"xm").as("s"), count(lit(1)).as("n"))
+        .withColumn("m", expr(
+          "CASE WHEN s >= 0 THEN s div n ELSE -((-s) div n) END"))
+      val a = cent.filter($"half" === 0)
+        .select($"label", $"d", $"m".as("ma"), $"n".as("na"))
+      val b = cent.filter($"half" === 1)
+        .select($"label", $"d", $"m".as("mb"), $"n".as("nb"))
+      a.join(b, Seq("label", "d"))
+        .groupBy($"label")
+        .agg(
+          max($"na").as("n_old"),
+          max($"nb").as("n_new"),
+          sum(($"ma" - $"mb") * ($"ma" - $"mb")).as("dist2_micro2"))
+        .withColumn("drift_micro", sqrt($"dist2_micro2".cast("double")))
+        .orderBy($"label")
+    },
+    Some("""
+      WITH dims AS (
+        SELECT label, vec_id % 2 AS half, p['d'] AS d,
+               CAST(floor(CAST(p['x'] AS DOUBLE) * 1e6) AS BIGINT) AS xm
+        FROM (
+          SELECT label, vec_id,
+                 unnest([{'d': i, 'x': embedding[i]}
+                         for i in range(1, len(embedding) + 1)]) AS p
+          FROM embeddings)),
+      cent AS (
+        SELECT label, half, d,
+               CAST(sum(xm) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        FROM dims GROUP BY 1, 2, 3),
+      m AS (
+        SELECT label, half, d, n,
+               CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS m
+        FROM cent)
+      SELECT a.label,
+             CAST(max(a.n) AS BIGINT) AS n_old,
+             CAST(max(b.n) AS BIGINT) AS n_new,
+             CAST(sum((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS dist2_micro2,
+             sqrt(CAST(sum((a.m - b.m) * (a.m - b.m)) AS DOUBLE)) AS drift_micro
+      FROM m a JOIN m b ON a.label = b.label AND a.d = b.d
+        AND a.half = 0 AND b.half = 1
+      GROUP BY a.label ORDER BY a.label"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q39, q40, q56, q57, q76, q105, q108, q148, q162)
+    Seq(q39, q40, q56, q57, q76, q105, q108, q148, q162, q188)
 }

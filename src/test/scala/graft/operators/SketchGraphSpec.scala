@@ -450,6 +450,58 @@ class SketchGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q186 sketch overlap: estimates track exact intersections") {
+    val rows = run("q186_sketch_overlap").collect()
+    val nTypes = graft.sources.Tables.events(spark, TestSpark.Sf001)
+      .select($"event_type").distinct().count().toInt
+    assert(rows.length === nTypes * (nTypes - 1) / 2)
+    rows.foreach { r =>
+      val (nU, shared, estU, estI, exact) =
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(6), r.getLong(7))
+      assert(shared <= nU)
+      assert(estU > 0.0)
+      // k=256 KMV Jaccard: 3σ ≈ 3/√256 ≈ 19% relative on the union —
+      // assert the intersection estimate lands within a loose 35% band
+      // for non-trivial overlaps (exactness isn't the claim; tracking is)
+      if (exact >= 200L)
+        assert(math.abs(estI - exact) / exact < 0.35,
+          s"estimate $estI vs exact $exact: $r")
+      // not-full union sketch ⇒ the 'estimate' is exact by construction
+      if (nU < 256L) assert(estI === exact.toDouble)
+    }
+  }
+
+  test("q187 latency: cumulative curve monotone, ends at 1000 milli") {
+    val rows = run("q187_convert_latency").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) <= 48L)
+      assert(r.getLong(1) >= 1L)
+    }
+    val cums = rows.sortBy(_.getLong(0)).map(_.getLong(3))
+    cums.sliding(2).foreach {
+      case Array(a, b) => assert(b >= a)
+      case _ => ()
+    }
+    assert(cums.last === 1000L) // integer div of n_total/n_total
+    // users conserved: Σ n_users == last cum_users
+    assert(rows.map(_.getLong(1)).sum === rows.maxBy(_.getLong(0)).getLong(2))
+  }
+
+  test("q188 drift: halves partition the corpus; drift is the sqrt of the integer") {
+    val rows = run("q188_embedding_drift").collect()
+    assert(rows.nonEmpty)
+    val nVecs = graft.sources.Tables.embeddings(spark, TestSpark.Sf001).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === nVecs)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L)
+      assert(r.getDouble(4) === math.sqrt(r.getLong(3).toDouble))
+      // same synthetic distribution in both halves — drift stays small
+      // relative to the unit-scale embedding (10^6 micro)
+      assert(r.getDouble(4) < 500000.0, s"half-vs-half drift implausibly large: $r")
+    }
+  }
+
   test("q163 containment: millis bounded, intersection bounded, threshold holds") {
     val rows = run("q163_gram_containment").collect()
     assert(rows.nonEmpty)
