@@ -664,6 +664,103 @@ object ScalePatterns extends QueryModule {
       FROM est e LEFT JOIN ex ON ex.type_a = e.type_a AND ex.type_b = e.type_b
       ORDER BY e.type_a, e.type_b"""))
 
+  // ---------------------------------------------------------------------
+  // q192 — ROLLING 7-DAY DISTINCT USERS, SKETCHED: the famously
+  // expensive sliding-window COUNT(DISTINCT) made cheap by mergeable
+  // state — daily HLL registers (q161's) merged across the trailing
+  // week with a rolling MAX per (type, bucket), then folded to the
+  // estimate. The naive exact form must re-deduplicate every window
+  // (7× data touched per day emitted); the sketch form's window pass
+  // moves 64 longs per (type, day) whatever the event volume. The
+  // register grid is densified FIRST ((type, day) × 64 buckets) so the
+  // ROWS −6..0 frame really means 7 calendar days; the exact rolling
+  // distinct rides alongside as the audit. Register merge by max is
+  // exactly the q173 streaming-state argument applied to windows.
+  // ---------------------------------------------------------------------
+  private val q192 = QueryDef(
+    "q192_rolling_distinct",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val h = Tables.events(spark, dir)
+        .filter($"ts".isNotNull && $"user_id".isNotNull)
+        .select($"event_type", to_date($"ts").as("day"),
+          Portable.md5Hash64($"user_id".cast("string")).as("h"))
+      val dayReg = h
+        .withColumn("bkt", expr("h % 64"))
+        .withColumn("w", expr("h div 64"))
+        .withColumn("rho",
+          when($"w" === 0, lit(HllW + 1L))
+            .otherwise(lit(HllW + 1L) - length(conv($"w", 10, 2)).cast("long")))
+        .groupBy($"event_type", $"day", $"bkt")
+        .agg(max(least($"rho", lit(HllRCap.toLong))).as("r"))
+      val grid = h.select($"event_type", $"day").distinct()
+        .select($"event_type", $"day", explode(sequence(lit(0L), lit(63L))).as("bkt"))
+      val dense = grid.join(dayReg, Seq("event_type", "day", "bkt"), "left")
+        .na.fill(0L, Seq("r"))
+        .withColumn("ed", expr("unix_date(day)"))
+      val wRoll = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type", $"bkt")
+        .orderBy($"ed").rangeBetween(-6, 0)
+      val rolled = dense
+        .withColumn("r7", max($"r").over(wRoll))
+        .groupBy($"event_type", $"day")
+        .agg(
+          expr(s"sum(shiftleft(CAST(1 AS BIGINT), CAST($HllRCap - r7 AS INT)))")
+            .as("s_int"))
+        .withColumn("est_distinct", lit(HllEstConst) / $"s_int".cast("double"))
+      val du = h.distinct()
+      val exact = h.select($"event_type", $"day").distinct().as("g")
+        .join(du.select($"event_type".as("et2"), $"day".as("d2"), $"h"),
+          $"event_type" === $"et2" && $"d2".between(date_sub($"day", 6), $"day"))
+        .groupBy($"event_type", $"day")
+        .agg(countDistinct($"h").as("exact_distinct"))
+      rolled.join(exact, Seq("event_type", "day"))
+        .orderBy($"event_type", $"day")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ${graft.functions.Portable.md5Hash64Sql("CAST(user_id AS VARCHAR)")} AS h
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      dayreg AS (
+        SELECT event_type, day, h % 64 AS bkt,
+               max(least(CASE WHEN h // 64 = 0 THEN ${HllW + 1}
+                     ELSE ${HllW + 1} - length(format('{:b}', h // 64)) END,
+                 $HllRCap)) AS r
+        FROM h GROUP BY 1, 2, 3),
+      grid AS (
+        SELECT t.event_type, t.day, CAST(b AS BIGINT) AS bkt
+        FROM (SELECT DISTINCT event_type, day FROM h) t
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
+      dense AS (
+        SELECT g.event_type, g.day, g.bkt, COALESCE(dr.r, 0) AS r
+        FROM grid g LEFT JOIN dayreg dr
+          ON dr.event_type = g.event_type AND dr.day = g.day AND dr.bkt = g.bkt),
+      rolled AS (
+        SELECT event_type, day, bkt,
+               max(r) OVER (PARTITION BY event_type, bkt ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS r7
+        FROM dense),
+      folded AS (
+        SELECT event_type, day,
+               CAST(sum(CAST(1 AS BIGINT) << ($HllRCap - r7)) AS BIGINT) AS s_int
+        FROM rolled GROUP BY 1, 2),
+      du AS (SELECT DISTINCT event_type, day, h FROM h),
+      exact AS (
+        SELECT g.event_type, g.day, CAST(count(DISTINCT du.h) AS BIGINT)
+                 AS exact_distinct
+        FROM (SELECT DISTINCT event_type, day FROM h) g
+        JOIN du ON du.event_type = g.event_type
+               AND du.day BETWEEN g.day - 6 AND g.day
+        GROUP BY 1, 2)
+      SELECT f.event_type, f.day, f.s_int,
+             $HllEstConst / CAST(f.s_int AS DOUBLE) AS est_distinct,
+             e.exact_distinct
+      FROM folded f JOIN exact e
+        ON e.event_type = f.event_type AND e.day = f.day
+      ORDER BY f.event_type, f.day"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q59, q60, q65, q66, q87, q133, q144, q161, q180, q186)
+    Seq(q59, q60, q65, q66, q87, q133, q144, q161, q180, q186, q192)
 }

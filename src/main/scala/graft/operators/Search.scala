@@ -692,5 +692,114 @@ object Search extends QueryModule {
       ORDER BY rrf_scaled DESC, doc_id LIMIT 20"""
     })
 
-  override val defs: Seq[QueryDef] = Seq(q84, q85, q92, q115, q120, q125, q166, q177)
+  // ---------------------------------------------------------------------
+  // q191 — SPARSE ALL-PAIRS tf·idf COSINE (Bayardo's all-pairs
+  // similarity, the weighted-vector sibling of q37's set Jaccard): doc
+  // pairs whose tf·idf vectors cosine ≥ 0.5. Blocking is q163's
+  // multi-evidence rule on MID-FREQUENCY terms (2 ≤ df ≤ 50, shared ≥ 2)
+  // — stop-terms can't explode candidates, unique terms can't pair, one
+  // shared term is noise. Verification computes the FULL sparse dot
+  // over every shared term of the pair. Exactness: idf at centi scale
+  // ((100·N) div df) keeps w = tf·idf ≤ ~10⁸, so w², the norms and the
+  // dot all fit int64 EXACTLY; cosine is one double division against
+  // two IEEE sqrts. Same plan family as q37/q163: posting-keyed
+  // candidate join + doc-keyed verify joins.
+  // ---------------------------------------------------------------------
+  private val ApMinShared = 2
+  private val ApDfCap = 50
+  private val q191 = QueryDef(
+    "q191_allpairs_cosine",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      // term space = word 3-grams (WITH multiplicity for tf): the
+      // fixture's token vocabulary is tiny (every token df ≫ cap), so
+      // token-grain mid-frequency blocking has nothing to block on —
+      // shingles restore a real df distribution, exactly why
+      // shingle-based similarity is the corpus-dedup default
+      val postings = docs
+        .select($"doc_id", Portable.tokens(lower($"text")).as("w"))
+        .select($"doc_id", explode(transform(
+          sequence(lit(1), greatest(size($"w") - 2, lit(1))),
+          i => concat_ws(" ", element_at($"w", i),
+            element_at($"w", i + 1), element_at($"w", i + 2)))).as("term"))
+        .filter(length($"term") > 0 && size(split($"term", " ")) === 3)
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfCounts = postings.groupBy($"term")
+        .agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val weighted = postings.join(dfCounts, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("w", $"tf" * expr("(100 * n_docs) div df"))
+        .select($"doc_id", $"term", $"df", $"w")
+      val norms = weighted.groupBy($"doc_id")
+        .agg(sum($"w" * $"w").as("n2"))
+      val midTerm = weighted
+        .filter($"df" >= 2 && $"df" <= ApDfCap)
+        .select($"doc_id", $"term")
+      val cands = midTerm.as("a").join(midTerm.as("b"),
+          col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .agg(count(lit(1)).as("shared_mid"))
+        .filter($"shared_mid" >= ApMinShared)
+        .select($"i", $"j")
+      val dots = cands
+        .join(weighted.select($"doc_id".as("i"), $"term", $"w".as("wa")), Seq("i"))
+        .join(weighted.select($"doc_id".as("j"), $"term", $"w".as("wb")),
+          Seq("j", "term"))
+        .groupBy($"i", $"j")
+        .agg(count(lit(1)).as("n_shared_terms"), sum($"wa" * $"wb").as("dot"))
+      dots
+        .join(norms.select($"doc_id".as("i"), $"n2".as("n2a")), Seq("i"))
+        .join(norms.select($"doc_id".as("j"), $"n2".as("n2b")), Seq("j"))
+        .withColumn("cosine",
+          $"dot".cast("double") /
+            (sqrt($"n2a".cast("double")) * sqrt($"n2b".cast("double"))))
+        .filter($"cosine" >= 0.5)
+        .select($"i", $"j", $"n_shared_terms", $"dot", $"cosine")
+        .orderBy($"i", $"j")
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+          SELECT doc_id, unnest(
+            [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS term
+          FROM (SELECT doc_id, ${Portable.tokensSql("lower(text)")} AS w
+                FROM documents))
+        WHERE term IS NOT NULL GROUP BY 1, 2),
+      d AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      w AS (
+        SELECT p.doc_id, p.term, d.df,
+               CAST(p.tf * ((100 * n.n_docs) // d.df) AS BIGINT) AS w
+        FROM p JOIN d ON p.term = d.term, n),
+      norms AS (
+        SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY 1),
+      mid AS (
+        SELECT doc_id, term FROM w WHERE df BETWEEN 2 AND $ApDfCap),
+      cands AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM mid a JOIN mid b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= $ApMinShared),
+      dots AS (
+        SELECT c.i, c.j, CAST(count(*) AS BIGINT) AS n_shared_terms,
+               CAST(sum(wa.w * wb.w) AS BIGINT) AS dot
+        FROM cands c
+        JOIN w wa ON wa.doc_id = c.i
+        JOIN w wb ON wb.doc_id = c.j AND wb.term = wa.term
+        GROUP BY 1, 2)
+      SELECT dt.i, dt.j, dt.n_shared_terms, dt.dot,
+             CAST(dt.dot AS DOUBLE) /
+               (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               AS cosine
+      FROM dots dt
+      JOIN norms na ON na.doc_id = dt.i
+      JOIN norms nb ON nb.doc_id = dt.j
+      WHERE CAST(dt.dot AS DOUBLE) /
+            (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.5
+      ORDER BY dt.i, dt.j"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q84, q85, q92, q115, q120, q125, q166, q177, q191)
 }

@@ -507,6 +507,70 @@ object Series extends QueryModule {
                   * ${(JkFolds - 1).toDouble / JkFolds}) AS jk_se
       FROM stats ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------------
+  // q189 — INTEGER CUSUM change-point: per event_type, the day where the
+  // cumulative deviation from the series' own mean peaks — offline CUSUM,
+  // the standard "when did the level shift" detector. Exactness: with
+  // daily exact-cent sums x_d, N days and total S, the deviation is
+  // dev_d = x_d·N − S (pure integers — the mean never gets divided), the
+  // CUSUM is a running integer sum, and the change-point is the
+  // row_number-1 row under (|cusum| desc, day asc) — a total order. The
+  // normalized magnitude (milli of S·N) makes types comparable. One
+  // fact rollup to days, a 1-row-per-type stats broadcast, one
+  // day-ordered window per type.
+  // ---------------------------------------------------------------------
+  private val q189 = QueryDef(
+    "q189_cusum_changepoint",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.events(spark, dir)
+        .filter($"ts".isNotNull && $"value".isNotNull)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(sum(($"value".cast(DecimalType(28, 2)) * 100).cast("long"))
+          .as("x"))
+      val stats = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"), sum($"x").as("s_total"))
+      val wCum = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPick = Window.partitionBy($"event_type")
+        .orderBy(abs($"cusum").desc, $"day".asc)
+      daily.join(stats, Seq("event_type"))
+        .withColumn("dev", $"x" * $"n_days" - $"s_total")
+        .withColumn("cusum", sum($"dev").over(wCum))
+        .withColumn("rn", row_number().over(wPick))
+        .filter($"rn" === 1)
+        .select($"event_type", $"n_days", $"day".as("change_day"),
+          $"cusum".as("cusum_at_peak"),
+          expr("(1000 * abs(cusum)) div (s_total * n_days)").as("shift_milli"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS x
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2),
+      stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(x) AS BIGINT) AS s_total
+        FROM daily GROUP BY 1),
+      dev AS (
+        SELECT d.event_type, d.day, s.n_days, s.s_total,
+               CAST(sum(d.x * s.n_days - s.s_total) OVER (
+                 PARTITION BY d.event_type ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cusum
+        FROM daily d JOIN stats s ON s.event_type = d.event_type),
+      pick AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY event_type ORDER BY abs(cusum) DESC, day ASC) AS rn
+        FROM dev)
+      SELECT event_type, n_days, day AS change_day, cusum AS cusum_at_peak,
+             CAST((1000 * abs(cusum)) // (s_total * n_days) AS BIGINT)
+               AS shift_milli
+      FROM pick WHERE rn = 1 ORDER BY event_type"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q137, q138, q139, q140, q145, q146, q152)
+    Seq(q137, q138, q139, q140, q145, q146, q152, q189)
 }

@@ -502,6 +502,54 @@ class SketchGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q189 cusum: normalized shift bounded, change day inside the data range") {
+    val rows = run("q189_cusum_changepoint").collect()
+    assert(rows.nonEmpty)
+    val (lo, hi) = {
+      val r = graft.sources.Tables.events(spark, TestSpark.Sf001)
+        .filter($"ts".isNotNull)
+        .agg(min(to_date($"ts")), max(to_date($"ts"))).head()
+      (r.getDate(0).toString, r.getDate(1).toString)
+    }
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000L)
+      val d = r.getDate(2).toString
+      assert(d >= lo && d <= hi)
+    }
+  }
+
+  test("q191 all-pairs cosine: bounds, orientation, threshold") {
+    val rows = run("q191_allpairs_cosine").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1)) // i < j canonical
+      assert(r.getLong(3) > 0L)           // positive weights ⇒ positive dot
+      val cos = r.getDouble(4)
+      assert(cos >= 0.5 && cos <= 1.0 + 1e-9, s"cosine out of band: $r")
+    }
+  }
+
+  test("q192 rolling distinct: estimator tracks exact, window dominates the day") {
+    val rows = run("q192_rolling_distinct").collect()
+    assert(rows.nonEmpty)
+    val daily = graft.sources.Tables.events(spark, TestSpark.Sf001)
+      .filter($"ts".isNotNull && $"user_id".isNotNull)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(countDistinct($"user_id").as("d"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2))
+      .toMap
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getDate(1).toString)
+      val (sInt, est, exact) = (r.getLong(2), r.getDouble(3), r.getLong(4))
+      assert(sInt >= 64L && sInt <= 64L * (1L << 41))
+      // a 7-day window can never hold fewer users than its last day
+      assert(exact >= daily(key), s"rolling < daily at $key")
+      if (exact >= 160L)
+        assert(math.abs(est - exact) / exact < 0.40,
+          s"estimate $est vs exact $exact: $r")
+    }
+  }
+
   test("q163 containment: millis bounded, intersection bounded, threshold holds") {
     val rows = run("q163_gram_containment").collect()
     assert(rows.nonEmpty)
