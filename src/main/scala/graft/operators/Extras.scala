@@ -730,7 +730,45 @@ object Extras extends QueryModule {
              min(pr) AS first_pr, max(pr) AS last_pr, max(cd) AS last_cd
       FROM r GROUP BY 1, 2 ORDER BY event_type, decile"""))
 
+  // ---------------------------------------------------------------------
+  // q193 — RANK vs DENSE_RANK under ties (the last missing rank-family
+  // pair after q169's ntile/percent_rank/cume_dist): per brand, part
+  // sizes ranked by their part count — equal counts SHARE a rank (and
+  // rank then skips) while dense_rank stays gapless. The tie group is
+  // ranked by count ONLY, which is still deterministic: a row's rank is
+  // a function of the count multiset, not of row order. Top-3 dense
+  // ranks per brand, with the rank/dense gap visible in the output.
+  // ---------------------------------------------------------------------
+  private val q193 = QueryDef(
+    "q193_rank_ties",
+    (spark, dir) => {
+      import spark.implicits._
+      val cnt = Tables.part(spark, dir)
+        .groupBy($"p_brand", $"p_size")
+        .agg(count(lit(1)).as("n_parts"))
+      val w = Window.partitionBy($"p_brand").orderBy($"n_parts".desc)
+      cnt
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .filter($"drnk" <= 3)
+        .select($"p_brand", $"p_size", $"n_parts", $"rnk", $"drnk")
+        .orderBy($"p_brand", $"n_parts".desc, $"p_size")
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT p_brand, p_size, CAST(count(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY 1, 2),
+      r AS (
+        SELECT *,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        FROM cnt
+        WINDOW w AS (PARTITION BY p_brand ORDER BY n_parts DESC))
+      SELECT p_brand, p_size, n_parts, rnk, drnk
+      FROM r WHERE drnk <= 3
+      ORDER BY p_brand, n_parts DESC, p_size"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q46, q47, q48, q49, q50, q51, q52, q70, q71, q78, q79, q93, q123,
-      q126, q127, q143, q156, q159, q169)
+      q126, q127, q143, q156, q159, q169, q193)
 }

@@ -121,4 +121,40 @@ class ScaleBehaviorSpec extends AnyFunSuite {
       assert(a(names.head).nonEmpty)
     } finally spark.conf.set(key, prev)
   }
+
+  test("dynamic partition pruning fires on a partitioned fact × filtered dim join") {
+    // the runtime analog of q59's static pruning: the fact is partitioned
+    // by event_type, the dim filter is only known at run time (it sits on
+    // a non-partition column of the OTHER side), and Catalyst must plant
+    // a DynamicPruning subquery on the fact scan so only the surviving
+    // partitions are read — the join-shaped scan reduction a 100 TB
+    // star-schema read lives on.
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_dpp_").toString
+    graft.sources.Tables.events(spark, TestSpark.Sf001)
+      .filter($"ts".isNotNull)
+      .write.mode("overwrite").partitionBy("event_type").parquet(s"$base/fact")
+    val fact = spark.read.parquet(s"$base/fact")
+    Seq(("purchase", 1L), ("click", 2L), ("view", 3L))
+      .toDF("t", "weight")
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val dim = spark.read.parquet(s"$base/dim")
+    val keys = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      // the benefit heuristic uses size stats — a KB-sized fixture fact
+      // never clears it, so pin the fallback ratio path for the proof
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    val prevs = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      val joined = fact.join(dim.filter($"weight" === 1L), fact("event_type") === dim("t"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruningexpression"),
+        plan.linesIterator.take(25).mkString("\n"))
+      assert(joined.head().getLong(0) > 0L)
+    } finally
+      prevs.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }

@@ -550,6 +550,21 @@ class SketchGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q193 rank ties: rank dominates dense_rank and real ties exist") {
+    val rows = run("q193_rank_ties").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) >= r.getLong(4))) // rnk ≥ drnk
+    assert(rows.exists(r => r.getLong(3) > r.getLong(4)),
+      "no tie groups — the fixture no longer exhibits the semantics under test")
+    // within a brand, equal counts must share BOTH ranks
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      rs.groupBy(_.getLong(2)).foreach { case (_, same) =>
+        assert(same.map(_.getLong(3)).distinct.length === 1)
+        assert(same.map(_.getLong(4)).distinct.length === 1)
+      }
+    }
+  }
+
   test("q163 containment: millis bounded, intersection bounded, threshold holds") {
     val rows = run("q163_gram_containment").collect()
     assert(rows.nonEmpty)
