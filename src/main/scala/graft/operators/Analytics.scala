@@ -966,7 +966,72 @@ object Analytics extends QueryModule {
                AS BIGINT) AS cum_milli
       FROM hist, tot ORDER BY bucket_h"""))
 
+  // ---------------------------------------------------------------------
+  // q196 — ASSOCIATION RULES over per-user event-type baskets (market-
+  // basket analysis at the grain this schema supports): for every
+  // ordered type pair A→B, support (users with both), confidence
+  // (1000·n_AB div n_A) and lift (1000·n_AB·N div (n_A·n_B)) — all
+  // exact integer millis, no probability ever divided as a float. The
+  // basket table is distinct (user, type) — one rollup; pair supports
+  // come from the type-key self-join of that table, bounded by
+  // |types|² per user. Rules are emitted in BOTH directions because
+  // confidence is asymmetric (lift is not — visible in the output).
+  // ---------------------------------------------------------------------
+  private val q196 = QueryDef(
+    "q196_association_rules",
+    (spark, dir) => {
+      import spark.implicits._
+      val basket = Tables.events(spark, dir)
+        .filter($"user_id".isNotNull)
+        .select($"user_id", $"event_type").distinct()
+      val nTotal = basket.select($"user_id").distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val supp = basket.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      val pair = basket.as("a").join(basket.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") =!= col("b.event_type"))
+        .groupBy(col("a.event_type").as("antecedent"),
+          col("b.event_type").as("consequent"))
+        .agg(count(lit(1)).as("n_both"))
+      pair
+        .join(supp.select($"event_type".as("antecedent"), $"n".as("n_a")),
+          Seq("antecedent"))
+        .join(supp.select($"event_type".as("consequent"), $"n".as("n_c")),
+          Seq("consequent"))
+        .crossJoin(broadcast(nTotal))
+        .withColumn("conf_milli", expr("(1000 * n_both) div n_a"))
+        .withColumn("lift_milli", expr("(1000 * n_both * n_users) div (n_a * n_c)"))
+        .select($"antecedent", $"consequent", $"n_both", $"n_a", $"n_c",
+          $"conf_milli", $"lift_milli")
+        .orderBy($"antecedent", $"consequent")
+    },
+    Some("""
+      WITH basket AS (
+        SELECT DISTINCT user_id, event_type
+        FROM events WHERE user_id IS NOT NULL),
+      tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM basket),
+      supp AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM basket GROUP BY 1),
+      pair AS (
+        SELECT a.event_type AS antecedent, b.event_type AS consequent,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM basket a JOIN basket b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        GROUP BY 1, 2)
+      SELECT p.antecedent, p.consequent, p.n_both,
+             sa.n AS n_a, sc.n AS n_c,
+             CAST((1000 * p.n_both) // sa.n AS BIGINT) AS conf_milli,
+             CAST((1000 * p.n_both * tot.n_users) // (sa.n * sc.n) AS BIGINT)
+               AS lift_milli
+      FROM pair p
+      JOIN supp sa ON sa.event_type = p.antecedent
+      JOIN supp sc ON sc.event_type = p.consequent
+      CROSS JOIN tot
+      ORDER BY p.antecedent, p.consequent"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q88, q89, q90, q91, q95, q124, q132, q150, q178, q179, q182, q184,
-      q185, q187)
+      q185, q187, q196)
 }

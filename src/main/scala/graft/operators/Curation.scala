@@ -908,6 +908,133 @@ object Curation extends QueryModule {
       GROUP BY shard, audit.n_split_clusters
       ORDER BY shard"""))
 
+  // ---------------------------------------------------------------------
+  // q194 — ALPHA-SMOOTHED source apportionment (α = 0.5, the XLM-R /
+  // mT5 multilingual-sampling rule): a proportional budget starves
+  // small sources, so weights are n^α — and α = 1/2 is the one exponent
+  // an exact-portable engine can take, because IEEE sqrt is correctly
+  // rounded (ln/pow are not). The float leaves immediately: s_i =
+  // floor(sqrt(n_i)·10⁶) is an exact integer weight, and everything
+  // after is q134's integer largest-remainder apportionment over s_i.
+  // Output shows raw share vs smoothed share side by side — the
+  // up-weighting of small sources IS the operator's purpose.
+  // ---------------------------------------------------------------------
+  private val SmoothBudget = 100000L
+  private val q194 = QueryDef(
+    "q194_alpha_mixture",
+    (spark, dir) => {
+      import spark.implicits._
+      val perSource = Tables.documents(spark, dir)
+        .groupBy($"source")
+        .agg(sum(expr("n_chars div 4")).as("n_tokens"))
+        .withColumn("s", floor(sqrt($"n_tokens".cast("double")) * 1e6).cast("long"))
+      val totals = perSource.agg(
+        sum($"n_tokens").as("total_raw"), sum($"s").as("total_s"))
+      val floored = perSource.crossJoin(broadcast(totals))
+        .withColumn("raw_milli", expr("(1000 * n_tokens) div total_raw"))
+        .withColumn("floor_alloc", expr(s"($SmoothBudget * s) div total_s"))
+        .withColumn("remainder", expr(s"($SmoothBudget * s) % total_s"))
+      val leftover = floored.agg(
+        (lit(SmoothBudget) - sum($"floor_alloc")).as("leftover"))
+      val w = Window.orderBy($"remainder".desc, $"source")
+      floored.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("alloc",
+          $"floor_alloc" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+        .withColumn("smooth_milli", expr(s"(1000 * alloc) div $SmoothBudget"))
+        .select($"source", $"n_tokens", $"s", $"raw_milli", $"alloc",
+          $"smooth_milli")
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH per_source AS (
+        SELECT source, CAST(sum(n_chars // 4) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      wsrc AS (
+        SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS s
+        FROM per_source),
+      tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS total_raw,
+               CAST(sum(s) AS BIGINT) AS total_s
+        FROM wsrc),
+      floored AS (
+        SELECT source, n_tokens, s,
+               (1000 * n_tokens) // total_raw AS raw_milli,
+               ($SmoothBudget * s) // total_s AS floor_alloc,
+               ($SmoothBudget * s) % total_s AS remainder
+        FROM wsrc, tot),
+      lo AS (SELECT $SmoothBudget - CAST(sum(floor_alloc) AS BIGINT) AS leftover
+             FROM floored),
+      ranked AS (
+        SELECT *, row_number() OVER (ORDER BY remainder DESC, source) AS rk
+        FROM floored)
+      SELECT source, n_tokens, s,
+             CAST(raw_milli AS BIGINT) AS raw_milli,
+             CAST(floor_alloc + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END
+               AS BIGINT) AS alloc,
+             CAST((1000 * (floor_alloc +
+               CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END)) // $SmoothBudget
+               AS BIGINT) AS smooth_milli
+      FROM ranked, lo ORDER BY source"""))
+
+  // ---------------------------------------------------------------------
+  // q195 — DEDUP-EFFECTIVE corpus size: raw vs EFFECTIVE tokens per
+  // source, where near-dup cluster members beyond the canonical (the
+  // min-id label q72 assigns) contribute nothing — the honest "how much
+  // unique training signal do we actually have" readout that headline
+  // token counts overstate. Composes the cluster labels (pair-table
+  // silver pass) with the token counter; one label join + one rollup.
+  // ---------------------------------------------------------------------
+  private val q195 = QueryDef(
+    "q195_effective_tokens",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val labels = Dedup.clusterLabels(spark, dir)
+        .select($"node".as("doc_id"), $"label")
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"source",
+          size(Portable.tokens($"text")).cast("long").as("toks"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("is_effective",
+          when($"label".isNull || $"label" === $"doc_id", 1L).otherwise(0L))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"toks").as("n_tokens"),
+          sum($"is_effective").as("n_eff_docs"),
+          sum($"toks" * $"is_effective").as("n_eff_tokens"))
+        .withColumn("eff_milli", expr("(1000 * n_eff_tokens) div n_tokens"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (${Dedup.minhashOracle}),
+      cedges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+      cnodes AS (SELECT DISTINCT i AS node FROM cedges),
+      reach(a, b) AS (
+        SELECT node, node FROM cnodes
+        UNION
+        SELECT r.a, e.j FROM reach r JOIN cedges e ON e.i = r.b),
+      labeled AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY a),
+      d AS (
+        SELECT doc_id, source,
+               CAST(len(${graft.functions.Portable.tokensSql("text")}) AS BIGINT)
+                 AS toks
+        FROM documents),
+      marked AS (
+        SELECT d.*, CASE WHEN l.label IS NULL OR l.label = d.doc_id
+                    THEN 1 ELSE 0 END AS is_effective
+        FROM d LEFT JOIN labeled l ON l.node = d.doc_id)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens,
+             CAST(sum(is_effective) AS BIGINT) AS n_eff_docs,
+             CAST(sum(toks * is_effective) AS BIGINT) AS n_eff_tokens,
+             CAST((1000 * sum(toks * is_effective)) // sum(toks) AS BIGINT)
+               AS eff_milli
+      FROM marked GROUP BY source ORDER BY source"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134, q149, q164, q168, q175)
+    Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134, q149, q164, q168,
+      q175, q194, q195)
 }

@@ -565,6 +565,48 @@ class SketchGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q194 alpha mixture: budget conserved, small sources up-weighted") {
+    val rows = run("q194_alpha_mixture").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(4)).sum === 100000L) // largest remainder closes
+    // sqrt smoothing must pull shares toward uniform: the smallest
+    // source's smoothed share ≥ its raw share, the largest's ≤
+    val smallest = rows.minBy(_.getLong(1))
+    val largest = rows.maxBy(_.getLong(1))
+    assert(smallest.getLong(5) >= smallest.getLong(3))
+    assert(largest.getLong(5) <= largest.getLong(3))
+  }
+
+  test("q195 effective tokens: bounds and cluster-extra docs excluded") {
+    val rows = run("q195_effective_tokens").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1)) // eff docs ≤ docs
+      assert(r.getLong(4) <= r.getLong(2)) // eff tokens ≤ tokens
+      assert(r.getLong(5) <= 1000L)
+    }
+    // effective doc deficit equals the non-canonical cluster members
+    val labels = Dedup.clusterLabels(spark, TestSpark.Sf001).collect()
+    val nonCanon = labels.count(r => r.getLong(0) != r.getLong(1))
+    assert(rows.map(r => r.getLong(1) - r.getLong(3)).sum === nonCanon.toLong)
+  }
+
+  test("q196 association rules: symmetric support, asymmetric confidence, shared lift") {
+    val rows = run("q196_association_rules").collect()
+    assert(rows.nonEmpty)
+    val byPair = rows.map(r =>
+      (r.getString(0), r.getString(1)) -> r).toMap
+    rows.foreach { r =>
+      val fwd = (r.getString(0), r.getString(1))
+      val rev = (r.getString(1), r.getString(0))
+      assert(byPair.contains(rev))
+      assert(byPair(rev).getLong(2) === r.getLong(2)) // support symmetric
+      assert(byPair(rev).getLong(6) === r.getLong(6)) // lift symmetric
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000L)
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+    }
+  }
+
   test("q163 containment: millis bounded, intersection bounded, threshold holds") {
     val rows = run("q163_gram_containment").collect()
     assert(rows.nonEmpty)
