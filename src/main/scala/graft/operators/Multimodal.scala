@@ -610,6 +610,53 @@ object Multimodal extends QueryModule {
              CAST(list_max(list_transform(vals, v -> abs(v))) AS BIGINT) AS peak
       FROM s ORDER BY doc_id, win_idx"""))
 
+  /** Typed row for the q198 A/V sync audit. */
+  final case class AvSync(
+      doc_id: Long, audio_ms: Long, video_ms: Long,
+      delta_ms: Long, in_sync: Long)
+
+  // ---------------------------------------------------------------------
+  // q198 — AUDIO/VIDEO SYNC AUDIT: each doc's WAV and raw-DIB AVI are
+  // decoded by BOTH real parsers in one per-partition pass and their
+  // DURATIONS compared — the first QA gate any multimodal ingest runs
+  // (a track pair whose lengths disagree is mis-muxed or truncated; at
+  // corpus scale the flagged slice is what a human ever looks at).
+  // Durations are exact integer ms from decoded header fields (frames ×
+  // 1000 div rate; frames × usecPerFrame div 1000), so the audit is
+  // hash-stable; the fixture's streams are synthesized independently,
+  // so genuine mismatches exist and the flag column is non-degenerate
+  // in both directions. Pure map work — the q107/q116 envelope, two
+  // decoders amortized over one pass.
+  // ---------------------------------------------------------------------
+  private val SyncToleranceMs = 50L
+  private val q198 = QueryDef(
+    "q198_av_sync",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.{RiffAvi, RiffWav}
+      Tables.documents(spark, dir)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val w = RiffWav.decode(synthWav(id))
+          val v = RiffAvi.decodeFrames(synthAviDib(id))
+          val audioMs = (w.samples.length / w.channels).toLong * 1000L / w.sampleRate
+          val videoMs = v.frames.length.toLong * v.usecPerFrame / 1000L
+          val delta = audioMs - videoMs
+          AvSync(id, audioMs, videoMs, delta,
+            if (math.abs(delta) <= SyncToleranceMs) 1L else 0L)
+        }).toDF().orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+             CAST((200 + doc_id % 800) * 1000 // 8000 AS BIGINT) AS audio_ms,
+             CAST((2 + doc_id % 6) * 33333 // 1000 AS BIGINT) AS video_ms,
+             CAST((200 + doc_id % 800) * 1000 // 8000
+                - (2 + doc_id % 6) * 33333 // 1000 AS BIGINT) AS delta_ms,
+             CAST(CASE WHEN abs((200 + doc_id % 800) * 1000 // 8000
+                - (2 + doc_id % 6) * 33333 // 1000) <= $SyncToleranceMs
+               THEN 1 ELSE 0 END AS BIGINT) AS in_sync
+      FROM documents ORDER BY doc_id"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q44, q45, q107, q109, q110, q116, q121, q141, q142)
+    Seq(q44, q45, q107, q109, q110, q116, q121, q141, q142, q198)
 }

@@ -571,6 +571,73 @@ object Series extends QueryModule {
                AS shift_milli
       FROM pick WHERE rn = 1 ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------------
+  // q197 — TWO-SAMPLE distribution drift (χ² homogeneity): q188 watches
+  // the embedding space; this watches FEATURE distributions — per
+  // event_type, the old/new halves' value-band histograms compared
+  // against the pooled expectation, per-band χ² contributions emitted
+  // as q146 does (one fixed-order double per cell over exact integer
+  // marginals, never a float re-aggregation). This is the portable
+  // stand-in for PSI: PSI's ln() cannot cross engines bit-for-bit, χ²
+  // ranks the same drifts with divisions and squares only. Bands are
+  // integer cents div 5000 (q179's banding); halves by event_id parity
+  // (the release-boundary stand-in).
+  // ---------------------------------------------------------------------
+  private val q197 = QueryDef(
+    "q197_distribution_drift",
+    (spark, dir) => {
+      import spark.implicits._
+      val cells = Tables.events(spark, dir)
+        .filter($"event_id".isNotNull && $"value".isNotNull)
+        .groupBy($"event_type",
+          expr("CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) div 5000")
+            .as("band"))
+        .agg(
+          sum(when($"event_id" % 2 === 0, 1L).otherwise(0L)).as("o_a"),
+          sum(when($"event_id" % 2 =!= 0, 1L).otherwise(0L)).as("o_b"))
+      val marg = cells.groupBy($"event_type")
+        .agg(sum($"o_a").as("n_a"), sum($"o_b").as("n_b"))
+      cells.join(marg, Seq("event_type"))
+        .withColumn("e_a",
+          (($"o_a" + $"o_b") * $"n_a").cast("double") / ($"n_a" + $"n_b").cast("double"))
+        .withColumn("e_b",
+          (($"o_a" + $"o_b") * $"n_b").cast("double") / ($"n_a" + $"n_b").cast("double"))
+        .withColumn("chi2_term",
+          ($"o_a".cast("double") - $"e_a") * ($"o_a".cast("double") - $"e_a") / $"e_a" +
+            ($"o_b".cast("double") - $"e_b") * ($"o_b".cast("double") - $"e_b") / $"e_b")
+        .select($"event_type", $"band", $"o_a", $"o_b", $"chi2_term")
+        .orderBy($"event_type", $"band")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) // 5000 AS band,
+               CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS o_a,
+               CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS o_b
+        FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2),
+      marg AS (
+        SELECT event_type, CAST(sum(o_a) AS BIGINT) AS n_a,
+               CAST(sum(o_b) AS BIGINT) AS n_b
+        FROM cells GROUP BY 1)
+      SELECT c.event_type, c.band, c.o_a, c.o_b,
+             (CAST(c.o_a AS DOUBLE) -
+               CAST((c.o_a + c.o_b) * m.n_a AS DOUBLE) / CAST(m.n_a + m.n_b AS DOUBLE))
+             * (CAST(c.o_a AS DOUBLE) -
+               CAST((c.o_a + c.o_b) * m.n_a AS DOUBLE) / CAST(m.n_a + m.n_b AS DOUBLE))
+             / (CAST((c.o_a + c.o_b) * m.n_a AS DOUBLE) / CAST(m.n_a + m.n_b AS DOUBLE))
+             +
+             (CAST(c.o_b AS DOUBLE) -
+               CAST((c.o_a + c.o_b) * m.n_b AS DOUBLE) / CAST(m.n_a + m.n_b AS DOUBLE))
+             * (CAST(c.o_b AS DOUBLE) -
+               CAST((c.o_a + c.o_b) * m.n_b AS DOUBLE) / CAST(m.n_a + m.n_b AS DOUBLE))
+             / (CAST((c.o_a + c.o_b) * m.n_b AS DOUBLE) / CAST(m.n_a + m.n_b AS DOUBLE))
+               AS chi2_term
+      FROM cells c JOIN marg m ON m.event_type = c.event_type
+      ORDER BY c.event_type, c.band"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q137, q138, q139, q140, q145, q146, q152, q189)
+    Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197)
 }

@@ -607,6 +607,35 @@ class SketchGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q197 drift: marginals reconcile and chi2 terms are non-negative") {
+    val rows = run("q197_distribution_drift").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0))
+    // each type's halves partition its rows
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf001)
+      .filter($"event_id".isNotNull && $"value".isNotNull)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      assert(rs.map(r => r.getLong(2) + r.getLong(3)).sum === ev(t))
+    }
+  }
+
+  test("q198 av sync: decoded durations equal the synthesis closed form") {
+    val rows = run("q198_av_sync").collect()
+    val nDocs = graft.sources.Tables.documents(spark, TestSpark.Sf001).count()
+    assert(rows.length === nDocs.toInt)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === (200 + id % 800) * 1000 / 8000)
+      assert(r.getLong(2) === (2 + id % 6) * 33333 / 1000)
+      assert(r.getLong(3) === r.getLong(1) - r.getLong(2))
+      assert(r.getLong(4) === (if (math.abs(r.getLong(3)) <= 50) 1L else 0L))
+    }
+    // the flag must be non-degenerate — both synced and desynced docs exist
+    assert(rows.exists(_.getLong(4) == 1L) && rows.exists(_.getLong(4) == 0L))
+  }
+
   test("q163 containment: millis bounded, intersection bounded, threshold holds") {
     val rows = run("q163_gram_containment").collect()
     assert(rows.nonEmpty)
