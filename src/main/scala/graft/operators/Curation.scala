@@ -1034,7 +1034,114 @@ object Curation extends QueryModule {
                AS eff_milli
       FROM marked GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------------
+  // q199 — DETERMINISTIC per-group sampling (stable corpus eyeballing):
+  // 3 docs per source chosen by md5-hash rank — "random-looking" yet
+  // IDENTICAL on every engine, every run, every partitioning, which is
+  // what a review sample must be (Spark's TABLESAMPLE/sample() are
+  // seed-and-partitioning dependent and can never hash-match an
+  // oracle). The hash is salted with a round tag so successive review
+  // rounds see fresh docs without any RNG. One window per source over
+  // the hash order.
+  // ---------------------------------------------------------------------
+  private val SampleRound = "round7"
+  private val q199 = QueryDef(
+    "q199_stable_sample",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val w = Window.partitionBy($"source").orderBy($"hk", $"doc_id")
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"source", $"n_chars",
+          Portable.md5Hash64(
+            concat(lit(SampleRound), lit("|"), $"doc_id".cast("string")))
+            .as("hk"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .select($"source", $"rn", $"doc_id", $"n_chars")
+        .orderBy($"source", $"rn")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id, source, n_chars,
+               ${graft.functions.Portable.md5Hash64Sql(
+                 s"'$SampleRound' || '|' || CAST(doc_id AS VARCHAR)")} AS hk
+        FROM documents),
+      r AS (
+        SELECT *, CAST(row_number() OVER (
+          PARTITION BY source ORDER BY hk, doc_id) AS BIGINT) AS rn
+        FROM h)
+      SELECT source, rn, doc_id, n_chars
+      FROM r WHERE rn <= 3 ORDER BY source, rn"""))
+
+  // ---------------------------------------------------------------------
+  // q200 — CANONICAL-POLICY COMPARISON: when a near-dup cluster keeps
+  // one doc, WHICH one? Three subsystems give three answers — lowest id
+  // (q61's greedy), PageRank argmax (q167), quality argmax (q29's
+  // scorer) — and this query puts the quality choice next to the
+  // PageRank choice per cluster with an agreement flag, because the
+  // policy decision deserves data, not taste. Ties on (score desc,
+  // node) / (pr3 desc, node). Composes clusters + ranks + quality in
+  // two node-keyed joins and two cluster-bounded windows; the oracle
+  // nests all three parents' SQL off one pair table — a single green
+  // hash proving the whole composition.
+  // ---------------------------------------------------------------------
+  private val q200 = QueryDef(
+    "q200_canonical_policies",
+    (spark, dir) => {
+      import spark.implicits._
+      val labels = Dedup.clusterLabels(spark, dir) // (node, label)
+      val pr = Graph.pageRank(spark, dir).select($"node", $"pr3")
+      val quality = TextOps.withQuality(Tables.documents(spark, dir))
+        .select($"doc_id".as("node"), $"score")
+      val joined = labels.join(pr, Seq("node")).join(quality, Seq("node"))
+      val wPr = Window.partitionBy($"label").orderBy($"pr3".desc, $"node".asc)
+      val wQ = Window.partitionBy($"label").orderBy($"score".desc, $"node".asc)
+      joined
+        .withColumn("rp", row_number().over(wPr))
+        .withColumn("rq", row_number().over(wQ))
+        .groupBy($"label".as("cluster_id"))
+        .agg(
+          count(lit(1)).as("cluster_size"),
+          max(when($"rp" === 1, $"node")).as("pagerank_pick"),
+          max(when($"rq" === 1, $"node")).as("quality_pick"))
+        .withColumn("agree",
+          when($"pagerank_pick" === $"quality_pick", 1L).otherwise(0L))
+        .orderBy($"cluster_id")
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (${Dedup.minhashOracle}),
+      cedges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+      cnodes AS (SELECT DISTINCT i AS node FROM cedges),
+      reach(a, b) AS (
+        SELECT node, node FROM cnodes
+        UNION
+        SELECT r.a, e.j FROM reach r JOIN cedges e ON e.i = r.b),
+      labeled AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY a),
+      ${Graph.pageRankCtes},
+      quality AS (${TextOps.qualitySql}),
+      joined AS (
+        SELECT l.label, l.node, r.r AS pr3, q.score
+        FROM labeled l
+        JOIN r_3 r ON r.node = l.node
+        JOIN quality q ON q.doc_id = l.node),
+      ranked AS (
+        SELECT *,
+               row_number() OVER (
+                 PARTITION BY label ORDER BY pr3 DESC, node ASC) AS rp,
+               row_number() OVER (
+                 PARTITION BY label ORDER BY score DESC, node ASC) AS rq
+        FROM joined)
+      SELECT label AS cluster_id,
+             CAST(count(*) AS BIGINT) AS cluster_size,
+             max(CASE WHEN rp = 1 THEN node END) AS pagerank_pick,
+             max(CASE WHEN rq = 1 THEN node END) AS quality_pick,
+             CAST(CASE WHEN max(CASE WHEN rp = 1 THEN node END)
+                    = max(CASE WHEN rq = 1 THEN node END)
+               THEN 1 ELSE 0 END AS BIGINT) AS agree
+      FROM ranked GROUP BY label ORDER BY cluster_id"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134, q149, q164, q168,
-      q175, q194, q195)
+      q175, q194, q195, q199, q200)
 }

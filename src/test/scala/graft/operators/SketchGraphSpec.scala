@@ -636,6 +636,32 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(4) == 1L) && rows.exists(_.getLong(4) == 0L))
   }
 
+  test("q199 stable sample: 3 per source, rerun-identical, hash-ordered") {
+    val a = run("q199_stable_sample").collect()
+    val b = run("q199_stable_sample").collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq) // stable
+    a.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted === Array(1L, 2L, 3L))
+      assert(rs.map(_.getLong(2)).distinct.length === 3)
+    }
+  }
+
+  test("q200 canonical policies: picks are cluster members; pagerank pick matches q167") {
+    val rows = run("q200_canonical_policies").collect()
+    assert(rows.nonEmpty)
+    val q167Picks = run("q167_canonical_docs").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val members = Dedup.clusterLabels(spark, TestSpark.Sf001).collect()
+      .groupBy(_.getLong(1)).map { case (l, rs) => l -> rs.map(_.getLong(0)).toSet }
+    rows.foreach { r =>
+      val (cid, prPick, qPick, agree) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(members(cid).contains(prPick) && members(cid).contains(qPick))
+      assert(q167Picks(cid) === prPick, "policy comparison drifted from q167")
+      assert(agree === (if (prPick == qPick) 1L else 0L))
+    }
+  }
+
   test("q163 containment: millis bounded, intersection bounded, threshold holds") {
     val rows = run("q163_gram_containment").collect()
     assert(rows.nonEmpty)
