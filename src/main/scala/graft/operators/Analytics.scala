@@ -1031,7 +1031,87 @@ object Analytics extends QueryModule {
       CROSS JOIN tot
       ORDER BY p.antecedent, p.consequent"""))
 
+  // ---------------------------------------------------------------------
+  // q183 — A/B EXPERIMENT READOUT (two-proportion z-test): users hashed
+  // into arms, conversion = "ever purchased", and the readout every
+  // experimentation platform prints — per-arm rates plus the pooled
+  // two-proportion z statistic. Portability: counts are exact integers;
+  // the float tail is p̂₁−p̂₂ over sqrt(p̂(1−p̂)(1/n₁+1/n₂)) — divisions,
+  // multiplies and ONE IEEE sqrt in a pinned order, so the z value
+  // hash-matches DuckDB to the bit (the q176/q188/q194 sqrt rule).
+  // Distinct from q152's jackknife: that estimates a mean's SE by
+  // resampling; this tests a PROPORTION difference in closed form.
+  // One user rollup + one arm rollup + a 2-row self-join.
+  // ---------------------------------------------------------------------
+  private val q183 = QueryDef(
+    "q183_ab_readout",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val perUser = Tables.events(spark, dir)
+        .filter($"user_id".isNotNull)
+        .groupBy($"user_id")
+        // conversion = ABOVE-EXPECTED purchase share (>20%, the uniform
+        // prior of 5 types) — scale-robust where "ever purchased"
+        // saturates to p=1 on a dense event log (z's denominator would
+        // be exactly 0)
+        .agg(
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("np"),
+          count(lit(1)).as("ne"))
+        .withColumn("converted",
+          when(expr("(1000 * np) div ne") > 200, 1L).otherwise(0L))
+        .withColumn("arm",
+          when(Portable.md5Hash64(concat(lit("ab|"), $"user_id".cast("string")))
+            % 2 === 0, "control").otherwise("treatment"))
+      val arms = perUser.groupBy($"arm")
+        .agg(count(lit(1)).as("n_users"), sum($"converted").as("n_converted"))
+        .withColumn("rate", $"n_converted".cast("double") / $"n_users".cast("double"))
+      val a = arms.filter($"arm" === "control")
+        .select($"n_users".as("n1"), $"n_converted".as("c1"), $"rate".as("r1"))
+      val b = arms.filter($"arm" === "treatment")
+        .select($"n_users".as("n2"), $"n_converted".as("c2"), $"rate".as("r2"))
+      a.crossJoin(b)
+        .withColumn("p_pool",
+          ($"c1" + $"c2").cast("double") / ($"n1" + $"n2").cast("double"))
+        .withColumn("se",
+          sqrt($"p_pool" * (lit(1.0) - $"p_pool") *
+            (lit(1.0) / $"n1".cast("double") + lit(1.0) / $"n2".cast("double"))))
+        .withColumn("z", when($"se" > 0, ($"r1" - $"r2") / $"se"))
+        .select($"n1", $"c1", $"r1", $"n2", $"c2", $"r2", $"p_pool", $"se", $"z")
+    },
+    Some(s"""
+      WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN (1000 * sum(CASE WHEN event_type = 'purchase'
+                     THEN 1 ELSE 0 END)) // count(*) > 200
+                 THEN 1 ELSE 0 END AS converted,
+               CASE WHEN ${graft.functions.Portable.md5Hash64Sql(
+                 "'ab|' || CAST(user_id AS VARCHAR)")} % 2 = 0
+                 THEN 'control' ELSE 'treatment' END AS arm
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      arms AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted
+        FROM per_user GROUP BY 1),
+      a AS (SELECT n_users AS n1, n_converted AS c1,
+                   CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS r1
+            FROM arms WHERE arm = 'control'),
+      b AS (SELECT n_users AS n2, n_converted AS c2,
+                   CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS r2
+            FROM arms WHERE arm = 'treatment')
+      , se AS (
+        SELECT n1, c1, r1, n2, c2, r2,
+               CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS p_pool,
+               sqrt(
+                 (CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS se
+        FROM a CROSS JOIN b)
+      SELECT n1, c1, r1, n2, c2, r2, p_pool, se,
+             CASE WHEN se > 0 THEN (r1 - r2) / se END AS z
+      FROM se"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q88, q89, q90, q91, q95, q124, q132, q150, q178, q179, q182, q184,
-      q185, q187, q196)
+    Seq(q88, q89, q90, q91, q95, q124, q132, q150, q178, q179, q182, q183,
+      q184, q185, q187, q196)
 }

@@ -800,6 +800,78 @@ object Search extends QueryModule {
             (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.5
       ORDER BY dt.i, dt.j"""))
 
+  // ---------------------------------------------------------------------
+  // q190 — DELTA-ENCODED POSTINGS SIZE ESTIMATOR: how big would the
+  // inverted index actually be? Posting lists compress by storing doc-id
+  // GAPS, and the exact-integer lower bound Σ bitlen(gap) (γ/δ-code
+  // payload bits, computed with q120's bitlen trick) against the naive
+  // 64-bit-per-posting layout is the capacity-planning number an index
+  // build starts from. Grouped by the term's df bit-band, because the
+  // compression story is df-shaped: frequent terms have small gaps
+  // (great compression), rare terms don't — visible in the output as
+  // ratio-by-band. One gram rollup + one term-keyed window (posting
+  // lists sort per term — the index build's own shuffle) + one band
+  // rollup.
+  // ---------------------------------------------------------------------
+  private val q190 = QueryDef(
+    "q190_postings_size",
+    (spark, dir) => {
+      import spark.implicits._
+      val posts = Tables.documents(spark, dir)
+        .select($"doc_id", Portable.tokens(lower($"text")).as("w"))
+        .select($"doc_id", explode(array_distinct(transform(
+          sequence(lit(1), greatest(size($"w") - 2, lit(1))),
+          i => concat_ws(" ", element_at($"w", i),
+            element_at($"w", i + 1), element_at($"w", i + 2))))).as("term"))
+        .filter(size(split($"term", " ")) === 3)
+      val withDf = posts
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"term")))
+      val wTerm = org.apache.spark.sql.expressions.Window
+        .partitionBy($"term").orderBy($"doc_id")
+      withDf
+        .withColumn("prev", lag($"doc_id", 1).over(wTerm))
+        .withColumn("gap",
+          when($"prev".isNull, $"doc_id" + 1).otherwise($"doc_id" - $"prev"))
+        .withColumn("gbits", length(conv($"gap", 10, 2)).cast("long"))
+        .groupBy(length(conv($"df", 10, 2)).cast("long").as("df_bitband"))
+        .agg(
+          countDistinct($"term").as("n_terms"),
+          count(lit(1)).as("n_postings"),
+          sum($"gbits").as("delta_bits"))
+        .withColumn("fixed64_bits", $"n_postings" * 64L)
+        .withColumn("ratio_milli",
+          expr("(1000 * delta_bits) div fixed64_bits"))
+        .orderBy($"df_bitband")
+    },
+    Some(s"""
+      WITH posts AS (
+        SELECT DISTINCT doc_id, term FROM (
+          SELECT doc_id, unnest(
+            [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS term
+          FROM (SELECT doc_id, ${Portable.tokensSql("lower(text)")} AS w
+                FROM documents))
+        WHERE term IS NOT NULL),
+      withdf AS (
+        SELECT doc_id, term,
+               count(*) OVER (PARTITION BY term) AS df,
+               lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS prev
+        FROM posts),
+      gaps AS (
+        SELECT term, CAST(df AS BIGINT) AS df,
+               CASE WHEN prev IS NULL THEN doc_id + 1
+                    ELSE doc_id - prev END AS gap
+        FROM withdf)
+      SELECT CAST(length(format('{:b}', df)) AS BIGINT) AS df_bitband,
+             CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+             CAST(count(*) AS BIGINT) AS n_postings,
+             CAST(sum(length(format('{:b}', gap))) AS BIGINT) AS delta_bits,
+             CAST(count(*) * 64 AS BIGINT) AS fixed64_bits,
+             CAST((1000 * sum(length(format('{:b}', gap)))) // (count(*) * 64)
+               AS BIGINT) AS ratio_milli
+      FROM gaps GROUP BY 1 ORDER BY df_bitband"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q84, q85, q92, q115, q120, q125, q166, q177, q191)
+    Seq(q84, q85, q92, q115, q120, q125, q166, q177, q190, q191)
 }

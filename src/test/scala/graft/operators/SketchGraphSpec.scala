@@ -662,6 +662,35 @@ class SketchGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q183 ab readout: arms partition users, rates and z reconcile") {
+    val rows = run("q183_ab_readout").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val nUsers = graft.sources.Tables.events(spark, TestSpark.Sf001)
+      .filter($"user_id".isNotNull).select($"user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(3) === nUsers) // arms partition users
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(4) <= r.getLong(3))
+    val pPool = (r.getLong(1) + r.getLong(4)).toDouble / nUsers
+    assert(r.getDouble(6) === pPool)
+    assert(pPool > 0.0 && pPool < 1.0, "conversion definition degenerated again")
+    if (!r.isNullAt(8))
+      assert(math.abs(r.getDouble(8)) < 10.0) // same traffic ⇒ no huge z
+  }
+
+  test("q190 postings size: delta bits beat fixed64 and obey bitlen bounds") {
+    val rows = run("q190_postings_size").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTerms, nPosts, dBits, f64, ratio) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nPosts >= nTerms)
+      assert(f64 === nPosts * 64)
+      assert(dBits >= nPosts) // every gap costs ≥ 1 bit
+      assert(dBits < f64, s"delta coding worse than fixed64: $r")
+      assert(ratio === 1000L * dBits / f64)
+    }
+  }
+
   test("q163 containment: millis bounded, intersection bounded, threshold holds") {
     val rows = run("q163_gram_containment").collect()
     assert(rows.nonEmpty)
