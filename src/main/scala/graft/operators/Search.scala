@@ -725,10 +725,13 @@ object Search extends QueryModule {
             element_at($"w", i + 1), element_at($"w", i + 2)))).as("term"))
         .filter(length($"term") > 0 && size(split($"term", " ")) === 3)
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val dfCounts = postings.groupBy($"term")
-        .agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val weighted = postings.join(dfCounts, "term")
+      // df via a term-keyed window on the grouped postings — one exchange
+      // on term instead of a second aggregate plus a term-keyed join
+      // (the df table is gram-cardinality, far too big to broadcast)
+      val weighted = postings
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"term")))
         .crossJoin(broadcast(nDocs))
         .withColumn("w", $"tf" * expr("(100 * n_docs) div df"))
         .select($"doc_id", $"term", $"df", $"w")
