@@ -259,5 +259,81 @@ object Graph extends QueryModule {
       CROSS JOIN mm
       ORDER BY cluster_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q160, q167, q170)
+  // ---------------------------------------------------------------------
+  // q201 — SIMILARITY-WEIGHTED PageRank: q160 treats every near-dup
+  // edge equally; here mass flows in proportion to the verified
+  // Jaccard, so a node duplicated at 0.9 pulls harder than one at 0.5 —
+  // the centrality that actually reflects duplication strength, and the
+  // rank most canonical-selection policies want under the hood. Edge
+  // weights are milli-Jaccard integers (floor(1000·j) of the
+  // hash-verified double — identical on both engines because the double
+  // itself is); the recurrence divides each node's outflow by its
+  // weighted degree, all operands non-negative, so the integer
+  // discipline of q160 carries over unchanged: r' = 150000 +
+  // (17·Σ (r·w_uv div W_u)) div 20. A single-edge pair is still an
+  // exact fixed point ((r·w) div w = r), which the spec pins. Same
+  // Pregel-class envelope: one node join + one edge shuffle per round.
+  // ---------------------------------------------------------------------
+  private val q201 = QueryDef(
+    "q201_weighted_pagerank",
+    (spark, dir) => {
+      import spark.implicits._
+      val edges = Dedup.nearDupPairs(spark, dir)
+        .select($"i", $"j",
+          floor($"jaccard" * 1000).cast("long").as("w"))
+        .distinct()
+      val sym = edges.select($"i".as("src"), $"j".as("dst"), $"w")
+        .unionAll(edges.select($"j".as("src"), $"i".as("dst"), $"w"))
+      val wdeg = sym.groupBy($"src".as("node"))
+        .agg(sum($"w").as("wdeg"), count(lit(1)).as("degree"))
+      val r0 = wdeg.select($"node", lit(SeedMass).as("r"))
+      def round(r: DataFrame): DataFrame = {
+        val d = wdeg.select(col("node").as("dnode"), col("wdeg").as("dw"))
+        val e = sym.select(col("src").as("esrc"), col("dst").as("edst"),
+          col("w").as("ew"))
+        r.join(d, col("node") === col("dnode"))
+          .join(e, col("node") === col("esrc"))
+          .withColumn("c", expr("(r * ew) div dw"))
+          .groupBy(col("edst"))
+          .agg(sum(col("c")).as("s"))
+          .select(col("edst").as("node"),
+            (lit(150000L) + expr("(17 * s) div 20")).as("r"))
+      }
+      val r3 = (1 to Rounds).foldLeft(r0)((r, _) => round(r))
+      wdeg.join(r3.withColumnRenamed("r", "wpr3"), Seq("node"))
+        .select($"node", $"degree", $"wdeg", $"wpr3")
+        .orderBy($"node")
+    },
+    Some {
+      def roundSql(prev: String, cur: String): String = s"""
+      ws_$cur AS (
+        SELECT e.dst AS node, sum((r.r * e.w) // d.wdeg) AS s
+        FROM wr_$prev r
+        JOIN wdeg d ON d.node = r.node
+        JOIN wsym e ON e.src = r.node
+        GROUP BY 1),
+      wr_$cur AS (
+        SELECT node, CAST(150000 + (17 * s) // 20 AS BIGINT) AS r
+        FROM ws_$cur)"""
+      s"""
+      WITH pairs AS (${Dedup.minhashOracle}),
+      wedges AS (
+        SELECT DISTINCT i, j, CAST(floor(jaccard * 1000) AS BIGINT) AS w
+        FROM pairs),
+      wsym AS (
+        SELECT i AS src, j AS dst, w FROM wedges
+        UNION ALL
+        SELECT j AS src, i AS dst, w FROM wedges),
+      wdeg AS (
+        SELECT src AS node, CAST(sum(w) AS BIGINT) AS wdeg,
+               CAST(count(*) AS BIGINT) AS degree
+        FROM wsym GROUP BY 1),
+      wr_0 AS (SELECT node, CAST($SeedMass AS BIGINT) AS r FROM wdeg),
+      ${(1 to Rounds).map(t => roundSql((t - 1).toString, t.toString)).mkString(",")}
+      SELECT d.node, d.degree, d.wdeg, r.r AS wpr3
+      FROM wdeg d JOIN wr_$Rounds r ON r.node = d.node
+      ORDER BY d.node"""
+    })
+
+  override val defs: Seq[QueryDef] = Seq(q160, q167, q170, q201)
 }

@@ -691,6 +691,30 @@ class SketchGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q201 weighted pagerank: mass bounds, fixed point, weight sensitivity") {
+    val w = run("q201_weighted_pagerank").collect()
+    val u = run("q160_pagerank").collect()
+    assert(w.length === u.length) // same node universe
+    val n = w.length.toLong
+    w.foreach(r => assert(r.getLong(3) >= 150000L))
+    assert(w.map(_.getLong(3)).sum <= n * 1000000L)
+    // single-edge pairs stay exact fixed points under ANY weight
+    val rank = w.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val deg = w.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Dedup.nearDupPairs(spark, TestSpark.Sf001)
+      .select($"i", $"j").distinct().as[(Long, Long)].collect()
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    adj.filter { case (x, ns) => ns.size == 1 && adj(ns.head).size == 1 &&
+        deg(x) == 1L }
+      .foreach { case (x, _) => assert(rank(x) === 1000000L) }
+    // weights must matter somewhere: at least one node ranks differently
+    // than under the unweighted recurrence
+    val uRank = u.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w.exists(r => uRank(r.getLong(0)) != r.getLong(3)),
+      "weighted ranks identical to unweighted — weights had no effect")
+  }
+
   test("q163 containment: millis bounded, intersection bounded, threshold holds") {
     val rows = run("q163_gram_containment").collect()
     assert(rows.nonEmpty)
