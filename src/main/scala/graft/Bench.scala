@@ -48,7 +48,27 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // what fixture generation this run measured — a schema change in the
+    // driver-regenerated parquet shows up in the artifact diff, not as a
+    // pile of mystery analysis errors (the round-6 lesson)
+    val fixtureFp = graft.sources.FixtureFingerprint.combined(spark, sfDir)
+    val fixtureJson = graft.sources.FixtureFingerprint.json(spark, sfDir)
+    // silver tables build FIRST, individually timed: their cost is
+    // attributed to the table, not to whichever query's warmup happened
+    // to reach the Scoped.shared key before the others
+    val silver = graft.operators.Silver.tables.map { t =>
+      val t0 = System.nanoTime()
+      try {
+        t.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+        t.name -> ((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => t.name -> -1.0 }
+    }
+    // optional comma-separated name filter for local iteration
+    // (SPARK_GRAFT_BENCH_ONLY=q191_allpairs_cosine); unset = full surface
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Either(seconds) or the failure message
     def time(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
@@ -85,8 +105,11 @@ object Bench {
       "\"" + k + "\":\"" + msg.replaceAll("[\"\\\\\n\r\t]", " ") + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    val silverJson = silver
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     def line(qs: String, v: String, extra: String = "") =
-      s"""{"metric":"total","value":$v,"unit":"sec","timing":"min_of_2","queries":$qs$extra,"failures":$fs,"n_failed":${failed.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$v,"unit":"sec","timing":"min_of_2","queries":$qs$extra,"failures":$fs,"n_failed":${failed.size},"silver_build_sec":$silverJson,"fixture_fp":"$fixtureFp","sf":"$sfDir"}"""
     // stdout gets a COMPACT line — short `qNN` keys, millisecond precision
     // — because the harness parses a bounded tail of the log: round 1/2
     // both truncated the full-name line mid-key and recorded parsed:null.
@@ -100,7 +123,7 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       line(qmap(ok, _.toString), total.toString,
-        s""","queries_pass1":${rawPass(pass1)},"queries_pass2":${rawPass(pass2)}""")
+        s""","queries_pass1":${rawPass(pass1)},"queries_pass2":${rawPass(pass2)},"fixture_tables":$fixtureJson""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     // a failing query must fail the bench loudly, not shrink the total

@@ -47,6 +47,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // stamp the fixture generation this correctness run saw (the r6
+    // lesson: a silent fixture regeneration must be visible in the
+    // artifact diff, not as 31 mystery failures)
+    Files.writeString(Paths.get(s"$outDir/fixture_fingerprint.json"),
+      s"""{"combined":"${graft.sources.FixtureFingerprint.combined(spark, sfDir)}",""" +
+        s""""tables":${graft.sources.FixtureFingerprint.json(spark, sfDir)}}""")
     spark.stop()
   }
 }

@@ -202,13 +202,18 @@ object GbtArtifact {
     * broadcasting); scoring stays fully distributed via [[score]]'s
     * compiled expression.
     */
-  def loadFromStore(spark: org.apache.spark.sql.SparkSession, name: String): Model = {
-    val store = graft.operators.Scoped.shared(spark, "gbt_model_store") {
+  /** The session model-store table itself — exposed so the silver
+    * registry can declare (and the bench can time) its build.
+    */
+  def store(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    graft.operators.Scoped.shared(spark, "gbt_model_store") {
       (Nil, spark.createDataFrame(
         Seq(("gbt_v1", demoArtifact), ("quality_v1", qualityArtifact)))
         .toDF("model_name", "artifact"))
     }
-    val bytes = store.filter(col("model_name") === name)
+
+  def loadFromStore(spark: org.apache.spark.sql.SparkSession, name: String): Model = {
+    val bytes = store(spark).filter(col("model_name") === name)
       .select(col("artifact")).head().getAs[Array[Byte]](0)
     deserialize(bytes)
   }

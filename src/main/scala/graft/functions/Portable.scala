@@ -37,6 +37,18 @@ object Portable {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($wordsExpr, " +
       s"w -> ${md5Hash64Sql("w")} % $P)), (a, h) -> (a * 31 + h) % $P)"
 
+  /** Sign-peeled integer banding: `e div w` with the division applied to
+    * the ABSOLUTE value and the sign restored afterwards, emitted as SQL
+    * text for both engines (`div` on Spark, `//` on DuckDB). Needed
+    * because the engines disagree on negative operands — Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors — so a raw banding
+    * of a negative value silently hash-mismatches; peeling the sign makes
+    * both engines divide a non-negative value, where they agree.
+    */
+  def bandSql(e: String, w: Long, divOp: String): String =
+    s"(CASE WHEN ($e) >= 0 THEN ($e) $divOp $w" +
+      s" ELSE -((-($e)) $divOp $w) END)"
+
   /** Whitespace tokens of a text column. */
   def tokens(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
   def tokensSql(e: String): String = s"regexp_extract_all($e, '\\S+')"

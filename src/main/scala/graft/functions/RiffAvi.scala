@@ -10,10 +10,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   * (`00db` chunks carrying 24-bit BGR pixel rows, bottom-up,
   * 4-byte-aligned stride — the same device-independent-bitmap layout a
   * BMP pixel array uses), the frame PAYLOAD decodes for real too
-  * ([[encodeDib]]/[[decodeFrames]]). Compressed streams (`00dc`) stay
-  * opaque bytes — their codecs genuinely aren't in this container, which
-  * is how production pipelines treat compressed video until a GPU decode
-  * stage.
+  * ([[encodeDib]]/[[decodeFrames]]). Compressed streams decode too
+  * when the codec is BI_RLE8 — the BMP spec's own run-length mode,
+  * rebuilt from scratch in [[Rle8]] ([[encodeRle8]]/[[decodeRle8Frames]]
+  * round-trip real `00dc` payloads). Other codecs (MJPEG, H.264) stay
+  * opaque container chunks, which is how production pipelines treat them
+  * until a GPU decode stage.
   *
   * Structure handled (the canonical single-video-stream layout):
   *   RIFF <size> 'AVI '
@@ -51,17 +53,30 @@ object RiffAvi {
     encodeChunks(width, height, usecPerFrame, frames, "00dc")
 
   private def encodeChunks(width: Int, height: Int, usecPerFrame: Int,
-      frames: Seq[Array[Byte]], frameChunkId: String): Array[Byte] = {
+      frames: Seq[Array[Byte]], frameChunkId: String,
+      bitCount: Int = 24, compression: Int = 0,
+      palette: Array[Int] = Array.emptyIntArray): Array[Byte] = {
     val strf = {
-      val b = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
-      b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
-        .putInt(0).putInt(width * height * 3).putInt(2835).putInt(2835)
-        .putInt(0).putInt(0)
+      // BITMAPINFOHEADER + (for 8-bit) the RGBQUAD palette: B,G,R,0
+      val b = ByteBuffer.allocate(40 + 4 * palette.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(width).putInt(height).putShort(1)
+        .putShort(bitCount.toShort)
+        .putInt(compression).putInt(width * height * (bitCount / 8))
+        .putInt(2835).putInt(2835)
+        .putInt(palette.length).putInt(0)
+      palette.foreach { rgb =>
+        b.put((rgb & 0xff).toByte)          // B
+          .put(((rgb >> 8) & 0xff).toByte)  // G
+          .put(((rgb >> 16) & 0xff).toByte) // R
+          .put(0.toByte)
+      }
       b.array()
     }
+    val codec = if (compression == 1) "mrle" else "RAW "
     val strh = {
       val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
-      b.put(fourcc("vids")).put(fourcc("RAW ")).putInt(0)
+      b.put(fourcc("vids")).put(fourcc(codec)).putInt(0)
         .putShort(0).putShort(0).putInt(0)
         .putInt(usecPerFrame)  // scale
         .putInt(1000000)       // rate → fps = rate/scale
@@ -176,6 +191,119 @@ object RiffAvi {
       out
     }
     encodeChunks(width, height, usecPerFrame, frameBytes, "00db")
+  }
+
+  /** Video stream format from the strl's strf chunk: bit depth, DIB
+    * compression id (0 = raw, 1 = BI_RLE8) and, for palettized depths,
+    * the color table as 0xRRGGBB ints.
+    */
+  final case class StrfInfo(bitCount: Int, compression: Int, palette: Array[Int])
+
+  /** Extract the video strf BITMAPINFOHEADER (+ palette) — the header the
+    * frame decoders key on. A dedicated scan because the frame walk needs
+    * the palette BEFORE it reaches movi.
+    */
+  def parseStrf(bytes: Array[Byte]): StrfInfo = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def cc(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(bytes.length >= 12 && cc() == "RIFF", "not a RIFF file")
+    buf.getInt()
+    require(cc() == "AVI ", "not an AVI form")
+    var found: StrfInfo = null
+    def walk(end: Int): Unit = {
+      while (found == null && buf.position() + 8 <= end) {
+        val id = cc()
+        val len = buf.getInt()
+        require(len >= 0 && buf.position().toLong + len <= end,
+          s"chunk $id overruns file")
+        val next = buf.position() + len + (len & 1)
+        id match {
+          case "LIST" =>
+            val kind = cc()
+            if (kind == "hdrl" || kind == "strl")
+              walk(buf.position() + len - 4)
+          case "strf" =>
+            require(len >= 40, "strf too short for BITMAPINFOHEADER")
+            val p = buf.position()
+            val bitCount = buf.getShort(p + 14) & 0xffff
+            val compression = buf.getInt(p + 16)
+            val declaredColors = buf.getInt(p + 32)
+            val nColors =
+              if (bitCount == 8) {
+                val n = if (declaredColors > 0) declaredColors else 256
+                require(40 + 4 * n <= len, "strf palette truncated")
+                n
+              } else 0
+            val palette = new Array[Int](nColors)
+            var j = 0
+            while (j < nColors) {
+              val o = p + 40 + 4 * j
+              palette(j) = ((bytes(o + 2) & 0xff) << 16) |
+                ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)
+              j += 1
+            }
+            found = StrfInfo(bitCount, compression, palette)
+          case _ => ()
+        }
+        buf.position(math.min(next, end))
+      }
+    }
+    walk(bytes.length)
+    require(found != null, "no strf chunk")
+    found
+  }
+
+  /** One decoded RLE8 video: per-frame pixels (0xRRGGBB via the strf
+    * palette, row 0 = top) plus each frame's COMPRESSED payload size —
+    * the number the compression-ratio audit reads straight off the wire.
+    */
+  final case class Rle8Video(width: Int, height: Int, usecPerFrame: Int,
+      frames: Vector[Array[Int]], compBytes: Vector[Int])
+
+  /** Decode a BI_RLE8 AVI end to end: container walk + [[Rle8.decode]]
+    * of every `00dc` payload + palette lookup. The compressed-payload
+    * format that used to be this container's one opaque spot.
+    */
+  def decodeRle8Frames(bytes: Array[Byte]): Rle8Video = {
+    val strf = parseStrf(bytes)
+    require(strf.bitCount == 8 && strf.compression == 1,
+      s"not a BI_RLE8 stream (bits=${strf.bitCount} comp=${strf.compression})")
+    val frames = Vector.newBuilder[Array[Int]]
+    val lens = Vector.newBuilder[Int]
+    val meta = walkCore(bytes, (id, off, len, w, h) => {
+      require(id.endsWith("dc"),
+        s"frame chunk $id is uncompressed; raw DIB decodes via decodeFrames")
+      require(w > 0 && h > 0, "frame chunk before avih header")
+      val idx = Rle8.decode(java.util.Arrays.copyOfRange(bytes, off, off + len), w, h)
+      val px = new Array[Int](w * h)
+      var i = 0
+      while (i < px.length) {
+        val j = idx(i) & 0xff
+        require(j < strf.palette.length, s"palette index $j out of range")
+        px(i) = strf.palette(j)
+        i += 1
+      }
+      frames += px
+      lens += len
+    })
+    Rle8Video(meta.width, meta.height, meta.usecPerFrame,
+      frames.result(), lens.result())
+  }
+
+  /** Serialize RLE8 frames: top-down palette-index arrays become
+    * [[Rle8.encode]]d `00dc` chunks behind an 8-bit BI_RLE8 strf carrying
+    * the palette — the exact inverse of [[decodeRle8Frames]]; [[parse]]
+    * walks the result too.
+    */
+  def encodeRle8(width: Int, height: Int, usecPerFrame: Int,
+      palette: Array[Int], frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.forall(_.length == width * height),
+      "every frame must be width x height indices")
+    val payloads = frames.map(Rle8.encode(_, width, height))
+    encodeChunks(width, height, usecPerFrame, payloads, "00dc",
+      bitCount = 8, compression = 1, palette = palette)
   }
 
   private def walkCore(

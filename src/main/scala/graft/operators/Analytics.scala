@@ -520,9 +520,13 @@ object Analytics extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       import graft.functions.Portable
+      // typ is nullable: an unguarded concat would NULL the row hash and
+      // make NULL-typed rows invisible to block digests (a change confined
+      // to them would never be drilled) — coalesce keeps them in the sum
       def rowHash(value: Column, typ: Column, id: Column): Column =
         Portable.md5Hash64(concat(id.cast("string"), lit("|"),
-          value.cast("string"), lit("|"), typ)) % Portable.P
+          value.cast("string"), lit("|"), coalesce(typ, lit("<null>")))) %
+          Portable.P
       val a = Tables.events(spark, dir)
         .filter($"event_id".isNotNull && $"value".isNotNull)
         .select($"event_id".as("id"),
@@ -565,7 +569,7 @@ object Analytics extends QueryModule {
     Some {
       val rowHashSql = (id: String, cents: String, typ: String) =>
         s"${graft.functions.Portable.md5Hash64Sql(
-          s"CAST($id AS VARCHAR) || '|' || CAST($cents AS VARCHAR) || '|' || $typ")} % ${graft.functions.Portable.P}"
+          s"CAST($id AS VARCHAR) || '|' || CAST($cents AS VARCHAR) || '|' || coalesce($typ, '<null>')")} % ${graft.functions.Portable.P}"
       s"""
       WITH a AS (
         SELECT event_id AS id,
@@ -632,8 +636,9 @@ object Analytics extends QueryModule {
       val cells = Tables.events(spark, dir)
         .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull)
         .groupBy($"event_type", to_date($"ts").as("day"),
-          (expr("CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) div 5000")
-            ).as("band"))
+          expr(graft.functions.Portable.bandSql(
+            "CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)", 5000L, "div"))
+            .as("band"))
         .agg(countDistinct($"user_id").as("k"))
       cells.groupBy($"event_type")
         .agg(
@@ -648,7 +653,9 @@ object Analytics extends QueryModule {
     Some(s"""
       WITH cells AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) // 5000 AS band,
+               ${graft.functions.Portable.bandSql(
+                 "CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)",
+                 5000L, "//")} AS band,
                count(DISTINCT user_id) AS k
         FROM events
         WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
@@ -716,8 +723,10 @@ object Analytics extends QueryModule {
         .unionByName(audit("orders", orders,
           ordDrop.select($"o_orderkey".as("_dk")), col("o_orderkey")))
         .unionByName(audit("lineitem", li,
-          liDrop.select(($"l_orderkey" * 16 + $"l_linenumber").as("_dk")),
-          (col("l_orderkey") * 16 + col("l_linenumber"))))
+          // *100 keeps the packed key collision-free for any linenumber
+          // < 100 (TPC-H caps at 7; FixtureCanarySpec pins the bound)
+          liDrop.select(($"l_orderkey" * 100 + $"l_linenumber").as("_dk")),
+          (col("l_orderkey") * 100 + col("l_linenumber"))))
         .unionByName(audit("events", ev,
           evDrop.select($"event_id".as("_dk")), col("event_id")))
         .orderBy($"table_name")
@@ -756,10 +765,10 @@ object Analytics extends QueryModule {
              (SELECT count(*) FROM lineitem),
              (SELECT count(*) FROM lidrop),
              CAST(count(*) AS BIGINT),
-             ${ck("l_orderkey * 16 + l_linenumber")}
+             ${ck("l_orderkey * 100 + l_linenumber")}
       FROM lineitem
-      WHERE l_orderkey * 16 + l_linenumber NOT IN (
-        SELECT l_orderkey * 16 + l_linenumber FROM lidrop)
+      WHERE l_orderkey * 100 + l_linenumber NOT IN (
+        SELECT l_orderkey * 100 + l_linenumber FROM lidrop)
       UNION ALL
       SELECT 'orders',
              (SELECT count(*) FROM orders),

@@ -736,10 +736,13 @@ object Curation extends QueryModule {
     },
     Some {
       // single interpolated builder for the clean chain — used for both
-      // the key and the changed flag so the two can never diverge
+      // the key and the changed flag, with the replacement literal DERIVED
+      // from CosTo (apostrophes doubled for SQL), so neither the two uses
+      // nor the two engines can ever diverge on the mapping
+      val cosToSql = "'" + CosTo.replace("'", "''") + "'"
       def cleanSqlOf(e: String): String =
         s"trim(regexp_replace(regexp_replace(" +
-          s"translate(replace($e, '\u2026', '...'), '$CosFrom', ' ''''\"\"--'), " +
+          s"translate(replace($e, '\u2026', '...'), '$CosFrom', $cosToSql), " +
           s"'$ZwClass', '', 'g'), ' +', ' ', 'g'))"
       s"""
       WITH base AS (SELECT doc_id, source, text FROM documents),

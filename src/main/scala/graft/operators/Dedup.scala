@@ -360,7 +360,7 @@ object Dedup extends QueryModule {
     * — so it is built once per input dir and every consumer/side reads the
     * parquet (silver-table pattern, same as the minhash pair table).
     */
-  private def word3grams(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def word3grams(spark: SparkSession, dir: String): DataFrame =
     Scoped.shared(spark, s"word3grams:$dir")((Nil, {
       import spark.implicits._
       Tables.documents(spark, dir)
@@ -733,7 +733,11 @@ object Dedup extends QueryModule {
           i => Portable.md5Hash64(array_join(slice($"w", i, lit(SpanL)), " ")))))
         .select($"doc_id", ($"pos" + 1).cast("long").as("start"),
           $"col".as("gh"))
-        .withColumn("k", $"doc_id" * 1000000L + $"start")
+        // keep-first is the lexicographic min of (doc_id, start) as a
+        // STRUCT — a packed doc*shift+pos key silently mis-orders (and
+        // can collide across docs) once a document exceeds the shift
+        // width, and book-length concatenations in a web corpus do
+        .withColumn("k", struct($"doc_id", $"start"))
       val occ = starts.groupBy($"gh")
         .agg(count(lit(1)).as("cnt"), min($"k").as("keep"))
       val removalStarts = starts.join(occ, "gh")
@@ -769,7 +773,7 @@ object Dedup extends QueryModule {
       starts AS (
         SELECT doc_id, u.s AS start,
                ${Portable.md5Hash64Sql("array_to_string(u.p, ' ')")} AS gh,
-               doc_id * 1000000 + u.s AS k
+               {'d': doc_id, 's': u.s} AS k
         FROM (
           SELECT doc_id,
                  unnest([{'s': i, 'p': w[(i):(i + $SpanL - 1)]}

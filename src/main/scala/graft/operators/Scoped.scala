@@ -76,6 +76,17 @@ private[graft] object Scoped {
   private val sharedPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Every key a shared build has run for this session — the audit trail
+    * SilverRegistrySpec checks against the declared [[Silver]] registry,
+    * so a new Scoped.shared call site cannot ship undeclared.
+    */
+  private val built =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def builtKeys: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    built.asScala.toSet
+  }
+
   def shared(spark: org.apache.spark.sql.SparkSession, key: String)(
       build: => (Seq[DataFrame], DataFrame)): DataFrame = {
     // NOT computeIfAbsent: derived tables nest (the global-rn build reads
@@ -84,6 +95,7 @@ private[graft] object Scoped {
     // temp dirs — idempotent and harmless.
     var path = sharedPaths.get(key)
     if (path == null) {
+      built.add(key)
       val (persisted, result) = build
       // embed the logical name in the dir so plans/listings show WHICH
       // derived table a scan reads (the slug drops the input-dir path)

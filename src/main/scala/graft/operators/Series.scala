@@ -590,7 +590,8 @@ object Series extends QueryModule {
       val cells = Tables.events(spark, dir)
         .filter($"event_id".isNotNull && $"value".isNotNull)
         .groupBy($"event_type",
-          expr("CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) div 5000")
+          expr(graft.functions.Portable.bandSql(
+            "CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)", 5000L, "div"))
             .as("band"))
         .agg(
           sum(when($"event_id" % 2 === 0, 1L).otherwise(0L)).as("o_a"),
@@ -608,10 +609,12 @@ object Series extends QueryModule {
         .select($"event_type", $"band", $"o_a", $"o_b", $"chi2_term")
         .orderBy($"event_type", $"band")
     },
-    Some("""
+    Some(s"""
       WITH cells AS (
         SELECT event_type,
-               CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) // 5000 AS band,
+               ${graft.functions.Portable.bandSql(
+                 "CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)",
+                 5000L, "//")} AS band,
                CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                  AS o_a,
                CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)

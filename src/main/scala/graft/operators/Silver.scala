@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The declared SILVER-TABLE registry: every derived table that
+  * [[Scoped.shared]] materializes once per session and multiple queries
+  * read back. At cluster scale these are the managed intermediate tables
+  * between bronze (raw parquet) and the query layer — written once per
+  * corpus version, consumed by dozens of jobs, with an owner and a
+  * retention policy. In-process they were already built exactly once
+  * (string-keyed through Scoped.shared); this registry makes the reuse
+  * graph DECLARED rather than implicit: which tables exist, what each
+  * holds, who consumes it — auditable in one place, and benchable per
+  * table (graft.Bench times each build separately, so the cost of a
+  * shared build is attributed to the table instead of to whichever query
+  * happened to run first).
+  *
+  * SilverRegistrySpec closes the loop: after the full query surface runs,
+  * every key Scoped.shared actually built must be covered by a
+  * declaration here — an undeclared silver table fails CI.
+  */
+object Silver {
+
+  final case class SilverTable(
+      name: String,
+      description: String,
+      /** query ids (and the helper they reach through, where indirect) */
+      consumers: Seq[String],
+      /** builds-or-reads the materialized table for an input dir */
+      build: (SparkSession, String) => DataFrame)
+
+  val tables: Seq[SilverTable] = Seq(
+    SilverTable(
+      "daily_bars",
+      "per-(ticker,day) OHLCV bars from lineitem-priced events — the gold" +
+        " daily table every feature/indicator query starts from",
+      Seq("q18", "q19", "q20", "q21", "q22", "q23", "q24", "q25", "q33",
+        "q73", "q97", "q102", "q122",
+        "q80", "q81", "q82", "q83", "q153", "q154", "q155", "q176"),
+      (s, d) => WindowFeatures.bars(s, d)),
+    SilverTable(
+      "bars_global_rn",
+      "daily_bars with a range-partitioned global row number — the" +
+        " shuffle-free global order both split queries consume",
+      Seq("q22", "q23"),
+      (s, d) => WindowFeatures.withGlobalRn(s, d)),
+    SilverTable(
+      "minhash_pairs",
+      "verified near-dup doc pairs (i < j, jaccard >= 0.5) from the" +
+        " banded MinHash pass — the edge list of the whole dedup/graph" +
+        " family",
+      Seq("q35", "q61", "q114", "q131", "q151", "q160", "q167", "q168",
+        "q170", "q201", "via clusterLabels: q72", "q175", "q195", "q200"),
+      (s, d) => Dedup.nearDupPairs(s, d)),
+    SilverTable(
+      "word3grams",
+      "df-annotated distinct word 3-grams per doc — the shared candidate" +
+        " generator of the gram similarity family",
+      Seq("q37", "q96", "q163", "q174"),
+      (s, d) => Dedup.word3grams(s, d)),
+    SilverTable(
+      "kmeans_cents",
+      "trained k-means codebook (cid, coords), k = clamp(C*ceil(sqrt n)," +
+        " MinK, MaxK) — model state consumed by cluster stats, the IVF" +
+        " index and SemDeDup",
+      Seq("q98", "via cellRanked: q105", "q108", "q162"),
+      (s, d) => Corpus.kmeansCentroids(s, d, Corpus.KmIters)),
+    SilverTable(
+      "textrank_edges",
+      "weighted undirected token co-occurrence edges with per-src" +
+        " weighted degree — the graph the TextRank iterations walk",
+      Seq("q125"),
+      (s, d) => Search.textrankEdges(s, d)),
+    SilverTable(
+      "gbt_model_store",
+      "the session model store: (model_name, artifact bytes) parquet" +
+        " rows; every load re-reads serialized bytes through the storage" +
+        " boundary",
+      Seq("q102", "q113", "q130"),
+      (s, _) => graft.functions.GbtArtifact.store(s)))
+
+  def names: Seq[String] = tables.map(_.name)
+
+  /** Whether a runtime Scoped.shared key (e.g. "kmeans_cents_5:/dir")
+    * belongs to a declared silver table.
+    */
+  def covers(key: String): Boolean = {
+    val slug = key.takeWhile(_ != ':')
+    tables.exists(t => slug == t.name || slug.startsWith(t.name + "_"))
+  }
+}

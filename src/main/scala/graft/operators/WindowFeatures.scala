@@ -222,7 +222,7 @@ object WindowFeatures extends QueryModule {
     (Seq(parted), numbered)
   }
 
-  private def withGlobalRn(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def withGlobalRn(spark: SparkSession, dir: String): DataFrame =
     // materialized derived table: both split queries (q22, q23) consume
     // the same numbered rows — build once per dir, read parquet after
     Scoped.shared(spark, s"bars_global_rn:$dir")(globalRnBuild(spark, dir))

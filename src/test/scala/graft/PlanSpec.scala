@@ -65,7 +65,10 @@ class PlanSpec extends AnyFunSuite {
       "q43_stream_sink_roundtrip", "q46_csv_roundtrip", "q47_upsert_latest",
       "q66_bucketed_join", "q74_stream_session_window", "q77_stream_dedup",
       "q78_incremental_overwrite", "q79_schema_evolution",
-      "q86_stream_stream_join", "q87_bloom_filtered_join")
+      "q86_stream_stream_join", "q87_bloom_filtered_join",
+      // r8: these materialize their persist scope at build time; their
+      // BUILD plans are asserted in the dedicated df-window test above
+      "q190_postings_size", "q191_allpairs_cosine")
     SparkEntry.queries.keys.filterNot(eager).foreach { name =>
       assert(!planOf(name).contains("CartesianProduct"), s"$name is cartesian")
     }
@@ -408,6 +411,31 @@ class PlanSpec extends AnyFunSuite {
     // df and corpus stats ride broadcast; the postings subtree must not
     // be duplicated per ranker (both scores come from one aggregate)
     assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q190/q191: df never computes through an unsplittable term window") {
+    // count(*) OVER (PARTITION BY term) puts every posting of a hot term
+    // in ONE window task — a Zipf-skew straggler AQE cannot split (skew
+    // handling applies to joins/aggregates, not window exchanges). df
+    // must come from a partial aggregate + term-keyed join: q191 then
+    // plans no Window operator at all, and q190's remaining lag windows
+    // key on (term, bkt), whose row count PostingsBucket bounds.
+    // both queries materialize their scope, so the assertions target the
+    // BUILD plans (the q22 discipline), not the post-materialize re-read
+    val (persisted191, r191) =
+      graft.operators.Search.q191Build(spark, TestSpark.Sf001)
+    try {
+      val p191 = r191.queryExecution.executedPlan.toString
+      assert(!p191.contains("Window"),
+        p191.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    } finally persisted191.foreach(_.unpersist())
+    val p190 = graft.operators.Search
+      .q190Rollup(graft.operators.Search.q190Posts(spark, TestSpark.Sf001))
+      .queryExecution.executedPlan.toString
+    val winLines = p190.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, "q190 lost its gap-sort window entirely")
+    assert(winLines.forall(_.contains("bkt")), winLines.mkString("\n"))
   }
 
   test("q178: the row-level drill is gated behind the bad-block semi join") {

@@ -95,6 +95,57 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     assert(pairs.length < n.toLong * (n - 1) / 2)
   }
 
+  test("Zipf-skewed postings: gap windows bounded by PostingsBucket; df attach frequency-splits") {
+    import graft.operators.Search
+    // a deliberately Zipf-shaped postings table the fixtures can't
+    // produce: one stop-shingle owns half of 120k postings, a hot tail
+    // owns most of the rest — the distribution the 100 TB claim rides on
+    val posts = spark.range(0, 120000).select(
+      $"id".as("doc_id"),
+      when($"id" % 2 === 0, lit("the quick brown"))
+        .when($"id" % 3 === 0, concat(lit("hot "), ($"id" % 7).cast("string")))
+        .otherwise(concat(lit("tail "), ($"id" % 20000).cast("string")))
+        .as("term"))
+    // (a) the sharding law itself: no (term, doc_id div PostingsBucket)
+    // cell — i.e. no lag-window partition — can exceed the bucket width,
+    // because doc ids are distinct within a posting list
+    val maxCell = posts
+      .groupBy($"term", expr(s"doc_id div ${Search.PostingsBucket}").as("bkt"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max($"n")).head.getLong(0)
+    assert(maxCell <= Search.PostingsBucket,
+      s"window partition of $maxCell rows exceeds bucket ${Search.PostingsBucket}")
+    // (b) the factored q190 roll-up preserves the posting census and
+    // pays the sharding cost explicitly: every df>threshold term emits
+    // more absolute heads than terms (the hot lists really split)
+    val out = Search.q190Rollup(posts)
+      .select($"df_bitband", $"n_terms", $"n_postings", $"n_abs_heads")
+      .collect()
+    assert(out.map(_.getLong(2)).sum === 120000L, out.mkString("; "))
+    val topBand = out.maxBy(_.getLong(0))
+    assert(topBand.getLong(3) > topBand.getLong(1),
+      s"hot band never sharded: $topBand")
+    // (c) the frequency-split df attach — q190/q191's replacement for
+    // the term window. Note a plain shuffle join would NOT be saved by
+    // AQE here: the df side's final aggregate sits between its shuffle
+    // and the join sort, so OptimizeSkewedJoin's
+    // SMJ(Sort(Shuffle), Sort(Shuffle)) pattern never matches — which is
+    // exactly why attachDf splits by frequency instead of hoping.
+    val attached = Search.attachDf(posts)
+    // census preserved: every posting gets exactly one df row
+    assert(attached.count() === 120000L)
+    // hot postings join a BROADCAST head — they never shuffle on term
+    val plan = attached.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      plan.linesIterator.take(30).mkString("\n"))
+    // the cold shuffle is skew-free BY CONSTRUCTION: no surviving term
+    // carries more than DfShard rows
+    val coldMax = attached.filter($"df" <= Search.DfShard)
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+      .agg(max($"n")).head.getLong(0)
+    assert(coldMax <= Search.DfShard, s"cold side skewed: $coldMax")
+  }
+
   test("query results are invariant to spark.sql.shuffle.partitions") {
     // q111/q112 are here because their whole point is reproducibility:
     // the shuffle permutation and the fractional-epoch sample must not
@@ -130,7 +181,8 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     // partitions are read — the join-shaped scan reduction a 100 TB
     // star-schema read lives on.
     import java.nio.file.Files
-    val base = Files.createTempDirectory("graft_dpp_").toString
+    val baseDir = Files.createTempDirectory("graft_dpp_")
+    val base = baseDir.toString
     graft.sources.Tables.events(spark, TestSpark.Sf001)
       .filter($"ts".isNotNull)
       .write.mode("overwrite").partitionBy("event_type").parquet(s"$base/fact")
@@ -154,7 +206,13 @@ class ScaleBehaviorSpec extends AnyFunSuite {
       assert(plan.contains("dynamicpruningexpression"),
         plan.linesIterator.take(25).mkString("\n"))
       assert(joined.head().getLong(0) > 0L)
-    } finally
+    } finally {
       prevs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // the fixture parquet is test-local scratch — delete it or every
+      // run leaks a copy of the events table into the temp filesystem
+      import scala.jdk.CollectionConverters._
+      Files.walk(baseDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    }
   }
 }

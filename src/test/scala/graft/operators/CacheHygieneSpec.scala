@@ -20,7 +20,9 @@ class CacheHygieneSpec extends AnyFunSuite {
       "q61_curation_pipeline", "q72_dedup_clusters",
       // q117 localCheckpoints 21 per-round frames during BPE training and
       // must release every one once the merge table is driver state
-      "q117_bpe_train")
+      "q117_bpe_train",
+      // r8: postings/weighted persist across the frequency-split joins
+      "q190_postings_size", "q191_allpairs_cosine")
     val before = spark.sparkContext.getPersistentRDDs.keySet
     persistingQueries.foreach { q =>
       SparkEntry.queries(q)(spark, TestSpark.Sf001)

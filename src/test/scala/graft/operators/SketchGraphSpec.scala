@@ -681,9 +681,13 @@ class SketchGraphSpec extends AnyFunSuite {
     val rows = run("q190_postings_size").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (nTerms, nPosts, dBits, f64, ratio) =
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val (nTerms, nPosts, nHeads, dBits, f64, ratio) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))
       assert(nPosts >= nTerms)
+      // every posting list has ≥ 1 absolute head (its first entry) and
+      // sub-sharding can only add heads, never exceed the posting count
+      assert(nHeads >= nTerms && nHeads <= nPosts, r.toString)
       assert(f64 === nPosts * 64)
       assert(dBits >= nPosts) // every gap costs ≥ 1 bit
       assert(dBits < f64, s"delta coding worse than fixed64: $r")

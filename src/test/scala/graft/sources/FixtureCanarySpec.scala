@@ -35,6 +35,17 @@ class FixtureCanarySpec extends AnyFunSuite {
     }
   }
 
+  test("lineitem linenumber fits q182's *100 packed composite key") {
+    // q182 cascades deletes over lineitem keyed on
+    // l_orderkey*100 + l_linenumber; any linenumber >= 100 would collide
+    // packed keys across orders and silently corrupt the survivor
+    // checksum on BOTH engines. TPC-H caps linenumber at 7 — pin it.
+    import org.apache.spark.sql.functions.{col, max}
+    val mx = Tables.lineitem(spark, TestSpark.Sf001)
+      .agg(max(col("l_linenumber").cast("long"))).head.getLong(0)
+    assert(mx < 100L, s"max l_linenumber $mx >= 100 — widen q182's key pack")
+  }
+
   test("documents and embeddings layouts are unchanged") {
     val d = spark.read.parquet(s"${TestSpark.Sf001}/documents.parquet").schema
     assert(d("doc_id").dataType == LongType && d("text").dataType == StringType &&
