@@ -10,12 +10,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   * (`00db` chunks carrying 24-bit BGR pixel rows, bottom-up,
   * 4-byte-aligned stride — the same device-independent-bitmap layout a
   * BMP pixel array uses), the frame PAYLOAD decodes for real too
-  * ([[encodeDib]]/[[decodeFrames]]). Compressed streams decode too
-  * when the codec is BI_RLE8 — the BMP spec's own run-length mode,
-  * rebuilt from scratch in [[Rle8]] ([[encodeRle8]]/[[decodeRle8Frames]]
-  * round-trip real `00dc` payloads). Other codecs (MJPEG, H.264) stay
-  * opaque container chunks, which is how production pipelines treat them
-  * until a GPU decode stage.
+  * ([[encodeDib]]/[[decodeFrames]]). Compressed streams decode too for
+  * two codecs rebuilt from scratch: BI_RLE8 — the BMP spec's own
+  * run-length mode ([[Rle8]], [[encodeRle8]]/[[decodeRle8Frames]]) —
+  * and MJPEG, whose `00dc` payloads are complete baseline JFIF streams
+  * decoded by [[Jpeg]] ([[encodeMjpeg]]/[[decodeMjpegFrames]]).
+  * Inter-frame codecs (H.264 etc.) stay opaque container chunks, which
+  * is how production pipelines treat them until a GPU decode stage.
   *
   * Structure handled (the canonical single-video-stream layout):
   *   RIFF <size> 'AVI '
@@ -73,7 +74,10 @@ object RiffAvi {
       }
       b.array()
     }
-    val codec = if (compression == 1) "mrle" else "RAW "
+    val codec =
+      if (compression == 1) "mrle"
+      else if (compression == MjpgFourcc) "MJPG"
+      else "RAW "
     val strh = {
       val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
       b.put(fourcc("vids")).put(fourcc(codec)).putInt(0)
@@ -304,6 +308,52 @@ object RiffAvi {
     val payloads = frames.map(Rle8.encode(_, width, height))
     encodeChunks(width, height, usecPerFrame, payloads, "00dc",
       bitCount = 8, compression = 1, palette = palette)
+  }
+
+  /** 'MJPG' as the little-endian BITMAPINFOHEADER biCompression int. */
+  private[functions] val MjpgFourcc: Int =
+    'M'.toInt | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
+
+  /** One decoded MJPEG video: per-frame pixels (0xRRGGBB, row 0 = top)
+    * plus each frame's COMPRESSED payload size straight off the wire.
+    */
+  final case class MjpegVideo(width: Int, height: Int, usecPerFrame: Int,
+      frames: Vector[Array[Int]], compBytes: Vector[Int])
+
+  /** Serialize MJPEG frames: each element is a complete baseline JFIF
+    * byte stream (one [[Jpeg.encode]] output per frame) wrapped in
+    * `00dc` chunks behind a 24-bit 'MJPG'-compression strf — the
+    * standard motion-JPEG-in-AVI layout; [[parse]] walks the result too.
+    */
+  def encodeMjpeg(width: Int, height: Int, usecPerFrame: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] =
+    encodeChunks(width, height, usecPerFrame, frames, "00dc",
+      bitCount = 24, compression = MjpgFourcc)
+
+  /** Decode an MJPEG AVI end to end: container walk + a full baseline
+    * JPEG decode ([[Jpeg.decode]]) of every `00dc` payload — marker
+    * parse, DHT Huffman tables, dequant, IDCT, YCbCr→RGB. Frame
+    * dimensions are cross-checked against the container header: a
+    * JPEG/AVI mismatch is a loud error, as in real players.
+    */
+  def decodeMjpegFrames(bytes: Array[Byte]): MjpegVideo = {
+    val strf = parseStrf(bytes)
+    require(strf.compression == MjpgFourcc,
+      s"not an MJPEG stream (comp=0x${strf.compression.toHexString})")
+    val frames = Vector.newBuilder[Array[Int]]
+    val lens = Vector.newBuilder[Int]
+    val meta = walkCore(bytes, (id, off, len, w, h) => {
+      require(id.endsWith("dc"),
+        s"frame chunk $id is uncompressed; raw DIB decodes via decodeFrames")
+      require(w > 0 && h > 0, "frame chunk before avih header")
+      val img = Jpeg.decode(java.util.Arrays.copyOfRange(bytes, off, off + len))
+      require(img.width == w && img.height == h,
+        s"JPEG ${img.width}x${img.height} != container ${w}x$h")
+      frames += img.pixels
+      lens += len
+    })
+    MjpegVideo(meta.width, meta.height, meta.usecPerFrame,
+      frames.result(), lens.result())
   }
 
   private def walkCore(

@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * and IMAGES (q109, 24-bit BMP) decode with genuine codec-free byte
   * parsers; VIDEO parses its container for real (q110, AVI header/
   * frame-chunk walk over a compressed `00dc` stream, payloads opaque)
-  * AND decodes frame payloads end-to-end for both honestly-buildable
+  * AND decodes frame payloads end-to-end for three from-scratch
   * codecs: raw DIB (q116, `00db` frames through the same stride-aware
-  * decode the BMP path uses) and BI_RLE8 (q202, COMPRESSED `00dc`
-  * frames through the from-scratch run-length decoder in
-  * functions.Rle8, palette and all). Only foreign-codec payloads
-  * (MJPEG/H.264) stay opaque container chunks. Everything Spark-side is
+  * decode the BMP path uses), BI_RLE8 (q202, COMPRESSED `00dc` frames
+  * through the run-length decoder in functions.Rle8, palette and all),
+  * and MJPEG (q203, `00dc` frames that are complete baseline JFIF
+  * streams through the full functions.Jpeg pipeline — Huffman entropy
+  * decode, dequant, IDCT, YCbCr→RGB). Only inter-frame codec payloads
+  * (H.264 etc.) stay opaque container chunks. Everything Spark-side is
   * real and tested:
   * the binary schema, the typed `Dataset` encoders, per-partition batch
   * iteration (the JVM analog of `mapInPandas` batch shape), and the
@@ -507,6 +509,145 @@ object Multimodal extends QueryModule {
       ORDER BY doc_id, frame_idx"""))
 
   // ---------------------------------------------------------------------
+  // q203 — MJPEG video frame decode (functions.Jpeg via
+  // RiffAvi.decodeMjpegFrames): the codec real camera/capture pipelines
+  // put behind `00dc` chunks, decoded END TO END from the bytes — AVI
+  // container walk, then per frame a complete baseline JFIF decode:
+  // marker parse, quant + Huffman tables read from the stream's own
+  // DQT/DHT, DPCM DC + run/size AC entropy decode with 0xFF00
+  // unstuffing and restart markers, dequantize, inverse zigzag, IDCT,
+  // and fixed-point YCbCr→RGB. Frames are synthesized 4:4:4 block-
+  // constant mosaics (every 8×8 block one flat YCbCr color from a
+  // (doc, frame, block) recurrence) with a DC quant step dividing 8 —
+  // an input class on which baseline JPEG is arithmetically LOSSLESS
+  // (the only nonzero coefficient, DC = 8·(s−128), survives quantize/
+  // dequantize exactly), so the DuckDB oracle recomputes every decoded
+  // pixel analytically: the same recurrence pushed through the same
+  // 2¹⁶ fixed-point YCbCr→RGB integers. Half the docs encode with a
+  // restart interval so RSTn handling and predictor resets are on the
+  // verified path. A wrong Huffman table, zigzag slot, quant multiply,
+  // IDCT scale, or color constant breaks the position-weighted hash.
+  // Decode is pure per-partition map work: no shuffle.
+  // ---------------------------------------------------------------------
+  final case class MjpegFrameFeatures(
+      doc_id: Long, frame_idx: Long, width: Long, height: Long,
+      n_mcus: Long, sum_r: Long, sum_g: Long, sum_b: Long, pos_hash: Long)
+
+  private[graft] def synthAviMjpeg(docId: Long): Array[Byte] = {
+    import graft.functions.{Jpeg, RiffAvi}
+    val w = 8 * (1 + docId % 3).toInt
+    val h = 8 * (1 + docId % 2).toInt
+    val nFrames = (2 + docId % 3).toInt
+    // DC steps divide 8 (exactness); AC steps are arbitrary ≥1 and the
+    // decoder's dequant multiplies them against all-zero ACs
+    val qLuma = Array.tabulate(64)(k => if (k == 0) 8 else 16 + (k * 7) % 23)
+    val qChroma = Array.tabulate(64)(k => if (k == 0) 4 else 17 + (k * 5) % 19)
+    val frames = Seq.tabulate(nFrames) { f =>
+      val y = new Array[Int](w * h)
+      val cb = new Array[Int](w * h)
+      val cr = new Array[Int](w * h)
+      var i = 0
+      while (i < w * h) {
+        val bx = (i % w) / 8
+        val by = (i / w) / 8
+        y(i) = ((docId * 5 + 7 * bx + 11 * by + 3 * f) % 256).toInt
+        cb(i) = ((docId * 3 + 2 * bx + 5 * by + f) % 256).toInt
+        cr(i) = ((docId * 7 + 4 * bx + by + 6 * f) % 256).toInt
+        i += 1
+      }
+      Jpeg.encode(w, h, y, cb, cr, qLuma, qChroma,
+        restartInterval = if (docId % 2 == 0) 2 else 0)
+    }
+    RiffAvi.encodeMjpeg(w, h, 33333, frames)
+  }
+
+  private val q203 = QueryDef(
+    "q203_avi_mjpeg_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.RiffAvi
+      val assets: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, synthAviMjpeg(id))))
+      assets.mapPartitions(_.flatMap { case (id, bytes) =>
+        val v = RiffAvi.decodeMjpegFrames(bytes)
+        v.frames.iterator.zipWithIndex.map { case (px, f) =>
+          var sumR, sumG, sumB, posHash = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            val r = (p >> 16) & 0xff
+            val g = (p >> 8) & 0xff
+            val b = p & 0xff
+            sumR += r; sumG += g; sumB += b
+            posHash += (i + 1).toLong * (b + 2L * g + 3L * r)
+            i += 1
+          }
+          MjpegFrameFeatures(id, f.toLong, v.width.toLong, v.height.toLong,
+            (v.width / 8).toLong * (v.height / 8),
+            sumR, sumG, sumB, posHash)
+        }
+      }).toDF().orderBy($"doc_id", $"frame_idx")
+    },
+    // The oracle works at BLOCK grain: pixels are block-constant, so the
+    // per-frame sums are 64× the per-block RGB and the position hash
+    // folds in the closed-form Σ(i+1) over each block's pixel indexes:
+    // 512·W·by + 224·W + 512·bx + 288. RGB uses the identical 2¹⁶
+    // fixed-point integers ('//' floors like the JVM's >> 16).
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CAST(8 * (1 + doc_id % 3) AS BIGINT) AS width,
+               CAST(8 * (1 + doc_id % 2) AS BIGINT) AS height,
+               CAST(2 + doc_id % 3 AS BIGINT) AS n_frames
+        FROM documents),
+      f AS (
+        SELECT doc_id, width, height, width // 8 AS nbx, height // 8 AS nby,
+               unnest(range(0, n_frames)) AS frame_idx
+        FROM p),
+      blk AS (
+        SELECT doc_id, width, height, nbx, nby, frame_idx,
+               unnest(range(0, nbx * nby)) AS b
+        FROM f),
+      ycc AS (
+        SELECT doc_id, width, height, nbx, nby, frame_idx, b,
+               (doc_id * 5 + 7 * (b % nbx) + 11 * (b // nbx)
+                + 3 * frame_idx) % 256 AS yv,
+               (doc_id * 3 + 2 * (b % nbx) + 5 * (b // nbx)
+                + frame_idx) % 256 - 128 AS cbz,
+               (doc_id * 7 + 4 * (b % nbx) + (b // nbx)
+                + 6 * frame_idx) % 256 - 128 AS crz
+        FROM blk),
+      fx AS (
+        -- the JVM's >> 16 is a FLOOR by 2^16; DuckDB's integer '//'
+        -- truncates toward zero, so floor via the pmod remainder first
+        SELECT doc_id, width, height, nbx, nby, frame_idx, b, yv,
+               91881 * crz + 32768 AS rt,
+               22554 * cbz + 46802 * crz + 32768 AS gt,
+               116130 * cbz + 32768 AS bt
+        FROM ycc),
+      rgb AS (
+        SELECT doc_id, width, height, nbx, nby, frame_idx, b,
+               least(greatest(yv +
+                 (rt - (((rt % 65536) + 65536) % 65536)) // 65536, 0), 255) AS r,
+               least(greatest(yv -
+                 (gt - (((gt % 65536) + 65536) % 65536)) // 65536, 0), 255) AS g,
+               least(greatest(yv +
+                 (bt - (((bt % 65536) + 65536) % 65536)) // 65536, 0), 255) AS bb
+        FROM fx)
+      SELECT doc_id, frame_idx, width, height,
+             CAST(nbx * nby AS BIGINT) AS n_mcus,
+             CAST(64 * sum(r) AS BIGINT) AS sum_r,
+             CAST(64 * sum(g) AS BIGINT) AS sum_g,
+             CAST(64 * sum(bb) AS BIGINT) AS sum_b,
+             CAST(sum((bb + 2 * g + 3 * r) *
+                      (512 * width * (b // nbx) + 224 * width
+                       + 512 * (b % nbx) + 288)) AS BIGINT) AS pos_hash
+      FROM rgb
+      GROUP BY doc_id, frame_idx, width, height, nbx, nby
+      ORDER BY doc_id, frame_idx"""))
+
+  // ---------------------------------------------------------------------
   // q121 — WebDataset shard packing (functions.Ustar): the EXPORT format
   // of large multimodal training pipelines — samples packed as members of
   // plain POSIX tar files ("shards"), read sequentially at training time.
@@ -774,5 +915,5 @@ object Multimodal extends QueryModule {
       FROM documents ORDER BY doc_id"""))
 
   override val defs: Seq[QueryDef] =
-    Seq(q44, q45, q107, q109, q110, q116, q121, q141, q142, q198, q202)
+    Seq(q44, q45, q107, q109, q110, q116, q121, q141, q142, q198, q202, q203)
 }
