@@ -109,7 +109,7 @@ object Corpus extends QueryModule {
   private def localK(spark: SparkSession, dir: String): Int =
     derivedK(spark, dir).toInt
 
-  private def embScaled(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def embScaled(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, dir).select(
       $"vec_id",
@@ -158,10 +158,17 @@ object Corpus extends QueryModule {
     * ascending vec_id. Exposed for the seeding/inertia spec.
     */
   private[operators] def seedCentroids(
-      spark: SparkSession, dir: String): Seq[(Long, Seq[Long])] = {
+      spark: SparkSession, dir: String): Seq[(Long, Seq[Long])] =
+    seedCentroidsOf(embScaled(spark, dir), localK(spark, dir))
+
+  /** The same deterministic seeding over an ARBITRARY (vec_id, xs) frame
+    * with an explicit k — the form subspace trainers (PQ, q204) call with
+    * sliced coordinates and an architecture-constant k.
+    */
+  private[operators] def seedCentroidsOf(
+      emb: DataFrame, k: Int): Seq[(Long, Seq[Long])] = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    val emb = embScaled(spark, dir)
-    val k = localK(spark, dir)
     // pseudo-random but reproducible first center: argmin of a salted hash
     var seeds: Seq[(Long, Seq[Long])] = emb
       .withColumn("hv", Portable.md5Hash64($"vec_id".cast("string")))
@@ -190,18 +197,26 @@ object Corpus extends QueryModule {
     */
   private[operators] def kmeansCentroids(
       spark: SparkSession, dir: String, iters: Int): DataFrame =
-    Scoped.shared(spark, s"kmeans_cents_$iters:$dir")((Nil, {
-      import spark.implicits._
-      val emb = embScaled(spark, dir)
-      var cents = seedCentroids(spark, dir).toDF("cid", "cs")
-      for (_ <- 1 to iters) {
-        // k×64 longs of model state — the one legitimate driver round-trip
-        val local = update(assign(emb, cents))
-          .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
-        cents = local.toDF("cid", "cs")
-      }
-      cents
-    }))
+    Scoped.shared(spark, s"kmeans_cents_$iters:$dir")((Nil,
+      trainCentroids(embScaled(spark, dir), localK(spark, dir), iters)))
+
+  /** Seed + `iters` Lloyd's passes over an arbitrary (vec_id, xs) frame
+    * with an explicit k → trained (cid, cs). The generic trainer behind
+    * [[kmeansCentroids]] and the per-subspace PQ codebooks (q204).
+    */
+  private[operators] def trainCentroids(
+      emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents = seedCentroidsOf(emb, k).toDF("cid", "cs")
+    for (_ <- 1 to iters) {
+      // k×dim longs of model state — the one legitimate driver round-trip
+      val local = update(assign(emb, cents))
+        .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+      cents = local.toDF("cid", "cs")
+    }
+    cents
+  }
 
   /** The configured Lloyd's depth (oracle centroid table is `c<KmIters>`). */
   private[operators] def KmIters: Int = Iters
@@ -236,7 +251,8 @@ object Corpus extends QueryModule {
     * (assign_i from cents_{i-1}, cents_i from assign_i); helpers generate
     * each pair so both engines run the identical recurrence.
     */
-  private def assignCte(name: String, cents: String): String = s"""
+  private[operators] def assignCte(name: String, cents: String,
+      emb: String = "emb"): String = s"""
     $name AS (
       SELECT vec_id, xs, cid, dist FROM (
         SELECT vec_id, xs, cid, dist,
@@ -245,7 +261,7 @@ object Corpus extends QueryModule {
           SELECT e.vec_id, e.xs, c.cid,
                  list_sum(list_transform(list_zip(e.xs, c.cs),
                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
-          FROM emb e CROSS JOIN $cents c))
+          FROM $emb e CROSS JOIN $cents c))
       WHERE rn = 1)"""
 
   private def updateCte(name: String, assigned: String): String = s"""
@@ -269,18 +285,20 @@ object Corpus extends QueryModule {
     * `k`, so the oracle's round sizes track the corpus exactly like the
     * Spark side's `seedRounds(k)`.
     */
-  private def seedRoundCte(i: Int, lSql: String): String = s"""
-    d$i AS (
+  private def seedRoundCte(i: Int, limitSql: String, emb: String = "emb",
+      p: String = ""): String = s"""
+    ${p}d$i AS (
       SELECT e.vec_id, e.xs,
              min(list_sum(list_transform(list_zip(e.xs, c.xs),
                p -> (p[1] - p[2]) * (p[1] - p[2])))) AS d
-      FROM emb e CROSS JOIN seeds$i c GROUP BY e.vec_id, e.xs),
-    s$i AS (
+      FROM $emb e CROSS JOIN ${p}seeds$i c GROUP BY e.vec_id, e.xs),
+    ${p}s$i AS (
       SELECT vec_id, xs FROM (
         SELECT vec_id, xs, row_number() OVER (ORDER BY d DESC, vec_id) AS rn
-        FROM d$i)
-      WHERE rn <= (SELECT $lSql FROM kval)),
-    seeds${i + 1} AS (SELECT * FROM seeds$i UNION ALL SELECT * FROM s$i)"""
+        FROM ${p}d$i)
+      WHERE rn <= $limitSql),
+    ${p}seeds${i + 1} AS (
+      SELECT * FROM ${p}seeds$i UNION ALL SELECT * FROM ${p}s$i)"""
 
   /** The full seeding + Lloyd's pipeline as oracle CTEs (no WITH keyword):
     * defines `emb` (vec_id, scaled xs) and ends at the trained centroid
@@ -291,7 +309,8 @@ object Corpus extends QueryModule {
     // Batch-size expressions mirror seedRounds(k): (k-1)//2 then the rest.
     val roundSizeSql = Seq("(k - 1) // 2", "(k - 1) - (k - 1) // 2")
     val seedRoundsSql = roundSizeSql.zipWithIndex
-      .map { case (l, i) => seedRoundCte(i + 1, l) }.mkString(",")
+      .map { case (l, i) => seedRoundCte(i + 1, s"(SELECT $l FROM kval)") }
+      .mkString(",")
     val lastSeeds = s"seeds${roundSizeSql.size + 1}"
     val iters = (1 to Iters).map { i =>
       val prev = if (i == 1) "c0" else s"c${i - 1}"
@@ -317,6 +336,36 @@ object Corpus extends QueryModule {
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, xs AS cs
       FROM $lastSeeds),
     $iters"""
+  }
+
+  /** Fixed-k variant of the seeding + Lloyd's pipeline over an ARBITRARY
+    * (vec_id, xs) CTE `emb`, all names prefixed with `p` — the oracle
+    * twin of [[trainCentroids]] for PQ subspace codebooks (q204), where
+    * k is a code-width architecture constant rather than the √n data
+    * law. Produces the trained table `${p}c$iters` (cid, cs).
+    */
+  private[operators] def fixedKPipelineCtes(
+      emb: String, p: String, k: Int, iters: Int): String = {
+    val sizes = Seq((k - 1) / 2, (k - 1) - (k - 1) / 2)
+    val seedRoundsSql = sizes.zipWithIndex
+      .map { case (l, i) => seedRoundCte(i + 1, l.toString, emb, p) }
+      .mkString(",")
+    val lastSeeds = s"${p}seeds${sizes.size + 1}"
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"${p}c${i - 1}"
+      assignCte(s"${p}a$i", prev, emb) + "," + updateCte(s"${p}c$i", s"${p}a$i")
+    }.mkString(",")
+    s"""${p}seeds1 AS (
+      SELECT vec_id, xs FROM (
+        SELECT vec_id, xs,
+               ${Portable.md5Hash64Sql("CAST(vec_id AS VARCHAR)")} AS hv
+        FROM $emb)
+      ORDER BY hv, vec_id LIMIT 1),
+    $seedRoundsSql,
+    ${p}c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, xs AS cs
+      FROM $lastSeeds),
+    $iterCtes"""
   }
 
   private def kmeansOracle: String = {

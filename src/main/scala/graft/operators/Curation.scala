@@ -1144,7 +1144,111 @@ object Curation extends QueryModule {
                THEN 1 ELSE 0 END AS BIGINT) AS agree
       FROM ranked GROUP BY label ORDER BY cluster_id"""))
 
+  // ---------------------------------------------------------------------
+  // q209 — SPAN-CORRUPTION data prep (the T5/UL2 denoising objective):
+  // turn plain documents into (inputs, targets) pairs by masking token
+  // spans with sentinels — inputs keep the uncorrupted tokens plus one
+  // sentinel per span; targets carry each span's tokens behind its
+  // sentinel plus a terminal sentinel. Noise layout is BLOCKED
+  // deterministic sampling: positions partition into fixed blocks of
+  // CorruptBlock = SpanLen/density tokens, and each full block corrupts
+  // the SpanLen-token span starting at offset md5(doc_id:block) %
+  // (CorruptBlock − SpanLen + 1) — exactly the target density, spans
+  // never overlap BY CONSTRUCTION (one span per disjoint block), every
+  // choice is a pure function of (doc_id, block), and the plan is one
+  // posexplode + map + per-doc rollup: no sequential greedy scan, no
+  // per-doc rank window, nothing that serializes at corpus scale (the
+  // hash replaces the RNG a single-node T5 preprocessor uses — same
+  // statistics, reproducible and shardable). span_hash position-weights
+  // the corrupted tokens' hashes so the oracle verifies WHICH tokens
+  // were masked, not just how many.
+  // ---------------------------------------------------------------------
+  private val CorruptBlock = 20 // tokens per noise block
+  private val SpanLen = 3       // corrupted span per block → 15% density
+  private val q209 = QueryDef(
+    "q209_span_corruption",
+    (spark, dir) => {
+      import spark.implicits._
+      val P = graft.functions.Portable.P
+      val toks = Tables.documents(spark, dir)
+        .select($"doc_id", posexplode(graft.functions.Portable.tokens($"text")))
+        .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("w"))
+      val marked = toks
+        .withColumn("blk", expr(s"pos div $CorruptBlock"))
+        .withColumn("off", graft.functions.Portable.md5Hash64(
+          concat($"doc_id", lit(":"), $"blk"))
+          % (CorruptBlock - SpanLen + 1))
+        .withColumn("inblk", expr(s"pos % $CorruptBlock"))
+        // only FULL blocks corrupt: the tail block (fewer than
+        // CorruptBlock tokens) stays clean, so a span can never run off
+        // the end of the document
+        .withColumn("full_blk",
+          ($"blk" + 1) * CorruptBlock <= count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+        .withColumn("corrupted",
+          $"full_blk" && $"inblk" >= $"off" && $"inblk" < $"off" + SpanLen)
+      marked
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when($"corrupted", 1L).otherwise(0L)).as("n_corrupted"),
+          countDistinct(when($"corrupted", $"blk")).as("n_spans"),
+          sum(when($"corrupted",
+            (($"pos" + 1) * (graft.functions.Portable.md5Hash64($"w") % P)) % P)
+            .otherwise(0L)).as("span_hash_acc"))
+        .withColumn("span_hash", $"span_hash_acc" % P).drop("span_hash_acc")
+        .withColumn("inputs_len", $"n_tokens" - $"n_corrupted" + $"n_spans")
+        .withColumn("targets_len", $"n_corrupted" + $"n_spans" + 1)
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, u.i - 1 AS pos, u.w FROM (
+          SELECT doc_id,
+                 unnest([{'i': i, 'w': w[i]}
+                         for i in range(1, len(w) + 1)]) AS u
+          FROM (
+            SELECT doc_id, ${graft.functions.Portable.tokensSql("text")} AS w
+            FROM documents))),
+      n AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1),
+      marked AS (
+        SELECT t.doc_id, t.pos, t.w,
+               t.pos // $CorruptBlock AS blk,
+               (t.blk_off % ${CorruptBlock - SpanLen + 1}) AS off,
+               t.pos % $CorruptBlock AS inblk,
+               ((t.pos // $CorruptBlock) + 1) * $CorruptBlock <= n.n_tokens
+                 AS full_blk
+        FROM (
+          SELECT doc_id, pos, w,
+                 ${graft.functions.Portable.md5Hash64Sql(
+                   s"doc_id || ':' || (pos // $CorruptBlock)")} AS blk_off
+          FROM toks) t
+        JOIN n ON n.doc_id = t.doc_id),
+      c AS (
+        SELECT doc_id, pos, w, blk,
+               full_blk AND inblk >= off AND inblk < off + $SpanLen
+                 AS corrupted
+        FROM marked),
+      agg AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               sum(CASE WHEN corrupted THEN 1 ELSE 0 END) AS n_corrupted,
+               count(DISTINCT CASE WHEN corrupted THEN blk END) AS n_spans,
+               sum(CASE WHEN corrupted THEN
+                     ((pos + 1) * (${graft.functions.Portable.md5Hash64Sql("w")}
+                       % ${graft.functions.Portable.P}))
+                     % ${graft.functions.Portable.P}
+                   ELSE 0 END) AS sh
+        FROM c GROUP BY doc_id)
+      SELECT doc_id,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_corrupted AS BIGINT) AS n_corrupted,
+             CAST(n_spans AS BIGINT) AS n_spans,
+             CAST(sh % ${graft.functions.Portable.P} AS BIGINT) AS span_hash,
+             CAST(n_tokens - n_corrupted + n_spans AS BIGINT) AS inputs_len,
+             CAST(n_corrupted + n_spans + 1 AS BIGINT) AS targets_len
+      FROM agg ORDER BY doc_id"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134, q149, q164, q168,
-      q175, q194, q195, q199, q200)
+      q175, q194, q195, q199, q200, q209)
 }

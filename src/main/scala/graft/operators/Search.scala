@@ -305,63 +305,11 @@ object Search extends QueryModule {
   // mean are 1-row broadcast scalars; everything else is one explode, two
   // hash-joins, and per-doc/per-lang roll-ups — no windows, no collect.
   // ---------------------------------------------------------------------
-  private val q120 = QueryDef(
-    "q120_lm_perplexity",
-    (spark, dir) => {
-      import spark.implicits._
-      val toks = Tables.documents(spark, dir)
-        .select($"doc_id", $"lang", Portable.tokens(lower($"text")).as("w"))
-      val pairs = toks
-        .select($"doc_id", $"lang",
-          explode(transform(
-            sequence(lit(1), greatest(size($"w") - 1, lit(1))),
-            i => struct(element_at($"w", i).as("w1"),
-              element_at($"w", i + 1).as("w2")))).as("p"))
-        .filter($"p.w1".isNotNull && $"p.w2".isNotNull)
-        .select($"doc_id", $"lang", $"p.w1".as("w1"), $"p.w2".as("w2"))
-      val refToks = toks.filter($"lang" === "en")
-        .select(explode($"w").as("t"))
-      val uni = refToks
-        .groupBy(Portable.md5Hash64($"t").as("th"))
-        .agg(count(lit(1)).as("c1"))
-      val big = pairs.filter($"lang" === "en")
-        .groupBy(Portable.md5Hash64(concat($"w1", lit(" "), $"w2")).as("gh"))
-        .agg(count(lit(1)).as("c12"))
-      val vocab = refToks.agg(countDistinct($"t").as("v"))
-      val perDoc = pairs
-        .join(uni, Portable.md5Hash64($"w1") === uni("th"), "left")
-        .join(big,
-          Portable.md5Hash64(concat($"w1", lit(" "), $"w2")) === big("gh"),
-          "left")
-        .crossJoin(broadcast(vocab))
-        .withColumn("q",
-          expr("(coalesce(c1, 0L) + v) div (coalesce(c12, 0L) + 1L)"))
-        .withColumn("bits", (length(conv($"q", 10, 2)) - 1).cast("long"))
-        .groupBy($"doc_id", $"lang")
-        .agg(count(lit(1)).as("n_big"), sum($"bits").as("tb"))
-      val allDocs = Tables.documents(spark, dir)
-        .select($"doc_id", $"lang")
-        .join(perDoc.drop("lang"), Seq("doc_id"), "left")
-        .na.fill(0L, Seq("n_big", "tb"))
-        .withColumn("milli",
-          when($"n_big" > 0, expr("(1000L * tb) div n_big")).otherwise(0L))
-        .withColumn("bpt_bin",
-          when($"n_big" > 0, expr("tb div n_big")).otherwise(-1L))
-      val refMean = allDocs
-        .filter($"lang" === "en" && $"n_big" > 0)
-        .agg(expr("sum(milli) div count(1)").as("ref_milli"))
-      allDocs
-        .crossJoin(broadcast(refMean))
-        .groupBy($"lang", $"bpt_bin")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum($"milli").as("sum_milli_bpt"),
-          sum(when($"milli" > $"ref_milli" + 1000L, 1L).otherwise(0L))
-            .as("n_tail"))
-        .orderBy($"lang", $"bpt_bin")
-    },
-    Some(s"""
-      WITH toks AS (
+  /** Oracle twin of [[lmAllDocs]]: CTEs from `documents` to `alldocs`
+    * (doc_id, lang, source, n_big, tb, milli, bpt_bin). Shared by q120
+    * and q207.
+    */
+  private val lmAllDocsCtes: String = s"""toks AS (
         SELECT doc_id, lang, ${Portable.tokensSql("lower(text)")} AS w
         FROM documents),
       pairs AS (
@@ -396,13 +344,82 @@ object Search extends QueryModule {
         SELECT doc_id, lang, count(*) AS n_big, sum(bits) AS tb
         FROM scored GROUP BY 1, 2),
       alldocs AS (
-        SELECT d.doc_id, d.lang,
+        SELECT d.doc_id, d.lang, d.source,
                COALESCE(p.n_big, 0) AS n_big, COALESCE(p.tb, 0) AS tb,
                CAST(CASE WHEN COALESCE(p.n_big, 0) > 0
                     THEN (1000 * p.tb) // p.n_big ELSE 0 END AS BIGINT) AS milli,
                CAST(CASE WHEN COALESCE(p.n_big, 0) > 0
                     THEN p.tb // p.n_big ELSE -1 END AS BIGINT) AS bpt_bin
-        FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id),
+        FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id)"""
+
+  /** Per-doc LM score table (doc_id, lang, source, n_big, tb, milli,
+    * bpt_bin): every document's exact integer bits-per-bigram under the
+    * reference-slice bigram LM. The scoring pipeline q120 reports on and
+    * q207 buckets — built once, same arithmetic.
+    */
+  private def lmAllDocs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", Portable.tokens(lower($"text")).as("w"))
+    val pairs = toks
+      .select($"doc_id", $"lang",
+        explode(transform(
+          sequence(lit(1), greatest(size($"w") - 1, lit(1))),
+          i => struct(element_at($"w", i).as("w1"),
+            element_at($"w", i + 1).as("w2")))).as("p"))
+      .filter($"p.w1".isNotNull && $"p.w2".isNotNull)
+      .select($"doc_id", $"lang", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val refToks = toks.filter($"lang" === "en")
+      .select(explode($"w").as("t"))
+    val uni = refToks
+      .groupBy(Portable.md5Hash64($"t").as("th"))
+      .agg(count(lit(1)).as("c1"))
+    val big = pairs.filter($"lang" === "en")
+      .groupBy(Portable.md5Hash64(concat($"w1", lit(" "), $"w2")).as("gh"))
+      .agg(count(lit(1)).as("c12"))
+    val vocab = refToks.agg(countDistinct($"t").as("v"))
+    val perDoc = pairs
+      .join(uni, Portable.md5Hash64($"w1") === uni("th"), "left")
+      .join(big,
+        Portable.md5Hash64(concat($"w1", lit(" "), $"w2")) === big("gh"),
+        "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("q",
+        expr("(coalesce(c1, 0L) + v) div (coalesce(c12, 0L) + 1L)"))
+      .withColumn("bits", (length(conv($"q", 10, 2)) - 1).cast("long"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_big"), sum($"bits").as("tb"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source")
+      .join(perDoc.drop("lang"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_big", "tb"))
+      .withColumn("milli",
+        when($"n_big" > 0, expr("(1000L * tb) div n_big")).otherwise(0L))
+      .withColumn("bpt_bin",
+        when($"n_big" > 0, expr("tb div n_big")).otherwise(-1L))
+  }
+
+  private val q120 = QueryDef(
+    "q120_lm_perplexity",
+    (spark, dir) => {
+      import spark.implicits._
+      val allDocs = lmAllDocs(spark, dir)
+      val refMean = allDocs
+        .filter($"lang" === "en" && $"n_big" > 0)
+        .agg(expr("sum(milli) div count(1)").as("ref_milli"))
+      allDocs
+        .crossJoin(broadcast(refMean))
+        .groupBy($"lang", $"bpt_bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"milli").as("sum_milli_bpt"),
+          sum(when($"milli" > $"ref_milli" + 1000L, 1L).otherwise(0L))
+            .as("n_tail"))
+        .orderBy($"lang", $"bpt_bin")
+    },
+    Some(s"""
+      WITH $lmAllDocsCtes,
       refm AS (
         SELECT sum(milli) // count(*) AS ref_milli
         FROM alldocs WHERE lang = 'en' AND n_big > 0)
@@ -413,6 +430,80 @@ object Search extends QueryModule {
       FROM alldocs, refm r
       GROUP BY lang, bpt_bin, r.ref_milli
       ORDER BY lang, bpt_bin"""))
+
+  // ---------------------------------------------------------------------
+  // q207 — CCNet HEAD/MIDDLE/TAIL perplexity buckets per source: the
+  // step CCNet actually ships after LM scoring — each source's documents
+  // split into perplexity terciles, and the downstream mixture trains on
+  // head(+middle) while the tail is dropped or down-weighted. Thresholds
+  // are computed from a per-(source, milli) HISTOGRAM with a cumulative
+  // census over the VALUE DOMAIN — never a per-doc rank window: a
+  // source's documents are unbounded (a window partition by source is
+  // the q190-class straggler), but distinct milli values are bounded by
+  // the score range, so the threshold scan is value-domain-sized and the
+  // bucket assignment is a broadcast-threshold map pass. Ties at a
+  // boundary all take the lower bucket (value-thresholded semantics —
+  // what a production percentile cut does), so bucket membership is a
+  // pure function of (source, milli). Oracle replays histogram →
+  // cumulative → thresholds → assignment identically.
+  // ---------------------------------------------------------------------
+  private val q207 = QueryDef(
+    "q207_ccnet_buckets",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = lmAllDocs(spark, dir).filter($"n_big" > 0).persist()
+      val hist = docs.groupBy($"source", $"milli").agg(count(lit(1)).as("c"))
+      val wH = w.partitionBy($"source").orderBy($"milli".asc)
+        .rowsBetween(w.unboundedPreceding, w.currentRow)
+      val cum = hist.withColumn("cum", sum($"c").over(wH))
+      val totals = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      // t1/t2 = smallest milli whose cumulative count reaches ⌈n/3⌉ and
+      // ⌈2n/3⌉ (3·cum ≥ n ⇔ cum ≥ ⌈n/3⌉ for integer cum)
+      val thr = cum.join(totals, "source")
+        .groupBy($"source")
+        .agg(
+          min(when($"cum" * 3 >= $"n", $"milli")).as("t1"),
+          min(when($"cum" * 3 >= $"n" * 2, $"milli")).as("t2"))
+      val out = docs.join(broadcast(thr), "source")
+        .withColumn("bucket",
+          when($"milli" <= $"t1", lit("head"))
+            .when($"milli" <= $"t2", lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy($"source", $"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"milli").as("sum_milli"),
+          min($"milli").as("min_milli"),
+          max($"milli").as("max_milli"))
+      Scoped.materialize(docs)(out).orderBy($"source", $"bucket")
+    },
+    Some(s"""
+      WITH $lmAllDocsCtes,
+      scored2 AS (SELECT * FROM alldocs WHERE n_big > 0),
+      hist AS (
+        SELECT source, milli, count(*) AS c FROM scored2 GROUP BY 1, 2),
+      cum AS (
+        SELECT source, milli,
+               sum(c) OVER (PARTITION BY source ORDER BY milli
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hist),
+      tot AS (SELECT source, count(*) AS n FROM scored2 GROUP BY 1),
+      thr AS (
+        SELECT source,
+               min(CASE WHEN cum * 3 >= n THEN milli END) AS t1,
+               min(CASE WHEN cum * 3 >= n * 2 THEN milli END) AS t2
+        FROM cum JOIN tot USING (source) GROUP BY source)
+      SELECT s.source,
+             CASE WHEN milli <= t1 THEN 'head'
+                  WHEN milli <= t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             count(*) AS n_docs,
+             CAST(sum(milli) AS BIGINT) AS sum_milli,
+             CAST(min(milli) AS BIGINT) AS min_milli,
+             CAST(max(milli) AS BIGINT) AS max_milli
+      FROM scored2 s JOIN thr USING (source)
+      GROUP BY 1, 2
+      ORDER BY source, bucket"""))
 
   // ---------------------------------------------------------------------
   // q125 — TextRank keyword extraction: PageRank over the word
@@ -974,6 +1065,149 @@ object Search extends QueryModule {
       .unionByName(postings.join(cold, Seq("term")))
   }
 
+  // ---------------------------------------------------------------------
+  // q205 — HARD-NEGATIVE MINING: the retrieval-training operator that
+  // turns a corpus into contrastive training pairs. For each anchor
+  // document, the hard negatives are the corpus docs MOST lexically
+  // similar to it that are NOT near-duplicates — BM25-close but verified
+  // non-positive, exactly what dense-retriever training mines from a
+  // sparse index (the DPR/ANCE recipe). Pipeline:
+  //   1. each anchor's query = its top-NegTermsPerAnchor rarest terms
+  //      inside the mid-df window [NegDfLo, NegDfHi] (the q37/q163
+  //      blocking discipline — stopwords carry no signal and their
+  //      posting lists are the skew hazard; singletons match nothing);
+  //   2. candidates score with q115's exact-integer BM25 arithmetic
+  //      against the shared df/doc-length tables;
+  //   3. near-dup POSITIVES are excluded by anti-joining the verified
+  //      MinHash pair table (the "false negative" filter — training on a
+  //      near-dup as a negative poisons the loss);
+  //   4. top-NegK per anchor by (score desc, doc_id).
+  // Scale shape: the anchor-term table is ≤ anchors×NegTermsPerAnchor
+  // rows (broadcast); per-anchor candidates are bounded by Σ df of its
+  // query terms ≤ NegTermsPerAnchor·NegDfHi — the df window is also the
+  // candidate bound, so the rank window never sees an unbounded
+  // partition; df/doc-length are the materialize-once corpus tables;
+  // the pair anti-join reuses the minhash_pairs silver table.
+  // ---------------------------------------------------------------------
+  // The retrieval unit is the word 3-GRAM, not the token: the corpus
+  // vocabulary is template-skewed (a handful of tokens appear in most
+  // docs — the web-corpus boilerplate problem at miniature scale), so
+  // token df carries no signal; shingles are where rarity lives, the
+  // same reason q37/q96/q163 block on them. Shingle sets are distinct
+  // per doc, so tf ≡ 1 and BM25 degenerates to its binary form — idf
+  // times a pure length normalization — computed in q115's exact-integer
+  // arithmetic.
+  private val NegAnchors = 16
+  private val NegTermsPerAnchor = 8
+  private val NegDfLo = 2
+  private val NegDfHi = 50
+  private val NegK = 5
+
+  private val q205 = QueryDef(
+    "q205_hard_negatives",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+      // the shared gram silver table; lang/lb/block-df prune at the scan,
+      // global gram df is this operator's own aggregate
+      val grams = Dedup.word3grams(spark, dir).select($"doc_id", $"s")
+      val docLen = grams.groupBy($"doc_id").agg(count(lit(1)).as("dl")).persist()
+      val corpus = docLen.agg(
+        sum($"dl").as("sum_dl"), count(lit(1)).as("n_docs"))
+      val dfx = grams.groupBy($"s").agg(count(lit(1)).as("df"))
+      val wT = w.partitionBy($"anchor_id").orderBy($"df".asc, $"s".asc)
+      val qterms = grams.filter($"doc_id" < NegAnchors)
+        .join(dfx, "s")
+        .filter($"df" >= NegDfLo && $"df" <= NegDfHi)
+        .select($"doc_id".as("anchor_id"), $"s", $"df")
+        .withColumn("tr", row_number().over(wT))
+        .filter($"tr" <= NegTermsPerAnchor)
+        .select($"anchor_id", $"s", $"df")
+      val pairs = Dedup.nearDupPairs(spark, dir).select($"i", $"j")
+      val edges = pairs.select($"i".as("e_a"), $"j".as("e_b"))
+        .unionByName(pairs.select($"j".as("e_a"), $"i".as("e_b")))
+      val scored = grams
+        .join(broadcast(qterms), "s")
+        .filter($"doc_id" =!= $"anchor_id")
+        .join(docLen, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .withColumn("avgdl",
+          $"sum_dl".cast("double") / $"n_docs".cast("double"))
+        .withColumn("idf_scaled", expr("(1000000 * n_docs) div df"))
+        .withColumn("denom",
+          lit(1.0) + lit(1.2) *
+            (lit(0.25) + lit(0.75) * ($"dl".cast("double") / $"avgdl")))
+        .withColumn("tfn_scaled",
+          floor(lit(2200000.0) / $"denom").cast("long"))
+        .groupBy($"anchor_id", $"doc_id")
+        .agg(sum($"idf_scaled" * $"tfn_scaled").as("score"),
+          count(lit(1)).as("n_shared_grams"))
+      val negs = scored.join(edges,
+        scored("anchor_id") === edges("e_a") && scored("doc_id") === edges("e_b"),
+        "left_anti")
+      val wR = w.partitionBy($"anchor_id").orderBy($"score".desc, $"doc_id".asc)
+      val out = negs
+        .withColumn("rank", row_number().over(wR))
+        .filter($"rank" <= NegK)
+        .select($"anchor_id", $"rank", $"doc_id".as("neg_id"), $"score",
+          $"n_shared_grams")
+      Scoped.materialize(docLen)(out).orderBy($"anchor_id", $"rank")
+    },
+    Some(s"""
+      WITH toksn AS (
+        SELECT doc_id, ${Portable.tokensSql("text")} AS w FROM documents),
+      grams AS (
+        SELECT doc_id, s FROM (
+          SELECT doc_id, unnest(list_distinct(
+            [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS s
+          FROM toksn)
+        WHERE s IS NOT NULL),
+      dlt AS (SELECT doc_id, count(*) AS dl FROM grams GROUP BY 1),
+      corpus AS (
+        SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+               count(*) AS n_docs
+        FROM dlt),
+      dfx AS (SELECT s, count(*) AS df FROM grams GROUP BY 1),
+      qt AS (
+        SELECT anchor_id, s, df FROM (
+          SELECT g.doc_id AS anchor_id, g.s, dfx.df,
+                 row_number() OVER (PARTITION BY g.doc_id
+                                    ORDER BY dfx.df, g.s) AS tr
+          FROM grams g JOIN dfx USING (s)
+          WHERE g.doc_id < $NegAnchors
+            AND dfx.df BETWEEN $NegDfLo AND $NegDfHi)
+        WHERE tr <= $NegTermsPerAnchor),
+      pairs AS (${Dedup.minhashOracle}),
+      edges AS (
+        SELECT i AS e_a, j AS e_b FROM pairs
+        UNION ALL SELECT j, i FROM pairs),
+      scored AS (
+        SELECT qt.anchor_id, g.doc_id,
+               ((1000000 * c.n_docs) // qt.df) *
+               CAST(floor(CAST(2200000.0 AS DOUBLE) /
+                 (CAST(1.0 AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                   (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                     (CAST(dlt.dl AS DOUBLE) / c.avgdl)))) AS BIGINT) AS sc
+        FROM qt
+        JOIN grams g ON g.s = qt.s AND g.doc_id <> qt.anchor_id
+        JOIN dlt ON dlt.doc_id = g.doc_id, corpus c),
+      agg AS (
+        SELECT anchor_id, doc_id, CAST(sum(sc) AS BIGINT) AS score,
+               count(*) AS n_shared_grams
+        FROM scored GROUP BY 1, 2),
+      neg AS (
+        SELECT * FROM agg WHERE NOT EXISTS (
+          SELECT 1 FROM edges e
+          WHERE e.e_a = agg.anchor_id AND e.e_b = agg.doc_id))
+      SELECT anchor_id, rank, doc_id AS neg_id, score, n_shared_grams FROM (
+        SELECT anchor_id, doc_id, score, n_shared_grams,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM neg)
+      WHERE rank <= $NegK
+      ORDER BY anchor_id, rank"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q84, q85, q92, q115, q120, q125, q166, q177, q190, q191)
+    Seq(q84, q85, q92, q115, q120, q125, q166, q177, q190, q191, q205, q207)
 }

@@ -50,13 +50,14 @@ object Silver {
         " banded MinHash pass — the edge list of the whole dedup/graph" +
         " family",
       Seq("q35", "q61", "q114", "q131", "q151", "q160", "q167", "q168",
-        "q170", "q201", "via clusterLabels: q72", "q175", "q195", "q200"),
+        "q170", "q201", "q205", "via clusterLabels: q72", "q175", "q195",
+        "q200"),
       (s, d) => Dedup.nearDupPairs(s, d)),
     SilverTable(
       "word3grams",
       "df-annotated distinct word 3-grams per doc — the shared candidate" +
         " generator of the gram similarity family",
-      Seq("q37", "q96", "q163", "q174"),
+      Seq("q37", "q96", "q163", "q174", "q205"),
       (s, d) => Dedup.word3grams(s, d)),
     SilverTable(
       "kmeans_cents",
@@ -65,6 +66,12 @@ object Silver {
         " index and SemDeDup",
       Seq("q98", "via cellRanked: q105", "q108", "q162"),
       (s, d) => Corpus.kmeansCentroids(s, d, Corpus.KmIters)),
+    SilverTable(
+      "pq_codebooks",
+      "per-subspace product-quantization codebooks (m, cid, coords)," +
+        " M=4 x k=16 — broadcast model state for PQ encode + ADC search",
+      Seq("q204"),
+      (s, d) => Similarity.pqCodebooks(s, d)),
     SilverTable(
       "textrank_edges",
       "weighted undirected token co-occurrence edges with per-src" +

@@ -737,6 +737,169 @@ object Similarity extends QueryModule {
         AND a.half = 0 AND b.half = 1
       GROUP BY a.label ORDER BY a.label"""))
 
+  // ---------------------------------------------------------------------
+  // q204 — PRODUCT QUANTIZATION + ADC search (the Jégou et al. PQ
+  // construction, the compression arm of every billion-scale ANN index):
+  // split the 64-d vector into M=4 subspaces of 16 dims, train a small
+  // k-means codebook PER SUBSPACE (k=16 — a CODE-WIDTH architecture
+  // constant, 4 bits per subspace, unlike the √n data law of the IVF
+  // coarse quantizer), encode every vector as M codebook ids, and answer
+  // queries with ASYMMETRIC DISTANCE COMPUTATION: the query precomputes
+  // a (M × k) lookup table of exact subspace distances, and a corpus
+  // vector's approximate distance is the sum of M table lookups — no
+  // full-vector arithmetic per candidate at query time.
+  //
+  // Scale shape: the codebooks are M·k·subdim longs (4 KB here, ≤ MB at
+  // production k=256) — broadcast model state; encoding is one corpus
+  // map pass per subspace (n·k distance rows, SKINNY like q98's assign);
+  // the LUT is |queries|·M·k rows — broadcast; ADC is a broadcast join
+  // on (m, code) + one (q_id, vec_id) partial-sum aggregate, so the
+  // corpus never shuffles by distance and per-vector query cost is M
+  // lookups — the whole point of PQ. The exact-top-k flag join is the
+  // recall audit (q162's method): in_exact10 marks ADC hits that are in
+  // the TRUE L2 top-10, so recall@10 = sum(in_exact10)/K per query.
+  // Training reuses the q98 deterministic seeding + Lloyd's recurrence
+  // per subspace (Corpus.trainCentroids); the oracle re-trains all four
+  // codebooks with the identical CTE pipeline (fixedKPipelineCtes) and
+  // replays encode → LUT → ADC → rank in exact scaled-integer math.
+  // ---------------------------------------------------------------------
+  private val PqM = 4       // subspaces
+  private val PqSubDim = 16 // 64 / PqM dims per subspace
+  private val PqK = 16      // centroids per subspace → 4-bit codes
+
+  private def pqSub(emb: DataFrame, m: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.select($"vec_id", slice($"xs", m * PqSubDim + 1, PqSubDim).as("xs"))
+  }
+
+  /** Trained per-subspace PQ codebooks (m, cid, cs) — shared model state
+    * (Silver "pq_codebooks").
+    */
+  private[operators] def pqCodebooks(
+      spark: SparkSession, dir: String): DataFrame =
+    Scoped.shared(spark, s"pq_codebooks:$dir")((Nil, {
+      import spark.implicits._
+      val emb = Corpus.embScaled(spark, dir)
+      (0 until PqM).map { m =>
+        Corpus.trainCentroids(pqSub(emb, m), PqK, Corpus.KmIters)
+          .withColumn("m", lit(m))
+      }.reduce(_ unionByName _)
+    }))
+
+  private val q204 = QueryDef(
+    "q204_pq_adc_search",
+    (spark, dir) => {
+      import spark.implicits._
+      val emb = Corpus.embScaled(spark, dir).persist()
+      val cb = pqCodebooks(spark, dir)
+      // encode: per subspace, nearest codebook entry (ties on cid)
+      val codes = (0 until PqM).map { m =>
+        pqSub(emb, m)
+          .crossJoin(broadcast(cb.filter($"m" === m).select($"cid", $"cs")))
+          .select($"vec_id", $"cid", Corpus.sqd($"xs", $"cs").as("d"))
+          .groupBy($"vec_id")
+          .agg(min(struct($"d", $"cid")).as("mn"))
+          .select($"vec_id", lit(m).as("m"), $"mn.cid".as("code"))
+      }.reduce(_ unionByName _)
+      // ADC lookup table: exact subspace distances query → every entry
+      val lut = (0 until PqM).map { m =>
+        pqSub(emb.filter($"vec_id" < NumQueries), m)
+          .select($"vec_id".as("q_id"), $"xs".as("qxs"))
+          .crossJoin(cb.filter($"m" === m).select($"cid", $"cs"))
+          .select($"q_id", lit(m).as("m"), $"cid".as("code"),
+            Corpus.sqd($"qxs", $"cs").as("dl"))
+      }.reduce(_ unionByName _)
+      val adc = codes.join(broadcast(lut), Seq("m", "code"))
+        .filter($"vec_id" =!= $"q_id")
+        .groupBy($"q_id", $"vec_id")
+        .agg(sum($"dl").as("adc_dist"))
+      // recall audit: the TRUE L2 top-k per query flags ADC's hits
+      val queries = emb.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"xs".as("qxs"))
+      val wX = Window.partitionBy($"q_id").orderBy($"dx".asc, $"vec_id".asc)
+      val exact = emb.select($"vec_id", $"xs").crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", Corpus.sqd($"xs", $"qxs").as("dx"))
+        .withColumn("xr", row_number().over(wX))
+        .filter($"xr" <= K)
+        .select($"q_id", $"vec_id", lit(1L).as("hit"))
+      val wR = Window.partitionBy($"q_id").orderBy($"adc_dist".asc, $"vec_id".asc)
+      val out = adc
+        .withColumn("rank", row_number().over(wR))
+        .filter($"rank" <= K)
+        .join(exact, Seq("q_id", "vec_id"), "left")
+        .select($"q_id", $"rank", $"vec_id", $"adc_dist",
+          coalesce($"hit", lit(0L)).as("in_exact10"))
+      Scoped.materialize(emb)(out).orderBy($"q_id", $"rank")
+    },
+    Some {
+      val subCtes = (0 until PqM).map { m =>
+        s"""sub$m AS (
+          SELECT vec_id, xs[${m * PqSubDim + 1}:${m * PqSubDim + PqSubDim}] AS xs
+          FROM emb)"""
+      }.mkString(",")
+      val trainCtes = (0 until PqM).map { m =>
+        Corpus.fixedKPipelineCtes(s"sub$m", s"p${m}_", PqK, Corpus.KmIters)
+      }.mkString(",")
+      val finCtes = (0 until PqM).map { m =>
+        Corpus.assignCte(s"p${m}_fin", s"p${m}_c${Corpus.KmIters}", s"sub$m")
+      }.mkString(",")
+      val codesUnion = (0 until PqM).map { m =>
+        s"SELECT vec_id, $m AS m, cid AS code FROM p${m}_fin"
+      }.mkString(" UNION ALL ")
+      val cbUnion = (0 until PqM).map { m =>
+        s"SELECT $m AS m, cid, cs FROM p${m}_c${Corpus.KmIters}"
+      }.mkString(" UNION ALL ")
+      val qsubUnion = (0 until PqM).map { m =>
+        s"SELECT vec_id AS q_id, $m AS m, xs AS qxs FROM sub$m" +
+          s" WHERE vec_id < $NumQueries"
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH emb AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xs
+        FROM embeddings),
+      $subCtes,
+      $trainCtes,
+      $finCtes,
+      codes AS ($codesUnion),
+      cbs AS ($cbUnion),
+      qsub AS ($qsubUnion),
+      lut AS (
+        SELECT s.q_id, s.m, c.cid AS code,
+               list_sum(list_transform(list_zip(s.qxs, c.cs),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dl
+        FROM qsub s JOIN cbs c ON c.m = s.m),
+      adc AS (
+        SELECT l.q_id, cd.vec_id, sum(l.dl) AS adc_dist
+        FROM codes cd
+        JOIN lut l ON l.m = cd.m AND l.code = cd.code
+          AND cd.vec_id <> l.q_id
+        GROUP BY 1, 2),
+      exact AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q.vec_id AS q_id, e.vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(e.xs, q.xs),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), e.vec_id) AS xr
+          FROM emb q JOIN emb e
+            ON q.vec_id < $NumQueries AND e.vec_id <> q.vec_id)
+        WHERE xr <= $K)
+      SELECT r.q_id, r.rank, r.vec_id,
+             CAST(r.adc_dist AS BIGINT) AS adc_dist,
+             CAST(CASE WHEN x.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS in_exact10
+      FROM (
+        SELECT q_id, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_dist, vec_id) AS rank
+        FROM adc) r
+      LEFT JOIN exact x ON x.q_id = r.q_id AND x.vec_id = r.vec_id
+      WHERE r.rank <= $K
+      ORDER BY r.q_id, r.rank"""
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(q39, q40, q56, q57, q76, q105, q108, q148, q162, q188)
+    Seq(q39, q40, q56, q57, q76, q105, q108, q148, q162, q188, q204)
 }

@@ -601,6 +601,81 @@ object TextOps extends QueryModule {
     })
 
   // ---------------------------------------------------------------------
+  // q208 — TOKENIZER FERTILITY audit by language: q119's trained-BPE
+  // encode re-aggregated at LANGUAGE grain — the multilingual-pipeline
+  // health check that decides whether a tokenizer is fit for a corpus
+  // slice. Fertility (tokens per word) and chars-per-token are THE
+  // standard metrics (a tokenizer trained on English over-fragments
+  // other languages → fertility balloons → effective context shrinks
+  // and per-language training cost inflates); the unmerged-word rate
+  // (words no merge rule touched, n_tok = n_chars) is the "tokenizer
+  // has never seen this language" tail. All ratios are exact integer
+  // millis (div), so the hash gate holds. Scale: the encode is the
+  // same per-row literal-replace chain as q119 (codegen'd, no joins);
+  // the rollup is one map-side-combinable aggregation to |langs| rows.
+  // ---------------------------------------------------------------------
+  private val q208 = QueryDef(
+    "q208_tokenizer_fertility",
+    (spark, dir) => {
+      import spark.implicits._
+      val merges = trainBpe(spark, dir)
+      val encExpr = merges.foldLeft(
+        "concat(' ', regexp_replace(word, '(.)', '$1 '))")(
+        (e, m) => mergeExprSql(e, m._2, m._3))
+      Tables.documents(spark, dir)
+        .select($"lang", explode(Portable.tokens($"text")).as("tok"))
+        .select($"lang", lower($"tok").as("word"))
+        .filter($"word".rlike("^[a-z]+$"))
+        .select($"lang", length($"word").cast("long").as("nc"),
+          expr(encExpr).as("seq"))
+        .withColumn("nt", size(split(trim($"seq"), " ")).cast("long"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum($"nc").as("n_chars"),
+          sum($"nt").as("n_tokens"),
+          sum(when($"nt" === $"nc", 1L).otherwise(0L)).as("n_unmerged"))
+        .withColumn("fertility_milli", expr("(1000 * n_tokens) div n_words"))
+        .withColumn("chars_per_token_milli",
+          expr("(1000 * n_chars) div n_tokens"))
+        .withColumn("unmerged_milli", expr("(1000 * n_unmerged) div n_words"))
+        .orderBy($"lang")
+    },
+    Some {
+      val encExpr = (1 to BpeRounds).foldLeft(
+        "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')") { (e, r) =>
+        (1 to MergePasses).foldLeft(e)((e2, _) =>
+          s"replace($e2, ' ' || (SELECT lhs FROM b$r) || ' ' || " +
+            s"(SELECT rhs FROM b$r) || ' ', ' ' || (SELECT lhs FROM b$r) " +
+            s"|| (SELECT rhs FROM b$r) || ' ')")
+      }
+      s"""
+      WITH $bpeTrainCtes,
+      dw AS (
+        SELECT lang, lower(t) AS word FROM (
+          SELECT lang, unnest(${Portable.tokensSql("text")}) AS t
+          FROM documents)),
+      enc AS (
+        SELECT lang, len(word) AS nc,
+               len(string_split(trim($encExpr), ' ')) AS nt
+        FROM dw WHERE regexp_matches(word, '^[a-z]+$$')),
+      agg AS (
+        SELECT lang, count(*) AS n_words, sum(nc) AS n_chars,
+               sum(nt) AS n_tokens,
+               sum(CASE WHEN nt = nc THEN 1 ELSE 0 END) AS n_unmerged
+        FROM enc GROUP BY lang)
+      SELECT lang,
+             CAST(n_words AS BIGINT) AS n_words,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_unmerged AS BIGINT) AS n_unmerged,
+             CAST((1000 * n_tokens) // n_words AS BIGINT) AS fertility_milli,
+             CAST((1000 * n_chars) // n_tokens AS BIGINT)
+               AS chars_per_token_milli,
+             CAST((1000 * n_unmerged) // n_words AS BIGINT) AS unmerged_milli
+      FROM agg ORDER BY lang"""
+    })
+
+  // ---------------------------------------------------------------------
   // q172 — TOKEN-ENTROPY quality floor (the information-theoretic form
   // of q75's repetition heuristics): per document, the empirical token
   // distribution's Shannon entropy in FLOOR BITS — q120's exact
@@ -672,5 +747,5 @@ object TextOps extends QueryModule {
       FROM binned GROUP BY 1, 2 ORDER BY source, half_bit_bin"""))
 
   override val defs: Seq[QueryDef] =
-    Seq(q26, q27, q28, q29, q30, q58, q75, q117, q119, q172)
+    Seq(q26, q27, q28, q29, q30, q58, q75, q117, q119, q172, q208)
 }

@@ -883,5 +883,59 @@ object Streams extends QueryModule {
                AS est_distinct
       FROM dense GROUP BY 1 ORDER BY event_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104, q128, q136, q147, q157, q173)
+  // ---------------------------------------------------------------------
+  // q206 — STREAMING Misra–Gries heavy hitters (q85's batch sketch-then-
+  // verify discipline under streaming state, completing the sketch/stream
+  // matrix next to KMV q136 and HLL q173): the per-event_type Misra–Gries
+  // candidate buffer (functions.FreqSketchAgg) folds incrementally
+  // through the state store — merged sketches keep the frequency
+  // guarantee (combined undercount ≤ n/(k+1)), so with k = 256 every
+  // user above the 1% threshold survives the stream phase regardless of
+  // micro-batch boundaries or merge order. Because the CANDIDATE SET is
+  // order-dependent (only the guarantee is not), the deterministic answer
+  // comes from the batch-side exact recount of candidates only — the
+  // same verify the batch q85 runs, here over the sunk complete-mode
+  // candidates. State per key is ≤ k (user, count) entries — bounded —
+  // and the recount scans the corpus once filtered by a broadcast
+  // semi-join. Oracle: exact per-type heavy users straight off the
+  // events table (the sketch phase must not change the answer).
+  // ---------------------------------------------------------------------
+  private val MgK = 256
+  private val q206 = QueryDef(
+    "q206_stream_heavy_users",
+    (outer, dir) => {
+      val spark = streamSession(outer)
+      import spark.implicits._
+      import graft.functions.FreqSketchAgg
+      val cands = eventsStream(spark, dir)
+        .filter($"user_id".isNotNull)
+        .groupBy($"event_type")
+        .agg(FreqSketchAgg.sketch($"user_id".cast("string"), MgK).as("cands"))
+      val candX = runToParquet(cands, "complete")
+        .select($"event_type", explode($"cands").as("uk"))
+      val ev = graft.sources.Tables.events(spark, dir)
+        .filter($"user_id".isNotNull)
+        .select($"event_type", $"user_id".cast("string").as("uk"))
+      val totals = ev.groupBy($"event_type").agg(count(lit(1)).as("n_events"))
+      ev.join(broadcast(candX), Seq("event_type", "uk"), "leftsemi")
+        .groupBy($"event_type", $"uk")
+        .agg(count(lit(1)).as("cnt"))
+        .join(broadcast(totals), "event_type")
+        .filter($"cnt" * 100 >= $"n_events")
+        .select($"event_type", $"uk".as("user_key"), $"cnt", $"n_events")
+        .orderBy($"event_type", $"cnt".desc, $"user_key")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, CAST(user_id AS VARCHAR) AS uk
+        FROM events WHERE user_id IS NOT NULL),
+      t AS (SELECT event_type, count(*) AS n_events FROM ev GROUP BY 1)
+      SELECT ev.event_type, uk AS user_key, count(*) AS cnt,
+             CAST(max(t.n_events) AS BIGINT) AS n_events
+      FROM ev JOIN t USING (event_type)
+      GROUP BY 1, 2
+      HAVING 100 * count(*) >= max(t.n_events)
+      ORDER BY event_type, cnt DESC, user_key"""))
+
+  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104, q128, q136, q147, q157, q173, q206)
 }

@@ -132,4 +132,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(inertias(2) < inertias(1),
       s"pass 2 did not improve inertia: ${inertias(1)} -> ${inertias(2)}")
   }
+
+  test("q204 PQ: bounded codebooks, total code coverage, ADC beats random") {
+    // model state is the architecture constant M·k rows of subdim coords
+    val cb = Similarity.pqCodebooks(spark, TestSpark.Sf001)
+      .select($"m", $"cid", size($"cs").as("dim")).collect()
+    assert(cb.length === 4 * 16)
+    assert(cb.forall(_.getInt(2) === 16))
+    assert(cb.map(r => (r.getInt(0), r.getLong(1))).distinct.length === 64)
+    val out = run("q204_pq_adc_search").collect()
+    // every query returns a full top-10, ranks dense 1..10
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size === 8)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted === (1 to 10).toArray, s"q=$q")
+      // ADC distances are nonneg and nondecreasing in rank
+      val ds = rows.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(ds.forall(_ >= 0L) && ds.sameElements(ds.sorted), s"q=$q")
+    }
+    // the recall audit finds SOME true top-10 hits corpus-wide — ADC is
+    // an approximation but must beat the ~10/500 random-hit floor
+    val hits = out.map(_.getLong(4)).sum
+    assert(hits >= 8, s"ADC recall implausibly low: $hits/80 hits")
+  }
 }
