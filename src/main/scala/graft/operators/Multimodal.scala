@@ -648,6 +648,182 @@ object Multimodal extends QueryModule {
       ORDER BY doc_id, frame_idx"""))
 
   // ---------------------------------------------------------------------
+  // q210 — PERCEPTUAL-HASH IMAGE DEDUP (pHash): the image arm of the
+  // dedup family — multimodal training corpora dedup images by DCT
+  // perceptual hash exactly the way text dedups by MinHash. Per doc, a
+  // synthesized 16×16 grayscale BMP (decoded from real BMP bytes through
+  // functions.BmpImage, with per-doc sparse noise over a per-family base
+  // pattern) hashes to 63 bits: 2D DCT-II in FIXED-POINT integer
+  // arithmetic (cosine table scaled 2¹⁴, rounded once, embedded
+  // literally in BOTH the JVM kernel and the SQL oracle so no libm call
+  // is on the compared path), keep the low-frequency 8×8 block minus DC,
+  // threshold each coefficient against the exact 32nd-smallest AC (the
+  // integer median), bit per coefficient. Near-dup candidates come from
+  // 7 bands of 9 bits — pigeonhole-lossless for Hamming ≤ 6 (≤ 6
+  // differing bits leave ≥ 1 of 7 bands intact) — then the exact
+  // popcount verifies. Identical plan shape to q35/q36: hash map-side,
+  // band-bucket equi-join, never an all-pairs product; the verify input
+  // is band-bounded at any corpus scale.
+  // ---------------------------------------------------------------------
+  private val PhN = 16
+  private val PhScale = 16384L // 2^14 fixed-point cosine scale
+  private val PhBands = 7
+  private val PhBandBits = 9   // 7×9 = 63 bits
+  private val PhHamMax = 6L
+
+  /** Integer DCT-II cosine table, PhCos(x·16+u) = round(cos((2x+1)uπ/32)
+    * ·2¹⁴) — computed once here and embedded as literals in the oracle,
+    * so both engines share bit-identical constants.
+    */
+  private[graft] val PhCos: Array[Long] = Array.tabulate(PhN * PhN) { i =>
+    val x = i / PhN
+    val u = i % PhN
+    Math.round(math.cos((2 * x + 1) * u * math.Pi / (2.0 * PhN)) * PhScale)
+  }
+
+  private[graft] def synthPhashBmp(docId: Long): Array[Byte] = {
+    val fam = docId % 50
+    val px = Array.tabulate(PhN * PhN) { i =>
+      val x = i % PhN
+      val y = i / PhN
+      val noise =
+        if ((3 * x + 5 * y) % 11 == docId % 11) docId % 5 else 0L
+      // family enters the SPATIAL FREQUENCIES (quadratic chirps), not
+      // just a brightness offset — pHash is DC-blind by construction, so
+      // a constant-offset family would (correctly) collide across
+      // families
+      val v = ((11 * fam + (x * x * (1 + fam % 5)) % 97 +
+        (y * y * (2 + fam % 7)) % 89 + (x * y * (1 + fam % 3)) % 13 +
+        5 * x + 9 * y + noise) % 256).toInt
+      (v << 16) | (v << 8) | v
+    }
+    graft.functions.BmpImage.encode(
+      graft.functions.BmpImage.Bmp(PhN, PhN, px))
+  }
+
+  /** 63-bit pHash off decoded BMP bytes (bits 0..62; bit u·8+v−1 set when
+    * AC(u,v) exceeds the median).
+    */
+  private[graft] def phash64(bytes: Array[Byte]): Long = {
+    val img = graft.functions.BmpImage.decode(bytes)
+    require(img.width == PhN && img.height == PhN,
+      s"pHash input must be ${PhN}x$PhN")
+    val g = img.pixels.map(_ & 0xff) // R=G=B by synthesis: gray = low byte
+    val f = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          var s = 0L
+          var y = 0
+          while (y < PhN) {
+            var x = 0
+            while (x < PhN) {
+              s += g(y * PhN + x) * PhCos(x * PhN + u) * PhCos(y * PhN + v)
+              x += 1
+            }
+            y += 1
+          }
+          f(u * 8 + v) = s
+        }
+        v += 1
+      }
+      u += 1
+    }
+    val m = (1 until 64).map(f).sorted.apply(31) // exact integer median
+    var h = 0L
+    var i = 1
+    while (i < 64) {
+      if (f(i) > m) h |= 1L << (i - 1)
+      i += 1
+    }
+    h
+  }
+
+  private val q210 = QueryDef(
+    "q210_image_phash_dedup",
+    (spark, dir) => {
+      import spark.implicits._
+      val hashes = Tables.documents(spark, dir)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, phash64(synthPhashBmp(id)))))
+        .toDF("doc_id", "h")
+        .persist()
+      val bandCols = (0 until PhBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright($"h", b * PhBandBits)
+            .bitwiseAND(lit((1L << PhBandBits) - 1)).as("bits")))
+      val bands = hashes
+        .select($"doc_id", $"h", explode(array(bandCols: _*)).as("bb"))
+        .select($"doc_id", $"h", $"bb.band".as("band"), $"bb.bits".as("bits"))
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          col("a.h").as("ha"), col("b.h").as("hb"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+        .filter($"hamming" <= PhHamMax)
+        .select($"i", $"j", $"hamming")
+      Scoped.materialize(hashes)(pairs).orderBy($"i", $"j")
+    },
+    Some {
+      val cosLit = (0 until PhN * PhN).map { i =>
+        s"{'x':${i / PhN},'u':${i % PhN},'c':${PhCos((i / PhN) * PhN + (i % PhN))}}"
+      }.mkString(",")
+      s"""
+      WITH cos_t AS (
+        SELECT u.x AS x, u.u AS u, u.c AS c FROM (
+          SELECT unnest([$cosLit]) AS u)),
+      px AS (
+        SELECT doc_id, i % $PhN AS x, i // $PhN AS y,
+               (11 * (doc_id % 50)
+                + ((i % $PhN) * (i % $PhN) * (1 + (doc_id % 50) % 5)) % 97
+                + ((i // $PhN) * (i // $PhN) * (2 + (doc_id % 50) % 7)) % 89
+                + ((i % $PhN) * (i // $PhN) * (1 + (doc_id % 50) % 3)) % 13
+                + 5 * (i % $PhN) + 9 * (i // $PhN)
+                + CASE WHEN (3 * (i % $PhN) + 5 * (i // $PhN)) % 11
+                         = doc_id % 11
+                       THEN doc_id % 5 ELSE 0 END) % 256 AS g
+        FROM (SELECT doc_id, unnest(range(0, ${PhN * PhN})) AS i
+              FROM documents)),
+      coef AS (
+        SELECT p.doc_id, cu.u AS u, cv.u AS v,
+               sum(p.g * cu.c * cv.c) AS f
+        FROM px p
+        JOIN cos_t cu ON cu.x = p.x AND cu.u < 8
+        JOIN cos_t cv ON cv.x = p.y AND cv.u < 8
+        WHERE NOT (cu.u = 0 AND cv.u = 0)
+        GROUP BY 1, 2, 3),
+      med AS (
+        SELECT doc_id, f AS m FROM (
+          SELECT doc_id, f,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY f, u, v)
+                   AS rn
+          FROM coef)
+        WHERE rn = 32),
+      hs AS (
+        SELECT c.doc_id,
+               sum(CASE WHEN c.f > med.m
+                   THEN CAST(1 AS BIGINT) << (c.u * 8 + c.v - 1)
+                   ELSE 0 END) AS h
+        FROM coef c JOIN med ON med.doc_id = c.doc_id
+        GROUP BY 1),
+      bands AS (
+        SELECT doc_id, h, b, (h >> (CAST($PhBandBits AS INT) * b))
+                 & ${(1L << PhBandBits) - 1} AS bits
+        FROM hs, (SELECT unnest(range(0, $PhBands)) AS b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.h AS ha, b.h AS hb
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bits = b.bits AND a.doc_id < b.doc_id)
+      SELECT i, j, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(ha, hb)) <= $PhHamMax
+      ORDER BY i, j"""
+    })
+
+  // ---------------------------------------------------------------------
   // q121 — WebDataset shard packing (functions.Ustar): the EXPORT format
   // of large multimodal training pipelines — samples packed as members of
   // plain POSIX tar files ("shards"), read sequentially at training time.
@@ -915,5 +1091,6 @@ object Multimodal extends QueryModule {
       FROM documents ORDER BY doc_id"""))
 
   override val defs: Seq[QueryDef] =
-    Seq(q44, q45, q107, q109, q110, q116, q121, q141, q142, q198, q202, q203)
+    Seq(q44, q45, q107, q109, q110, q116, q121, q141, q142, q198, q202, q203,
+      q210)
 }

@@ -52,4 +52,29 @@ class MultimodalFeaturesSpec extends AnyFunSuite {
     assert(win.filter($"energy" > $"n_samples" * $"peak" * $"peak").isEmpty)
     win.unpersist()
   }
+
+  test("q210 pHash: brightness-invariant, deterministic, finds only true image families") {
+    import graft.functions.BmpImage
+    def gray(f: Int => Int): Array[Byte] = BmpImage.encode(BmpImage.Bmp(16, 16,
+      Array.tabulate(256) { i => val v = f(i) & 0xff; (v << 16) | (v << 8) | v }))
+    // the defining pHash property: a global brightness shift only moves
+    // DC, which the hash excludes — identical 63 bits
+    val base = gray(i => 20 + (i % 16) * 7 % 120 + (i / 16) * 3 % 60)
+    val brighter = gray(i => 60 + (i % 16) * 7 % 120 + (i / 16) * 3 % 60)
+    assert(Multimodal.phash64(base) === Multimodal.phash64(brighter))
+    // a structurally different image hashes far away
+    val other = gray(i => ((i % 16) * (i / 16) * 5) % 200)
+    val d = java.lang.Long.bitCount(
+      Multimodal.phash64(base) ^ Multimodal.phash64(other))
+    assert(d > 6, s"structurally different images only $d bits apart")
+    // rerun-deterministic synthesis + full-query sanity: every verified
+    // pair is within one synthesis family, at or under the threshold
+    assert(Multimodal.phash64(Multimodal.synthPhashBmp(7L)) ===
+      Multimodal.phash64(Multimodal.synthPhashBmp(7L)))
+    val pairs = graft.SparkEntry.queries("q210_image_phash_dedup")(spark, dir)
+      .collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getLong(2) <= 6L))
+    assert(pairs.forall(r => r.getLong(0) % 50 === r.getLong(1) % 50))
+  }
 }
