@@ -657,5 +657,158 @@ object Corpus extends QueryModule {
                AS eff_dyn_milli
       FROM r GROUP BY 1, 2 ORDER BY bucket_cap, batch_no"""))
 
-  override val defs: Seq[QueryDef] = Seq(q98, q99, q100, q106, q165)
+  // ---------------------------------------------------------------------
+  // q211 — VOCABULARY GROWTH CURVE (Heaps'-law diagnostic): how fast the
+  // corpus's type inventory grows as documents arrive in ingestion
+  // order. Per ingestion decile: token occurrences, NEW types (tokens
+  // whose first occurrence falls in that decile), the cumulative
+  // vocabulary, and the cumulative type/token ratio in exact millis —
+  // the curve that tells a data team whether the next crawl batch still
+  // adds vocabulary or only repeats it. The whole computation is two
+  // corpus aggregations on 8-byte token hashes: first-occurrence =
+  // min(decile) per type (map-side combinable), occurrence census =
+  // count per decile; the cumulative window runs over ≤ 10 rows.
+  // Nothing is ordered per-document — ingestion position enters as
+  // arithmetic on doc_id, so the plan is shuffle-bounded by |vocab|,
+  // never by corpus order.
+  // ---------------------------------------------------------------------
+  private val q211 = QueryDef(
+    "q211_vocab_growth",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val bounds = docs.agg((max($"doc_id") + 1).as("n_ids"))
+      val toks = docs
+        .select($"doc_id", explode(Portable.tokens(lower($"text"))).as("t"))
+        .select($"doc_id", Portable.md5Hash64($"t").as("th"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("decile", expr("(doc_id * 10) div n_ids"))
+        .persist()
+      val occ = toks.groupBy($"decile").agg(count(lit(1)).as("n_occurrences"))
+      val firstSeen = toks.groupBy($"th").agg(min($"decile").as("first_decile"))
+      val newTypes = firstSeen.groupBy($"first_decile".as("decile"))
+        .agg(count(lit(1)).as("n_new_types"))
+      val w = Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = occ.join(newTypes, Seq("decile"), "left")
+        .na.fill(0L, Seq("n_new_types"))
+        .withColumn("vocab_cum", sum($"n_new_types").over(w))
+        .withColumn("occ_cum", sum($"n_occurrences").over(w))
+        .withColumn("type_token_milli",
+          expr("(1000 * vocab_cum) div occ_cum"))
+      Scoped.materialize(toks)(out).orderBy($"decile")
+    },
+    Some(s"""
+      WITH n AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
+      toks AS (
+        SELECT doc_id,
+               ${Portable.md5Hash64Sql("t")} AS th,
+               (doc_id * 10) // (SELECT n_ids FROM n) AS decile
+        FROM (
+          SELECT doc_id, unnest(${Portable.tokensSql("lower(text)")}) AS t
+          FROM documents)),
+      occ AS (
+        SELECT decile, count(*) AS n_occurrences FROM toks GROUP BY 1),
+      fs AS (SELECT th, min(decile) AS first_decile FROM toks GROUP BY 1),
+      nt AS (
+        SELECT first_decile AS decile, count(*) AS n_new_types
+        FROM fs GROUP BY 1),
+      j AS (
+        SELECT o.decile, o.n_occurrences,
+               coalesce(nt.n_new_types, 0) AS n_new_types
+        FROM occ o LEFT JOIN nt USING (decile))
+      SELECT decile,
+             CAST(n_occurrences AS BIGINT) AS n_occurrences,
+             CAST(n_new_types AS BIGINT) AS n_new_types,
+             CAST(sum(n_new_types) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS vocab_cum,
+             CAST(sum(n_occurrences) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS occ_cum,
+             CAST((1000 * sum(n_new_types) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) //
+               sum(n_occurrences) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS type_token_milli
+      FROM j ORDER BY decile"""))
+
+  // ---------------------------------------------------------------------
+  // q212 — N-GRAM NOVELTY DECAY: the shard-over-shard version of the
+  // q211 curve at CONTENT grain — per ingestion decile, what fraction
+  // of its word-8-gram instances has never been seen in any earlier
+  // decile. This is the curve that decides epoch counts and crawl-batch
+  // value: when novelty_milli flattens near zero, additional data is
+  // re-reading the same text (the q118/substring-dedup signal,
+  // aggregated to a planning number). Same two-aggregation envelope as
+  // q211 over 8-byte gram hashes; SpanL-token grams match the
+  // substring-dedup unit so the numbers compose.
+  // ---------------------------------------------------------------------
+  private val q212 = QueryDef(
+    "q212_novelty_decay",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val bounds = docs.agg((max($"doc_id") + 1).as("n_ids"))
+      val grams = docs
+        .select($"doc_id", Portable.tokens($"text").as("w"))
+        .filter(size($"w") >= 8)
+        .select($"doc_id", explode(transform(
+          sequence(lit(1), size($"w") - 7),
+          i => Portable.md5Hash64(array_join(slice($"w", i, lit(8)), " "))))
+          .as("gh"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("decile", expr("(doc_id * 10) div n_ids"))
+        .persist()
+      val occ = grams.groupBy($"decile").agg(count(lit(1)).as("n_grams"))
+      val firstSeen = grams.groupBy($"gh").agg(min($"decile").as("fd"))
+      // an instance is NOVEL when its decile is the gram's first decile;
+      // novel count per decile = count of (gram, decile=fd) instances
+      val novel = grams.join(firstSeen, "gh")
+        .filter($"decile" === $"fd")
+        .groupBy($"decile").agg(count(lit(1)).as("n_first_decile_instances"))
+      val distinctNew = firstSeen.groupBy($"fd".as("decile"))
+        .agg(count(lit(1)).as("n_new_grams"))
+      val out = occ
+        .join(novel, Seq("decile"), "left")
+        .join(distinctNew, Seq("decile"), "left")
+        .na.fill(0L, Seq("n_first_decile_instances", "n_new_grams"))
+        .withColumn("novelty_milli",
+          expr("(1000 * n_new_grams) div n_grams"))
+      Scoped.materialize(grams)(out).orderBy($"decile")
+    },
+    Some(s"""
+      WITH n AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
+      grams AS (
+        SELECT doc_id,
+               ${Portable.md5Hash64Sql("array_to_string(g, ' ')")} AS gh,
+               (doc_id * 10) // (SELECT n_ids FROM n) AS decile
+        FROM (
+          SELECT doc_id, unnest(
+            [w[(i):(i + 7)] for i in range(1, len(w) - 6)]) AS g
+          FROM (
+            SELECT doc_id, ${Portable.tokensSql("text")} AS w
+            FROM documents)
+          WHERE len(w) >= 8)),
+      occ AS (SELECT decile, count(*) AS n_grams FROM grams GROUP BY 1),
+      fs AS (SELECT gh, min(decile) AS fd FROM grams GROUP BY 1),
+      novel AS (
+        SELECT g.decile, count(*) AS n_first_decile_instances
+        FROM grams g JOIN fs ON fs.gh = g.gh AND g.decile = fs.fd
+        GROUP BY 1),
+      dn AS (SELECT fd AS decile, count(*) AS n_new_grams FROM fs GROUP BY 1)
+      SELECT o.decile,
+             CAST(o.n_grams AS BIGINT) AS n_grams,
+             CAST(coalesce(nv.n_first_decile_instances, 0) AS BIGINT)
+               AS n_first_decile_instances,
+             CAST(coalesce(dn.n_new_grams, 0) AS BIGINT) AS n_new_grams,
+             CAST((1000 * coalesce(dn.n_new_grams, 0)) // o.n_grams
+               AS BIGINT) AS novelty_milli
+      FROM occ o
+      LEFT JOIN novel nv ON nv.decile = o.decile
+      LEFT JOIN dn ON dn.decile = o.decile
+      ORDER BY o.decile"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q98, q99, q100, q106, q165, q211, q212)
 }

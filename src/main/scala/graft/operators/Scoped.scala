@@ -46,8 +46,16 @@ private[graft] object Scoped {
     }
   }
 
+  /** Debug hook: the executed plan of the most recent [[materialize]]
+    * INPUT — the plan the materialization boundary would otherwise hide
+    * behind a FileScan. PlanSpec asserts pre-write plan shape through
+    * this; never read on a production path.
+    */
+  @volatile private[graft] var lastMaterializedPlan: String = ""
+
   def materialize(persisted: DataFrame*)(result: DataFrame): DataFrame = {
     val spark = result.sparkSession
+    lastMaterializedPlan = result.queryExecution.executedPlan.toString
     val out = newTempDir("graft_mat_")
     result.write.mode("overwrite").parquet(out)
     persisted.foreach(_.unpersist())

@@ -808,13 +808,14 @@ object Search extends QueryModule {
     },
     Some(s"""
       WITH p AS (
-        SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, ${Portable.md5Hash64Sql("g")} AS term,
+               count(*) AS tf FROM (
           SELECT doc_id, unnest(
             [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-             for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS term
+             for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS g
           FROM (SELECT doc_id, ${Portable.tokensSql("lower(text)")} AS w
                 FROM documents))
-        WHERE term IS NOT NULL GROUP BY 1, 2),
+        WHERE g IS NOT NULL GROUP BY 1, 2),
       d AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
       n AS (SELECT count(*) AS n_docs FROM documents),
       w AS (
@@ -938,13 +939,18 @@ object Search extends QueryModule {
     // token-grain mid-frequency blocking has nothing to block on —
     // shingles restore a real df distribution, exactly why
     // shingle-based similarity is the corpus-dedup default
+    // terms live as 8-byte md5 keys from the scan on: every downstream
+    // shuffle (df agg, split joins, candidate self-join, both verify
+    // joins) carries a long instead of a ~25-byte shingle string — the
+    // q120 discipline; the oracle hashes identically so the gate holds
     val postings = docs
       .select($"doc_id", Portable.tokens(lower($"text")).as("w"))
       .select($"doc_id", explode(transform(
         sequence(lit(1), greatest(size($"w") - 2, lit(1))),
         i => concat_ws(" ", element_at($"w", i),
-          element_at($"w", i + 1), element_at($"w", i + 2)))).as("term"))
-      .filter(length($"term") > 0 && size(split($"term", " ")) === 3)
+          element_at($"w", i + 1), element_at($"w", i + 2)))).as("gram"))
+      .filter(length($"gram") > 0 && size(split($"gram", " ")) === 3)
+      .select($"doc_id", Portable.md5Hash64($"gram").as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // df via partial aggregate + frequency-split join (attachDf) — NOT

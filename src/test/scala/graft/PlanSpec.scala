@@ -458,6 +458,45 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(day"), p.linesIterator.take(30).mkString("\n"))
   }
 
+  /** Plan of a query whose last step is Scoped.materialize: running the
+    * builder triggers the write, and the hook holds the pre-write plan
+    * the FileScan boundary would otherwise hide.
+    */
+  private def materializedPlanOf(name: String): String = {
+    SparkEntry.queries(name)(spark, TestSpark.Sf001)
+    graft.operators.Scoped.lastMaterializedPlan
+  }
+
+  test("q204: PQ codes and ADC LUT join broadcast — the corpus never shuffles by distance") {
+    val p = materializedPlanOf("q204_pq_adc_search")
+    // the (m, code) LUT join is a broadcast hash join
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), "q204 went cartesian")
+  }
+
+  test("q205: anchor gram table broadcasts; candidates are bounded by the df window") {
+    val p = materializedPlanOf("q205_hard_negatives")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), "q205 went cartesian")
+  }
+
+  test("q207: bucket thresholds broadcast back to the doc scan (no per-doc rank window)") {
+    val p = materializedPlanOf("q207_ccnet_buckets")
+    // no window operator on a per-doc key anywhere: thresholds come from
+    // the value-domain histogram, docs bucket by broadcast compare
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(40).mkString("\n"))
+    val windowOnDoc = p.linesIterator.exists(l =>
+      l.contains("Window ") && l.contains("doc_id"))
+    assert(!windowOnDoc, "per-doc window found in q207 plan")
+  }
+
+  test("q210: pHash pairs come from band-bucket equi-join, never a cartesian product") {
+    val p = materializedPlanOf("q210_image_phash_dedup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), "q210 went cartesian")
+  }
+
   test("dot_scaled is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     val got = spark.sql(
