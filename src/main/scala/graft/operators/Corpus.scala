@@ -774,7 +774,7 @@ object Corpus extends QueryModule {
         .join(distinctNew, Seq("decile"), "left")
         .na.fill(0L, Seq("n_first_decile_instances", "n_new_grams"))
         .withColumn("novelty_milli",
-          expr("(1000 * n_new_grams) div n_grams"))
+          expr("(1000 * n_first_decile_instances) div n_grams"))
       Scoped.materialize(grams)(out).orderBy($"decile")
     },
     Some(s"""
@@ -802,8 +802,8 @@ object Corpus extends QueryModule {
              CAST(coalesce(nv.n_first_decile_instances, 0) AS BIGINT)
                AS n_first_decile_instances,
              CAST(coalesce(dn.n_new_grams, 0) AS BIGINT) AS n_new_grams,
-             CAST((1000 * coalesce(dn.n_new_grams, 0)) // o.n_grams
-               AS BIGINT) AS novelty_milli
+             CAST((1000 * coalesce(nv.n_first_decile_instances, 0)) //
+               o.n_grams AS BIGINT) AS novelty_milli
       FROM occ o
       LEFT JOIN novel nv ON nv.decile = o.decile
       LEFT JOIN dn ON dn.decile = o.decile

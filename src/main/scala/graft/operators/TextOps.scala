@@ -746,6 +746,171 @@ object TextOps extends QueryModule {
              CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
       FROM binned GROUP BY 1, 2 ORDER BY source, half_bit_bin"""))
 
+  // ---------------------------------------------------------------------
+  // q213 — PMI COLLOCATIONS: the classic association miner (Church &
+  // Hanks) — adjacent token pairs whose joint frequency beats the
+  // independence prediction, ranked by pointwise mutual information in
+  // the exact floor-log₂ integer form: pmi_bits = bitlen((c12·N) div
+  // (c1·c2)) − 1 for ratio ≥ 1 (the q120 bitlen identity), with the
+  // exact integer quotient as the tiebreaker. Min support 5 filters
+  // noise. Scale shape: one bigram aggregation, one unigram
+  // aggregation, two joins on the token key, TakeOrdered top-20 — all
+  // map-side-combinable, no windows. The c12·N product is the
+  // documented bound: int64-safe to N ≈ 3·10⁹ pair instances per
+  // (c12 ≤ N); beyond that production moves the ratio to the log
+  // domain (bitlen(c12)+bitlen(N)−bitlen(c1)−bitlen(c2), within ±2
+  // bits) — the fixture stays exact.
+  // ---------------------------------------------------------------------
+  private val PmiMinCount = 5
+  private val q213 = QueryDef(
+    "q213_pmi_collocations",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = Tables.documents(spark, dir)
+        .select($"doc_id", Portable.tokens(lower($"text")).as("w"))
+      val pairs = toks
+        .select(explode(transform(
+          sequence(lit(1), greatest(size($"w") - 1, lit(1))),
+          i => struct(element_at($"w", i).as("w1"),
+            element_at($"w", i + 1).as("w2")))).as("p"))
+        .filter($"p.w1".isNotNull && $"p.w2".isNotNull)
+        .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+        .persist()
+      val big = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      val left = pairs.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val right = pairs.groupBy($"w2").agg(count(lit(1)).as("c2"))
+      val total = pairs.agg(count(lit(1)).as("n"))
+      val out = big.filter($"c12" >= PmiMinCount)
+        .join(left, "w1").join(right, "w2")
+        .crossJoin(broadcast(total))
+        .withColumn("q", expr("(c12 * n) div (c1 * c2)"))
+        .filter($"q" >= 1)
+        .withColumn("pmi_bits", (length(conv($"q", 10, 2)) - 1).cast("long"))
+        .select($"w1", $"w2", $"c12", $"c1", $"c2", $"q", $"pmi_bits")
+        .orderBy($"pmi_bits".desc, $"q".desc, $"w1", $"w2")
+        .limit(20)
+      Scoped.materialize(pairs)(out)
+        .orderBy($"pmi_bits".desc, $"q".desc, $"w1", $"w2")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, ${Portable.tokensSql("lower(text)")} AS w
+        FROM documents),
+      pairs AS (
+        SELECT p['w1'] AS w1, p['w2'] AS w2 FROM (
+          SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+                         for i in range(1, greatest(len(w) - 1, 1) + 1)]) AS p
+          FROM toks)
+        WHERE p['w1'] IS NOT NULL AND p['w2'] IS NOT NULL),
+      big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+      l AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+      r AS (SELECT w2, count(*) AS c2 FROM pairs GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM pairs),
+      scored AS (
+        SELECT b.w1, b.w2, b.c12, l.c1, r.c2,
+               (b.c12 * n.n) // (l.c1 * r.c2) AS q
+        FROM big b JOIN l USING (w1) JOIN r USING (w2), n
+        WHERE b.c12 >= $PmiMinCount AND (b.c12 * n.n) // (l.c1 * r.c2) >= 1)
+      SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+             CAST(c2 AS BIGINT) AS c2, CAST(q AS BIGINT) AS q,
+             CAST(length(format('{:b}', q)) - 1 AS BIGINT) AS pmi_bits
+      FROM scored
+      ORDER BY pmi_bits DESC, q DESC, w1, w2 LIMIT 20"""))
+
+  // ---------------------------------------------------------------------
+  // q214 — SOURCE LEXICAL DIVERGENCE, interval-bounded: how far each
+  // source's unigram distribution sits from the corpus mixture — the
+  // per-source number a mixture designer reads next to q194's weights.
+  // True KL needs float logs, which are not hash-gate-portable; the
+  // engine instead emits PROVABLE INTEGER BOUNDS. For a coding cost
+  // Σ c·log₂(n/c), per-term floor and ceiling come from the two exact
+  // quotient identities (q120's trick + its ceiling twin):
+  //   ⌊log₂(n/c)⌋ = bitlen(n div c) − 1
+  //   ⌈log₂(n/c)⌉ = bitlen(⌈n/c⌉ − 1)
+  // so cross (source tokens coded under the CORPUS distribution) and
+  // self (the source's own entropy) each get [lo, hi] integer bit
+  // bounds, and the true excess coding cost is bracketed by
+  // [cross_lo − self_hi, cross_hi − self_lo] — an interval that
+  // CONTAINS KL(source‖corpus)·n_s, deterministically, with no float
+  // anywhere. One (source, token) aggregation + a token aggregate
+  // joined back on the 8-byte hash — map-combinable, no windows.
+  // ---------------------------------------------------------------------
+  private val q214 = QueryDef(
+    "q214_source_divergence",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = Tables.documents(spark, dir)
+        .select($"source", explode(Portable.tokens(lower($"text"))).as("t"))
+        .select($"source", Portable.md5Hash64($"t").as("th"))
+      val st = toks.groupBy($"source", $"th").agg(count(lit(1)).as("c_ws"))
+        .persist()
+      val ct = st.groupBy($"th").agg(sum($"c_ws").as("c_w"))
+      val totals = st.groupBy($"source").agg(sum($"c_ws").as("n_s"))
+      val n = st.agg(sum($"c_ws").as("n"))
+      def fbits(num: String, den: String) =
+        s"(length(conv($num div $den, 10, 2)) - 1)"
+      // ⌈log₂(num/den)⌉ = bitlen(⌈num/den⌉ − 1); ratio exactly 1 → 0
+      def cbits(num: String, den: String) =
+        s"(CASE WHEN $num <= $den THEN 0L ELSE " +
+          s"length(conv(($num + $den - 1) div $den - 1, 10, 2)) END)"
+      val out = st
+        .join(ct, "th")
+        .join(totals, "source")
+        .crossJoin(broadcast(n))
+        .withColumn("cross_lo_t", expr(s"c_ws * ${fbits("n", "c_w")}"))
+        .withColumn("cross_hi_t", expr(s"c_ws * ${cbits("n", "c_w")}"))
+        .withColumn("self_lo_t", expr(s"c_ws * ${fbits("n_s", "c_ws")}"))
+        .withColumn("self_hi_t", expr(s"c_ws * ${cbits("n_s", "c_ws")}"))
+        .groupBy($"source")
+        .agg(max($"n_s").as("n_tokens"),
+          sum($"cross_lo_t").as("cross_lo"),
+          sum($"cross_hi_t").as("cross_hi"),
+          sum($"self_lo_t").as("self_lo"),
+          sum($"self_hi_t").as("self_hi"))
+        .withColumn("excess_lo_milli",
+          expr("(1000 * (cross_lo - self_hi)) div n_tokens"))
+        .withColumn("excess_hi_milli",
+          expr("(1000 * (cross_hi - self_lo)) div n_tokens"))
+      Scoped.materialize(st)(out).orderBy($"source")
+    },
+    Some {
+      def fbits(num: String, den: String) =
+        s"(length(format('{:b}', $num // $den)) - 1)"
+      def cbits(num: String, den: String) =
+        s"(CASE WHEN $num <= $den THEN 0 ELSE " +
+          s"length(format('{:b}', ($num + $den - 1) // $den - 1)) END)"
+      s"""
+      WITH toks AS (
+        SELECT source, ${Portable.md5Hash64Sql("t")} AS th FROM (
+          SELECT source, unnest(${Portable.tokensSql("lower(text)")}) AS t
+          FROM documents)),
+      st AS (
+        SELECT source, th, count(*) AS c_ws FROM toks GROUP BY 1, 2),
+      ct AS (SELECT th, CAST(sum(c_ws) AS BIGINT) AS c_w FROM st GROUP BY 1),
+      tot AS (
+        SELECT source, CAST(sum(c_ws) AS BIGINT) AS n_s FROM st GROUP BY 1),
+      n AS (SELECT CAST(sum(c_ws) AS BIGINT) AS n FROM st),
+      terms AS (
+        SELECT s.source, tot.n_s,
+               s.c_ws * ${fbits("n.n", "ct.c_w")} AS cross_lo_t,
+               s.c_ws * ${cbits("n.n", "ct.c_w")} AS cross_hi_t,
+               s.c_ws * ${fbits("tot.n_s", "s.c_ws")} AS self_lo_t,
+               s.c_ws * ${cbits("tot.n_s", "s.c_ws")} AS self_hi_t
+        FROM st s JOIN ct USING (th) JOIN tot USING (source), n)
+      SELECT source,
+             CAST(max(n_s) AS BIGINT) AS n_tokens,
+             CAST(sum(cross_lo_t) AS BIGINT) AS cross_lo,
+             CAST(sum(cross_hi_t) AS BIGINT) AS cross_hi,
+             CAST(sum(self_lo_t) AS BIGINT) AS self_lo,
+             CAST(sum(self_hi_t) AS BIGINT) AS self_hi,
+             CAST((1000 * (sum(cross_lo_t) - sum(self_hi_t))) // max(n_s)
+               AS BIGINT) AS excess_lo_milli,
+             CAST((1000 * (sum(cross_hi_t) - sum(self_lo_t))) // max(n_s)
+               AS BIGINT) AS excess_hi_milli
+      FROM terms GROUP BY source ORDER BY source"""
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(q26, q27, q28, q29, q30, q58, q75, q117, q119, q172, q208)
+    Seq(q26, q27, q28, q29, q30, q58, q75, q117, q119, q172, q208, q213,
+      q214)
 }

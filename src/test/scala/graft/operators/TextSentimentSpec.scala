@@ -262,4 +262,55 @@ class TextSentimentSpec extends AnyFunSuite {
       .select(Portable.md5Hash64($"s")).as[Long].head()
     assert(got === java.lang.Long.parseLong("5d41402abc4b2a7", 16))
   }
+
+  test("q211/q212: growth curves are monotone and reconcile with direct counts") {
+    val dir = TestSpark.Sf001
+    val growth = graft.SparkEntry.queries("q211_vocab_growth")(spark, dir)
+      .orderBy($"decile").collect()
+    assert(growth.length === 10)
+    val vc = growth.map(_.getAs[Long]("vocab_cum"))
+    assert(vc.zip(vc.tail).forall { case (a, b) => b >= a }, "vocab_cum dipped")
+    // final cumulative vocabulary equals the directly-counted type count
+    val direct = graft.sources.Tables.documents(spark, dir)
+      .select(explode(Portable.tokens(lower($"text"))).as("t"))
+      .agg(countDistinct($"t")).as[Long].head()
+    assert(vc.last === direct)
+    val decay = graft.SparkEntry.queries("q212_novelty_decay")(spark, dir)
+      .orderBy($"decile").collect()
+    assert(decay.length === 10)
+    decay.foreach { r =>
+      assert(r.getAs[Long]("novelty_milli") <= 1000L)
+      assert(r.getAs[Long]("n_first_decile_instances") >=
+        r.getAs[Long]("n_new_grams"))
+    }
+    // every decile-0 instance's gram first appears in decile 0
+    assert(decay.head.getAs[Long]("n_first_decile_instances") ===
+      decay.head.getAs[Long]("n_grams"))
+    assert(decay.head.getAs[Long]("novelty_milli") === 1000L)
+  }
+
+  test("q214: the integer interval really contains the float KL excess") {
+    val dir = TestSpark.Sf001
+    val out = graft.SparkEntry.queries("q214_source_divergence")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // true excess bits n_s·KL(p_s ‖ p_corpus) from exact counts, in double
+    val counts = graft.sources.Tables.documents(spark, dir)
+      .select($"source", explode(Portable.tokens(lower($"text"))).as("t"))
+      .groupBy($"source", $"t").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = counts.map(_._3).sum.toDouble
+    val cw = counts.groupBy(_._2).map { case (t, rs) => t -> rs.map(_._3).sum }
+    val bySource = counts.groupBy(_._1)
+    bySource.foreach { case (src, rs) =>
+      val ns = rs.map(_._3).sum.toDouble
+      val excess = rs.map { case (_, t, c) =>
+        c * (math.log(n / cw(t)) - math.log(ns / c)) / math.log(2.0)
+      }.sum
+      val row = out(src)
+      val lo = row.getAs[Long]("cross_lo") - row.getAs[Long]("self_hi")
+      val hi = row.getAs[Long]("cross_hi") - row.getAs[Long]("self_lo")
+      assert(lo <= excess && excess <= hi,
+        s"$src: excess $excess outside [$lo, $hi]")
+    }
+  }
 }
