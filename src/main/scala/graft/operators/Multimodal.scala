@@ -6,9 +6,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (builder brief): image/audio/video handled
-  * as opaque `binary` columns with typed metadata. AUDIO (q107, RIFF/WAV)
-  * and IMAGES (q109, 24-bit BMP) decode with genuine codec-free byte
-  * parsers; VIDEO parses its container for real (q110, AVI header/
+  * as opaque `binary` columns with typed metadata. AUDIO decodes with
+  * genuine byte parsers for BOTH the uncompressed and a compressed
+  * format (q107 RIFF/WAV PCM; q215 IMA ADPCM, format 0x0011, via
+  * functions.ImaAdpcm); IMAGES (q109, 24-bit BMP) likewise; VIDEO
+  * parses its container for real (q110, AVI header/
   * frame-chunk walk over a compressed `00dc` stream, payloads opaque)
   * AND decodes frame payloads end-to-end for three from-scratch
   * codecs: raw DIB (q116, `00db` frames through the same stride-aware
@@ -824,6 +826,122 @@ object Multimodal extends QueryModule {
     })
 
   // ---------------------------------------------------------------------
+  // q215 — COMPRESSED AUDIO decode (functions.ImaAdpcm): IMA/DVI ADPCM,
+  // WAVE format tag 0x0011 — the audio counterpart of the video stack's
+  // RLE8/MJPEG, closing the "compressed payloads" gap for sound. Per
+  // doc, a synthesized multi-block ADPCM WAV (nibble codes, initial
+  // predictor and step index all from (doc, block, i) recurrences)
+  // decodes END TO END: RIFF walk, fmt-0x0011 validation, fact-chunk
+  // frame-count cross-check, per-block header parse, and the public-spec
+  // step/index recurrence per 4-bit code with 16-bit saturation. The
+  // decoder is EXACT integer math, so the DuckDB oracle folds the
+  // IDENTICAL recurrence over the analytically-known nibbles with
+  // list_reduce (step table embedded literally) and hash-matches every
+  // sample: end predictor, end index, absolute sample mass and a
+  // position-weighted sample hash per block. A wrong step-table entry,
+  // clamp bound, nibble order within a byte, or sign bit breaks the
+  // compare. Decode is pure per-partition map work: no shuffle.
+  // ---------------------------------------------------------------------
+  final case class AdpcmBlockFeatures(
+      doc_id: Long, block_idx: Long, n_samples: Long,
+      end_pred: Long, end_index: Long, sum_abs: Long, pos_hash: Long)
+
+  private val AdpcmNibbles = 64
+
+  private[graft] def synthAdpcmWav(docId: Long): Array[Byte] = {
+    import graft.functions.ImaAdpcm
+    val nBlocks = (2 + docId % 3).toInt
+    val blocks = Seq.tabulate(nBlocks) { blk =>
+      ImaAdpcm.Block(
+        ((docId * 19 + blk * 11) % 65536 - 32768).toShort,
+        ((docId + blk) % 89).toInt,
+        Array.tabulate(AdpcmNibbles)(i =>
+          ((docId * 7 + blk * 3 + i * 5) % 16).toByte))
+    }
+    ImaAdpcm.encodeWav(8000, blocks)
+  }
+
+  private val q215 = QueryDef(
+    "q215_wav_adpcm_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.ImaAdpcm
+      val assets: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, synthAdpcmWav(id))))
+      assets.mapPartitions(_.flatMap { case (id, bytes) =>
+        val wav = ImaAdpcm.decodeWav(bytes)
+        wav.blocks.iterator.zipWithIndex.map { case (b, blk) =>
+          val samples = ImaAdpcm.decodeBlock(b)
+          var sumAbs, posHash = 0L
+          var k = 0
+          while (k < samples.length) {
+            sumAbs += math.abs(samples(k).toLong)
+            posHash += (k + 1).toLong * (samples(k).toLong + 32768L)
+            k += 1
+          }
+          // end state: re-run the fold's tail values off the last sample
+          var p: Int = b.pred0
+          var x = b.index0
+          var i = 0
+          while (i < b.nibbles.length) {
+            val (p1, x1) = ImaAdpcm.step(p, x, b.nibbles(i) & 0x0f)
+            p = p1; x = x1; i += 1
+          }
+          AdpcmBlockFeatures(id, blk.toLong, samples.length.toLong,
+            p.toLong, x.toLong, sumAbs, posHash)
+        }
+      }).toDF().orderBy($"doc_id", $"block_idx")
+    },
+    Some {
+      val steps = graft.functions.ImaAdpcm.StepTable.mkString("[", ",", "]")
+      val idxTab = graft.functions.ImaAdpcm.IndexTable.mkString("[", ",", "]")
+      val nullB = "CAST(NULL AS BIGINT)"
+      s"""
+      WITH p AS (
+        SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS nb FROM documents),
+      b AS (SELECT doc_id, unnest(range(0, nb)) AS blk FROM p),
+      ini AS (
+        SELECT doc_id, blk,
+               (doc_id * 19 + blk * 11) % 65536 - 32768 AS pred0,
+               (doc_id + blk) % 89 AS idx0
+        FROM b),
+      folded AS (
+        SELECT doc_id, blk,
+               list_reduce(
+                 list_prepend(
+                   {'p': pred0, 'x': idx0, 'k': CAST(1 AS BIGINT),
+                    'sa': abs(pred0), 'ph': pred0 + 32768, 'n': $nullB},
+                   list_transform(range(0, $AdpcmNibbles),
+                     i -> {'p': $nullB, 'x': $nullB, 'k': $nullB,
+                           'sa': $nullB, 'ph': $nullB,
+                           'n': (doc_id * 7 + blk * 3 + i * 5) % 16})),
+                 (a, e) -> list_transform([$steps[a.x + 1]], s ->
+                   list_transform([e.n % 8], d ->
+                     list_transform([s // 8
+                         + CASE WHEN d >= 4 THEN s ELSE 0 END
+                         + CASE WHEN d % 4 >= 2 THEN s // 2 ELSE 0 END
+                         + CASE WHEN d % 2 = 1 THEN s // 4 ELSE 0 END], v ->
+                       list_transform([least(greatest(
+                           CASE WHEN e.n >= 8 THEN a.p - v ELSE a.p + v END,
+                           -32768), 32767)], p1 ->
+                         {'p': p1,
+                          'x': least(greatest(a.x + $idxTab[d + 1], 0), 88),
+                          'k': a.k + 1,
+                          'sa': a.sa + abs(p1),
+                          'ph': a.ph + (a.k + 1) * (p1 + 32768),
+                          'n': $nullB})[1])[1])[1])[1]) AS r
+        FROM ini)
+      SELECT doc_id, blk AS block_idx,
+             CAST(1 + $AdpcmNibbles AS BIGINT) AS n_samples,
+             CAST(r['p'] AS BIGINT) AS end_pred,
+             CAST(r['x'] AS BIGINT) AS end_index,
+             CAST(r['sa'] AS BIGINT) AS sum_abs,
+             CAST(r['ph'] AS BIGINT) AS pos_hash
+      FROM folded ORDER BY doc_id, block_idx"""
+    })
+
+  // ---------------------------------------------------------------------
   // q121 — WebDataset shard packing (functions.Ustar): the EXPORT format
   // of large multimodal training pipelines — samples packed as members of
   // plain POSIX tar files ("shards"), read sequentially at training time.
@@ -1092,5 +1210,5 @@ object Multimodal extends QueryModule {
 
   override val defs: Seq[QueryDef] =
     Seq(q44, q45, q107, q109, q110, q116, q121, q141, q142, q198, q202, q203,
-      q210)
+      q210, q215)
 }
