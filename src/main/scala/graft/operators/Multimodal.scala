@@ -1033,6 +1033,210 @@ object Multimodal extends QueryModule {
       FROM s GROUP BY shard ORDER BY shard"""))
 
   // ---------------------------------------------------------------------
+  // q216 — MULTIMODAL WebDataset shards: q121's tar export carrying what
+  // multimodal training shards actually hold — per sample a .bmp image
+  // (the q210 synthesis), a .wav audio clip (the q215 ADPCM synthesis)
+  // and the .txt document, packed as adjacent members of the same POSIX
+  // ustar shard (the WebDataset sample-grouping contract). The engine
+  // BUILDS real binary payloads, packs them, PARSES the shard back and
+  // validates every member three ways: stored header checksum, magic,
+  // and payload size against the per-modality analytic size law (BMP =
+  // 54 + stride·h fixed by the 16×16 synth; ADPCM WAV = 60 + 36·blocks;
+  // txt = utf-8 byte length). The oracle reproduces the census — member
+  // counts, payload/archive byte totals from the tar block arithmetic,
+  // and a position-weighted text-content hash where each .txt member's
+  // weight is its exact member INDEX within the sorted shard (bmp <
+  // txt < wav per sample) — so a mis-ordered, mis-sized or mis-padded
+  // member breaks the compare. Same scale shape as q121: one shuffle,
+  // shard count grows with the corpus, per-shard state bounded.
+  // ---------------------------------------------------------------------
+  final case class MmShardCensus(
+      shard: Long, n_members: Long, n_valid: Long, payload_bytes: Long,
+      archive_bytes: Long, text_hash: Long)
+
+  private val q216 = QueryDef(
+    "q216_multimodal_shards",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.{Portable, Ustar}
+      val members = Tables.documents(spark, dir)
+        .withColumn("oh",
+          Portable.md5Hash64(concat(lit(TarSalt), $"doc_id".cast("string"))))
+        .withColumn("shard", pmod($"oh", lit(TarShards)))
+        .groupBy($"shard")
+        .agg(sort_array(collect_list(struct($"oh", $"doc_id", $"text")))
+          .as("ms"))
+        .as[(Long, Seq[(Long, Long, String)])]
+      members.map { case (shard, ms) =>
+        val tar = Ustar.encode(ms.flatMap { case (_, id, text) =>
+          Seq(
+            Ustar.Member(f"$id%012d.bmp", synthPhashBmp(id)),
+            Ustar.Member(f"$id%012d.txt",
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+            Ustar.Member(f"$id%012d.wav", synthAdpcmWav(id)))
+        })
+        val entries = Ustar.parse(tar)
+        var payload = 0L
+        var valid = 0L
+        var thash = 0L
+        var i = 0
+        while (i < entries.length) {
+          val e = entries(i)
+          payload += e.size
+          val id = e.name.takeWhile(_ != '.').toLong
+          val sizeOk = e.name.drop(12) match {
+            case ".bmp" => e.size == 54 + 48 * 16
+            case ".wav" => e.size == 60 + 36 * (2 + id % 3)
+            case ".txt" => e.size == e.payload.length
+            case _ => false
+          }
+          if (e.checksumOk && e.magicOk && sizeOk) valid += 1
+          if (e.name.endsWith(".txt")) {
+            val h = Portable.md5Hash64Jvm(
+              new String(e.payload, java.nio.charset.StandardCharsets.UTF_8))
+            thash = (thash + ((i + 1).toLong % Portable.P) * (h % Portable.P)) %
+              Portable.P
+          }
+          i += 1
+        }
+        MmShardCensus(shard, entries.length.toLong, valid, payload,
+          tar.length.toLong, thash)
+      }.toDF().orderBy($"shard")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id, text,
+               ${graft.functions.Portable.md5Hash64Sql(
+                 s"'$TarSalt' || CAST(doc_id AS VARCHAR)")} AS oh,
+               strlen(text) AS nb,
+               CAST(54 + 48 * 16 AS BIGINT) AS bmp_b,
+               60 + 36 * (2 + doc_id % 3) AS wav_b
+        FROM documents),
+      s AS (
+        SELECT *, oh % $TarShards AS shard,
+               row_number() OVER (
+                 PARTITION BY oh % $TarShards ORDER BY oh, doc_id) AS rn
+        FROM h)
+      SELECT shard,
+             CAST(3 * count(*) AS BIGINT) AS n_members,
+             CAST(3 * count(*) AS BIGINT) AS n_valid,
+             CAST(sum(nb + bmp_b + wav_b) AS BIGINT) AS payload_bytes,
+             CAST(1024 + sum(3 * 512
+                    + 512 * ((nb + 511) // 512)
+                    + 512 * ((bmp_b + 511) // 512)
+                    + 512 * ((wav_b + 511) // 512)) AS BIGINT)
+               AS archive_bytes,
+             CAST(sum((((3 * (rn - 1) + 2) % ${graft.functions.Portable.P}) *
+                       (${graft.functions.Portable.md5Hash64Sql("text")}
+                        % ${graft.functions.Portable.P}))
+                      % ${graft.functions.Portable.P})
+                  % ${graft.functions.Portable.P} AS BIGINT) AS text_hash
+      FROM s GROUP BY shard ORDER BY shard"""))
+
+  // ---------------------------------------------------------------------
+  // q217 — SHOT-BOUNDARY DETECTION: the video-curation segmenter — per
+  // adjacent decoded frame pair, the sum of absolute per-channel pixel
+  // differences (SAD), normalized per pixel, thresholded into cut/no-cut
+  // — how a video training pipeline splits footage into shots before
+  // sampling clips. Frames synthesize in 3-frame shots: within a shot
+  // only a ±2 per-channel wiggle moves, across a shot boundary the base
+  // pattern jumps — so detected boundaries must land exactly at frame
+  // indices 3 and 6 (spec-asserted). The decode is the REAL raw-DIB
+  // path (RiffAvi.decodeFrames); SAD runs inside the same per-partition
+  // map — no pixel explode, no shuffle — and the oracle recomputes
+  // every |Δ| analytically from the synthesis recurrence.
+  // ---------------------------------------------------------------------
+  final case class ShotFrameDelta(
+      doc_id: Long, frame_idx: Long, n_px: Long, sad: Long,
+      sad_milli_per_px: Long, is_boundary: Long)
+
+  private val ShotCutMilli = 50000L
+  private val ShotFrames = 9
+
+  private[graft] def synthShotAvi(docId: Long): Array[Byte] = {
+    import graft.functions.RiffAvi
+    val w = (8 + docId % 5).toInt
+    val h = (6 + docId % 3).toInt
+    val frames = Seq.tabulate(ShotFrames) { f =>
+      val shot = f / 3
+      Array.tabulate(w * h) { i =>
+        val x = i % w
+        val y = i / w
+        val r = ((docId * 13 + shot * 71 + 5 * x + y + 2 * (f % 3)) % 256).toInt
+        val g = ((docId * 11 + shot * 97 + x + 2 * y + (f % 3)) % 256).toInt
+        val b = ((docId * 7 + shot * 53 + 3 * x + 5 * y + 2 * (f % 3)) % 256).toInt
+        (r << 16) | (g << 8) | b
+      }
+    }
+    RiffAvi.encodeDib(w, h, 33333, frames)
+  }
+
+  private val q217 = QueryDef(
+    "q217_shot_boundaries",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.RiffAvi
+      val assets: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, synthShotAvi(id))))
+      assets.mapPartitions(_.flatMap { case (id, bytes) =>
+        val v = RiffAvi.decodeFrames(bytes)
+        val nPx = (v.width * v.height).toLong
+        (1 until v.frames.size).iterator.map { f =>
+          val a = v.frames(f - 1)
+          val b = v.frames(f)
+          var sad = 0L
+          var i = 0
+          while (i < a.length) {
+            val pa = a(i); val pb = b(i)
+            sad += math.abs(((pa >> 16) & 0xff) - ((pb >> 16) & 0xff))
+            sad += math.abs(((pa >> 8) & 0xff) - ((pb >> 8) & 0xff))
+            sad += math.abs((pa & 0xff) - (pb & 0xff))
+            i += 1
+          }
+          val milli = 1000L * sad / nPx
+          ShotFrameDelta(id, f.toLong, nPx, sad, milli,
+            if (milli > ShotCutMilli) 1L else 0L)
+        }
+      }).toDF().orderBy($"doc_id", $"frame_idx")
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 5 AS BIGINT) AS w,
+               CAST(6 + doc_id % 3 AS BIGINT) AS h
+        FROM documents),
+      f AS (
+        SELECT doc_id, w, h, unnest(range(1, $ShotFrames)) AS fi
+        FROM p),
+      px AS (
+        SELECT doc_id, w, h, fi, unnest(range(0, w * h)) AS i
+        FROM f),
+      d AS (
+        SELECT doc_id, w, h, fi,
+               abs((doc_id * 13 + (fi // 3) * 71 + 5 * (i % w) + (i // w)
+                    + 2 * (fi % 3)) % 256
+                 - (doc_id * 13 + ((fi - 1) // 3) * 71 + 5 * (i % w)
+                    + (i // w) + 2 * ((fi - 1) % 3)) % 256)
+               + abs((doc_id * 11 + (fi // 3) * 97 + (i % w) + 2 * (i // w)
+                      + (fi % 3)) % 256
+                 - (doc_id * 11 + ((fi - 1) // 3) * 97 + (i % w)
+                    + 2 * (i // w) + ((fi - 1) % 3)) % 256)
+               + abs((doc_id * 7 + (fi // 3) * 53 + 3 * (i % w) + 5 * (i // w)
+                      + 2 * (fi % 3)) % 256
+                 - (doc_id * 7 + ((fi - 1) // 3) * 53 + 3 * (i % w)
+                    + 5 * (i // w) + 2 * ((fi - 1) % 3)) % 256) AS ad
+        FROM px)
+      SELECT doc_id, fi AS frame_idx,
+             CAST(w * h AS BIGINT) AS n_px,
+             CAST(sum(ad) AS BIGINT) AS sad,
+             CAST((1000 * sum(ad)) // (w * h) AS BIGINT) AS sad_milli_per_px,
+             CAST(CASE WHEN (1000 * sum(ad)) // (w * h) > $ShotCutMilli
+                  THEN 1 ELSE 0 END AS BIGINT) AS is_boundary
+      FROM d GROUP BY doc_id, fi, w, h
+      ORDER BY doc_id, frame_idx"""))
+
+  // ---------------------------------------------------------------------
   // q141 — image RESIZE/feature-extract (mean-pool): the decoded q109
   // BMP down-sampled to a 2×2 grid — each cell is the floored per-channel
   // mean over its pixel region (cell = ((x·2)÷w, (y·2)÷h), the standard
@@ -1210,5 +1414,5 @@ object Multimodal extends QueryModule {
 
   override val defs: Seq[QueryDef] =
     Seq(q44, q45, q107, q109, q110, q116, q121, q141, q142, q198, q202, q203,
-      q210, q215)
+      q210, q215, q216, q217)
 }

@@ -77,4 +77,27 @@ class MultimodalFeaturesSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(2) <= 6L))
     assert(pairs.forall(r => r.getLong(0) % 50 === r.getLong(1) % 50))
   }
+
+  test("q217: detected shot boundaries land exactly at the synthesized cuts") {
+    val rows = graft.SparkEntry.queries("q217_shot_boundaries")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Long]("frame_idx")
+      val expect = if (f == 3L || f == 6L) 1L else 0L
+      assert(r.getAs[Long]("is_boundary") === expect,
+        s"doc ${r.getAs[Long]("doc_id")} frame $f")
+    }
+  }
+
+  test("q216: a corrupted shard byte fails member validation on parse-back") {
+    import graft.functions.Ustar
+    val tar = Ustar.encode(Seq(
+      Ustar.Member("000000000001.bmp", Multimodal.synthPhashBmp(1L)),
+      Ustar.Member("000000000001.wav", Multimodal.synthAdpcmWav(1L))))
+    assert(Ustar.parse(tar).forall(e => e.checksumOk && e.magicOk))
+    val bad = tar.clone()
+    bad(60) = (bad(60) ^ 0x41).toByte // flip a header byte → checksum breaks
+    assert(Ustar.parse(bad).exists(e => !e.checksumOk))
+  }
 }
