@@ -491,6 +491,147 @@ object WindowFeatures extends QueryModule {
              CAST(sum(cents) AS BIGINT) AS sum_cents
       FROM r GROUP BY 1 ORDER BY bin"""))
 
+  // ---------------------------------------------------------------------
+  // q218 — PURGED K-FOLD CV WITH EMBARGO (the de Prado financial-ML
+  // split q23's plain TimeSeriesSplit can't express): when labels look
+  // forward in time (q219's barriers, q18's next-day labels), rows
+  // adjacent to the test block leak label information into training —
+  // so an EMBARGO of E rows on each side of every test block is PURGED
+  // from the train set entirely. Per (fold, role ∈ train/test/purged):
+  // row and ticker census, with the integer fold boundaries of q23
+  // ((f·n) div K exclusive → ((f+1)·n) div K inclusive) so both engines
+  // cut identically. Per-ticker indexes come from per-ticker windows
+  // (|dates|-bounded partitions, the indicator-family discipline);
+  // the fold fan-out is a broadcast of K rows.
+  // ---------------------------------------------------------------------
+  private val CvFolds = 5
+  private val CvEmbargo = 3
+  private val q218 = QueryDef(
+    "q218_purged_cv",
+    (spark, dir) => {
+      import spark.implicits._
+      val b = bars(spark, dir)
+        .withColumn("rn", row_number().over(wTicker).cast("long"))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy($"ticker")))
+      val folds = spark.range(0, CvFolds).toDF("fold")
+      b.crossJoin(broadcast(folds))
+        .withColumn("lo", expr(s"(fold * n) div $CvFolds + 1"))
+        .withColumn("hi", expr(s"((fold + 1) * n) div $CvFolds"))
+        .withColumn("role",
+          when($"rn" >= $"lo" && $"rn" <= $"hi", "test")
+            .when($"rn" >= $"lo" - CvEmbargo && $"rn" <= $"hi" + CvEmbargo,
+              "purged")
+            .otherwise("train"))
+        .groupBy($"fold", $"role")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"ticker").as("n_tickers"))
+        .orderBy($"fold", $"role")
+    },
+    Some(s"""
+      WITH $barsSql,
+      r AS (
+        SELECT ticker, date,
+               row_number() OVER (PARTITION BY ticker ORDER BY date) AS rn,
+               count(*) OVER (PARTITION BY ticker) AS n
+        FROM bars),
+      f AS (SELECT unnest(range(0, $CvFolds)) AS fold),
+      roled AS (
+        SELECT r.ticker, f.fold,
+               CASE WHEN rn >= (fold * n) // $CvFolds + 1
+                     AND rn <= ((fold + 1) * n) // $CvFolds THEN 'test'
+                    WHEN rn >= (fold * n) // $CvFolds + 1 - $CvEmbargo
+                     AND rn <= ((fold + 1) * n) // $CvFolds + $CvEmbargo
+                    THEN 'purged'
+                    ELSE 'train' END AS role
+        FROM r, f)
+      SELECT fold, role, count(*) AS n_rows,
+             CAST(count(DISTINCT ticker) AS BIGINT) AS n_tickers
+      FROM roled GROUP BY 1, 2 ORDER BY fold, role"""))
+
+  // ---------------------------------------------------------------------
+  // q219 — TRIPLE-BARRIER LABELING (de Prado): the label engineering
+  // that replaces q18's naive next-day direction for financial training
+  // data — per (ticker, entry day), the FIRST of three events within an
+  // H-day horizon decides the label: upper barrier touch (+2%, label 1),
+  // lower barrier touch (−2%, label −1), or horizon expiry (label 0).
+  // Exact integer price arithmetic: close in cents (DECIMAL-scaled), a
+  // touch is 100·c_future ≥ 102·c_entry (resp. ≤ 98·c_entry) — no float
+  // thresholds. The horizon expansion is an EXPLODE of H offsets + one
+  // equi-join on (ticker, rn) — never an inequality/window self-join —
+  // so pair work is exactly H rows per entry at any scale; first-touch
+  // selection is a per-(entry) min over ≤ H candidates with up-barrier
+  // priority on same-day double touches (deterministic tiebreak,
+  // mirrored in SQL via min(struct)). Time-barrier entries report
+  // min(H, remaining days) as days_to_event.
+  // ---------------------------------------------------------------------
+  private val TbHorizon = 5
+  private val TbUpPct = 102L   // +2% barrier: 100·cf ≥ 102·c0
+  private val TbDownPct = 98L  // −2% barrier: 100·cf ≤ 98·c0
+  private val q219 = QueryDef(
+    "q219_triple_barrier",
+    (spark, dir) => {
+      import spark.implicits._
+      val b = bars(spark, dir)
+        .withColumn("cents",
+          ($"close".cast(DecimalType(28, 2)) * 100).cast("long"))
+        .withColumn("rn", row_number().over(wTicker).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"ticker")))
+        .persist()
+      val probes = b
+        .select($"ticker", $"rn", $"cents",
+          explode(sequence(lit(1), lit(TbHorizon))).as("off"))
+        .withColumn("frn", $"rn" + $"off")
+      val touches = probes
+        .join(b.select($"ticker", $"rn".as("frn"), $"cents".as("fcents")),
+          Seq("ticker", "frn"))
+        .withColumn("tt",
+          when(lit(100L) * $"fcents" >= lit(TbUpPct) * $"cents", 0L)
+            .when(lit(100L) * $"fcents" <= lit(TbDownPct) * $"cents", 1L))
+        .filter($"tt".isNotNull)
+        .groupBy($"ticker", $"rn")
+        .agg(min(struct($"off", $"tt")).as("first"))
+        .select($"ticker", $"rn", $"first.off".as("t_off"),
+          $"first.tt".as("t_tt"))
+      val out = b.join(touches, Seq("ticker", "rn"), "left")
+        .withColumn("label",
+          when($"t_tt" === 0L, 1L).when($"t_tt" === 1L, -1L).otherwise(0L))
+        .withColumn("days_to_event",
+          coalesce($"t_off", least(lit(TbHorizon.toLong), $"n" - $"rn")))
+        .select($"ticker", $"date", $"cents", $"label", $"days_to_event")
+      Scoped.materialize(b)(out).orderBy($"ticker", $"date")
+    },
+    Some(s"""
+      WITH $barsSql,
+      b AS (
+        SELECT ticker, date,
+               CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY ticker ORDER BY date) AS rn,
+               count(*) OVER (PARTITION BY ticker) AS n
+        FROM bars),
+      probes AS (
+        SELECT ticker, rn, cents, u.off AS off, rn + u.off AS frn
+        FROM (SELECT *, unnest([{'off': o} for o in range(1, $TbHorizon + 1)])
+                AS u FROM b)),
+      touches AS (
+        SELECT p.ticker, p.rn,
+               min({'off': p.off,
+                    'tt': CASE WHEN 100 * f.cents >= $TbUpPct * p.cents
+                               THEN 0 ELSE 1 END}) AS first
+        FROM probes p
+        JOIN b f ON f.ticker = p.ticker AND f.rn = p.frn
+        WHERE 100 * f.cents >= $TbUpPct * p.cents
+           OR 100 * f.cents <= $TbDownPct * p.cents
+        GROUP BY 1, 2)
+      SELECT b.ticker, b.date, b.cents,
+             CAST(CASE WHEN t.first['tt'] = 0 THEN 1
+                       WHEN t.first['tt'] = 1 THEN -1
+                       ELSE 0 END AS BIGINT) AS label,
+             CAST(coalesce(t.first['off'],
+               least($TbHorizon, b.n - b.rn)) AS BIGINT) AS days_to_event
+      FROM b LEFT JOIN touches t ON t.ticker = b.ticker AND t.rn = b.rn
+      ORDER BY b.ticker, b.date"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q73, q97, q135)
+    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q73, q97, q135, q218, q219)
 }

@@ -55,4 +55,35 @@ class WindowFeaturesSpec extends AnyFunSuite {
       .filter(abs(col("m")) > 1e-9).count()
     assert(bad === 0)
   }
+
+  test("q218: roles partition every (fold, row); embargo rows never train") {
+    val rows = run("q218_purged_cv").collect()
+    val byFold = rows.groupBy(_.getLong(0))
+    assert(byFold.size === 5)
+    // each fold sees the same total row count (the full bar table)
+    val totals = byFold.values.map(_.map(_.getAs[Long]("n_rows")).sum).toSeq
+    assert(totals.distinct.size === 1)
+    // every fold has all three roles and a nonempty purged embargo
+    byFold.values.foreach { rs =>
+      val roles = rs.map(_.getString(1)).toSet
+      assert(roles === Set("train", "test", "purged"), roles.toString)
+      assert(rs.find(_.getString(1) == "purged").get.getAs[Long]("n_rows") > 0)
+    }
+  }
+
+  test("q219: labels are consistent with the barrier arithmetic") {
+    val out = run("q219_triple_barrier").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val label = r.getAs[Long]("label")
+      val dte = r.getAs[Long]("days_to_event")
+      assert(Set(-1L, 0L, 1L).contains(label))
+      assert(dte >= 0L && dte <= 5L, s"days_to_event $dte")
+      // a touch label always has a positive time-to-event
+      if (label != 0L) assert(dte >= 1L)
+    }
+    // both barrier directions occur on real price paths
+    val dist = out.groupBy(_.getAs[Long]("label")).view.mapValues(_.length)
+    assert(dist.getOrElse(1L, 0) > 0 && dist.getOrElse(-1L, 0) > 0)
+  }
 }
