@@ -354,10 +354,15 @@ object Search extends QueryModule {
 
   /** Per-doc LM score table (doc_id, lang, source, n_big, tb, milli,
     * bpt_bin): every document's exact integer bits-per-bigram under the
-    * reference-slice bigram LM. The scoring pipeline q120 reports on and
-    * q207 buckets — built once, same arithmetic.
+    * reference-slice bigram LM. A Scoped.shared derived table (Silver
+    * "lm_doc_bits"): the scoring pipeline q120 reports on and q207
+    * buckets — built once per corpus, same arithmetic.
     */
-  private def lmAllDocs(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def lmAllDocs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Scoped.shared(spark, s"lm_doc_bits:$dir")((Nil, lmAllDocsBuild(spark, dir)))
+
+  private def lmAllDocsBuild(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)

@@ -73,6 +73,13 @@ object Silver {
       Seq("q204"),
       (s, d) => Similarity.pqCodebooks(s, d)),
     SilverTable(
+      "lm_doc_bits",
+      "per-doc exact integer bits-per-bigram under the reference-slice" +
+        " bigram LM (+ milli bits/token) — the scored table the LM filter" +
+        " reports on and the CCNet buckets cut",
+      Seq("q120", "q207"),
+      (s, d) => Search.lmAllDocs(s, d)),
+    SilverTable(
       "textrank_edges",
       "weighted undirected token co-occurrence edges with per-src" +
         " weighted degree — the graph the TextRank iterations walk",
