@@ -73,6 +73,13 @@ object Silver {
       Seq("q204"),
       (s, d) => Similarity.pqCodebooks(s, d)),
     SilverTable(
+      "triple_barrier_labels",
+      "per-(ticker, entry day) triple-barrier outcome (label, days to" +
+        " event, cents) — the financial-ML label table q219 reports and" +
+        " meta-labels/uniqueness weights consume",
+      Seq("q219", "q220", "q221"),
+      (s, d) => WindowFeatures.tripleBarrier(s, d)),
+    SilverTable(
       "lm_doc_bits",
       "per-doc exact integer bits-per-bigram under the reference-slice" +
         " bigram LM (+ milli bits/token) — the scored table the LM filter" +

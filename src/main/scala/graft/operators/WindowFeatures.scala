@@ -568,16 +568,21 @@ object WindowFeatures extends QueryModule {
   private val TbHorizon = 5
   private val TbUpPct = 102L   // +2% barrier: 100·cf ≥ 102·c0
   private val TbDownPct = 98L  // −2% barrier: 100·cf ≤ 98·c0
-  private val q219 = QueryDef(
-    "q219_triple_barrier",
-    (spark, dir) => {
+
+  /** Per-entry triple-barrier outcome table (ticker, date, rn, n, cents,
+    * label, days_to_event) — a Scoped.shared derived table (Silver
+    * "triple_barrier_labels") consumed by q219 and the label-downstream
+    * operators (q220 meta-labels, q221 uniqueness weights).
+    */
+  private[operators] def tripleBarrier(
+      spark: SparkSession, dir: String): DataFrame =
+    Scoped.shared(spark, s"triple_barrier_labels:$dir")((Nil, {
       import spark.implicits._
       val b = bars(spark, dir)
         .withColumn("cents",
           ($"close".cast(DecimalType(28, 2)) * 100).cast("long"))
         .withColumn("rn", row_number().over(wTicker).cast("long"))
         .withColumn("n", count(lit(1)).over(Window.partitionBy($"ticker")))
-        .persist()
       val probes = b
         .select($"ticker", $"rn", $"cents",
           explode(sequence(lit(1), lit(TbHorizon))).as("off"))
@@ -593,16 +598,20 @@ object WindowFeatures extends QueryModule {
         .agg(min(struct($"off", $"tt")).as("first"))
         .select($"ticker", $"rn", $"first.off".as("t_off"),
           $"first.tt".as("t_tt"))
-      val out = b.join(touches, Seq("ticker", "rn"), "left")
+      b.join(touches, Seq("ticker", "rn"), "left")
         .withColumn("label",
           when($"t_tt" === 0L, 1L).when($"t_tt" === 1L, -1L).otherwise(0L))
         .withColumn("days_to_event",
           coalesce($"t_off", least(lit(TbHorizon.toLong), $"n" - $"rn")))
-        .select($"ticker", $"date", $"cents", $"label", $"days_to_event")
-      Scoped.materialize(b)(out).orderBy($"ticker", $"date")
-    },
-    Some(s"""
-      WITH $barsSql,
+        .select($"ticker", $"date", $"rn", $"n", $"cents", $"label",
+          $"days_to_event")
+    }))
+
+  /** Oracle CTE prefix shared by q219/q220/q221: bars → `tb` (ticker,
+    * date, rn, n, cents, label, days_to_event).
+    */
+  private val tripleBarrierSql = s"""
+      $barsSql,
       b AS (
         SELECT ticker, date,
                CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents,
@@ -622,16 +631,150 @@ object WindowFeatures extends QueryModule {
         JOIN b f ON f.ticker = p.ticker AND f.rn = p.frn
         WHERE 100 * f.cents >= $TbUpPct * p.cents
            OR 100 * f.cents <= $TbDownPct * p.cents
+        GROUP BY 1, 2),
+      tb AS (
+        SELECT b.ticker, b.date, b.rn, b.n, b.cents,
+               CAST(CASE WHEN t.first['tt'] = 0 THEN 1
+                         WHEN t.first['tt'] = 1 THEN -1
+                         ELSE 0 END AS BIGINT) AS label,
+               CAST(coalesce(t.first['off'],
+                 least($TbHorizon, b.n - b.rn)) AS BIGINT) AS days_to_event
+        FROM b LEFT JOIN touches t ON t.ticker = b.ticker AND t.rn = b.rn)"""
+
+  private val q219 = QueryDef(
+    "q219_triple_barrier",
+    (spark, dir) => {
+      import spark.implicits._
+      tripleBarrier(spark, dir)
+        .select($"ticker", $"date", $"cents", $"label", $"days_to_event")
+        .orderBy($"ticker", $"date")
+    },
+    Some(s"""
+      WITH $tripleBarrierSql
+      SELECT ticker, date, cents, label, days_to_event
+      FROM tb ORDER BY ticker, date"""))
+
+  // ---------------------------------------------------------------------
+  // q220 — META-LABELING (de Prado's second model): given a cheap
+  // PRIMARY signal (here 1-day momentum: yesterday's close-to-close
+  // direction), the meta-label is whether the primary call AGREED with
+  // the realized triple-barrier outcome — the training target for a
+  // secondary model that sizes (or vetoes) the primary's bets. Only
+  // decided entries participate (label ≠ 0, primary defined at rn ≥ 2).
+  // Output per ticker: signal census, agreement count, the long/short
+  // split of agreements, and precision in exact millis — the per-ticker
+  // diagnostic that says where the primary is worth sizing up. One
+  // |dates|-bounded lag window + one map-combinable rollup.
+  // ---------------------------------------------------------------------
+  private val q220 = QueryDef(
+    "q220_meta_labels",
+    (spark, dir) => {
+      import spark.implicits._
+      val tb = tripleBarrier(spark, dir)
+      val withPrimary = tb
+        .withColumn("prev", lag($"cents", 1).over(wTicker))
+        .filter($"prev".isNotNull && $"cents" =!= $"prev" && $"label" =!= 0L)
+        .withColumn("prim", when($"cents" > $"prev", 1L).otherwise(-1L))
+        .withColumn("meta", when($"prim" === $"label", 1L).otherwise(0L))
+      withPrimary.groupBy($"ticker")
+        .agg(count(lit(1)).as("n_signals"),
+          sum($"meta").as("n_agree"),
+          sum(when($"meta" === 1L && $"prim" === 1L, 1L).otherwise(0L))
+            .as("n_agree_long"),
+          sum(when($"meta" === 1L && $"prim" === -1L, 1L).otherwise(0L))
+            .as("n_agree_short"))
+        .withColumn("precision_milli", expr("(1000 * n_agree) div n_signals"))
+        .orderBy($"ticker")
+    },
+    Some(s"""
+      WITH $tripleBarrierSql,
+      pr AS (
+        SELECT ticker, rn, cents, label,
+               lag(cents) OVER (PARTITION BY ticker ORDER BY rn) AS prev
+        FROM tb),
+      sig AS (
+        SELECT ticker,
+               CASE WHEN cents > prev THEN 1 ELSE -1 END AS prim,
+               label
+        FROM pr WHERE prev IS NOT NULL AND cents <> prev AND label <> 0)
+      SELECT ticker,
+             count(*) AS n_signals,
+             CAST(sum(CASE WHEN prim = label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree,
+             CAST(sum(CASE WHEN prim = label AND prim = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_agree_long,
+             CAST(sum(CASE WHEN prim = label AND prim = -1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_agree_short,
+             CAST((1000 * sum(CASE WHEN prim = label THEN 1 ELSE 0 END))
+               // count(*) AS BIGINT) AS precision_milli
+      FROM sig GROUP BY ticker ORDER BY ticker"""))
+
+  // ---------------------------------------------------------------------
+  // q221 — LABEL UNIQUENESS WEIGHTS (de Prado sample weights): entries
+  // whose horizons overlap share information, so training weights each
+  // entry by its average label uniqueness — mean over its event span of
+  // 1/(concurrent open labels on that day). Exact integer form: per
+  // (ticker, day) concurrency c from one explode + count, per-entry
+  // weight Σ (10⁶ div c) over the span, uniqueness in millis =
+  // weight div (1000·span). Span explode is ≤ H rows per entry (the
+  // q219 bound); concurrency is one map-combinable count; no windows
+  // beyond the |dates|-bounded ticker index. Per-ticker rollup emits
+  // the weight mass and the min/mean uniqueness — what an overlapping-
+  // label dataset loses versus independent sampling.
+  // ---------------------------------------------------------------------
+  private val q221 = QueryDef(
+    "q221_uniqueness_weights",
+    (spark, dir) => {
+      import spark.implicits._
+      val tb = tripleBarrier(spark, dir)
+        .filter($"days_to_event" >= 1L)
+        .persist()
+      val span = tb.select($"ticker", $"rn", $"days_to_event",
+          explode(sequence(lit(1L), $"days_to_event")).as("off"))
+        .withColumn("day_rn", $"rn" + $"off")
+      val conc = span.groupBy($"ticker", $"day_rn")
+        .agg(count(lit(1)).as("c"))
+      val wPerEntry = span.join(conc, Seq("ticker", "day_rn"))
+        .groupBy($"ticker", $"rn")
+        .agg(sum(expr("1000000L div c")).as("w_micro"),
+          max($"days_to_event").as("span_days"))
+        .withColumn("uniq_milli", expr("w_micro div (1000 * span_days)"))
+      wPerEntry.groupBy($"ticker")
+        .agg(count(lit(1)).as("n_entries"),
+          sum($"w_micro").as("sum_w_micro"),
+          min($"uniq_milli").as("min_uniq_milli"),
+          expr("sum(uniq_milli) div count(1)").as("mean_uniq_milli"))
+        .orderBy($"ticker")
+        // tb is a shared silver table; only the local persist closes here
+        .transform(df => Scoped.materialize(tb)(df))
+        .orderBy($"ticker")
+    },
+    Some(s"""
+      WITH $tripleBarrierSql,
+      sp AS (
+        SELECT ticker, rn, days_to_event, rn + u.off AS day_rn
+        FROM (SELECT *, unnest([{'off': o}
+                for o in range(1, $TbHorizon + 1)]) AS u
+              FROM tb WHERE days_to_event >= 1) t
+        WHERE u.off <= days_to_event),
+      conc AS (
+        SELECT ticker, day_rn, count(*) AS c FROM sp GROUP BY 1, 2),
+      w AS (
+        SELECT sp.ticker, sp.rn,
+               CAST(sum(1000000 // c.c) AS BIGINT) AS w_micro,
+               max(sp.days_to_event) AS span_days
+        FROM sp JOIN conc c ON c.ticker = sp.ticker AND c.day_rn = sp.day_rn
         GROUP BY 1, 2)
-      SELECT b.ticker, b.date, b.cents,
-             CAST(CASE WHEN t.first['tt'] = 0 THEN 1
-                       WHEN t.first['tt'] = 1 THEN -1
-                       ELSE 0 END AS BIGINT) AS label,
-             CAST(coalesce(t.first['off'],
-               least($TbHorizon, b.n - b.rn)) AS BIGINT) AS days_to_event
-      FROM b LEFT JOIN touches t ON t.ticker = b.ticker AND t.rn = b.rn
-      ORDER BY b.ticker, b.date"""))
+      SELECT ticker,
+             count(*) AS n_entries,
+             CAST(sum(w_micro) AS BIGINT) AS sum_w_micro,
+             CAST(min(w_micro // (1000 * span_days)) AS BIGINT)
+               AS min_uniq_milli,
+             CAST(sum(w_micro // (1000 * span_days)) // count(*) AS BIGINT)
+               AS mean_uniq_milli
+      FROM w GROUP BY ticker ORDER BY ticker"""))
 
   override val defs: Seq[QueryDef] =
-    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q73, q97, q135, q218, q219)
+    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q73, q97, q135, q218, q219,
+      q220, q221)
 }
