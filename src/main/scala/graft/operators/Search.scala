@@ -362,7 +362,7 @@ object Search extends QueryModule {
       dir: String): DataFrame =
     Scoped.shared(spark, s"lm_doc_bits:$dir")((Nil, lmAllDocsBuild(spark, dir)))
 
-  private def lmAllDocsBuild(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def lmAllDocsBuild(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)

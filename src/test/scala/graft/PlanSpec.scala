@@ -240,8 +240,11 @@ class PlanSpec extends AnyFunSuite {
     // must stay native expressions inside codegen; the count-table joins
     // must be equi-joins on the md5 keys (shuffled or, at fixture size,
     // AQE-broadcast — either is a hash join, never a nested loop over the
-    // bigram stream)
-    val p = planOf("q120_lm_perplexity")
+    // bigram stream). Asserted on the lm_doc_bits BUILD plan — the query
+    // itself reads the materialized silver table (a FileScan)
+    val p = graft.operators.Search
+      .lmAllDocsBuild(spark, TestSpark.Sf001)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(1200))
     assert(p.contains("Generate explode"), p.take(800))
