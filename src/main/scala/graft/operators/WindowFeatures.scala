@@ -666,6 +666,105 @@ object WindowFeatures extends QueryModule {
   // diagnostic that says where the primary is worth sizing up. One
   // |dates|-bounded lag window + one map-combinable rollup.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // q222 — VOLATILITY-SCALED BARRIERS (the dynamic form q219's fixed ±2%
+  // approximates): de Prado's actual recipe sizes each entry's barriers
+  // by the instrument's CURRENT volatility — here the exact-integer
+  // proxy mean |Δclose| in cents over the last VolWin deltas (strict
+  // window: entries without full history are excluded, the production
+  // choice), barriers at entry ± KVol·vol. Same explode-H + equi-join
+  // pipeline and min(struct) first-touch as q219 — the only change is
+  // the per-entry threshold, which is exactly why the barrier logic is
+  // a join predicate and not a constant: at scale the threshold column
+  // rides the same shuffle, no extra pass. Per-ticker delta/vol windows
+  // are |dates|-bounded (the indicator discipline).
+  // ---------------------------------------------------------------------
+  private val VolWin = 10
+  private val KVol = 2L
+  private val q222 = QueryDef(
+    "q222_vol_scaled_barriers",
+    (spark, dir) => {
+      import spark.implicits._
+      val wv = wTicker.rowsBetween(-(VolWin - 1), 0)
+      val b = bars(spark, dir)
+        .withColumn("cents",
+          ($"close".cast(DecimalType(28, 2)) * 100).cast("long"))
+        .withColumn("rn", row_number().over(wTicker).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"ticker")))
+        .withColumn("d", abs($"cents" - lag($"cents", 1).over(wTicker)))
+        .withColumn("vol",
+          when(count($"d").over(wv) === VolWin,
+            expr(s"(sum(d) OVER (PARTITION BY ticker ORDER BY date" +
+              s" ROWS BETWEEN ${VolWin - 1} PRECEDING AND CURRENT ROW))" +
+              s" div $VolWin")))
+        .persist()
+      val entries = b.filter($"vol".isNotNull)
+      val probes = entries
+        .select($"ticker", $"rn", $"cents", $"vol",
+          explode(sequence(lit(1), lit(TbHorizon))).as("off"))
+        .withColumn("frn", $"rn" + $"off")
+      val touches = probes
+        .join(b.select($"ticker", $"rn".as("frn"), $"cents".as("fcents")),
+          Seq("ticker", "frn"))
+        .withColumn("tt",
+          when($"fcents" >= $"cents" + lit(KVol) * $"vol", 0L)
+            .when($"fcents" <= $"cents" - lit(KVol) * $"vol", 1L))
+        .filter($"tt".isNotNull)
+        .groupBy($"ticker", $"rn")
+        .agg(min(struct($"off", $"tt")).as("first"))
+        .select($"ticker", $"rn", $"first.off".as("t_off"),
+          $"first.tt".as("t_tt"))
+      val out = entries.join(touches, Seq("ticker", "rn"), "left")
+        .withColumn("label",
+          when($"t_tt" === 0L, 1L).when($"t_tt" === 1L, -1L).otherwise(0L))
+        .withColumn("days_to_event",
+          coalesce($"t_off", least(lit(TbHorizon.toLong), $"n" - $"rn")))
+        .select($"ticker", $"date", $"cents", $"vol".as("vol_cents"),
+          $"label", $"days_to_event")
+      Scoped.materialize(b)(out).orderBy($"ticker", $"date")
+    },
+    Some(s"""
+      WITH $barsSql,
+      b0 AS (
+        SELECT ticker, date,
+               CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY ticker ORDER BY date) AS rn,
+               count(*) OVER (PARTITION BY ticker) AS n
+        FROM bars),
+      b AS (
+        SELECT *,
+               CASE WHEN count(d) OVER wv = $VolWin
+                    THEN sum(d) OVER wv // $VolWin END AS vol
+        FROM (
+          SELECT *, abs(cents - lag(cents)
+                 OVER (PARTITION BY ticker ORDER BY date)) AS d
+          FROM b0)
+        WINDOW wv AS (PARTITION BY ticker ORDER BY date
+                      ROWS BETWEEN ${VolWin - 1} PRECEDING AND CURRENT ROW)),
+      probes AS (
+        SELECT ticker, rn, cents, vol, u.off AS off, rn + u.off AS frn
+        FROM (SELECT *, unnest([{'off': o} for o in range(1, $TbHorizon + 1)])
+                AS u FROM b WHERE vol IS NOT NULL)),
+      touches AS (
+        SELECT p.ticker, p.rn,
+               min({'off': p.off,
+                    'tt': CASE WHEN f.cents >= p.cents + $KVol * p.vol
+                               THEN 0 ELSE 1 END}) AS first
+        FROM probes p
+        JOIN b f ON f.ticker = p.ticker AND f.rn = p.frn
+        WHERE f.cents >= p.cents + $KVol * p.vol
+           OR f.cents <= p.cents - $KVol * p.vol
+        GROUP BY 1, 2)
+      SELECT e.ticker, e.date, e.cents, CAST(e.vol AS BIGINT) AS vol_cents,
+             CAST(CASE WHEN t.first['tt'] = 0 THEN 1
+                       WHEN t.first['tt'] = 1 THEN -1
+                       ELSE 0 END AS BIGINT) AS label,
+             CAST(coalesce(t.first['off'],
+               least($TbHorizon, e.n - e.rn)) AS BIGINT) AS days_to_event
+      FROM b e LEFT JOIN touches t ON t.ticker = e.ticker AND t.rn = e.rn
+      WHERE e.vol IS NOT NULL
+      ORDER BY e.ticker, e.date"""))
+
   private val q220 = QueryDef(
     "q220_meta_labels",
     (spark, dir) => {
@@ -776,5 +875,5 @@ object WindowFeatures extends QueryModule {
 
   override val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q73, q97, q135, q218, q219,
-      q220, q221)
+      q220, q221, q222)
 }
