@@ -136,7 +136,9 @@ object ImaAdpcm {
     var samplesPerBlock = -1
     var factFrames = -1
     var blocks: Vector[Block] = null
-    while (buf.remaining() >= 8 && (blocks == null || sampleRate < 0)) {
+    // walk ALL chunks to EOF: a fact chunk is spec-legal AFTER data, and
+    // early-exit on fmt+data would silently skip its frame-count check
+    while (buf.remaining() >= 8) {
       val id = fourcc()
       val len = buf.getInt()
       require(len >= 0 && buf.position() + len <= bytes.length,

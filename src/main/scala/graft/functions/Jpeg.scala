@@ -452,6 +452,11 @@ object Jpeg {
     var done = false
     while (!done) {
       require(pos + 2 <= bytes.length, "truncated before marker")
+      // T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+      // fill bytes — advance to the last 0xFF so `m` is the marker id,
+      // not another fill byte misread as a length-prefixed segment
+      while (pos + 2 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
+        (bytes(pos + 1) & 0xff) == 0xff) pos += 1
       require((bytes(pos) & 0xff) == 0xff, f"expected marker at $pos")
       val m = bytes(pos + 1) & 0xff
       pos += 2
@@ -488,6 +493,9 @@ object Jpeg {
             var n = 0
             for (l <- 1 to 16) { bits(l) = bytes(p + l - 1) & 0xff; n += bits(l) }
             p += 16
+            // loud reject on truncation: copyOfRange would silently
+            // zero-pad a short HUFFVAL list into a bogus table
+            require(p + n <= end && p + n <= bytes.length, "truncated DHT")
             val vals = java.util.Arrays.copyOfRange(bytes, p, p + n)
             p += n
             val dec = new HuffDecoder(bits, vals)
@@ -637,6 +645,10 @@ object Jpeg {
     var pos = in.pos
     while (pos + 1 < bytes.length &&
       !((bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xff) != 0x00))
+      pos += 1
+    // spec-legal 0xFF fill-byte runs before the marker (T.81 B.1.1.2):
+    // stop at the LAST 0xFF so the outer loop reads the true marker id
+    while (pos + 2 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff)
       pos += 1
     (px, pos)
   }

@@ -784,14 +784,70 @@ object Analytics extends QueryModule {
   // the capacity-planning number behind every "how many workers do we
   // need" question. Sessions are the q124 gaps-and-islands (30-min
   // inactivity), then the classic sweep: +1 at start, −1 at end,
-  // running sum, max. The scale move is the DAY SPLIT: a session
-  // crossing midnight is exploded into per-day segments FIRST, which
-  // turns the inherently-sequential global sweep into |days|
-  // independent day-local sweeps — the partition key the naive
-  // ORDER-BY-everything formulation doesn't have. Tie rule: at equal
-  // instants +1 sorts before −1 (a session ending exactly when another
-  // starts overlaps at that instant), pinned in both engines.
+  // running sum, max. Two scale moves compose:
+  //   (1) DAY SPLIT — a session crossing midnight is exploded into
+  //       per-day segments FIRST, turning the inherently-sequential
+  //       global sweep into |days| independent day-local sweeps;
+  //   (2) HIERARCHICAL PREFIX SUM — a day-local sweep is STILL one
+  //       window partition, and the hottest day's boundary points
+  //       (2× that day's segments) would sort in ONE task at event
+  //       scale. So the running sum decomposes over rangepartition
+  //       chunks (the q22/q23 withGlobalRn discipline): range-shuffle
+  //       on (day, ts, delta desc), chunk-local running sum + max in
+  //       parallel windows bounded by chunk size, then a per-day
+  //       exclusive prefix of chunk sums over the ≤|shuffle-partitions|
+  //       per-chunk rows; day peak = max over chunks of
+  //       (chunk offset + chunk-local max). Exact at any chunking
+  //       because prefix sums compose associatively.
+  // Tie rule: at equal instants +1 sorts before −1 (a session ending
+  // exactly when another starts overlaps at that instant), pinned in
+  // both engines — and rows with identical (day, ts, delta) land in ONE
+  // chunk (RangePartitioner is a pure function of the key), so the
+  // chunk boundary never cuts a tie group in an order-sensitive way.
   // ---------------------------------------------------------------------
+
+  /** Per-(day, chunk) partial sweep state over boundary points
+    * (day, ts, delta): chunk_sum, chunk-local running max, segment
+    * starts, and chunk row count (the bound ScaleBehaviorSpec asserts).
+    * Exposed for the hot-day spec; [[sweepPeaks]] is the consumer.
+    */
+  private[graft] def sweepChunks(points: DataFrame): DataFrame = {
+    val parted = points
+      .repartitionByRange(col("day"), col("ts"), col("delta").desc)
+      .withColumn("_pid", spark_partition_id())
+    val wChunk = Window.partitionBy(col("day"), col("_pid"))
+      .orderBy(col("ts"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn("running", sum(col("delta")).over(wChunk))
+      .groupBy(col("day"), col("_pid"))
+      .agg(
+        sum(col("delta")).as("chunk_sum"),
+        max(col("running")).as("chunk_max"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("chunk_starts"),
+        count(lit(1)).as("chunk_rows"))
+  }
+
+  /** Day-level sweep peaks from [[sweepChunks]] partials: the per-day
+    * offset window runs over ≤|shuffle-partitions| chunk rows per day —
+    * never over the points themselves.
+    */
+  private[graft] def sweepPeaks(points: DataFrame): DataFrame = {
+    // the offsets window runs over CHUNK-SUMMARY rows — `chunk_day` (the
+    // WindowBounds-declared key) names that grain: ≤ |shuffle partitions|
+    // rows per day, never the boundary points themselves
+    val wOff = Window.partitionBy(col("chunk_day")).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sweepChunks(points)
+      .withColumnRenamed("day", "chunk_day")
+      .withColumn("_offset",
+        coalesce(sum(col("chunk_sum")).over(wOff), lit(0L)))
+      .groupBy(col("chunk_day").as("day"))
+      .agg(
+        max(col("_offset") + col("chunk_max")).as("peak_concurrent"),
+        sum(col("chunk_starts")).as("n_segments"))
+  }
+
   private val q184 = QueryDef(
     "q184_concurrency_sweep",
     (spark, dir) => {
@@ -818,15 +874,7 @@ object Analytics extends QueryModule {
           least($"s_end", expr("CAST(date_add(day, 1) AS TIMESTAMP) - interval 1 microsecond")))
       val points = segs.select($"day", $"seg_start".as("ts"), lit(1L).as("delta"))
         .unionByName(segs.select($"day", $"seg_end".as("ts"), lit(-1L).as("delta")))
-      val wDay = Window.partitionBy($"day")
-        .orderBy($"ts", $"delta".desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      points
-        .withColumn("running", sum($"delta").over(wDay))
-        .groupBy($"day")
-        .agg(max($"running").as("peak_concurrent"),
-          (sum(when($"delta" === 1L, 1L).otherwise(0L))).as("n_segments"))
-        .orderBy($"day")
+      sweepPeaks(points).orderBy($"day")
     },
     Some("""
       WITH r AS (

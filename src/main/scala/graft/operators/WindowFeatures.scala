@@ -495,10 +495,14 @@ object WindowFeatures extends QueryModule {
   // q218 — PURGED K-FOLD CV WITH EMBARGO (the de Prado financial-ML
   // split q23's plain TimeSeriesSplit can't express): when labels look
   // forward in time (q219's barriers, q18's next-day labels), rows
-  // adjacent to the test block leak label information into training —
-  // so an EMBARGO of E rows on each side of every test block is PURGED
-  // from the train set entirely. Per (fold, role ∈ train/test/purged):
-  // row and ticker census, with the integer fold boundaries of q23
+  // adjacent to the test block leak label information into training.
+  // The purge is ASYMMETRIC, per de Prado: BEFORE the test block,
+  // exactly the H rows whose label horizon (q219's TbHorizon) reaches
+  // into it are purged — their labels are functions of test-period
+  // prices; AFTER the block, an EMBARGO of E rows covers serial
+  // correlation leaking backwards (test labels peeking at post-test
+  // training features). Per (fold, role ∈ train/test/purged): row and
+  // ticker census, with the integer fold boundaries of q23
   // ((f·n) div K exclusive → ((f+1)·n) div K inclusive) so both engines
   // cut identically. Per-ticker indexes come from per-ticker windows
   // (|dates|-bounded partitions, the indicator-family discipline);
@@ -506,10 +510,15 @@ object WindowFeatures extends QueryModule {
   // ---------------------------------------------------------------------
   private val CvFolds = 5
   private val CvEmbargo = 3
+  // the pre-test purge depth IS the label horizon; TbHorizon initializes
+  // later in this object, so the tie is asserted at build time below
+  private val CvPurgeH = 5
   private val q218 = QueryDef(
     "q218_purged_cv",
     (spark, dir) => {
       import spark.implicits._
+      require(CvPurgeH == TbHorizon,
+        "purge depth must equal the label horizon it guards against")
       val b = bars(spark, dir)
         .withColumn("rn", row_number().over(wTicker).cast("long"))
         .withColumn("n", count(lit(1))
@@ -520,8 +529,8 @@ object WindowFeatures extends QueryModule {
         .withColumn("hi", expr(s"((fold + 1) * n) div $CvFolds"))
         .withColumn("role",
           when($"rn" >= $"lo" && $"rn" <= $"hi", "test")
-            .when($"rn" >= $"lo" - CvEmbargo && $"rn" <= $"hi" + CvEmbargo,
-              "purged")
+            .when($"rn" >= $"lo" - CvPurgeH && $"rn" < $"lo", "purged")
+            .when($"rn" > $"hi" && $"rn" <= $"hi" + CvEmbargo, "purged")
             .otherwise("train"))
         .groupBy($"fold", $"role")
         .agg(count(lit(1)).as("n_rows"),
@@ -540,7 +549,9 @@ object WindowFeatures extends QueryModule {
         SELECT r.ticker, f.fold,
                CASE WHEN rn >= (fold * n) // $CvFolds + 1
                      AND rn <= ((fold + 1) * n) // $CvFolds THEN 'test'
-                    WHEN rn >= (fold * n) // $CvFolds + 1 - $CvEmbargo
+                    WHEN rn >= (fold * n) // $CvFolds + 1 - $CvPurgeH
+                     AND rn < (fold * n) // $CvFolds + 1 THEN 'purged'
+                    WHEN rn > ((fold + 1) * n) // $CvFolds
                      AND rn <= ((fold + 1) * n) // $CvFolds + $CvEmbargo
                     THEN 'purged'
                     ELSE 'train' END AS role

@@ -146,6 +146,76 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     assert(coldMax <= Search.DfShard, s"cold side skewed: $coldMax")
   }
 
+  test("hot-day sweep: chunk windows bounded; hierarchical peak == naive window peak") {
+    import graft.operators.Analytics
+    // a deliberately hot-day boundary-point table the fixtures can't
+    // produce: one day owns 50k of 60k points — the distribution that
+    // made the old per-day sweep window serial at event scale.
+    // Fixture-sized rows all fit one AQE-coalesced partition, which
+    // would hide the split — pin cluster-shaped chunking for the proof
+    // (at operating scale the advisory byte size bounds chunks the same
+    // way the partition count does here).
+    val confs = Map(
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+    val n = 60000L
+    val hot = spark.range(0, 50000).select(
+      lit(java.sql.Date.valueOf("2024-03-01")).as("day"),
+      // session i spans [i, i+7000) seconds: deep overlap, and every
+      // end coincides with a later session's start — the exact-instant
+      // tie the +1-before-−1 rule (delta desc) must resolve identically
+      // on both the naive and the chunked path
+      expr("timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0, " +
+        "(id div 2) + CASE WHEN id % 2 = 1 THEN 7000 ELSE 0 END)").as("ts"),
+      when($"id" % 2 === 0, lit(1L)).otherwise(lit(-1L)).as("delta"))
+    val cold = spark.range(0, 10000).select(
+      to_date(lit("2024-03-02").cast("date") + ($"id" % 5).cast("int")).as("day"),
+      expr("timestamp'2024-03-02 06:00:00' + make_interval(0,0,0,0,0,0, id)").as("ts"),
+      when($"id" % 2 === 0, lit(1L)).otherwise(lit(-1L)).as("delta"))
+    val points = hot.unionByName(cold)
+    // (a) the chunking law: no running-sum window partition — a
+    // (day, _pid) cell — holds more than a balanced share of the data;
+    // in particular the hot day REALLY splits across chunks
+    val chunks = Analytics.sweepChunks(points).collect()
+    val maxCell = chunks.map(_.getAs[Long]("chunk_rows")).max
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // rangepartition balances by sampled size; 4× slack over the ideal
+    // share covers sampling error while still proving the split
+    assert(maxCell <= 4L * n / parts,
+      s"chunk of $maxCell rows — hot day not split (ideal ${n / parts})")
+    assert(chunks.count(_.getAs[java.sql.Date]("day").toString == "2024-03-01") > 1,
+      "hot day landed in a single chunk")
+    // census preserved across the decomposition
+    assert(chunks.map(_.getAs[Long]("chunk_rows")).sum === n)
+    // (b) exactness: the hierarchical peak equals the naive
+    // single-window-per-day sweep on the same points
+    import org.apache.spark.sql.expressions.Window
+    val wDay = Window.partitionBy($"day").orderBy($"ts", $"delta".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = points
+      .withColumn("running", sum($"delta").over(wDay))
+      .groupBy($"day")
+      .agg(max($"running").as("peak_concurrent"),
+        sum(when($"delta" === 1L, 1L).otherwise(0L)).as("n_segments"))
+      .orderBy($"day").collect().map(_.toString)
+    val hier = Analytics.sweepPeaks(points)
+      .orderBy($"day").collect().map(_.toString)
+    assert(hier.toSeq === naive.toSeq)
+    // (c) plan shape: the sweep rides a RANGE partitioning exchange —
+    // the sort parallelizes — and no window partitions on day alone
+    // over the raw points (the offsets window sees only chunk rows)
+    val plan = Analytics.sweepPeaks(points)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.linesIterator.take(30).mkString("\n"))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("query results are invariant to spark.sql.shuffle.partitions") {
     // q111/q112 are here because their whole point is reproducibility:
     // the shuffle permutation and the fractional-epoch sample must not
