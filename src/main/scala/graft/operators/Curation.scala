@@ -695,9 +695,10 @@ object Curation extends QueryModule {
   // so a cleaner that misses any mapping (or over-cleans) breaks the
   // hash in either direction.
   //
-  // Scale: per-row map work + ONE groupBy on the 64-bit cleaned key —
-  // exactly q34's envelope; the plant stage vanishes in production
-  // (real corpora arrive pre-dirtied).
+  // Scale: per-row map work, a groupBy on the 64-bit cleaned key, and a
+  // streaming attach join — q34's envelope plus one skew-splittable
+  // exchange; the plant stage vanishes in production (real corpora
+  // arrive pre-dirtied).
   // ---------------------------------------------------------------------
   private val CosFrom = " ‘’“”–—"
   private val CosTo = " ''\"\"--"
@@ -720,19 +721,28 @@ object Curation extends QueryModule {
             translate(replace(c, lit("…"), lit("...")), CosFrom, CosTo),
             ZwClass, ""),
           " +", " "))
-      corpus
+      val keyed = corpus
         .withColumn("ckey", Portable.md5Hash64(lower(clean($"text"))))
         .withColumn("raw_h", Portable.md5Hash64($"text"))
         .withColumn("changed", when(clean($"text") =!= $"text", 1L).otherwise(0L))
-        .withColumn("n_raw", size(collect_set($"raw_h").over(
-          Window.partitionBy($"ckey"))))
+        .select($"source", $"ckey", $"raw_h", $"changed")
+        .persist() // group census + per-source rollup both read it
+      // per-ckey distinct-raw census as GROUP-BY + JOIN, deliberately NOT
+      // collect_set(...) OVER (PARTITION BY ckey): the window buffers an
+      // entire duplicate group in one task, and exact-dup groups at crawl
+      // scale are exactly the rows with no size bound (boilerplate pages
+      // duplicate millions of times) — the aggregate combines map-side and
+      // the attach join streams
+      val groups = keyed.groupBy($"ckey")
+        .agg(countDistinct($"raw_h").as("n_raw"))
+      val out = keyed.join(groups, "ckey")
         .groupBy($"source")
         .agg(
           count(lit(1)).as("n_docs"),
           sum($"changed").as("n_changed"),
           countDistinct(when($"n_raw" >= 2, $"ckey")).as("n_twin_groups"),
           sum(when($"n_raw" >= 2, 1L).otherwise(0L)).as("n_twin_docs"))
-        .orderBy($"source")
+      Scoped.materialize(keyed)(out).orderBy($"source")
     },
     Some {
       // single interpolated builder for the clean chain — used for both
@@ -1085,7 +1095,7 @@ object Curation extends QueryModule {
   // PageRank choice per cluster with an agreement flag, because the
   // policy decision deserves data, not taste. Ties on (score desc,
   // node) / (pr3 desc, node). Composes clusters + ranks + quality in
-  // two node-keyed joins and two cluster-bounded windows; the oracle
+  // two node-keyed joins and two per-cluster max_by aggregates; the oracle
   // nests all three parents' SQL off one pair table — a single green
   // hash proving the whole composition.
   // ---------------------------------------------------------------------
@@ -1098,16 +1108,15 @@ object Curation extends QueryModule {
       val quality = TextOps.withQuality(Tables.documents(spark, dir))
         .select($"doc_id".as("node"), $"score")
       val joined = labels.join(pr, Seq("node")).join(quality, Seq("node"))
-      val wPr = Window.partitionBy($"label").orderBy($"pr3".desc, $"node".asc)
-      val wQ = Window.partitionBy($"label").orderBy($"score".desc, $"node".asc)
+      // per-cluster argmaxes as max_by aggregations (the q167 discipline):
+      // map-side combinable, one candidate of state per cluster — never a
+      // row_number window that buffers a whole (possibly giant) cluster
       joined
-        .withColumn("rp", row_number().over(wPr))
-        .withColumn("rq", row_number().over(wQ))
         .groupBy($"label".as("cluster_id"))
         .agg(
           count(lit(1)).as("cluster_size"),
-          max(when($"rp" === 1, $"node")).as("pagerank_pick"),
-          max(when($"rq" === 1, $"node")).as("quality_pick"))
+          max_by($"node", struct($"pr3", -$"node")).as("pagerank_pick"),
+          max_by($"node", struct($"score", -$"node")).as("quality_pick"))
         .withColumn("agree",
           when($"pagerank_pick" === $"quality_pick", 1L).otherwise(0L))
         .orderBy($"cluster_id")

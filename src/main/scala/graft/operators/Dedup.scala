@@ -361,9 +361,9 @@ object Dedup extends QueryModule {
     * parquet (silver-table pattern, same as the minhash pair table).
     */
   private[operators] def word3grams(spark: SparkSession, dir: String): DataFrame =
-    Scoped.shared(spark, s"word3grams:$dir")((Nil, {
+    Scoped.shared(spark, s"word3grams:$dir")({
       import spark.implicits._
-      Tables.documents(spark, dir)
+      val grams = Tables.documents(spark, dir)
         .withColumn("w", Portable.tokens($"text"))
         .select($"doc_id", $"lang", (($"n_chars" / 100).cast("long")).as("lb"),
           explode(array_distinct(
@@ -373,12 +373,19 @@ object Dedup extends QueryModule {
                 element_at($"w", i + 1), lit(" "),
                 element_at($"w", i + 2))))).as("s"))
         .filter($"s".isNotNull)
-        // block-local document frequency, computed once at build time (one
-        // window shuffle on the same key the candidate self-join uses);
-        // consumers that don't select it get it pruned at the parquet scan
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"lang", $"lb", $"s")))
-    }))
+        .persist() // df aggregate + attach join both read it at build time
+      // block-local document frequency, computed once at build time.
+      // GROUP-BY + JOIN, deliberately NOT count(*) OVER (PARTITION BY
+      // lang, lb, s): a window buffers every posting of a hot stop-gram
+      // ("one of the") in ONE task — the q190/q191 straggler class — while
+      // the aggregate combines map-side and the attach join streams (and
+      // is AQE-skew-splittable). Consumers that don't select df get it
+      // pruned at the parquet scan.
+      val dfx = grams.groupBy($"lang", $"lb", $"s")
+        .agg(count(lit(1)).as("df"))
+      (Seq(grams), grams.join(dfx, Seq("lang", "lb", "s"))
+        .select($"doc_id", $"lang", $"lb", $"s", $"df"))
+    })
 
   /** Candidate-generation cut of [[word3grams]]: grams whose document
     * frequency within their (lang, length-bucket) block is ≤ [[GramDfCap]].

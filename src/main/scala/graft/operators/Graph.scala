@@ -136,9 +136,12 @@ object Graph extends QueryModule {
   // web-curation practice: keep the canonical origin, drop mirrors).
   // Composition is two node-keyed joins over q72's labels and q160's
   // ranks — both already distributed tables, no new shuffle class; the
-  // per-cluster argmax is one row_number window over cluster-sized
-  // groups (bounded: a near-dup cluster is df-cap bounded, never
-  // corpus-sized). Deterministic: ties on (pr3 desc, node asc).
+  // per-cluster argmax is a max_by AGGREGATION, deliberately not a
+  // row_number window: the aggregate combines map-side and holds one
+  // candidate per cluster, so even a pathological giant cluster (one
+  // boilerplate page mirrored across the crawl) never buffers in a
+  // single task. Deterministic: ties on (pr3 desc, node asc) via the
+  // (pr3, -node) max key — node is unique, so no residual tie exists.
   // The oracle nests BOTH parents' CTE chains off one shared pair table,
   // so this green row re-proves components and PageRank agree on the
   // same graph.
@@ -149,15 +152,13 @@ object Graph extends QueryModule {
       import spark.implicits._
       val labels = Dedup.clusterLabels(spark, dir) // (node, label)
       val pr = pageRank(spark, dir)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"label").orderBy($"pr3".desc, $"node".asc)
       labels.join(pr, Seq("node"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cluster_size", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"label")))
-        .filter($"rn" === 1)
+        .groupBy($"label")
+        .agg(
+          count(lit(1)).as("cluster_size"),
+          max_by(struct($"node", $"pr3"), struct($"pr3", -$"node")).as("c"))
         .select($"label".as("cluster_id"), $"cluster_size",
-          $"node".as("canonical_doc"), $"pr3".as("canonical_pr3"))
+          $"c.node".as("canonical_doc"), $"c.pr3".as("canonical_pr3"))
         .orderBy($"cluster_id")
     },
     Some(s"""

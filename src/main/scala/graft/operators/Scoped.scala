@@ -53,8 +53,18 @@ private[graft] object Scoped {
     */
   @volatile private[graft] var lastMaterializedPlan: String = ""
 
+  /** Audit hook: when installed (WindowBoundsSpec), sees the OPTIMIZED
+    * logical plan of every materialize input and every shared build —
+    * the plans the parquet round-trip otherwise hides behind a FileScan,
+    * which is where most of the engine's window operators live. Never
+    * installed on a production path.
+    */
+  @volatile private[graft] var planAudit:
+      Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan => Unit] = None
+
   def materialize(persisted: DataFrame*)(result: DataFrame): DataFrame = {
     val spark = result.sparkSession
+    planAudit.foreach(_(result.queryExecution.optimizedPlan))
     lastMaterializedPlan = result.queryExecution.executedPlan.toString
     val out = newTempDir("graft_mat_")
     result.write.mode("overwrite").parquet(out)
@@ -105,6 +115,7 @@ private[graft] object Scoped {
     if (path == null) {
       built.add(key)
       val (persisted, result) = build
+      planAudit.foreach(_(result.queryExecution.optimizedPlan))
       // embed the logical name in the dir so plans/listings show WHICH
       // derived table a scan reads (the slug drops the input-dir path)
       val slug = key.takeWhile(_ != ':').replaceAll("[^A-Za-z0-9_]", "_")

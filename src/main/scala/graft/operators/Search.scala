@@ -700,11 +700,14 @@ object Search extends QueryModule {
   // needs only the RANKS: score = Σ 1/(60 + rank), computed here as the
   // exact integer Σ 10⁹ div (60 + rank), so fusion adds zero float risk
   // on top of the scorers. Both scorers share ONE postings/df/doc-length
-  // build (the plan reuse a separate-query fusion would lose); ranks are
-  // over the CANDIDATE set (docs matching ≥ 1 query term — the same
-  // bounded universe q84's top-k ranks), ties on doc_id.
+  // build (the plan reuse a separate-query fusion would lose); each
+  // ranker's ranks live only inside its TakeOrdered top-RrfPool (the
+  // k-bounded fusion form — the matched set itself is result-set-sized
+  // and therefore NOT a lawful window partition at corpus scale), ties
+  // on doc_id.
   // ---------------------------------------------------------------------
   private val RrfK = 60
+  private val RrfPool = 1024
   private val q177 = QueryDef(
     "q177_rrf_hybrid",
     (spark, dir) => {
@@ -735,18 +738,34 @@ object Search extends QueryModule {
         .agg(
           sum($"tf" * $"idf_scaled").as("s_tfidf"),
           sum($"idf_scaled" * $"tfn_scaled").as("s_bm25"))
+      // RRF over per-ranker TOP-POOLS, the production fusion shape: each
+      // ranker contributes ranks only for its TakeOrdered top-RrfPool
+      // (distributed top-k — never a global rank over the whole matched
+      // set, which is result-set-sized and unbounded at corpus scale);
+      // the rank window then runs over ≤ RrfPool already-limited rows.
+      // A doc outside a ranker's pool contributes 0 from that ranker
+      // (Cormack et al.'s k-bounded form). At fixture scale the matched
+      // set fits both pools, so the fused ranks equal the full-ranking
+      // ones and the oracle below mirrors the pool cut exactly.
+      val sc = scored.persist()
       val wT = org.apache.spark.sql.expressions.Window
         .orderBy($"s_tfidf".desc, $"doc_id")
       val wB = org.apache.spark.sql.expressions.Window
         .orderBy($"s_bm25".desc, $"doc_id")
-      scored
+      val tPool = sc.orderBy($"s_tfidf".desc, $"doc_id").limit(RrfPool)
         .withColumn("r_tfidf", row_number().over(wT).cast("long"))
+        .select($"doc_id", $"r_tfidf")
+      val bPool = sc.orderBy($"s_bm25".desc, $"doc_id").limit(RrfPool)
         .withColumn("r_bm25", row_number().over(wB).cast("long"))
+        .select($"doc_id", $"r_bm25")
+      val fused = tPool.join(bPool, Seq("doc_id"), "full_outer")
         .withColumn("rrf_scaled",
-          expr(s"1000000000L div ($RrfK + r_tfidf) + 1000000000L div ($RrfK + r_bm25)"))
+          expr(s"coalesce(1000000000L div ($RrfK + r_tfidf), 0L)" +
+            s" + coalesce(1000000000L div ($RrfK + r_bm25), 0L)"))
         .orderBy($"rrf_scaled".desc, $"doc_id")
         .limit(20)
         .select($"doc_id", $"r_tfidf", $"r_bm25", $"rrf_scaled")
+      Scoped.materialize(sc)(fused).orderBy($"rrf_scaled".desc, $"doc_id")
     },
     Some {
       val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
@@ -781,11 +800,20 @@ object Search extends QueryModule {
                  AS r_tfidf,
                CAST(row_number() OVER (ORDER BY s_bm25 DESC, doc_id) AS BIGINT)
                  AS r_bm25
-        FROM scored)
+        FROM scored),
+      pooled AS (
+        -- the engine's per-ranker top-RrfPool cut: ranks survive only
+        -- inside a pool; a doc outside one pool contributes 0 from it
+        SELECT doc_id,
+               CASE WHEN r_tfidf <= $RrfPool THEN r_tfidf END AS r_tfidf,
+               CASE WHEN r_bm25 <= $RrfPool THEN r_bm25 END AS r_bm25
+        FROM ranked
+        WHERE r_tfidf <= $RrfPool OR r_bm25 <= $RrfPool)
       SELECT doc_id, r_tfidf, r_bm25,
-             CAST(1000000000 // ($RrfK + r_tfidf)
-                + 1000000000 // ($RrfK + r_bm25) AS BIGINT) AS rrf_scaled
-      FROM ranked
+             CAST(coalesce(1000000000 // ($RrfK + r_tfidf), 0)
+                + coalesce(1000000000 // ($RrfK + r_bm25), 0) AS BIGINT)
+               AS rrf_scaled
+      FROM pooled
       ORDER BY rrf_scaled DESC, doc_id LIMIT 20"""
     })
 

@@ -1,0 +1,186 @@
+package graft.plans
+
+/** The declared WINDOW-PARTITION-BOUND registry — the windowed twin of
+  * the Silver table registry (operators/Silver.scala): every
+  * `Window.partitionBy` key the engine plans is bounded by SOMETHING
+  * (per-ticker |dates| rows, per-doc tokens, a value-domain grid, a
+  * rangepartition chunk, …), but until round 9 that bound lived in
+  * comments — each round the scale audit re-derived "is this window a
+  * 100× straggler?" by hand, and the two real hazards that shipped
+  * (r7's q190/q191 term window, r8's q184 day sweep) were exactly
+  * windows whose key LOOKED bounded and wasn't.
+  *
+  * This registry makes the bound a DECLARATION checked by CI:
+  * WindowBoundsSpec walks the optimized plan of every SparkEntry query
+  * (and every Silver table build) at fixture scale, extracts each
+  * window operator's partition keys, and fails on any window none of
+  * whose keys carries a declared bound — an undeclared window key is a
+  * build error, not a judge finding. Windows with an EMPTY partition
+  * spec (a single global partition — the straggler shape by
+  * construction) must name a per-query exemption with the reason the
+  * input is tiny.
+  *
+  * A declaration is a contract about the INPUT the engine feeds that
+  * window, not about the key's domain: `ticker` is declared because
+  * every frame partitioned by ticker here is the daily-bars grain
+  * (≤ |trading days| rows per ticker), not because tickers are few.
+  * Adding a new window over per-tick data keyed by ticker would pass
+  * the key check but violate the declared bound — the registry row
+  * says exactly what invariant a reviewer must re-check when a new
+  * consumer appears (the Silver-registry discipline).
+  */
+object WindowBounds {
+
+  /** One bounding key: a window partitioned by (k1, …, kn) is accepted
+    * when at least one ki is declared here — subdividing by MORE keys
+    * only refines partitions, so a single bounded key bounds the cell.
+    *
+    * `key` is the normalized partition expression as
+    * WindowBoundsSpec extracts it from the optimized plan: the bare
+    * attribute name for column keys (aliases are resolved through the
+    * plan, so `_w0`-style synthetic names never appear), or the
+    * canonical `Expression.sql` for computed keys.
+    */
+  final case class BoundedKey(
+      key: String,
+      /** the invariant that bounds rows per partition cell */
+      bound: String,
+      /** representative consumers (informational, not exhaustive) */
+      examples: Seq[String])
+
+  /** Single keys that bound ANY window partitioned by them (plus any
+    * refining keys). Subdividing by more keys only shrinks cells, so one
+    * declared key bounds the whole spec.
+    */
+  val declared: Seq[BoundedKey] = Seq(
+    BoundedKey("ticker",
+      "daily-bars grain: ≤ |trading days| rows per ticker (the indicator" +
+        " family discipline); per-tick frames must re-partition by" +
+        " (ticker, day) before windowing",
+      Seq("q18", "q20", "q80", "q153", "q219")),
+    BoundedKey("doc_id",
+      "per-document token/gram/span rows: bounded by max document" +
+        " length, the curation contract every text operator assumes",
+      Seq("q118", "q125", "q209")),
+    BoundedKey("user_id",
+      "per-user event rows: bounded by per-user activity over the" +
+        " fixture's bounded retention window (sessionization grain)",
+      Seq("q63", "q88", "q124")),
+    BoundedKey("_pid",
+      "spark_partition_id() after repartitionByRange: a rangepartition" +
+        " chunk — ≤ ~|input| / |shuffle partitions| rows by the range" +
+        " sampler, the hierarchical prefix-sum discipline",
+      Seq("q22", "q184")),
+    BoundedKey("chunk",
+      "explicit rangepartition chunk id (withGlobalRn): ≤ chunk-size" +
+        " rows by construction",
+      Seq("q22", "q23", "q135")),
+    BoundedKey("chunk_day",
+      "per-day CHUNK-SUMMARY rows from Analytics.sweepChunks — ≤" +
+        " |shuffle partitions| rows per day (the renamed grain exists so" +
+        " a raw-points `day` window can never ride this declaration;" +
+        " that was exactly the r8 q184 hazard)",
+      Seq("q184")),
+    BoundedKey("event_type",
+      "ROLLUP/GRID grain only: every event_type window here runs over" +
+        " per-day calendars, per-fold sums, histogram bins, or" +
+        " distinct-value (type, cents) frames — ≤ |days| / |folds| /" +
+        " |bins| / |value grid| rows per type (q135's value-domain" +
+        " discipline). A window over RAW events keyed by type would be" +
+        " corpus-sized and must not reuse this row",
+      Seq("q137", "q144", "q145", "q152", "q169", "q189", "q62")),
+    BoundedKey("source",
+      "per-source VALUE-DOMAIN histogram rows (perplexity-milli grid," +
+        " ≤ grid cells per source), never raw documents — the q207 CCNet" +
+        " tercile cut; raw per-source doc windows are forbidden (q199" +
+        " samples via rank-limit instead)",
+      Seq("q207")),
+    BoundedKey("vec_id",
+      "per-vector candidate rows bounded by the broadcast codebook:" +
+        " ≤ MaxK centroids (cell assignment) / ≤ nprobe cells — model" +
+        " state, not corpus state",
+      Seq("q56", "q105", "q162")),
+    BoundedKey("bucket_cap",
+      "broadcast-offset frame already grouped by (_pid, bucket_cap):" +
+        " ≤ |shuffle partitions| rows per cap — the q165 length-batching" +
+        " prefix-sum discipline",
+      Seq("q165")),
+    BoundedKey("p_brand",
+      "catalog DIMENSION grain: parts per brand — dimension-table" +
+        " cardinality, not fact cardinality; q193's percent_rank needs" +
+        " the full partition by definition, which is only sane on a" +
+        " dimension",
+      Seq("q193"))
+  )
+
+  /** Exact partition-key SETS (sorted, comma-joined) whose bound holds
+    * for that combination but NOT for the keys individually — e.g. q190's
+    * `bkt` is a doc-id-range sub-shard that only bounds postings when
+    * paired with `term`.
+    */
+  final case class BoundedSet(
+      keys: String, bound: String, examples: Seq[String])
+
+  val declaredSets: Seq[BoundedSet] = Seq(
+    BoundedSet("bkt, term",
+      "postings sub-shard: ≤ PostingsBucket rows per (term, doc-id-range" +
+        " bucket) by construction — the r7 q190 Zipf fix, bound asserted" +
+        " by the Zipf-replay spec",
+      Seq("q190")),
+    BoundedSet("bkt, event_type",
+      "per-(type, HLL register) DAILY register rows: ≤ |days| per cell" +
+        " (64 registers × types × days, dense by construction)",
+      Seq("q192"))
+  )
+
+  private lazy val declaredKeys: Set[String] = declared.map(_.key).toSet
+  private lazy val declaredSetKeys: Set[String] =
+    declaredSets.map(_.keys.split(",\\s*").sorted.mkString(", ")).toSet
+
+  /** Per-query exemptions for GLOBAL windows (empty partitionSpec):
+    * acceptable only when the window input is itself bounded — a
+    * chunk-summary, group-rollup, or TakeOrdered-limited frame. Keyed by
+    * query/table name (for windows inside a shared silver build, the
+    * name is the first consumer that triggers the build); the value is
+    * the reason the input is tiny.
+    */
+  val globalWindowExempt: Map[String, String] = Map(
+    "q22_train_test_split" ->
+      ("withGlobalRn offsets window: one row per rangepartition chunk" +
+        " (≤ |shuffle partitions| rows) — the broadcast-offset prefix-sum" +
+        " discipline's own summary frame"),
+    "silver:bars_global_rn" ->
+      "same offsets frame when the silver build is walked directly",
+    "q106_sequence_packing" ->
+      "token-offset frame: one row per rangepartition chunk",
+    "q135_equidepth_bins" ->
+      "rank-offset frame: one row per rangepartition chunk",
+    "q58_vocab_build" ->
+      ("rank assigned AFTER TakeOrderedAndProject limit 100 — window" +
+        " input ≤ 100 rows"),
+    "q177_rrf_hybrid" ->
+      ("per-ranker rank assigned AFTER the TakeOrdered top-RrfPool cut —" +
+        " window input ≤ 1024 rows per ranker"),
+    "q134_token_budget" ->
+      ("largest-remainder rounding over per-source allocation rows" +
+        " (≤ |sources|)"),
+    "q194_alpha_mixture" ->
+      ("largest-remainder rounding over per-source allocation rows" +
+        " (≤ |sources|)"),
+    "q187_convert_latency" ->
+      "cumulative distribution over ≤ 49 latency-bucket rollup rows",
+    "q211_vocab_growth" ->
+      "cumulative vocabulary over ≤ 10 ingestion-decile rollup rows")
+
+  /** True when a window over `keys` (sorted) carries at least one
+    * declared bounding key, or matches a declared exact set. Empty
+    * `keys` never passes here — global windows go through
+    * [[globalWindowExempt]]. Rank-limit windows (row_number/rank ≤ k,
+    * which Catalyst turns into WindowGroupLimit pre-shuffle pruning —
+    * post-shuffle ≤ k·|map partitions| rows per key) are accepted by
+    * WindowBoundsSpec directly off the plan, no declaration needed.
+    */
+  def isBounded(keys: Seq[String]): Boolean =
+    keys.exists(declaredKeys.contains) ||
+      declaredSetKeys.contains(keys.sorted.mkString(", "))
+}

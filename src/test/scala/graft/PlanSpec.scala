@@ -376,10 +376,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q164: cleanup dedup is map work + hash aggregates — no joins at all") {
-    val p = planOf("q164_unicode_cleanup")
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
-      && !p.contains("CartesianProduct"), p)
+  test("q164: cleanup dedup is map work + aggregates + one ckey attach join — no window") {
+    // materialized since r9: the group census attaches via GROUP-BY +
+    // JOIN instead of collect_set OVER (PARTITION BY ckey), so no task
+    // ever buffers a whole duplicate group — the attach join may shuffle
+    // (skew-splittable), a window may not
+    SparkEntry.queries("q164_unicode_cleanup")(spark, TestSpark.Sf001)
+    val p = graft.operators.Scoped.lastMaterializedPlan
+    assert(!p.contains("Window"), "q164 re-grew a dup-group window:\n" +
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q166: phrase postings shrink through broadcast joins before the adjacency join") {
@@ -408,12 +414,17 @@ class PlanSpec extends AnyFunSuite {
       && !p.contains("CartesianProduct"), p)
   }
 
-  test("q177: RRF fuses off ONE shared postings build, no cartesian") {
-    val p = planOf("q177_rrf_hybrid")
+  test("q177: RRF fuses off ONE shared postings build, pool-bounded ranks, no cartesian") {
+    // materialized since r9 (pool'd RRF): pre-write plan still carries
+    // the broadcast df/corpus joins, and each ranker's rank window must
+    // sit above a TakeOrdered/Limit pool cut, never the raw matched set
+    SparkEntry.queries("q177_rrf_hybrid")(spark, TestSpark.Sf001)
+    val p = graft.operators.Scoped.lastMaterializedPlan
     assert(!p.contains("CartesianProduct"))
-    // df and corpus stats ride broadcast; the postings subtree must not
-    // be duplicated per ranker (both scores come from one aggregate)
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "rank pools lost their TakeOrdered cut:\n" +
+        p.linesIterator.take(30).mkString("\n"))
   }
 
   test("q190/q191: df never computes through an unsplittable term window") {
