@@ -740,9 +740,17 @@ object Corpus extends QueryModule {
   // decile. This is the curve that decides epoch counts and crawl-batch
   // value: when novelty_milli flattens near zero, additional data is
   // re-reading the same text (the q118/substring-dedup signal,
-  // aggregated to a planning number). Same two-aggregation envelope as
-  // q211 over 8-byte gram hashes; SpanL-token grams match the
+  // aggregated to a planning number). SpanL-token grams match the
   // substring-dedup unit so the numbers compose.
+  //
+  // Scale shape (r9): the corpus×8-token gram INSTANCE stream is
+  // consumed by exactly ONE map-combinable aggregation — the per
+  // (gram, decile) count — and is never persisted (the r8 nit: the old
+  // plan cached the instance stream for three consumers). Everything
+  // downstream (per-decile mass, each gram's first decile AND the
+  // instance count at that first decile via one min(struct), novel-type
+  // census) derives from the counts table, whose size is bounded by
+  // |gram vocab| × 10, not by corpus length.
   // ---------------------------------------------------------------------
   private val q212 = QueryDef(
     "q212_novelty_decay",
@@ -759,23 +767,24 @@ object Corpus extends QueryModule {
           .as("gh"))
         .crossJoin(broadcast(bounds))
         .withColumn("decile", expr("(doc_id * 10) div n_ids"))
-        .persist()
-      val occ = grams.groupBy($"decile").agg(count(lit(1)).as("n_grams"))
-      val firstSeen = grams.groupBy($"gh").agg(min($"decile").as("fd"))
-      // an instance is NOVEL when its decile is the gram's first decile;
-      // novel count per decile = count of (gram, decile=fd) instances
-      val novel = grams.join(firstSeen, "gh")
-        .filter($"decile" === $"fd")
-        .groupBy($"decile").agg(count(lit(1)).as("n_first_decile_instances"))
-      val distinctNew = firstSeen.groupBy($"fd".as("decile"))
-        .agg(count(lit(1)).as("n_new_grams"))
+      val gcounts = grams.groupBy($"gh", $"decile")
+        .agg(count(lit(1)).as("cnt"))
+        .persist() // vocab×deciles-bounded; three cheap consumers below
+      val occ = gcounts.groupBy($"decile").agg(sum($"cnt").as("n_grams"))
+      // per gram: first decile and the instance count AT that decile, in
+      // one pass (min over ≤ 10 rows per gram)
+      val byGh = gcounts.groupBy($"gh")
+        .agg(min(struct($"decile", $"cnt")).as("f"))
+        .select($"f.decile".as("decile"), $"f.cnt".as("first_cnt"))
+      val novel = byGh.groupBy($"decile")
+        .agg(sum($"first_cnt").as("n_first_decile_instances"),
+          count(lit(1)).as("n_new_grams"))
       val out = occ
         .join(novel, Seq("decile"), "left")
-        .join(distinctNew, Seq("decile"), "left")
         .na.fill(0L, Seq("n_first_decile_instances", "n_new_grams"))
         .withColumn("novelty_milli",
           expr("(1000 * n_first_decile_instances) div n_grams"))
-      Scoped.materialize(grams)(out).orderBy($"decile")
+      Scoped.materialize(gcounts)(out).orderBy($"decile")
     },
     Some(s"""
       WITH n AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),

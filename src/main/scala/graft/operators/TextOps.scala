@@ -755,13 +755,25 @@ object TextOps extends QueryModule {
   // exact integer quotient as the tiebreaker. Min support 5 filters
   // noise. Scale shape: one bigram aggregation, one unigram
   // aggregation, two joins on the token key, TakeOrdered top-20 — all
-  // map-side-combinable, no windows. The c12·N product is the
-  // documented bound: int64-safe to N ≈ 3·10⁹ pair instances per
-  // (c12 ≤ N); beyond that production moves the ratio to the log
-  // domain (bitlen(c12)+bitlen(N)−bitlen(c1)−bitlen(c2), within ±2
-  // bits) — the fixture stays exact.
+  // map-side-combinable, no windows.
+  //
+  // Int64 ESCAPE (r9, the r8-documented fallback made real): the c12·N
+  // product overflows int64 once N nears 3·10⁹ pair instances, so the
+  // quotient is computed in a SHIFTED domain whenever the product nears
+  // the bit budget: k = max(0, bitlen(c12) + bitlen(N) − PmiProductBits),
+  // q = ((c12 · (N >> k)) div (c1·c2)) << k. For k = 0 this is exactly
+  // the old quotient; for k > 0 the result is a multiple of 2^k whose
+  // bit length (hence pmi_bits) is within ±1 of the exact value — the
+  // relative error of N >> k is ≤ 2^(bitlen(c12) − PmiProductBits + 1),
+  // vanishing at the production budget. PmiProductBits is 62 in
+  // production; here it is FIXTURE-SIZED (the q190 DfShard trick) so
+  // the DuckDB gate exercises BOTH paths at every SF — hot bigrams
+  // (bitlen(c12) ≥ 6) escape, the long tail stays exact. The spec
+  // asserts the ±1 bracket against the BigInt-exact quotient and that
+  // both paths really execute.
   // ---------------------------------------------------------------------
   private val PmiMinCount = 5
+  private[operators] val PmiProductBits = 20
   private val q213 = QueryDef(
     "q213_pmi_collocations",
     (spark, dir) => {
@@ -783,7 +795,11 @@ object TextOps extends QueryModule {
       val out = big.filter($"c12" >= PmiMinCount)
         .join(left, "w1").join(right, "w2")
         .crossJoin(broadcast(total))
-        .withColumn("q", expr("(c12 * n) div (c1 * c2)"))
+        .withColumn("kk", greatest(lit(0),
+          (length(conv($"c12", 10, 2)) + length(conv($"n", 10, 2))
+            - lit(PmiProductBits)).cast("int")))
+        .withColumn("q",
+          expr("shiftleft((c12 * shiftright(n, kk)) div (c1 * c2), kk)"))
         .filter($"q" >= 1)
         .withColumn("pmi_bits", (length(conv($"q", 10, 2)) - 1).cast("long"))
         .select($"w1", $"w2", $"c12", $"c1", $"c2", $"q", $"pmi_bits")
@@ -806,11 +822,17 @@ object TextOps extends QueryModule {
       l AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
       r AS (SELECT w2, count(*) AS c2 FROM pairs GROUP BY 1),
       n AS (SELECT count(*) AS n FROM pairs),
-      scored AS (
-        SELECT b.w1, b.w2, b.c12, l.c1, r.c2,
-               (b.c12 * n.n) // (l.c1 * r.c2) AS q
+      kd AS (
+        SELECT b.w1, b.w2, b.c12, l.c1, r.c2, n.n,
+               greatest(0, length(format('{:b}', b.c12))
+                 + length(format('{:b}', n.n)) - $PmiProductBits) AS kk
         FROM big b JOIN l USING (w1) JOIN r USING (w2), n
-        WHERE b.c12 >= $PmiMinCount AND (b.c12 * n.n) // (l.c1 * r.c2) >= 1)
+        WHERE b.c12 >= $PmiMinCount),
+      scored AS (
+        SELECT w1, w2, c12, c1, c2,
+               ((c12 * (n >> kk)) // (c1 * c2)) << kk AS q
+        FROM kd
+        WHERE ((c12 * (n >> kk)) // (c1 * c2)) << kk >= 1)
       SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
              CAST(c2 AS BIGINT) AS c2, CAST(q AS BIGINT) AS q,
              CAST(length(format('{:b}', q)) - 1 AS BIGINT) AS pmi_bits

@@ -313,4 +313,53 @@ class TextSentimentSpec extends AnyFunSuite {
         s"$src: excess $excess outside [$lo, $hi]")
     }
   }
+
+  test("q213: shifted-domain quotient brackets the exact PMI and both paths execute") {
+    val dir = TestSpark.Sf001
+    // rebuild the pair censuses exactly as q213 does (pre-top-20, so the
+    // path census covers every scored bigram, not just the winners)
+    val pairs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", Portable.tokens(lower($"text")).as("w"))
+      .select(explode(transform(
+        sequence(lit(1), greatest(size($"w") - 1, lit(1))),
+        i => struct(element_at($"w", i).as("w1"),
+          element_at($"w", i + 1).as("w2")))).as("p"))
+      .filter($"p.w1".isNotNull && $"p.w2".isNotNull)
+      .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+    val big = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      .filter($"c12" >= 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val c1 = pairs.groupBy($"w1").agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c2 = pairs.groupBy($"w2").agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = pairs.count()
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val ks = big.map { case ((a, b), cc) =>
+      math.max(0, bitlen(cc) + bitlen(n) - TextOps.PmiProductBits)
+    }
+    assert(ks.exists(_ > 0), "escape path never taken — PmiProductBits too large for the fixture")
+    assert(ks.exists(_ == 0), "exact path never taken — PmiProductBits too small for the fixture")
+    // per scored bigram: the shipped shifted quotient q' = ((c12·(n>>k))
+    // div (c1·c2)) << k is ≤ the exact quotient, and its floor-log₂ is
+    // within ±1 bit of exact — so pmi_bits rankings survive the escape
+    big.foreach { case ((a, b), cc) =>
+      val k = math.max(0, bitlen(cc) + bitlen(n) - TextOps.PmiProductBits)
+      val qAppr = ((cc * (n >> k)) / (c1(a) * c2(b))) << k
+      val qExact = (BigInt(cc) * BigInt(n) / (BigInt(c1(a)) * BigInt(c2(b)))).toLong
+      assert(qAppr <= qExact, s"($a,$b): q' $qAppr above exact $qExact")
+      if (qExact >= 1 && qAppr >= 1) {
+        val d = math.abs((bitlen(qAppr) - 1) - (bitlen(qExact) - 1))
+        assert(d <= 1, s"($a,$b): bits drift $d (q'=$qAppr exact=$qExact)")
+      }
+    }
+    // and the shipped query stays internally consistent: every reported q
+    // is a multiple of 2^k for its own (c12, n)
+    graft.SparkEntry.queries("q213_pmi_collocations")(spark, dir).collect()
+      .foreach { r =>
+        val k = math.max(0,
+          bitlen(r.getAs[Long]("c12")) + bitlen(n) - TextOps.PmiProductBits)
+        assert(r.getAs[Long]("q") % (1L << k) === 0L, r.toString)
+      }
+  }
 }
