@@ -86,4 +86,24 @@ class WindowFeaturesSpec extends AnyFunSuite {
     val dist = out.groupBy(_.getAs[Long]("label")).view.mapValues(_.length)
     assert(dist.getOrElse(1L, 0) > 0 && dist.getOrElse(-1L, 0) > 0)
   }
+
+  test("q223: streaming labeler ≡ batch q219 on decided entries, invariant to chunking") {
+    import org.apache.spark.sql.functions.col
+    val dir = graft.TestSpark.Sf001
+    // expected = the batch label table minus the undecided tail (no touch
+    // AND fewer than TbHorizon following bars — those stay open)
+    val expected = WindowFeatures.tripleBarrier(spark, dir)
+      .filter(col("label") =!= 0L ||
+        (col("n") - col("rn")) >= WindowFeatures.TbHorizon.toLong)
+      .select("ticker", "date", "cents", "label", "days_to_event")
+      .collect().map(_.toString).sorted
+    assert(expected.nonEmpty)
+    // one batch and many small batches must both reproduce it exactly —
+    // the state fold is batching-independent
+    Seq(1, 7).foreach { chunks =>
+      val got = WindowFeatures.streamTripleBarrier(spark, dir, chunks)
+        .collect().map(_.toString).sorted
+      assert(got.toSeq === expected.toSeq, s"chunking=$chunks diverged")
+    }
+  }
 }
