@@ -1365,6 +1365,90 @@ object Multimodal extends QueryModule {
              CAST(list_max(list_transform(vals, v -> abs(v))) AS BIGINT) AS peak
       FROM s ORDER BY doc_id, win_idx"""))
 
+  // ---------------------------------------------------------------------
+  // q224 — SPECTRAL BAND ENERGIES via fixed-point Goertzel
+  // (functions.Goertzel; VERDICT r8 "Next round" #4): the ASR-prep
+  // feature operator between q142's time-domain energy and a full mel
+  // filterbank — per 256-sample frame of the decoded WAV, the energy at
+  // 8 fixed voice-band center frequencies. All arithmetic is int64: the
+  // per-band 2·cos coefficients are scaled/rounded ONCE in Scala and
+  // embedded literally in the oracle (the q210 cosine-table trick), and
+  // the recurrence's only rounding — floor division by 2^Shift — is the
+  // arithmetic right shift both engines implement identically. The
+  // oracle replays the IDENTICAL integer recurrence over the
+  // analytically-known synth samples with list_reduce (the q215
+  // pattern), so a wrong coefficient, shift, frame boundary, or power
+  // formula breaks the hash. Framing lives inside the per-partition
+  // decode (no sample explode, no shuffle): per-asset work is
+  // O(samples·bands), output O(assets·frames·bands). The spec pins
+  // band semantics independently: a synthesized pure tone at each band
+  // center dominates that band.
+  // ---------------------------------------------------------------------
+  final case class AudioBand(
+      doc_id: Long, win_idx: Long, band: Long, power: Long)
+
+  private val q224 = QueryDef(
+    "q224_audio_band_energy",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.{Goertzel, RiffWav}
+      val assets: Dataset[(Long, Array[Byte])] = Tables.documents(spark, dir)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, synthWav(id))))
+      assets.mapPartitions(_.flatMap { case (id, bytes) =>
+        val w = RiffWav.decode(bytes)
+        val xs = new Array[Int](w.samples.length)
+        var i = 0
+        while (i < xs.length) { xs(i) = w.samples(i).toInt; i += 1 }
+        val nWin = (xs.length + WinLen - 1) / WinLen
+        (0 until nWin).iterator.flatMap { win =>
+          val from = win * WinLen
+          val until = math.min(from + WinLen, xs.length)
+          val p = Goertzel.framePowers(xs, from, until)
+          p.indices.map(b => AudioBand(id, win.toLong, b.toLong, p(b)))
+        }
+      }).toDF().orderBy($"doc_id", $"win_idx", $"band")
+    },
+    Some {
+      import graft.functions.Goertzel
+      val bandLit = Goertzel.Coef.zipWithIndex
+        .map { case (c, b) => s"{'band': $b, 'c': ${c}}" }.mkString(",")
+      val sh = Goertzel.Shift
+      val nullB = "CAST(NULL AS BIGINT)"
+      s"""
+      WITH p AS (
+        SELECT doc_id,
+               (200 + doc_id % 800) * (1 + doc_id % 2) AS n_samp
+        FROM documents),
+      w AS (
+        SELECT doc_id, n_samp,
+               unnest(range(0, (n_samp + ${WinLen - 1}) // $WinLen)) AS win_idx
+        FROM p),
+      f AS (
+        SELECT doc_id, win_idx, bt.b['band'] AS band, bt.b['c'] AS c,
+               list_reduce(
+                 list_prepend(
+                   {'s1': CAST(0 AS BIGINT), 's2': CAST(0 AS BIGINT)},
+                   list_transform(
+                     range(win_idx * $WinLen,
+                           least((win_idx + 1) * $WinLen, n_samp)),
+                     i -> {'s1': (doc_id * 31 + i * 17) % 2003 - 1001,
+                           's2': $nullB})),
+                 -- prev captures a.s1 through a 1-element list_transform
+                 -- (the q215 trick): naming a.s1 both raw and inside
+                 -- another field's expression trips a DuckDB v1.0 struct
+                 -- CSE bug that aliases the two fields
+                 (a, e) -> list_transform([a.s1], prev ->
+                   {'s1': e.s1 + ((c * prev) >> $sh) - a.s2,
+                    's2': prev})[1]) AS r
+        FROM w, (SELECT unnest([$bandLit]) AS b) AS bt)
+      SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+             CAST(band AS BIGINT) AS band,
+             CAST(r['s1'] * r['s1'] + r['s2'] * r['s2']
+                - ((c * r['s1']) >> $sh) * r['s2'] AS BIGINT) AS power
+      FROM f ORDER BY doc_id, win_idx, band"""
+    })
+
   /** Typed row for the q198 A/V sync audit. */
   final case class AvSync(
       doc_id: Long, audio_ms: Long, video_ms: Long,
@@ -1414,5 +1498,5 @@ object Multimodal extends QueryModule {
 
   override val defs: Seq[QueryDef] =
     Seq(q44, q45, q107, q109, q110, q116, q121, q141, q142, q198, q202, q203,
-      q210, q215, q216, q217)
+      q210, q215, q216, q217, q224)
 }

@@ -100,4 +100,30 @@ class MultimodalFeaturesSpec extends AnyFunSuite {
     bad(60) = (bad(60) ^ 0x41).toByte // flip a header byte → checksum breaks
     assert(Ustar.parse(bad).exists(e => !e.checksumOk))
   }
+
+  test("q224: a pure tone at each band center dominates its own band; silence is zero") {
+    import graft.functions.Goertzel
+    Goertzel.BandHz.zipWithIndex.foreach { case (f, k) =>
+      val n = 256
+      val xs = Array.tabulate(n)(i =>
+        math.round(8000.0 *
+          math.sin(2 * math.Pi * f * i / Goertzel.SampleRate)).toInt)
+      val p = Goertzel.framePowers(xs, 0, n)
+      val argmax = p.indices.maxBy(p)
+      assert(argmax === k, s"tone ${f} Hz peaked in band $argmax: ${p.mkString(",")}")
+      assert(p(k) > 0L)
+    }
+    assert(Goertzel.framePowers(Array.fill(256)(0), 0, 256).forall(_ === 0L))
+    // the fixed-point magnitude bound the scaladoc claims: the synth
+    // noise corpus never approaches int64 territory
+    (0L until 50L).foreach { doc =>
+      val n = ((200 + doc % 800) * (1 + doc % 2)).toInt
+      val xs = Array.tabulate(n)(i =>
+        (((doc * 31 + i.toLong * 17) % 2003) - 1001).toInt)
+      (0 until (n + 255) / 256).foreach { win =>
+        Goertzel.framePowers(xs, win * 256, math.min((win + 1) * 256, n))
+          .foreach(p => assert(math.abs(p) < (1L << 50)))
+      }
+    }
+  }
 }
