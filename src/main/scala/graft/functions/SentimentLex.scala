@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * This is the native-expression port of the three VADER mechanics that
   * dominate its behavior (Hutto & Gilbert 2014, public method):
   *
-  *   1. a large word→valence lexicon (several thousand entries at
-  *      VADER-like magnitudes — a hand-curated core plus morphologically
-  *      derived inflections and finance/slang/emoticon batches, see
-  *      [[Lexicon]] — stored as integer decivalences = valence × 10);
+  *   1. a large word→valence lexicon (3,786 entries as of round 9, vs
+  *      public VADER's ~7.5k, at VADER-like magnitudes — a hand-curated
+  *      core plus morphologically derived inflections and
+  *      finance/slang/emoticon batches, see [[Lexicon]] — stored as
+  *      integer decivalences = valence × 10);
   *   2. negation: a lexicon hit preceded by a negator flips and damps its
   *      valence by VADER's factor −0.74 ("not good" scores −0.74 × 1.9);
   *   3. intensity boosters: a preceding intensifier/dampener shifts the
@@ -547,6 +548,207 @@ object SentimentLex {
     "stalemate" -> -10, "tyrant" -> -22, "upheaval" -> -14,
     "villain" -> -22)
 
+  /** Round-9 adjective expansion (×2 via -ly) — general-register words
+    * at VADER-like magnitudes, chosen so the -ly derivation is natural.
+    */
+  private[graft] val AdjStems2: Seq[(String, Int)] = Seq(
+    "abysmal" -> -27, "accurate" -> 13, "adept" -> 14, "adequate" -> 6,
+    "admirable" -> 20, "adorable" -> 22, "adverse" -> -14, "agreeable" -> 14,
+    "aimless" -> -11, "amiable" -> 15, "ample" -> 10, "artful" -> 11,
+    "atrocious" -> -28, "authentic" -> 13, "awkward" -> -11, "balanced" -> 9,
+    "barbaric" -> -24, "bleak" -> -17, "blissful" -> 26, "boisterous" -> -5,
+    "bold" -> 11, "brave" -> 18, "brisk" -> 8, "brutal" -> -23,
+    "calm" -> 12, "candid" -> 10, "capable" -> 12, "careless" -> -14,
+    "cautious" -> 4, "charitable" -> 16, "cheap" -> -7, "cheerful" -> 21,
+    "chaotic" -> -15, "civil" -> 8, "clumsy" -> -11, "coherent" -> 9,
+    "cold" -> -8, "comfortable" -> 14, "commendable" -> 18, "compassionate" -> 21,
+    "competent" -> 12, "conclusive" -> 8, "confident" -> 15, "congenial" -> 14,
+    "consistent" -> 9, "corrupt" -> -24, "courageous" -> 19, "courteous" -> 14,
+    "cozy" -> 14, "crafty" -> -4, "cruel" -> -25,
+    "crude" -> -12, "cunning" -> -5, "curious" -> 8, "decent" -> 11,
+    "decisive" -> 10, "defective" -> -16, "deficient" -> -13, "deft" -> 12,
+    "dependable" -> 14, "deplorable" -> -25, "desolate" -> -18, "desperate" -> -17,
+    "destructive" -> -21, "devious" -> -15, "diligent" -> 13, "dire" -> -19,
+    "dishonest" -> -21, "dismal" -> -19, "distasteful" -> -15,
+    "dreadful" -> -24, "dreary" -> -13, "dubious" -> -11, "dutiful" -> 9,
+    "eager" -> 13, "earnest" -> 11, "effective" -> 13, "efficient" -> 13,
+    "elegant" -> 17, "eloquent" -> 14, "eminent" -> 13, "energetic" -> 13,
+    "enjoyable" -> 18, "equitable" -> 11, "erratic" -> -12, "ethical" -> 13,
+    "exact" -> 7, "exemplary" -> 20, "exquisite" -> 23, "faint" -> -5,
+    "faithful" -> 15, "fearless" -> 15, "feeble" -> -13, "fertile" -> 9,
+    "fierce" -> -7, "filthy" -> -19, "flawless" -> 24, "flimsy" -> -12,
+    "fluent" -> 11, "fond" -> 13, "foolish" -> -14, "fortunate" -> 17,
+    "foul" -> -20, "fragrant" -> 11, "frantic" -> -12, "fraudulent" -> -25,
+    "fresh" -> 11, "frigid" -> -10, "frivolous" -> -9, "frugal" -> 6,
+    "fruitful" -> 14, "futile" -> -15, "generous" -> 18, "gentle" -> 14,
+    "genuine" -> 14, "glad" -> 17, "gloomy" -> -16, "graceful" -> 16,
+    "gracious" -> 16, "grateful" -> 18, "grave" -> -13, "greedy" -> -17,
+    "grim" -> -16, "gruesome" -> -22, "hapless" -> -12, "harmonious" -> 15,
+    "harsh" -> -14, "hasty" -> -8, "hateful" -> -25, "healthy" -> 15,
+    "heartless" -> -21, "heroic" -> 20, "hideous" -> -22, "honorable" -> 17,
+    "hopeless" -> -21, "hostile" -> -19, "humane" -> 15, "humble" -> 10,
+    "hysterical" -> -8, "ideal" -> 16, "idle" -> -8, "ignorant" -> -15,
+    "immaculate" -> 19, "immense" -> 8, "impartial" -> 9, "impatient" -> -10,
+    "impeccable" -> 21, "impolite" -> -13, "impressive" -> 18, "impulsive" -> -8,
+    "inadequate" -> -14, "incompetent" -> -19, "inconsistent" -> -11,
+    "indifferent" -> -8, "industrious" -> 12, "inept" -> -16, "inferior" -> -13,
+    "ingenious" -> 17, "innocent" -> 10, "insolent" -> -15, "intelligent" -> 15,
+    "intolerable" -> -19, "inventive" -> 13, "irate" -> -18,
+    "joyous" -> 23, "judicious" -> 11, "keen" -> 11,
+    "lame" -> -13, "lavish" -> 9, "lazy" -> -12, "lethal" -> -19,
+    "loyal" -> 15, "lucid" -> 9,
+    "ludicrous" -> -14, "luminous" -> 12, "magnificent" -> 24, "malicious" -> -23,
+    "meager" -> -10, "meek" -> -5, "mellow" -> 9, "merciful" -> 14,
+    "merciless" -> -21, "merry" -> 17, "mighty" -> 11, "miserable" -> -22,
+    "modest" -> 8, "monstrous" -> -21, "morbid" -> -15, "mournful" -> -16,
+    "naive" -> -8, "nasty" -> -19, "neat" -> 12, "negligent" -> -16,
+    "nimble" -> 11, "noble" -> 15, "notorious" -> -13, "obnoxious" -> -18,
+    "obscene" -> -19, "odious" -> -21, "ominous" -> -15,
+    "oppressive" -> -18, "optimal" -> 14, "ornate" -> 8,
+    "outrageous" -> -15, "overdue" -> -8, "painless" -> 9, "paltry" -> -10,
+    "passionate" -> 14, "pathetic" -> -19, "peaceful" -> 18, "perilous" -> -16,
+    "pessimistic" -> -13, "petty" -> -11, "placid" -> 8, "playful" -> 13,
+    "pleasant" -> 17, "plentiful" -> 12, "polite" -> 13, "pompous" -> -12,
+    "potent" -> 9, "praiseworthy" -> 18, "precarious" -> -13, "precise" -> 10,
+    "prejudiced" -> -16, "pristine" -> 17, "productive" -> 13, "proficient" -> 13,
+    "prosperous" -> 18, "proud" -> 13, "prudent" -> 10, "punctual" -> 9,
+    "quaint" -> 8, "radiant" -> 18, "rancid" -> -17,
+    "rash" -> -10, "reckless" -> -16, "refined" -> 12, "reliable" -> 14,
+    "reluctant" -> -7, "repugnant" -> -21, "repulsive" -> -22, "resilient" -> 14,
+    "resourceful" -> 14, "respectful" -> 14, "restless" -> -9, "rigorous" -> 8,
+    "robust" -> 12, "rotten" -> -19, "rough" -> -9, "rude" -> -17,
+    "ruthless" -> -19, "sane" -> 7, "savvy" -> 12,
+    "scornful" -> -15, "seamless" -> 14, "secure" -> 12, "selfish" -> -16,
+    "selfless" -> 16, "senseless" -> -15, "serene" -> 16, "shabby" -> -13,
+    "shallow" -> -9, "shameful" -> -19, "shameless" -> -14, "shoddy" -> -16,
+    "shrewd" -> 9, "skillful" -> 14, "sloppy" -> -13, "sluggish" -> -11,
+    "smug" -> -10, "solemn" -> -4, "solid" -> 10, "sordid" -> -17,
+    "sound" -> 9, "spacious" -> 10, "spiteful" -> -18, "splendid" -> 22,
+    "spotless" -> 14, "stale" -> -10, "steadfast" -> 13,
+    "sterile" -> -6, "stern" -> -7, "stingy" -> -13, "stout" -> 5,
+    "strenuous" -> -6, "stubborn" -> -10, "stunning" -> 22, "sturdy" -> 10,
+    "stylish" -> 13, "suave" -> 10, "subpar" -> -13, "subtle" -> 5,
+    "sufficient" -> 7, "suitable" -> 8, "sullen" -> -12, "superb" -> 23,
+    "superficial" -> -10, "supreme" -> 15, "swift" -> 9, "tactful" -> 11,
+    "tactless" -> -13, "tasteful" -> 12, "tedious" -> -12, "tender" -> 12,
+    "terrific" -> 22, "thankful" -> 17, "thorough" -> 10, "thoughtful" -> 15,
+    "thoughtless" -> -14, "thrifty" -> 7, "tidy" -> 10, "timid" -> -8,
+    "tiresome" -> -12, "tranquil" -> 15, "treacherous" -> -20, "trustworthy" -> 16,
+    "truthful" -> 14, "unbearable" -> -20, "uncouth" -> -13, "unfit" -> -12,
+    "ungrateful" -> -15, "unhealthy" -> -13, "unjust" -> -17, "unkind" -> -14,
+    "unlucky" -> -13, "unpleasant" -> -15, "unreliable" -> -14, "unsafe" -> -15,
+    "unsound" -> -11, "unstable" -> -13, "untidy" -> -9, "unwise" -> -11,
+    "upbeat" -> 16, "useless" -> -17, "valiant" -> 16, "vibrant" -> 15,
+    "vicious" -> -22, "vigilant" -> 9, "vigorous" -> 10, "vile" -> -23,
+    "virtuous" -> 15, "vivid" -> 10, "vulgar" -> -16, "warm" -> 12,
+    "wasteful" -> -13, "weary" -> -11, "wholesome" -> 15, "wicked" -> -19,
+    "wise" -> 14, "wistful" -> -5, "witty" -> 14, "worthless" -> -19,
+    "worthy" -> 13, "wretched" -> -21, "zealous" -> 8)
+
+  /** Round-9 regular-verb expansion (×4 via -s/-ed/-ing) — only verbs
+    * whose inflections the spelling rules produce correctly (irregulars
+    * go to [[ExtraWords]] as explicit forms).
+    */
+  private[graft] val VerbStems2: Seq[(String, Int)] = Seq(
+    "abandon" -> -16, "abolish" -> -8, "absolve" -> 10, "abuse" -> -24,
+    "accomplish" -> 16, "accuse" -> -14, "ache" -> -13, "achieve" -> 16,
+    "admire" -> 17, "adore" -> 22, "agonize" -> -18, "alienate" -> -14,
+    "amaze" -> 20, "amuse" -> 14, "anger" -> -18, "annihilate" -> -22,
+    "annoy" -> -14, "appall" -> -18, "applaud" -> 16, "appreciate" -> 15,
+    "assault" -> -22, "assure" -> 10, "astonish" -> 17, "attack" -> -17,
+    "avenge" -> -11, "banish" -> -12, "befriend" -> 13, "belittle" -> -15,
+    "betray" -> -23, "bicker" -> -11, "blame" -> -14, "bless" -> 17,
+    "blunder" -> -13, "boast" -> -8, "bolster" -> 11, "bore" -> -10,
+    "bother" -> -10, "bungle" -> -13, "burden" -> -12, "calm" -> 11,
+    "captivate" -> 16, "care" -> 11, "celebrate" -> 18, "censure" -> -12,
+    "cherish" -> 19, "collapse" -> -16, "comfort" -> 14, "commend" -> 14,
+    "complain" -> -12, "compliment" -> 14, "condemn" -> -17, "confuse" -> -11,
+    "congratulate" -> 16, "conquer" -> 11, "console" -> 11, "contaminate" -> -16,
+    "cooperate" -> 11, "corrode" -> -11, "cripple" -> -17, "criticize" -> -12,
+    "crumble" -> -12, "crush" -> -15, "damage" -> -16, "dazzle" -> 16,
+    "deceive" -> -20, "dedicate" -> 10, "defame" -> -16, "defend" -> 8,
+    "degrade" -> -16, "delight" -> 20, "demolish" -> -13, "demoralize" -> -17,
+    "denounce" -> -14, "deprive" -> -14, "desecrate" -> -17, "deserve" -> 8,
+    "despair" -> -19, "despise" -> -21, "deteriorate" -> -15, "devastate" -> -23,
+    "disappoint" -> -17, "discourage" -> -13, "disgrace" -> -18, "dishearten" -> -15,
+    "dismay" -> -14, "disparage" -> -14, "displease" -> -13, "disrespect" -> -16,
+    "disrupt" -> -12, "distort" -> -12, "distress" -> -16, "disturb" -> -12,
+    "dominate" -> -6, "doubt" -> -9, "dread" -> -17, "embarrass" -> -14,
+    "embrace" -> 13, "empower" -> 15, "enchant" -> 16, "encourage" -> 15,
+    "endanger" -> -15, "endear" -> 12, "endure" -> 5, "enlighten" -> 13,
+    "enrage" -> -19, "enrich" -> 14, "entertain" -> 12, "envy" -> -12,
+    "exaggerate" -> -8, "exasperate" -> -14, "excite" -> 15, "exclude" -> -10,
+    "exhaust" -> -12, "exploit" -> -16, "falter" -> -10, "fascinate" -> 15,
+    "fatigue" -> -10, "flatter" -> 7, "flounder" -> -11, "flourish" -> 17,
+    "frighten" -> -16, "frustrate" -> -16, "fulfill" -> 14,
+    "fumble" -> -10, "glorify" -> 12, "gratify" -> 13, "grieve" -> -18,
+    "harass" -> -20, "harm" -> -17, "heal" -> 15, "help" -> 14,
+    "hinder" -> -11, "honor" -> 15, "humiliate" -> -20,
+    "idolize" -> 13, "impair" -> -12, "impress" -> 14, "improve" -> 13,
+    "infect" -> -13, "infuriate" -> -19, "injure" -> -16, "insult" -> -18,
+    "intimidate" -> -15, "invigorate" -> 14, "irritate" -> -14, "jeopardize" -> -16,
+    "languish" -> -13, "lament" -> -14, "liberate" -> 13, "loathe" -> -21,
+    "lure" -> -7, "malign" -> -15, "manipulate" -> -14, "menace" -> -16,
+    "mend" -> 10, "mistreat" -> -18, "mock" -> -15, "motivate" -> 13,
+    "mourn" -> -17, "nurture" -> 14, "offend" -> -15, "oppress" -> -18,
+    "overwhelm" -> -10, "pamper" -> 10, "paralyze" -> -15,
+    "perish" -> -17, "persevere" -> 12, "pester" -> -12, "plague" -> -16,
+    "please" -> 14, "poison" -> -19, "polish" -> 8, "pollute" -> -16,
+    "praise" -> 17, "prosper" -> 16, "protect" -> 12, "provoke" -> -11,
+    "punish" -> -14, "rattle" -> -8, "ravage" -> -19, "reassure" -> 12,
+    "rebuke" -> -12, "reconcile" -> 11, "redeem" -> 12, "refresh" -> 12,
+    "regret" -> -14, "rejoice" -> 19, "rejuvenate" -> 14, "relax" -> 12,
+    "relieve" -> 12, "repair" -> 9, "rescue" -> 15, "resent" -> -15,
+    "restore" -> 10, "revere" -> 14, "revitalize" -> 13, "ridicule" -> -16,
+    "ruin" -> -19, "sabotage" -> -19, "sadden" -> -16, "satisfy" -> 14,
+    "scare" -> -14, "scold" -> -12, "smear" -> -13, "soothe" -> 13,
+    "squander" -> -14, "stagnate" -> -11, "starve" -> -18, "stifle" -> -11,
+    "strangle" -> -19, "strengthen" -> 12, "struggle" -> -12, "stumble" -> -10,
+    "suffer" -> -19, "suffocate" -> -17, "support" -> 12, "surrender" -> -9,
+    "swindle" -> -19, "sympathize" -> 10, "tarnish" -> -13, "tease" -> -8,
+    "terrify" -> -21, "terrorize" -> -23, "thank" -> 14, "threaten" -> -17,
+    "thrive" -> 17, "torment" -> -20, "torture" -> -24, "trample" -> -13,
+    "tremble" -> -11, "triumph" -> 18, "trust" -> 13, "unsettle" -> -11,
+    "uplift" -> 17, "vandalize" -> -17, "vanquish" -> 10, "violate" -> -18,
+    "welcome" -> 14, "wilt" -> -9, "worsen" -> -14, "worship" -> 12,
+    "wound" -> -16, "wreck" -> -17)
+
+  /** Round-9 noun expansion (×2 via plural). */
+  private[graft] val NounStems2: Seq[(String, Int)] = Seq(
+    "abundance" -> 12, "accolade" -> 15, "adversity" -> -13, "affection" -> 16,
+    "agony" -> -22, "ally" -> 10, "ambition" -> 9, "anguish" -> -20,
+    "apathy" -> -11, "atrocity" -> -25, "beauty" -> 17, "blessing" -> 17,
+    "blunder" -> -13, "bravery" -> 16, "calamity" -> -20, "catastrophe" -> -23,
+    "charm" -> 13, "comfort" -> 13, "compassion" -> 17, "confidence" -> 13,
+    "conflict" -> -13, "courage" -> 16, "courtesy" -> 12,
+    "cruelty" -> -22, "curse" -> -16, "danger" -> -15, "deceit" -> -18,
+    "defeat" -> -14, "delight" -> 19, "despair" -> -20, "dignity" -> 13,
+    "dilemma" -> -10, "disaster" -> -21, "disgust" -> -19, "distress" -> -16,
+    "doom" -> -19, "ecstasy" -> 24, "elegance" -> 14, "empathy" -> 14,
+    "enemy" -> -15, "enthusiasm" -> 15, "euphoria" -> 23, "failure" -> -18,
+    "fatigue" -> -10, "felony" -> -18, "fiasco" -> -17, "fortune" -> 14,
+    "fraud" -> -22, "friendship" -> 16, "generosity" -> 16, "glory" -> 17,
+    "gratitude" -> 16, "grief" -> -19, "grievance" -> -12, "happiness" -> 21,
+    "hardship" -> -14, "harmony" -> 15, "hatred" -> -24, "havoc" -> -16,
+    "hazard" -> -13, "honesty" -> 14, "hostility" -> -17, "humiliation" -> -19,
+    "injustice" -> -17, "insult" -> -16, "integrity" -> 14, "jeopardy" -> -14,
+    "joy" -> 21, "kindness" -> 17, "laughter" -> 17, "liberty" -> 14,
+    "loyalty" -> 14, "luxury" -> 13, "masterpiece" -> 21, "menace" -> -15,
+    "mercy" -> 13, "miracle" -> 20, "mischief" -> -9, "misery" -> -21,
+    "misfortune" -> -16, "mistake" -> -12, "nightmare" -> -21, "nuisance" -> -12,
+    "optimism" -> 14, "ordeal" -> -14, "paradise" -> 22, "passion" -> 14,
+    "peril" -> -15, "plague" -> -17, "pleasure" -> 17, "poverty" -> -17,
+    "prosperity" -> 17, "rage" -> -19, "rebellion" -> -10, "relief" -> 13,
+    "remorse" -> -13, "resentment" -> -15, "reward" -> 14, "riot" -> -15,
+    "sabotage" -> -18, "sacrifice" -> -6, "scandal" -> -17, "serenity" -> 16,
+    "shame" -> -17, "sincerity" -> 13, "slander" -> -16, "sorrow" -> -18,
+    "strength" -> 12, "stress" -> -14, "success" -> 17, "sympathy" -> 12,
+    "tenderness" -> 14, "terror" -> -22, "threat" -> -16, "tragedy" -> -21,
+    "treason" -> -19, "trouble" -> -14, "turmoil" -> -16, "tyranny" -> -20,
+    "valor" -> 15, "vengeance" -> -16, "victory" -> 18, "villain" -> -16,
+    "violence" -> -21, "virtue" -> 13, "warmth" -> 14, "wisdom" -> 15,
+    "wrath" -> -19, "zeal" -> 9)
+
   /** Finance / markets-forum vocabulary — the reference corpus is
     * r/wallstreetbets posts scored with VADER (stock_pipeline.py:139),
     * so ticker-chat slang carries most of the real signal there.
@@ -621,7 +823,8 @@ object SentimentLex {
 
   /** Stems whose final consonant doubles before -ed/-ing. */
   private val DoubleFinal =
-    Set("expel", "excel", "nag", "snub", "stun", "flop", "shun", "abhor")
+    Set("expel", "excel", "nag", "snub", "stun", "flop", "shun", "abhor",
+      "regret")
 
   /** Words whose inflections are irregular or unnatural — entered as
     * explicit single forms instead of through the derivation rules.
@@ -639,7 +842,19 @@ object SentimentLex {
     "withstand" -> 10, "heartwarming" -> 24, "awestruck" -> 19,
     "spellbound" -> 17, "standout" -> 16, "standstill" -> -11,
     "shipwreck" -> -17, "downhearted" -> -18, "crestfallen" -> -18,
-    "browbeaten" -> -16, "woebegone" -> -17)
+    "browbeaten" -> -16, "woebegone" -> -17,
+    // r9: forms the derivation rules cannot produce (irregular verbs,
+    // -ly-final adjectives whose adverb would be "-lily", Greek plurals)
+    "forgive" -> 14, "forgives" -> 14, "forgave" -> 14, "forgiven" -> 14,
+    "forgiving" -> 15, "hurt" -> -17, "hurts" -> -17, "hurting" -> -17,
+    "panic" -> -16, "panics" -> -16, "panicked" -> -17, "panicking" -> -17,
+    "crisis" -> -18, "crises" -> -18, "lonely" -> -15, "lively" -> 14,
+    "stately" -> 10, "orderly" -> 9, "disorderly" -> -11,
+    "cowardly" -> -15, "kindly" -> 14, "jolly" -> 17,
+    // bare forms whose -ly adverb is a lookback MODIFIER ("purely" is an
+    // intensifier, "scarcely" a negator) — a word cannot be both a hit
+    // and the next word's modifier, so only the bare form enters
+    "pure" -> 12, "scarce" -> -9)
 
   private def endsWithAny(w: String, ss: String*): Boolean = ss.exists(w.endsWith)
   private def consY(w: String): Boolean =
@@ -675,10 +890,10 @@ object SentimentLex {
     else w + "ly"
 
   private def derivedEntries: Seq[(String, Int)] =
-    VerbStems.flatMap { case (w, v) =>
+    (VerbStems ++ VerbStems2).flatMap { case (w, v) =>
       Seq(w -> v, sForm(w) -> v, pastForm(w) -> v, ingForm(w) -> v) } ++
-    AdjStems.flatMap { case (w, v) => Seq(w -> v, lyForm(w) -> v) } ++
-    NounStems.flatMap { case (w, v) => Seq(w -> v, sForm(w) -> v) } ++
+    (AdjStems ++ AdjStems2).flatMap { case (w, v) => Seq(w -> v, lyForm(w) -> v) } ++
+    (NounStems ++ NounStems2).flatMap { case (w, v) => Seq(w -> v, sForm(w) -> v) } ++
     ExtraWords ++ FinanceBatch ++ SlangBatch
 
   /** word → integer decivalence (VADER-like valence × 10): the curated
