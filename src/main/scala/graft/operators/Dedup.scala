@@ -1057,6 +1057,104 @@ object Dedup extends QueryModule {
       JOIN sizes nb ON nb.source = src_b
       ORDER BY src_a, src_b"""))
 
+  // ---------------------------------------------------------------------
+  // q225 — WINNOWING FINGERPRINT SELECTION (Schleimer, Wilkerson & Aiken
+  // 2003 — the MOSS algorithm; the position-robust fingerprinting that
+  // q30's whole-doc rolling hash and q118's exhaustive gram shuffle sit
+  // on either side of): hash every char 8-gram, slide a window of
+  // WinnowW consecutive hashes, and from each window SELECT the
+  // rightmost minimal hash. The guarantee that makes it the standard
+  // plagiarism/near-dup primitive: any shared substring of length ≥
+  // k + w − 1 (23 chars here) yields at least one shared fingerprint,
+  // while expected density is only 2/(w+1) ≈ 118 milli — a ~8.5×
+  // reduction over full gram shuffling at the same detection floor.
+  //
+  // Spark shape: the selection is ONE per-doc window pass —
+  // min_by(pos, (h, −pos)) over a WinnowW-row frame gives each window's
+  // rightmost argmin, min(h) the selected hash; DISTINCT collapses
+  // windows that picked the same position. Partition key is doc_id
+  // (WindowBounds-declared: per-doc rows bounded by document length) and
+  // the output per doc is the fingerprint census the dedup index would
+  // ingest. Exactness: md5-60bit gram hashes, rightmost tie pinned by
+  // the (h, −pos) key — identical in both engines, so selection count,
+  // density and hash extents all hash-match.
+  // ---------------------------------------------------------------------
+  private val WinnowK = 8
+  private val WinnowW = 16
+  private val q225 = QueryDef(
+    "q225_winnowing",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+      val grams = Tables.documents(spark, dir)
+        .select($"doc_id", lower($"text").as("t"))
+        // docs shorter than one gram are absent from the census (and
+        // Spark's sequence(1, 0) would DESCEND, not empty — guard first)
+        .filter(length($"t") >= WinnowK)
+        .select($"doc_id",
+          posexplode(transform(
+            sequence(lit(1), length($"t") - (WinnowK - 1)),
+            i => Portable.md5Hash64($"t".substr(i, lit(WinnowK)))))
+            .as(Seq("p0", "h")))
+        .select($"doc_id", ($"p0" + 1).as("pos"), $"h")
+      val frame = w.partitionBy($"doc_id").orderBy($"pos")
+        .rowsBetween(-(WinnowW - 1), 0)
+      // rightmost minimal hash of the frame via one struct-min: minimize
+      // (h, −pos) ⇒ smallest hash, ties to the largest position
+      val sel = grams
+        .withColumn("m",
+          min(struct($"h", (-$"pos").as("np"))).over(frame))
+        .filter($"pos" >= WinnowW) // full windows only (the paper's rule)
+        .select($"doc_id", (-$"m.np").as("spos"), $"m.h".as("sh"))
+        .distinct()
+      val nGrams = grams.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"))
+      nGrams
+        .join(sel.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_fp"),
+            min($"sh").as("min_fp"), max($"sh").as("max_fp")),
+          Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_fp"))
+        .withColumn("density_milli",
+          when($"n_grams" >= WinnowW,
+            expr("(1000 * n_fp) div (n_grams - " +
+              s"${WinnowW - 1})")).otherwise(lit(0L)))
+        .select($"doc_id", $"n_grams", $"n_fp", $"density_milli",
+          $"min_fp", $"max_fp")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT doc_id, i AS pos,
+               ${Portable.md5Hash64Sql(s"substr(lower(text), i, $WinnowK)")} AS h
+        FROM (SELECT doc_id, text,
+                unnest(range(1, greatest(length(text) - ${WinnowK - 2}, 1)))
+                  AS i
+              FROM documents)),
+      selraw AS (
+        SELECT doc_id, pos,
+               min({'h': h, 'np': -pos}) OVER fr AS m
+        FROM g
+        WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW)),
+      sel AS (
+        SELECT DISTINCT doc_id, -(m['np']) AS spos, m['h'] AS sh
+        FROM selraw WHERE pos >= $WinnowW),
+      ng AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+      fp AS (
+        SELECT doc_id, count(*) AS n_fp, min(sh) AS min_fp, max(sh) AS max_fp
+        FROM sel GROUP BY 1)
+      SELECT ng.doc_id, CAST(ng.n_grams AS BIGINT) AS n_grams,
+             CAST(coalesce(fp.n_fp, 0) AS BIGINT) AS n_fp,
+             CAST(CASE WHEN ng.n_grams >= $WinnowW
+               THEN (1000 * coalesce(fp.n_fp, 0)) //
+                    (ng.n_grams - ${WinnowW - 1})
+               ELSE 0 END AS BIGINT) AS density_milli,
+             fp.min_fp, fp.max_fp
+      FROM ng LEFT JOIN fp ON fp.doc_id = ng.doc_id
+      ORDER BY ng.doc_id"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q34, q35, q36, q37, q38, q72, q96, q114, q118, q131, q151, q163, q174)
+    Seq(q34, q35, q36, q37, q38, q72, q96, q114, q118, q131, q151, q163,
+      q174, q225)
 }

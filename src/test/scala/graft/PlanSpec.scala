@@ -376,6 +376,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("rank-limit windows execute with WindowGroupLimit pre-shuffle pruning") {
+    // WindowBoundsSpec auto-accepts row_number/rank ≤ k windows because
+    // Catalyst turns them into a partial WindowGroupLimit BEFORE the
+    // shuffle (post-shuffle ≤ k·|map partitions| rows per key). This
+    // asserts the physical operator actually appears for the two shapes
+    // that rely on it: latest-per-key (q08) and grouped top-k (q39).
+    Seq("q08_latest_per_key", "q39_knn_brute").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, TestSpark.Sf001)
+      val p =
+        if (q == "q39_knn_brute") graft.operators.Scoped.lastMaterializedPlan
+        else df.queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost its group-limit prune:\n" + p.linesIterator.take(25).mkString("\n"))
+    }
+  }
+
   test("q164: cleanup dedup is map work + aggregates + one ckey attach join — no window") {
     // materialized since r9: the group census attaches via GROUP-BY +
     // JOIN instead of collect_set OVER (PARTITION BY ckey), so no task

@@ -155,4 +155,58 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val hits = out.map(_.getLong(4)).sum
     assert(hits >= 8, s"ADC recall implausibly low: $hits/80 hits")
   }
+
+  test("q225 winnowing: density near 2/(w+1), and the shared-substring guarantee holds") {
+    val out = run("q225_winnowing").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_grams")
+      val fp = r.getAs[Long]("n_fp")
+      if (n >= 16) {
+        assert(fp >= 1L, s"doc ${r.getLong(0)}: full windows but no fingerprint")
+        // windows overlap, so selections repeat: density well under 1000;
+        // for long docs it concentrates near the theoretical 2/(w+1)≈118
+        val d = r.getAs[Long]("density_milli")
+        assert(in18(d), s"doc ${r.getLong(0)}: density $d")
+      } else assert(fp === 0L)
+    }
+    // the paper's guarantee, end to end on the real selector: two texts
+    // sharing a substring of length ≥ k + w − 1 = 23 share a fingerprint
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, s"aaaa bbbb cccc $shared dddd eeee"),
+      (2L, s"zzzz yyyy $shared xxxx wwww qqqq rrrr"),
+      (3L, "totally unrelated text with no common run at all here"))
+      .toDF("doc_id", "text")
+    val fps = winnowFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "shared 43-char substring produced no shared fingerprint")
+  }
+
+  private def in18(d: Long): Boolean = d >= 60L && d <= 400L
+
+  /** Re-run the q225 selector on an ad-hoc corpus (same constants). */
+  private def winnowFingerprints(docs: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.Portable
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-15, 0)
+    docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .filter(length(col("t")) >= 8)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), length(col("t")) - 7),
+          i => Portable.md5Hash64(col("t").substr(i, lit(8)))))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+      .withColumn("m", min(struct(col("h"), (-col("pos")).as("np"))).over(frame))
+      .filter(col("pos") >= 16)
+      .select(col("doc_id"), col("m.h").as("sh"))
+      .distinct()
+  }
 }
