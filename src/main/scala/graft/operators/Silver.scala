@@ -93,6 +93,14 @@ object Silver {
       Seq("q125"),
       (s, d) => Search.textrankEdges(s, d)),
     SilverTable(
+      "wordpiece_vocab",
+      "corpus-trained WordPiece vocabulary (piece, weight): every" +
+        " character in start and ## form plus the top-200 multi-char" +
+        " substrings by occurrence weight — broadcast tokenizer model" +
+        " state",
+      Seq("q226"),
+      (s, d) => TextOps.wordpieceVocab(s, d)),
+    SilverTable(
       "gbt_model_store",
       "the session model store: (model_name, artifact bytes) parquet" +
         " rows; every load re-reads serialized bytes through the storage" +

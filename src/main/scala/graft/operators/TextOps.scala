@@ -932,7 +932,170 @@ object TextOps extends QueryModule {
       FROM terms GROUP BY source ORDER BY source"""
     })
 
+  // ---------------------------------------------------------------------
+  // q226 — WORDPIECE GREEDY ENCODER (Schuster & Nakajima / BERT's
+  // longest-match-first tokenizer — the second tokenizer family next to
+  // q117/q119's merge-driven BPE): segment every word by repeatedly
+  // taking the LONGEST vocab piece at the cursor, continuation pieces
+  // carrying the "##" prefix. The vocab is corpus-trained model state
+  // (silver table `wordpiece_vocab`): every single character in both
+  // start and "##" form (total coverage — no UNK path on in-corpus text)
+  // plus the top-[[WpTopM]] multi-char substrings (length 2–4) by
+  // occurrence-weighted frequency, ties broken lexicographically.
+  //
+  // Scale shape: encoding runs over DISTINCT words only (the tokenizer
+  // is a pure word function) and joins back onto the per-(doc, word)
+  // counts — corpus length never meets the greedy loop. The vocab is
+  // bounded broadcast model state (≤ alphabet·2 + WpTopM entries, the
+  // P12 discipline). Oracle: DEFERRED (the q113 pattern) — the vocab the
+  // silver build materialized is read back and embedded as a literal
+  // list, and DuckDB replays the IDENTICAL greedy longest-match fold per
+  // distinct word, so a wrong ranking cut, ## form, or match order
+  // breaks the hash.
+  // ---------------------------------------------------------------------
+  private[operators] val WpMaxLen = 4
+  private[operators] val WpTopM = 200
+
+  /** Corpus-trained WordPiece vocabulary: (piece, weight), where piece
+    * is the start form ("ab") or continuation form ("##ab").
+    */
+  private[operators] def wordpieceVocab(
+      spark: SparkSession, dir: String): DataFrame =
+    Scoped.shared(spark, s"wordpiece_vocab:$dir")({
+      import spark.implicits._
+      val wcounts = Tables.documents(spark, dir)
+        .select(explode(Portable.tokens(lower($"text"))).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)]
+      val pieces = wcounts.flatMap { case (w, cnt) =>
+        val L = w.length
+        val out = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+        var i = 0
+        while (i < L) {
+          val cont = if (i == 0) "" else "##"
+          out += ((cont + w.substring(i, i + 1), cnt))
+          var l = 2
+          while (l <= WpMaxLen && i + l <= L) {
+            out += ((cont + w.substring(i, i + l), cnt))
+            l += 1
+          }
+          i += 1
+        }
+        out
+      }.toDF("piece", "cnt")
+        .groupBy($"piece").agg(sum($"cnt").as("weight"))
+      val chars = pieces.filter(
+        length(regexp_replace($"piece", "^##", "")) === 1)
+      val multi = pieces.filter(
+        length(regexp_replace($"piece", "^##", "")) >= 2)
+        .orderBy($"weight".desc, $"piece".asc)
+        .limit(WpTopM)
+      (Nil, chars.unionByName(multi).orderBy($"piece"))
+    })
+
+  /** Greedy longest-match piece count for one word — shared by the
+    * engine, the spec, and (replayed in SQL) the oracle. Single-char
+    * fallback is unconditional: the trained vocab carries total
+    * character coverage, and pinning the fallback keeps both engines
+    * identical even off-corpus.
+    */
+  private[operators] def wpEncodeCount(
+      word: String, vocab: String => Boolean): Long = {
+    val L = word.length
+    var pos = 0
+    var n = 0L
+    while (pos < L) {
+      var l = math.min(WpMaxLen, L - pos)
+      var took = 1
+      var done = false
+      while (!done) {
+        if (l <= 1) { took = 1; done = true }
+        else {
+          val s = word.substring(pos, pos + l)
+          val key = if (pos == 0) s else "##" + s
+          if (vocab(key)) { took = l; done = true } else l -= 1
+        }
+      }
+      pos += took
+      n += 1
+    }
+    n
+  }
+
+  /** Dir of the most recent q226 build this process ran — the deferred
+    * oracle reads the SAME materialized vocab back (builds always run
+    * before oracle dump in graft.Verify).
+    */
+  @volatile private var wpLastDir: String = _
+
+  private val q226 = QueryDef.deferred(
+    "q226_wordpiece_encode",
+    (spark, dir) => {
+      import spark.implicits._
+      wpLastDir = dir
+      val vocab = wordpieceVocab(spark, dir)
+        .select($"piece").as[String].collect().toSet
+      val docWords = Tables.documents(spark, dir)
+        .select($"doc_id", explode(Portable.tokens(lower($"text"))).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
+      val encoded = docWords.select($"w").distinct().as[String]
+        .mapPartitions(_.map(w => (w, wpEncodeCount(w, vocab))))
+        .toDF("w", "wp")
+      docWords.join(encoded, "w")
+        .groupBy($"doc_id")
+        .agg(
+          sum($"cnt").as("n_words"),
+          sum($"cnt" * $"wp").as("n_pieces"),
+          max($"wp").as("max_word_pieces"))
+        .withColumn("fertility_milli",
+          expr("(1000 * n_pieces) div n_words"))
+        .select($"doc_id", $"n_words", $"n_pieces", $"max_word_pieces",
+          $"fertility_milli")
+        .orderBy($"doc_id")
+    }) {
+      // DEFERRED oracle: embed the materialized vocab (read back through
+      // the silver parquet, not the in-process set) and replay the same
+      // greedy fold per DISTINCT word
+      val spark = org.apache.spark.sql.SparkSession.active
+      require(wpLastDir != null, "q226 oracle generated before any build")
+      val voc = wordpieceVocab(spark, wpLastDir)
+        .select(col("piece")).collect().map(_.getString(0)).sorted
+        .map(p => "'" + p.replace("'", "''") + "'").mkString(",")
+      def tryLen(l: Int): String =
+        s"""CASE WHEN p + ${l - 1} <= length(w) AND list_contains([$voc],
+            CASE WHEN p = 1 THEN substr(w, CAST(p AS INT), $l)
+                 ELSE '##' || substr(w, CAST(p AS INT), $l) END)
+            THEN $l ELSE 0 END"""
+      s"""
+      WITH dw AS (
+        SELECT doc_id, w, count(*) AS cnt FROM (
+          SELECT doc_id, unnest(${Portable.tokensSql("lower(text)")}) AS w
+          FROM documents)
+        GROUP BY 1, 2),
+      words AS (SELECT DISTINCT w FROM dw),
+      enc AS (
+        SELECT w, list_reduce(
+          list_prepend({'pos': CAST(1 AS BIGINT), 'np': CAST(0 AS BIGINT)},
+            list_transform(range(1, length(w) + 1),
+              i -> {'pos': CAST(NULL AS BIGINT), 'np': CAST(NULL AS BIGINT)})),
+          (a, e) -> list_transform([a.pos], p -> list_transform([a.np], n ->
+            CASE WHEN p > length(w) THEN {'pos': p, 'np': n}
+                 ELSE list_transform([greatest(
+                        ${tryLen(4)}, ${tryLen(3)}, ${tryLen(2)}, 1)],
+                      l -> {'pos': p + l, 'np': n + 1})[1]
+            END)[1])[1]) AS r
+        FROM words)
+      SELECT dw.doc_id,
+             CAST(sum(dw.cnt) AS BIGINT) AS n_words,
+             CAST(sum(dw.cnt * enc.r['np']) AS BIGINT) AS n_pieces,
+             CAST(max(enc.r['np']) AS BIGINT) AS max_word_pieces,
+             CAST((1000 * sum(dw.cnt * enc.r['np'])) // sum(dw.cnt)
+               AS BIGINT) AS fertility_milli
+      FROM dw JOIN enc ON enc.w = dw.w
+      GROUP BY 1 ORDER BY dw.doc_id"""
+    }
+
   override val defs: Seq[QueryDef] =
     Seq(q26, q27, q28, q29, q30, q58, q75, q117, q119, q172, q208, q213,
-      q214)
+      q214, q226)
 }

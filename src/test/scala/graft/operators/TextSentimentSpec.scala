@@ -314,6 +314,48 @@ class TextSentimentSpec extends AnyFunSuite {
     }
   }
 
+  test("q226 WordPiece: greedy longest-match semantics and vocab coverage") {
+    // pure-function checks against a hand vocab
+    val v = Set("ab", "abc", "##cd", "##d", "##bcd")
+    assert(TextOps.wpEncodeCount("abcd", v) === 2L)   // abc (longest first) + ##d
+    assert(TextOps.wpEncodeCount("ab", v) === 1L)
+    assert(TextOps.wpEncodeCount("xyz", v) === 3L)    // char fallback
+    assert(TextOps.wpEncodeCount("aabcd", v) === 3L)  // a + ##a + ##bcd
+    assert(TextOps.wpEncodeCount("", v) === 0L)
+    // the trained vocab: total char coverage in both forms, bounded size
+    val dir = TestSpark.Sf001
+    val vocab = TextOps.wordpieceVocab(spark, dir)
+      .collect().map(_.getString(0))
+    assert(vocab.distinct.length === vocab.length)
+    val words = graft.sources.Tables.documents(spark, dir)
+      .select(explode(Portable.tokens(lower($"text"))).as("w"))
+      .distinct().collect().map(_.getString(0))
+    // positional coverage: chars enter the form(s) they were observed in
+    words.map(_.head).distinct.foreach { c =>
+      assert(vocab.contains(c.toString), s"missing start char '$c'")
+    }
+    words.filter(_.length >= 2).flatMap(_.drop(1).toCharArray).distinct
+      .foreach { c =>
+        assert(vocab.contains("##" + c), s"missing cont char '##$c'")
+      }
+    val multi = vocab.filterNot(p =>
+      p.stripPrefix("##").length == 1)
+    assert(multi.length <= TextOps.WpTopM)
+    // fertility sanity on the shipped query: pieces per word in [1, len]
+    val out = graft.SparkEntry.queries("q226_wordpiece_encode")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val f = r.getAs[Long]("fertility_milli")
+      assert(f >= 1000L, s"fertility below 1 piece/word: $f")
+      assert(r.getAs[Long]("max_word_pieces") >= 1L)
+    }
+    // the multi-char pieces must actually reduce fertility below the
+    // all-chars ceiling for at least most docs (the vocab is useful)
+    val fert = out.map(_.getAs[Long]("fertility_milli"))
+    assert(fert.min < 4000L, s"fertility never compressed: min ${fert.min}")
+  }
+
   test("q213: shifted-domain quotient brackets the exact PMI and both paths execute") {
     val dir = TestSpark.Sf001
     // rebuild the pair censuses exactly as q213 does (pre-top-20, so the
