@@ -18,6 +18,7 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    OracleContext.dir = sfDir
     new java.io.File(outDir).mkdirs()
     // optional comma-separated name filter for local iteration
     // (SPARK_GRAFT_ONLY=q101_asof_left); unset = all queries (driver mode)

@@ -1257,7 +1257,243 @@ object Curation extends QueryModule {
              CAST(n_corrupted + n_spans + 1 AS BIGINT) AS targets_len
       FROM agg ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------------
+  // q227 — ENTITY RESOLUTION, Fellegi–Sunter (1969) with multi-pass
+  // blocking — the record-linkage operator the dedup family (content
+  // hashing) cannot express: match STRUCTURED records whose fields
+  // individually disagree. The fixture plants dirty twins of every 5th
+  // customer in three classes — a name typo, a phone typo, or BOTH
+  // (balance always jittered a few cents; the q164 plant pattern on
+  // records instead of text) — then the resolver must find them among
+  // the honest pairs:
+  //
+  //   1. MULTI-PASS BLOCKING: pass A keys on (nation, phone prefix),
+  //      pass B on (nation, name suffix). A twin whose perturbation
+  //      lands inside one pass's key is still caught by the other pass;
+  //      the rare both-fields twin that breaks BOTH keys is genuinely
+  //      missed — recall is reported against planted truth, not assumed.
+  //   2. BLOCK PURGING: blocks larger than BlockCap are dropped before
+  //      pair generation (standard linkage discipline: an over-populated
+  //      key means the key is bad, and block² pair work is the scale
+  //      killer — the GramDfCap idea on records).
+  //   3. FELLEGI–SUNTER SCORING in exact integers: per field, the
+  //      agreement weight is −⌊log₂ u⌋ via the q120 bitlen identity,
+  //      with u — the probability two RANDOM records agree — estimated
+  //      from field-value frequencies over the full record set,
+  //      u_f = Σ_v c_v² / N² (NOT from the blocked candidates, which are
+  //      match-enriched and would bias u upward — the classic FS
+  //      estimation mistake); the balance comparator is a ±10¢ range,
+  //      its u proxied by 21¢-bucket frequencies. m ≈ 1 for the planted
+  //      process, so log₂(m/u) ≈ −log₂ u; each disagreement costs a
+  //      flat 4-bit penalty. Score = Σ weights, match ⇔ score ≥ Thr.
+  //      The N² product is int64-safe to N ≈ 3·10⁹ records; beyond that
+  //      the weight moves to the bitlen-difference form
+  //      2·bitlen(N) − bitlen(Σc²) (the q213 escape discipline).
+  //
+  // Output: candidate/match census, and exact-integer recall/precision
+  // in millis against the planted pair set — double-typo twins score
+  // below threshold by design (exact comparators cannot rescue records
+  // disagreeing on every identifying field; the documented upgrade is
+  // fuzzy comparators, q96's bounded edit distance). All joins are
+  // blocked equi-joins; weights come from four map-combinable value
+  // censuses; no windows anywhere.
+  // ---------------------------------------------------------------------
+  private[operators] val ErBlockCap = 200L
+  private val ErDisagreePenalty = 4L
+  private val ErThreshold = 12L
+
+  /** One blocking pass with BLOCK PURGING: records keyed by `keyCol`,
+    * blocks above [[ErBlockCap]] dropped BEFORE pair generation (an
+    * over-populated key is a bad key, and block² pair work is the scale
+    * killer), then within-block ordered pairs. Exposed for the purge
+    * spec.
+    */
+  private[operators] def erBlockedPairs(
+      recs: org.apache.spark.sql.DataFrame,
+      keyCol: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import recs.sparkSession.implicits._
+    val keyed = recs.withColumn("bk", keyCol)
+    val ok = keyed.groupBy($"bk").agg(count(lit(1)).as("bn"))
+      .filter($"bn" <= ErBlockCap)
+    val b = keyed.join(ok.select($"bk"), "bk")
+    b.select($"bk", $"id".as("i"), $"name".as("name_i"),
+        $"phone".as("phone_i"), $"seg".as("seg_i"), $"bal".as("bal_i"))
+      .join(b.select($"bk", $"id".as("j"), $"name".as("name_j"),
+        $"phone".as("phone_j"), $"seg".as("seg_j"), $"bal".as("bal_j")),
+        "bk")
+      .filter($"i" < $"j")
+      .drop("bk")
+  }
+  private val q227 = QueryDef(
+    "q227_entity_resolution",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val base = Tables.customer(spark, dir)
+        .select($"c_custkey".as("id"), $"c_name".as("name"),
+          $"c_nationkey".cast("long").as("nat"), $"c_mktsegment".as("seg"),
+          ($"c_acctbal".cast(org.apache.spark.sql.types.DecimalType(28, 2)) * 100)
+            .cast("long").as("bal"))
+        // deterministic 10-digit phone: Knuth-hash the key, peel digits
+        // off successive 3-bit shifts — effectively unique per record
+        .withColumn("phone", concat((0 until 10).map(i =>
+          expr(s"CAST(shiftright(id * 2654435761L, ${3 * i}) % 10 AS STRING)")): _*))
+      // twins: every 5th record; class = (id div 5) % 3 chooses which
+      // field(s) carry the typo — 0: name digit (position 10..17),
+      // 1: phone digit (position 1..10), 2: both; balance always
+      // jittered ≤ 6 cents. The typo REPLACES the digit with a
+      // guaranteed-different one (+1 shift, not a hash that may match).
+      val twins = base.filter($"id" % 5 === 0)
+        .withColumn("cls", expr("CAST((id div 5) % 3 AS INT)"))
+        .withColumn("np", ($"id" % 8 + 10).cast("int"))   // name pos 10..17
+        .withColumn("pp", ($"id" % 10 + 1).cast("int"))   // phone pos 1..10
+        .select(
+          ($"id" + 1000000L).as("id"),
+          when($"cls" === 1, $"name").otherwise(
+            concat(expr("substring(name, 1, np - 1)"),
+              expr("CAST((CAST(substring(name, np, 1) AS INT) + 1) % 10 AS STRING)"),
+              expr("substring(name, np + 1)"))).as("name"),
+          $"nat", $"seg", ($"bal" + $"id" % 7).as("bal"),
+          when($"cls" === 0, $"phone").otherwise(
+            concat(expr("substring(phone, 1, pp - 1)"),
+              expr("CAST((CAST(substring(phone, pp, 1) AS INT) + 1) % 10 AS STRING)"),
+              expr("substring(phone, pp + 1)"))).as("phone"))
+      val recs = base.unionByName(twins).persist()
+      val cands = erBlockedPairs(recs,
+          concat($"nat", lit("|"), substring($"phone", 1, 3)))
+        .unionByName(erBlockedPairs(recs,
+          concat($"nat", lit("|"), substring($"name", 15, 4))))
+        .distinct()
+        .withColumn("a_name", ($"name_i" === $"name_j").cast("long"))
+        .withColumn("a_phone", ($"phone_i" === $"phone_j").cast("long"))
+        .withColumn("a_seg", ($"seg_i" === $"seg_j").cast("long"))
+        .withColumn("a_bal", (abs($"bal_i" - $"bal_j") <= 10L).cast("long"))
+        .select($"i", $"j", $"a_name", $"a_phone", $"a_seg", $"a_bal")
+        .persist()
+      // u from field-value frequencies over ALL records (never the
+      // match-enriched candidates): u_f = Σc²/N², w_f = bitlen(N² div Σc²) − 1
+      def s2(keyCol: org.apache.spark.sql.Column, as: String) =
+        recs.groupBy(keyCol.as("v")).agg(count(lit(1)).as("c"))
+          .agg(sum($"c" * $"c").as(as))
+      val u = recs.agg(count(lit(1)).as("nr"))
+        .crossJoin(s2($"name", "s2_name"))
+        .crossJoin(s2($"phone", "s2_phone"))
+        .crossJoin(s2($"seg", "s2_seg"))
+        .crossJoin(s2(expr("bal div 21"), "s2_bal"))
+      def w(f: String) =
+        expr(s"length(conv((nr * nr) div s2_$f, 10, 2)) - 1")
+      val scored = cands.crossJoin(broadcast(u))
+        .withColumn("score",
+          ($"a_name" * w("name") - (lit(1L) - $"a_name") * ErDisagreePenalty) +
+          ($"a_phone" * w("phone") - (lit(1L) - $"a_phone") * ErDisagreePenalty) +
+          ($"a_seg" * w("seg") - (lit(1L) - $"a_seg") * ErDisagreePenalty) +
+          ($"a_bal" * w("bal") - (lit(1L) - $"a_bal") * ErDisagreePenalty))
+        .withColumn("is_match", ($"score" >= ErThreshold).cast("long"))
+        .withColumn("is_true",
+          ($"j" === $"i" + 1000000L && $"i" % 5 === 0).cast("long"))
+      val truth = base.filter($"id" % 5 === 0).agg(count(lit(1)).as("n_true"))
+      val out = scored.agg(
+          count(lit(1)).as("n_candidates"),
+          sum($"is_match").as("n_matches"),
+          sum($"is_match" * $"is_true").as("n_true_found"),
+          sum($"is_true").as("n_true_candidates"))
+        .crossJoin(broadcast(truth))
+        .withColumn("recall_milli",
+          expr("(1000 * n_true_found) div n_true"))
+        .withColumn("precision_milli",
+          expr("CASE WHEN n_matches = 0 THEN 0 ELSE (1000 * n_true_found) div n_matches END"))
+      Scoped.materialize(recs, cands)(out)
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT c_custkey AS id, c_name AS name,
+               CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+               CAST(CAST(c_acctbal AS DECIMAL(28,2)) * 100 AS BIGINT) AS bal,
+               ${(0 until 10).map(i =>
+                 s"CAST(((c_custkey * 2654435761) >> ${3 * i}) % 10 AS VARCHAR)")
+                 .mkString(" || ")} AS phone
+        FROM customer),
+      twins AS (
+        SELECT id + 1000000 AS id,
+               CASE WHEN (id // 5) % 3 = 1 THEN name
+                    ELSE substring(name, 1, (id % 8 + 10) - 1)
+                      || CAST((CAST(substring(name, id % 8 + 10, 1) AS INT) + 1) % 10 AS VARCHAR)
+                      || substring(name, (id % 8 + 10) + 1) END AS name,
+               nat, seg, bal + id % 7 AS bal,
+               CASE WHEN (id // 5) % 3 = 0 THEN phone
+                    ELSE substring(phone, 1, (id % 10 + 1) - 1)
+                      || CAST((CAST(substring(phone, id % 10 + 1, 1) AS INT) + 1) % 10 AS VARCHAR)
+                      || substring(phone, (id % 10 + 1) + 1) END AS phone
+        FROM base WHERE id % 5 = 0),
+      recs AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+      ka AS (SELECT *, nat || '|' || substring(phone, 1, 3) AS bk FROM recs),
+      kb AS (SELECT *, nat || '|' || substring(name, 15, 4) AS bk FROM recs),
+      oka AS (SELECT bk FROM ka GROUP BY bk HAVING count(*) <= $ErBlockCap),
+      okb AS (SELECT bk FROM kb GROUP BY bk HAVING count(*) <= $ErBlockCap),
+      pa AS (
+        SELECT a.id AS i, b.id AS j, a.name AS name_i, b.name AS name_j,
+               a.phone AS phone_i, b.phone AS phone_j,
+               a.seg AS seg_i, b.seg AS seg_j, a.bal AS bal_i, b.bal AS bal_j
+        FROM ka a JOIN ka b ON a.bk = b.bk AND a.id < b.id
+        JOIN oka ON oka.bk = a.bk),
+      pb AS (
+        SELECT a.id AS i, b.id AS j, a.name AS name_i, b.name AS name_j,
+               a.phone AS phone_i, b.phone AS phone_j,
+               a.seg AS seg_i, b.seg AS seg_j, a.bal AS bal_i, b.bal AS bal_j
+        FROM kb a JOIN kb b ON a.bk = b.bk AND a.id < b.id
+        JOIN okb ON okb.bk = a.bk),
+      cands AS (
+        SELECT i, j,
+               CAST(name_i = name_j AS BIGINT) AS a_name,
+               CAST(phone_i = phone_j AS BIGINT) AS a_phone,
+               CAST(seg_i = seg_j AS BIGINT) AS a_seg,
+               CAST(abs(bal_i - bal_j) <= 10 AS BIGINT) AS a_bal
+        FROM (SELECT DISTINCT * FROM (SELECT * FROM pa UNION SELECT * FROM pb))),
+      s2n AS (SELECT CAST(sum(c * c) AS BIGINT) AS s2_name
+              FROM (SELECT count(*) AS c FROM recs GROUP BY name)),
+      s2p AS (SELECT CAST(sum(c * c) AS BIGINT) AS s2_phone
+              FROM (SELECT count(*) AS c FROM recs GROUP BY phone)),
+      s2s AS (SELECT CAST(sum(c * c) AS BIGINT) AS s2_seg
+              FROM (SELECT count(*) AS c FROM recs GROUP BY seg)),
+      s2b AS (SELECT CAST(sum(c * c) AS BIGINT) AS s2_bal
+              FROM (SELECT count(*) AS c FROM recs GROUP BY bal // 21)),
+      u AS (SELECT (SELECT count(*) FROM recs) AS nr, s2_name, s2_phone,
+                   s2_seg, s2_bal
+            FROM s2n, s2p, s2s, s2b),
+      scored AS (
+        SELECT i, j,
+               (a_name * (length(format('{:b}', (nr * nr) // s2_name)) - 1)
+                  - (1 - a_name) * $ErDisagreePenalty)
+             + (a_phone * (length(format('{:b}', (nr * nr) // s2_phone)) - 1)
+                  - (1 - a_phone) * $ErDisagreePenalty)
+             + (a_seg * (length(format('{:b}', (nr * nr) // s2_seg)) - 1)
+                  - (1 - a_seg) * $ErDisagreePenalty)
+             + (a_bal * (length(format('{:b}', (nr * nr) // s2_bal)) - 1)
+                  - (1 - a_bal) * $ErDisagreePenalty) AS score,
+               CASE WHEN j = i + 1000000 AND i % 5 = 0 THEN 1 ELSE 0 END
+                 AS is_true
+        FROM cands, u),
+      fin AS (
+        SELECT count(*) AS n_candidates,
+               sum(CASE WHEN score >= $ErThreshold THEN 1 ELSE 0 END)
+                 AS n_matches,
+               sum(CASE WHEN score >= $ErThreshold THEN is_true ELSE 0 END)
+                 AS n_true_found,
+               sum(is_true) AS n_true_candidates
+        FROM scored),
+      t AS (SELECT count(*) AS n_true FROM base WHERE id % 5 = 0)
+      SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+             CAST(n_matches AS BIGINT) AS n_matches,
+             CAST(n_true_found AS BIGINT) AS n_true_found,
+             CAST(n_true_candidates AS BIGINT) AS n_true_candidates,
+             CAST(t.n_true AS BIGINT) AS n_true,
+             CAST((1000 * n_true_found) // t.n_true AS BIGINT) AS recall_milli,
+             CAST(CASE WHEN n_matches = 0 THEN 0
+               ELSE (1000 * n_true_found) // n_matches END AS BIGINT)
+               AS precision_milli
+      FROM fin, t"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134, q149, q164, q168,
-      q175, q194, q195, q199, q200, q209)
+      q175, q194, q195, q199, q200, q209, q227)
 }

@@ -1107,8 +1107,12 @@ object Dedup extends QueryModule {
         .filter($"pos" >= WinnowW) // full windows only (the paper's rule)
         .select($"doc_id", (-$"m.np").as("spos"), $"m.h".as("sh"))
         .distinct()
-      val nGrams = grams.groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_grams"))
+      // the gram census is pure arithmetic — length − (k−1) — so the
+      // explode+hash pass runs ONCE (for selection), never for counting
+      val nGrams = Tables.documents(spark, dir)
+        .select($"doc_id", length(lower($"text")).as("len"))
+        .filter($"len" >= WinnowK)
+        .select($"doc_id", ($"len" - (WinnowK - 1)).cast("long").as("n_grams"))
       nGrams
         .join(sel.groupBy($"doc_id")
           .agg(count(lit(1)).as("n_fp"),

@@ -1057,8 +1057,10 @@ object TextOps extends QueryModule {
       // the silver parquet, not the in-process set) and replay the same
       // greedy fold per DISTINCT word
       val spark = org.apache.spark.sql.SparkSession.active
-      require(wpLastDir != null, "q226 oracle generated before any build")
-      val voc = wordpieceVocab(spark, wpLastDir)
+      val genDir =
+        if (wpLastDir != null) wpLastDir else graft.OracleContext.dir
+      require(genDir != null, "q226 oracle generated before any build")
+      val voc = wordpieceVocab(spark, genDir)
         .select(col("piece")).collect().map(_.getString(0)).sorted
         .map(p => "'" + p.replace("'", "''") + "'").mkString(",")
       def tryLen(l: Int): String =

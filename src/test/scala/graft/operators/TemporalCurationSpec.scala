@@ -171,4 +171,35 @@ class TemporalCurationSpec extends AnyFunSuite {
       assert(sampled > 0)
     }
   }
+
+  test("q227 entity resolution: perfect precision, honest recall, block purge fires") {
+    val row = run("q227_entity_resolution").collect().head
+    val nTrue = row.getAs[Long]("n_true")
+    assert(nTrue > 0)
+    // every match is a planted twin (exact comparators + 4-bit penalties
+    // leave no room for random pairs on this fixture)
+    assert(row.getAs[Long]("precision_milli") === 1000L,
+      s"false positives: $row")
+    // single-typo twins match; double-typo twins are beyond exact
+    // comparators BY DESIGN — recall lands strictly between
+    val rec = row.getAs[Long]("recall_milli")
+    assert(rec >= 500L && rec < 1000L, s"recall $rec")
+    // blocking itself recovers more pairs than scoring accepts
+    assert(row.getAs[Long]("n_true_candidates") >= row.getAs[Long]("n_true_found"))
+    // the multi-pass union catches pairs a single pass loses
+    assert(row.getAs[Long]("n_true_candidates") > (nTrue * 7) / 10)
+
+    // block purging: a degenerate key (every record in ONE block) above
+    // ErBlockCap yields ZERO pairs; under the cap, all C(n,2)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def recsOf(n: Int) = (0 until n).map(i =>
+        (i.toLong, s"n$i", 0L, "SEG", i.toLong, s"p$i"))
+      .toDF("id", "name", "nat", "seg", "bal", "phone")
+    val hot = Curation.erBlockedPairs(recsOf(Curation.ErBlockCap.toInt + 1),
+      lit("k")).count()
+    assert(hot === 0L, "over-cap block not purged")
+    val cold = Curation.erBlockedPairs(recsOf(20), lit("k")).count()
+    assert(cold === 190L)
+  }
 }
