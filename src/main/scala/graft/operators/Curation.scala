@@ -1302,6 +1302,62 @@ object Curation extends QueryModule {
   private val ErDisagreePenalty = 4L
   private val ErThreshold = 12L
 
+  /** Shared q227/q228 fixture: customer records with a deterministic
+    * 10-digit Knuth-hash phone, plus planted twins of every 5th record
+    * in three typo classes — 0: name digit, 1: phone digit, 2: both —
+    * with the balance always jittered ≤ 6 cents.
+    */
+  private def erRecords(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val base = Tables.customer(spark, dir)
+      .select($"c_custkey".as("id"), $"c_name".as("name"),
+        $"c_nationkey".cast("long").as("nat"), $"c_mktsegment".as("seg"),
+        ($"c_acctbal".cast(org.apache.spark.sql.types.DecimalType(28, 2)) * 100)
+          .cast("long").as("bal"))
+      .withColumn("phone", concat((0 until 10).map(i =>
+        expr(s"CAST(shiftright(id * 2654435761L, ${3 * i}) % 10 AS STRING)")): _*))
+    val twins = base.filter($"id" % 5 === 0)
+      .withColumn("cls", expr("CAST((id div 5) % 3 AS INT)"))
+      .withColumn("np", ($"id" % 8 + 10).cast("int"))
+      .withColumn("pp", ($"id" % 10 + 1).cast("int"))
+      .select(
+        ($"id" + 1000000L).as("id"),
+        when($"cls" === 1, $"name").otherwise(
+          concat(expr("substring(name, 1, np - 1)"),
+            expr("CAST((CAST(substring(name, np, 1) AS INT) + 1) % 10 AS STRING)"),
+            expr("substring(name, np + 1)"))).as("name"),
+        $"nat", $"seg", ($"bal" + $"id" % 7).as("bal"),
+        when($"cls" === 0, $"phone").otherwise(
+          concat(expr("substring(phone, 1, pp - 1)"),
+            expr("CAST((CAST(substring(phone, pp, 1) AS INT) + 1) % 10 AS STRING)"),
+            expr("substring(phone, pp + 1)"))).as("phone"))
+    (base, base.unionByName(twins).persist())
+  }
+
+  /** The shared SQL twin of [[erRecords]] (base + twins + recs CTEs). */
+  private def erRecordsSql: String = s"""base AS (
+        SELECT c_custkey AS id, c_name AS name,
+               CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+               CAST(CAST(c_acctbal AS DECIMAL(28,2)) * 100 AS BIGINT) AS bal,
+               ${(0 until 10).map(i =>
+                 s"CAST(((c_custkey * 2654435761) >> ${3 * i}) % 10 AS VARCHAR)")
+                 .mkString(" || ")} AS phone
+        FROM customer),
+      twins AS (
+        SELECT id + 1000000 AS id,
+               CASE WHEN (id // 5) % 3 = 1 THEN name
+                    ELSE substring(name, 1, (id % 8 + 10) - 1)
+                      || CAST((CAST(substring(name, id % 8 + 10, 1) AS INT) + 1) % 10 AS VARCHAR)
+                      || substring(name, (id % 8 + 10) + 1) END AS name,
+               nat, seg, bal + id % 7 AS bal,
+               CASE WHEN (id // 5) % 3 = 0 THEN phone
+                    ELSE substring(phone, 1, (id % 10 + 1) - 1)
+                      || CAST((CAST(substring(phone, id % 10 + 1, 1) AS INT) + 1) % 10 AS VARCHAR)
+                      || substring(phone, (id % 10 + 1) + 1) END AS phone
+        FROM base WHERE id % 5 = 0),
+      recs AS (SELECT * FROM base UNION ALL SELECT * FROM twins)"""
+
   /** One blocking pass with BLOCK PURGING: records keyed by `keyCol`,
     * blocks above [[ErBlockCap]] dropped BEFORE pair generation (an
     * over-populated key is a bad key, and block² pair work is the scale
@@ -1328,37 +1384,7 @@ object Curation extends QueryModule {
     "q227_entity_resolution",
     (spark, dir) => {
       import spark.implicits._
-      import graft.functions.Portable
-      val base = Tables.customer(spark, dir)
-        .select($"c_custkey".as("id"), $"c_name".as("name"),
-          $"c_nationkey".cast("long").as("nat"), $"c_mktsegment".as("seg"),
-          ($"c_acctbal".cast(org.apache.spark.sql.types.DecimalType(28, 2)) * 100)
-            .cast("long").as("bal"))
-        // deterministic 10-digit phone: Knuth-hash the key, peel digits
-        // off successive 3-bit shifts — effectively unique per record
-        .withColumn("phone", concat((0 until 10).map(i =>
-          expr(s"CAST(shiftright(id * 2654435761L, ${3 * i}) % 10 AS STRING)")): _*))
-      // twins: every 5th record; class = (id div 5) % 3 chooses which
-      // field(s) carry the typo — 0: name digit (position 10..17),
-      // 1: phone digit (position 1..10), 2: both; balance always
-      // jittered ≤ 6 cents. The typo REPLACES the digit with a
-      // guaranteed-different one (+1 shift, not a hash that may match).
-      val twins = base.filter($"id" % 5 === 0)
-        .withColumn("cls", expr("CAST((id div 5) % 3 AS INT)"))
-        .withColumn("np", ($"id" % 8 + 10).cast("int"))   // name pos 10..17
-        .withColumn("pp", ($"id" % 10 + 1).cast("int"))   // phone pos 1..10
-        .select(
-          ($"id" + 1000000L).as("id"),
-          when($"cls" === 1, $"name").otherwise(
-            concat(expr("substring(name, 1, np - 1)"),
-              expr("CAST((CAST(substring(name, np, 1) AS INT) + 1) % 10 AS STRING)"),
-              expr("substring(name, np + 1)"))).as("name"),
-          $"nat", $"seg", ($"bal" + $"id" % 7).as("bal"),
-          when($"cls" === 0, $"phone").otherwise(
-            concat(expr("substring(phone, 1, pp - 1)"),
-              expr("CAST((CAST(substring(phone, pp, 1) AS INT) + 1) % 10 AS STRING)"),
-              expr("substring(phone, pp + 1)"))).as("phone"))
-      val recs = base.unionByName(twins).persist()
+      val (base, recs) = erRecords(spark, dir)
       val cands = erBlockedPairs(recs,
           concat($"nat", lit("|"), substring($"phone", 1, 3)))
         .unionByName(erBlockedPairs(recs,
@@ -1405,27 +1431,7 @@ object Curation extends QueryModule {
       Scoped.materialize(recs, cands)(out)
     },
     Some(s"""
-      WITH base AS (
-        SELECT c_custkey AS id, c_name AS name,
-               CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
-               CAST(CAST(c_acctbal AS DECIMAL(28,2)) * 100 AS BIGINT) AS bal,
-               ${(0 until 10).map(i =>
-                 s"CAST(((c_custkey * 2654435761) >> ${3 * i}) % 10 AS VARCHAR)")
-                 .mkString(" || ")} AS phone
-        FROM customer),
-      twins AS (
-        SELECT id + 1000000 AS id,
-               CASE WHEN (id // 5) % 3 = 1 THEN name
-                    ELSE substring(name, 1, (id % 8 + 10) - 1)
-                      || CAST((CAST(substring(name, id % 8 + 10, 1) AS INT) + 1) % 10 AS VARCHAR)
-                      || substring(name, (id % 8 + 10) + 1) END AS name,
-               nat, seg, bal + id % 7 AS bal,
-               CASE WHEN (id // 5) % 3 = 0 THEN phone
-                    ELSE substring(phone, 1, (id % 10 + 1) - 1)
-                      || CAST((CAST(substring(phone, id % 10 + 1, 1) AS INT) + 1) % 10 AS VARCHAR)
-                      || substring(phone, (id % 10 + 1) + 1) END AS phone
-        FROM base WHERE id % 5 = 0),
-      recs AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+      WITH $erRecordsSql,
       ka AS (SELECT *, nat || '|' || substring(phone, 1, 3) AS bk FROM recs),
       kb AS (SELECT *, nat || '|' || substring(name, 15, 4) AS bk FROM recs),
       oka AS (SELECT bk FROM ka GROUP BY bk HAVING count(*) <= $ErBlockCap),
@@ -1493,7 +1499,163 @@ object Curation extends QueryModule {
                AS precision_milli
       FROM fin, t"""))
 
+  // ---------------------------------------------------------------------
+  // q228 — FUZZY-COMPARATOR LINKAGE: the upgrade q227 documents as the
+  // fix for its designed misses — double-typo twins disagree EXACTLY on
+  // both identifying fields, but agree within edit distance 1, which is
+  // what real linkage comparators measure (Winkler's extension of
+  // Fellegi–Sunter to approximate agreement). Same plant, same
+  // multi-pass purged blocking; the two changes are:
+  //
+  //   1. APPROXIMATE comparators: name and phone agree when
+  //      levenshtein ≤ 1 (the single-typo class), balance within ±10¢,
+  //      segment exact. Levenshtein is codegen'd in both engines and
+  //      deterministic.
+  //   2. u estimated on a DETERMINISTIC RANDOM-PAIR SAMPLE — base
+  //      records paired (2k, 2k+1) by id — because Σc² only measures
+  //      EXACT collisions and would overstate fuzzy weights; add-one
+  //      smoothing (g+1) keeps the weight finite when the sample shows
+  //      zero fuzzy collisions (the production FS estimation path, made
+  //      reproducible: no RNG, the pairing is id arithmetic).
+  //
+  // Outcome vs q227 on the same truth: recall jumps to the blocking
+  // ceiling (every candidate twin now scores above threshold) with
+  // precision still exact-integer 1000 — the measured value of fuzzy
+  // comparators, reported side by side with the exact baseline.
+  // ---------------------------------------------------------------------
+  private val q228 = QueryDef(
+    "q228_fuzzy_linkage",
+    (spark, dir) => {
+      import spark.implicits._
+      val (base, recs) = erRecords(spark, dir)
+      val cands = erBlockedPairs(recs,
+          concat($"nat", lit("|"), substring($"phone", 1, 3)))
+        .unionByName(erBlockedPairs(recs,
+          concat($"nat", lit("|"), substring($"name", 15, 4))))
+        .distinct()
+        .withColumn("a_name",
+          (levenshtein($"name_i", $"name_j") <= 1).cast("long"))
+        .withColumn("a_phone",
+          (levenshtein($"phone_i", $"phone_j") <= 1).cast("long"))
+        .withColumn("a_seg", ($"seg_i" === $"seg_j").cast("long"))
+        .withColumn("a_bal", (abs($"bal_i" - $"bal_j") <= 10L).cast("long"))
+        .select($"i", $"j", $"a_name", $"a_phone", $"a_seg", $"a_bal")
+      // u from the deterministic (2k, 2k+1) base-pair sample, add-one
+      // smoothed; n_sample is |base| div 2
+      val samp = base
+        .withColumn("g", expr("id div 2")).withColumn("side", $"id" % 2)
+      val sPairs = samp.filter($"side" === 0)
+        .select($"g", $"name".as("name_i"), $"phone".as("phone_i"),
+          $"seg".as("seg_i"), $"bal".as("bal_i"))
+        .join(samp.filter($"side" === 1)
+          .select($"g", $"name".as("name_j"), $"phone".as("phone_j"),
+            $"seg".as("seg_j"), $"bal".as("bal_j")), "g")
+      val u = sPairs.agg(
+        count(lit(1)).as("ns"),
+        sum((levenshtein($"name_i", $"name_j") <= 1).cast("long")).as("g_name"),
+        sum((levenshtein($"phone_i", $"phone_j") <= 1).cast("long")).as("g_phone"),
+        sum(($"seg_i" === $"seg_j").cast("long")).as("g_seg"),
+        sum((abs($"bal_i" - $"bal_j") <= 10L).cast("long")).as("g_bal"))
+      def w(f: String) =
+        expr(s"length(conv(ns div (g_$f + 1), 10, 2)) - 1")
+      val scored = cands.crossJoin(broadcast(u))
+        .withColumn("score",
+          ($"a_name" * w("name") - (lit(1L) - $"a_name") * ErDisagreePenalty) +
+          ($"a_phone" * w("phone") - (lit(1L) - $"a_phone") * ErDisagreePenalty) +
+          ($"a_seg" * w("seg") - (lit(1L) - $"a_seg") * ErDisagreePenalty) +
+          ($"a_bal" * w("bal") - (lit(1L) - $"a_bal") * ErDisagreePenalty))
+        .withColumn("is_match", ($"score" >= ErThreshold).cast("long"))
+        .withColumn("is_true",
+          ($"j" === $"i" + 1000000L && $"i" % 5 === 0).cast("long"))
+      val truth = base.filter($"id" % 5 === 0).agg(count(lit(1)).as("n_true"))
+      val out = scored.agg(
+          count(lit(1)).as("n_candidates"),
+          sum($"is_match").as("n_matches"),
+          sum($"is_match" * $"is_true").as("n_true_found"),
+          sum($"is_true").as("n_true_candidates"))
+        .crossJoin(broadcast(truth))
+        .withColumn("recall_milli",
+          expr("(1000 * n_true_found) div n_true"))
+        .withColumn("precision_milli",
+          expr("CASE WHEN n_matches = 0 THEN 0 ELSE (1000 * n_true_found) div n_matches END"))
+      Scoped.materialize(recs)(out)
+    },
+    Some(s"""
+      WITH $erRecordsSql,
+      ka AS (SELECT *, nat || '|' || substring(phone, 1, 3) AS bk FROM recs),
+      kb AS (SELECT *, nat || '|' || substring(name, 15, 4) AS bk FROM recs),
+      oka AS (SELECT bk FROM ka GROUP BY bk HAVING count(*) <= $ErBlockCap),
+      okb AS (SELECT bk FROM kb GROUP BY bk HAVING count(*) <= $ErBlockCap),
+      pa AS (
+        SELECT a.id AS i, b.id AS j, a.name AS name_i, b.name AS name_j,
+               a.phone AS phone_i, b.phone AS phone_j,
+               a.seg AS seg_i, b.seg AS seg_j, a.bal AS bal_i, b.bal AS bal_j
+        FROM ka a JOIN ka b ON a.bk = b.bk AND a.id < b.id
+        JOIN oka ON oka.bk = a.bk),
+      pb AS (
+        SELECT a.id AS i, b.id AS j, a.name AS name_i, b.name AS name_j,
+               a.phone AS phone_i, b.phone AS phone_j,
+               a.seg AS seg_i, b.seg AS seg_j, a.bal AS bal_i, b.bal AS bal_j
+        FROM kb a JOIN kb b ON a.bk = b.bk AND a.id < b.id
+        JOIN okb ON okb.bk = a.bk),
+      cands AS (
+        SELECT i, j,
+               CAST(levenshtein(name_i, name_j) <= 1 AS BIGINT) AS a_name,
+               CAST(levenshtein(phone_i, phone_j) <= 1 AS BIGINT) AS a_phone,
+               CAST(seg_i = seg_j AS BIGINT) AS a_seg,
+               CAST(abs(bal_i - bal_j) <= 10 AS BIGINT) AS a_bal
+        FROM (SELECT DISTINCT * FROM (SELECT * FROM pa UNION SELECT * FROM pb))),
+      sp AS (
+        SELECT e.name AS name_i, e.phone AS phone_i, e.seg AS seg_i,
+               e.bal AS bal_i, o.name AS name_j, o.phone AS phone_j,
+               o.seg AS seg_j, o.bal AS bal_j
+        FROM (SELECT * FROM base WHERE id % 2 = 0) e
+        JOIN (SELECT * FROM base WHERE id % 2 = 1) o
+          ON e.id // 2 = o.id // 2),
+      u AS (
+        SELECT count(*) AS ns,
+               CAST(sum(CAST(levenshtein(name_i, name_j) <= 1 AS BIGINT))
+                 AS BIGINT) AS g_name,
+               CAST(sum(CAST(levenshtein(phone_i, phone_j) <= 1 AS BIGINT))
+                 AS BIGINT) AS g_phone,
+               CAST(sum(CAST(seg_i = seg_j AS BIGINT)) AS BIGINT) AS g_seg,
+               CAST(sum(CAST(abs(bal_i - bal_j) <= 10 AS BIGINT)) AS BIGINT)
+                 AS g_bal
+        FROM sp),
+      scored AS (
+        SELECT i, j,
+               (a_name * (length(format('{:b}', ns // (g_name + 1))) - 1)
+                  - (1 - a_name) * $ErDisagreePenalty)
+             + (a_phone * (length(format('{:b}', ns // (g_phone + 1))) - 1)
+                  - (1 - a_phone) * $ErDisagreePenalty)
+             + (a_seg * (length(format('{:b}', ns // (g_seg + 1))) - 1)
+                  - (1 - a_seg) * $ErDisagreePenalty)
+             + (a_bal * (length(format('{:b}', ns // (g_bal + 1))) - 1)
+                  - (1 - a_bal) * $ErDisagreePenalty) AS score,
+               CASE WHEN j = i + 1000000 AND i % 5 = 0 THEN 1 ELSE 0 END
+                 AS is_true
+        FROM cands, u),
+      fin AS (
+        SELECT count(*) AS n_candidates,
+               sum(CASE WHEN score >= $ErThreshold THEN 1 ELSE 0 END)
+                 AS n_matches,
+               sum(CASE WHEN score >= $ErThreshold THEN is_true ELSE 0 END)
+                 AS n_true_found,
+               sum(is_true) AS n_true_candidates
+        FROM scored),
+      t AS (SELECT count(*) AS n_true FROM base WHERE id % 5 = 0)
+      SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+             CAST(n_matches AS BIGINT) AS n_matches,
+             CAST(n_true_found AS BIGINT) AS n_true_found,
+             CAST(n_true_candidates AS BIGINT) AS n_true_candidates,
+             CAST(t.n_true AS BIGINT) AS n_true,
+             CAST((1000 * n_true_found) // t.n_true AS BIGINT) AS recall_milli,
+             CAST(CASE WHEN n_matches = 0 THEN 0
+               ELSE (1000 * n_true_found) // n_matches END AS BIGINT)
+               AS precision_milli
+      FROM fin, t"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134, q149, q164, q168,
-      q175, q194, q195, q199, q200, q209, q227)
+      q175, q194, q195, q199, q200, q209, q227, q228)
 }

@@ -202,4 +202,16 @@ class TemporalCurationSpec extends AnyFunSuite {
     val cold = Curation.erBlockedPairs(recsOf(20), lit("k")).count()
     assert(cold === 190L)
   }
+
+  test("q228 fuzzy linkage: recall reaches the blocking ceiling, beats exact, precision holds") {
+    val exact = run("q227_entity_resolution").collect().head
+    val fuzzy = run("q228_fuzzy_linkage").collect().head
+    assert(fuzzy.getAs[Long]("precision_milli") === 1000L, fuzzy.toString)
+    // the fuzzy comparator rescues the double-typo class the exact one
+    // cannot — strictly better recall on the same planted truth
+    assert(fuzzy.getAs[Long]("recall_milli") > exact.getAs[Long]("recall_milli"))
+    // and it matches EVERY candidate twin: scoring is no longer the
+    // bottleneck, only blocking is
+    assert(fuzzy.getAs[Long]("n_true_found") === fuzzy.getAs[Long]("n_true_candidates"))
+  }
 }
