@@ -958,6 +958,12 @@ object WindowFeatures extends QueryModule {
     }
   }
 
+  /** Distinct tickers in the bars table — the q223 per-key state
+    * cardinality StateBounds declares.
+    */
+  private[graft] def tickersOf(spark: SparkSession, dir: String): Long =
+    bars(spark, dir).select("ticker").distinct().count()
+
   /** The q223 build, chunking exposed for the batch-boundary-independence
     * spec: the bar stream is replayed as `nChunks` date-range files.
     */

@@ -124,6 +124,19 @@ object Streams extends QueryModule {
     * "complete" mode re-emits the full result each micro-batch ⇒ overwrite
     * per batch; "append"/"update" emit deltas ⇒ append per batch.
     */
+  /** Final state-store census of the most recent [[runToParquet]] run:
+    * Σ numRowsTotal over the query's stateful operators at termination.
+    * −1 = no progress was recorded. StateBoundsSpec reads this to check
+    * every streaming query's MEASURED end-state against the bound
+    * declared in [[StateBounds]] — the stateful twin of the
+    * WindowBounds plan audit. Never read on a production path.
+    */
+  @volatile private[graft] var lastStateRows: Long = -1L
+
+  /** Test-only: observe the last progress object itself. */
+  @volatile private[graft] var progressAudit:
+      Option[org.apache.spark.sql.streaming.StreamingQueryProgress => Unit] = None
+
   private[graft] def runToParquet(df: DataFrame, mode: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val spark = df.sparkSession
@@ -131,7 +144,16 @@ object Streams extends QueryModule {
     val saveMode = if (mode == "complete") "overwrite" else "append"
     val q = df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) batch.write.mode(saveMode).parquet(out)
+        // persist before the two actions (isEmpty probe + write): an
+        // unpersisted batch would EXECUTE THE MICRO-BATCH PLAN TWICE —
+        // wasted work, and the task-summed state metrics (numRowsTotal)
+        // would double-count, which is exactly what the StateBounds
+        // census would mis-read. The standard multi-action foreachBatch
+        // discipline.
+        batch.persist()
+        try {
+          if (!batch.isEmpty) batch.write.mode(saveMode).parquet(out)
+        } finally batch.unpersist()
       }
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
@@ -139,6 +161,9 @@ object Streams extends QueryModule {
         Files.createTempDirectory("graft_stream_ckpt_").toString)
       .start()
     q.awaitTermination()
+    lastStateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    Option(q.lastProgress).foreach(p => progressAudit.foreach(_(p)))
     q.stop()
     // a stream that yielded no rows wrote no files — return an empty frame
     // with the stream's schema instead of letting parquet schema inference
