@@ -641,6 +641,105 @@ object Series extends QueryModule {
       FROM cells c JOIN marg m ON m.event_type = c.event_type
       ORDER BY c.event_type, c.band"""))
 
+  // ---------------------------------------------------------------------
+  // q229 — DOLLAR BARS (information-driven bar construction, López de
+  // Prado AFML ch.2): resample the tick stream into bars of ~equal
+  // TRADED NOTIONAL instead of equal wall-clock, so bar arrival tracks
+  // information flow — the sampling the reference's fixed 15-min/daily
+  // roll-ups (spark_consumer.py window, build_training_dataset.py daily
+  // bars) cannot express. The lineitem fact plays the tick tape
+  // (l_extendedprice IS the trade notional in TPC-H), per-ticker ticks
+  // ordered by (day, seq).
+  //
+  // Bar rule (deterministic floor variant): with T = $1M in cents, a
+  // tick whose INCLUSIVE running notional cum satisfies cum ∈
+  // (k·T, (k+1)·T] belongs to bar k, i.e. bar_id = (cum − 1) div T.
+  // Exact integer arithmetic end-to-end; ties in seq share the RANGE-
+  // frame cumulative (both engines' default frame), so duplicate fixture
+  // rows land deterministically. A single huge tick may skip bar ids —
+  // bars are ~T-sized, ids monotone but not dense (documented AFML
+  // deviation from the running-reset accumulator, which is inherently
+  // sequential; the floor rule differs only by ≤ one tick of carryover
+  // per bar and is exactly parallelizable).
+  //
+  // SCALE SHAPE — the segmented scan: a naive cumsum windows per-TICK
+  // rows by ticker (the WindowBounds registry's forbidden grain — a hot
+  // symbol's tape is unbounded). Instead: (1) per-(ticker, day) notional
+  // partials — one map-side-combined groupBy to DAILY grain; (2) the
+  // exclusive day-offset prefix sum windows that TINY rollup per ticker
+  // (≤ |trading days| rows — the declared `ticker` bound); (3) offsets
+  // broadcast-join back onto ticks; (4) the tick-grain window runs per
+  // (tkr, day) — bounded by max trades per symbol-day, declared as the
+  // WindowBounds set ("day, tkr"; the key is RENAMED tkr precisely so a
+  // tick frame can never ride the daily-bars `ticker` declaration).
+  // Then one partial-agg shuffle to (ticker, bar_id) grain builds OHLC
+  // via min/max(struct) — never first/last.
+  // ---------------------------------------------------------------------
+  private[operators] val DollarBarT = 100000000L // $1M in cents
+  private val q229 = QueryDef(
+    "q229_dollar_bars",
+    (spark, dir) => {
+      import spark.implicits._
+      val ticks = Tables.lineitem(spark, dir).select(
+        $"l_suppkey".as("tkr"),
+        to_date($"l_shipdate").as("day"),
+        (($"l_orderkey" * 16 + $"l_linenumber") * 100000000L
+          + ($"l_extendedprice".cast(DecimalType(28, 2)) * 100).cast("long"))
+          .as("seq"),
+        ($"l_extendedprice".cast(DecimalType(28, 2)) * 100).cast("long")
+          .as("cents"))
+      // (1)+(2): daily notional partials, then the per-ticker exclusive
+      // day-offset prefix sum on the DAILY grain (declared ticker bound)
+      val wDay = Window.partitionBy("ticker").orderBy("day")
+      val dayOff = ticks.groupBy($"tkr".as("ticker"), $"day")
+        .agg(sum($"cents").as("day_cents"))
+        .withColumn("day_base",
+          sum($"day_cents").over(wDay) - $"day_cents")
+        .select($"ticker", $"day", $"day_base")
+      // (3)+(4): broadcast offsets onto ticks; intraday RANGE cumsum per
+      // (tkr, day) — global cum without any tape-sized window partition
+      val wTick = Window.partitionBy("tkr", "day").orderBy("seq")
+      ticks
+        .join(broadcast(dayOff),
+          ticks("tkr") === dayOff("ticker") && ticks("day") === dayOff("day"))
+        .drop(dayOff("ticker")).drop(dayOff("day"))
+        .withColumn("cum0", $"day_base" + sum($"cents").over(wTick))
+        .withColumn("bar_id", expr(s"(cum0 - 1) div $DollarBarT"))
+        .groupBy($"tkr".as("ticker"), $"bar_id")
+        .agg(
+          min($"day").as("t_start"),
+          max($"day").as("t_end"),
+          min(struct($"day".as("d"), $"seq".as("s"), $"cents".as("c")))
+            .getField("c").as("open_c"),
+          max($"cents").as("high_c"),
+          min($"cents").as("low_c"),
+          max(struct($"day".as("d"), $"seq".as("s"), $"cents".as("c")))
+            .getField("c").as("close_c"),
+          count(lit(1)).as("n_ticks"),
+          sum($"cents").as("dollars_c"))
+        .orderBy($"ticker", $"bar_id")
+    },
+    Some(s"""
+      WITH ticks AS (
+        SELECT l_suppkey AS ticker, CAST(l_shipdate AS DATE) AS day,
+               (l_orderkey * 16 + l_linenumber) * 100000000
+                 + CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+                 AS seq,
+               CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+                 AS cents
+        FROM lineitem),
+      cum AS (
+        SELECT ticker, day, seq, cents,
+               sum(cents) OVER (PARTITION BY ticker ORDER BY day, seq) AS cum0
+        FROM ticks)
+      SELECT ticker, CAST((cum0 - 1) // $DollarBarT AS BIGINT) AS bar_id,
+             min(day) AS t_start, max(day) AS t_end,
+             (min(struct_pack(d := day, s := seq, c := cents))).c AS open_c,
+             max(cents) AS high_c, min(cents) AS low_c,
+             (max(struct_pack(d := day, s := seq, c := cents))).c AS close_c,
+             count(*) AS n_ticks, CAST(sum(cents) AS BIGINT) AS dollars_c
+      FROM cum GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197)
+    Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229)
 }

@@ -130,7 +130,15 @@ object WindowBounds {
     BoundedSet("bkt, event_type",
       "per-(type, HLL register) DAILY register rows: ≤ |days| per cell" +
         " (64 registers × types × days, dense by construction)",
-      Seq("q192"))
+      Seq("q192")),
+    BoundedSet("day, tkr",
+      "per-(ticker, trading-day) TICK rows — intraday grain, bounded by" +
+        " max trades per symbol-day; the key is renamed `tkr` precisely" +
+        " so a tick-grain frame can never ride the daily-bars `ticker`" +
+        " declaration (the segmented-scan half of q229's dollar-bar" +
+        " cumsum; the cross-day half runs on the daily rollup under" +
+        " `ticker`)",
+      Seq("q229"))
   )
 
   private lazy val declaredKeys: Set[String] = declared.map(_.key).toSet

@@ -145,4 +145,53 @@ class SeriesSpec extends AnyFunSuite {
     assert(out.filter($"overcount" =!= $"cms_n" - $"exact_n").isEmpty)
     out.unpersist()
   }
+
+  test("q229: dollar bars partition the tape exactly, ~T-sized, OHLC within range") {
+    val T = Series.DollarBarT
+    val out = graft.SparkEntry.queries("q229_dollar_bars")(spark, dir).cache()
+    val ticksTotal = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey".as("ticker"))
+      .agg(sum(($"l_extendedprice"
+        .cast(org.apache.spark.sql.types.DecimalType(28, 2)) * 100)
+        .cast("long")).as("total_c"), count(lit(1)).as("n"))
+    // the bars PARTITION the tape: per ticker, Σ dollars_c and Σ n_ticks
+    // equal the raw totals, and the last bar id is (total − 1) div T
+    val recon = out.groupBy($"ticker")
+      .agg(sum($"dollars_c").as("bar_c"), sum($"n_ticks").as("bar_n"),
+        max($"bar_id").as("last_bar"), count(lit(1)).as("n_bars"))
+      .join(ticksTotal, "ticker")
+    assert(recon.filter($"bar_c" =!= $"total_c").isEmpty)
+    assert(recon.filter($"bar_n" =!= $"n").isEmpty)
+    assert(recon.filter($"last_bar" =!= expr(s"(total_c - 1) div $T")).isEmpty)
+    // bar ids monotone ⇒ ≤ total div T + 1 bars per ticker (skips allowed,
+    // never overlaps)
+    assert(recon.filter($"n_bars" > expr(s"total_c div $T") + 1).isEmpty)
+    // OHLC sanity: low ≤ open/close ≤ high, spans ordered
+    assert(out.filter($"low_c" > $"high_c" || $"open_c" < $"low_c" ||
+      $"open_c" > $"high_c" || $"close_c" < $"low_c" ||
+      $"close_c" > $"high_c" || $"t_start" > $"t_end").isEmpty)
+    out.unpersist()
+  }
+
+  test("q229: plan is the segmented scan — day offsets broadcast, no tape-sized window") {
+    val df = graft.SparkEntry.queries("q229_dollar_bars")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the day-offset frame must come back as a broadcast, never a shuffle
+    // of the tick side onto the daily rollup's key
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(20).mkString("\n"))
+    // both windows at their declared grains: the cross-day prefix sum
+    // partitions by ticker on the DAILY rollup, the tick cumsum by
+    // (tkr, day) — no window over ticks keyed by ticker alone
+    val windowKeys = p.linesIterator
+      .filter(l => l.contains("Window ") && l.contains("windowspecdefinition"))
+      .map(l => l.contains("tkr") && l.contains("day")).toSeq
+    assert(windowKeys.nonEmpty)
+    val tickWindowed = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.references.map(_.name).mkString).toSet
+    }
+    assert(tickWindowed.forall(ks =>
+      ks == Set("ticker") || (ks.contains("tkr") && ks.contains("day"))),
+      tickWindowed.toString)
+  }
 }
