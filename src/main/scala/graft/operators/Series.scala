@@ -676,18 +676,41 @@ object Series extends QueryModule {
   // via min/max(struct) — never first/last.
   // ---------------------------------------------------------------------
   private[operators] val DollarBarT = 100000000L // $1M in cents
+
+  /** The tick tape: lineitem as per-ticker trades ordered by (day, seq).
+    * seq embeds the price cents in its low digits, so duplicate fixture
+    * rows tie on seq with EQUAL prices — every downstream window uses
+    * RANGE frames (ties share the frame), making the tape deterministic
+    * under any physical order. The key is `tkr`, not `ticker`: tick-grain
+    * frames must never ride the daily-bars WindowBounds declaration.
+    */
+  private def tickTape(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir).select(
+      $"l_suppkey".as("tkr"),
+      to_date($"l_shipdate").as("day"),
+      (($"l_orderkey" * 16 + $"l_linenumber") * 100000000L
+        + ($"l_extendedprice".cast(DecimalType(28, 2)) * 100).cast("long"))
+        .as("seq"),
+      ($"l_extendedprice".cast(DecimalType(28, 2)) * 100).cast("long")
+        .as("cents"))
+  }
+
+  private val tickSql = """
+      ticks AS (
+        SELECT l_suppkey AS ticker, CAST(l_shipdate AS DATE) AS day,
+               (l_orderkey * 16 + l_linenumber) * 100000000
+                 + CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+                 AS seq,
+               CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+                 AS cents
+        FROM lineitem)"""
+
   private val q229 = QueryDef(
     "q229_dollar_bars",
     (spark, dir) => {
       import spark.implicits._
-      val ticks = Tables.lineitem(spark, dir).select(
-        $"l_suppkey".as("tkr"),
-        to_date($"l_shipdate").as("day"),
-        (($"l_orderkey" * 16 + $"l_linenumber") * 100000000L
-          + ($"l_extendedprice".cast(DecimalType(28, 2)) * 100).cast("long"))
-          .as("seq"),
-        ($"l_extendedprice".cast(DecimalType(28, 2)) * 100).cast("long")
-          .as("cents"))
+      val ticks = tickTape(spark, dir)
       // (1)+(2): daily notional partials, then the per-ticker exclusive
       // day-offset prefix sum on the DAILY grain (declared ticker bound)
       val wDay = Window.partitionBy("ticker").orderBy("day")
@@ -720,14 +743,7 @@ object Series extends QueryModule {
         .orderBy($"ticker", $"bar_id")
     },
     Some(s"""
-      WITH ticks AS (
-        SELECT l_suppkey AS ticker, CAST(l_shipdate AS DATE) AS day,
-               (l_orderkey * 16 + l_linenumber) * 100000000
-                 + CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)
-                 AS seq,
-               CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)
-                 AS cents
-        FROM lineitem),
+      WITH $tickSql,
       cum AS (
         SELECT ticker, day, seq, cents,
                sum(cents) OVER (PARTITION BY ticker ORDER BY day, seq) AS cum0
@@ -740,6 +756,133 @@ object Series extends QueryModule {
              count(*) AS n_ticks, CAST(sum(cents) AS BIGINT) AS dollars_c
       FROM cum GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ---------------------------------------------------------------------
+  // q230 — TICK-RULE ORDER FLOW + VPIN (AFML ch.19 / Easley–López de
+  // Prado–O'Hara): classify each trade buy/sell by the tick rule
+  // (sign of the price change; an unchanged price inherits the LAST
+  // non-zero sign — the carry), bucket the tape into ~equal-notional
+  // volume buckets (q229's floor rule, same T), and report per-bucket
+  // order imbalance plus VPIN over a 5-bucket trailing window. VPIN is
+  // computed as Σ|buy−sell| / Σ(buy+sell) over the frame — both sums
+  // exact longs, ONE double division, so no float-accumulation hazard
+  // (and the volume-weighted form is the estimator's own definition
+  // when buckets are equal-volume).
+  //
+  // SCALE SHAPE — the tick-rule carry looks inherently sequential (each
+  // sign can depend on the previous), but it segments exactly like the
+  // q229 cumsum: (1) an intraday pass computes local signs and the
+  // per-day sign summary (first/last price, last non-zero local sign)
+  // — window per (tkr, day), declared set; (2) the DAY-grain recurrence
+  // resolves each day's carry-in: a day's sign contribution s_day =
+  // coalesce(last local sign, cross-day first-tick sign), and carry-in
+  // is last(s_day ignoreNulls) over STRICTLY PRIOR days — windows per
+  // ticker on the daily rollup, the declared bound; (3) day summaries
+  // broadcast back; (4) a second intraday pass fills each tick's sign =
+  // coalesce(intraday last non-zero ≤ tick, day carry-in, +1 default).
+  // The DuckDB oracle is the textbook single global window over the
+  // whole tape — the hash gate proves the segmented stitching exact.
+  //
+  // Determinism at seq ties (duplicate fixture rows ⇒ equal prices):
+  // RANGE frames make tie rows share cum/sign frames, and a tie pair's
+  // (Δ, sign) multiset is order-invariant because both rows carry the
+  // same price — pinned by the tie-pair spec case.
+  // ---------------------------------------------------------------------
+  private val VpinFrame = 5 // trailing buckets per VPIN estimate
+  private val q230 = QueryDef(
+    "q230_vpin_flow",
+    (spark, dir) => {
+      import spark.implicits._
+      val ticks = tickTape(spark, dir)
+      val wTick = Window.partitionBy("tkr", "day").orderBy("seq")
+      // (1) intraday local signs + cumsum (RANGE frames throughout)
+      val intra = ticks
+        .withColumn("prev_local", lag($"cents", 1).over(wTick))
+        .withColumn("s_local",
+          when($"prev_local".isNull, lit(null).cast("int"))
+            .when($"cents" > $"prev_local", 1)
+            .when($"cents" < $"prev_local", -1))
+        .withColumn("intra_cum", sum($"cents").over(wTick))
+      // (2) day-grain sign recurrence on the tiny rollup
+      val wDay = Window.partitionBy("ticker").orderBy("day")
+      val daySum = intra.groupBy($"tkr".as("ticker"), $"day")
+        .agg(
+          sum($"cents").as("day_cents"),
+          min(struct($"seq".as("s"), $"cents".as("c"))).getField("c").as("fp"),
+          max(struct($"seq".as("s"), $"cents".as("c"))).getField("c").as("lp"),
+          max(when($"s_local".isNotNull,
+            struct($"seq".as("s"), $"s_local".as("v"))))
+            .getField("v").as("lnz"))
+        .withColumn("lag_lp", lag($"lp", 1).over(wDay))
+        .withColumn("s_day", coalesce($"lnz",
+          when($"lag_lp".isNull, lit(null).cast("int"))
+            .when($"fp" > $"lag_lp", 1)
+            .when($"fp" < $"lag_lp", -1)))
+        .withColumn("carry_in", last($"s_day", ignoreNulls = true)
+          .over(wDay.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("day_base",
+          sum($"day_cents").over(wDay) - $"day_cents")
+        .select($"ticker", $"day", $"lag_lp", $"carry_in", $"day_base")
+      // (3)+(4) broadcast summaries back; resolve every tick's sign
+      val resolved = intra
+        .join(broadcast(daySum),
+          intra("tkr") === daySum("ticker") && intra("day") === daySum("day"))
+        .drop(daySum("ticker")).drop(daySum("day"))
+        .withColumn("s_tick",
+          when($"prev_local".isNotNull, $"s_local")
+            .when($"lag_lp".isNull, lit(null).cast("int"))
+            .when($"cents" > $"lag_lp", 1)
+            .when($"cents" < $"lag_lp", -1))
+        .withColumn("s_filled", coalesce(
+          last($"s_tick", ignoreNulls = true).over(wTick),
+          $"carry_in", lit(1)))
+        .withColumn("cum0", $"day_base" + $"intra_cum")
+        .withColumn("bucket", expr(s"(cum0 - 1) div $DollarBarT"))
+      // bucket grain (~total/T rows per ticker) + trailing VPIN
+      val wV = Window.partitionBy("ticker").orderBy("bucket")
+        .rowsBetween(-(VpinFrame - 1), 0)
+      resolved
+        .groupBy($"tkr".as("ticker"), $"bucket")
+        .agg(
+          sum(when($"s_filled" === 1, $"cents").otherwise(0L)).as("buy_c"),
+          sum(when($"s_filled" === -1, $"cents").otherwise(0L)).as("sell_c"))
+        .withColumn("oi_c", abs($"buy_c" - $"sell_c"))
+        .withColumn("vpin",
+          sum($"oi_c").over(wV).cast("double") /
+            sum($"buy_c" + $"sell_c").over(wV).cast("double"))
+        .orderBy($"ticker", $"bucket")
+    },
+    Some(s"""
+      WITH $tickSql,
+      w1 AS (
+        SELECT ticker, day, seq, cents,
+               lag(cents) OVER (PARTITION BY ticker ORDER BY day, seq)
+                 AS prev_c,
+               sum(cents) OVER (PARTITION BY ticker ORDER BY day, seq)
+                 AS cum0
+        FROM ticks),
+      w2 AS (
+        SELECT ticker, cum0, cents,
+               last_value(CASE WHEN prev_c IS NULL THEN NULL
+                               WHEN cents > prev_c THEN 1
+                               WHEN cents < prev_c THEN -1 END IGNORE NULLS)
+                 OVER (PARTITION BY ticker ORDER BY day, seq) AS s
+        FROM w1),
+      b AS (
+        SELECT ticker, CAST((cum0 - 1) // $DollarBarT AS BIGINT) AS bucket,
+               CAST(sum(CASE WHEN coalesce(s, 1) = 1 THEN cents ELSE 0 END)
+                 AS BIGINT) AS buy_c,
+               CAST(sum(CASE WHEN coalesce(s, 1) = -1 THEN cents ELSE 0 END)
+                 AS BIGINT) AS sell_c
+        FROM w2 GROUP BY 1, 2)
+      SELECT ticker, bucket, buy_c, sell_c,
+             abs(buy_c - sell_c) AS oi_c,
+             CAST(sum(abs(buy_c - sell_c)) OVER wv AS DOUBLE)
+               / CAST(sum(buy_c + sell_c) OVER wv AS DOUBLE) AS vpin
+      FROM b
+      WINDOW wv AS (PARTITION BY ticker ORDER BY bucket
+                    ROWS BETWEEN ${VpinFrame - 1} PRECEDING AND CURRENT ROW)
+      ORDER BY ticker, bucket"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229)
+    Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229, q230)
 }

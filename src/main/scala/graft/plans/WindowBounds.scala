@@ -54,10 +54,11 @@ object WindowBounds {
     */
   val declared: Seq[BoundedKey] = Seq(
     BoundedKey("ticker",
-      "daily-bars grain: ≤ |trading days| rows per ticker (the indicator" +
-        " family discipline); per-tick frames must re-partition by" +
-        " (ticker, day) before windowing",
-      Seq("q18", "q20", "q80", "q153", "q219")),
+      "ROLLUP grain only: ≤ |trading days| rows per ticker (daily bars —" +
+        " the indicator family discipline) or ≤ notional/T volume-bucket" +
+        " rows (q230's VPIN frame, same magnitude); per-tick frames must" +
+        " re-partition by (tkr, day) before windowing",
+      Seq("q18", "q20", "q80", "q153", "q219", "q230")),
     BoundedKey("doc_id",
       "per-document token/gram/span rows: bounded by max document" +
         " length, the curation contract every text operator assumes",
@@ -138,7 +139,7 @@ object WindowBounds {
         " declaration (the segmented-scan half of q229's dollar-bar" +
         " cumsum; the cross-day half runs on the daily rollup under" +
         " `ticker`)",
-      Seq("q229"))
+      Seq("q229", "q230"))
   )
 
   private lazy val declaredKeys: Set[String] = declared.map(_.key).toSet

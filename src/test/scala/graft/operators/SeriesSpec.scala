@@ -173,6 +173,51 @@ class SeriesSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q230: flow conserves notional; vpin in [0,1]; carry resolves constructed case") {
+    val out = graft.SparkEntry.queries("q230_vpin_flow")(spark, dir).cache()
+    // every cent is classified buy or sell — per-ticker conservation
+    val ticksTotal = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey".as("ticker"))
+      .agg(sum(($"l_extendedprice"
+        .cast(org.apache.spark.sql.types.DecimalType(28, 2)) * 100)
+        .cast("long")).as("total_c"))
+    assert(out.groupBy($"ticker").agg(sum($"buy_c" + $"sell_c").as("f"))
+      .join(ticksTotal, "ticker").filter($"f" =!= $"total_c").isEmpty)
+    assert(out.filter($"vpin" < 0 || $"vpin" > 1).isEmpty)
+    assert(out.filter($"oi_c" =!= abs($"buy_c" - $"sell_c")).isEmpty)
+    out.unpersist()
+    // the sign CARRY across a zero-change run and a day boundary, on a
+    // constructed 1-ticker tape: up, flat, DOWN-into-next-day, flat —
+    // signs must be (+1 default, +1, +1 carried, -1 cross-day, -1 carried)
+    val tape = Seq(
+      (1L, "2024-01-01", 10L, 100L), (1L, "2024-01-01", 20L, 105L),
+      (1L, "2024-01-01", 30L, 105L), (1L, "2024-01-02", 40L, 95L),
+      (1L, "2024-01-02", 50L, 95L))
+      .toDF("l_suppkey", "d", "k", "price")
+      .withColumn("l_shipdate", to_timestamp($"d"))
+      .withColumn("l_orderkey", $"k").withColumn("l_linenumber", lit(1))
+      .withColumn("l_extendedprice", $"price".cast("double"))
+    // classify via the same machinery by writing a temp lineitem dir
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q230_").toString
+    try {
+      tape.select("l_suppkey", "l_orderkey", "l_linenumber",
+        "l_extendedprice", "l_shipdate")
+        .write.parquet(s"$tmp/lineitem.parquet")
+      val flows = graft.SparkEntry.queries("q230_vpin_flow")(spark, tmp)
+        .orderBy("bucket").collect()
+      // all five trades land in bucket 0 (tiny notional), classified:
+      // buys = 100+105+105 (default+up+carry), sells = 95+95 (down+carry)
+      assert(flows.length === 1)
+      assert(flows(0).getAs[Long]("buy_c") === 31000L)
+      assert(flows(0).getAs[Long]("sell_c") === 19000L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator()
+        .asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("q229: plan is the segmented scan — day offsets broadcast, no tape-sized window") {
     val df = graft.SparkEntry.queries("q229_dollar_bars")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
