@@ -883,6 +883,95 @@ object Series extends QueryModule {
                     ROWS BETWEEN ${VpinFrame - 1} PRECEDING AND CURRENT ROW)
       ORDER BY ticker, bucket"""))
 
+  // ---------------------------------------------------------------------
+  // q231 — FIXED-WIDTH FRACTIONAL DIFFERENTIATION (AFML ch.5, FFD):
+  // the stationarity-vs-memory compromise — differencing a price series
+  // by a FRACTIONAL order d ∈ (0,1) instead of d=1, so the series
+  // becomes ~stationary while keeping long memory. ffd_t =
+  // Σ_{k<K} w_k · close_{t−k} with w_0 = 1,
+  // w_k = −w_{k−1}·(d−k+1)/k, truncated at fixed width K (burn-in rows
+  // without K−1 predecessors are dropped).
+  //
+  // Exactness: weights are computed ONCE in Scala as scale-18
+  // BigDecimals (HALF_EVEN) and the SAME literals are emitted into both
+  // the Column expression and the oracle SQL — the dot product is then
+  // pure decimal multiply/add on cent prices (no division, no float
+  // accumulation), so both engines hold the identical exact value; the
+  // single CAST to DOUBLE at the end rounds that one exact decimal the
+  // same way (IEEE half-even) on both.
+  //
+  // Scale: one daily-grain window per ticker (declared bound), K lags
+  // in a single window pass — no self-join, no explode.
+  // ---------------------------------------------------------------------
+  private val FfdK = 10
+  /** FFD weights for d = 0.5, scale-18 exact decimals. */
+  private[operators] lazy val ffdWeights: Seq[java.math.BigDecimal] = {
+    val d = new java.math.BigDecimal("0.5")
+    val one = java.math.BigDecimal.ONE.setScale(18)
+    Iterator.iterate((one, 1)) { case (w, k) =>
+      val next = w.negate()
+        .multiply(d.subtract(new java.math.BigDecimal(k - 1)))
+        .divide(new java.math.BigDecimal(k), 18, java.math.RoundingMode.HALF_EVEN)
+      (next, k + 1)
+    }.map(_._1).take(FfdK).toSeq
+  }
+
+  /** The weights as exact 2^16-scaled integers: for d = 1/2 every FFD
+    * weight is a DYADIC rational with denominator ≤ 2^16 (each step
+    * multiplies by −(2k−3)/(2k); the odd k in the denominator always
+    * cancels), so w·65536 is a small exact integer —
+    * `toBigIntegerExact` throws loudly if that ever stops holding. The
+    * whole dot product then runs in plain BIGINT (≤ 2^43, exact on both
+    * engines), and ffd = dot/2^16 costs one exact long→double cast plus
+    * one exact power-of-two division — BIT-identical cross-engine.
+    * (First attempts kept scale-18 decimals / atto-integers: a 10-term
+    * decimal addition chain blows DuckDB's precision-38 cap into DOUBLE
+    * promotion, and HUGEINT→DOUBLE casting is not correctly rounded in
+    * DuckDB — both produced last-ULP divergences on exactly the rows
+    * where carries landed.)
+    */
+  private lazy val ffdW16: Seq[Long] = ffdWeights
+    .map(_.multiply(new java.math.BigDecimal(65536))
+      .toBigIntegerExact.longValueExact())
+
+  private val q231 = QueryDef(
+    "q231_frac_diff",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy("ticker").orderBy("date")
+      val cc = ($"close".cast(DecimalType(28, 2)) * 100).cast("long")
+      val dot = ffdW16.zipWithIndex.map { case (wk, k) =>
+        lit(wk) * lag(cc, k).over(w)
+      }.reduce(_ + _)
+      WindowFeatures.bars(spark, dir)
+        .withColumn("ffd", dot.cast("double") / 65536.0)
+        .withColumn("burn", lag(cc, FfdK - 1).over(w))
+        .filter($"burn".isNotNull)
+        .select($"ticker", $"date", $"close", $"ffd")
+        .orderBy($"ticker", $"date")
+    },
+    Some {
+      val terms = ffdW16.zipWithIndex.map { case (wk, k) =>
+        val l =
+          if (k == 0) "cc"
+          else s"lag(cc, $k) OVER (PARTITION BY ticker ORDER BY date)"
+        s"($wk) * $l"
+      }.mkString("\n               + ")
+      s"""
+      WITH ${WindowFeatures.barsSql},
+      c AS (
+        SELECT ticker, date, close,
+               CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT) AS cc
+        FROM bars)
+      SELECT ticker, date, close,
+             CAST($terms AS DOUBLE) / 65536.0 AS ffd
+      FROM c
+      QUALIFY lag(cc, ${FfdK - 1})
+        OVER (PARTITION BY ticker ORDER BY date) IS NOT NULL
+      ORDER BY ticker, date"""
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229, q230)
+    Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229, q230,
+      q231)
 }

@@ -218,6 +218,49 @@ class SeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q231: weights dyadic & telescoping; constant series maps to c*sum(w); burn-in exact") {
+    // the d=1/2 weights really are 2^16-dyadic and follow the recurrence
+    val w = Series.ffdWeights
+    assert(w.head === java.math.BigDecimal.ONE.setScale(18))
+    w.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      val k = i + 1
+      // b = -a * (0.5 - k + 1) / k  ⇒  b * 2k = -a * (3 - 2k) / ... exact:
+      val lhs = b.multiply(new java.math.BigDecimal(2 * k))
+      val rhs = a.negate.multiply(new java.math.BigDecimal(2 * (k - 1) - 1).negate)
+      assert(lhs.compareTo(rhs) === 0, s"recurrence broken at k=$k")
+    }
+    // alternating-tail signs: w0 > 0, all later weights ≤ 0 for d∈(0,1)
+    assert(w.tail.forall(_.signum() <= 0))
+    // burn-in: per ticker, output rows = bar days − (K−1)
+    val out = graft.SparkEntry.queries("q231_frac_diff")(spark, dir).cache()
+    val days = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey".as("ticker"))
+      .agg(countDistinct(to_date($"l_shipdate")).as("d"))
+    assert(out.groupBy($"ticker").agg(count(lit(1)).as("n"))
+      .join(days, "ticker").filter($"n" =!= $"d" - 9).isEmpty)
+    // a constant price series: ffd = close_cents * Σw / — via the public
+    // query on a constructed single-ticker lineitem dir
+    val sumW = w.reduce(_.add(_))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q231_").toString
+    try {
+      val const = (1 to 12).map(i => (7L, i.toLong, 1, 250.00,
+        java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00")))
+        .toDF("l_suppkey", "l_orderkey", "l_linenumber",
+          "l_extendedprice", "l_shipdate")
+      const.write.parquet(s"$tmp/lineitem.parquet")
+      val ffd = graft.SparkEntry.queries("q231_frac_diff")(spark, tmp)
+        .select($"ffd").as[Double].collect()
+      assert(ffd.length === 3) // 12 days − 9 burn-in
+      val expect = new java.math.BigDecimal(25000).multiply(sumW).doubleValue()
+      assert(ffd.forall(v => math.abs(v - expect) < 1e-9), ffd.toSeq.toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator()
+        .asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("q229: plan is the segmented scan — day offsets broadcast, no tape-sized window") {
     val df = graft.SparkEntry.queries("q229_dollar_bars")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
