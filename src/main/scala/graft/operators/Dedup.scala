@@ -459,6 +459,77 @@ object Dedup extends QueryModule {
       ORDER BY i, j"""))
 
   // ---------------------------------------------------------------------
+  // q232 — PREFIX-FILTERED SET-SIMILARITY JOIN (AllPairs/PPJoin,
+  // Bayardo et al. WWW'07 / Xiao et al. WWW'08): the PRINCIPLED
+  // candidate pruning next to q37's heuristic df-cap. Order every doc's
+  // gram set by a global canonical order (ascending global df, tie by
+  // gram — rarest first), keep only the PREFIX of length
+  // n − ⌈t·n⌉ + 1 (= n div 2 + 1 at t = 0.5); the classic lemma: any
+  // pair with Jaccard ≥ t shares ≥ ⌈t·n⌉ grams per side, and if the
+  // FIRST common gram in canonical order sat outside either prefix, the
+  // ≥ ⌈t·n⌉ − 1 remaining common grams could not fit behind it —
+  // contradiction. So prefix∩prefix ≠ ∅ for every qualifying pair:
+  // ZERO false negatives, unlike the df-cap. The ORACLE is the naive
+  // all-pairs join over FULL gram sets — the hash gate IS the
+  // completeness proof, every round.
+  //
+  // Scale: candidates join only prefix tokens — globally hot grams sort
+  // LAST and fall out of every large doc's prefix, so the Σ df² blowup
+  // of a full-token join never materializes; plus the PPJoin length
+  // filter (max(na,nb) ≤ 2·min at t=0.5) prunes size-incompatible
+  // pairs before verification. Canonical df is one map-combined
+  // aggregate on s joined back (never a window over postings — the
+  // q190/q191 straggler discipline). Verification runs over full gram
+  // sets, same machinery as q37.
+  // ---------------------------------------------------------------------
+  private val q232 = QueryDef(
+    "q232_ppjoin",
+    (spark, dir) => {
+      import spark.implicits._
+      val grams = word3grams(spark, dir).select($"doc_id", $"s")
+      // global canonical order key: (global df, gram)
+      val gdf = grams.groupBy($"s").agg(count(lit(1)).as("gdf"))
+      val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("gdf", "s")
+      val prefix = grams.join(gdf, "s")
+        .withColumn("rk", row_number().over(wDoc))
+        .join(sizes, "doc_id")
+        .filter($"rk" <= expr("n div 2") + 1)
+        .select($"doc_id", $"s", $"n")
+      val cands = prefix.as("a").join(prefix.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+            greatest(col("a.n"), col("b.n")) <=
+              least(col("a.n"), col("b.n")) * 2)
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      val inter = cands
+        .join(grams.as("ga"), col("ga.doc_id") === $"i")
+        .join(grams.as("gb"),
+          col("gb.doc_id") === $"j" && col("gb.s") === col("ga.s"))
+        .groupBy($"i", $"j").agg(count(lit(1)).as("k"))
+      inter
+        .join(sizes.as("na"), col("na.doc_id") === $"i")
+        .join(sizes.as("nb"), col("nb.doc_id") === $"j")
+        .withColumn("jaccard",
+          $"k".cast("double") / (col("na.n") + col("nb.n") - $"k").cast("double"))
+        .filter($"jaccard" >= 0.5)
+        .select($"i", $"j", $"jaccard")
+        .orderBy($"i", $"j")
+    },
+    Some(s"""
+      WITH $gramsSql,
+      sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS k
+        FROM grams a JOIN grams b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i, j, CAST(k AS DOUBLE) / CAST(na.n + nb.n - k AS DOUBLE) AS jaccard
+      FROM inter JOIN sizes na ON na.doc_id = i JOIN sizes nb ON nb.doc_id = j
+      WHERE CAST(k AS DOUBLE) / CAST(na.n + nb.n - k AS DOUBLE) >= 0.5
+      ORDER BY i, j"""))
+
+  // ---------------------------------------------------------------------
   // q38 — embedding-cosine near-dup: label-blocked pairs at cosine ≥ 0.4,
   // scaled-integer dot products (VectorOps) for engine portability.
   // ---------------------------------------------------------------------
@@ -1160,5 +1231,5 @@ object Dedup extends QueryModule {
 
   override val defs: Seq[QueryDef] =
     Seq(q34, q35, q36, q37, q38, q72, q96, q114, q118, q131, q151, q163,
-      q174, q225)
+      q174, q225, q232)
 }

@@ -57,7 +57,7 @@ object Silver {
       "word3grams",
       "df-annotated distinct word 3-grams per doc — the shared candidate" +
         " generator of the gram similarity family",
-      Seq("q37", "q96", "q163", "q174", "q205"),
+      Seq("q37", "q96", "q163", "q174", "q205", "q232"),
       (s, d) => Dedup.word3grams(s, d)),
     SilverTable(
       "kmeans_cents",

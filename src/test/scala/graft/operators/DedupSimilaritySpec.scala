@@ -93,6 +93,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("q232 ppjoin: subsumes q37's blocked pairs and catches the df-cap's blind spot") {
+    // completeness vs the heuristic: every pair the df-capped blocked
+    // variant (q37) emits must also be found by the prefix filter (same
+    // gram family; q37's jaccard is block-free too, so sets coincide
+    // where blocking allows the pair at all)
+    val pp = run("q232_ppjoin").select("i", "j").as[(Long, Long)].collect().toSet
+    val ng = run("q37_ngram_jaccard").select("i", "j").as[(Long, Long)].collect().toSet
+    assert((ng -- pp).isEmpty, s"pairs found by q37 but not ppjoin: ${ng -- pp}")
+    // the adversarial case for a df-cap: two identical docs whose grams
+    // are ALL corpus-hot (> GramDfCap would drop every candidate gram);
+    // the prefix filter must still pair them — its pruning has no recall
+    // cliff, only the canonical order changes
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (0 until 60).map { i =>
+      val txt = if (i < 2) boiler else boiler + s" unique$i tail$i"
+      (i.toLong, txt, "en", "src", txt.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q232_").toString
+    try {
+      docs.write.parquet(s"$tmp/documents.parquet")
+      val pairs = SparkEntry.queries("q232_ppjoin")(spark, tmp)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((0L, 1L)),
+        s"identical hot-gram docs not paired: $pairs")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator()
+        .asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("q106 packing: token conservation, full packs everywhere but the tail") {
     import graft.sources.Tables
     import graft.functions.Portable
