@@ -672,6 +672,78 @@ object Analytics extends QueryModule {
       FROM cells GROUP BY 1 ORDER BY event_type"""))
 
   // ---------------------------------------------------------------------
+  // q233 — L-DIVERSITY AUDIT (Machanavajjhala et al., ICDE'06): the
+  // complement to q179's k-anonymity — a cell can cover K distinct users
+  // yet still leak if they all share one SENSITIVE value (the
+  // homogeneity attack). Same quasi-identifier cells (event_type, day,
+  // value-band); sensitive attribute = props.k div 10 (ten classes).
+  // Per cell: distinct-l (sensitive classes present), the mode share in
+  // exact millis (the recursive-(c,l) disclosure proxy). Per type: cell
+  // census, cells below L=3, min l, worst mode share, majority-class
+  // cells. Two map-side-combinable rollups — the (cell, class) table is
+  // |types|×|days|×|bands|×10 bounded however large the event log; no
+  // user-level data survives the first aggregate.
+  // ---------------------------------------------------------------------
+  private val DivL = 3L
+  private val q233 = QueryDef(
+    "q233_l_diversity",
+    (spark, dir) => {
+      import spark.implicits._
+      val sv = Tables.events(spark, dir)
+        .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull
+          && $"props".isNotNull)
+        .withColumn("j", from_json($"props",
+          new org.apache.spark.sql.types.StructType()
+            .add("k", org.apache.spark.sql.types.StringType)))
+        .withColumn("sens", expr("try_cast(j.k AS BIGINT) div 10"))
+        .filter($"sens".isNotNull)
+        .groupBy($"event_type", to_date($"ts").as("day"),
+          expr(graft.functions.Portable.bandSql(
+            "CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)", 5000L, "div"))
+            .as("band"), $"sens")
+        .agg(count(lit(1)).as("c"))
+      val cells = sv.groupBy($"event_type", $"day", $"band")
+        .agg(count(lit(1)).as("l"), sum($"c").as("n"), max($"c").as("mode"))
+      cells.groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_cells"),
+          sum(when($"l" < DivL, 1L).otherwise(0L)).as("n_low_div"),
+          min($"l").as("min_l"),
+          max(expr("(1000 * mode) div n")).as("max_mode_milli"),
+          sum(when(expr("(1000 * mode) div n") > 500, 1L).otherwise(0L))
+            .as("n_majority_cells"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH sv AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ${graft.functions.Portable.bandSql(
+                 "CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)",
+                 5000L, "//")} AS band,
+               TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) // 10
+                 AS sens,
+               count(*) AS c
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+          AND props IS NOT NULL
+          AND TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT)
+            IS NOT NULL
+        GROUP BY 1, 2, 3, 4),
+      cells AS (
+        SELECT event_type, day, band,
+               count(*) AS l, sum(c) AS n, max(c) AS mode
+        FROM sv GROUP BY 1, 2, 3)
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(CASE WHEN l < $DivL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_div,
+             CAST(min(l) AS BIGINT) AS min_l,
+             CAST(max((1000 * mode) // n) AS BIGINT) AS max_mode_milli,
+             CAST(sum(CASE WHEN (1000 * mode) // n > 500 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_majority_cells
+      FROM cells GROUP BY 1 ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------------
   // q182 — RIGHT-TO-BE-FORGOTTEN CASCADE: a deletion-request batch
   // (customers with custkey ≡ 0 mod 53 — the deterministic stand-in for
   // the request queue) propagated through the referential chain
@@ -1170,5 +1242,5 @@ object Analytics extends QueryModule {
 
   override val defs: Seq[QueryDef] =
     Seq(q88, q89, q90, q91, q95, q124, q132, q150, q178, q179, q182, q183,
-      q184, q185, q187, q196)
+      q184, q185, q187, q196, q233)
 }

@@ -343,6 +343,23 @@ class SketchGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q233 l-diversity: bounds coherent, majority cells within census") {
+    val rows = run("q233_l_diversity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cells, lowDiv, minL, modeMilli, majority) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(lowDiv <= cells && majority <= cells)
+      assert(minL >= 1L && minL <= 10L) // ten sensitive classes exist
+      // mode share: at least 1/|classes| of the cell, never more than all
+      assert(modeMilli >= 100L && modeMilli <= 1000L)
+      // a cell whose mode holds a strict majority has at most 2 classes
+      // carrying >= half... no structural bound ties majority to lowDiv;
+      // but a single-class cell (l = 1) IS a majority cell, so:
+      if (minL == 1L) assert(majority >= 1L)
+    }
+  }
+
   test("q180 bitmaps: OR-merge equals direct mask, bucket counts bounded") {
     val rows = run("q180_bitmap_presence").collect()
     assert(rows.nonEmpty)
