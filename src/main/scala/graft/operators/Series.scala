@@ -971,7 +971,145 @@ object Series extends QueryModule {
       ORDER BY ticker, date"""
     })
 
+  // ---------------------------------------------------------------------
+  // q234 — SPLIT-CONFORMAL PREDICTION INTERVALS (Vovk; Lei et al. 2018):
+  // distribution-free finite-sample-valid intervals around the q138 OLS
+  // trend. Per series: chronological 50/30/20 train/calibration/test
+  // split on the daily rollup; fit OLS on train (exact decimal sums,
+  // q138's arithmetic verbatim); nonconformity score = |residual|; the
+  // conformal quantile q̂ is the ⌈(n_cal+1)·(1−α)⌉-th smallest
+  // calibration score (α = 0.2, integer ceil arithmetic); report test
+  // coverage of ŷ ± q̂ in exact millis. If the rank exceeds n_cal the
+  // interval is infinite — q̂ NULL, everything covered (both engines
+  // take the same LEFT-JOIN path).
+  //
+  // Determinism: scores are doubles computed by the IDENTICAL expression
+  // tree from exact integer/decimal sums on both engines, so selection
+  // (k-th smallest, ties broken by day) and the ≤ q̂ comparisons are
+  // bit-identical — no float SUMS anywhere past the decimal rollup.
+  // Scale: everything after the one fact rollup is |series|×|days|
+  // grain; fits and quantiles broadcast back.
+  // ---------------------------------------------------------------------
+  private val q234 = QueryDef(
+    "q234_conformal_intervals",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir).filter($"ts".isNotNull)
+      val daily = ev.groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(sum($"value".cast(DecimalType(28, 2))).as("y"))
+      val first = ev.agg(min(to_date($"ts")).as("lo"))
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      val sizes0 = daily.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      val dd = daily.crossJoin(broadcast(first))
+        .withColumn("x", datediff($"day", $"lo").cast("long"))
+        .join(broadcast(sizes0), "event_type")
+        .withColumn("rn", row_number().over(wT))
+        .withColumn("split",
+          when($"rn" * 10 <= $"n" * 5, "train")
+            .when($"rn" * 10 <= $"n" * 8, "cal")
+            .otherwise("test"))
+      val fit = dd.filter($"split" === "train")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_train"), sum($"x").as("sx"),
+          sum($"x" * $"x").as("sxx"), sum($"y").as("sy"),
+          sum($"y" * $"x").as("sxy"))
+        .withColumn("slope",
+          ($"n_train" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n_train" * $"sxx" - $"sx" * $"sx").cast("double"))
+        .withColumn("intercept",
+          ($"sy".cast("double") - $"slope" * $"sx".cast("double")) /
+            $"n_train".cast("double"))
+        .select($"event_type", $"n_train", $"slope", $"intercept")
+      val scored = dd.join(broadcast(fit), "event_type")
+        .withColumn("score", abs($"y".cast("double") -
+          ($"slope" * $"x".cast("double") + $"intercept")))
+      val calN = scored.filter($"split" === "cal")
+        .groupBy($"event_type").agg(count(lit(1)).as("n_cal"))
+      val qhat = scored.filter($"split" === "cal")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy("score", "day")))
+        .join(broadcast(calN), "event_type")
+        .filter($"rk" === expr("((n_cal + 1) * 8 + 9) div 10"))
+        .select($"event_type", $"score".as("qhat"))
+      scored.filter($"split" === "test")
+        .join(broadcast(qhat), Seq("event_type"), "left")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when($"qhat".isNull || $"score" <= $"qhat", 1L).otherwise(0L))
+            .as("n_cov"),
+          max($"qhat").as("qhat"))
+        .join(broadcast(fit.select($"event_type", $"n_train")), "event_type")
+        .join(broadcast(calN), "event_type")
+        .withColumn("cover_milli", expr("(1000 * n_cov) div n_test"))
+        .select($"event_type", $"n_train", $"n_cal", $"n_test", $"qhat",
+          $"cover_milli")
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               sum(CAST(value AS DECIMAL(28,2))) AS y
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      f AS (SELECT min(CAST(ts AS DATE)) AS lo
+            FROM events WHERE ts IS NOT NULL),
+      sz AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+      dd AS (
+        SELECT d.event_type, d.day,
+               CAST(date_diff('day', f.lo, d.day) AS BIGINT) AS x, d.y,
+               row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+                 AS rn, sz.n
+        FROM d CROSS JOIN f JOIN sz ON sz.event_type = d.event_type),
+      ds AS (
+        SELECT *, CASE WHEN rn * 10 <= n * 5 THEN 'train'
+                       WHEN rn * 10 <= n * 8 THEN 'cal'
+                       ELSE 'test' END AS split
+        FROM dd),
+      fit AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_train,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x*x) AS BIGINT) AS sxx,
+               sum(y) AS sy, sum(y*x) AS sxy
+        FROM ds WHERE split = 'train' GROUP BY 1),
+      fit2 AS (
+        SELECT event_type, n_train,
+               CAST(n_train * sxy - sx * sy AS DOUBLE) /
+                 CAST(n_train * sxx - sx * sx AS DOUBLE) AS slope,
+               (CAST(sy AS DOUBLE) -
+                (CAST(n_train * sxy - sx * sy AS DOUBLE) /
+                 CAST(n_train * sxx - sx * sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE)) / CAST(n_train AS DOUBLE)
+                 AS intercept
+        FROM fit),
+      scored AS (
+        SELECT ds.event_type, ds.day, ds.split,
+               abs(CAST(ds.y AS DOUBLE) -
+                 (fit2.slope * CAST(ds.x AS DOUBLE) + fit2.intercept))
+                 AS score
+        FROM ds JOIN fit2 ON fit2.event_type = ds.event_type),
+      caln AS (
+        SELECT event_type, count(*) AS n_cal
+        FROM scored WHERE split = 'cal' GROUP BY 1),
+      q AS (
+        SELECT c.event_type, c.score AS qhat
+        FROM (SELECT event_type, day, score,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY score, day) AS rk
+              FROM scored WHERE split = 'cal') c
+        JOIN caln ON caln.event_type = c.event_type
+        WHERE c.rk = ((caln.n_cal + 1) * 8 + 9) // 10)
+      SELECT t.event_type, fit2.n_train,
+             CAST(caln.n_cal AS BIGINT) AS n_cal,
+             CAST(count(*) AS BIGINT) AS n_test, max(q.qhat) AS qhat,
+             CAST((1000 * sum(CASE WHEN q.qhat IS NULL OR t.score <= q.qhat
+                                   THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+               AS cover_milli
+      FROM scored t
+      LEFT JOIN q ON q.event_type = t.event_type
+      JOIN fit2 ON fit2.event_type = t.event_type
+      JOIN caln ON caln.event_type = t.event_type
+      WHERE t.split = 'test'
+      GROUP BY 1, 2, 3 ORDER BY t.event_type"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229, q230,
-      q231)
+      q231, q234)
 }

@@ -261,6 +261,22 @@ class SeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q234: split partitions the calendar; quantile rank valid; coverage bounded") {
+    val out = graft.SparkEntry.queries("q234_conformal_intervals")(spark, dir).cache()
+    val days = Tables.events(spark, dir).filter($"ts".isNotNull)
+      .groupBy($"event_type").agg(countDistinct(to_date($"ts")).as("d"))
+    // the three splits partition each series' days exactly
+    assert(out.join(days, "event_type")
+      .filter($"n_train" + $"n_cal" + $"n_test" =!= $"d").isEmpty)
+    // 50/30/20: n_train = #{rn : 10·rn ≤ 5·d} = (5·d) div 10
+    assert(out.join(days, "event_type")
+      .filter($"n_train" =!= expr("(5 * d) div 10")).isEmpty)
+    assert(out.filter($"cover_milli" < 0 || $"cover_milli" > 1000).isEmpty)
+    // the conformal rank existed on the fixture: finite qhat, >= 0
+    assert(out.filter($"qhat".isNull || $"qhat" < 0).isEmpty)
+    out.unpersist()
+  }
+
   test("q229: plan is the segmented scan — day offsets broadcast, no tape-sized window") {
     val df = graft.SparkEntry.queries("q229_dollar_bars")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
