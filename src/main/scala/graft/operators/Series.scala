@@ -1109,7 +1109,156 @@ object Series extends QueryModule {
       WHERE t.split = 'test'
       GROUP BY 1, 2, 3 ORDER BY t.event_type"""))
 
+  // ---------------------------------------------------------------------
+  // q235 — STREAMING DOLLAR BARS: the production shape of q229 — a bar
+  // is emitted the moment the tick that OVERFLOWS it arrives, not in a
+  // nightly batch resample. Built on transformWithState (the q223
+  // surface): per-ticker ValueState holds the running notional and the
+  // one OPEN bar; each tick advances the cum, and a tick whose floor
+  // bucket exceeds the open bar's id completes that bar (emit) and
+  // opens its own. Equal-(day, seq) tick groups are processed
+  // ATOMICALLY (cum advances by the group sum before assignment) so the
+  // accumulator matches the batch RANGE-frame tie semantics exactly.
+  //
+  // Stream ≡ batch: the emitted set is EXACTLY q229's bar table minus
+  // each ticker's final STILL-OPEN bar (a bar completes iff a later
+  // tick lands beyond it ⟺ ticker total > (bar_id+1)·T), so the DuckDB
+  // oracle is the q229 SQL with that completion filter — the batch SQL
+  // as the streaming query's oracle, the q223 discipline. The spec
+  // replays the tape at different chunkings for batch-boundary
+  // independence.
+  //
+  // Scale shape: state is ONE row per ticker (cum + open bar, constant
+  // size); per-batch work is O(ticks). Replay feed = date-range parquet
+  // chunks in mtime order (maxFilesPerTrigger=1), ticks sorted within
+  // the micro-batch per key — the q223 replay contract.
+  // ---------------------------------------------------------------------
+  private[operators] final case class DbTick(
+      tkr: Long, day: java.sql.Date, seq: Long, cents: Long)
+  private[operators] final case class DbOpen(
+      barId: Long, tStart: java.sql.Date, tEnd: java.sql.Date,
+      openC: Long, highC: Long, lowC: Long, closeC: Long,
+      nTicks: Long, dollarsC: Long)
+  private[operators] final case class DbSt(cum: Long, open: Option[DbOpen])
+  private[operators] final case class DbBar(
+      ticker: Long, bar_id: Long,
+      t_start: java.sql.Date, t_end: java.sql.Date,
+      open_c: Long, high_c: Long, low_c: Long, close_c: Long,
+      n_ticks: Long, dollars_c: Long)
+
+  private[operators] class DbProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, DbTick, DbBar] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[DbSt] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DbSt]("db_open",
+        org.apache.spark.sql.Encoders.product[DbSt], TTLConfig.NONE)
+    private def emit(key: Long, o: DbOpen): DbBar =
+      DbBar(key, o.barId, o.tStart, o.tEnd, o.openC, o.highC, o.lowC,
+        o.closeC, o.nTicks, o.dollarsC)
+    override def handleInputRows(
+        key: Long, rows: Iterator[DbTick],
+        tv: TimerValues): Iterator[DbBar] = {
+      var s = if (st.exists()) st.get() else DbSt(0L, None)
+      val out = scala.collection.mutable.ListBuffer.empty[DbBar]
+      // tie groups advance cum atomically — the batch RANGE-frame rule
+      rows.toArray.sortBy(t => (t.day.getTime, t.seq))
+        .foldLeft(Vector.empty[Vector[DbTick]]) { (gs, t) =>
+          if (gs.nonEmpty && gs.last.head.day == t.day
+              && gs.last.head.seq == t.seq)
+            gs.init :+ (gs.last :+ t)
+          else gs :+ Vector(t)
+        }
+        .foreach { g =>
+          val c = g.head.cents
+          val cum = s.cum + g.map(_.cents).sum
+          val bid = (cum - 1) / DollarBarT // positive ⇒ truncation = floor
+          val n = g.length.toLong
+          s.open match {
+            case Some(o) if o.barId == bid =>
+              s = DbSt(cum, Some(o.copy(tEnd = g.head.day,
+                highC = math.max(o.highC, c), lowC = math.min(o.lowC, c),
+                closeC = c, nTicks = o.nTicks + n,
+                dollarsC = o.dollarsC + n * c)))
+            case other =>
+              other.foreach(o => out += emit(key, o))
+              s = DbSt(cum, Some(DbOpen(bid, g.head.day, g.head.day,
+                c, c, c, c, n, n * c)))
+          }
+        }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** Distinct tickers on the tape — the q235 per-key state cardinality
+    * StateBounds declares.
+    */
+  private[graft] def tapeTickersOf(spark: SparkSession, dir: String): Long =
+    Tables.lineitem(spark, dir).select("l_suppkey").distinct().count()
+
+  /** The q235 build, chunking exposed for the batch-boundary-independence
+    * spec: the tick tape replayed as `nChunks` date-range files.
+    */
+  private[operators] def streamDollarBars(
+      outer: SparkSession, dir: String, nChunks: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val t = tickTape(spark, dir)
+    val dates = t.select($"day").distinct().orderBy($"day")
+      .collect().map(_.getDate(0)) // bounded driver model state (P12)
+    val feed = java.nio.file.Files.createTempDirectory("graft_db_feed_").toString
+    val per = math.max(1, math.ceil(dates.length.toDouble / nChunks).toInt)
+    val assigned = scala.collection.mutable.Set.empty[String]
+    dates.grouped(per).zipWithIndex.foreach { case (ds, i) =>
+      t.filter($"day".between(lit(ds.head), lit(ds.last)))
+        .coalesce(1).write.mode("append").parquet(feed)
+      new java.io.File(feed).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !assigned(f.getName))
+        .foreach { f =>
+          f.setLastModified(1600000000000L + i * 60000L)
+          assigned += f.getName
+        }
+    }
+    val bars = spark.readStream.schema(t.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .as[DbTick]
+      .groupByKey(_.tkr)
+      .transformWithState(new DbProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF()
+    graft.streaming.Streams.runToParquet(bars, "append")
+      .orderBy($"ticker", $"bar_id")
+  }
+
+  private val q235 = QueryDef(
+    "q235_stream_dollar_bars",
+    (outer, dir) => streamDollarBars(outer, dir, 4),
+    Some(s"""
+      WITH $tickSql,
+      cum AS (
+        SELECT ticker, day, seq, cents,
+               sum(cents) OVER (PARTITION BY ticker ORDER BY day, seq) AS cum0
+        FROM ticks),
+      tot AS (
+        SELECT ticker, CAST(sum(cents) AS BIGINT) AS total_c
+        FROM ticks GROUP BY 1),
+      b AS (
+        SELECT ticker, CAST((cum0 - 1) // $DollarBarT AS BIGINT) AS bar_id,
+               min(day) AS t_start, max(day) AS t_end,
+               (min(struct_pack(d := day, s := seq, c := cents))).c AS open_c,
+               max(cents) AS high_c, min(cents) AS low_c,
+               (max(struct_pack(d := day, s := seq, c := cents))).c AS close_c,
+               count(*) AS n_ticks, CAST(sum(cents) AS BIGINT) AS dollars_c
+        FROM cum GROUP BY 1, 2)
+      SELECT b.* FROM b JOIN tot ON tot.ticker = b.ticker
+      WHERE tot.total_c > (b.bar_id + 1) * $DollarBarT
+      ORDER BY b.ticker, b.bar_id"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229, q230,
-      q231, q234)
+      q231, q234, q235)
 }

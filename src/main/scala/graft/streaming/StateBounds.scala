@@ -111,6 +111,10 @@ object StateBounds {
     StateBound("q223_stream_triple_barrier",
       "= one ValueState row per ticker (≤ H+1 open entries inside)",
       (s, d) => graft.operators.WindowFeatures.tickersOf(s, d)),
+    StateBound("q235_stream_dollar_bars",
+      "= one ValueState row per ticker (running notional + the single" +
+        " open bar, constant size)",
+      (s, d) => graft.operators.Series.tapeTickersOf(s, d)),
     StateBound("q42_stream_static_join",
       "stateless: broadcast static side per micro-batch, append-only",
       (_, _) => 0L)

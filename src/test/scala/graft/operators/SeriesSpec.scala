@@ -277,6 +277,28 @@ class SeriesSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q235: stream == batch minus open bars, and chunking never changes the result") {
+    // streamed completed bars must equal q229's bar table minus each
+    // ticker's final (still-open) bar — recomputed here in-Spark
+    val batch = graft.SparkEntry.queries("q229_dollar_bars")(spark, dir)
+    val lastBar = batch.groupBy($"ticker").agg(max($"bar_id").as("last_bar"))
+    val expected = batch.join(lastBar, "ticker")
+      .filter($"bar_id" < $"last_bar").drop("last_bar")
+    val streamed = Series.streamDollarBars(spark, dir, 4)
+    assert(streamed.count() === expected.count())
+    assert(streamed.join(expected,
+      Seq("ticker", "bar_id", "t_start", "t_end", "open_c", "high_c",
+        "low_c", "close_c", "n_ticks", "dollars_c")).count()
+      === expected.count())
+    // batch-boundary independence: a different replay chunking emits the
+    // identical bar set
+    val re = Series.streamDollarBars(spark, dir, 7)
+    assert(re.count() === streamed.count())
+    assert(re.join(streamed,
+      Seq("ticker", "bar_id", "n_ticks", "dollars_c", "close_c")).count()
+      === streamed.count())
+  }
+
   test("q229: plan is the segmented scan — day offsets broadcast, no tape-sized window") {
     val df = graft.SparkEntry.queries("q229_dollar_bars")(spark, dir)
     val p = df.queryExecution.executedPlan.toString

@@ -26,7 +26,8 @@ class StateBoundsSpec extends AnyFunSuite {
       "q104_kafka_stream_features", "q128_transform_with_state",
       "q136_stream_kmv_sketch", "q147_stream_outer_join",
       "q157_stream_sliding_windows", "q173_stream_hll",
-      "q206_stream_heavy_users", "q223_stream_triple_barrier")
+      "q206_stream_heavy_users", "q223_stream_triple_barrier",
+      "q235_stream_dollar_bars")
     val undeclared = streaming -- StateBounds.names.toSet
     assert(undeclared.isEmpty, s"stateful queries without a StateBound: $undeclared")
     StateBounds.names.foreach { n =>
@@ -56,7 +57,9 @@ class StateBoundsSpec extends AnyFunSuite {
     Seq("q55_stateful_user_state" -> StateBounds.declared
           .find(_.query == "q55_stateful_user_state").get,
         "q223_stream_triple_barrier" -> StateBounds.declared
-          .find(_.query == "q223_stream_triple_barrier").get)
+          .find(_.query == "q223_stream_triple_barrier").get,
+        "q235_stream_dollar_bars" -> StateBounds.declared
+          .find(_.query == "q235_stream_dollar_bars").get)
       .foreach { case (n, sb) =>
         Streams.lastStateRows = -1L
         SparkEntry.queries(n)(spark, dir).collect()
