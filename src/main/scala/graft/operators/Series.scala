@@ -1258,7 +1258,139 @@ object Series extends QueryModule {
       WHERE tot.total_c > (b.bar_id + 1) * $DollarBarT
       ORDER BY b.ticker, b.bar_id"""))
 
+  // ---------------------------------------------------------------------
+  // q236 — ROLL EFFECTIVE-SPREAD ESTIMATOR (Roll 1984): the bid-ask
+  // spread implied by the serial covariance of price CHANGES — under
+  // Roll's model trades bounce between bid and ask, so adjacent price
+  // changes are negatively autocorrelated and spread = 2·√(−cov(Δp_t,
+  // Δp_{t−1})). Per ticker over daily close cents: Δ via lag, the
+  // (Δ_t, Δ_{t−1}) pairs via a second lag — one daily-grain window
+  // (declared bound), then exact BIGINT accumulators (n, ΣΔ, ΣΔ',
+  // ΣΔΔ'). The covariance is ONE fixed double expression over those
+  // exact longs (each BIGINT→DOUBLE cast is correctly rounded on both
+  // engines — unlike int128, the q231 lesson), and sqrt is IEEE
+  // correctly-rounded everywhere. Positive serial covariance (no
+  // implied spread) yields NULL, Roll's own convention.
+  // ---------------------------------------------------------------------
+  private val q236 = QueryDef(
+    "q236_roll_spread",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy("ticker").orderBy("date")
+      val cc = ($"close".cast(DecimalType(28, 2)) * 100).cast("long")
+      val s = WindowFeatures.bars(spark, dir)
+        .withColumn("d1", cc - lag(cc, 1).over(w))
+        .withColumn("d0", lag($"d1", 1).over(w))
+        .filter($"d1".isNotNull && $"d0".isNotNull)
+        .groupBy($"ticker")
+        .agg(count(lit(1)).as("n_pairs"), sum($"d0").as("sx"),
+          sum($"d1").as("sy"), sum($"d0" * $"d1").as("sxy"))
+      val cov = ($"n_pairs".cast("double") * $"sxy".cast("double") -
+        $"sx".cast("double") * $"sy".cast("double")) /
+        ($"n_pairs".cast("double") * $"n_pairs".cast("double"))
+      s.withColumn("cov_cents2", cov)
+        .withColumn("spread_c",
+          when($"cov_cents2" < 0, lit(2.0) * sqrt(-$"cov_cents2")))
+        .select($"ticker", $"n_pairs", $"cov_cents2", $"spread_c")
+        .orderBy($"ticker")
+    },
+    Some {
+      val covSql = "(CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+        " / (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE))"
+      s"""
+      WITH ${WindowFeatures.barsSql},
+      d AS (
+        SELECT ticker, date,
+               CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT)
+                 - lag(CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT))
+                   OVER (PARTITION BY ticker ORDER BY date) AS d1
+        FROM bars),
+      p AS (
+        SELECT ticker, d1,
+               lag(d1) OVER (PARTITION BY ticker ORDER BY date) AS d0
+        FROM d),
+      s AS (
+        SELECT ticker, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(d0) AS BIGINT) AS sx,
+               CAST(sum(d1) AS BIGINT) AS sy,
+               CAST(sum(d0 * d1) AS BIGINT) AS sxy
+        FROM p WHERE d1 IS NOT NULL AND d0 IS NOT NULL GROUP BY 1)
+      SELECT ticker, n_pairs, $covSql AS cov_cents2,
+             CASE WHEN $covSql < 0 THEN 2.0 * sqrt(-($covSql)) END
+               AS spread_c
+      FROM s ORDER BY ticker"""
+    })
+
+  // ---------------------------------------------------------------------
+  // q237 — CLASSICAL SEASONAL DECOMPOSITION (additive, moving-average
+  // method): y = trend + seasonal + residual per series. Trend is the
+  // centered 7-day moving average (interior days only — rows with the
+  // full ±3 frame); the weekly seasonal is the per-(series, day-of-week)
+  // mean of the detrended values; the residual is what's left.
+  //
+  // Exactness trick: the detrended value y − trend = y − Σ7/7 is not on
+  // the cent grid, so averaging it would float-accumulate. Instead the
+  // engine carries 7·detrended = 7y − Σ7 — EXACT DECIMAL — and the
+  // seasonal mean becomes ONE double division Σ(7·detr)/(7n). Trend and
+  // residual are fixed-order double expressions over exact decimals.
+  // Day-of-week is epoch-day mod 7 (portable, no locale).
+  // Scale: one fact rollup, then |series|×|days| grain; the seasonal
+  // table (|series|×7 rows) broadcasts back.
+  // ---------------------------------------------------------------------
+  private val q237 = QueryDef(
+    "q237_seasonal_decompose",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir).filter($"ts".isNotNull)
+      val daily = ev.groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(sum($"value".cast(DecimalType(28, 2))).as("y"))
+      val w7 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val interior = daily
+        .withColumn("s7", sum($"y").over(w7))
+        .withColumn("c7", count($"y").over(w7))
+        .withColumn("dow",
+          datediff($"day", to_date(lit("1970-01-01"))) % 7)
+        .filter($"c7" === 7)
+        .withColumn("trend", $"s7".cast("double") / 7.0)
+        .withColumn("detr7", $"y" * 7 - $"s7")
+      val seas = interior.groupBy($"event_type", $"dow")
+        .agg((sum($"detr7").cast("double") /
+          (count(lit(1)) * 7).cast("double")).as("seasonal"))
+      interior.join(broadcast(seas), Seq("event_type", "dow"))
+        .withColumn("y_d", $"y".cast("double"))
+        .withColumn("resid", $"y_d" - $"trend" - $"seasonal")
+        .select($"event_type", $"day", $"y_d", $"trend", $"seasonal",
+          $"resid")
+        .orderBy($"event_type", $"day")
+    },
+    Some("""
+      WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               sum(CAST(value AS DECIMAL(28,2))) AS y
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      w AS (
+        SELECT *, sum(y) OVER w7 AS s7, count(*) OVER w7 AS c7,
+               (day - DATE '1970-01-01') % 7 AS dow
+        FROM d
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      i AS (
+        SELECT *, CAST(s7 AS DOUBLE) / 7.0 AS trend, y * 7 - s7 AS detr7
+        FROM w WHERE c7 = 7),
+      se AS (
+        SELECT event_type, dow,
+               CAST(sum(detr7) AS DOUBLE) / CAST(count(*) * 7 AS DOUBLE)
+                 AS seasonal
+        FROM i GROUP BY 1, 2)
+      SELECT i.event_type, i.day, CAST(i.y AS DOUBLE) AS y_d, i.trend,
+             se.seasonal,
+             CAST(i.y AS DOUBLE) - i.trend - se.seasonal AS resid
+      FROM i JOIN se ON se.event_type = i.event_type AND se.dow = i.dow
+      ORDER BY i.event_type, i.day"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229, q230,
-      q231, q234, q235)
+      q231, q234, q235, q236, q237)
 }

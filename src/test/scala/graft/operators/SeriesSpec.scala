@@ -299,6 +299,33 @@ class SeriesSpec extends AnyFunSuite {
       === streamed.count())
   }
 
+  test("q236: roll spread consistent with its covariance, pair counts exact") {
+    val out = graft.SparkEntry.queries("q236_roll_spread")(spark, dir).cache()
+    // spread² = 4·(−cov) wherever defined; NULL exactly when cov ≥ 0
+    assert(out.filter($"spread_c".isNotNull &&
+      abs($"spread_c" * $"spread_c" + $"cov_cents2" * 4.0) >
+        (abs($"cov_cents2") * 4.0 + 1.0) * 1e-12).isEmpty)
+    assert(out.filter($"spread_c".isNull && $"cov_cents2" < 0).isEmpty)
+    // pairs = bar days − 2 per ticker
+    val days = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey".as("ticker"))
+      .agg(countDistinct(to_date($"l_shipdate")).as("d"))
+    assert(out.join(days, "ticker").filter($"n_pairs" =!= $"d" - 2).isEmpty)
+    out.unpersist()
+  }
+
+  test("q237: residuals sum to zero within each (series, dow) seasonal cell") {
+    val out = graft.SparkEntry.queries("q237_seasonal_decompose")(spark, dir).cache()
+    // the seasonal is the detrended cell mean ⇒ cell residuals cancel
+    val dowCol = datediff($"day", to_date(lit("1970-01-01"))) % 7
+    assert(out.groupBy($"event_type", dowCol.as("dow"))
+      .agg(sum($"resid").as("r")).filter(abs($"r") > 1e-6).isEmpty)
+    // decomposition identity holds row-wise by construction
+    assert(out.filter(abs($"y_d" - ($"trend" + $"seasonal" + $"resid")) > 1e-9)
+      .isEmpty)
+    out.unpersist()
+  }
+
   test("q229: plan is the segmented scan — day offsets broadcast, no tape-sized window") {
     val df = graft.SparkEntry.queries("q229_dollar_bars")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
