@@ -788,9 +788,13 @@ object Series extends QueryModule {
   // same price — pinned by the tie-pair spec case.
   // ---------------------------------------------------------------------
   private val VpinFrame = 5 // trailing buckets per VPIN estimate
-  private val q230 = QueryDef(
-    "q230_vpin_flow",
-    (spark, dir) => {
+
+  /** The q230 tick-sign + bucket resolution, shared with q238 (Kyle's
+    * lambda regresses price impact on the SAME classified flow): per
+    * tick (tkr, day, seq, cents, s_filled, bucket). See q230's header
+    * for the segmentation argument.
+    */
+  private def flowResolved(spark: SparkSession, dir: String): DataFrame = {
       import spark.implicits._
       val ticks = tickTape(spark, dir)
       val wTick = Window.partitionBy("tkr", "day").orderBy("seq")
@@ -837,10 +841,37 @@ object Series extends QueryModule {
           $"carry_in", lit(1)))
         .withColumn("cum0", $"day_base" + $"intra_cum")
         .withColumn("bucket", expr(s"(cum0 - 1) div $DollarBarT"))
+      resolved
+  }
+
+  /** The q230/q238 shared oracle CTE chain: ticks → w1 (lag + cumsum) →
+    * w2 (carried tick-rule sign) — the textbook single global window.
+    */
+  private val flowSql = s"""
+      $tickSql,
+      w1 AS (
+        SELECT ticker, day, seq, cents,
+               lag(cents) OVER (PARTITION BY ticker ORDER BY day, seq)
+                 AS prev_c,
+               sum(cents) OVER (PARTITION BY ticker ORDER BY day, seq)
+                 AS cum0
+        FROM ticks),
+      w2 AS (
+        SELECT ticker, day, seq, cum0, cents,
+               last_value(CASE WHEN prev_c IS NULL THEN NULL
+                               WHEN cents > prev_c THEN 1
+                               WHEN cents < prev_c THEN -1 END IGNORE NULLS)
+                 OVER (PARTITION BY ticker ORDER BY day, seq) AS s
+        FROM w1)"""
+
+  private val q230 = QueryDef(
+    "q230_vpin_flow",
+    (spark, dir) => {
+      import spark.implicits._
       // bucket grain (~total/T rows per ticker) + trailing VPIN
       val wV = Window.partitionBy("ticker").orderBy("bucket")
         .rowsBetween(-(VpinFrame - 1), 0)
-      resolved
+      flowResolved(spark, dir)
         .groupBy($"tkr".as("ticker"), $"bucket")
         .agg(
           sum(when($"s_filled" === 1, $"cents").otherwise(0L)).as("buy_c"),
@@ -852,21 +883,7 @@ object Series extends QueryModule {
         .orderBy($"ticker", $"bucket")
     },
     Some(s"""
-      WITH $tickSql,
-      w1 AS (
-        SELECT ticker, day, seq, cents,
-               lag(cents) OVER (PARTITION BY ticker ORDER BY day, seq)
-                 AS prev_c,
-               sum(cents) OVER (PARTITION BY ticker ORDER BY day, seq)
-                 AS cum0
-        FROM ticks),
-      w2 AS (
-        SELECT ticker, cum0, cents,
-               last_value(CASE WHEN prev_c IS NULL THEN NULL
-                               WHEN cents > prev_c THEN 1
-                               WHEN cents < prev_c THEN -1 END IGNORE NULLS)
-                 OVER (PARTITION BY ticker ORDER BY day, seq) AS s
-        FROM w1),
+      WITH $flowSql,
       b AS (
         SELECT ticker, CAST((cum0 - 1) // $DollarBarT AS BIGINT) AS bucket,
                CAST(sum(CASE WHEN coalesce(s, 1) = 1 THEN cents ELSE 0 END)
@@ -1390,7 +1407,75 @@ object Series extends QueryModule {
       FROM i JOIN se ON se.event_type = i.event_type AND se.dow = i.dow
       ORDER BY i.event_type, i.day"""))
 
+  // ---------------------------------------------------------------------
+  // q238 — KYLE'S LAMBDA (Kyle 1985): price impact per unit of signed
+  // order flow — the regression Δp_n = λ·q_n + ε over volume buckets,
+  // where q_n = (buy − sell) notional from the q230 tick-rule
+  // classification and Δp_n = last-price change between consecutive
+  // buckets. λ is the illiquidity the market maker charges; it closes
+  // the microstructure arc (bars → flow → VPIN → impact) on the SAME
+  // classified-flow table. Per ticker: exact BIGINT accumulators over
+  // the ~total/T bucket grain, slope as ONE fixed double expression
+  // (the q236 envelope); ≥ 3 buckets required for a meaningful fit.
+  // ---------------------------------------------------------------------
+  private val q238 = QueryDef(
+    "q238_kyle_lambda",
+    (spark, dir) => {
+      import spark.implicits._
+      val wB = Window.partitionBy("ticker").orderBy("bucket")
+      val b = flowResolved(spark, dir)
+        .groupBy($"tkr".as("ticker"), $"bucket")
+        .agg(
+          (sum(when($"s_filled" === 1, $"cents").otherwise(0L)) -
+            sum(when($"s_filled" === -1, $"cents").otherwise(0L)))
+            .as("sflow_c"),
+          max(struct($"day".as("d"), $"seq".as("s"), $"cents".as("c")))
+            .getField("c").as("last_c"))
+        .withColumn("dp_c", $"last_c" - lag($"last_c", 1).over(wB))
+        .filter($"dp_c".isNotNull)
+      val s = b.groupBy($"ticker")
+        .agg(count(lit(1)).as("n_buckets"), sum($"sflow_c").as("sx"),
+          sum($"dp_c").as("sy"), sum($"sflow_c" * $"sflow_c").as("sxx"),
+          sum($"sflow_c" * $"dp_c").as("sxy"))
+        .filter($"n_buckets" >= 3)
+      s.withColumn("lambda",
+          ($"n_buckets".cast("double") * $"sxy".cast("double") -
+            $"sx".cast("double") * $"sy".cast("double")) /
+            ($"n_buckets".cast("double") * $"sxx".cast("double") -
+              $"sx".cast("double") * $"sx".cast("double")))
+        .select($"ticker", $"n_buckets", $"lambda")
+        .orderBy($"ticker")
+    },
+    Some(s"""
+      WITH $flowSql,
+      b AS (
+        SELECT ticker, CAST((cum0 - 1) // $DollarBarT AS BIGINT) AS bucket,
+               CAST(sum(CASE WHEN coalesce(s, 1) = 1 THEN cents ELSE 0 END)
+                 - sum(CASE WHEN coalesce(s, 1) = -1 THEN cents ELSE 0 END)
+                 AS BIGINT) AS sflow_c,
+               (max(struct_pack(d := day, s2 := seq, c := cents))).c
+                 AS last_c
+        FROM w2 GROUP BY 1, 2),
+      d AS (
+        SELECT ticker, sflow_c,
+               last_c - lag(last_c) OVER (PARTITION BY ticker
+                 ORDER BY bucket) AS dp_c
+        FROM b),
+      agg AS (
+        SELECT ticker, CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(sflow_c) AS BIGINT) AS sx,
+               CAST(sum(dp_c) AS BIGINT) AS sy,
+               CAST(sum(sflow_c * sflow_c) AS BIGINT) AS sxx,
+               CAST(sum(sflow_c * dp_c) AS BIGINT) AS sxy
+        FROM d WHERE dp_c IS NOT NULL GROUP BY 1)
+      SELECT ticker, n_buckets,
+             (CAST(n_buckets AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS lambda
+      FROM agg WHERE n_buckets >= 3 ORDER BY ticker"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229, q230,
-      q231, q234, q235, q236, q237)
+      q231, q234, q235, q236, q237, q238)
 }

@@ -326,6 +326,17 @@ class SeriesSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q238: lambda finite; bucket pairs reconcile with q230's bucket census") {
+    val lam = graft.SparkEntry.queries("q238_kyle_lambda")(spark, dir).cache()
+    assert(lam.count() > 0)
+    assert(lam.filter($"lambda".isNull || isnan($"lambda")).isEmpty)
+    // n_buckets = q230's buckets per ticker minus the first (no Δp)
+    val vb = graft.SparkEntry.queries("q230_vpin_flow")(spark, dir)
+      .groupBy($"ticker").agg(count(lit(1)).as("nb"))
+    assert(lam.join(vb, "ticker").filter($"n_buckets" =!= $"nb" - 1).isEmpty)
+    lam.unpersist()
+  }
+
   test("q229: plan is the segmented scan — day offsets broadcast, no tape-sized window") {
     val df = graft.SparkEntry.queries("q229_dollar_bars")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
