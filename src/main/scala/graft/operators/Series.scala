@@ -1475,7 +1475,82 @@ object Series extends QueryModule {
                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS lambda
       FROM agg WHERE n_buckets >= 3 ORDER BY ticker"""))
 
+  // ---------------------------------------------------------------------
+  // q239 — BENFORD FIRST-DIGIT AUDIT: the forensic-accounting data-
+  // quality gate — naturally occurring trade notionals follow
+  // P(d) = log10(1 + 1/d); fabricated or truncated feeds don't. Per
+  // (l_returnflag, leading digit of the cent notional): observed count,
+  // Benford expectation, χ² term. The digit is extracted portably via
+  // string head (cents are positive integers); the nine log10 constants
+  // are computed ONCE in Scala and the IDENTICAL shortest-round-trip
+  // literals are emitted into both engines (the q231 shared-literal
+  // discipline), so e = n·p and (o−e)²/e are the same IEEE ops on the
+  // same values. One map-combinable rollup; 9×|flags| output rows.
+  // ---------------------------------------------------------------------
+  /** log10(1 + 1/d), d = 1..9 — shortest-repr literals shared verbatim
+    * by both engines.
+    */
+  private lazy val benfordP: Seq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  private val q239 = QueryDef(
+    "q239_benford_audit",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.lineitem(spark, dir)
+        .withColumn("cents",
+          ($"l_extendedprice".cast(DecimalType(28, 2)) * 100).cast("long"))
+        .filter($"cents" >= 1)
+        .withColumn("digit",
+          substring($"cents".cast("string"), 1, 1).cast("int"))
+        .groupBy($"l_returnflag".as("flag"), $"digit")
+        .agg(count(lit(1)).as("o"))
+      val n = o.groupBy($"flag").agg(sum($"o").as("n"))
+      val p = benfordP.zipWithIndex
+        .foldLeft(lit(null).cast("double")) { case (acc, (pd, i)) =>
+          when($"digit" === i + 1, lit(pd)).otherwise(acc)
+        }
+      o.join(broadcast(n), "flag")
+        .withColumn("expected", $"n".cast("double") * p)
+        .withColumn("chi2_term",
+          ($"o".cast("double") - $"expected") *
+            ($"o".cast("double") - $"expected") / $"expected")
+        .select($"flag", $"digit", $"o", $"expected", $"chi2_term")
+        .orderBy($"flag", $"digit")
+    },
+    Some {
+      // STRING-cast each branch: DuckDB parses a bare numeric literal as
+      // DECIMAL(18,·) FIRST — silently dropping the 18th significant
+      // digit before any cast — while CAST('…' AS DOUBLE) parses the
+      // full shortest-round-trip repr. (Java's log10 is 1 ULP off
+      // glibc's here, so the dropped digit was load-bearing.)
+      val caseP = benfordP.zipWithIndex.map { case (pd, i) =>
+        s"WHEN ${i + 1} THEN CAST('$pd' AS DOUBLE)"
+      }.mkString(" ")
+      s"""
+      WITH o AS (
+        SELECT l_returnflag AS flag,
+               CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(28,2))
+                 * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+               count(*) AS o
+        FROM lineitem
+        WHERE CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+          >= 1
+        GROUP BY 1, 2),
+      nn AS (SELECT flag, CAST(sum(o) AS BIGINT) AS n FROM o GROUP BY 1)
+      SELECT o.flag, o.digit, CAST(o.o AS BIGINT) AS o,
+             CAST(nn.n AS DOUBLE) * (CASE o.digit $caseP END) AS expected,
+             (CAST(o.o AS DOUBLE)
+               - CAST(nn.n AS DOUBLE) * (CASE o.digit $caseP END))
+             * (CAST(o.o AS DOUBLE)
+               - CAST(nn.n AS DOUBLE) * (CASE o.digit $caseP END))
+             / (CAST(nn.n AS DOUBLE) * (CASE o.digit $caseP END))
+               AS chi2_term
+      FROM o JOIN nn ON nn.flag = o.flag
+      ORDER BY o.flag, o.digit"""
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229, q230,
-      q231, q234, q235, q236, q237, q238)
+      q231, q234, q235, q236, q237, q238, q239)
 }

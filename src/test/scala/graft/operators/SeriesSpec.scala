@@ -337,6 +337,17 @@ class SeriesSpec extends AnyFunSuite {
     lam.unpersist()
   }
 
+  test("q239: benford expectations total the census, digits in 1..9, chi2 nonneg") {
+    val out = graft.SparkEntry.queries("q239_benford_audit")(spark, dir).cache()
+    assert(out.filter($"digit" < 1 || $"digit" > 9).isEmpty)
+    assert(out.filter($"chi2_term" < 0 || $"expected" <= 0).isEmpty)
+    // Σ p_d = 1 ⇒ per flag Σ expected ≈ Σ observed (float tolerance only)
+    val recon = out.groupBy($"flag")
+      .agg(sum($"o").as("so"), sum($"expected").as("se"))
+    assert(recon.filter(abs($"se" - $"so") > $"so" * 1e-6).isEmpty)
+    out.unpersist()
+  }
+
   test("q229: plan is the segmented scan — day offsets broadcast, no tape-sized window") {
     val df = graft.SparkEntry.queries("q229_dollar_bars")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
