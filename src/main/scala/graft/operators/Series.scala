@@ -1226,21 +1226,7 @@ object Series extends QueryModule {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
     val t = tickTape(spark, dir)
-    val dates = t.select($"day").distinct().orderBy($"day")
-      .collect().map(_.getDate(0)) // bounded driver model state (P12)
-    val feed = java.nio.file.Files.createTempDirectory("graft_db_feed_").toString
-    val per = math.max(1, math.ceil(dates.length.toDouble / nChunks).toInt)
-    val assigned = scala.collection.mutable.Set.empty[String]
-    dates.grouped(per).zipWithIndex.foreach { case (ds, i) =>
-      t.filter($"day".between(lit(ds.head), lit(ds.last)))
-        .coalesce(1).write.mode("append").parquet(feed)
-      new java.io.File(feed).listFiles()
-        .filter(f => f.getName.endsWith(".parquet") && !assigned(f.getName))
-        .foreach { f =>
-          f.setLastModified(1600000000000L + i * 60000L)
-          assigned += f.getName
-        }
-    }
+    val feed = graft.streaming.Streams.replayByDates(t, "day", nChunks)
     val bars = spark.readStream.schema(t.schema)
       .option("maxFilesPerTrigger", "1").parquet(feed)
       .as[DbTick]

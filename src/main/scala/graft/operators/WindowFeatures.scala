@@ -982,23 +982,7 @@ object WindowFeatures extends QueryModule {
       .withColumn("cents",
         ($"close".cast(DecimalType(28, 2)) * 100).cast("long"))
       .select($"ticker", $"date", $"cents")
-    val dates = b.select($"date").distinct().orderBy($"date")
-      .collect().map(_.getDate(0))
-    val feed = java.nio.file.Files.createTempDirectory("graft_tb_feed_").toString
-    val per = math.max(1, math.ceil(dates.length.toDouble / nChunks).toInt)
-    val assigned = scala.collection.mutable.Set.empty[String]
-    dates.grouped(per).zipWithIndex.foreach { case (ds, i) =>
-      b.filter($"date".between(lit(ds.head), lit(ds.last)))
-        .coalesce(1).write.mode("append").parquet(feed)
-      // pin strictly increasing mtimes: the file source replays files in
-      // modification-time order, which must equal date order
-      new java.io.File(feed).listFiles()
-        .filter(f => f.getName.endsWith(".parquet") && !assigned(f.getName))
-        .foreach { f =>
-          f.setLastModified(1600000000000L + i * 60000L)
-          assigned += f.getName
-        }
-    }
+    val feed = graft.streaming.Streams.replayByDates(b, "date", nChunks)
     val labels = spark.readStream.schema(b.schema)
       .option("maxFilesPerTrigger", "1").parquet(feed)
       .as[TbBar]
@@ -1019,7 +1003,131 @@ object WindowFeatures extends QueryModule {
       WHERE label <> 0 OR n - rn >= $TbHorizon
       ORDER BY ticker, date"""))
 
+  // ---------------------------------------------------------------------
+  // q240 — STREAMING CUSUM FILTER (AFML ch.2.5: event-based sampling):
+  // sample the bar stream only when cumulative relative drift since the
+  // last event exceeds ±H — the symmetric reset CUSUM
+  // S⁺ = max(0, S⁺ + δ), S⁻ = min(0, S⁻ + δ), δ = floor-div relative
+  // move in millis, event + reset at |S| ≥ H. Unlike the prefix
+  // recurrences (q229/q230) the RESET makes this genuinely sequential —
+  // max(0,·) doesn't factor through day partials — so the engine runs
+  // it where sequential-per-key is natural: transformWithState, one
+  // (lastClose, S⁺, S⁻) ValueState row per ticker.
+  //
+  // The ORACLE is a DuckDB RECURSIVE CTE stepping the per-ticker day
+  // rank — the first oracle in the suite that replays a true nonlinear
+  // recurrence in SQL (bounded: recursion depth = |trading days|, each
+  // step joins |tickers| rows). Integer millis via TRUNCATING division
+  // on both engines (Scala `/` ≡ DuckDB `//`) keep every state value
+  // exact.
+  // ---------------------------------------------------------------------
+  private val CuH = 200L // event threshold: 20% cumulative drift, millis
+  private[operators] final case class CuSt(lastC: Long, sPos: Long, sNeg: Long)
+  private[operators] final case class CuEvent(
+      ticker: Long, date: java.sql.Date, side: Long, s_milli: Long)
+
+  private[operators] class CuProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TbBar, CuEvent] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[CuSt] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CuSt]("cusum",
+        org.apache.spark.sql.Encoders.product[CuSt], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[TbBar],
+        tv: TimerValues): Iterator[CuEvent] = {
+      var s = if (st.exists()) st.get() else null
+      val out = scala.collection.mutable.ListBuffer.empty[CuEvent]
+      rows.toArray.sortBy(_.date.getTime).foreach { b =>
+        if (s == null) s = CuSt(b.cents, 0L, 0L)
+        else {
+          // TRUNCATING division, deliberately: DuckDB's `//` truncates
+          // toward zero on negatives (−7//2 = −3), so Scala's `/` is the
+          // matching operator — floorDiv would drift the S⁻ path 1 milli
+          val d = 1000L * (b.cents - s.lastC) / s.lastC
+          var up = math.max(0L, s.sPos + d)
+          var dn = math.min(0L, s.sNeg + d)
+          if (up >= CuH) { out += CuEvent(key, b.date, 1L, up); up = 0L }
+          if (dn <= -CuH) { out += CuEvent(key, b.date, -1L, dn); dn = 0L }
+          s = CuSt(b.cents, up, dn)
+        }
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  private[operators] def streamCusum(
+      outer: SparkSession, dir: String, nChunks: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val b = bars(spark, dir)
+      .withColumn("cents",
+        ($"close".cast(DecimalType(28, 2)) * 100).cast("long"))
+      .select($"ticker", $"date", $"cents")
+    val feed = graft.streaming.Streams.replayByDates(b, "date", nChunks)
+    val events = spark.readStream.schema(b.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .as[TbBar]
+      .groupByKey(_.ticker)
+      .transformWithState(new CuProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF()
+    graft.streaming.Streams.runToParquet(events, "append")
+      .orderBy($"ticker", $"date", $"side")
+  }
+
+  private val q240 = QueryDef(
+    "q240_stream_cusum_events",
+    (outer, dir) => streamCusum(outer, dir, 4),
+    Some(s"""
+      WITH RECURSIVE $barsSql,
+      bc AS (
+        SELECT ticker, date,
+               CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY ticker ORDER BY date) AS rn
+        FROM bars),
+      walk AS (
+        SELECT ticker, rn, date, cents,
+               CAST(0 AS BIGINT) AS spos, CAST(0 AS BIGINT) AS sneg,
+               CAST(0 AS BIGINT) AS side, CAST(0 AS BIGINT) AS s_milli
+        FROM bc WHERE rn = 1
+        UNION ALL
+        SELECT b.ticker, b.rn, b.date, b.cents,
+               CASE WHEN greatest(0, w.spos
+                      + (1000 * (b.cents - w.cents)) // w.cents) >= $CuH
+                    THEN 0
+                    ELSE greatest(0, w.spos
+                      + (1000 * (b.cents - w.cents)) // w.cents) END,
+               CASE WHEN least(0, w.sneg
+                      + (1000 * (b.cents - w.cents)) // w.cents) <= -$CuH
+                    THEN 0
+                    ELSE least(0, w.sneg
+                      + (1000 * (b.cents - w.cents)) // w.cents) END,
+               CASE WHEN greatest(0, w.spos
+                      + (1000 * (b.cents - w.cents)) // w.cents) >= $CuH
+                    THEN 1
+                    WHEN least(0, w.sneg
+                      + (1000 * (b.cents - w.cents)) // w.cents) <= -$CuH
+                    THEN -1 ELSE 0 END,
+               CASE WHEN greatest(0, w.spos
+                      + (1000 * (b.cents - w.cents)) // w.cents) >= $CuH
+                    THEN greatest(0, w.spos
+                      + (1000 * (b.cents - w.cents)) // w.cents)
+                    WHEN least(0, w.sneg
+                      + (1000 * (b.cents - w.cents)) // w.cents) <= -$CuH
+                    THEN least(0, w.sneg
+                      + (1000 * (b.cents - w.cents)) // w.cents)
+                    ELSE 0 END
+        FROM walk w JOIN bc b ON b.ticker = w.ticker AND b.rn = w.rn + 1)
+      SELECT ticker, date, side, s_milli
+      FROM walk WHERE side <> 0
+      ORDER BY ticker, date, side"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q73, q97, q135, q218, q219,
-      q220, q221, q222, q223)
+      q220, q221, q222, q223, q240)
 }

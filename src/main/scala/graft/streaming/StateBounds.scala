@@ -115,6 +115,10 @@ object StateBounds {
       "= one ValueState row per ticker (running notional + the single" +
         " open bar, constant size)",
       (s, d) => graft.operators.Series.tapeTickersOf(s, d)),
+    StateBound("q240_stream_cusum_events",
+      "= one ValueState row per ticker (last close + the two CUSUM" +
+        " accumulators, constant size)",
+      (s, d) => graft.operators.WindowFeatures.tickersOf(s, d)),
     StateBound("q42_stream_static_join",
       "stateless: broadcast static side per micro-batch, append-only",
       (_, _) => 0L)

@@ -137,6 +137,35 @@ object Streams extends QueryModule {
   @volatile private[graft] var progressAudit:
       Option[org.apache.spark.sql.streaming.StreamingQueryProgress => Unit] = None
 
+  /** Replay feed builder shared by the stateful-replay queries
+    * (q223/q235/q240): write `df` as `nChunks` date-range parquet files
+    * with STRICTLY INCREASING mtimes, so the file stream source
+    * (maxFilesPerTrigger=1) consumes them in date order — the
+    * kafka-replay stand-in. `dayCol` must be a date column; the
+    * distinct-date collect is bounded driver model state (P12: ≤
+    * |trading days| rows). Returns the feed directory.
+    */
+  private[graft] def replayByDates(
+      df: DataFrame, dayCol: String, nChunks: Int): String = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dates = df.select(col(dayCol)).distinct().orderBy(col(dayCol))
+      .collect().map(_.getDate(0))
+    val feed = Files.createTempDirectory("graft_replay_feed_").toString
+    val per = math.max(1, math.ceil(dates.length.toDouble / nChunks).toInt)
+    val assigned = scala.collection.mutable.Set.empty[String]
+    dates.grouped(per).zipWithIndex.foreach { case (ds, i) =>
+      df.filter(col(dayCol).between(lit(ds.head), lit(ds.last)))
+        .coalesce(1).write.mode("append").parquet(feed)
+      new java.io.File(feed).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !assigned(f.getName))
+        .foreach { f =>
+          f.setLastModified(1600000000000L + i * 60000L)
+          assigned += f.getName
+        }
+    }
+    feed
+  }
+
   private[graft] def runToParquet(df: DataFrame, mode: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val spark = df.sparkSession

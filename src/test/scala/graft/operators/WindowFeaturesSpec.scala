@@ -106,4 +106,21 @@ class WindowFeaturesSpec extends AnyFunSuite {
       assert(got.toSeq === expected.toSeq, s"chunking=$chunks diverged")
     }
   }
+
+  test("q240: cusum filter fires at the drift threshold, invariant to chunking") {
+    import org.apache.spark.sql.functions.col
+    val dir = graft.TestSpark.Sf001
+    val base = WindowFeatures.streamCusum(spark, dir, 4).collect()
+      .map(_.toString).sorted
+    assert(base.nonEmpty)
+    // reset semantics: every emitted magnitude is at/beyond ±200 millis
+    WindowFeatures.streamCusum(spark, dir, 4).collect().foreach { r =>
+      val (side, mag) = (r.getAs[Long]("side"), r.getAs[Long]("s_milli"))
+      assert((side == 1L && mag >= 200L) || (side == -1L && mag <= -200L))
+    }
+    // a different replay chunking emits the identical event set
+    val re = WindowFeatures.streamCusum(spark, dir, 9).collect()
+      .map(_.toString).sorted
+    assert(re.toSeq === base.toSeq)
+  }
 }
