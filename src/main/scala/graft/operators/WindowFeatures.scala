@@ -561,6 +561,86 @@ object WindowFeatures extends QueryModule {
       FROM roled GROUP BY 1, 2 ORDER BY fold, role"""))
 
   // ---------------------------------------------------------------------
+  // q241 — COMBINATORIAL PURGED CV (CPCV, AFML ch.12): q218 tests each
+  // block once, so one backtest path exists and its variance is
+  // unknowable. CPCV partitions each series into N=6 sequential groups
+  // and tests every PAIR — C(6,2)=15 splits — giving each group N−1=5
+  // test appearances and therefore 5 complete backtest paths to
+  // estimate path variance from. Per split the purge/embargo discipline
+  // is q218's applied around BOTH test blocks (test wins where an
+  // adjacent group's purge zone overlaps it; between-adjacent-groups
+  // rows can be purged by one block's embargo AND the other's
+  // pre-purge — counted once). Same integer boundaries as q218
+  // ((g·n) div N), the split fan-out is a 15-row broadcast; output is
+  // the per-(split, role) census. The N−1 appearances-per-group
+  // identity is spec-asserted.
+  // ---------------------------------------------------------------------
+  private val CpcvN = 6
+  private val q241 = QueryDef(
+    "q241_cpcv",
+    (spark, dir) => {
+      import spark.implicits._
+      require(CvPurgeH == TbHorizon,
+        "purge depth must equal the label horizon it guards against")
+      val b = bars(spark, dir)
+        .withColumn("rn", row_number().over(wTicker).cast("long"))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy($"ticker")))
+      val g = spark.range(0, CpcvN).toDF("g")
+      val pairs = g.toDF("g1").crossJoin(g.toDF("g2"))
+        .filter($"g1" < $"g2")
+      def lo(c: String) = expr(s"($c * n) div $CpcvN + 1")
+      def hi(c: String) = expr(s"(($c + 1) * n) div $CpcvN")
+      b.crossJoin(broadcast(pairs))
+        .withColumn("lo1", lo("g1")).withColumn("hi1", hi("g1"))
+        .withColumn("lo2", lo("g2")).withColumn("hi2", hi("g2"))
+        .withColumn("role",
+          when(($"rn" >= $"lo1" && $"rn" <= $"hi1") ||
+            ($"rn" >= $"lo2" && $"rn" <= $"hi2"), "test")
+            .when(($"rn" >= $"lo1" - CvPurgeH && $"rn" < $"lo1") ||
+              ($"rn" > $"hi1" && $"rn" <= $"hi1" + CvEmbargo) ||
+              ($"rn" >= $"lo2" - CvPurgeH && $"rn" < $"lo2") ||
+              ($"rn" > $"hi2" && $"rn" <= $"hi2" + CvEmbargo), "purged")
+            .otherwise("train"))
+        .groupBy($"g1", $"g2", $"role")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"ticker").as("n_tickers"))
+        .orderBy($"g1", $"g2", $"role")
+    },
+    Some(s"""
+      WITH $barsSql,
+      r AS (
+        SELECT ticker, date,
+               row_number() OVER (PARTITION BY ticker ORDER BY date) AS rn,
+               count(*) OVER (PARTITION BY ticker) AS n
+        FROM bars),
+      p AS (
+        SELECT f1.g AS g1, f2.g AS g2
+        FROM (SELECT unnest(range(0, $CpcvN)) AS g) f1,
+             (SELECT unnest(range(0, $CpcvN)) AS g) f2
+        WHERE f1.g < f2.g),
+      roled AS (
+        SELECT r.ticker, p.g1, p.g2,
+               CASE WHEN (rn >= (g1 * n) // $CpcvN + 1
+                          AND rn <= ((g1 + 1) * n) // $CpcvN)
+                      OR (rn >= (g2 * n) // $CpcvN + 1
+                          AND rn <= ((g2 + 1) * n) // $CpcvN) THEN 'test'
+                    WHEN (rn >= (g1 * n) // $CpcvN + 1 - $CvPurgeH
+                          AND rn < (g1 * n) // $CpcvN + 1)
+                      OR (rn > ((g1 + 1) * n) // $CpcvN
+                          AND rn <= ((g1 + 1) * n) // $CpcvN + $CvEmbargo)
+                      OR (rn >= (g2 * n) // $CpcvN + 1 - $CvPurgeH
+                          AND rn < (g2 * n) // $CpcvN + 1)
+                      OR (rn > ((g2 + 1) * n) // $CpcvN
+                          AND rn <= ((g2 + 1) * n) // $CpcvN + $CvEmbargo)
+                    THEN 'purged'
+                    ELSE 'train' END AS role
+        FROM r, p)
+      SELECT g1, g2, role, count(*) AS n_rows,
+             CAST(count(DISTINCT ticker) AS BIGINT) AS n_tickers
+      FROM roled GROUP BY 1, 2, 3 ORDER BY g1, g2, role"""))
+
+  // ---------------------------------------------------------------------
   // q219 — TRIPLE-BARRIER LABELING (de Prado): the label engineering
   // that replaces q18's naive next-day direction for financial training
   // data — per (ticker, entry day), the FIRST of three events within an
@@ -1129,5 +1209,5 @@ object WindowFeatures extends QueryModule {
 
   override val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q73, q97, q135, q218, q219,
-      q220, q221, q222, q223, q240)
+      q220, q221, q222, q223, q240, q241)
 }

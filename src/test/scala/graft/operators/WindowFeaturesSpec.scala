@@ -107,6 +107,25 @@ class WindowFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("q241: CPCV — 15 splits, roles partition rows, each group tests 5 times") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TestSpark.Sf001
+    val out = graft.SparkEntry.queries("q241_cpcv")(spark, dir).cache()
+    // C(6,2) = 15 splits present
+    assert(out.select("g1", "g2").distinct().count() === 15)
+    // roles partition every row: per split, Σ n_rows = total bar rows
+    val barRows = graft.SparkEntry.queries("q02_daily_bars")(spark, dir).count()
+    assert(out.groupBy("g1", "g2").agg(sum("n_rows").as("s"))
+      .filter(col("s") =!= barRows).isEmpty)
+    // each group appears as a test member in exactly N−1 = 5 splits
+    val appear = out.filter(col("role") === "test")
+      .select(explode(array(col("g1"), col("g2"))).as("g"))
+      .groupBy("g").count()
+    assert(appear.filter(col("count") =!= 5L).isEmpty)
+    assert(appear.count() === 6)
+    out.unpersist()
+  }
+
   test("q240: cusum filter fires at the drift threshold, invariant to chunking") {
     import org.apache.spark.sql.functions.col
     val dir = graft.TestSpark.Sf001
