@@ -900,6 +900,64 @@ object Similarity extends QueryModule {
       ORDER BY r.q_id, r.rank"""
     })
 
+  // ---------------------------------------------------------------------
+  // q242 — RANDOM PROJECTION (Johnson–Lindenstrauss, Achlioptas ±1
+  // variant): project the 64-dim embeddings to k=16 dims with a
+  // DERIVED-NOT-STORED sign matrix — s_ij = ±1 from the parity of the
+  // portable md5 hash of "rp_j_i", so both engines regenerate the same
+  // matrix from nothing (no RNG, no model table). The input is
+  // quantized per element at 1e6 (floor of an identical double —
+  // exact), so every projected coordinate is an exact integer sum —
+  // order-invariant, no float accumulation. Long-form output
+  // (vec_id, j, y_q).
+  //
+  // Scale: pure per-row map work — the engine computes the projection
+  // with array zip_with/aggregate over 16 sign-row LITERALS (Scala
+  // md5Hash64Jvm twin == md5Hash64 SQL, the Portable contract), no
+  // explode, no shuffle until the 16-row-per-vec output; the JL use is
+  // ANN prefiltering (coarse distance in 16 dims before exact rerank —
+  // the q204 ADC discipline at 4× less arithmetic).
+  // ---------------------------------------------------------------------
+  private val RpK = 16
+  private val RpDims = 64
+  private val RpScale = 1000000L
+  /** The ±1 sign matrix, row j = output dim: derived from the portable
+    * hash so the oracle regenerates it in SQL.
+    */
+  private lazy val rpSigns: Seq[Seq[Long]] =
+    (1 to RpK).map(j => (1 to RpDims).map(i =>
+      if (graft.functions.Portable.md5Hash64Jvm(s"rp_${j}_$i") % 2 == 0) 1L
+      else -1L))
+
+  private val q242 = QueryDef(
+    "q242_random_projection",
+    (spark, dir) => {
+      import spark.implicits._
+      val xq = transform($"embedding",
+        e => floor(e.cast("double") * RpScale).cast("long"))
+      val ys = rpSigns.zipWithIndex.map { case (row, j0) =>
+        struct(lit(j0 + 1).as("j"),
+          aggregate(
+            zip_with($"xq", typedlit(row), (a, b) => a * b),
+            lit(0L), (acc, v) => acc + v).as("y_q"))
+      }
+      Tables.embeddings(spark, dir)
+        .withColumn("xq", xq)
+        .select($"vec_id", explode(array(ys: _*)).as("p"))
+        .select($"vec_id", $"p.j", $"p.y_q")
+        .orderBy($"vec_id", $"j")
+    },
+    Some(s"""
+      SELECT vec_id, j,
+             CAST(list_sum(list_transform(range(1, ${RpDims + 1}),
+               i -> (CASE WHEN ${graft.functions.Portable.md5Hash64Sql(
+                 "('rp_' || j || '_' || i)")} % 2 = 0 THEN 1 ELSE -1 END)
+                 * CAST(floor(CAST(embedding[i] AS DOUBLE) * $RpScale)
+                     AS BIGINT))) AS BIGINT) AS y_q
+      FROM embeddings,
+           (SELECT unnest(range(1, ${RpK + 1})) AS j) ks
+      ORDER BY vec_id, j"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q39, q40, q56, q57, q76, q105, q108, q148, q162, q188, q204)
+    Seq(q39, q40, q56, q57, q76, q105, q108, q148, q162, q188, q204, q242)
 }

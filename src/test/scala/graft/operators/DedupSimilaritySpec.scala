@@ -45,6 +45,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((ng -- mh).isEmpty, s"word-gram near-dups missed by MinHash: ${ng -- mh}")
   }
 
+  test("q242 JL projection preserves norms within concentration bounds") {
+    import graft.sources.Tables
+    val proj = run("q242_random_projection")
+    // E[Σ_j y_j² / k] = Σ_i x_i² for ±1 JL — per-vector ratio concentrates
+    val pn = proj.groupBy(col("vec_id"))
+      .agg(sum(col("y_q") * col("y_q")).as("p2"))
+    val xn = Tables.embeddings(spark, TestSpark.Sf001)
+      .select(col("vec_id"), explode(col("embedding")).as("x"))
+      .withColumn("xq", floor(col("x").cast("double") * 1000000L).cast("long"))
+      .groupBy(col("vec_id")).agg(sum(col("xq") * col("xq")).as("x2"))
+    val ratios = pn.join(xn, "vec_id")
+      .select((col("p2").cast("double") / 16.0 / col("x2").cast("double"))
+        .as("r")).as[Double].collect()
+    assert(ratios.nonEmpty)
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2, s"mean norm ratio $mean")
+    assert(ratios.forall(r => r > 0.15 && r < 4.0),
+      s"outlier ratio: ${ratios.min} .. ${ratios.max}")
+  }
+
   test("LSH ANN recalls a useful fraction of brute-force top-10") {
     val brute = run("q39_knn_brute").select("q_id", "vec_id")
       .as[(Long, Long)].collect().toSet
