@@ -1536,7 +1536,60 @@ object Series extends QueryModule {
       ORDER BY o.flag, o.digit"""
     })
 
+  // ---------------------------------------------------------------------
+  // q243 — AMS F2 SKETCH (Alon–Matias–Szegedy '96): estimate the second
+  // frequency moment Σ f_w² of the token stream from R=9 one-number
+  // sketches y_r = Σ_w s_r(w)·f_w with 4-wise-ish ±1 hash signs — the
+  // self-join-free size of a frequency distribution (F2 drives join
+  // output estimates and skew planning). Signs derive from the portable
+  // md5 parity of "ams_r_w", so both engines regenerate the sketch from
+  // nothing; every accumulator is an exact BIGINT (tokens → counts →
+  // signed sums), the estimate is y², and the error vs the EXACT F2
+  // (computed next to it from the same counts) is integer millis. At
+  // scale each y_r is one map-combinable signed sum over the vocab
+  // rollup — the sketch shuffles R numbers where the exact F2 shuffles
+  // the vocabulary.
+  // ---------------------------------------------------------------------
+  private val AmsR = 9
+  private val q243 = QueryDef(
+    "q243_ams_f2",
+    (spark, dir) => {
+      import spark.implicits._
+      val counts = Tables.documents(spark, dir)
+        .select(explode(Portable.tokens($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("f"))
+      val exact = counts.agg(sum($"f" * $"f").as("f2_exact"))
+      val reps = spark.range(1, AmsR + 1).toDF("r")
+      counts.crossJoin(broadcast(reps))
+        .withColumn("s",
+          when(Portable.md5Hash64(concat(lit("ams_"), $"r", lit("_"), $"w"))
+            % 2 === 0, 1L).otherwise(-1L))
+        .groupBy($"r").agg(sum($"s" * $"f").as("y"))
+        .crossJoin(broadcast(exact))
+        .withColumn("est", $"y" * $"y")
+        .withColumn("err_milli",
+          expr("(1000 * abs(est - f2_exact)) div f2_exact"))
+        .select($"r", $"y", $"est", $"f2_exact", $"err_milli")
+        .orderBy($"r")
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT w, count(*) AS f FROM (
+          SELECT unnest(${Portable.tokensSql("text")}) AS w FROM documents)
+        GROUP BY 1),
+      exact AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM counts),
+      reps AS (SELECT unnest(range(1, ${AmsR + 1})) AS r),
+      y AS (
+        SELECT r, CAST(sum((CASE WHEN ${Portable.md5Hash64Sql(
+          "('ams_' || r || '_' || w)")} % 2 = 0 THEN 1 ELSE -1 END) * f)
+          AS BIGINT) AS y
+        FROM counts, reps GROUP BY 1)
+      SELECT r, y, y * y AS est, f2_exact,
+             CAST((1000 * abs(y * y - f2_exact)) // f2_exact AS BIGINT)
+               AS err_milli
+      FROM y, exact ORDER BY r"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229, q230,
-      q231, q234, q235, q236, q237, q238, q239)
+      q231, q234, q235, q236, q237, q238, q239, q243)
 }

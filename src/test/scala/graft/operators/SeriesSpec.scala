@@ -348,6 +348,26 @@ class SeriesSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q243: AMS sketch parity identity and loose concentration") {
+    val out = graft.SparkEntry.queries("q243_ams_f2")(spark, dir).collect()
+    assert(out.length === 9)
+    val f2 = out.head.getAs[Long]("f2_exact")
+    assert(out.forall(_.getAs[Long]("f2_exact") == f2))
+    // ±1 signs never change parity: y ≡ Σf (mod 2) for every replica
+    val totTokens = Tables.documents(spark, dir)
+      .select(sum(size(graft.functions.Portable.tokens($"text"))
+        .cast("long"))).as[Long].head()
+    out.foreach { r =>
+      assert(math.floorMod(r.getAs[Long]("y"), 2L)
+        === math.floorMod(totTokens, 2L))
+      assert(r.getAs[Long]("est") >= 0)
+    }
+    // single AMS replicas have variance ~2·F2² — only the MEAN is loosely
+    // pinned (within a generous constant factor on a fixed corpus)
+    val mean = out.map(_.getAs[Long]("est")).sum / 9.0
+    assert(mean > f2 / 16.0 && mean < f2 * 16.0, s"mean $mean vs F2 $f2")
+  }
+
   test("q229: plan is the segmented scan — day offsets broadcast, no tape-sized window") {
     val df = graft.SparkEntry.queries("q229_dollar_bars")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
