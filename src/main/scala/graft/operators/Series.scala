@@ -1589,7 +1589,142 @@ object Series extends QueryModule {
                AS err_milli
       FROM y, exact ORDER BY r"""))
 
+  // ---------------------------------------------------------------------
+  // q244 — STREAMING TICK-IMBALANCE BARS (AFML ch.2.3.2): the third bar
+  // family after time (q02) and notional (q229/q235) — cut a bar when
+  // the ABSOLUTE SIGNED-FLOW accumulation |θ| = |Σ s_t·cents_t| since
+  // the bar opened crosses a threshold, so bars arrive when one side of
+  // the tape dominates (informed-trading bursts), not merely when
+  // volume passes. Signs are the q230 tick rule (carry on unchanged
+  // price, +1 before any information); θ resets on emission, which —
+  // like q240 — makes the recurrence genuinely sequential, so the
+  // engine is transformWithState (one constant ValueState row per
+  // ticker) and the ORACLE is a recursive CTE stepping per-ticker TICK
+  // ranks (depth = max ticks per ticker; each step joins |tickers|
+  // rows). The crossing tick closes its bar inclusively.
+  // ---------------------------------------------------------------------
+  private val IbTh = 20000000L // |θ| cut: $200k of one-sided notional
+  private[operators] final case class IbSt(
+      lastC: Long, lastS: Long, theta: Long,
+      startDay: java.sql.Date, n: Long, dollars: Long, barSeq: Long)
+  private[operators] final case class IbBar(
+      ticker: Long, bar_seq: Long,
+      t_start: java.sql.Date, t_end: java.sql.Date,
+      n_ticks: Long, dollars_c: Long, theta_c: Long, side: Long)
+
+  private[operators] class IbProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, DbTick, IbBar] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[IbSt] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[IbSt]("ib",
+        org.apache.spark.sql.Encoders.product[IbSt], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[DbTick],
+        tv: TimerValues): Iterator[IbBar] = {
+      var s = if (st.exists()) st.get() else null
+      val out = scala.collection.mutable.ListBuffer.empty[IbBar]
+      rows.toArray.sortBy(t => (t.day.getTime, t.seq)).foreach { t =>
+        val sign =
+          if (s == null) 1L
+          else if (t.cents > s.lastC) 1L
+          else if (t.cents < s.lastC) -1L
+          else if (s.lastS == 0L) 1L
+          else s.lastS
+        val open = if (s == null || s.n == 0L) t.day
+                   else s.startDay
+        val theta = (if (s == null) 0L else s.theta) + sign * t.cents
+        val n = (if (s == null) 0L else s.n) + 1L
+        val dol = (if (s == null) 0L else s.dollars) + t.cents
+        val seqNo = if (s == null) 1L else s.barSeq
+        if (math.abs(theta) >= IbTh) {
+          out += IbBar(key, seqNo, open, t.day, n, dol, theta,
+            if (theta > 0) 1L else -1L)
+          s = IbSt(t.cents, sign, 0L, t.day, 0L, 0L, seqNo + 1L)
+        } else
+          s = IbSt(t.cents, sign, theta, open, n, dol, seqNo)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  private[operators] def streamImbalanceBars(
+      outer: SparkSession, dir: String, nChunks: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val t = tickTape(spark, dir)
+    val feed = graft.streaming.Streams.replayByDates(t, "day", nChunks)
+    val bars = spark.readStream.schema(t.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .as[DbTick]
+      .groupByKey(_.tkr)
+      .transformWithState(new IbProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF()
+    graft.streaming.Streams.runToParquet(bars, "append")
+      .orderBy($"ticker", $"bar_seq")
+  }
+
+  private val q244 = QueryDef(
+    "q244_stream_imbalance_bars",
+    (outer, dir) => streamImbalanceBars(outer, dir, 4),
+    Some {
+      // the per-step recurrence, shared textually between all branches:
+      // sign via tick rule with carry, then the accumulation candidates
+      val sgn = "(CASE WHEN b.cents > w.last_c THEN 1" +
+        " WHEN b.cents < w.last_c THEN -1" +
+        " WHEN w.last_s = 0 THEN 1 ELSE w.last_s END)"
+      val theta = s"(w.theta + $sgn * b.cents)"
+      s"""
+      WITH RECURSIVE $tickSql,
+      bc AS (
+        SELECT ticker, day, cents,
+               row_number() OVER (PARTITION BY ticker ORDER BY day, seq)
+                 AS rn
+        FROM ticks),
+      walk AS (
+        SELECT ticker, rn, cents AS last_c, CAST(1 AS BIGINT) AS last_s,
+               CASE WHEN abs(cents) >= $IbTh THEN CAST(0 AS BIGINT)
+                    ELSE cents END AS theta,
+               day AS start_day,
+               CASE WHEN abs(cents) >= $IbTh THEN CAST(0 AS BIGINT)
+                    ELSE CAST(1 AS BIGINT) END AS bar_n,
+               CASE WHEN abs(cents) >= $IbTh THEN CAST(0 AS BIGINT)
+                    ELSE cents END AS bar_dollars,
+               CASE WHEN abs(cents) >= $IbTh THEN CAST(2 AS BIGINT)
+                    ELSE CAST(1 AS BIGINT) END AS bar_seq,
+               CASE WHEN abs(cents) >= $IbTh THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS e_seq,
+               day AS e_start, day AS e_end,
+               CAST(1 AS BIGINT) AS e_n, cents AS e_dollars,
+               cents AS e_theta
+        FROM bc WHERE rn = 1
+        UNION ALL
+        SELECT b.ticker, b.rn, b.cents, CAST($sgn AS BIGINT),
+               CASE WHEN abs($theta) >= $IbTh THEN 0 ELSE $theta END,
+               CASE WHEN abs($theta) >= $IbTh THEN b.day
+                    WHEN w.bar_n = 0 THEN b.day ELSE w.start_day END,
+               CASE WHEN abs($theta) >= $IbTh THEN 0 ELSE w.bar_n + 1 END,
+               CASE WHEN abs($theta) >= $IbTh THEN 0
+                    ELSE w.bar_dollars + b.cents END,
+               CASE WHEN abs($theta) >= $IbTh THEN w.bar_seq + 1
+                    ELSE w.bar_seq END,
+               CASE WHEN abs($theta) >= $IbTh THEN w.bar_seq ELSE 0 END,
+               CASE WHEN w.bar_n = 0 THEN b.day ELSE w.start_day END,
+               b.day, w.bar_n + 1, w.bar_dollars + b.cents, $theta
+        FROM walk w JOIN bc b ON b.ticker = w.ticker AND b.rn = w.rn + 1)
+      SELECT ticker, e_seq AS bar_seq, e_start AS t_start, e_end AS t_end,
+             e_n AS n_ticks, e_dollars AS dollars_c, e_theta AS theta_c,
+             CASE WHEN e_theta > 0 THEN 1 ELSE -1 END AS side
+      FROM walk WHERE e_seq > 0
+      ORDER BY ticker, bar_seq"""
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229, q230,
-      q231, q234, q235, q236, q237, q238, q239, q243)
+      q231, q234, q235, q236, q237, q238, q239, q243, q244)
 }

@@ -115,6 +115,10 @@ object StateBounds {
       "= one ValueState row per ticker (running notional + the single" +
         " open bar, constant size)",
       (s, d) => graft.operators.Series.tapeTickersOf(s, d)),
+    StateBound("q244_stream_imbalance_bars",
+      "= one ValueState row per ticker (tick-rule carry + the open" +
+        " imbalance bar, constant size)",
+      (s, d) => graft.operators.Series.tapeTickersOf(s, d)),
     StateBound("q240_stream_cusum_events",
       "= one ValueState row per ticker (last close + the two CUSUM" +
         " accumulators, constant size)",

@@ -368,6 +368,24 @@ class SeriesSpec extends AnyFunSuite {
     assert(mean > f2 / 16.0 && mean < f2 * 16.0, s"mean $mean vs F2 $f2")
   }
 
+  test("q244: imbalance bars — threshold semantics, contiguous ids, chunk-invariant") {
+    val out = Series.streamImbalanceBars(spark, dir, 4).cache()
+    assert(out.count() > 0)
+    // every emitted bar crossed the threshold, side matches theta's sign
+    assert(out.filter(abs($"theta_c") < 20000000L).isEmpty)
+    assert(out.filter(($"theta_c" > 0) =!= ($"side" === 1)).isEmpty)
+    // bar ids contiguous from 1 per ticker (emitted bars never skip)
+    assert(out.groupBy($"ticker")
+      .agg(min($"bar_seq").as("lo"), max($"bar_seq").as("hi"),
+        count(lit(1)).as("n"))
+      .filter($"lo" =!= 1L || $"hi" =!= $"n").isEmpty)
+    val base = out.collect().map(_.toString).sorted
+    out.unpersist()
+    val re = Series.streamImbalanceBars(spark, dir, 9).collect()
+      .map(_.toString).sorted
+    assert(re.toSeq === base.toSeq)
+  }
+
   test("q229: plan is the segmented scan — day offsets broadcast, no tape-sized window") {
     val df = graft.SparkEntry.queries("q229_dollar_bars")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
