@@ -1655,7 +1655,122 @@ object Curation extends QueryModule {
                AS precision_milli
       FROM fin, t"""))
 
+  // ---------------------------------------------------------------------
+  // q245 — WEIGHTED PRIORITY SAMPLING with an unbiased total estimator
+  // (Duffield–Lund–Thorup priority sampling / Ohlsson's sequential
+  // Poisson): draw K docs per source with inclusion probability
+  // ~proportional to a weight (n_chars — stand-in for any quality
+  // weight), and estimate the source's TOTAL weight from the sample
+  // alone — the corpus-subsampling operator that q199's unweighted
+  // rank sample can't express (a 100-word doc and a 10k-word doc are
+  // not equally informative), plus the estimator that tells you what
+  // the discarded mass was.
+  //
+  // Determinism: u_i = (h_i+1)/2^40 with h_i = md5("ps|doc_id") mod
+  // 2^40 — both engines regenerate the "randomness" from the portable
+  // hash (no RNG, the q199/q242 discipline). The priority p_i = w_i/u_i
+  // compares EXACTLY cross-engine: w_i and h_i+1 are both < 2^53 so the
+  // int→double casts are value-preserving and the single division is
+  // correctly rounded IEEE — bit-identical doubles, no ULP risk (the
+  // q236 envelope). Estimator: τ = (K+1)-th priority, ŵ_i =
+  // max(w_i, τ) over the top-K — E[Σŵ] = Σw (DLT '05); materialized in
+  // exact integer millis (one floor of a double per row, then BIGINT
+  // sums) so the audit column hash-matches.
+  //
+  // Scale: the per-source top-(K+1) is the rank-filter form → Catalyst
+  // WindowGroupLimit, so each map partition forwards ≤ K+1 rows per
+  // source across the shuffle (never a full per-source sort — the
+  // WindowBounds registry's own carve-out); totals are map-combinable
+  // aggs; τ and the estimator rows are |sources|-sized broadcasts.
+  // ---------------------------------------------------------------------
+  private val PsK = 20
+  private val PsMod = 1099511627776L // 2^40
+  private val q245 = QueryDef(
+    "q245_priority_sample",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val docs = Tables.documents(spark, dir)
+        .select($"doc_id", $"source", $"n_chars")
+      val withP = docs
+        .withColumn("h",
+          Portable.md5Hash64(concat(lit("ps|"), $"doc_id".cast("string")))
+            % PsMod)
+        .withColumn("p",
+          $"n_chars".cast("double") / ($"h" + 1L).cast("double"))
+      val w = Window.partitionBy($"source").orderBy($"p".desc, $"doc_id")
+      val ranked = withP
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= PsK + 1)
+      val tau = ranked.groupBy($"source").agg(
+        coalesce(max(when($"rank" === (PsK + 1L), $"p")), lit(0.0))
+          .as("tau"))
+      val totals = docs.groupBy($"source")
+        .agg((sum($"n_chars") * 1000L).as("exact_total_milli"))
+      val sample = ranked.filter($"rank" <= PsK)
+        .join(broadcast(tau), Seq("source"))
+        .withColumn("est_milli",
+          floor(greatest($"n_chars".cast("double"), $"tau") * 1000.0)
+            .cast("long"))
+        .withColumn("tau_milli", floor($"tau" * 1000.0).cast("long"))
+      val est = sample.groupBy($"source").agg(
+        sum($"est_milli").as("est_total_milli"),
+        count(lit(1)).as("n_sampled"))
+      sample
+        .join(broadcast(est), Seq("source"))
+        .join(broadcast(totals), Seq("source"))
+        .withColumn("err_milli",
+          expr("(1000 * abs(est_total_milli - exact_total_milli))" +
+            " div exact_total_milli"))
+        .select($"source", $"rank", $"doc_id", $"n_chars", $"est_milli",
+          $"tau_milli", $"n_sampled", $"est_total_milli",
+          $"exact_total_milli", $"err_milli")
+        .orderBy($"source", $"rank")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id, source, n_chars,
+               ${graft.functions.Portable.md5Hash64Sql(
+                 "('ps|' || CAST(doc_id AS VARCHAR))")} % $PsMod AS hh
+        FROM documents),
+      pr AS (
+        SELECT *, CAST(n_chars AS DOUBLE) / CAST(hh + 1 AS DOUBLE) AS p
+        FROM h),
+      r AS (
+        SELECT *, CAST(row_number() OVER (
+          PARTITION BY source ORDER BY p DESC, doc_id) AS BIGINT) AS rank
+        FROM pr),
+      rk AS (SELECT * FROM r WHERE rank <= ${PsK + 1}),
+      tau AS (
+        SELECT source,
+               coalesce(max(CASE WHEN rank = ${PsK + 1} THEN p END), 0.0)
+                 AS tau
+        FROM rk GROUP BY source),
+      tot AS (
+        SELECT source, CAST(sum(n_chars) * 1000 AS BIGINT)
+                 AS exact_total_milli
+        FROM documents GROUP BY source),
+      s AS (
+        SELECT rk.source, rk.rank, rk.doc_id, rk.n_chars,
+               CAST(floor(greatest(CAST(rk.n_chars AS DOUBLE), tau.tau)
+                 * 1000.0) AS BIGINT) AS est_milli,
+               CAST(floor(tau.tau * 1000.0) AS BIGINT) AS tau_milli
+        FROM rk JOIN tau ON rk.source = tau.source
+        WHERE rk.rank <= $PsK),
+      e AS (
+        SELECT source, CAST(sum(est_milli) AS BIGINT) AS est_total_milli,
+               count(*) AS n_sampled
+        FROM s GROUP BY source)
+      SELECT s.source, s.rank, s.doc_id, s.n_chars, s.est_milli,
+             s.tau_milli, e.n_sampled, e.est_total_milli,
+             tot.exact_total_milli,
+             CAST((1000 * abs(e.est_total_milli - tot.exact_total_milli))
+               // tot.exact_total_milli AS BIGINT) AS err_milli
+      FROM s JOIN e ON s.source = e.source
+             JOIN tot ON s.source = tot.source
+      ORDER BY s.source, s.rank"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134, q149, q164, q168,
-      q175, q194, q195, q199, q200, q209, q227, q228)
+      q175, q194, q195, q199, q200, q209, q227, q228, q245)
 }

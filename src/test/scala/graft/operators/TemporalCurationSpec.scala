@@ -214,4 +214,37 @@ class TemporalCurationSpec extends AnyFunSuite {
     // bottleneck, only blocking is
     assert(fuzzy.getAs[Long]("n_true_found") === fuzzy.getAs[Long]("n_true_candidates"))
   }
+
+  test("q245 priority sampling: estimator structure holds and the total is recovered") {
+    val rows = run("q245_priority_sample").collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.size >= 10)
+    bySource.foreach { case (src, rs) =>
+      // exactly K sampled per source (every fixture source has > K docs)
+      assert(rs.length === 20, s"$src sampled ${rs.length}")
+      val tau = rs.map(_.getAs[Long]("tau_milli")).distinct
+      assert(tau.length === 1, s"$src has ${tau.length} distinct taus")
+      // DLT estimator shape: ŵ_i = max(w_i, τ) — never below either arm
+      rs.foreach { r =>
+        val est = r.getAs[Long]("est_milli")
+        assert(est >= r.getAs[Long]("tau_milli") - 1) // floor slack
+        assert(est >= r.getAs[Long]("n_chars") * 1000L)
+      }
+      // the sample-only total estimate lands near the exact total it
+      // never saw: ≤ 30% relative error at fixture scale (observed max
+      // 15.2% across both SFs; the bound is generous, the point is the
+      // estimator is not off by a factor)
+      val err = rs.head.getAs[Long]("err_milli")
+      assert(err < 300L, s"$src err_milli=$err")
+    }
+  }
+
+  test("q245 priority sampling: rank cut executes as WindowGroupLimit, no full sort") {
+    // the per-source top-(K+1) must ride Catalyst's rank-limit prune —
+    // each map partition forwards ≤ K+1 rows per source, never the whole
+    // per-source frame (the WindowBounds carve-out this query leans on)
+    val p = run("q245_priority_sample").queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      p.linesIterator.take(25).mkString("\n"))
+  }
 }
