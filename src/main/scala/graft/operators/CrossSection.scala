@@ -1,0 +1,708 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-sectional alpha research over the bar layer — the operators a
+  * quant research platform runs ON TOP of the reference's daily bars
+  * (data_processing/build_training_dataset.py:40-72) once it grows from
+  * per-ticker indicators (Indicators.scala) to UNIVERSE-WIDE questions:
+  * does a signal predict returns across names (information coefficient),
+  * does a ranked portfolio of it make money (decile/quintile backtest),
+  * is a single series white noise (Ljung–Box), a random walk (Lo–
+  * MacKinlay variance ratio), and which pairs co-move enough to trade
+  * (Engle–Granger-style cointegration screen).
+  *
+  * Cross-section grain: MONTHLY. Daily bars are sparse in the fixture
+  * (≈ 2.6 tickers bar on any given date at sf0.001 — no cross-section),
+  * and monthly is the canonical academic grain anyway (Jegadeesh–Titman
+  * momentum is a monthly strategy). The shared `monthly_bars` silver
+  * table is one map-combinable rollup of lineitem; every query here
+  * reads it back.
+  *
+  * Scale notes (100 TB stance):
+  *   - Cross-section windows partition by `mon`: ≤ |tickers| rows per
+  *     cell — universe size is DIMENSION cardinality (thousands), never
+  *     fact cardinality (WindowBounds declares `mon`).
+  *   - Per-ticker series windows ride the declared `ticker` bound
+  *     (≤ |trading days| rows).
+  *   - q250's pair generation is BLOCKED by region (the q227 ER
+  *     discipline): |universe/region|² per block, never |universe|²;
+  *     pair moments are map-combinable BIGINT sums, and only the top-K
+  *     screened pairs (a broadcast) ever re-touch the series.
+  *   - No float accumulations anywhere: every mean/variance/corr is
+  *     exact BIGINT moments + ONE fixed-order double expression (the
+  *     q236/q238 envelope); ranks are exact integers, so the Spearman
+  *     statistics are exact rationals materialized via one division.
+  *
+  * Determinism contracts used: sign-peeled integer division for means of
+  * possibly-negative sums (Spark `div` truncates, DuckDB `//` floors —
+  * they agree only on non-negative operands, Portable.bandSql note);
+  * double constants cross engines as CAST('shortest-repr' AS DOUBLE)
+  * string literals (the q239 DECIMAL(18) literal trap); rank/ntile
+  * orderings always carry a full tie-break (value, ticker).
+  */
+object CrossSection extends QueryModule {
+
+  /** Sign-peeled truncating division, identical on both engines (Spark
+    * `div` truncates toward zero, DuckDB `//` floors; peeling the sign
+    * makes both divide non-negative values, where they agree). SQL text
+    * shared verbatim modulo the div operator.
+    */
+  private def speelDivSql(num: String, den: String, divOp: String): String =
+    s"(CASE WHEN ($num) >= 0 THEN ($num) $divOp ($den)" +
+      s" ELSE -((-($num)) $divOp ($den)) END)"
+
+  // ---------------------------------------------------------------------
+  // monthly_bars silver table: (ticker, mon, close_c, n_fills) — last
+  // fill price of the month in exact cents, ordered by the same unique
+  // seq key the daily bars use (WindowFeatures.barsBuild), so "last" is
+  // deterministic under any partitioning.
+  // ---------------------------------------------------------------------
+  private[operators] def mbars(spark: SparkSession, dir: String): DataFrame =
+    Scoped.shared(spark, s"monthly_bars:$dir")((Nil, mbarsBuild(spark, dir)))
+
+  private def mbarsBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .withColumn("cents",
+        ($"l_extendedprice".cast(DecimalType(28, 2)) * 100).cast("long"))
+      .withColumn("seq",
+        ($"l_orderkey" * 16 + $"l_linenumber") * 100000000L + $"cents")
+      .groupBy($"l_suppkey".as("ticker"),
+        date_trunc("month", to_date($"l_shipdate")).cast("date").as("mon"))
+      .agg(max_by($"cents", $"seq").as("close_c"),
+        count(lit(1)).as("n_fills"))
+  }
+
+  private[operators] val mbarsSql = """
+      mbars AS (
+        SELECT l_suppkey AS ticker,
+               date_trunc('month', CAST(l_shipdate AS DATE)) AS mon,
+               arg_max(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT),
+                       (l_orderkey * 16 + l_linenumber) * 100000000
+                         + CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT))
+                 AS close_c,
+               count(*) AS n_fills
+        FROM lineitem GROUP BY 1, 2)"""
+
+  /** Momentum signal + forward return on the monthly grain: 3-month
+    * close change and 1-month-forward close change, both scaled by the
+    * current close (exact cent diffs, ONE correctly-rounded division
+    * each — identical doubles cross-engine, so identical sort orders).
+    */
+  private def withSignal(m: DataFrame): DataFrame = {
+    import m.sparkSession.implicits._
+    val wT = Window.partitionBy("ticker").orderBy("mon")
+    m.withColumn("mom_c", $"close_c" - lag($"close_c", 3).over(wT))
+      .withColumn("next_c", lead($"close_c", 1).over(wT))
+      .filter($"mom_c".isNotNull && $"next_c".isNotNull)
+      .withColumn("mom_r", $"mom_c".cast("double") / $"close_c".cast("double"))
+  }
+
+  private val signalSql = """
+      sig AS (
+        SELECT * FROM (
+          SELECT ticker, mon, close_c,
+                 close_c - lag(close_c, 3) OVER w AS mom_c,
+                 lead(close_c, 1) OVER w AS next_c
+          FROM mbars WINDOW w AS (PARTITION BY ticker ORDER BY mon))
+        WHERE mom_c IS NOT NULL AND next_c IS NOT NULL),
+      sigr AS (
+        SELECT *, CAST(mom_c AS DOUBLE) / CAST(close_c AS DOUBLE) AS mom_r
+        FROM sig)"""
+
+  // ---------------------------------------------------------------------
+  // q246 — MONTHLY INFORMATION COEFFICIENT (Spearman rank IC): per month,
+  // the rank correlation between the momentum signal and the NEXT
+  // month's return across the universe — THE alpha-research readout
+  // (does the signal order names by future performance?). Ranks are a
+  // permutation 1..n (full tie-break by ticker), so Spearman is the
+  // exact rational 1 − 6·Σd²/(n(n²−1)) — integer numerator/denominator,
+  // one division. The across-month summary (mean IC t-stat) aggregates
+  // the integer milli-ICs, never raw doubles, so the sum is
+  // order-invariant; t = S/√((N·SS−S²)/(N−1)) is one fixed-order double
+  // expression over exact BIGINTs.
+  // Scale: signal windows per ticker (≤ |months|), rank windows per mon
+  // (≤ |tickers| — dimension grain, declared in WindowBounds); the
+  // summary is a 1-row broadcast.
+  // ---------------------------------------------------------------------
+  private val q246 = QueryDef(
+    "q246_monthly_ic",
+    (spark, dir) => {
+      import spark.implicits._
+      val sig = withSignal(mbars(spark, dir))
+        .withColumn("fwd_r",
+          ($"next_c" - $"close_c").cast("double") / $"close_c".cast("double"))
+      val rm = Window.partitionBy("mon").orderBy($"mom_r", $"ticker")
+      val rf = Window.partitionBy("mon").orderBy($"fwd_r", $"ticker")
+      val ranked = sig
+        .withColumn("r_m", rank().over(rm).cast("long"))
+        .withColumn("r_f", rank().over(rf).cast("long"))
+        .withColumn("d", $"r_m" - $"r_f")
+      val perMon = ranked.groupBy($"mon")
+        .agg(count(lit(1)).as("n"), sum($"d" * $"d").as("sum_d2"))
+        .filter($"n" >= 5)
+        .withColumn("den", $"n" * ($"n" * $"n" - 1L))
+        .withColumn("ic",
+          ($"den" - $"sum_d2" * 6L).cast("double") / $"den".cast("double"))
+        .withColumn("ic_milli", floor($"ic" * 1000.0).cast("long"))
+      val summary = perMon.agg(
+        count(lit(1)).as("n_months"),
+        sum($"ic_milli").as("s_ic"),
+        sum($"ic_milli" * $"ic_milli").as("ss_ic"))
+        .withColumn("t_stat",
+          $"s_ic".cast("double") /
+            sqrt(($"n_months".cast("double") * $"ss_ic".cast("double") -
+              $"s_ic".cast("double") * $"s_ic".cast("double")) /
+              ($"n_months" - 1L).cast("double")))
+        .select($"n_months", $"t_stat")
+      perMon.crossJoin(broadcast(summary))
+        .select($"mon", $"n", $"sum_d2", $"ic", $"ic_milli", $"n_months",
+          $"t_stat")
+        .orderBy($"mon")
+    },
+    Some(s"""
+      WITH $mbarsSql, $signalSql,
+      f AS (
+        SELECT *, CAST(next_c - close_c AS DOUBLE) / CAST(close_c AS DOUBLE)
+                 AS fwd_r
+        FROM sigr),
+      ranked AS (
+        SELECT mon,
+               CAST(rank() OVER (PARTITION BY mon ORDER BY mom_r, ticker)
+                 AS BIGINT) AS r_m,
+               CAST(rank() OVER (PARTITION BY mon ORDER BY fwd_r, ticker)
+                 AS BIGINT) AS r_f
+        FROM f),
+      pm0 AS (
+        SELECT mon, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum((r_m - r_f) * (r_m - r_f)) AS BIGINT) AS sum_d2
+        FROM ranked GROUP BY mon HAVING count(*) >= 5),
+      pm AS (
+        SELECT *, n * (n * n - 1) AS den,
+               CAST(n * (n * n - 1) - 6 * sum_d2 AS DOUBLE)
+                 / CAST(n * (n * n - 1) AS DOUBLE) AS ic
+        FROM pm0),
+      pmm AS (
+        SELECT mon, n, sum_d2, ic,
+               CAST(floor(ic * 1000.0) AS BIGINT) AS ic_milli
+        FROM pm),
+      summ AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_months,
+               CAST(sum(ic_milli) AS BIGINT) AS s_ic,
+               CAST(sum(ic_milli * ic_milli) AS BIGINT) AS ss_ic
+        FROM pmm)
+      SELECT mon, n, sum_d2, ic, ic_milli, n_months,
+             CAST(s_ic AS DOUBLE) /
+               sqrt((CAST(n_months AS DOUBLE) * CAST(ss_ic AS DOUBLE)
+                 - CAST(s_ic AS DOUBLE) * CAST(s_ic AS DOUBLE))
+                 / CAST(n_months - 1 AS DOUBLE)) AS t_stat
+      FROM pmm, summ ORDER BY mon"""))
+
+  // ---------------------------------------------------------------------
+  // q247 — MOMENTUM QUINTILE LONG-SHORT BACKTEST (Jegadeesh–Titman
+  // shape): each month, rank the universe into quintiles by the 3-month
+  // momentum signal; hold the top quintile long and the bottom short for
+  // one month. Portfolio return is DOLLAR-WEIGHTED from exact cent sums
+  // — (Σnext − Σclose)/Σclose, one division per leg — so no per-name
+  // float return is ever averaged. The running P&L accumulates the
+  // INTEGER milli-bp spread (order-invariant sum), never a float
+  // product. Quintiles (not deciles) because the sf0.001 universe is 10
+  // names; ntile is deterministic under the full (mom_r, ticker) order.
+  // Scale: one mon-partition ntile window (≤ |tickers| rows per cell),
+  // one map-combinable conditional rollup; the cumulative window runs
+  // over ≤ |months| rollup rows (globalWindowExempt).
+  // ---------------------------------------------------------------------
+  private val q247 = QueryDef(
+    "q247_momentum_ls",
+    (spark, dir) => {
+      import spark.implicits._
+      val sig = withSignal(mbars(spark, dir))
+      val wQ = Window.partitionBy("mon").orderBy($"mom_r", $"ticker")
+      val b = sig.withColumn("bucket", ntile(5).over(wQ))
+      val grp = b.groupBy($"mon").agg(
+        count(lit(1)).as("n_names"),
+        sum(when($"bucket" === 1, $"close_c")).as("sc_bot"),
+        sum(when($"bucket" === 1, $"next_c")).as("sn_bot"),
+        sum(when($"bucket" === 5, $"close_c")).as("sc_top"),
+        sum(when($"bucket" === 5, $"next_c")).as("sn_top"))
+        .filter($"n_names" >= 5)
+        .withColumn("ret_bot_bp",
+          ($"sn_bot" - $"sc_bot").cast("double") / $"sc_bot".cast("double")
+            * 10000.0)
+        .withColumn("ret_top_bp",
+          ($"sn_top" - $"sc_top").cast("double") / $"sc_top".cast("double")
+            * 10000.0)
+        .withColumn("ls_milli_bp",
+          floor(($"ret_top_bp" - $"ret_bot_bp") * 1000.0).cast("long"))
+      grp.withColumn("cum_ls_milli_bp",
+          sum($"ls_milli_bp").over(Window.orderBy("mon")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"mon", $"n_names", $"ret_bot_bp", $"ret_top_bp",
+          $"ls_milli_bp", $"cum_ls_milli_bp")
+        .orderBy($"mon")
+    },
+    Some(s"""
+      WITH $mbarsSql, $signalSql,
+      b AS (
+        SELECT *, ntile(5) OVER (PARTITION BY mon ORDER BY mom_r, ticker)
+                 AS bucket
+        FROM sigr),
+      grp AS (
+        SELECT mon, CAST(count(*) AS BIGINT) AS n_names,
+               sum(CASE WHEN bucket = 1 THEN close_c END) AS sc_bot,
+               sum(CASE WHEN bucket = 1 THEN next_c END) AS sn_bot,
+               sum(CASE WHEN bucket = 5 THEN close_c END) AS sc_top,
+               sum(CASE WHEN bucket = 5 THEN next_c END) AS sn_top
+        FROM b GROUP BY mon HAVING count(*) >= 5),
+      r AS (
+        SELECT mon, n_names,
+               CAST(sn_bot - sc_bot AS DOUBLE) / CAST(sc_bot AS DOUBLE)
+                 * 10000.0 AS ret_bot_bp,
+               CAST(sn_top - sc_top AS DOUBLE) / CAST(sc_top AS DOUBLE)
+                 * 10000.0 AS ret_top_bp
+        FROM grp),
+      l AS (
+        SELECT *, CAST(floor((ret_top_bp - ret_bot_bp) * 1000.0) AS BIGINT)
+                 AS ls_milli_bp
+        FROM r)
+      SELECT mon, n_names, ret_bot_bp, ret_top_bp, ls_milli_bp,
+             CAST(sum(ls_milli_bp) OVER (ORDER BY mon
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_ls_milli_bp
+      FROM l ORDER BY mon"""))
+
+  // ---------------------------------------------------------------------
+  // q248 — AUTOCORRELATION + LJUNG–BOX WHITE-NOISE TEST per ticker: the
+  // series diagnostic run before fitting anything — are daily close
+  // changes serially correlated at lags 1..5, and does the portmanteau
+  // Q = n(n+2)·Σ r_k²/(n−k) reject white noise at 95%? The series is
+  // BAR-TIME (consecutive bars, gaps ignored), diffs in exact cents.
+  // Exactness: the mean is an integer (sign-peeled truncating division —
+  // the one place the engines' div semantics diverge), deviations and
+  // all autocovariance moments are exact BIGINTs (|d| ≤ 2·10⁷ cents,
+  // Σd² ≤ 2500·4.4·10¹⁴ ≈ 1.1·10¹⁸ < 2⁶³), each r_k is ONE division,
+  // and Q is one fixed-order double expression. The χ²₅(0.95) critical
+  // value crosses as a shared string literal (q239 discipline).
+  // Scale: two ticker-partition window passes + two map-combinable aggs
+  // — ≤ |trading days| rows per cell (declared `ticker` bound).
+  // ---------------------------------------------------------------------
+  private val Chi2Crit5 = "11.070497693516351" // chi^2(5) 0.95 quantile
+
+  private val q248 = QueryDef(
+    "q248_ljung_box",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("date")
+      val dx = WindowFeatures.bars(spark, dir)
+        .withColumn("close_c",
+          ($"close".cast(DecimalType(28, 2)) * 100).cast("long"))
+        .withColumn("dx", $"close_c" - lag($"close_c", 1).over(wT))
+        .filter($"dx".isNotNull)
+      val st = dx.groupBy($"ticker")
+        .agg(count(lit(1)).as("n"), sum($"dx").as("s_dx"))
+        .withColumn("mu", expr(speelDivSql("s_dx", "n", "div")))
+        .select($"ticker", $"n", $"mu")
+      val d = dx.join(broadcast(st), "ticker")
+        .withColumn("d", $"dx" - $"mu")
+      val lagged = (1 to 5).foldLeft(d) { (df, k) =>
+        df.withColumn(s"d$k", lag($"d", k).over(wT))
+      }
+      val momCols = sum($"d" * $"d").as("dd") +:
+        (1 to 5).map(k => sum($"d" * col(s"d$k")).as(s"n$k"))
+      val mom = lagged.groupBy($"ticker", $"n")
+        .agg(momCols.head, momCols.tail: _*)
+      val rk = (1 to 5).foldLeft(mom) { (df, k) =>
+        df.withColumn(s"r$k", col(s"n$k").cast("double") / $"dd".cast("double"))
+      }
+      rk.withColumn("q_lb",
+          $"n".cast("double") * ($"n" + 2L).cast("double") *
+            ($"r1" * $"r1" / ($"n" - 1L).cast("double") +
+              $"r2" * $"r2" / ($"n" - 2L).cast("double") +
+              $"r3" * $"r3" / ($"n" - 3L).cast("double") +
+              $"r4" * $"r4" / ($"n" - 4L).cast("double") +
+              $"r5" * $"r5" / ($"n" - 5L).cast("double")))
+        .withColumn("wn_rejected", $"q_lb" > lit(Chi2Crit5.toDouble))
+        .select(($"ticker" +: $"n" +:
+          (1 to 5).map(k => floor(col(s"r$k") * 1000.0).cast("long")
+            .as(s"r${k}_milli")) :+ $"q_lb" :+ $"wn_rejected"): _*)
+        .orderBy($"ticker")
+    },
+    Some {
+      val lagCols = (1 to 5)
+        .map(k => s"lag(d, $k) OVER (PARTITION BY ticker ORDER BY date) AS d$k")
+        .mkString(", ")
+      val nCols = (1 to 5)
+        .map(k => s"CAST(sum(d * d$k) AS BIGINT) AS n$k").mkString(", ")
+      val rCols = (1 to 5)
+        .map(k => s"CAST(n$k AS DOUBLE) / CAST(dd AS DOUBLE) AS r$k")
+        .mkString(", ")
+      val qTerms = (1 to 5)
+        .map(k => s"r$k * r$k / CAST(n - $k AS DOUBLE)").mkString(" + ")
+      val rMilli = (1 to 5)
+        .map(k => s"CAST(floor(r$k * 1000.0) AS BIGINT) AS r${k}_milli")
+        .mkString(", ")
+      s"""
+      WITH ${WindowFeatures.barsSql},
+      dx0 AS (
+        SELECT ticker, date,
+               CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT) AS close_c
+        FROM bars),
+      dx AS (
+        SELECT * FROM (
+          SELECT ticker, date, close_c - lag(close_c, 1)
+                   OVER (PARTITION BY ticker ORDER BY date) AS dx
+          FROM dx0)
+        WHERE dx IS NOT NULL),
+      st AS (
+        SELECT ticker, CAST(count(*) AS BIGINT) AS n,
+               ${speelDivSql("sum(dx)", "count(*)", "//")} AS mu
+        FROM dx GROUP BY ticker),
+      d AS (
+        SELECT dx.ticker, dx.date, st.n, dx.dx - st.mu AS d
+        FROM dx JOIN st ON dx.ticker = st.ticker),
+      lagged AS (
+        SELECT ticker, n, d, $lagCols FROM d),
+      mom AS (
+        SELECT ticker, n, CAST(sum(d * d) AS BIGINT) AS dd, $nCols
+        FROM lagged GROUP BY ticker, n),
+      rk AS (
+        SELECT ticker, n, $rCols FROM mom),
+      q AS (
+        SELECT *, CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * ($qTerms)
+                 AS q_lb
+        FROM rk)
+      SELECT ticker, n, $rMilli, q_lb,
+             q_lb > CAST('$Chi2Crit5' AS DOUBLE) AS wn_rejected
+      FROM q ORDER BY ticker"""
+    })
+
+  // ---------------------------------------------------------------------
+  // q249 — VARIANCE RATIO TEST (Lo–MacKinlay 1988), q = 5: under a
+  // random walk, the variance of 5-bar price changes is 5× the variance
+  // of 1-bar changes; VR far from 1 means momentum (> 1) or mean
+  // reversion (< 1). Overlapping 5-bar diffs (the LM estimator), cent
+  // price changes instead of log returns (logs are engine-unportable —
+  // documented divergence from the paper; the diagnostic direction is
+  // unchanged). Both variances from integer-centered exact BIGINT SSDs
+  // (the q248 discipline); z = (VR−1)·√(n₅/φ) with φ = 2(2q−1)(q−1)/(3q)
+  // = 4.8 crossing as a shared string literal.
+  // Scale: one two-lag window pass + two rollups per ticker, all under
+  // the declared `ticker` bound.
+  // ---------------------------------------------------------------------
+  private val q249 = QueryDef(
+    "q249_variance_ratio",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("date")
+      val dd = WindowFeatures.bars(spark, dir)
+        .withColumn("close_c",
+          ($"close".cast(DecimalType(28, 2)) * 100).cast("long"))
+        .withColumn("d1", $"close_c" - lag($"close_c", 1).over(wT))
+        .withColumn("d5", $"close_c" - lag($"close_c", 5).over(wT))
+      def ssd(col0: String): DataFrame = {
+        val base = dd.filter(col(col0).isNotNull)
+        val st = base.groupBy($"ticker")
+          .agg(count(lit(1)).as(s"n_$col0"), sum(col(col0)).as("s"))
+          .withColumn("mu", expr(speelDivSql("s", s"n_$col0", "div")))
+          .select($"ticker", col(s"n_$col0"), $"mu")
+        base.join(broadcast(st), "ticker")
+          .groupBy($"ticker", col(s"n_$col0"))
+          .agg(sum((col(col0) - $"mu") * (col(col0) - $"mu"))
+            .as(s"ssd_$col0"))
+      }
+      ssd("d1").join(ssd("d5"), "ticker")
+        .withColumn("vr",
+          ($"ssd_d5".cast("double") / ($"n_d5" - 1L).cast("double")) /
+            (lit(5.0) * ($"ssd_d1".cast("double") / ($"n_d1" - 1L).cast("double"))))
+        .withColumn("z",
+          ($"vr" - 1.0) * sqrt($"n_d5".cast("double") / lit(4.8)))
+        .withColumn("rw_rejected", abs($"z") > 1.96)
+        .select($"ticker", $"n_d1", $"n_d5", $"vr", $"z", $"rw_rejected")
+        .orderBy($"ticker")
+    },
+    Some {
+      def ssdSql(k: Int) = s"""
+      b$k AS (
+        SELECT * FROM (
+          SELECT ticker, close_c - lag(close_c, $k)
+                   OVER (PARTITION BY ticker ORDER BY date) AS d
+          FROM dx0)
+        WHERE d IS NOT NULL),
+      st$k AS (
+        SELECT ticker, CAST(count(*) AS BIGINT) AS n_d$k,
+               ${speelDivSql("sum(d)", "count(*)", "//")} AS mu
+        FROM b$k GROUP BY ticker),
+      ssd$k AS (
+        SELECT b.ticker, st$k.n_d$k,
+               CAST(sum((b.d - st$k.mu) * (b.d - st$k.mu)) AS BIGINT)
+                 AS ssd_d$k
+        FROM b$k b JOIN st$k ON b.ticker = st$k.ticker
+        GROUP BY b.ticker, st$k.n_d$k)"""
+      s"""
+      WITH ${WindowFeatures.barsSql},
+      dx0 AS (
+        SELECT ticker, date,
+               CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT) AS close_c
+        FROM bars),
+      ${ssdSql(1)},
+      ${ssdSql(5)},
+      v AS (
+        SELECT ssd1.ticker, ssd1.n_d1, ssd5.n_d5,
+               (CAST(ssd_d5 AS DOUBLE) / CAST(n_d5 - 1 AS DOUBLE))
+                 / (CAST('5.0' AS DOUBLE)
+                   * (CAST(ssd_d1 AS DOUBLE) / CAST(n_d1 - 1 AS DOUBLE)))
+                 AS vr
+        FROM ssd1 JOIN ssd5 ON ssd1.ticker = ssd5.ticker)
+      SELECT ticker, n_d1, n_d5, vr,
+             (vr - CAST('1.0' AS DOUBLE))
+               * sqrt(CAST(n_d5 AS DOUBLE) / CAST('4.8' AS DOUBLE)) AS z,
+             abs((vr - CAST('1.0' AS DOUBLE))
+               * sqrt(CAST(n_d5 AS DOUBLE) / CAST('4.8' AS DOUBLE)))
+               > CAST('1.96' AS DOUBLE) AS rw_rejected
+      FROM v ORDER BY ticker"""
+    })
+
+  // ---------------------------------------------------------------------
+  // q250 — COINTEGRATION SCREEN (Engle–Granger shape, region-blocked):
+  // which same-region ("same exchange") ticker pairs co-move tightly
+  // enough to pairs-trade, and do their hedged residuals mean-revert?
+  // Stage 1: pair correlation from exact BIGINT moments over
+  // region-blocked monthly-close joins (|universe/region|² pairs per
+  // block — the q227 ER blocking discipline, never universe²; region,
+  // not nation, so the tiny-SF universe still yields same-block pairs),
+  // top-10 by |corr| via TakeOrdered.
+  // Stage 2 (top pairs only, a broadcast): hedge ratio β quantized to
+  // exact integer millis (floor of the one-division OLS slope — the
+  // engines would disagree on residuals of a raw double β times a
+  // price), residual r_t = 1000·y_t − β_milli·x_t exact BIGINT, and the
+  // mean-reversion readout as the lag-1 SPEARMAN autocorrelation of
+  // residual RANKS (ranks ≤ |months| — monotone-invariant, and immune
+  // to the int64-overflow a squared raw residual could hit).
+  // ---------------------------------------------------------------------
+  private val q250 = QueryDef(
+    "q250_cointegration",
+    (spark, dir) => {
+      import spark.implicits._
+      val sup = Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey".as("ticker"), $"n_regionkey".as("reg"))
+      val m = mbars(spark, dir).join(broadcast(sup), "ticker")
+        .select($"reg", $"mon", $"ticker", $"close_c")
+      val pairs = m.as("a").join(m.as("b"),
+          col("a.reg") === col("b.reg") && col("a.mon") === col("b.mon") &&
+            col("a.ticker") < col("b.ticker"))
+        .select(col("a.reg").as("reg"), col("a.mon").as("mon"),
+          col("a.ticker").as("ta"), col("b.ticker").as("tb"),
+          col("a.close_c").as("x"), col("b.close_c").as("y"))
+      val mom = pairs.groupBy($"reg", $"ta", $"tb")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+          sum($"x" * $"y").as("sxy"))
+        .filter($"n" >= 24)
+        .withColumn("corr",
+          ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+              ($"n" * $"syy" - $"sy" * $"sy").cast("double")))
+      val top = mom
+        .orderBy(abs($"corr").desc, $"ta", $"tb").limit(10)
+        .withColumn("beta_milli",
+          floor(lit(1000.0) *
+            ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).cast("long"))
+        .select($"reg", $"ta", $"tb", $"n".as("n_months"), $"corr",
+          $"beta_milli")
+      val resid = pairs
+        .join(broadcast(top), Seq("reg", "ta", "tb"))
+        .withColumn("r", lit(1000L) * $"y" - $"beta_milli" * $"x")
+      val wPair = Window.partitionBy("ta", "tb")
+      val rr = resid
+        .withColumn("rk", rank().over(wPair.orderBy($"r", $"mon")).cast("long"))
+        .withColumn("rkp", lag($"rk", 1).over(wPair.orderBy($"mon")))
+        .filter($"rkp".isNotNull)
+      val acf = rr.groupBy($"reg", $"ta", $"tb", $"n_months", $"corr",
+          $"beta_milli")
+        .agg(count(lit(1)).as("n2"), sum($"rk").as("su"), sum($"rkp").as("sv"),
+          sum($"rk" * $"rk").as("suu"), sum($"rkp" * $"rkp").as("svv"),
+          sum($"rk" * $"rkp").as("suv"))
+        .withColumn("rank_acf1",
+          ($"n2" * $"suv" - $"su" * $"sv").cast("double") /
+            sqrt(($"n2" * $"suu" - $"su" * $"su").cast("double") *
+              ($"n2" * $"svv" - $"sv" * $"sv").cast("double")))
+        .withColumn("mean_reverting", $"rank_acf1" < lit(0.6))
+      acf.select($"reg", $"ta", $"tb", $"n_months", $"corr", $"beta_milli",
+          $"rank_acf1", $"mean_reverting")
+        .orderBy($"reg", $"ta", $"tb")
+    },
+    Some(s"""
+      WITH $mbarsSql,
+      m AS (
+        SELECT n_regionkey AS reg, mon, ticker, close_c
+        FROM mbars
+        JOIN supplier ON ticker = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey),
+      pairs AS (
+        SELECT a.reg, a.mon, a.ticker AS ta, b.ticker AS tb,
+               a.close_c AS x, b.close_c AS y
+        FROM m a JOIN m b
+          ON a.reg = b.reg AND a.mon = b.mon AND a.ticker < b.ticker),
+      mom AS (
+        SELECT reg, ta, tb, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY 1, 2, 3 HAVING count(*) >= 24),
+      c AS (
+        SELECT *, CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+        FROM mom),
+      top AS (
+        SELECT reg, ta, tb, n AS n_months, corr,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+                 AS beta_milli
+        FROM c ORDER BY abs(corr) DESC, ta, tb LIMIT 10),
+      resid AS (
+        SELECT p.reg, p.ta, p.tb, p.mon, t.n_months, t.corr, t.beta_milli,
+               1000 * p.y - t.beta_milli * p.x AS r
+        FROM pairs p
+        JOIN top t ON p.reg = t.reg AND p.ta = t.ta AND p.tb = t.tb),
+      rr0 AS (
+        SELECT *, CAST(rank() OVER (PARTITION BY ta, tb ORDER BY r, mon)
+                 AS BIGINT) AS rk
+        FROM resid),
+      rr AS (
+        SELECT * FROM (
+          SELECT *, lag(rk, 1) OVER (PARTITION BY ta, tb ORDER BY mon)
+                   AS rkp
+          FROM rr0)
+        WHERE rkp IS NOT NULL),
+      acf AS (
+        SELECT reg, ta, tb, n_months, corr, beta_milli,
+               CAST(count(*) AS BIGINT) AS n2,
+               CAST(sum(rk) AS BIGINT) AS su, CAST(sum(rkp) AS BIGINT) AS sv,
+               CAST(sum(rk * rk) AS BIGINT) AS suu,
+               CAST(sum(rkp * rkp) AS BIGINT) AS svv,
+               CAST(sum(rk * rkp) AS BIGINT) AS suv
+        FROM rr GROUP BY 1, 2, 3, 4, 5, 6)
+      SELECT reg, ta, tb, n_months, corr, beta_milli,
+             CAST(n2 * suv - su * sv AS DOUBLE)
+               / sqrt(CAST(n2 * suu - su * su AS DOUBLE)
+                 * CAST(n2 * svv - sv * sv AS DOUBLE)) AS rank_acf1,
+             CAST(n2 * suv - su * sv AS DOUBLE)
+               / sqrt(CAST(n2 * suu - su * su AS DOUBLE)
+                 * CAST(n2 * svv - sv * sv AS DOUBLE))
+               < CAST('0.6' AS DOUBLE) AS mean_reverting
+      FROM acf ORDER BY reg, ta, tb"""))
+
+  // ---------------------------------------------------------------------
+  // q252 — CAPM BETA / ALPHA / R² against the equal-weight index: the
+  // market-model regression every risk system runs — how much of each
+  // name's monthly return is market (β·r_mkt), what is left (α), and
+  // how tight the fit is (R²). Returns are quantized ONCE to integer
+  // milli (floor of the one-division monthly return — the q250
+  // β-quantization discipline), the index return is the sign-peeled
+  // integer mean of member milli-returns, and everything after is
+  // exact BIGINT moments + fixed-order double expressions (the q238
+  // regression envelope). Distinct from q238 (Kyle's λ regresses price
+  // impact on signed flow at bucket grain; this regresses return on
+  // market at monthly grain — the risk-decomposition twin).
+  // Scale: one ticker-window lag, one |months|-row broadcast of the
+  // index, one map-combinable moment rollup per ticker.
+  // ---------------------------------------------------------------------
+  private val q252 = QueryDef(
+    "q252_capm_beta",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("mon")
+      val rets = mbars(spark, dir)
+        .withColumn("prev_c", lag($"close_c", 1).over(wT))
+        .filter($"prev_c".isNotNull)
+        .withColumn("ret_milli",
+          floor(lit(1000.0) * ($"close_c" - $"prev_c").cast("double") /
+            $"prev_c".cast("double")).cast("long"))
+      val mkt = rets.groupBy($"mon")
+        .agg(count(lit(1)).as("n_names"), sum($"ret_milli").as("s_ret"))
+        .filter($"n_names" >= 5)
+        .withColumn("mkt_milli", expr(speelDivSql("s_ret", "n_names", "div")))
+        .select($"mon", $"mkt_milli")
+      val xy = rets.join(broadcast(mkt), "mon")
+      val mom = xy.groupBy($"ticker")
+        .agg(count(lit(1)).as("n"),
+          sum($"mkt_milli").as("sx"), sum($"ret_milli").as("sy"),
+          sum($"mkt_milli" * $"mkt_milli").as("sxx"),
+          sum($"ret_milli" * $"ret_milli").as("syy"),
+          sum($"mkt_milli" * $"ret_milli").as("sxy"))
+        .filter($"n" >= 24)
+        .withColumn("num", $"n" * $"sxy" - $"sx" * $"sy")
+        .withColumn("dxx", $"n" * $"sxx" - $"sx" * $"sx")
+        .withColumn("dyy", $"n" * $"syy" - $"sy" * $"sy")
+      mom
+        .withColumn("beta", $"num".cast("double") / $"dxx".cast("double"))
+        .withColumn("alpha",
+          ($"sy".cast("double") - $"beta" * $"sx".cast("double")) /
+            $"n".cast("double"))
+        .withColumn("r2",
+          ($"num".cast("double") * $"num".cast("double")) /
+            ($"dxx".cast("double") * $"dyy".cast("double")))
+        .withColumn("high_beta", $"beta" > lit(1.0))
+        .select($"ticker", $"n".as("n_months"), $"beta", $"alpha", $"r2",
+          $"high_beta")
+        .orderBy($"ticker")
+    },
+    Some(s"""
+      WITH $mbarsSql,
+      rets AS (
+        SELECT * FROM (
+          SELECT ticker, mon, close_c,
+                 lag(close_c, 1) OVER (PARTITION BY ticker ORDER BY mon)
+                   AS prev_c
+          FROM mbars)
+        WHERE prev_c IS NOT NULL),
+      rm AS (
+        SELECT ticker, mon,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(close_c - prev_c AS DOUBLE)
+                 / CAST(prev_c AS DOUBLE)) AS BIGINT) AS ret_milli
+        FROM rets),
+      mkt AS (
+        SELECT mon,
+               ${speelDivSql("CAST(sum(ret_milli) AS BIGINT)",
+                 "count(*)", "//")} AS mkt_milli
+        FROM rm GROUP BY mon HAVING count(*) >= 5),
+      mom AS (
+        SELECT ticker, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(mkt_milli) AS BIGINT) AS sx,
+               CAST(sum(ret_milli) AS BIGINT) AS sy,
+               CAST(sum(mkt_milli * mkt_milli) AS BIGINT) AS sxx,
+               CAST(sum(ret_milli * ret_milli) AS BIGINT) AS syy,
+               CAST(sum(mkt_milli * ret_milli) AS BIGINT) AS sxy
+        FROM rm JOIN mkt USING (mon)
+        GROUP BY ticker HAVING count(*) >= 24),
+      d AS (
+        SELECT *, n * sxy - sx * sy AS num,
+               n * sxx - sx * sx AS dxx, n * syy - sy * sy AS dyy
+        FROM mom),
+      b AS (
+        SELECT *, CAST(num AS DOUBLE) / CAST(dxx AS DOUBLE) AS beta
+        FROM d)
+      SELECT ticker, n AS n_months, beta,
+             (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS alpha,
+             (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+               / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)) AS r2,
+             beta > CAST('1.0' AS DOUBLE) AS high_beta
+      FROM b ORDER BY ticker"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q246, q247, q248, q249, q250, q252)
+}

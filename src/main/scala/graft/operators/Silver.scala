@@ -101,6 +101,13 @@ object Silver {
       Seq("q226"),
       (s, d) => TextOps.wordpieceVocab(s, d)),
     SilverTable(
+      "monthly_bars",
+      "per-(ticker, month) last fill price in exact cents (same unique" +
+        " seq order as daily_bars) — the cross-section grain the alpha" +
+        " research family ranks and backtests on",
+      Seq("q246", "q247", "q250", "q252"),
+      (s, d) => CrossSection.mbars(s, d)),
+    SilverTable(
       "gbt_model_store",
       "the session model store: (model_name, artifact bytes) parquet" +
         " rows; every load re-reads serialized bytes through the storage" +

