@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryModule}
 import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1770,7 +1771,239 @@ object Curation extends QueryModule {
              JOIN tot ON s.source = tot.source
       ORDER BY s.source, s.rank"""))
 
+  // ---------------------------------------------------------------------
+  // q253 — STREAMING PRIORITY SAMPLING: the production shape of q245 —
+  // the weighted sample and the unbiased total estimate are maintained
+  // WHILE the corpus streams in, not recomputed nightly (priority
+  // sampling is one of the canonically stream-friendly sketches: the
+  // top-(K+1) priority set is a mergeable summary). Per-source
+  // ValueState holds the current top-(K+1) candidates (≤ K+1 rows of
+  // (priority, doc, weight) — constant size) plus a monotone n_seen;
+  // each batch emits the source's refreshed sample with τ, per-row
+  // estimates and the running total estimate. The final answer is the
+  // last emission per source (max n_seen — the q128 final-state
+  // discipline), and it must equal the BATCH q245 computation exactly:
+  // the oracle is the q245 SQL re-shaped, the q235 batch-as-oracle
+  // discipline. Priorities are the identical IEEE division on the
+  // identical md5-derived values, computed here in plain Scala through
+  // [[graft.functions.Portable.md5Hash64Jvm]] — bit-equal to both
+  // engines' column expressions (the q236 envelope).
+  //
+  // Scale: state is |sources| rows × (K+1) entries; batch cost is
+  // O(batch docs · log K); the replay feed is the q223 chunked-parquet
+  // kafka stand-in keyed by doc id.
+  // ---------------------------------------------------------------------
+  private[operators] final case class PsDoc(
+      doc_id: Long, source: String, n_chars: Long)
+  private[operators] final case class PsCand(p: Double, docId: Long, w: Long)
+  private[operators] final case class PsSt(nSeen: Long, cand: Seq[PsCand])
+  private[operators] final case class PsOut(
+      source: String, rank: Long, doc_id: Long, n_chars: Long,
+      est_milli: Long, tau_milli: Long, n_sampled: Long, n_seen: Long,
+      est_total_milli: Long)
+
+  private[operators] class PsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, PsDoc, PsOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[PsSt] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[PsSt]("ps_topk",
+        org.apache.spark.sql.Encoders.product[PsSt], TTLConfig.NONE)
+    override def handleInputRows(
+        key: String, rows: Iterator[PsDoc],
+        tv: TimerValues): Iterator[PsOut] = {
+      var s = if (st.exists()) st.get() else PsSt(0L, Nil)
+      var cand = s.cand.toVector
+      var seen = s.nSeen
+      rows.foreach { d =>
+        val h = graft.functions.Portable
+          .md5Hash64Jvm(s"ps|${d.doc_id}") % PsMod
+        val p = d.n_chars.toDouble / (h + 1L).toDouble
+        cand = (cand :+ PsCand(p, d.doc_id, d.n_chars))
+          .sortBy(c => (-c.p, c.docId)).take(PsK + 1)
+        seen += 1L
+      }
+      st.update(PsSt(seen, cand))
+      val tau = if (cand.length > PsK) cand(PsK).p else 0.0
+      val tauMilli = math.floor(tau * 1000.0).toLong
+      val sample = cand.take(PsK)
+      val ests = sample.map(c =>
+        math.floor(math.max(c.w.toDouble, tau) * 1000.0).toLong)
+      val estTotal = ests.sum
+      sample.zip(ests).zipWithIndex.iterator.map { case ((c, e), i) =>
+        PsOut(key, i + 1L, c.docId, c.w, e, tauMilli, sample.length.toLong,
+          seen, estTotal)
+      }
+    }
+  }
+
+  /** The q253 build, chunking exposed for the batch-boundary-independence
+    * spec (the q235 replay contract).
+    */
+  private[operators] def streamPrioritySample(
+      outer: SparkSession, dir: String, nChunks: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars")
+    val feed = graft.streaming.Streams.replayByLongRanges(docs, "doc_id", nChunks)
+    val updates = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .as[PsDoc]
+      .groupByKey(_.source)
+      .transformWithState(new PsProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF()
+    val all = graft.streaming.Streams.runToParquet(updates, "update")
+    // final sample = the last emission per source (n_seen is monotone)
+    val last = all.groupBy($"source").agg(max($"n_seen").as("n_seen"))
+    all.join(broadcast(last), Seq("source", "n_seen"))
+      .select($"source", $"rank", $"doc_id", $"n_chars", $"est_milli",
+        $"tau_milli", $"n_sampled", $"n_seen", $"est_total_milli")
+      .orderBy($"source", $"rank")
+  }
+
+  private val q253 = QueryDef(
+    "q253_stream_priority_sample",
+    (outer, dir) => streamPrioritySample(outer, dir, 4),
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id, source, n_chars,
+               ${graft.functions.Portable.md5Hash64Sql(
+                 "('ps|' || CAST(doc_id AS VARCHAR))")} % $PsMod AS hh
+        FROM documents),
+      pr AS (
+        SELECT *, CAST(n_chars AS DOUBLE) / CAST(hh + 1 AS DOUBLE) AS p
+        FROM h),
+      r AS (
+        SELECT *, CAST(row_number() OVER (
+          PARTITION BY source ORDER BY p DESC, doc_id) AS BIGINT) AS rank
+        FROM pr),
+      rk AS (SELECT * FROM r WHERE rank <= ${PsK + 1}),
+      tau AS (
+        SELECT source,
+               coalesce(max(CASE WHEN rank = ${PsK + 1} THEN p END), 0.0)
+                 AS tau,
+               CAST(floor(coalesce(max(CASE WHEN rank = ${PsK + 1} THEN p
+                 END), 0.0) * 1000.0) AS BIGINT) AS tau_milli
+        FROM rk GROUP BY source),
+      seen AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_seen
+        FROM documents GROUP BY source),
+      s AS (
+        SELECT rk.source, rk.rank, rk.doc_id, rk.n_chars, tau.tau_milli,
+               CAST(floor(greatest(CAST(rk.n_chars AS DOUBLE), tau.tau)
+                 * 1000.0) AS BIGINT) AS est_milli
+        FROM rk JOIN tau ON rk.source = tau.source
+        WHERE rk.rank <= $PsK),
+      e AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(est_milli) AS BIGINT) AS est_total_milli
+        FROM s GROUP BY source)
+      SELECT s.source, s.rank, s.doc_id, s.n_chars, s.est_milli,
+             s.tau_milli, e.n_sampled, seen.n_seen, e.est_total_milli
+      FROM s
+      JOIN e ON s.source = e.source
+      JOIN seen ON s.source = seen.source
+      ORDER BY s.source, s.rank"""))
+
+  // ---------------------------------------------------------------------
+  // q251 — CONTAMINATION ATTRIBUTION: q69 answers "is this train doc
+  // contaminated?" (a flag off the 8-gram collision semi-join); this is
+  // the report the data owner needs NEXT — how contaminated (shared
+  // instance count and milli rate against the doc's own gram mass), and
+  // BY WHICH benchmark doc (the single worst offender: max shared
+  // instances, ties to the smallest doc id via one max(struct)) — the
+  // difference between dropping a doc and filing a leak ticket against
+  // the eval set. Same collision unit as q69/q118/q212 (word 8-grams)
+  // so the numbers compose; membership is the md5 hash split (5%), the
+  // q199 no-RNG discipline, rather than q69's doc_id modulo.
+  //
+  // Scale: the benchmark gram set is tiny in production (benchmarks
+  // are MBs against a 100 TB corpus) — the gh equi-join degenerates to
+  // a broadcast there; the train gram stream is consumed by exactly
+  // one join + one rollup, never persisted (the q212 r9 discipline).
+  // The per-(doc, bench-doc) fan-out is bounded by the benchmark's
+  // gram multiset, not the corpus.
+  // ---------------------------------------------------------------------
+  private val q251 = QueryDef(
+    "q251_contamination_report",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val docs = Tables.documents(spark, dir)
+      val grams = docs
+        .select($"doc_id", Portable.tokens($"text").as("w"))
+        .filter(size($"w") >= 8)
+        .select($"doc_id", explode(transform(
+          sequence(lit(1), size($"w") - 7),
+          i => Portable.md5Hash64(array_join(slice($"w", i, lit(8)), " "))))
+          .as("gh"))
+        .withColumn("is_bench",
+          pmod(Portable.md5Hash64(concat(lit("bench|"),
+            $"doc_id".cast("string"))), lit(20)) === 0)
+      val bgrams = grams.filter($"is_bench")
+        .groupBy($"gh").agg(min($"doc_id").as("bdoc"))
+      val train = grams.filter(!$"is_bench")
+      val perPair = train.join(bgrams, "gh")
+        .groupBy($"doc_id", $"bdoc").agg(count(lit(1)).as("cnt"))
+      val perDoc = perPair.groupBy($"doc_id")
+        .agg(sum($"cnt").as("n_hits"),
+          max(struct($"cnt", (-$"bdoc").as("nb"))).as("top"))
+        .select($"doc_id", $"n_hits",
+          (-$"top.nb").as("top_bench_doc"), $"top.cnt".as("top_bench_hits"))
+      val totals = train.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      perDoc.join(totals, "doc_id")
+        .join(docs.select($"doc_id", $"source"), "doc_id")
+        .withColumn("contam_milli", expr("(1000 * n_hits) div n_grams"))
+        .select($"doc_id", $"source", $"n_grams", $"n_hits",
+          $"contam_milli", $"top_bench_doc", $"top_bench_hits")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH g0 AS (
+        SELECT doc_id,
+               ${graft.functions.Portable.md5Hash64Sql(
+                 "array_to_string(g, ' ')")} AS gh,
+               ${graft.functions.Portable.md5Hash64Sql(
+                 "('bench|' || CAST(doc_id AS VARCHAR))")} % 20 = 0
+                 AS is_bench
+        FROM (
+          SELECT doc_id, unnest(
+            [w[(i):(i + 7)] for i in range(1, len(w) - 6)]) AS g
+          FROM (
+            SELECT doc_id, ${graft.functions.Portable.tokensSql("text")} AS w
+            FROM documents)
+          WHERE len(w) >= 8)),
+      bgrams AS (
+        SELECT gh, min(doc_id) AS bdoc FROM g0 WHERE is_bench GROUP BY 1),
+      train AS (SELECT doc_id, gh FROM g0 WHERE NOT is_bench),
+      pp AS (
+        SELECT t.doc_id, b.bdoc, CAST(count(*) AS BIGINT) AS cnt
+        FROM train t JOIN bgrams b ON t.gh = b.gh GROUP BY 1, 2),
+      pd AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_hits,
+               -((max(struct_pack(cnt := cnt, nb := -bdoc))).nb)
+                 AS top_bench_doc,
+               (max(struct_pack(cnt := cnt, nb := -bdoc))).cnt
+                 AS top_bench_hits
+        FROM pp GROUP BY 1),
+      tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM train GROUP BY 1)
+      SELECT pd.doc_id, d.source, tot.n_grams, pd.n_hits,
+             CAST((1000 * pd.n_hits) // tot.n_grams AS BIGINT)
+               AS contam_milli,
+             pd.top_bench_doc, pd.top_bench_hits
+      FROM pd
+      JOIN tot ON pd.doc_id = tot.doc_id
+      JOIN documents d ON pd.doc_id = d.doc_id
+      ORDER BY pd.doc_id"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134, q149, q164, q168,
-      q175, q194, q195, q199, q200, q209, q227, q228, q245)
+      q175, q194, q195, q199, q200, q209, q227, q228, q245, q251, q253)
 }

@@ -123,6 +123,11 @@ object StateBounds {
       "= one ValueState row per ticker (last close + the two CUSUM" +
         " accumulators, constant size)",
       (s, d) => graft.operators.WindowFeatures.tickersOf(s, d)),
+    StateBound("q253_stream_priority_sample",
+      "= one ValueState row per source (top-(K+1) candidate list +" +
+        " n_seen inside, constant size)",
+      (s, d) => Tables.documents(s, d).select(col("source"))
+        .distinct().count()),
     StateBound("q42_stream_static_join",
       "stateless: broadcast static side per micro-batch, append-only",
       (_, _) => 0L)

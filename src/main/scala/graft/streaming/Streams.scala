@@ -145,6 +145,33 @@ object Streams extends QueryModule {
     * distinct-date collect is bounded driver model state (P12: ≤
     * |trading days| rows). Returns the feed directory.
     */
+  /** [[replayByDates]] for a LONG key column (doc ingestion replays,
+    * where the natural arrival order is the id sequence): same
+    * strictly-increasing-mtime chunked feed, ranges over the distinct
+    * key values. The distinct collect is bounded driver model state
+    * (P12: ≤ |ids| of a dimension-sized table).
+    */
+  private[graft] def replayByLongRanges(
+      df: DataFrame, keyCol: String, nChunks: Int): String = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val keys = df.select(col(keyCol)).distinct().orderBy(col(keyCol))
+      .collect().map(_.getLong(0))
+    val feed = Files.createTempDirectory("graft_replay_feed_").toString
+    val per = math.max(1, math.ceil(keys.length.toDouble / nChunks).toInt)
+    val assigned = scala.collection.mutable.Set.empty[String]
+    keys.grouped(per).zipWithIndex.foreach { case (ks, i) =>
+      df.filter(col(keyCol).between(lit(ks.head), lit(ks.last)))
+        .coalesce(1).write.mode("append").parquet(feed)
+      new java.io.File(feed).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !assigned(f.getName))
+        .foreach { f =>
+          f.setLastModified(1600000000000L + i * 60000L)
+          assigned += f.getName
+        }
+    }
+    feed
+  }
+
   private[graft] def replayByDates(
       df: DataFrame, dayCol: String, nChunks: Int): String = {
     import org.apache.spark.sql.functions.{col, lit}

@@ -239,6 +239,57 @@ class TemporalCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q251 contamination attribution: matches a brute-force gram-collision recompute") {
+    // replicate the whole pipeline on the driver: tokenize, hash the
+    // md5 bench split, count shared 8-gram instances per train doc
+    val docs = Tables.documents(spark, TestSpark.Sf001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val grams = docs.map { case (id, text) =>
+      val w = text.split("\\s+").filter(_.nonEmpty)
+      id -> (if (w.length >= 8)
+        w.sliding(8).map(g => Portable.md5Hash64Jvm(g.mkString(" "))).toSeq
+      else Seq.empty[Long])
+    }
+    def isBench(id: Long): Boolean =
+      math.floorMod(Portable.md5Hash64Jvm(s"bench|$id"), 20L) == 0L
+    val benchSet = grams.filter(g => isBench(g._1)).flatMap(_._2).toSet
+    val naive = grams.filterNot(g => isBench(g._1)).collect {
+      case (id, gs) if gs.count(benchSet.contains) > 0 =>
+        id -> (gs.count(benchSet.contains).toLong, gs.length.toLong)
+    }.toMap
+    val got = run("q251_contamination_report").collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getAs[Long]("doc_id")).toSet === naive.keySet)
+    got.foreach { r =>
+      val (hits, total) = naive(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_hits") === hits)
+      assert(r.getAs[Long]("n_grams") === total)
+      assert(r.getAs[Long]("contam_milli") === 1000L * hits / total)
+      // the worst benchmark doc really is a benchmark doc
+      assert(isBench(r.getAs[Long]("top_bench_doc")))
+      assert(r.getAs[Long]("top_bench_hits") <= hits)
+    }
+  }
+
+  test("q253: streamed sample == batch q245 sample, and chunking never changes it") {
+    // the streaming top-(K+1) summary must converge to EXACTLY the batch
+    // computation — same docs, same ranks, same estimates
+    val batch = run("q245_priority_sample")
+      .select($"source", $"rank", $"doc_id", $"est_milli", $"tau_milli")
+    val streamed = Curation.streamPrioritySample(spark, TestSpark.Sf001, 4)
+    assert(streamed.count() === batch.count())
+    assert(streamed.join(batch,
+      Seq("source", "rank", "doc_id", "est_milli", "tau_milli")).count()
+      === batch.count())
+    // batch-boundary independence: a different replay chunking emits the
+    // identical final sample
+    val re = Curation.streamPrioritySample(spark, TestSpark.Sf001, 9)
+    assert(re.count() === streamed.count())
+    assert(re.join(streamed,
+      Seq("source", "rank", "doc_id", "est_milli", "tau_milli",
+        "n_seen", "est_total_milli")).count() === streamed.count())
+  }
+
   test("q245 priority sampling: rank cut executes as WindowGroupLimit, no full sort") {
     // the per-source top-(K+1) must ride Catalyst's rank-limit prune —
     // each map partition forwards ≤ K+1 rows per source, never the whole
