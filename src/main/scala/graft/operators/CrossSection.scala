@@ -703,6 +703,230 @@ object CrossSection extends QueryModule {
              beta > CAST('1.0' AS DOUBLE) AS high_beta
       FROM b ORDER BY ticker"""))
 
+  // ---------------------------------------------------------------------
+  // q254 — SIGNAL TURNOVER (alpha decay): q246 says whether the momentum
+  // signal PREDICTS; this says what it COSTS to trade — month-over-month
+  // stability of the cross-sectional ranks. Per month: the Pearson
+  // correlation of (this month's rank, last month's rank) over tickers
+  // present in consecutive months (exact integer rank moments — the
+  // q250 rank-ACF machinery at cross-section grain), plus the average
+  // absolute rank change in milli-ranks (exact integer division on
+  // non-negative operands). High IC + high turnover can still lose
+  // money; this pair of queries is the standard readout.
+  // Scale: one mon rank window (≤ |tickers|), one ticker lag window
+  // (≤ |months|), one map-combinable rollup.
+  // ---------------------------------------------------------------------
+  private val q254 = QueryDef(
+    "q254_signal_turnover",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("mon")
+      val sig = mbars(spark, dir)
+        .withColumn("mom_c", $"close_c" - lag($"close_c", 3).over(wT))
+        .filter($"mom_c".isNotNull)
+        .withColumn("mom_r",
+          $"mom_c".cast("double") / $"close_c".cast("double"))
+        .withColumn("rk", rank().over(
+          Window.partitionBy("mon").orderBy($"mom_r", $"ticker"))
+          .cast("long"))
+      val paired = sig
+        .withColumn("rk_prev", lag($"rk", 1).over(wT))
+        .withColumn("mon_prev", lag($"mon", 1).over(wT))
+        .filter($"rk_prev".isNotNull &&
+          $"mon_prev" === add_months($"mon", -1))
+      val out = paired.groupBy($"mon")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"rk").as("su"), sum($"rk_prev").as("sv"),
+          sum($"rk" * $"rk").as("suu"),
+          sum($"rk_prev" * $"rk_prev").as("svv"),
+          sum($"rk" * $"rk_prev").as("suv"),
+          sum(abs($"rk" - $"rk_prev")).as("sad"))
+        .filter($"n_pairs" >= 5)
+      out
+        .withColumn("rank_autocorr",
+          ($"n_pairs" * $"suv" - $"su" * $"sv").cast("double") /
+            sqrt(($"n_pairs" * $"suu" - $"su" * $"su").cast("double") *
+              ($"n_pairs" * $"svv" - $"sv" * $"sv").cast("double")))
+        .withColumn("churn_milli", expr("(1000 * sad) div n_pairs"))
+        .select($"mon", $"n_pairs", $"rank_autocorr", $"churn_milli")
+        .orderBy($"mon")
+    },
+    Some(s"""
+      WITH $mbarsSql,
+      sig AS (
+        SELECT * FROM (
+          SELECT ticker, mon, close_c,
+                 close_c - lag(close_c, 3)
+                   OVER (PARTITION BY ticker ORDER BY mon) AS mom_c
+          FROM mbars)
+        WHERE mom_c IS NOT NULL),
+      rked AS (
+        SELECT ticker, mon,
+               CAST(rank() OVER (PARTITION BY mon ORDER BY
+                 CAST(mom_c AS DOUBLE) / CAST(close_c AS DOUBLE), ticker)
+                 AS BIGINT) AS rk
+        FROM sig),
+      paired AS (
+        SELECT * FROM (
+          SELECT mon, rk,
+                 lag(rk, 1) OVER w AS rk_prev,
+                 lag(mon, 1) OVER w AS mon_prev
+          FROM rked WINDOW w AS (PARTITION BY ticker ORDER BY mon))
+        WHERE rk_prev IS NOT NULL
+          AND mon_prev = CAST(mon - INTERVAL 1 MONTH AS DATE)),
+      agg AS (
+        SELECT mon, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(rk) AS BIGINT) AS su,
+               CAST(sum(rk_prev) AS BIGINT) AS sv,
+               CAST(sum(rk * rk) AS BIGINT) AS suu,
+               CAST(sum(rk_prev * rk_prev) AS BIGINT) AS svv,
+               CAST(sum(rk * rk_prev) AS BIGINT) AS suv,
+               CAST(sum(abs(rk - rk_prev)) AS BIGINT) AS sad
+        FROM paired GROUP BY mon HAVING count(*) >= 5)
+      SELECT mon, n_pairs,
+             CAST(n_pairs * suv - su * sv AS DOUBLE)
+               / sqrt(CAST(n_pairs * suu - su * su AS DOUBLE)
+                 * CAST(n_pairs * svv - sv * sv AS DOUBLE))
+               AS rank_autocorr,
+             CAST((1000 * sad) // n_pairs AS BIGINT) AS churn_milli
+      FROM agg ORDER BY mon"""))
+
+  // ---------------------------------------------------------------------
+  // q255 — CALENDAR-TIME ALPHA of the long-short momentum portfolio:
+  // the q247 equity curve regressed on the q252 market factor — "is the
+  // L-S spread ALPHA, or just hidden market exposure?" (the
+  // Jegadeesh–Titman table-VII readout). y = monthly L-S milli-bp
+  // (exact ints from q247's leg arithmetic), x = equal-weight market
+  // milli-return (q252's sign-peeled integer mean); OLS α/β plus the
+  // α t-stat, all from exact BIGINT moments in ONE fixed-order double
+  // expression each: t_α = α/√(s²·Σx²/dxx), s² = (dyy−num²/dxx)/(n(n−2)).
+  // y is quantized to whole bp (not milli-bp): the synthetic tape's
+  // monthly spreads reach ~10⁶ bp, and Σy² must stay inside int64.
+  // One-row output (the q16/q183 single-readout shape).
+  // ---------------------------------------------------------------------
+  private val q255 = QueryDef(
+    "q255_ls_alpha",
+    (spark, dir) => {
+      import spark.implicits._
+      val sig = withSignal(mbars(spark, dir))
+      val wQ = Window.partitionBy("mon").orderBy($"mom_r", $"ticker")
+      val ls = sig.withColumn("bucket", ntile(5).over(wQ))
+        .groupBy($"mon").agg(
+          count(lit(1)).as("n_names"),
+          sum(when($"bucket" === 1, $"close_c")).as("sc_bot"),
+          sum(when($"bucket" === 1, $"next_c")).as("sn_bot"),
+          sum(when($"bucket" === 5, $"close_c")).as("sc_top"),
+          sum(when($"bucket" === 5, $"next_c")).as("sn_top"))
+        .filter($"n_names" >= 5)
+        .withColumn("y",
+          floor(($"sn_top" - $"sc_top").cast("double") /
+            $"sc_top".cast("double") * 10000.0 -
+            ($"sn_bot" - $"sc_bot").cast("double") /
+              $"sc_bot".cast("double") * 10000.0).cast("long"))
+        .select($"mon", $"y")
+      val wT = Window.partitionBy("ticker").orderBy("mon")
+      val rets = mbars(spark, dir)
+        .withColumn("prev_c", lag($"close_c", 1).over(wT))
+        .filter($"prev_c".isNotNull)
+        .withColumn("ret_milli",
+          floor(lit(1000.0) * ($"close_c" - $"prev_c").cast("double") /
+            $"prev_c".cast("double")).cast("long"))
+      val mkt = rets.groupBy($"mon")
+        .agg(count(lit(1)).as("n_names"), sum($"ret_milli").as("s_ret"))
+        .filter($"n_names" >= 5)
+        .withColumn("x", expr(speelDivSql("s_ret", "n_names", "div")))
+        .select($"mon", $"x")
+      val mom = ls.join(mkt, "mon")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+          sum($"x" * $"y").as("sxy"))
+        .withColumn("num", $"n" * $"sxy" - $"sx" * $"sy")
+        .withColumn("dxx", $"n" * $"sxx" - $"sx" * $"sx")
+        .withColumn("dyy", $"n" * $"syy" - $"sy" * $"sy")
+        .withColumn("beta", $"num".cast("double") / $"dxx".cast("double"))
+        .withColumn("alpha",
+          ($"sy".cast("double") - $"beta" * $"sx".cast("double")) /
+            $"n".cast("double"))
+        .withColumn("t_alpha",
+          $"alpha" / sqrt(
+            (($"dyy".cast("double") -
+              $"num".cast("double") * $"num".cast("double") /
+                $"dxx".cast("double")) /
+              ($"n".cast("double") * ($"n" - 2L).cast("double"))) *
+              $"sxx".cast("double") / $"dxx".cast("double")))
+      mom.withColumn("alpha_significant", abs($"t_alpha") > lit(1.96))
+        .select($"n".as("n_months"), $"beta", $"alpha", $"t_alpha",
+          $"alpha_significant")
+    },
+    Some(s"""
+      WITH $mbarsSql, $signalSql,
+      b AS (
+        SELECT *, ntile(5) OVER (PARTITION BY mon ORDER BY mom_r, ticker)
+                 AS bucket
+        FROM sigr),
+      grp AS (
+        SELECT mon, count(*) AS n_names,
+               sum(CASE WHEN bucket = 1 THEN close_c END) AS sc_bot,
+               sum(CASE WHEN bucket = 1 THEN next_c END) AS sn_bot,
+               sum(CASE WHEN bucket = 5 THEN close_c END) AS sc_top,
+               sum(CASE WHEN bucket = 5 THEN next_c END) AS sn_top
+        FROM b GROUP BY mon HAVING count(*) >= 5),
+      ls AS (
+        SELECT mon,
+               CAST(floor(CAST(sn_top - sc_top AS DOUBLE)
+                   / CAST(sc_top AS DOUBLE) * 10000.0
+                 - CAST(sn_bot - sc_bot AS DOUBLE)
+                   / CAST(sc_bot AS DOUBLE) * 10000.0) AS BIGINT)
+                 AS y
+        FROM grp),
+      rets AS (
+        SELECT * FROM (
+          SELECT ticker, mon, close_c,
+                 lag(close_c, 1) OVER (PARTITION BY ticker ORDER BY mon)
+                   AS prev_c
+          FROM mbars)
+        WHERE prev_c IS NOT NULL),
+      rm AS (
+        SELECT mon,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(close_c - prev_c AS DOUBLE)
+                 / CAST(prev_c AS DOUBLE)) AS BIGINT) AS ret_milli
+        FROM rets),
+      mkt AS (
+        SELECT mon,
+               ${speelDivSql("CAST(sum(ret_milli) AS BIGINT)",
+                 "count(*)", "//")} AS x
+        FROM rm GROUP BY mon HAVING count(*) >= 5),
+      mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM ls JOIN mkt USING (mon)),
+      d AS (
+        SELECT *, n * sxy - sx * sy AS num,
+               n * sxx - sx * sx AS dxx, n * syy - sy * sy AS dyy
+        FROM mom),
+      bb AS (
+        SELECT *, CAST(num AS DOUBLE) / CAST(dxx AS DOUBLE) AS beta
+        FROM d),
+      a AS (
+        SELECT *, (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) AS alpha
+        FROM bb),
+      t AS (
+        SELECT *, alpha / sqrt(
+            ((CAST(dyy AS DOUBLE)
+                - CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                  / CAST(dxx AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n - 2 AS DOUBLE)))
+            * CAST(sxx AS DOUBLE) / CAST(dxx AS DOUBLE)) AS t_alpha
+        FROM a)
+      SELECT n AS n_months, beta, alpha, t_alpha,
+             abs(t_alpha) > CAST('1.96' AS DOUBLE) AS alpha_significant
+      FROM t"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q246, q247, q248, q249, q250, q252)
+    Seq(q246, q247, q248, q249, q250, q252, q254, q255)
 }

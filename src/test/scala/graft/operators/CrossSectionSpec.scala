@@ -182,6 +182,66 @@ class CrossSectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q254 turnover: matches a brute-force rank-pair recompute") {
+    // naive: rank per month by (mom_r, ticker), pair consecutive months
+    // per ticker, Pearson on the rank pairs + avg |Δrank| — all on the
+    // driver from the monthly closes
+    val mb = CrossSection.mbars(spark, TestSpark.Sf001)
+      .select($"ticker", $"mon".cast("string"), $"close_c")
+      .as[(Long, String, Long)].collect()
+    val sig = mb.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val s = rows.sortBy(_._2)
+      s.indices.drop(3).map { i =>
+        (t, s(i)._2, (s(i)._3 - s(i - 3)._3).toDouble / s(i)._3.toDouble)
+      }
+    }
+    val ranks = sig.groupBy(_._2).flatMap { case (mon, rs) =>
+      rs.sortBy(r => (r._3, r._1)).zipWithIndex
+        .map { case (r, i) => (r._1, mon) -> (i + 1L) }
+    }
+    def prevMon(m: String): String = {
+      val Array(y, mo, d) = m.split("-").map(_.toInt)
+      f"${if (mo == 1) y - 1 else y}%04d-${if (mo == 1) 12 else mo - 1}%02d-$d%02d"
+    }
+    val naive = ranks.keys.groupBy(_._2).map { case (mon, _) =>
+      val pairs = ranks.collect {
+        case ((t, m), rk) if m == mon && ranks.contains((t, prevMon(m))) =>
+          (rk, ranks((t, prevMon(m))))
+      }.toSeq
+      mon -> pairs
+    }.collect { case (mon, ps) if ps.length >= 5 =>
+      val n = ps.length.toLong
+      val su = ps.map(_._1).sum; val sv = ps.map(_._2).sum
+      val suu = ps.map(p => p._1 * p._1).sum
+      val svv = ps.map(p => p._2 * p._2).sum
+      val suv = ps.map(p => p._1 * p._2).sum
+      val sad = ps.map(p => math.abs(p._1 - p._2)).sum
+      mon -> ((n * suv - su * sv).toDouble /
+        math.sqrt((n * suu - su * su).toDouble * (n * svv - sv * sv).toDouble),
+        1000L * sad / n)
+    }
+    val got = run("q254_signal_turnover")
+      .select($"mon".cast("string"), $"rank_autocorr", $"churn_milli")
+      .as[(String, Double, Long)].collect()
+    assert(got.length === naive.size)
+    got.foreach { case (mon, ac, churn) =>
+      val (nAc, nChurn) = naive(mon)
+      assert(ac === nAc, s"autocorr mismatch $mon")
+      assert(churn === nChurn, s"churn mismatch $mon")
+    }
+  }
+
+  test("q255 L-S alpha: single-row readout with consistent flag and finite stats") {
+    val out = run("q255_ls_alpha").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_months") > 24)
+    val t = r.getAs[Double]("t_alpha")
+    assert(!t.isNaN && !t.isInfinite)
+    assert(!r.getAs[Double]("beta").isNaN)
+    assert(r.getAs[Boolean]("alpha_significant") === (math.abs(t) > 1.96))
+  }
+
   test("q250 plan: no cartesian product; stage-2 rides a broadcast of the top pairs") {
     val p = run("q250_cointegration").queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "pair join degenerated to cartesian")
