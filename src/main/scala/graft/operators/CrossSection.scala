@@ -218,29 +218,64 @@ object CrossSection extends QueryModule {
   // one map-combinable conditional rollup; the cumulative window runs
   // over ≤ |months| rollup rows (globalWindowExempt).
   // ---------------------------------------------------------------------
-  private val q247 = QueryDef(
-    "q247_momentum_ls",
-    (spark, dir) => {
-      import spark.implicits._
-      val sig = withSignal(mbars(spark, dir))
-      val wQ = Window.partitionBy("mon").orderBy($"mom_r", $"ticker")
-      val b = sig.withColumn("bucket", ntile(5).over(wQ))
-      val grp = b.groupBy($"mon").agg(
+  /** Per-month long-short frame shared by q247/q255/q256: quintile legs
+    * by momentum, dollar-weighted leg returns in bp (doubles — each
+    * consumer quantizes at its own grain). Columns:
+    * (mon, n_names, ret_bot_bp, ret_top_bp).
+    */
+  private def lsMonthly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = withSignal(mbars(spark, dir))
+    val wQ = Window.partitionBy("mon").orderBy($"mom_r", $"ticker")
+    sig.withColumn("bucket", ntile(5).over(wQ))
+      .groupBy($"mon").agg(
         count(lit(1)).as("n_names"),
         sum(when($"bucket" === 1, $"close_c")).as("sc_bot"),
         sum(when($"bucket" === 1, $"next_c")).as("sn_bot"),
         sum(when($"bucket" === 5, $"close_c")).as("sc_top"),
         sum(when($"bucket" === 5, $"next_c")).as("sn_top"))
-        .filter($"n_names" >= 5)
-        .withColumn("ret_bot_bp",
-          ($"sn_bot" - $"sc_bot").cast("double") / $"sc_bot".cast("double")
-            * 10000.0)
-        .withColumn("ret_top_bp",
-          ($"sn_top" - $"sc_top").cast("double") / $"sc_top".cast("double")
-            * 10000.0)
+      .filter($"n_names" >= 5)
+      .withColumn("ret_bot_bp",
+        ($"sn_bot" - $"sc_bot").cast("double") / $"sc_bot".cast("double")
+          * 10000.0)
+      .withColumn("ret_top_bp",
+        ($"sn_top" - $"sc_top").cast("double") / $"sc_top".cast("double")
+          * 10000.0)
+      .select($"mon", $"n_names", $"ret_bot_bp", $"ret_top_bp")
+  }
+
+  /** Oracle CTE chain ending in `lsr(mon, n_names, ret_bot_bp,
+    * ret_top_bp)` — the SQL twin of [[lsMonthly]]. Requires
+    * [[mbarsSql]] + [[signalSql]] upstream.
+    */
+  private val lsMonthlySql = """
+      lsb AS (
+        SELECT *, ntile(5) OVER (PARTITION BY mon ORDER BY mom_r, ticker)
+                 AS bucket
+        FROM sigr),
+      lsg AS (
+        SELECT mon, CAST(count(*) AS BIGINT) AS n_names,
+               sum(CASE WHEN bucket = 1 THEN close_c END) AS sc_bot,
+               sum(CASE WHEN bucket = 1 THEN next_c END) AS sn_bot,
+               sum(CASE WHEN bucket = 5 THEN close_c END) AS sc_top,
+               sum(CASE WHEN bucket = 5 THEN next_c END) AS sn_top
+        FROM lsb GROUP BY mon HAVING count(*) >= 5),
+      lsr AS (
+        SELECT mon, n_names,
+               CAST(sn_bot - sc_bot AS DOUBLE) / CAST(sc_bot AS DOUBLE)
+                 * 10000.0 AS ret_bot_bp,
+               CAST(sn_top - sc_top AS DOUBLE) / CAST(sc_top AS DOUBLE)
+                 * 10000.0 AS ret_top_bp
+        FROM lsg)"""
+
+  private val q247 = QueryDef(
+    "q247_momentum_ls",
+    (spark, dir) => {
+      import spark.implicits._
+      lsMonthly(spark, dir)
         .withColumn("ls_milli_bp",
           floor(($"ret_top_bp" - $"ret_bot_bp") * 1000.0).cast("long"))
-      grp.withColumn("cum_ls_milli_bp",
+        .withColumn("cum_ls_milli_bp",
           sum($"ls_milli_bp").over(Window.orderBy("mon")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select($"mon", $"n_names", $"ret_bot_bp", $"ret_top_bp",
@@ -248,29 +283,11 @@ object CrossSection extends QueryModule {
         .orderBy($"mon")
     },
     Some(s"""
-      WITH $mbarsSql, $signalSql,
-      b AS (
-        SELECT *, ntile(5) OVER (PARTITION BY mon ORDER BY mom_r, ticker)
-                 AS bucket
-        FROM sigr),
-      grp AS (
-        SELECT mon, CAST(count(*) AS BIGINT) AS n_names,
-               sum(CASE WHEN bucket = 1 THEN close_c END) AS sc_bot,
-               sum(CASE WHEN bucket = 1 THEN next_c END) AS sn_bot,
-               sum(CASE WHEN bucket = 5 THEN close_c END) AS sc_top,
-               sum(CASE WHEN bucket = 5 THEN next_c END) AS sn_top
-        FROM b GROUP BY mon HAVING count(*) >= 5),
-      r AS (
-        SELECT mon, n_names,
-               CAST(sn_bot - sc_bot AS DOUBLE) / CAST(sc_bot AS DOUBLE)
-                 * 10000.0 AS ret_bot_bp,
-               CAST(sn_top - sc_top AS DOUBLE) / CAST(sc_top AS DOUBLE)
-                 * 10000.0 AS ret_top_bp
-        FROM grp),
+      WITH $mbarsSql, $signalSql, $lsMonthlySql,
       l AS (
         SELECT *, CAST(floor((ret_top_bp - ret_bot_bp) * 1000.0) AS BIGINT)
                  AS ls_milli_bp
-        FROM r)
+        FROM lsr)
       SELECT mon, n_names, ret_bot_bp, ret_top_bp, ls_milli_bp,
              CAST(sum(ls_milli_bp) OVER (ORDER BY mon
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
@@ -808,21 +825,9 @@ object CrossSection extends QueryModule {
     "q255_ls_alpha",
     (spark, dir) => {
       import spark.implicits._
-      val sig = withSignal(mbars(spark, dir))
-      val wQ = Window.partitionBy("mon").orderBy($"mom_r", $"ticker")
-      val ls = sig.withColumn("bucket", ntile(5).over(wQ))
-        .groupBy($"mon").agg(
-          count(lit(1)).as("n_names"),
-          sum(when($"bucket" === 1, $"close_c")).as("sc_bot"),
-          sum(when($"bucket" === 1, $"next_c")).as("sn_bot"),
-          sum(when($"bucket" === 5, $"close_c")).as("sc_top"),
-          sum(when($"bucket" === 5, $"next_c")).as("sn_top"))
-        .filter($"n_names" >= 5)
+      val ls = lsMonthly(spark, dir)
         .withColumn("y",
-          floor(($"sn_top" - $"sc_top").cast("double") /
-            $"sc_top".cast("double") * 10000.0 -
-            ($"sn_bot" - $"sc_bot").cast("double") /
-              $"sc_bot".cast("double") * 10000.0).cast("long"))
+          floor($"ret_top_bp" - $"ret_bot_bp").cast("long"))
         .select($"mon", $"y")
       val wT = Window.partitionBy("ticker").orderBy("mon")
       val rets = mbars(spark, dir)
@@ -859,26 +864,11 @@ object CrossSection extends QueryModule {
           $"alpha_significant")
     },
     Some(s"""
-      WITH $mbarsSql, $signalSql,
-      b AS (
-        SELECT *, ntile(5) OVER (PARTITION BY mon ORDER BY mom_r, ticker)
-                 AS bucket
-        FROM sigr),
-      grp AS (
-        SELECT mon, count(*) AS n_names,
-               sum(CASE WHEN bucket = 1 THEN close_c END) AS sc_bot,
-               sum(CASE WHEN bucket = 1 THEN next_c END) AS sn_bot,
-               sum(CASE WHEN bucket = 5 THEN close_c END) AS sc_top,
-               sum(CASE WHEN bucket = 5 THEN next_c END) AS sn_top
-        FROM b GROUP BY mon HAVING count(*) >= 5),
+      WITH $mbarsSql, $signalSql, $lsMonthlySql,
       ls AS (
         SELECT mon,
-               CAST(floor(CAST(sn_top - sc_top AS DOUBLE)
-                   / CAST(sc_top AS DOUBLE) * 10000.0
-                 - CAST(sn_bot - sc_bot AS DOUBLE)
-                   / CAST(sc_bot AS DOUBLE) * 10000.0) AS BIGINT)
-                 AS y
-        FROM grp),
+               CAST(floor(ret_top_bp - ret_bot_bp) AS BIGINT) AS y
+        FROM lsr),
       rets AS (
         SELECT * FROM (
           SELECT ticker, mon, close_c,
@@ -927,6 +917,83 @@ object CrossSection extends QueryModule {
              abs(t_alpha) > CAST('1.96' AS DOUBLE) AS alpha_significant
       FROM t"""))
 
+  // ---------------------------------------------------------------------
+  // q256 — STRATEGY PERFORMANCE STATS: the tear-sheet row for the q247
+  // long-short strategy — annualized Sharpe, hit rate, maximum drawdown
+  // and Calmar, all from the integer bp series (exact BIGINT moments;
+  // the mean is a sign-peeled integer division; Sharpe and Calmar are
+  // one fixed-order double expression each, √12 via the
+  // correctly-rounded IEEE sqrt both engines share). Drawdown is the
+  // running-max-minus-running-sum of INTEGERS over the ≤ |months|
+  // equity curve (order-invariant sums; both global windows are
+  // exempt-declared rollup frames).
+  // ---------------------------------------------------------------------
+  private val q256 = QueryDef(
+    "q256_strategy_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      val wCum = Window.orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val y = lsMonthly(spark, dir)
+        .withColumn("y", floor($"ret_top_bp" - $"ret_bot_bp").cast("long"))
+        .withColumn("cum", sum($"y").over(wCum))
+        .withColumn("runmax", greatest(max($"cum").over(wCum), lit(0L)))
+        .withColumn("dd", $"runmax" - $"cum")
+      y.agg(count(lit(1)).as("n"), sum($"y").as("s"),
+          sum($"y" * $"y").as("ss"),
+          sum(when($"y" > 0, 1L).otherwise(0L)).as("wins"),
+          max($"dd").as("maxdd"))
+        .withColumn("mean_bp", expr(speelDivSql("s", "n", "div")))
+        .withColumn("hit_milli", expr("(1000 * wins) div n"))
+        .withColumn("sharpe_ann",
+          ($"s".cast("double") / $"n".cast("double")) /
+            sqrt(($"n".cast("double") * $"ss".cast("double") -
+              $"s".cast("double") * $"s".cast("double")) /
+              ($"n".cast("double") * ($"n" - 1L).cast("double"))) *
+            sqrt(lit(12.0)))
+        .withColumn("calmar",
+          when($"maxdd" > 0L,
+            (lit(12.0) * $"s".cast("double") / $"n".cast("double")) /
+              $"maxdd".cast("double")))
+        .select($"n".as("n_months"), $"mean_bp", $"hit_milli",
+          $"sharpe_ann", $"maxdd".as("max_drawdown_bp"), $"calmar")
+    },
+    Some(s"""
+      WITH $mbarsSql, $signalSql, $lsMonthlySql,
+      yy AS (
+        SELECT mon, CAST(floor(ret_top_bp - ret_bot_bp) AS BIGINT) AS y
+        FROM lsr),
+      c0 AS (
+        SELECT mon, y, sum(y) OVER (ORDER BY mon
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM yy),
+      c AS (
+        SELECT y, cum,
+               greatest(max(cum) OVER (ORDER BY mon
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                 AS runmax
+        FROM c0),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s,
+               CAST(sum(y * y) AS BIGINT) AS ss,
+               CAST(sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS wins,
+               CAST(max(runmax - cum) AS BIGINT) AS maxdd
+        FROM c)
+      SELECT n AS n_months,
+             ${speelDivSql("s", "n", "//")} AS mean_bp,
+             CAST((1000 * wins) // n AS BIGINT) AS hit_milli,
+             (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+               * sqrt(CAST('12.0' AS DOUBLE)) AS sharpe_ann,
+             maxdd AS max_drawdown_bp,
+             CASE WHEN maxdd > 0 THEN
+               (CAST('12.0' AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE)) / CAST(maxdd AS DOUBLE) END AS calmar
+      FROM agg"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q246, q247, q248, q249, q250, q252, q254, q255)
+    Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256)
 }

@@ -194,7 +194,10 @@ object WindowBounds {
       "cumulative vocabulary over ≤ 10 ingestion-decile rollup rows",
     "q247_momentum_ls" ->
       ("cumulative long-short P&L over ≤ |months| monthly rollup rows —" +
-        " the backtest equity curve"))
+        " the backtest equity curve"),
+    "q256_strategy_stats" ->
+      ("equity-curve running sum + running max over the same ≤ |months|" +
+        " monthly rollup rows (the q247 frame, drawdown pass)"))
 
   /** True when a window over `keys` (sorted) carries at least one
     * declared bounding key, or matches a declared exact set. Empty

@@ -242,6 +242,31 @@ class CrossSectionSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("alpha_significant") === (math.abs(t) > 1.96))
   }
 
+  test("q256 tear sheet: matches a driver recompute from the q247 leg returns") {
+    val legs = run("q247_momentum_ls")
+      .select($"mon".cast("string"), $"ret_top_bp", $"ret_bot_bp")
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    val ys = legs.map(l => math.floor(l._2 - l._3).toLong)
+    val n = ys.length.toLong
+    val s = ys.sum
+    var cum = 0L; var runmax = 0L; var maxdd = 0L
+    ys.foreach { y =>
+      cum += y; runmax = math.max(runmax, math.max(cum, 0L))
+      maxdd = math.max(maxdd, runmax - cum)
+    }
+    val r = run("q256_strategy_stats").collect().head
+    assert(r.getAs[Long]("n_months") === n)
+    assert(r.getAs[Long]("mean_bp") ===
+      (if (s >= 0) s / n else -((-s) / n)))
+    assert(r.getAs[Long]("hit_milli") === 1000L * ys.count(_ > 0) / n)
+    assert(r.getAs[Long]("max_drawdown_bp") === maxdd)
+    val ss = ys.map(y => y * y).sum
+    val sharpe = (s.toDouble / n) /
+      math.sqrt((n * ss - s * s).toDouble / (n * (n - 1)).toDouble) *
+      math.sqrt(12.0)
+    assert(math.abs(r.getAs[Double]("sharpe_ann") - sharpe) < 1e-9)
+  }
+
   test("q250 plan: no cartesian product; stage-2 rides a broadcast of the top pairs") {
     val p = run("q250_cointegration").queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "pair join degenerated to cartesian")
