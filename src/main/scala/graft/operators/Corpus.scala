@@ -818,6 +818,86 @@ object Corpus extends QueryModule {
       LEFT JOIN dn ON dn.decile = o.decile
       ORDER BY o.decile"""))
 
+  // ---------------------------------------------------------------------
+  // q257 — ZIPF EXPONENT BRACKET per source: the third corpus growth
+  // diagnostic after Heaps (q211) and novelty decay (q212) — how
+  // heavy-tailed is each source's word distribution? A crawl slice
+  // whose exponent drifts is boilerplate- or spam-shaped (the
+  // CCNet/ROOTS sanity check). Under Zipf, freq(rank) ∝ rank^(−s), so
+  // s falls out of the DISTRIBUTION HEAD alone: the top-64 words per
+  // source by frequency (a row_number ≤ 64 rank-limit window →
+  // Catalyst WindowGroupLimit, ≤ 65 rows forwarded per source per map
+  // partition — NO per-source vocab window anywhere, which at 100 TB
+  // would be a 10⁸-row straggler), then an exact-integer regression of
+  // bitlen(freq) on bitlen(rank); s ≈ −slope.
+  //
+  // Honesty (the q214 bracket discipline): bitlen floors both axes to
+  // whole bits, so this is an ESTIMATE BAND (±1 bit per point), not a
+  // fitted log-log regression — but every point is the same exact
+  // integer on both engines (Spark conv(·,10,2) / DuckDB format
+  // '{:b}'), so the output is exactly portable, and the ±1-bit slope
+  // error is far below the spam-vs-prose signal it exists to read.
+  // ---------------------------------------------------------------------
+  private val q257 = QueryDef(
+    "q257_zipf_exponent",
+    (spark, dir) => {
+      import spark.implicits._
+      val freq = Tables.documents(spark, dir)
+        .select($"source", explode(Portable.tokens($"text")).as("w"))
+        .groupBy($"source", $"w")
+        .agg(count(lit(1)).as("f"))
+      val wHead = Window.partitionBy("source").orderBy($"f".desc, $"w")
+      val pts = freq
+        .withColumn("rk", row_number().over(wHead).cast("long"))
+        .filter($"rk" <= 64)
+        .withColumn("x", length(conv($"rk", 10, 2)).cast("long"))
+        .withColumn("y", length(conv($"f", 10, 2)).cast("long"))
+      val reg = pts.groupBy($"source")
+        .agg(count(lit(1)).as("n_head"), sum($"x").as("sx"),
+          sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+          sum($"x" * $"y").as("sxy"))
+        .filter($"n_head" >= 3)
+        .withColumn("slope",
+          ($"n_head" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n_head" * $"sxx" - $"sx" * $"sx").cast("double"))
+      reg.withColumn("zipf_s_milli",
+          when($"slope" < 0.0,
+            floor(lit(-1000.0) * $"slope").cast("long")))
+        .select($"source", $"n_head", $"slope", $"zipf_s_milli")
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH freq AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS f
+        FROM (
+          SELECT source, unnest(${Portable.tokensSql("text")}) AS w
+          FROM documents)
+        GROUP BY 1, 2),
+      pts AS (
+        SELECT source,
+               CAST(length(format('{:b}', rk)) AS BIGINT) AS x,
+               CAST(length(format('{:b}', f)) AS BIGINT) AS y
+        FROM (
+          SELECT source, f, CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY f DESC, w) AS BIGINT) AS rk
+          FROM freq)
+        WHERE rk <= 64),
+      reg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_head,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pts GROUP BY source HAVING count(*) >= 3),
+      sl AS (
+        SELECT *, CAST(n_head * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_head * sxx - sx * sx AS DOUBLE) AS slope
+        FROM reg)
+      SELECT source, n_head, slope,
+             CASE WHEN slope < CAST('0.0' AS DOUBLE) THEN
+               CAST(floor(CAST('-1000.0' AS DOUBLE) * slope) AS BIGINT)
+             END AS zipf_s_milli
+      FROM sl ORDER BY source"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q98, q99, q100, q106, q165, q211, q212)
+    Seq(q98, q99, q100, q106, q165, q211, q212, q257)
 }

@@ -289,6 +289,41 @@ class TextSentimentSpec extends AnyFunSuite {
     assert(decay.head.getAs[Long]("novelty_milli") === 1000L)
   }
 
+  test("q257: Zipf head fit brackets the true log-log slope and covers every source") {
+    val dir = TestSpark.Sf001
+    val out = graft.SparkEntry.queries("q257_zipf_exponent")(spark, dir)
+      .collect()
+    val nSources = graft.sources.Tables.documents(spark, dir)
+      .select($"source").distinct().count()
+    assert(out.length === nSources, "a source dropped out of the fit")
+    // brute-force the bitlen points per source and verify the regression
+    val freqs = graft.sources.Tables.documents(spark, dir)
+      .select($"source", explode(Portable.tokens($"text")).as("w"))
+      .groupBy($"source", $"w").count()
+      .as[(String, String, Long)].collect()
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val naive = freqs.groupBy(_._1).map { case (src, rows) =>
+      val head = rows.sortBy(r => (-r._3, r._2)).take(64)
+      val pts = head.zipWithIndex.map { case (r, i) =>
+        (bitlen(i + 1L), bitlen(r._3))
+      }
+      val n = pts.length.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      src -> (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    }
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Double]("slope") === naive(src), s"slope mismatch $src")
+      // heavy-tail direction: the head is non-increasing, slope ≤ 0
+      assert(r.getAs[Double]("slope") <= 0.0)
+      if (r.getAs[Double]("slope") < 0.0)
+        assert(r.getAs[Long]("zipf_s_milli") ===
+          math.floor(-1000.0 * r.getAs[Double]("slope")).toLong)
+    }
+  }
+
   test("q214: the integer interval really contains the float KL excess") {
     val dir = TestSpark.Sf001
     val out = graft.SparkEntry.queries("q214_source_divergence")(spark, dir)
