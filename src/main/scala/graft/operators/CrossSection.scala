@@ -535,8 +535,15 @@ object CrossSection extends QueryModule {
             ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).cast("long"))
         .select($"reg", $"ta", $"tb", $"n".as("n_months"), $"corr",
           $"beta_milli")
-      val resid = pairs
-        .join(broadcast(top), Seq("reg", "ta", "tb"))
+      // stage 2 never re-runs the pair join: the ≤ 10 screened pairs are
+      // a broadcast, so two broadcast-filtered reads of the monthly
+      // table rebuild exactly the series the top pairs need
+      val resid = broadcast(top)
+        .join(m.select($"mon", $"ticker".as("ta"), $"close_c".as("x")), "ta")
+        .join(m.select($"mon".as("mon_b"), $"ticker".as("tkr_b"),
+          $"close_c".as("y")),
+          $"tb" === $"tkr_b" && $"mon" === $"mon_b")
+        .drop("mon_b", "tkr_b")
         .withColumn("r", lit(1000L) * $"y" - $"beta_milli" * $"x")
       val wPair = Window.partitionBy("ta", "tb")
       val rr = resid

@@ -958,6 +958,92 @@ object Similarity extends QueryModule {
            (SELECT unnest(range(1, ${RpK + 1})) AS j) ks
       ORDER BY vec_id, j"""))
 
+  // ---------------------------------------------------------------------
+  // q258 — CROSS-LINGUAL NEAR-DUP AUDIT: the multilingual twin of q108 —
+  // translated or transliterated copies share embeddings but not
+  // n-grams, so the text-side dedup family (q34–q37, q118) is blind to
+  // them; the mC4/ROOTS-class check is "high cosine, DIFFERENT lang".
+  // Reuses the exact q108 machinery (trained cells + the PairWindow
+  // rank-window candidate bound — pair work ≤ n·PairWindow at any
+  // scale), then joins the documents table's lang on both sides and
+  // keeps only cross-language pairs. Report grain is the language PAIR
+  // (≤ C(|langs|,2) rows): pair count, exact mean cosine in millis
+  // (per-pair floor to integer millis, then integer division — no
+  // float average), and the single most-similar doc pair as the audit
+  // exhibit (max(struct) with full tie-break).
+  // ---------------------------------------------------------------------
+  private val XlTau = 0.3
+
+  private val q258 = QueryDef(
+    "q258_crosslingual_dups",
+    (spark, dir) => {
+      import spark.implicits._
+      val (emb, ranked) = cellRanked(spark, dir)
+      val assign = ranked.filter($"rn" === 1)
+        .select($"vec_id", $"cid".as("cell"), $"d")
+        .join(emb.select($"vec_id", $"embedding", $"nrm"), "vec_id")
+        .persist()
+      val langs = Tables.documents(spark, dir)
+        .select($"doc_id", $"lang")
+      val pairs = rankWindowPairs(assign)
+        .filter($"cos" >= XlTau)
+        .join(langs.select($"doc_id".as("i"), $"lang".as("lang_i")), "i")
+        .join(langs.select($"doc_id".as("j"), $"lang".as("lang_j")), "j")
+        .filter($"lang_i" =!= $"lang_j")
+        .withColumn("la", least($"lang_i", $"lang_j"))
+        .withColumn("lb", greatest($"lang_i", $"lang_j"))
+        .withColumn("cos_milli", floor($"cos" * 1000.0).cast("long"))
+        .persist()
+      val out = pairs.groupBy($"la", $"lb")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"cos_milli").as("s_cos"),
+          max(struct($"cos_milli", (-$"i").as("ni"), (-$"j").as("nj")))
+            .as("top"))
+        .withColumn("mean_cos_milli", expr("s_cos div n_pairs"))
+        .select($"la", $"lb", $"n_pairs", $"mean_cos_milli",
+          (-$"top.ni").as("top_i"), (-$"top.nj").as("top_j"),
+          $"top.cos_milli".as("top_cos_milli"))
+      Scoped.materialize(emb, assign, pairs)(out).orderBy($"la", $"lb")
+    },
+    Some(s"""
+      WITH ${Corpus.centroidPipelineCtes},
+      $cellAssignSql,
+      cr AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) AS r
+        FROM assign),
+      p0 AS (
+        SELECT least(a.vec_id, b.vec_id) AS i,
+               greatest(a.vec_id, b.vec_id) AS j,
+               ${VectorOps.cosineFromScaledSql(
+                 VectorOps.dotScaledSql("ea.embedding", "eb.embedding"),
+                 "ea.nrm", "eb.nrm")} AS cos
+        FROM cr a
+        JOIN cr b ON a.cell = b.cell
+                 AND b.r > a.r AND b.r <= a.r + ${SemPairWindow}
+        JOIN emb2 ea ON ea.vec_id = a.vec_id
+        JOIN emb2 eb ON eb.vec_id = b.vec_id),
+      px AS (
+        SELECT p0.i, p0.j,
+               CAST(floor(p0.cos * 1000.0) AS BIGINT) AS cos_milli,
+               least(di.lang, dj.lang) AS la,
+               greatest(di.lang, dj.lang) AS lb
+        FROM p0
+        JOIN documents di ON di.doc_id = p0.i
+        JOIN documents dj ON dj.doc_id = p0.j
+        WHERE p0.cos >= $XlTau AND di.lang <> dj.lang)
+      SELECT la, lb, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(CAST(sum(cos_milli) AS BIGINT) // count(*) AS BIGINT)
+               AS mean_cos_milli,
+             -((max(struct_pack(cm := cos_milli, ni := -i, nj := -j))).ni)
+               AS top_i,
+             -((max(struct_pack(cm := cos_milli, ni := -i, nj := -j))).nj)
+               AS top_j,
+             (max(struct_pack(cm := cos_milli, ni := -i, nj := -j))).cm
+               AS top_cos_milli
+      FROM px GROUP BY la, lb ORDER BY la, lb"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q39, q40, q56, q57, q76, q105, q108, q148, q162, q188, q204, q242)
+    Seq(q39, q40, q56, q57, q76, q105, q108, q148, q162, q188, q204, q242,
+      q258)
 }
