@@ -309,7 +309,7 @@ object Search extends QueryModule {
     * (doc_id, lang, source, n_big, tb, milli, bpt_bin). Shared by q120
     * and q207.
     */
-  private val lmAllDocsCtes: String = s"""toks AS (
+  private[operators] val lmAllDocsCtes: String = s"""toks AS (
         SELECT doc_id, lang, ${Portable.tokensSql("lower(text)")} AS w
         FROM documents),
       pairs AS (

@@ -1097,7 +1097,103 @@ object TextOps extends QueryModule {
       GROUP BY 1 ORDER BY dw.doc_id"""
     }
 
+  // ---------------------------------------------------------------------
+  // q259 — INTER-RATER AGREEMENT (Cohen's κ) between two INDEPENDENT
+  // quality raters: the THIN-CONTENT heuristic (n_chars below the
+  // corpus mean — the cheap surface signal every pipeline starts with)
+  // and the LM-surprisal rater (bits-per-bigram milli above the corpus
+  // mean — the model evidence, off the lm_doc_bits silver table). A
+  // curation pipeline that stacks filters needs to know whether they
+  // agree beyond chance — κ near 0 means the second rater adds an
+  // independent axis (stack them), κ near 1 means it is redundant
+  // (drop one). Thresholds are corpus-mean splits (exact integer
+  // division, 1-row broadcasts) so both raters fire on a meaningful
+  // fraction at every SF — the Gopher repetition flag was tried first
+  // and never fires on the synthetic corpus (dup-gram mass is ~0).
+  // Per source + pooled TOTAL row: the 2×2 confusion counts are exact
+  // integers; po, pe and κ are double divisions (NOT n²-scaled
+  // integers — at 10¹⁰ docs n² overflows int64), NULL-guarded at
+  // pe = 1 (a degenerate all-one-cell source).
+  // ---------------------------------------------------------------------
+  private val q259 = QueryDef(
+    "q259_rater_agreement",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).select($"doc_id", $"n_chars")
+      val meanLen = docs.agg(
+        expr("sum(n_chars) div count(1)").as("mean_chars"))
+      val lm = Search.lmAllDocs(spark, dir)
+      val meanMilli = lm.agg(
+        expr("sum(milli) div count(1)").as("mean_milli"))
+      val flags = lm.select($"doc_id", $"source", $"milli")
+        .join(docs, "doc_id")
+        .crossJoin(broadcast(meanLen))
+        .crossJoin(broadcast(meanMilli))
+        .withColumn("a", ($"n_chars" < $"mean_chars").cast("long"))
+        .withColumn("b", ($"milli" > $"mean_milli").cast("long"))
+      val conf = flags
+        .groupBy($"source").agg(
+          count(lit(1)).as("n"),
+          sum($"a" * $"b").as("n11"),
+          sum($"a" * (lit(1L) - $"b")).as("n10"),
+          sum((lit(1L) - $"a") * $"b").as("n01"),
+          sum((lit(1L) - $"a") * (lit(1L) - $"b")).as("n00"))
+      val total = conf.agg(
+        sum($"n").as("n"), sum($"n11").as("n11"), sum($"n10").as("n10"),
+        sum($"n01").as("n01"), sum($"n00").as("n00"))
+        .withColumn("source", lit("TOTAL"))
+        .select($"source", $"n", $"n11", $"n10", $"n01", $"n00")
+      conf.unionByName(total)
+        .withColumn("po",
+          ($"n11" + $"n00").cast("double") / $"n".cast("double"))
+        .withColumn("pe",
+          (($"n11" + $"n10").cast("double") * ($"n11" + $"n01").cast("double") +
+            ($"n01" + $"n00").cast("double") * ($"n10" + $"n00").cast("double")) /
+            ($"n".cast("double") * $"n".cast("double")))
+        .withColumn("kappa",
+          when($"pe" < 1.0, ($"po" - $"pe") / (lit(1.0) - $"pe")))
+        .select($"source", $"n", $"n11", $"n10", $"n01", $"n00", $"po",
+          $"pe", $"kappa")
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH ${Search.lmAllDocsCtes},
+      ml AS (SELECT sum(n_chars) // count(*) AS mean_chars FROM documents),
+      mm AS (SELECT sum(milli) // count(*) AS mean_milli FROM alldocs),
+      fl AS (
+        SELECT d.source,
+               CASE WHEN doc.n_chars < ml.mean_chars THEN 1 ELSE 0 END AS a,
+               CASE WHEN d.milli > mm.mean_milli THEN 1 ELSE 0 END AS b
+        FROM alldocs d
+        JOIN documents doc ON doc.doc_id = d.doc_id, ml, mm),
+      conf AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a * b) AS BIGINT) AS n11,
+               CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+               CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+        FROM fl GROUP BY source
+        UNION ALL
+        SELECT 'TOTAL', CAST(count(*) AS BIGINT),
+               CAST(sum(a * b) AS BIGINT),
+               CAST(sum(a * (1 - b)) AS BIGINT),
+               CAST(sum((1 - a) * b) AS BIGINT),
+               CAST(sum((1 - a) * (1 - b)) AS BIGINT)
+        FROM fl),
+      k AS (
+        SELECT *,
+               CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+               (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                 + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+        FROM conf)
+      SELECT source, n, n11, n10, n01, n00, po, pe,
+             CASE WHEN pe < CAST('1.0' AS DOUBLE)
+               THEN (po - pe) / (CAST('1.0' AS DOUBLE) - pe) END AS kappa
+      FROM k ORDER BY source"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q26, q27, q28, q29, q30, q58, q75, q117, q119, q172, q208, q213,
+      q259,
       q214, q226)
 }

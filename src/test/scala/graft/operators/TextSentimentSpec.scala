@@ -324,6 +324,33 @@ class TextSentimentSpec extends AnyFunSuite {
     }
   }
 
+  test("q259 kappa: confusion identities hold, both raters fire, TOTAL pools the sources") {
+    val dir = TestSpark.Sf001
+    val rows = graft.SparkEntry.queries("q259_rater_agreement")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val (tot, srcs) = (rows("TOTAL"), rows - "TOTAL")
+    def cells(r: org.apache.spark.sql.Row) =
+      Seq("n11", "n10", "n01", "n00").map(r.getAs[Long])
+    srcs.values.foreach { r =>
+      assert(cells(r).sum === r.getAs[Long]("n"))
+    }
+    Seq("n", "n11", "n10", "n01", "n00").foreach { c =>
+      assert(tot.getAs[Long](c) === srcs.values.map(_.getAs[Long](c)).sum,
+        s"TOTAL $c is not the source sum")
+    }
+    // both raters discriminate on the pooled corpus (the rewrite away
+    // from the never-firing repetition flag exists for exactly this)
+    assert(tot.getAs[Long]("n11") + tot.getAs[Long]("n10") > 0, "rater A dead")
+    assert(tot.getAs[Long]("n11") + tot.getAs[Long]("n01") > 0, "rater B dead")
+    // kappa recomputes from the counts
+    val n = tot.getAs[Long]("n").toDouble
+    val Seq(n11, n10, n01, n00) = cells(tot).map(_.toDouble)
+    val po = (n11 + n00) / n
+    val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    assert(math.abs(tot.getAs[Double]("kappa") - (po - pe) / (1.0 - pe)) < 1e-12)
+    assert(math.abs(tot.getAs[Double]("kappa")) <= 1.0)
+  }
+
   test("q214: the integer interval really contains the float KL excess") {
     val dir = TestSpark.Sf001
     val out = graft.SparkEntry.queries("q214_source_divergence")(spark, dir)
