@@ -1001,6 +1001,91 @@ object CrossSection extends QueryModule {
                  / CAST(n AS DOUBLE)) / CAST(maxdd AS DOUBLE) END AS calmar
       FROM agg"""))
 
+  // ---------------------------------------------------------------------
+  // q260 — ROLLING 12-MONTH BETA (risk drift): q252's full-sample β is
+  // the risk report's headline; the risk MONITOR wants β as a moving
+  // window — a name whose market exposure doubles mid-sample looks
+  // average on the full fit. Per (ticker, month): the OLS slope over
+  // the trailing 12 months via exact integer WINDOW moments (five
+  // rolling BIGINT sums on one ROWS 11 PRECEDING frame — the engines
+  // agree because integer window sums are order-exact), emitted only
+  // when the window is full; plus the year-over-year drift
+  // β_t − β_{t−12} as the alarm column. One ticker-partition frame
+  // (declared bound), one |months|-row broadcast of the index.
+  // ---------------------------------------------------------------------
+  private val q260 = QueryDef(
+    "q260_rolling_beta",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("mon")
+      val rets = mbars(spark, dir)
+        .withColumn("prev_c", lag($"close_c", 1).over(wT))
+        .filter($"prev_c".isNotNull)
+        .withColumn("y",
+          floor(lit(1000.0) * ($"close_c" - $"prev_c").cast("double") /
+            $"prev_c".cast("double")).cast("long"))
+      val mkt = rets.groupBy($"mon")
+        .agg(count(lit(1)).as("n_names"), sum($"y").as("s_ret"))
+        .filter($"n_names" >= 5)
+        .withColumn("x", expr(speelDivSql("s_ret", "n_names", "div")))
+        .select($"mon", $"x")
+      val w12 = Window.partitionBy("ticker").orderBy("mon")
+        .rowsBetween(-11, Window.currentRow)
+      val roll = rets.join(broadcast(mkt), "mon")
+        .withColumn("nw", count(lit(1)).over(w12))
+        .withColumn("sx", sum($"x").over(w12))
+        .withColumn("sy", sum($"y").over(w12))
+        .withColumn("sxx", sum($"x" * $"x").over(w12))
+        .withColumn("sxy", sum($"x" * $"y").over(w12))
+        .filter($"nw" === 12L)
+        .withColumn("beta_12m",
+          ($"nw" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"nw" * $"sxx" - $"sx" * $"sx").cast("double"))
+      roll
+        .withColumn("beta_drift", $"beta_12m" - lag($"beta_12m", 12).over(wT))
+        .select($"ticker", $"mon", $"beta_12m", $"beta_drift")
+        .orderBy($"ticker", $"mon")
+    },
+    Some(s"""
+      WITH $mbarsSql,
+      rets AS (
+        SELECT * FROM (
+          SELECT ticker, mon, close_c,
+                 lag(close_c, 1) OVER (PARTITION BY ticker ORDER BY mon)
+                   AS prev_c
+          FROM mbars)
+        WHERE prev_c IS NOT NULL),
+      rm AS (
+        SELECT ticker, mon,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(close_c - prev_c AS DOUBLE)
+                 / CAST(prev_c AS DOUBLE)) AS BIGINT) AS y
+        FROM rets),
+      mkt AS (
+        SELECT mon,
+               ${speelDivSql("CAST(sum(y) AS BIGINT)", "count(*)", "//")}
+                 AS x
+        FROM rm GROUP BY mon HAVING count(*) >= 5),
+      j AS (SELECT rm.ticker, rm.mon, rm.y, mkt.x FROM rm JOIN mkt USING (mon)),
+      roll AS (
+        SELECT ticker, mon,
+               CAST(count(*) OVER w AS BIGINT) AS nw,
+               CAST(sum(x) OVER w AS BIGINT) AS sx,
+               CAST(sum(y) OVER w AS BIGINT) AS sy,
+               CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+        FROM j WINDOW w AS (PARTITION BY ticker ORDER BY mon
+          ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)),
+      b AS (
+        SELECT ticker, mon,
+               CAST(nw * sxy - sx * sy AS DOUBLE)
+                 / CAST(nw * sxx - sx * sx AS DOUBLE) AS beta_12m
+        FROM roll WHERE nw = 12)
+      SELECT ticker, mon, beta_12m,
+             beta_12m - lag(beta_12m, 12) OVER (PARTITION BY ticker
+               ORDER BY mon) AS beta_drift
+      FROM b ORDER BY ticker, mon"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256)
+    Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256, q260)
 }

@@ -267,6 +267,33 @@ class CrossSectionSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("sharpe_ann") - sharpe) < 1e-9)
   }
 
+  test("q260 rolling beta: full windows only, drift is the 12-lag difference") {
+    val out = run("q260_rolling_beta").collect()
+    assert(out.nonEmpty)
+    val byTicker = out.groupBy(_.getAs[Long]("ticker"))
+    byTicker.foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Date]("mon").toString)
+      // drift defined exactly where a 12-back beta exists
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val drift = r.get(r.fieldIndex("beta_drift"))
+        if (i < 12) assert(drift == null, s"ticker $t row $i has early drift")
+        else assert(math.abs(r.getAs[Double]("beta_drift") -
+          (r.getAs[Double]("beta_12m") -
+            sorted(i - 12).getAs[Double]("beta_12m"))) < 1e-12)
+      }
+    }
+    // one spot ticker: the first emitted month is the 12th return month
+    // (full-window gating really drops the warm-up rows)
+    val mb = CrossSection.mbars(spark, TestSpark.Sf001)
+      .groupBy($"ticker").agg(count(lit(1)).as("m"))
+      .as[(Long, Long)].collect().toMap
+    byTicker.foreach { case (t, rs) =>
+      // months with returns = m - 1; full windows = that - 11 (all months
+      // survive the >=5-name market filter on this fixture)
+      assert(rs.length === mb(t) - 12, s"ticker $t window gating off")
+    }
+  }
+
   test("q250 plan: no cartesian product; stage-2 rides a broadcast of the top pairs") {
     val p = run("q250_cointegration").queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "pair join degenerated to cartesian")
