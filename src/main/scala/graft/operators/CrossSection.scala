@@ -1086,6 +1086,135 @@ object CrossSection extends QueryModule {
                ORDER BY mon) AS beta_drift
       FROM b ORDER BY ticker, mon"""))
 
+  // ---------------------------------------------------------------------
+  // q262 — FAMA–MACBETH two-pass regression (1973): the asset-pricing
+  // test the CAPM family exists for — does bearing market beta PAY?
+  // Pass 1: full-sample β per ticker (the q252 moments), quantized to
+  // integer millis (the q250 discipline) and broadcast. Pass 2: each
+  // month, the CROSS-SECTIONAL OLS of that month's returns on the
+  // betas — slope γ_m = the realized premium; exact integer moments
+  // per month (cells ≤ |tickers|, no windows at all — pure groupBy).
+  // Pass 3: the premium's t-stat across months from the integer
+  // micro-γ series (the q246 aggregate-integers-not-doubles
+  // discipline), attached as a 1-row broadcast. γ̄ significantly > 0
+  // is the textbook result; flat γ on a synthetic tape is the honest
+  // readout of no priced factor.
+  // ---------------------------------------------------------------------
+  private val q262 = QueryDef(
+    "q262_fama_macbeth",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("mon")
+      val rets = mbars(spark, dir)
+        .withColumn("prev_c", lag($"close_c", 1).over(wT))
+        .filter($"prev_c".isNotNull)
+        .withColumn("y",
+          floor(lit(1000.0) * ($"close_c" - $"prev_c").cast("double") /
+            $"prev_c".cast("double")).cast("long"))
+      val mkt = rets.groupBy($"mon")
+        .agg(count(lit(1)).as("n_names"), sum($"y").as("s_ret"))
+        .filter($"n_names" >= 5)
+        .withColumn("x", expr(speelDivSql("s_ret", "n_names", "div")))
+        .select($"mon", $"x")
+      val betas = rets.join(broadcast(mkt), "mon")
+        .groupBy($"ticker")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+        .filter($"n" >= 24)
+        .withColumn("beta_milli",
+          floor(lit(1000.0) *
+            ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).cast("long"))
+        .select($"ticker", $"beta_milli")
+      val xs = rets.join(broadcast(betas), "ticker")
+      val perMon = xs.groupBy($"mon")
+        .agg(count(lit(1)).as("nn"), sum($"beta_milli").as("bx"),
+          sum($"y").as("by"),
+          sum($"beta_milli" * $"beta_milli").as("bxx"),
+          sum($"beta_milli" * $"y").as("bxy"))
+        .filter($"nn" >= 5)
+        .withColumn("gamma",
+          ($"nn" * $"bxy" - $"bx" * $"by").cast("double") /
+            ($"nn" * $"bxx" - $"bx" * $"bx").cast("double"))
+        .withColumn("gamma_micro",
+          floor($"gamma" * 1000000.0).cast("long"))
+      val summ = perMon.agg(
+        count(lit(1)).as("n_months"),
+        sum($"gamma_micro").as("sg"),
+        sum($"gamma_micro" * $"gamma_micro").as("ssg"))
+        .withColumn("t_gamma",
+          $"sg".cast("double") /
+            sqrt(($"n_months".cast("double") * $"ssg".cast("double") -
+              $"sg".cast("double") * $"sg".cast("double")) /
+              ($"n_months" - 1L).cast("double")))
+        .select($"n_months", $"t_gamma")
+      perMon.crossJoin(broadcast(summ))
+        .select($"mon", $"nn".as("n_names"), $"gamma", $"gamma_micro",
+          $"n_months", $"t_gamma")
+        .orderBy($"mon")
+    },
+    Some(s"""
+      WITH $mbarsSql,
+      rets AS (
+        SELECT * FROM (
+          SELECT ticker, mon, close_c,
+                 lag(close_c, 1) OVER (PARTITION BY ticker ORDER BY mon)
+                   AS prev_c
+          FROM mbars)
+        WHERE prev_c IS NOT NULL),
+      rm AS (
+        SELECT ticker, mon,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(close_c - prev_c AS DOUBLE)
+                 / CAST(prev_c AS DOUBLE)) AS BIGINT) AS y
+        FROM rets),
+      mkt AS (
+        SELECT mon,
+               ${speelDivSql("CAST(sum(y) AS BIGINT)", "count(*)", "//")}
+                 AS x
+        FROM rm GROUP BY mon HAVING count(*) >= 5),
+      bm AS (
+        SELECT ticker, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM rm JOIN mkt USING (mon)
+        GROUP BY ticker HAVING count(*) >= 24),
+      betas AS (
+        SELECT ticker,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+                 AS beta_milli
+        FROM bm),
+      pm0 AS (
+        SELECT mon, CAST(count(*) AS BIGINT) AS nn,
+               CAST(sum(beta_milli) AS BIGINT) AS bx,
+               CAST(sum(y) AS BIGINT) AS by,
+               CAST(sum(beta_milli * beta_milli) AS BIGINT) AS bxx,
+               CAST(sum(beta_milli * y) AS BIGINT) AS bxy
+        FROM rm JOIN betas USING (ticker)
+        GROUP BY mon HAVING count(*) >= 5),
+      pm AS (
+        SELECT mon, nn,
+               CAST(nn * bxy - bx * by AS DOUBLE)
+                 / CAST(nn * bxx - bx * bx AS DOUBLE) AS gamma
+        FROM pm0),
+      pmm AS (
+        SELECT *, CAST(floor(gamma * 1000000.0) AS BIGINT) AS gamma_micro
+        FROM pm),
+      summ AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_months,
+               CAST(sum(gamma_micro) AS BIGINT) AS sg,
+               CAST(sum(gamma_micro * gamma_micro) AS BIGINT) AS ssg
+        FROM pmm)
+      SELECT mon, nn AS n_names, gamma, gamma_micro, n_months,
+             CAST(sg AS DOUBLE) /
+               sqrt((CAST(n_months AS DOUBLE) * CAST(ssg AS DOUBLE)
+                 - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                 / CAST(n_months - 1 AS DOUBLE)) AS t_gamma
+      FROM pmm, summ ORDER BY mon"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256, q260)
+    Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256, q260, q262)
 }

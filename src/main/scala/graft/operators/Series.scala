@@ -1724,7 +1724,64 @@ object Series extends QueryModule {
       ORDER BY ticker, bar_seq"""
     })
 
+  // ---------------------------------------------------------------------
+  // q261 — AMIHUD ILLIQUIDITY (Amihud 2002): |daily return| per dollar
+  // traded — the price-impact-per-notional measure that needs only
+  // bars, where Kyle's λ (q238) needs classified flow; the two should
+  // rank names similarly (both read impact) and that cross-check is
+  // exactly what a risk library wants side by side. Per (ticker, day):
+  // illiq = 10⁹·|Δclose_c| div day_dollars_c — exact integer (the
+  // daily notional of the fixture tape is ≥ one fill, never zero);
+  // per ticker: the day-mean in nano units (plain integer division,
+  // non-negative operands) over ≥ 30 traded days. One day-grain
+  // rollup, one ticker-window lag (declared bound), one rollup.
+  // ---------------------------------------------------------------------
+  private val q261 = QueryDef(
+    "q261_amihud_illiquidity",
+    (spark, dir) => {
+      import spark.implicits._
+      val days = tickTape(spark, dir)
+        .groupBy($"tkr".as("ticker"), $"day")
+        .agg(max_by($"cents", $"seq").as("close_c"),
+          sum($"cents").as("dollars_c"))
+      val w = Window.partitionBy("ticker").orderBy("day")
+      val il = days
+        .withColumn("dc", $"close_c" - lag($"close_c", 1).over(w))
+        .filter($"dc".isNotNull)
+        .withColumn("illiq_nano",
+          expr("(1000000000 * abs(dc)) div dollars_c"))
+      il.groupBy($"ticker")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"illiq_nano").as("s_illiq"))
+        .filter($"n_days" >= 30)
+        .withColumn("illiq_mean_nano", expr("s_illiq div n_days"))
+        .select($"ticker", $"n_days", $"illiq_mean_nano")
+        .orderBy($"ticker")
+    },
+    Some(s"""
+      WITH $tickSql,
+      days AS (
+        SELECT ticker, day,
+               arg_max(cents, seq) AS close_c,
+               CAST(sum(cents) AS BIGINT) AS dollars_c
+        FROM ticks GROUP BY 1, 2),
+      il AS (
+        SELECT * FROM (
+          SELECT ticker, dollars_c,
+                 close_c - lag(close_c, 1) OVER (PARTITION BY ticker
+                   ORDER BY day) AS dc
+          FROM days)
+        WHERE dc IS NOT NULL),
+      n AS (
+        SELECT ticker, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum((1000000000 * abs(dc)) // dollars_c) AS BIGINT)
+                 AS s_illiq
+        FROM il GROUP BY ticker HAVING count(*) >= 30)
+      SELECT ticker, n_days,
+             CAST(s_illiq // n_days AS BIGINT) AS illiq_mean_nano
+      FROM n ORDER BY ticker"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229, q230,
-      q231, q234, q235, q236, q237, q238, q239, q243, q244)
+      q231, q234, q235, q236, q237, q238, q239, q243, q244, q261)
 }

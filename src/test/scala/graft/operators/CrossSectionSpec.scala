@@ -294,6 +294,46 @@ class CrossSectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q262 Fama-MacBeth: per-month gamma recomputes from betas and returns") {
+    // reconstruct both passes on the driver from the monthly closes
+    val mb = CrossSection.mbars(spark, TestSpark.Sf001)
+      .select($"ticker", $"mon".cast("string"), $"close_c")
+      .as[(Long, String, Long)].collect()
+    val rets = mb.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      rows.sortBy(_._2).sliding(2).collect { case Array(a, b) =>
+        (t, b._2, math.floor(1000.0 * (b._3 - a._3).toDouble / a._3.toDouble).toLong)
+      }
+    }
+    val mkt = rets.groupBy(_._2).collect { case (m, rs) if rs.length >= 5 =>
+      val s = rs.map(_._3).sum; val n = rs.length
+      m -> (if (s >= 0) s / n else -((-s) / n))
+    }
+    val betas = rets.filter(r => mkt.contains(r._2)).groupBy(_._1).collect {
+      case (t, rs) if rs.length >= 24 =>
+        val xs = rs.map(r => mkt(r._2)); val ys = rs.map(_._3)
+        val n = rs.length.toLong
+        val sx = xs.sum; val sy = ys.sum
+        val sxx = xs.map(x => x * x).sum
+        val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+        t -> math.floor(1000.0 * (n * sxy - sx * sy).toDouble /
+          (n * sxx - sx * sx).toDouble).toLong
+    }
+    val naive = rets.filter(r => betas.contains(r._1)).groupBy(_._2).collect {
+      case (m, rs) if rs.length >= 5 =>
+        val xs = rs.map(r => betas(r._1)); val ys = rs.map(_._3)
+        val n = rs.length.toLong
+        val bx = xs.sum; val by = ys.sum
+        val bxx = xs.map(x => x * x).sum
+        val bxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+        m -> (n * bxy - bx * by).toDouble / (n * bxx - bx * bx).toDouble
+    }
+    val got = run("q262_fama_macbeth")
+      .select($"mon".cast("string"), $"gamma").as[(String, Double)]
+      .collect().toMap
+    assert(got.keySet === naive.keySet)
+    got.foreach { case (m, g) => assert(g === naive(m), s"gamma mismatch $m") }
+  }
+
   test("q250 plan: no cartesian product; stage-2 rides a broadcast of the top pairs") {
     val p = run("q250_cointegration").queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "pair join degenerated to cartesian")
