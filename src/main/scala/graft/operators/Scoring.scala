@@ -377,5 +377,86 @@ object Scoring extends QueryModule {
       SELECT * FROM ($emit) ORDER BY round"""
     })
 
-  override val defs: Seq[QueryDef] = Seq(q31, q32, q33, q102, q113, q122)
+  // ---------------------------------------------------------------------
+  // q263 — RANKER EVALUATION (exact AUC + calibration table): how well
+  // does the LM fluency score (negated bits-per-bigram, off the
+  // lm_doc_bits silver) RANK the heuristic quality label (q29's
+  // score ≥ 0.6)? q259 asked whether two binary flags agree; this is
+  // the threshold-free readout — the ROC area. AUC is computed EXACTLY
+  // as the Mann–Whitney statistic in integer arithmetic, and never
+  // ranks the corpus: per DISTINCT score value, positive/negative
+  // counts (one map-combinable rollup), then U×2 = Σ_s (2·a_s·B_<s +
+  // a_s·b_s) over the ≤ |milli score domain| distinct-value rollup —
+  // a value-domain cumulative (the q207 grid discipline), never a
+  // per-doc rank window. auc_milli = 1000·U2 div (2·n1·n0) is an
+  // exact rational. The calibration table buckets the score in whole
+  // deci-bits (the fixture corpus spans < one whole bit) with exact
+  // permille positive rates. Int64 envelope: U2 ≤
+  // 2·n² — exact to n ≈ 2·10⁹ docs; past that the U accumulator moves
+  // to DECIMAL(38) (the q120 wider-lane note).
+  // ---------------------------------------------------------------------
+  private val q263 = QueryDef(
+    "q263_ranker_auc",
+    (spark, dir) => {
+      import spark.implicits._
+      val y = TextOps.withQuality(Tables.documents(spark, dir))
+        .select($"doc_id", ($"score" >= 0.6).cast("long").as("y"))
+      val d = graft.operators.Search.lmAllDocs(spark, dir)
+        .select($"doc_id", (-$"milli").as("s"))
+        .join(y, "doc_id")
+      val perS = d.groupBy($"s")
+        .agg(sum($"y").as("a"), (count(lit(1)) - sum($"y")).as("b"))
+      val wS = Window.orderBy($"s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = perS
+        .withColumn("bcum", coalesce(sum($"b").over(wS), lit(0L)))
+        .withColumn("t", lit(2L) * $"a" * $"bcum" + $"a" * $"b")
+      val auc = cum.agg(sum($"a").as("n1"), sum($"b").as("n0"),
+          sum($"t").as("u2"))
+        .withColumn("auc_milli",
+          expr("(1000 * u2) div (2 * n1 * n0)"))
+        .select($"n1", $"n0", $"auc_milli")
+      val bands = d
+        .withColumn("band", expr(graft.functions.Portable.bandSql("s", 100L, "div")))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_docs"), sum($"y").as("n_pos"))
+        .withColumn("pos_rate_milli", expr("(1000 * n_pos) div n_docs"))
+      bands.crossJoin(broadcast(auc))
+        .select($"band", $"n_docs", $"n_pos", $"pos_rate_milli",
+          $"n1", $"n0", $"auc_milli")
+        .orderBy($"band")
+    },
+    Some(s"""
+      WITH ${graft.operators.Search.lmAllDocsCtes},
+      q AS (${TextOps.qualitySql}),
+      d AS (
+        SELECT a.doc_id, -a.milli AS s,
+               CASE WHEN q.score >= 0.6 THEN 1 ELSE 0 END AS y
+        FROM alldocs a JOIN q ON a.doc_id = q.doc_id),
+      pers AS (
+        SELECT s, CAST(sum(y) AS BIGINT) AS a,
+               CAST(count(*) - sum(y) AS BIGINT) AS b
+        FROM d GROUP BY s),
+      cum AS (
+        SELECT *, coalesce(CAST(sum(b) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS bcum
+        FROM pers),
+      auc AS (
+        SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n0,
+               CAST(sum(2 * a * bcum + a * b) AS BIGINT) AS u2
+        FROM cum),
+      bands AS (
+        SELECT ${graft.functions.Portable.bandSql("s", 100L, "//")} AS band,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(y) AS BIGINT) AS n_pos
+        FROM d GROUP BY 1)
+      SELECT band, n_docs, n_pos,
+             CAST((1000 * n_pos) // n_docs AS BIGINT) AS pos_rate_milli,
+             n1, n0,
+             CAST((1000 * u2) // (2 * n1 * n0) AS BIGINT) AS auc_milli
+      FROM bands, auc ORDER BY band"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q31, q32, q33, q102, q113, q122, q263)
 }

@@ -197,7 +197,11 @@ object WindowBounds {
         " the backtest equity curve"),
     "q256_strategy_stats" ->
       ("equity-curve running sum + running max over the same ≤ |months|" +
-        " monthly rollup rows (the q247 frame, drawdown pass)"))
+        " monthly rollup rows (the q247 frame, drawdown pass)"),
+    "q263_ranker_auc" ->
+      ("Mann–Whitney cumulative over ≤ |milli score domain| DISTINCT-" +
+        "value rollup rows (the q207 value-domain grid) — never a" +
+        " per-doc rank window"))
 
   /** True when a window over `keys` (sorted) carries at least one
     * declared bounding key, or matches a declared exact set. Empty

@@ -136,4 +136,36 @@ class ModelOpsSpec extends AnyFunSuite {
     assert(t.filter(($"from_type" === $"to_type") =!= ($"self_loop" === 1)).isEmpty)
     t.unpersist()
   }
+
+  test("q263: exact AUC matches a brute-force midrank Mann-Whitney on the driver") {
+    val out = graft.SparkEntry.queries("q263_ranker_auc")(spark, dir).collect()
+    assert(out.length >= 5, "calibration table degenerate")
+    val n1 = out.head.getAs[Long]("n1")
+    val n0 = out.head.getAs[Long]("n0")
+    assert(out.map(_.getAs[Long]("n_docs")).sum === n1 + n0)
+    out.foreach { r =>
+      assert(r.getAs[Long]("pos_rate_milli") ===
+        1000L * r.getAs[Long]("n_pos") / r.getAs[Long]("n_docs"))
+    }
+    // brute force: collect (score, label), midrank U statistic
+    val d = TextOps.withQuality(Tables.documents(spark, dir))
+      .select($"doc_id", ($"score" >= 0.6).cast("long").as("y"))
+      .join(Search.lmAllDocs(spark, dir)
+        .select($"doc_id", (-$"milli").as("s")), "doc_id")
+      .select($"s", $"y").as[(Long, Long)].collect()
+    val sorted = d.sortBy(_._1)
+    // twice-midranks per tie group
+    val r2 = scala.collection.mutable.Map.empty[Long, Long]
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      // ranks i+1..j (1-based); twice-midrank = (i+1) + j
+      r2(sorted(i)._1) = (i + 1).toLong + j.toLong
+      i = j
+    }
+    val sumR2pos = sorted.filter(_._2 == 1L).map(r => r2(r._1)).sum
+    val u2 = sumR2pos - n1 * (n1 + 1)
+    assert(out.head.getAs[Long]("auc_milli") === 1000L * u2 / (2L * n1 * n0))
+  }
 }
