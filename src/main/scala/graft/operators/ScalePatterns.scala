@@ -761,6 +761,133 @@ object ScalePatterns extends QueryModule {
         ON e.event_type = f.event_type AND e.day = f.day
       ORDER BY f.event_type, f.day"""))
 
+  // ---------------------------------------------------------------------
+  // q264 — SHUFFLE-SKEW PROFILER: the diagnostic a 100 TB shuffle plan
+  // is sized from — for each join/agg keyspace the engine actually
+  // shuffles on (events per user, fills per ticker, postings per
+  // gram), the shape of the per-key mass distribution: max key, p50 /
+  // p99 keys, max-to-median ratio, top-key share, and the GINI of key
+  // mass — computed EXACTLY and WITHOUT sorting keys: every statistic
+  // derives from the count-VALUE domain rollup (per distinct mass c:
+  // how many keys carry it), over which quantiles are cumulative-count
+  // cuts and the Gini's Σ rank·mass telescopes in closed form per
+  // value group (keys sharing a mass occupy consecutive ranks, so
+  // Σ_i i·x_i = Σ_c c·(k_c·R_prev + k_c(k_c+1)/2) — all integers).
+  // G = (2S − (n+1)T)/(nT) ≥ 0 exactly; gini_milli is one plain
+  // integer division. Int64 envelope: S ≤ n·T — exact while n·T <
+  // 9·10¹⁸ (per-keyspace; the gram keyspace is the largest and is
+  // vocab-, not corpus-, sized). The cumulative window runs on the
+  // ≤ |distinct mass values| grid per keyspace (declared `ks` bound).
+  // ---------------------------------------------------------------------
+  private val q264 = QueryDef(
+    "q264_skew_profiler",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      def stats(masses: DataFrame, name: String): DataFrame = {
+        val x = masses.toDF("x")
+        val dom = x.groupBy($"x").agg(count(lit(1)).as("k"))
+          .withColumn("ks", lit(name))
+        val w = Window.partitionBy("ks").orderBy("x")
+        val cum = dom
+          .withColumn("cumk", sum($"k").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("rprev", coalesce(sum($"k").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("srow",
+            $"x" * ($"k" * $"rprev" + expr("(k * (k + 1)) div 2")))
+        val tot = x.agg(count(lit(1)).as("n"), sum($"x").as("t"),
+          max($"x").as("max_x")).withColumn("ks", lit(name))
+        val s = cum.groupBy($"ks").agg(sum($"srow").as("s"))
+        val q = cum.join(broadcast(tot.select($"ks", $"n")), "ks")
+        val p50 = q.filter($"cumk" * 2 >= $"n")
+          .groupBy($"ks").agg(min($"x").as("p50"))
+        val p99 = q.filter($"cumk" * 100 >= $"n" * 99)
+          .groupBy($"ks").agg(min($"x").as("p99"))
+        tot.join(s, "ks").join(p50, "ks").join(p99, "ks")
+          .withColumn("gini_milli",
+            expr("(1000 * (2 * s - (n + 1) * t)) div (n * t)"))
+          .withColumn("top1_share_milli", expr("(1000 * max_x) div t"))
+          .withColumn("max_to_p50_milli", expr("(1000 * max_x) div p50"))
+          .select($"ks", $"n".as("n_keys"), $"t".as("total_rows"),
+            $"max_x", $"p50", $"p99", $"gini_milli",
+            $"top1_share_milli", $"max_to_p50_milli")
+      }
+      val users = Tables.events(spark, dir)
+        .filter($"ts".isNotNull && $"user_id".isNotNull)
+        .groupBy($"user_id").agg(count(lit(1)).as("x")).select($"x")
+      val tickers = Tables.lineitem(spark, dir)
+        .groupBy($"l_suppkey").agg(count(lit(1)).as("x")).select($"x")
+      val grams = Dedup.word3grams(spark, dir)
+        .groupBy($"lang", $"lb", $"s").agg(count(lit(1)).as("x"))
+        .select($"x")
+      stats(users, "user_events")
+        .unionByName(stats(tickers, "ticker_fills"))
+        .unionByName(stats(grams, "gram_postings"))
+        .orderBy($"ks")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang, n_chars // 100 AS lb,
+               ${graft.functions.Portable.tokensSql("text")} AS w
+        FROM documents),
+      grams AS (
+        SELECT doc_id, lang, lb, s FROM (
+          SELECT doc_id, lang, lb, unnest(list_distinct(
+            [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS s
+          FROM toks)
+        WHERE s IS NOT NULL),
+      masses AS (
+        SELECT 'user_events' AS ks, CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id
+        UNION ALL
+        SELECT 'ticker_fills', CAST(count(*) AS BIGINT)
+        FROM lineitem GROUP BY l_suppkey
+        UNION ALL
+        SELECT 'gram_postings', CAST(count(*) AS BIGINT)
+        FROM grams GROUP BY lang, lb, s),
+      dom AS (
+        SELECT ks, x, CAST(count(*) AS BIGINT) AS k
+        FROM masses GROUP BY ks, x),
+      cum AS (
+        SELECT *, CAST(sum(k) OVER w AS BIGINT) AS cumk,
+               coalesce(CAST(sum(k) OVER (PARTITION BY ks ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS rprev
+        FROM dom WINDOW w AS (PARTITION BY ks ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      tot AS (
+        SELECT ks, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT)
+                 AS t, CAST(max(x) AS BIGINT) AS max_x
+        FROM masses GROUP BY ks),
+      sacc AS (
+        SELECT ks, CAST(sum(x * (k * rprev + (k * (k + 1)) // 2))
+                 AS BIGINT) AS s
+        FROM cum GROUP BY ks),
+      p50 AS (
+        SELECT c.ks, CAST(min(c.x) AS BIGINT) AS p50
+        FROM cum c JOIN tot ON c.ks = tot.ks
+        WHERE c.cumk * 2 >= tot.n GROUP BY c.ks),
+      p99 AS (
+        SELECT c.ks, CAST(min(c.x) AS BIGINT) AS p99
+        FROM cum c JOIN tot ON c.ks = tot.ks
+        WHERE c.cumk * 100 >= tot.n * 99 GROUP BY c.ks)
+      SELECT tot.ks, tot.n AS n_keys, tot.t AS total_rows, tot.max_x,
+             p50.p50, p99.p99,
+             CAST((1000 * (2 * sacc.s - (tot.n + 1) * tot.t))
+               // (tot.n * tot.t) AS BIGINT) AS gini_milli,
+             CAST((1000 * tot.max_x) // tot.t AS BIGINT)
+               AS top1_share_milli,
+             CAST((1000 * tot.max_x) // p50.p50 AS BIGINT)
+               AS max_to_p50_milli
+      FROM tot
+      JOIN sacc ON sacc.ks = tot.ks
+      JOIN p50 ON p50.ks = tot.ks
+      JOIN p99 ON p99.ks = tot.ks
+      ORDER BY tot.ks"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q59, q60, q65, q66, q87, q133, q144, q161, q180, q186, q192)
+    Seq(q59, q60, q65, q66, q87, q133, q144, q161, q180, q186, q192, q264)
 }

@@ -113,6 +113,11 @@ object WindowBounds {
         " raw fills keyed by month would be fact-sized and must not" +
         " reuse this row",
       Seq("q246", "q247")),
+    BoundedKey("ks",
+      "keyspace-labelled COUNT-VALUE-DOMAIN grid rows (per distinct" +
+        " per-key mass value): ≤ |distinct mass values| per keyspace —" +
+        " the q264 skew-profiler cumulative; never raw keys",
+      Seq("q264")),
     BoundedKey("p_brand",
       "catalog DIMENSION grain: parts per brand — dimension-table" +
         " cardinality, not fact cardinality; q193's percent_rank needs" +

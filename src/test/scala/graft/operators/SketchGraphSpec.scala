@@ -749,4 +749,26 @@ class SketchGraphSpec extends AnyFunSuite {
       assert(math.max(ci, cj) >= 800L)
     }
   }
+
+  test("q264 skew profiler: Gini and quantiles match a brute-force sort on the driver") {
+    val out = run("q264_skew_profiler").collect()
+      .map(r => r.getAs[String]("ks") -> r).toMap
+    assert(out.keySet === Set("user_events", "ticker_fills", "gram_postings"))
+    val masses = graft.sources.Tables.events(spark, TestSpark.Sf001)
+      .filter($"ts".isNotNull && $"user_id".isNotNull)
+      .groupBy($"user_id").agg(count(lit(1)).as("x"))
+      .select($"x").as[Long].collect().sorted
+    val n = masses.length.toLong
+    val t = masses.sum
+    val s = masses.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val r = out("user_events")
+    assert(r.getAs[Long]("n_keys") === n)
+    assert(r.getAs[Long]("total_rows") === t)
+    assert(r.getAs[Long]("max_x") === masses.max)
+    assert(r.getAs[Long]("gini_milli") ===
+      1000L * (2 * s - (n + 1) * t) / (n * t))
+    assert(r.getAs[Long]("p50") === masses((((n + 1) / 2) - 1).toInt.max(0)))
+    assert(r.getAs[Long]("gini_milli") >= 0L)
+  }
+
 }
