@@ -583,33 +583,10 @@ object Series extends QueryModule {
   // integer cents div 5000 (q179's banding); halves by event_id parity
   // (the release-boundary stand-in).
   // ---------------------------------------------------------------------
-  private val q197 = QueryDef(
-    "q197_distribution_drift",
-    (spark, dir) => {
-      import spark.implicits._
-      val cells = Tables.events(spark, dir)
-        .filter($"event_id".isNotNull && $"value".isNotNull)
-        .groupBy($"event_type",
-          expr(graft.functions.Portable.bandSql(
-            "CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)", 5000L, "div"))
-            .as("band"))
-        .agg(
-          sum(when($"event_id" % 2 === 0, 1L).otherwise(0L)).as("o_a"),
-          sum(when($"event_id" % 2 =!= 0, 1L).otherwise(0L)).as("o_b"))
-      val marg = cells.groupBy($"event_type")
-        .agg(sum($"o_a").as("n_a"), sum($"o_b").as("n_b"))
-      cells.join(marg, Seq("event_type"))
-        .withColumn("e_a",
-          (($"o_a" + $"o_b") * $"n_a").cast("double") / ($"n_a" + $"n_b").cast("double"))
-        .withColumn("e_b",
-          (($"o_a" + $"o_b") * $"n_b").cast("double") / ($"n_a" + $"n_b").cast("double"))
-        .withColumn("chi2_term",
-          ($"o_a".cast("double") - $"e_a") * ($"o_a".cast("double") - $"e_a") / $"e_a" +
-            ($"o_b".cast("double") - $"e_b") * ($"o_b".cast("double") - $"e_b") / $"e_b")
-        .select($"event_type", $"band", $"o_a", $"o_b", $"chi2_term")
-        .orderBy($"event_type", $"band")
-    },
-    Some(s"""
+  /** The q197 oracle, shared verbatim with its streaming twin q265
+    * (graft.streaming.Streams) — stream ≡ batch, so one SQL checks both.
+    */
+  private[graft] val driftOracleSql: String = s"""
       WITH cells AS (
         SELECT event_type,
                ${graft.functions.Portable.bandSql(
@@ -639,7 +616,35 @@ object Series extends QueryModule {
              / (CAST((c.o_a + c.o_b) * m.n_b AS DOUBLE) / CAST(m.n_a + m.n_b AS DOUBLE))
                AS chi2_term
       FROM cells c JOIN marg m ON m.event_type = c.event_type
-      ORDER BY c.event_type, c.band"""))
+      ORDER BY c.event_type, c.band"""
+
+  private val q197 = QueryDef(
+    "q197_distribution_drift",
+    (spark, dir) => {
+      import spark.implicits._
+      val cells = Tables.events(spark, dir)
+        .filter($"event_id".isNotNull && $"value".isNotNull)
+        .groupBy($"event_type",
+          expr(graft.functions.Portable.bandSql(
+            "CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)", 5000L, "div"))
+            .as("band"))
+        .agg(
+          sum(when($"event_id" % 2 === 0, 1L).otherwise(0L)).as("o_a"),
+          sum(when($"event_id" % 2 =!= 0, 1L).otherwise(0L)).as("o_b"))
+      val marg = cells.groupBy($"event_type")
+        .agg(sum($"o_a").as("n_a"), sum($"o_b").as("n_b"))
+      cells.join(marg, Seq("event_type"))
+        .withColumn("e_a",
+          (($"o_a" + $"o_b") * $"n_a").cast("double") / ($"n_a" + $"n_b").cast("double"))
+        .withColumn("e_b",
+          (($"o_a" + $"o_b") * $"n_b").cast("double") / ($"n_a" + $"n_b").cast("double"))
+        .withColumn("chi2_term",
+          ($"o_a".cast("double") - $"e_a") * ($"o_a".cast("double") - $"e_a") / $"e_a" +
+            ($"o_b".cast("double") - $"e_b") * ($"o_b".cast("double") - $"e_b") / $"e_b")
+        .select($"event_type", $"band", $"o_a", $"o_b", $"chi2_term")
+        .orderBy($"event_type", $"band")
+    },
+    Some(driftOracleSql))
 
   // ---------------------------------------------------------------------
   // q229 — DOLLAR BARS (information-driven bar construction, López de

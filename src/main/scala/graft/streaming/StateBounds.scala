@@ -123,6 +123,10 @@ object StateBounds {
       "= one ValueState row per ticker (last close + the two CUSUM" +
         " accumulators, constant size)",
       (s, d) => graft.operators.WindowFeatures.tickersOf(s, d)),
+    StateBound("q265_stream_drift_monitor",
+      "= one ValueState row per event_type (band × parity count cells" +
+        " inside — value-domain-bounded, never event-bounded)",
+      types),
     StateBound("q253_stream_priority_sample",
       "= one ValueState row per source (top-(K+1) candidate list +" +
         " n_seen inside, constant size)",

@@ -1018,5 +1018,116 @@ object Streams extends QueryModule {
       HAVING 100 * count(*) >= max(t.n_events)
       ORDER BY event_type, cnt DESC, user_key"""))
 
-  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104, q128, q136, q147, q157, q173, q206)
+  // ---------------------------------------------------------------------
+  // q265 — STREAMING DISTRIBUTION-DRIFT MONITOR: the production shape of
+  // q197 — the χ² homogeneity readout is maintained WHILE events stream
+  // in, not in a nightly batch compare. Per event_type, ValueState
+  // holds the (band, parity-side) count cells (≤ |value bands| × 2
+  // longs — value-domain-bounded model state, never event-bounded) plus
+  // a monotone n_seen; every batch emits the type's refreshed cells,
+  // the final emission wins (max n_seen, the q128 discipline), and the
+  // χ² terms are computed AFTER the stream from the final exact counts
+  // with q197's own fixed-order expressions. Counts are commutative, so
+  // stream ≡ batch exactly and the oracle IS q197's SQL, verbatim
+  // (Series.driftOracleSql — one SQL string checks both engines' batch
+  // and streaming paths). Cents quantize through the SAME decimal cast
+  // both engines use, replayed in Scala via BigDecimal HALF_UP.
+  // ---------------------------------------------------------------------
+  private[graft] final case class DriftEv(
+      event_id: Long, event_type: String, value: Double)
+  private[graft] final case class DriftCell(band: Long, oA: Long, oB: Long)
+  private[graft] final case class DriftSt(nSeen: Long, cells: Seq[DriftCell])
+  private[graft] final case class DriftOut(
+      event_type: String, band: Long, o_a: Long, o_b: Long, n_seen: Long)
+
+  private[graft] class DriftProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, DriftEv, DriftOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[DriftSt] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DriftSt]("drift_cells",
+        org.apache.spark.sql.Encoders.product[DriftSt], TTLConfig.NONE)
+    override def handleInputRows(
+        key: String, rows: Iterator[DriftEv],
+        tv: TimerValues): Iterator[DriftOut] = {
+      val s = if (st.exists()) st.get() else DriftSt(0L, Nil)
+      val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      s.cells.foreach(c => acc(c.band) = (c.oA, c.oB))
+      var seen = s.nSeen
+      rows.foreach { e =>
+        // the exact decimal-cast cents both engines' batch paths use
+        val cents = new java.math.BigDecimal(e.value)
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()
+        val band = if (cents >= 0) cents / 5000L else -((-cents) / 5000L)
+        val (a, b) = acc.getOrElse(band, (0L, 0L))
+        if (e.event_id % 2 == 0) acc(band) = (a + 1L, b)
+        else acc(band) = (a, b + 1L)
+        seen += 1L
+      }
+      val cells = acc.toSeq.sortBy(_._1)
+        .map { case (band, (a, b)) => DriftCell(band, a, b) }
+      st.update(DriftSt(seen, cells))
+      cells.iterator.map(c => DriftOut(key, c.band, c.oA, c.oB, seen))
+    }
+  }
+
+  /** The q265 build, chunking exposed for the replay-independence spec
+    * (the q235 contract). Null-ts events ride a sentinel day so the
+    * replay covers EXACTLY the batch q197 population (which filters on
+    * event_id/value only).
+    */
+  private[graft] def streamDriftCells(
+      outer: SparkSession, dir: String, nChunks: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_id").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"),
+        coalesce(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01")))
+          .as("day"))
+    val feed = replayByDates(ev, "day", nChunks)
+    val updates = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .as[DriftEv]
+      .groupByKey(_.event_type)
+      .transformWithState(new DriftProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF()
+    val all = runToParquet(updates, "update")
+    val last = all.groupBy(col("event_type"))
+      .agg(max(col("n_seen")).as("n_seen"))
+    val cells = all
+      .join(org.apache.spark.sql.functions.broadcast(last),
+        Seq("event_type", "n_seen"))
+      .select(col("event_type"), col("band"), col("o_a"), col("o_b"))
+    val marg = cells.groupBy(col("event_type"))
+      .agg(sum(col("o_a")).as("n_a"), sum(col("o_b")).as("n_b"))
+    cells.join(marg, Seq("event_type"))
+      .withColumn("e_a",
+        ((col("o_a") + col("o_b")) * col("n_a")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("e_b",
+        ((col("o_a") + col("o_b")) * col("n_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("chi2_term",
+        (col("o_a").cast("double") - col("e_a")) *
+          (col("o_a").cast("double") - col("e_a")) / col("e_a") +
+          (col("o_b").cast("double") - col("e_b")) *
+            (col("o_b").cast("double") - col("e_b")) / col("e_b"))
+      .select(col("event_type"), col("band"), col("o_a"), col("o_b"),
+        col("chi2_term"))
+      .orderBy(col("event_type"), col("band"))
+  }
+
+  private val q265 = QueryDef(
+    "q265_stream_drift_monitor",
+    (outer, dir) => streamDriftCells(outer, dir, 4),
+    Some(graft.operators.Series.driftOracleSql))
+
+  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104, q128, q136, q147, q157, q173, q206, q265)
 }

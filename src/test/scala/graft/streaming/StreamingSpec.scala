@@ -346,4 +346,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("n_unmatched") > col("n_purchases")).isEmpty)
     out.unpersist()
   }
+  test("q265: streamed drift cells == batch q197 exactly, under any replay chunking") {
+    val dir = TestSpark.Sf001
+    val spark = TestSpark.spark
+    val batch = graft.SparkEntry.queries("q197_distribution_drift")(spark, dir)
+      .collect().map(_.toString).sorted
+    val streamed = Streams.streamDriftCells(spark, dir, 4)
+      .collect().map(_.toString).sorted
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+    // commutative counts: a different chunking yields the identical table
+    val re = Streams.streamDriftCells(spark, dir, 7)
+      .collect().map(_.toString).sorted
+    assert(re.toSeq === streamed.toSeq)
+  }
 }
