@@ -1215,6 +1215,135 @@ object CrossSection extends QueryModule {
                  / CAST(n_months - 1 AS DOUBLE)) AS t_gamma
       FROM pmm, summ ORDER BY mon"""))
 
+  // ---------------------------------------------------------------------
+  // q266 — IMPLIED CORRELATION / DISPERSION REGIME: the vol-desk
+  // readout — when the index variance approaches what the members'
+  // variances alone would explain, names are moving independently;
+  // when it far exceeds it, correlation has spiked (the crash regime).
+  // Implied average pairwise correlation from trailing-12-month
+  // windows: ρ̂ = (n²·SSD_idx − Σᵢ SSDᵢ) / ((Σᵢ sᵢ)² − Σᵢ sᵢ²) with
+  // sᵢ = ⌊√SSDᵢ⌋ — every trailing SSD is EXACT integers from rolling
+  // Σy/Σy² window sums and the sign-peeled window mean (SSD = Σy² −
+  // 2μΣy + 12μ², no float accumulation), and the σ-quantization to
+  // integer sᵢ makes the cross-ticker sums order-invariant (documented
+  // estimator quantization, the q257 honesty discipline). Windows:
+  // per-ticker 12-row frames (declared `ticker` bound) + one
+  // |months|-row index frame (exempt-declared); the cross-ticker
+  // reduction is a pure groupBy(mon).
+  // ---------------------------------------------------------------------
+  private val q266 = QueryDef(
+    "q266_implied_correlation",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("mon")
+      val rets = mbars(spark, dir)
+        .withColumn("prev_c", lag($"close_c", 1).over(wT))
+        .filter($"prev_c".isNotNull)
+        .withColumn("y",
+          floor(lit(1000.0) * ($"close_c" - $"prev_c").cast("double") /
+            $"prev_c".cast("double")).cast("long"))
+      val mkt = rets.groupBy($"mon")
+        .agg(count(lit(1)).as("n_names"), sum($"y").as("s_ret"))
+        .filter($"n_names" >= 5)
+        .withColumn("x", expr(speelDivSql("s_ret", "n_names", "div")))
+        .select($"mon", $"x")
+      def trailingSsd(df: DataFrame, part: Seq[String], v: String): DataFrame = {
+        val w = Window.partitionBy(part.map(col): _*).orderBy("mon")
+          .rowsBetween(-11, Window.currentRow)
+        df.withColumn("nw", count(lit(1)).over(w))
+          .withColumn("sy", sum(col(v)).over(w))
+          .withColumn("syy", sum(col(v) * col(v)).over(w))
+          .filter($"nw" === 12L)
+          .withColumn("mu", expr(speelDivSql("sy", "12", "div")))
+          .withColumn("ssd",
+            $"syy" - lit(2L) * $"mu" * $"sy" + lit(12L) * $"mu" * $"mu")
+      }
+      val tssd = trailingSsd(rets.select($"ticker", $"mon", $"y"),
+        Seq("ticker"), "y")
+        .withColumn("s_i", floor(sqrt($"ssd".cast("double"))).cast("long"))
+        .groupBy($"mon")
+        .agg(count(lit(1)).as("n"), sum($"ssd").as("sum_ssd"),
+          sum($"s_i").as("sum_s"), sum($"s_i" * $"s_i").as("sum_s2"))
+        .filter($"n" >= 5)
+      val issd = trailingSsd(
+        mkt.withColumn("ticker", lit(0L)).select($"ticker", $"mon", $"x"),
+        Seq("ticker"), "x")
+        .select($"mon", $"ssd".as("ssd_idx"))
+      tssd.join(issd, "mon")
+        .withColumn("rho_implied",
+          ($"n" * $"n" * $"ssd_idx" - $"sum_ssd").cast("double") /
+            ($"sum_s" * $"sum_s" - $"sum_s2").cast("double"))
+        .withColumn("high_corr_regime", $"rho_implied" > lit(0.5))
+        .select($"mon", $"n", $"ssd_idx", $"sum_ssd", $"rho_implied",
+          $"high_corr_regime")
+        .orderBy($"mon")
+    },
+    Some(s"""
+      WITH $mbarsSql,
+      rets AS (
+        SELECT * FROM (
+          SELECT ticker, mon, close_c,
+                 lag(close_c, 1) OVER (PARTITION BY ticker ORDER BY mon)
+                   AS prev_c
+          FROM mbars)
+        WHERE prev_c IS NOT NULL),
+      rm AS (
+        SELECT ticker, mon,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(close_c - prev_c AS DOUBLE)
+                 / CAST(prev_c AS DOUBLE)) AS BIGINT) AS y
+        FROM rets),
+      mkt AS (
+        SELECT mon,
+               ${speelDivSql("CAST(sum(y) AS BIGINT)", "count(*)", "//")}
+                 AS x
+        FROM rm GROUP BY mon HAVING count(*) >= 5),
+      troll AS (
+        SELECT ticker, mon,
+               CAST(count(*) OVER w AS BIGINT) AS nw,
+               CAST(sum(y) OVER w AS BIGINT) AS sy,
+               CAST(sum(y * y) OVER w AS BIGINT) AS syy
+        FROM rm WINDOW w AS (PARTITION BY ticker ORDER BY mon
+          ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)),
+      tssd0 AS (
+        SELECT ticker, mon,
+               syy - 2 * ${speelDivSql("sy", "12", "//")} * sy
+                 + 12 * ${speelDivSql("sy", "12", "//")}
+                      * ${speelDivSql("sy", "12", "//")} AS ssd
+        FROM troll WHERE nw = 12),
+      tssd AS (
+        SELECT mon, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(ssd) AS BIGINT) AS sum_ssd,
+               CAST(sum(CAST(floor(sqrt(CAST(ssd AS DOUBLE))) AS BIGINT))
+                 AS BIGINT) AS sum_s,
+               CAST(sum(CAST(floor(sqrt(CAST(ssd AS DOUBLE))) AS BIGINT)
+                 * CAST(floor(sqrt(CAST(ssd AS DOUBLE))) AS BIGINT))
+                 AS BIGINT) AS sum_s2
+        FROM tssd0 GROUP BY mon HAVING count(*) >= 5),
+      iroll AS (
+        SELECT mon,
+               CAST(count(*) OVER w AS BIGINT) AS nw,
+               CAST(sum(x) OVER w AS BIGINT) AS sy,
+               CAST(sum(x * x) OVER w AS BIGINT) AS syy
+        FROM mkt WINDOW w AS (ORDER BY mon
+          ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)),
+      issd AS (
+        SELECT mon,
+               syy - 2 * ${speelDivSql("sy", "12", "//")} * sy
+                 + 12 * ${speelDivSql("sy", "12", "//")}
+                      * ${speelDivSql("sy", "12", "//")} AS ssd_idx
+        FROM iroll WHERE nw = 12)
+      SELECT t.mon, t.n, CAST(i.ssd_idx AS BIGINT) AS ssd_idx, t.sum_ssd,
+             CAST(t.n * t.n * i.ssd_idx - t.sum_ssd AS DOUBLE)
+               / CAST(t.sum_s * t.sum_s - t.sum_s2 AS DOUBLE)
+               AS rho_implied,
+             CAST(t.n * t.n * i.ssd_idx - t.sum_ssd AS DOUBLE)
+               / CAST(t.sum_s * t.sum_s - t.sum_s2 AS DOUBLE)
+               > CAST('0.5' AS DOUBLE) AS high_corr_regime
+      FROM tssd t JOIN issd i ON t.mon = i.mon
+      ORDER BY t.mon"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256, q260, q262)
+    Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256, q260, q262,
+      q266)
 }

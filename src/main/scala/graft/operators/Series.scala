@@ -1786,7 +1786,92 @@ object Series extends QueryModule {
              CAST(s_illiq // n_days AS BIGINT) AS illiq_mean_nano
       FROM n ORDER BY ticker"""))
 
+  // ---------------------------------------------------------------------
+  // q267 — RUNS TEST on tick-rule signs (Wald–Wolfowitz): is order flow
+  // serially dependent, or do buys and sells alternate like coin flips?
+  // The nonparametric companion to q248's parametric Ljung–Box, on the
+  // SAME classified-flow table the VPIN/Kyle arc reads (q230/q238).
+  // The tape is never windowed per ticker at tick grain (the declared
+  // `ticker` bound is daily): within-day sign transitions count under
+  // the (day, tkr) frame, day-boundary transitions come from the daily
+  // first/last-sign rollup joined per ticker at DAILY grain, and
+  // R = 1 + Σ transitions. E[R] = 1 + 2n₊n₋/n and Var[R] =
+  // 2n₊n₋(2n₊n₋−n)/(n²(n−1)) evaluate as fixed-order doubles over the
+  // exact integer counts; z flags serial dependence at 95%.
+  // ---------------------------------------------------------------------
+  private val q267 = QueryDef(
+    "q267_runs_test",
+    (spark, dir) => {
+      import spark.implicits._
+      val wTick = Window.partitionBy("tkr", "day").orderBy("seq")
+      val f = flowResolved(spark, dir)
+        .select($"tkr", $"day", $"seq", $"s_filled")
+        .withColumn("s_prev", lag($"s_filled", 1).over(wTick))
+      val intra = f.groupBy($"tkr".as("ticker"), $"day")
+        .agg(count(lit(1)).as("n_ticks"),
+          sum(when($"s_filled" === 1, 1L).otherwise(0L)).as("n_pos"),
+          sum(when($"s_prev".isNotNull && $"s_filled" =!= $"s_prev", 1L)
+            .otherwise(0L)).as("trans_in"),
+          min(struct($"seq", $"s_filled".as("v"))).getField("v")
+            .as("first_s"),
+          max(struct($"seq", $"s_filled".as("v"))).getField("v")
+            .as("last_s"))
+      val wDay = Window.partitionBy("ticker").orderBy("day")
+      val per = intra
+        .withColumn("prev_last", lag($"last_s", 1).over(wDay))
+        .withColumn("bnd",
+          when($"prev_last".isNotNull && $"first_s" =!= $"prev_last", 1L)
+            .otherwise(0L))
+        .groupBy($"ticker")
+        .agg(sum($"n_ticks").as("n"), sum($"n_pos").as("n_pos"),
+          (sum($"trans_in") + sum($"bnd") + 1L).as("runs"))
+        .withColumn("n_neg", $"n" - $"n_pos")
+      val e = ($"n_pos" * $"n_neg" * 2L).cast("double") /
+        $"n".cast("double") + lit(1.0)
+      val v = (($"n_pos" * $"n_neg" * 2L).cast("double") *
+        (($"n_pos" * $"n_neg" * 2L) - $"n").cast("double")) /
+        ($"n".cast("double") * $"n".cast("double") *
+          ($"n" - 1L).cast("double"))
+      per
+        .withColumn("z", ($"runs".cast("double") - e) / sqrt(v))
+        .withColumn("serial_dep_rejected", abs($"z") > lit(1.96))
+        .select($"ticker", $"n", $"n_pos", $"n_neg", $"runs", $"z",
+          $"serial_dep_rejected")
+        .orderBy($"ticker")
+    },
+    Some(s"""
+      WITH $flowSql,
+      w3 AS (
+        SELECT ticker, coalesce(s, 1) AS sf,
+               lag(coalesce(s, 1)) OVER (PARTITION BY ticker
+                 ORDER BY day, seq) AS sp
+        FROM w2),
+      per AS (
+        SELECT ticker, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN sf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pos,
+               CAST(sum(CASE WHEN sp IS NOT NULL AND sf <> sp THEN 1
+                 ELSE 0 END) + 1 AS BIGINT) AS runs
+        FROM w3 GROUP BY ticker)
+      SELECT ticker, n, n_pos, n - n_pos AS n_neg, runs,
+             (CAST(runs AS DOUBLE)
+               - (CAST(n_pos * (n - n_pos) * 2 AS DOUBLE)
+                   / CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE)))
+             / sqrt((CAST(n_pos * (n - n_pos) * 2 AS DOUBLE)
+                 * CAST(n_pos * (n - n_pos) * 2 - n AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 * CAST(n - 1 AS DOUBLE))) AS z,
+             abs((CAST(runs AS DOUBLE)
+               - (CAST(n_pos * (n - n_pos) * 2 AS DOUBLE)
+                   / CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE)))
+             / sqrt((CAST(n_pos * (n - n_pos) * 2 AS DOUBLE)
+                 * CAST(n_pos * (n - n_pos) * 2 - n AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 * CAST(n - 1 AS DOUBLE)))) > CAST('1.96' AS DOUBLE)
+               AS serial_dep_rejected
+      FROM per ORDER BY ticker"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229, q230,
-      q231, q234, q235, q236, q237, q238, q239, q243, q244, q261)
+      q231, q234, q235, q236, q237, q238, q239, q243, q244, q261, q267)
 }

@@ -113,11 +113,6 @@ object WindowBounds {
         " raw fills keyed by month would be fact-sized and must not" +
         " reuse this row",
       Seq("q246", "q247")),
-    BoundedKey("ks",
-      "keyspace-labelled COUNT-VALUE-DOMAIN grid rows (per distinct" +
-        " per-key mass value): ≤ |distinct mass values| per keyspace —" +
-        " the q264 skew-profiler cumulative; never raw keys",
-      Seq("q264")),
     BoundedKey("p_brand",
       "catalog DIMENSION grain: parts per brand — dimension-table" +
         " cardinality, not fact cardinality; q193's percent_rank needs" +
@@ -206,7 +201,16 @@ object WindowBounds {
     "q263_ranker_auc" ->
       ("Mann–Whitney cumulative over ≤ |milli score domain| DISTINCT-" +
         "value rollup rows (the q207 value-domain grid) — never a" +
-        " per-doc rank window"))
+        " per-doc rank window"),
+    "q264_skew_profiler" ->
+      ("count-VALUE-domain cumulative: ≤ |distinct per-key mass values|" +
+        " grid rows per keyspace (the literal keyspace tag is constant-" +
+        "folded out of the partition spec, so the frame reads as global;" +
+        " the input is the grid rollup, never raw keys)"),
+    "q266_implied_correlation" ->
+      ("index trailing-12 frame over the ≤ |months| equal-weight-index" +
+        " rollup (the synthetic single-series key constant-folds away);" +
+        " the per-ticker frames ride the declared ticker bound"))
 
   /** True when a window over `keys` (sorted) carries at least one
     * declared bounding key, or matches a declared exact set. Empty

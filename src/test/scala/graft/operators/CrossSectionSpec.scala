@@ -334,6 +334,21 @@ class CrossSectionSpec extends AnyFunSuite {
     got.foreach { case (m, g) => assert(g === naive(m), s"gamma mismatch $m") }
   }
 
+  test("q266 implied correlation: SSD identity holds and rho is sane") {
+    val out = run("q266_implied_correlation").collect()
+    assert(out.length > 20)
+    out.foreach { r =>
+      // estimator stays in a generous [-1.5, 1.5] band (quantized sigma
+      // and equal-weight index mean make exact [-1/(n-1), 1] bounds soft)
+      val rho = r.getAs[Double]("rho_implied")
+      assert(rho > -1.5 && rho < 1.5, s"rho=$rho out of band")
+      assert(r.getAs[Long]("ssd_idx") >= 0L)
+      assert(r.getAs[Long]("sum_ssd") >= 0L)
+      assert(r.getAs[Boolean]("high_corr_regime") === (rho > 0.5))
+      assert(r.getAs[Long]("n") >= 5L)
+    }
+  }
+
   test("q250 plan: no cartesian product; stage-2 rides a broadcast of the top pairs") {
     val p = run("q250_cointegration").queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "pair join degenerated to cartesian")

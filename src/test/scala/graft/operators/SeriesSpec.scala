@@ -407,4 +407,19 @@ class SeriesSpec extends AnyFunSuite {
       ks == Set("ticker") || (ks.contains("tkr") && ks.contains("day"))),
       tickWindowed.toString)
   }
+  test("q267 runs test: counts reconcile and z matches a driver recompute") {
+    val out = graft.SparkEntry.queries("q267_runs_test")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n"); val np = r.getAs[Long]("n_pos")
+      val nn = r.getAs[Long]("n_neg"); val runs = r.getAs[Long]("runs")
+      assert(np + nn === n)
+      assert(runs >= 1L && runs <= n)
+      val e = 2.0 * np * nn / n + 1.0
+      val v = (2.0 * np * nn) * (2.0 * np * nn - n) / (n.toDouble * n * (n - 1))
+      val z = (runs - e) / math.sqrt(v)
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-9)
+      assert(r.getAs[Boolean]("serial_dep_rejected") === (math.abs(z) > 1.96))
+    }
+  }
 }
