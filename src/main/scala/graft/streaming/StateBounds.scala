@@ -123,6 +123,10 @@ object StateBounds {
       "= one ValueState row per ticker (last close + the two CUSUM" +
         " accumulators, constant size)",
       (s, d) => graft.operators.WindowFeatures.tickersOf(s, d)),
+    StateBound("q268_stream_session_timeout",
+      "≤ 2 state rows per user with an open session (the single" +
+        " open-session ValueState + its one pending event-time timer)",
+      (s, d) => 2L * users(s, d)),
     StateBound("q265_stream_drift_monitor",
       "= one ValueState row per event_type (band × parity count cells" +
         " inside — value-domain-bounded, never event-bounded)",

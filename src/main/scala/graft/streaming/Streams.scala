@@ -1129,5 +1129,143 @@ object Streams extends QueryModule {
     (outer, dir) => streamDriftCells(outer, dir, 4),
     Some(graft.operators.Series.driftOracleSql))
 
-  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104, q128, q136, q147, q157, q173, q206, q265)
+  // ---------------------------------------------------------------------
+  // q268 — SESSION-TIMEOUT CLOSURE via EVENT-TIME TIMERS: the last
+  // un-exercised corner of the Spark 4 arbitrary-state API (T9) —
+  // every prior transformWithState query is input-driven; this one
+  // emits on TIME PASSING. Per user, ValueState holds the single open
+  // session; an in-batch successor event beyond the 30-minute gap
+  // closes it immediately (emit + reopen), and the TIMER closes it
+  // when the event-time watermark passes last_event + 30 min with no
+  // successor — handleExpiredTimer is the only place a final session
+  // can be emitted from. The emitted set is therefore EXACTLY: every
+  // non-final session (closed by its successor) plus each user's final
+  // session iff its timeout precedes the terminal watermark (= the
+  // tape's max event time at delay 0) — which is what the batch SQL
+  // oracle states declaratively (q63's gap rule + the watermark-proof
+  // filter): the q235 completed-bars discipline with time, not data,
+  // as the completer. Timers are re-armed per batch (delete + register
+  // — ≤ 1 pending per user, the state bound declares 2 rows/user for
+  // value + timer).
+  // ---------------------------------------------------------------------
+  private[graft] final case class SessEv(
+      user_id: Long, tus: Long, event_id: Long, cents: Long)
+  private[graft] final case class SessSt(
+      startUs: Long, lastUs: Long, n: Long, cents: Long, timerMs: Long)
+  private[graft] final case class SessOut(
+      user_id: Long, session_start_us: Long, session_end_us: Long,
+      n_events: Long, value_cents: Long)
+
+  private val SessGapUs = 30L * 60 * 1000000
+
+  private[graft] class SessionTimeoutProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessEv, SessOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[SessSt] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessSt]("open_session",
+        org.apache.spark.sql.Encoders.product[SessSt], TTLConfig.NONE)
+    private def emit(key: Long, s: SessSt): SessOut =
+      SessOut(key, s.startUs, s.lastUs, s.n, s.cents)
+    override def handleInputRows(
+        key: Long, rows: Iterator[SessEv],
+        tv: TimerValues): Iterator[SessOut] = {
+      val out = scala.collection.mutable.ListBuffer.empty[SessOut]
+      var s = if (st.exists()) st.get() else null
+      rows.toArray.sortBy(e => (e.tus, e.event_id)).foreach { e =>
+        if (s == null) s = SessSt(e.tus, e.tus, 1L, e.cents, 0L)
+        else if (e.tus - s.lastUs <= SessGapUs)
+          s = s.copy(lastUs = e.tus, n = s.n + 1L, cents = s.cents + e.cents)
+        else {
+          out += emit(key, s) // closed by its in-stream successor
+          s = SessSt(e.tus, e.tus, 1L, e.cents, 0L)
+        }
+      }
+      if (s != null) {
+        if (s.timerMs > 0L) getHandle.deleteTimer(s.timerMs)
+        val timerMs = (s.lastUs + SessGapUs) / 1000L
+        getHandle.registerTimer(timerMs)
+        st.update(s.copy(timerMs = timerMs))
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessOut] =
+      if (st.exists()) {
+        val s = st.get()
+        if (info.getExpiryTimeInMs >= (s.lastUs + SessGapUs) / 1000L) {
+          st.clear()
+          Iterator.single(emit(key, s)) // closed by time passing
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** The q268 build, chunking exposed for the replay spec. */
+  private[graft] def streamSessionTimeouts(
+      outer: SparkSession, dir: String, nChunks: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"),
+        expr("CAST(round(coalesce(value, 0) * 100) AS BIGINT)").as("cents"),
+        to_date(col("ts")).as("day"))
+    val feed = replayByDates(ev, "day", nChunks)
+    val closed = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .withColumn("ts", timestamp_micros(col("tus")))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("tus"), col("event_id"), col("cents"))
+      .as[SessEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+    runToParquet(closed, "append")
+      .select(col("user_id"),
+        timestamp_micros(col("session_start_us")).as("session_start"),
+        timestamp_micros(col("session_end_us")).as("session_end"),
+        col("n_events"), col("value_cents"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  private val q268 = QueryDef(
+    "q268_stream_session_timeout",
+    (outer, dir) => streamSessionTimeouts(outer, dir, 6),
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS cents
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      w AS (
+        SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY
+                   user_id ORDER BY ts, event_id)) > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+        FROM ev),
+      s AS (
+        SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS sid
+        FROM w),
+      sess AS (
+        SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM s GROUP BY user_id, sid),
+      wm AS (SELECT max(ts) AS max_ts FROM ev)
+      SELECT user_id, session_start, session_end, n_events, value_cents
+      FROM sess, wm
+      WHERE epoch_us(session_end) + 1800000000 <= epoch_us(max_ts)
+      ORDER BY user_id, session_start"""))
+
+  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104, q128, q136, q147, q157, q173, q206, q265, q268)
 }

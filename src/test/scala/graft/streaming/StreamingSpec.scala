@@ -360,4 +360,55 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(re.toSeq === streamed.toSeq)
   }
+  test("q268: timer-closed sessions match the batch gap rule + watermark proof") {
+    val dir = TestSpark.Sf001
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // batch expectation: q63-rule sessions whose timeout precedes the
+    // terminal watermark (max event time, delay 0)
+    val ev = graft.sources.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"),
+        expr("CAST(round(coalesce(value, 0) * 100) AS BIGINT)").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tus", "event_id")
+    val maxTs = ev.agg(max(col("tus"))).first().getLong(0)
+    val expected = ev
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("tus") - col("prev") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("tus")).as("start_us"), max(col("tus")).as("end_us"),
+        count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+      .filter(col("end_us") + 1800000000L <= maxTs)
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"), col("value_cents"))
+      .collect().map(_.toString).sorted
+    val streamed = Streams.streamSessionTimeouts(spark, dir, 6)
+      .select(col("user_id"), unix_micros(col("session_start")),
+        unix_micros(col("session_end")), col("n_events"), col("value_cents"))
+      .collect().map(_.toString).sorted
+    assert(streamed.length === expected.length)
+    assert(streamed.toSeq === expected.toSeq)
+    // timers really fired: at least one emitted session is its user's
+    // LAST session on the tape — no successor event exists to close it,
+    // so only handleExpiredTimer can have emitted it
+    val lastStarts = graft.sources.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(max(unix_micros(col("ts"))).as("last_tus"))
+      .as[(Long, Long)].collect().toMap
+    val streamedRows = Streams.streamSessionTimeouts(spark, dir, 6)
+      .select(col("user_id"), unix_micros(col("session_end")))
+      .as[(Long, Long)].collect()
+    assert(streamedRows.exists { case (u, endUs) => lastStarts(u) == endUs },
+      "no user-final session was emitted — timers never fired")
+    // replay-chunking independence
+    val re = Streams.streamSessionTimeouts(spark, dir, 9)
+      .select(col("user_id"), unix_micros(col("session_start")),
+        unix_micros(col("session_end")), col("n_events"), col("value_cents"))
+      .collect().map(_.toString).sorted
+    assert(re.toSeq === streamed.toSeq)
+  }
 }
