@@ -1237,7 +1237,7 @@ object Streams extends QueryModule {
 
   private val q268 = QueryDef(
     "q268_stream_session_timeout",
-    (outer, dir) => streamSessionTimeouts(outer, dir, 6),
+    (outer, dir) => streamSessionTimeouts(outer, dir, 4),
     Some("""
       WITH ev AS (
         SELECT user_id, ts, event_id,
