@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryModule}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1343,7 +1343,102 @@ object CrossSection extends QueryModule {
       FROM tssd t JOIN issd i ON t.mon = i.mon
       ORDER BY t.mon"""))
 
+  // ---------------------------------------------------------------------
+  // q269 — DOWNSIDE / UPSIDE BETA (Ang–Chen–Xing 2006): the asymmetry
+  // q252's single β hides — a name that amplifies weak markets but
+  // lags strong ones carries more risk than its full-sample β admits.
+  // Conditioning follows the paper: market BELOW vs ABOVE its own mean
+  // (μ from a sign-peeled integer division, a 1-row broadcast — a
+  // sign split is structurally empty here because last-fill price
+  // ratios have a large positive mean, so every index month is up).
+  // The SAME exact-integer moment pipeline as q252, run once per leg;
+  // asymmetry = β⁻ − β⁺ as one subtraction of two one-division
+  // slopes; crash-amplifier flag when β⁻ exceeds both β⁺ and 1. Legs
+  // need ≥ 12 months each.
+  // ---------------------------------------------------------------------
+  private val q269 = QueryDef(
+    "q269_downside_beta",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("mon")
+      val rets = mbars(spark, dir)
+        .withColumn("prev_c", lag($"close_c", 1).over(wT))
+        .filter($"prev_c".isNotNull)
+        .withColumn("y",
+          floor(lit(1000.0) * ($"close_c" - $"prev_c").cast("double") /
+            $"prev_c".cast("double")).cast("long"))
+      val mkt = rets.groupBy($"mon")
+        .agg(count(lit(1)).as("n_names"), sum($"y").as("s_ret"))
+        .filter($"n_names" >= 5)
+        .withColumn("x", expr(speelDivSql("s_ret", "n_names", "div")))
+        .select($"mon", $"x")
+      val mu = mkt.agg(expr(speelDivSql("sum(x)", "count(1)", "div"))
+        .as("mu"))
+      val xy = rets.join(broadcast(mkt), "mon").crossJoin(broadcast(mu))
+      def leg(cond: Column, tag: String): DataFrame =
+        xy.filter(cond).groupBy($"ticker")
+          .agg(count(lit(1)).as(s"n_$tag"),
+            sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+          .filter(col(s"n_$tag") >= 12)
+          .withColumn(s"beta_$tag",
+            (col(s"n_$tag") * $"sxy" - $"sx" * $"sy").cast("double") /
+              (col(s"n_$tag") * $"sxx" - $"sx" * $"sx").cast("double"))
+          .select($"ticker", col(s"n_$tag"), col(s"beta_$tag"))
+      leg($"x" < $"mu", "down").join(leg($"x" > $"mu", "up"), "ticker")
+        .withColumn("asymmetry", $"beta_down" - $"beta_up")
+        .withColumn("crash_amplifier",
+          $"beta_down" > $"beta_up" && $"beta_down" > lit(1.0))
+        .select($"ticker", $"n_down", $"n_up", $"beta_down", $"beta_up",
+          $"asymmetry", $"crash_amplifier")
+        .orderBy($"ticker")
+    },
+    Some(s"""
+      WITH $mbarsSql,
+      rets AS (
+        SELECT * FROM (
+          SELECT ticker, mon, close_c,
+                 lag(close_c, 1) OVER (PARTITION BY ticker ORDER BY mon)
+                   AS prev_c
+          FROM mbars)
+        WHERE prev_c IS NOT NULL),
+      rm AS (
+        SELECT ticker, mon,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(close_c - prev_c AS DOUBLE)
+                 / CAST(prev_c AS DOUBLE)) AS BIGINT) AS y
+        FROM rets),
+      mkt AS (
+        SELECT mon,
+               ${speelDivSql("CAST(sum(y) AS BIGINT)", "count(*)", "//")}
+                 AS x
+        FROM rm GROUP BY mon HAVING count(*) >= 5),
+      mu AS (
+        SELECT ${speelDivSql("CAST(sum(x) AS BIGINT)", "count(*)", "//")}
+                 AS mu
+        FROM mkt),
+      xy AS (SELECT rm.ticker, rm.y, mkt.x, mu.mu
+             FROM rm JOIN mkt USING (mon), mu),
+      dn AS (
+        SELECT ticker, CAST(count(*) AS BIGINT) AS n_down,
+               CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+                 / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+                 AS beta_down
+        FROM xy WHERE x < mu GROUP BY ticker HAVING count(*) >= 12),
+      up AS (
+        SELECT ticker, CAST(count(*) AS BIGINT) AS n_up,
+               CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+                 / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+                 AS beta_up
+        FROM xy WHERE x > mu GROUP BY ticker HAVING count(*) >= 12)
+      SELECT dn.ticker, dn.n_down, up.n_up, dn.beta_down, up.beta_up,
+             dn.beta_down - up.beta_up AS asymmetry,
+             dn.beta_down > up.beta_up
+               AND dn.beta_down > CAST('1.0' AS DOUBLE) AS crash_amplifier
+      FROM dn JOIN up ON dn.ticker = up.ticker
+      ORDER BY dn.ticker"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256, q260, q262,
-      q266)
+      q266, q269)
 }

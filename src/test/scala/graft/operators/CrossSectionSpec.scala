@@ -349,6 +349,48 @@ class CrossSectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q269 downside beta: legs recompute brute-force, asymmetry is their gap") {
+    val mb = CrossSection.mbars(spark, TestSpark.Sf001)
+      .select($"ticker", $"mon".cast("string"), $"close_c")
+      .as[(Long, String, Long)].collect()
+    val rets = mb.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      rows.sortBy(_._2).sliding(2).collect { case Array(a, b) =>
+        (t, b._2, math.floor(1000.0 * (b._3 - a._3).toDouble / a._3.toDouble).toLong)
+      }
+    }
+    val mkt = rets.groupBy(_._2).collect { case (m, rs) if rs.length >= 5 =>
+      val s = rs.map(_._3).sum; val n = rs.length
+      m -> (if (s >= 0) s / n else -((-s) / n))
+    }
+    val xs = mkt.values.toSeq
+    val sMu = xs.sum
+    val mu = if (sMu >= 0) sMu / xs.length else -((-sMu) / xs.length)
+    def slope(rows: Seq[(Long, Long)]): Double = {
+      val n = rows.length.toLong
+      val sx = rows.map(_._1).sum; val sy = rows.map(_._2).sum
+      val sxx = rows.map(r => r._1 * r._1).sum
+      val sxy = rows.map(r => r._1 * r._2).sum
+      (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    }
+    val naive = rets.filter(r => mkt.contains(r._2)).groupBy(_._1).flatMap {
+      case (t, rs) =>
+        val dn = rs.collect { case (_, m, y) if mkt(m) < mu => (mkt(m), y) }
+        val up = rs.collect { case (_, m, y) if mkt(m) > mu => (mkt(m), y) }
+        if (dn.length >= 12 && up.length >= 12)
+          Some(t -> (slope(dn), slope(up))) else None
+    }
+    val got = run("q269_downside_beta").collect()
+    assert(got.length === naive.size)
+    got.foreach { r =>
+      val t = r.getAs[Long]("ticker")
+      val (bd, bu) = naive(t)
+      assert(r.getAs[Double]("beta_down") === bd, s"beta_down mismatch $t")
+      assert(r.getAs[Double]("beta_up") === bu, s"beta_up mismatch $t")
+      assert(r.getAs[Double]("asymmetry") === bd - bu)
+      assert(r.getAs[Boolean]("crash_amplifier") === (bd > bu && bd > 1.0))
+    }
+  }
+
   test("q250 plan: no cartesian product; stage-2 rides a broadcast of the top pairs") {
     val p = run("q250_cointegration").queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "pair join degenerated to cartesian")
