@@ -1438,7 +1438,90 @@ object CrossSection extends QueryModule {
       FROM dn JOIN up ON dn.ticker = up.ticker
       ORDER BY dn.ticker"""))
 
+  // ---------------------------------------------------------------------
+  // q270 — TURN-OF-MONTH EFFECT (Lakonishok–Smidt): the calendar
+  // anomaly audit — do daily moves cluster in the first/last trading
+  // days of the month? Bands by POSITION among the month's actual
+  // trading days (row_number / count within (ticker, month) — a
+  // refinement of the declared daily `ticker` grain), never by
+  // calendar day-of-month, so holiday gaps can't misfile a day. Per
+  // band: exact integer mean daily move (sign-peeled division),
+  // positive-day share in permille, and the day census — 3 rows,
+  // map-combinable after the two bounded windows.
+  // ---------------------------------------------------------------------
+  private val q270 = QueryDef(
+    "q270_turn_of_month",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("day")
+      val days = Tables.lineitem(spark, dir)
+        .withColumn("cents",
+          ($"l_extendedprice".cast(DecimalType(28, 2)) * 100).cast("long"))
+        .withColumn("seq",
+          ($"l_orderkey" * 16 + $"l_linenumber") * 100000000L + $"cents")
+        .groupBy($"l_suppkey".as("ticker"),
+          to_date($"l_shipdate").as("day"))
+        .agg(max_by($"cents", $"seq").as("close_c"))
+      val wM = Window.partitionBy($"ticker",
+        date_trunc("month", $"day"))
+      val banded = days
+        .withColumn("dc", $"close_c" - lag($"close_c", 1).over(wT))
+        .filter($"dc".isNotNull)
+        .withColumn("rn", row_number().over(wM.orderBy($"day")).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wM))
+        .withColumn("band",
+          when($"rn" <= 3, "first3")
+            .when($"rn" > $"cnt" - 3, "last3")
+            .otherwise("mid"))
+      banded.groupBy($"band")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"dc").as("s_dc"),
+          sum(when($"dc" > 0, 1L).otherwise(0L)).as("n_pos"))
+        .withColumn("mean_dc_cents", expr(speelDivSql("s_dc", "n_days", "div")))
+        .withColumn("pos_milli", expr("(1000 * n_pos) div n_days"))
+        .select($"band", $"n_days", $"mean_dc_cents", $"pos_milli")
+        .orderBy($"band")
+    },
+    Some(s"""
+      WITH days AS (
+        SELECT l_suppkey AS ticker, CAST(l_shipdate AS DATE) AS day,
+               arg_max(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+                 AS BIGINT),
+                 (l_orderkey * 16 + l_linenumber) * 100000000
+                   + CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+                     AS BIGINT)) AS close_c
+        FROM lineitem GROUP BY 1, 2),
+      d AS (
+        SELECT * FROM (
+          SELECT ticker, day,
+                 close_c - lag(close_c, 1) OVER (PARTITION BY ticker
+                   ORDER BY day) AS dc
+          FROM days)
+        WHERE dc IS NOT NULL),
+      b AS (
+        SELECT dc,
+               CASE WHEN rn <= 3 THEN 'first3'
+                    WHEN rn > cnt - 3 THEN 'last3'
+                    ELSE 'mid' END AS band
+        FROM (
+          SELECT ticker, day, dc,
+                 CAST(row_number() OVER (PARTITION BY ticker,
+                   date_trunc('month', day) ORDER BY day) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY ticker,
+                   date_trunc('month', day)) AS BIGINT) AS cnt
+          FROM d)),
+      agg AS (
+        SELECT band, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(dc) AS BIGINT) AS s_dc,
+               CAST(sum(CASE WHEN dc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pos
+        FROM b GROUP BY band)
+      SELECT band, n_days,
+             ${speelDivSql("s_dc", "n_days", "//")} AS mean_dc_cents,
+             CAST((1000 * n_pos) // n_days AS BIGINT) AS pos_milli
+      FROM agg ORDER BY band"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256, q260, q262,
-      q266, q269)
+      q266, q269, q270)
 }

@@ -391,6 +391,23 @@ class CrossSectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q270 turn-of-month: bands partition all diff-days, stats recompute") {
+    val out = run("q270_turn_of_month").collect()
+      .map(r => r.getAs[String]("band") -> r).toMap
+    assert(out.keySet === Set("first3", "last3", "mid"))
+    // total banded days == total ticker-days minus one first-day per ticker
+    val days = graft.sources.Tables.lineitem(spark, TestSpark.Sf001)
+      .groupBy($"l_suppkey", to_date($"l_shipdate")).count()
+    val nTickers = graft.sources.Tables.lineitem(spark, TestSpark.Sf001)
+      .select($"l_suppkey").distinct().count()
+    assert(out.values.map(_.getAs[Long]("n_days")).sum ===
+      days.count() - nTickers)
+    out.values.foreach { r =>
+      val pm = r.getAs[Long]("pos_milli")
+      assert(pm >= 0L && pm <= 1000L)
+    }
+  }
+
   test("q250 plan: no cartesian product; stage-2 rides a broadcast of the top pairs") {
     val p = run("q250_cointegration").queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "pair join degenerated to cartesian")
