@@ -667,18 +667,34 @@ object Series extends QueryModule {
   // sequential; the floor rule differs only by ≤ one tick of carryover
   // per bar and is exactly parallelizable).
   //
-  // SCALE SHAPE — the segmented scan: a naive cumsum windows per-TICK
-  // rows by ticker (the WindowBounds registry's forbidden grain — a hot
-  // symbol's tape is unbounded). Instead: (1) per-(ticker, day) notional
-  // partials — one map-side-combined groupBy to DAILY grain; (2) the
-  // exclusive day-offset prefix sum windows that TINY rollup per ticker
-  // (≤ |trading days| rows — the declared `ticker` bound); (3) offsets
-  // broadcast-join back onto ticks; (4) the tick-grain window runs per
-  // (tkr, day) — bounded by max trades per symbol-day, declared as the
-  // WindowBounds set ("day, tkr"; the key is RENAMED tkr precisely so a
-  // tick frame can never ride the daily-bars `ticker` declaration).
-  // Then one partial-agg shuffle to (ticker, bar_id) grain builds OHLC
-  // via min/max(struct) — never first/last.
+  // SCALE SHAPE — a FULLY hierarchical segmented scan (no window
+  // anywhere touches a data-dependent partition): a naive cumsum
+  // windows per-TICK rows by ticker, and even the per-(tkr, day) split
+  // used through round 9 left ONE data-dependent bound — a hyper-liquid
+  // symbol-day is tens of millions of ticks sorting in one window task.
+  // [[chunkedTicks]] applies the q184 sweep discipline INTRA-day:
+  //   (1) rangepartition the tape on (tkr, day, seq) — chunks are
+  //       contiguous seq ranges, balanced by the range sampler, and a
+  //       tie group (equal key) can never straddle a chunk;
+  //   (2) chunk-LOCAL running windows per (tkr, day, _pid) — bounded by
+  //       chunk size by construction (declared `_pid` bound);
+  //   (3) chunk summaries — ≤ |symbol-day groups| + |partitions| rows
+  //       total (a group occupies one chunk unless it straddles a
+  //       partition boundary, and there are ≤ P−1 boundaries) — carry
+  //       chunk_sum / first / last / last-nonzero-sign; the intra-day
+  //       prefix over them windows ≤ |partitions| rows per (tkr, day)
+  //       cell (declared set "cday, ctkr");
+  //   (4) the day rollup derives FROM the chunk summaries (aggregation,
+  //       never a tick window); its cross-day prefix windows ≤ |trading
+  //       days| rows per ticker (declared `ticker` bound);
+  //   (5) day + chunk offsets broadcast-join back onto the tape — the
+  //       broadcast is the symbol-day rollup the pre-chunk design
+  //       already shipped, + ≤ P−1 rows.
+  // Exact at ANY chunking because prefix sums compose associatively and
+  // the tick-rule sign carry is a last-non-null fold (also associative —
+  // the q184/q139 segmented-scan argument). Then one partial-agg shuffle
+  // to (ticker, bar_id) grain builds OHLC via min/max(struct) — never
+  // first/last.
   // ---------------------------------------------------------------------
   private[operators] val DollarBarT = 100000000L // $1M in cents
 
@@ -711,27 +727,113 @@ object Series extends QueryModule {
                  AS cents
         FROM lineitem)"""
 
+  /** The chunked tape: the q184 hierarchical prefix-sum applied
+    * INTRA-day (see q229's SCALE SHAPE header for the five-step
+    * argument). Takes any (tkr, day, seq, cents) tape; returns it with
+    * the chunk-local running state plus the broadcast summary columns
+    * stitched back on:
+    *
+    *   - `_pid`           rangepartition chunk id (contiguous seq range)
+    *   - `prev_in_chunk`  lag(cents) within the chunk (null on chunk head)
+    *   - `chunk_cum`      RANGE-frame running notional within the chunk
+    *   - `chunk_off`      exclusive prefix of prior same-day chunks' notional
+    *   - `prev_chunk_last` prior same-day chunk's last price (null on day head)
+    *   - `chunk_carry`    last non-null tick-rule sign over prior same-day chunks
+    *   - `lag_lp`         previous day's last price (per ticker)
+    *   - `carry_in`       last non-null day-level sign over strictly prior days
+    *   - `day_base`       exclusive prefix of prior days' notional (per ticker)
+    *
+    * so the global cumulative is `day_base + chunk_off + chunk_cum` and
+    * the globally-carried tick-rule sign is
+    * `coalesce(in-chunk fill, chunk_carry, carry_in, +1)` — both exact
+    * at any chunking by associativity. Every window in here is bounded
+    * BY CONSTRUCTION: per-chunk (`_pid`), per-(tkr, day) chunk-summary
+    * (≤ |partitions| rows, the "cday, ctkr" declared set), or per-ticker
+    * daily rollup (`ticker`). Package-visible for the hot-symbol-day
+    * ScaleBehaviorSpec.
+    */
+  private[graft] def chunkedTicks(ticks: DataFrame): DataFrame = {
+    import ticks.sparkSession.implicits._
+    val parted = ticks
+      .repartitionByRange(col("tkr"), col("day"), col("seq"))
+      .withColumn("_pid", spark_partition_id())
+    val wChunk = Window.partitionBy("tkr", "day", "_pid").orderBy("seq")
+    val local = parted
+      .withColumn("prev_in_chunk", lag($"cents", 1).over(wChunk))
+      .withColumn("chunk_cum", sum($"cents").over(wChunk))
+      // in-chunk tick-rule sign; the chunk-head row (null lag) resolves
+      // at summary grain against the prior chunk's last price
+      .withColumn("s_in",
+        when($"prev_in_chunk".isNull, lit(null).cast("int"))
+          .when($"cents" > $"prev_in_chunk", 1)
+          .when($"cents" < $"prev_in_chunk", -1))
+    val sums = local
+      .groupBy($"tkr".as("ctkr"), $"day".as("cday"), $"_pid".as("cpid"))
+      .agg(
+        sum($"cents").as("chunk_sum"),
+        min(struct($"seq", $"cents".as("c"))).getField("c").as("first_c"),
+        max(struct($"seq", $"cents".as("c"))).getField("c").as("last_c"),
+        max(when($"s_in".isNotNull, struct($"seq", $"s_in".as("v"))))
+          .getField("v").as("lnz_tail"))
+    val wCh = Window.partitionBy("ctkr", "cday").orderBy("cpid")
+    val chunked = sums
+      .withColumn("chunk_off", coalesce(
+        sum($"chunk_sum").over(wCh.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("prev_chunk_last", lag($"last_c", 1).over(wCh))
+      // the chunk's intra-day sign contribution: tail signs, else the
+      // chunk-head tick classified vs the prior chunk's last price
+      // (null on the day-head chunk — that head resolves cross-day below)
+      .withColumn("lnz_intra", coalesce($"lnz_tail",
+        when($"prev_chunk_last".isNull, lit(null).cast("int"))
+          .when($"first_c" > $"prev_chunk_last", 1)
+          .when($"first_c" < $"prev_chunk_last", -1)))
+    // day rollup FROM the chunk summaries — never a tick-grain pass
+    val wDay = Window.partitionBy("ticker").orderBy("day")
+    val daySum = chunked
+      .groupBy($"ctkr".as("ticker"), $"cday".as("day"))
+      .agg(
+        sum($"chunk_sum").as("day_cents"),
+        min(struct($"cpid", $"first_c".as("c"))).getField("c").as("fp"),
+        max(struct($"cpid", $"last_c".as("c"))).getField("c").as("lp"),
+        max(when($"lnz_intra".isNotNull, struct($"cpid", $"lnz_intra".as("v"))))
+          .getField("v").as("lnz"))
+      .withColumn("lag_lp", lag($"lp", 1).over(wDay))
+      .withColumn("s_day", coalesce($"lnz",
+        when($"lag_lp".isNull, lit(null).cast("int"))
+          .when($"fp" > $"lag_lp", 1)
+          .when($"fp" < $"lag_lp", -1)))
+      .withColumn("carry_in", last($"s_day", ignoreNulls = true)
+        .over(wDay.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("day_base", sum($"day_cents").over(wDay) - $"day_cents")
+      .select($"ticker", $"day", $"lag_lp", $"carry_in", $"day_base")
+    // stitch day facts into the chunk summaries; the day-head chunk's
+    // head tick now classifies vs the prior DAY's last price, completing
+    // the cross-chunk sign carry
+    val info = chunked
+      .join(daySum,
+        chunked("ctkr") === daySum("ticker") && chunked("cday") === daySum("day"))
+      .drop("ticker", "day")
+      .withColumn("prev_eff", coalesce($"prev_chunk_last", $"lag_lp"))
+      .withColumn("lnz_full", coalesce($"lnz_tail",
+        when($"prev_eff".isNull, lit(null).cast("int"))
+          .when($"first_c" > $"prev_eff", 1)
+          .when($"first_c" < $"prev_eff", -1)))
+      .withColumn("chunk_carry", last($"lnz_full", ignoreNulls = true)
+        .over(wCh.rowsBetween(Window.unboundedPreceding, -1)))
+      .select($"ctkr", $"cday", $"cpid", $"chunk_off", $"prev_chunk_last",
+        $"chunk_carry", $"lag_lp", $"carry_in", $"day_base")
+    local.join(broadcast(info),
+        local("tkr") === info("ctkr") && local("day") === info("cday") &&
+          local("_pid") === info("cpid"))
+      .drop("ctkr", "cday", "cpid")
+  }
+
   private val q229 = QueryDef(
     "q229_dollar_bars",
     (spark, dir) => {
       import spark.implicits._
-      val ticks = tickTape(spark, dir)
-      // (1)+(2): daily notional partials, then the per-ticker exclusive
-      // day-offset prefix sum on the DAILY grain (declared ticker bound)
-      val wDay = Window.partitionBy("ticker").orderBy("day")
-      val dayOff = ticks.groupBy($"tkr".as("ticker"), $"day")
-        .agg(sum($"cents").as("day_cents"))
-        .withColumn("day_base",
-          sum($"day_cents").over(wDay) - $"day_cents")
-        .select($"ticker", $"day", $"day_base")
-      // (3)+(4): broadcast offsets onto ticks; intraday RANGE cumsum per
-      // (tkr, day) — global cum without any tape-sized window partition
-      val wTick = Window.partitionBy("tkr", "day").orderBy("seq")
-      ticks
-        .join(broadcast(dayOff),
-          ticks("tkr") === dayOff("ticker") && ticks("day") === dayOff("day"))
-        .drop(dayOff("ticker")).drop(dayOff("day"))
-        .withColumn("cum0", $"day_base" + sum($"cents").over(wTick))
+      flowResolved(spark, dir)
         .withColumn("bar_id", expr(s"(cum0 - 1) div $DollarBarT"))
         .groupBy($"tkr".as("ticker"), $"bar_id")
         .agg(
@@ -774,16 +876,16 @@ object Series extends QueryModule {
   // when buckets are equal-volume).
   //
   // SCALE SHAPE — the tick-rule carry looks inherently sequential (each
-  // sign can depend on the previous), but it segments exactly like the
-  // q229 cumsum: (1) an intraday pass computes local signs and the
-  // per-day sign summary (first/last price, last non-zero local sign)
-  // — window per (tkr, day), declared set; (2) the DAY-grain recurrence
-  // resolves each day's carry-in: a day's sign contribution s_day =
-  // coalesce(last local sign, cross-day first-tick sign), and carry-in
-  // is last(s_day ignoreNulls) over STRICTLY PRIOR days — windows per
-  // ticker on the daily rollup, the declared bound; (3) day summaries
-  // broadcast back; (4) a second intraday pass fills each tick's sign =
-  // coalesce(intraday last non-zero ≤ tick, day carry-in, +1 default).
+  // sign can depend on the previous), but last-non-null is an
+  // associative fold, so it decomposes over [[chunkedTicks]]'s THREE
+  // construction-bounded levels exactly like the cumsum: (1) chunk-local
+  // signs + the per-chunk summary (first/last price, last non-zero
+  // in-chunk sign) — windows per rangepartition chunk; (2) the
+  // chunk-grain recurrence resolves each chunk's head sign and carry
+  // (≤ |partitions| summary rows per symbol-day), and the DAY-grain
+  // recurrence on the rollup resolves cross-day carry-in (≤ |trading
+  // days| rows per ticker); (3) summaries broadcast back and each
+  // tick's sign = coalesce(in-chunk fill, chunk carry, day carry, +1).
   // The DuckDB oracle is the textbook single global window over the
   // whole tape — the hash gate proves the segmented stitching exact.
   //
@@ -795,59 +897,47 @@ object Series extends QueryModule {
   private val VpinFrame = 5 // trailing buckets per VPIN estimate
 
   /** The q230 tick-sign + bucket resolution, shared with q238 (Kyle's
-    * lambda regresses price impact on the SAME classified flow): per
-    * tick (tkr, day, seq, cents, s_filled, bucket). See q230's header
-    * for the segmentation argument.
+    * lambda regresses price impact on the SAME classified flow) and
+    * q267: per tick (tkr, day, seq, cents, _pid, s_filled, cum0,
+    * bucket). All windows ride [[chunkedTicks]]'s construction-bounded
+    * grains; the in-chunk sign fill reuses the (tkr, day, _pid)
+    * partitioning the chunk pass already established, so it costs a
+    * sort, not a shuffle. Package-visible (as [[flowFromTape]]) for the
+    * hot-symbol-day ScaleBehaviorSpec.
     */
-  private def flowResolved(spark: SparkSession, dir: String): DataFrame = {
-      import spark.implicits._
-      val ticks = tickTape(spark, dir)
-      val wTick = Window.partitionBy("tkr", "day").orderBy("seq")
-      // (1) intraday local signs + cumsum (RANGE frames throughout)
-      val intra = ticks
-        .withColumn("prev_local", lag($"cents", 1).over(wTick))
-        .withColumn("s_local",
-          when($"prev_local".isNull, lit(null).cast("int"))
-            .when($"cents" > $"prev_local", 1)
-            .when($"cents" < $"prev_local", -1))
-        .withColumn("intra_cum", sum($"cents").over(wTick))
-      // (2) day-grain sign recurrence on the tiny rollup
-      val wDay = Window.partitionBy("ticker").orderBy("day")
-      val daySum = intra.groupBy($"tkr".as("ticker"), $"day")
-        .agg(
-          sum($"cents").as("day_cents"),
-          min(struct($"seq".as("s"), $"cents".as("c"))).getField("c").as("fp"),
-          max(struct($"seq".as("s"), $"cents".as("c"))).getField("c").as("lp"),
-          max(when($"s_local".isNotNull,
-            struct($"seq".as("s"), $"s_local".as("v"))))
-            .getField("v").as("lnz"))
-        .withColumn("lag_lp", lag($"lp", 1).over(wDay))
-        .withColumn("s_day", coalesce($"lnz",
-          when($"lag_lp".isNull, lit(null).cast("int"))
-            .when($"fp" > $"lag_lp", 1)
-            .when($"fp" < $"lag_lp", -1)))
-        .withColumn("carry_in", last($"s_day", ignoreNulls = true)
-          .over(wDay.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("day_base",
-          sum($"day_cents").over(wDay) - $"day_cents")
-        .select($"ticker", $"day", $"lag_lp", $"carry_in", $"day_base")
-      // (3)+(4) broadcast summaries back; resolve every tick's sign
-      val resolved = intra
-        .join(broadcast(daySum),
-          intra("tkr") === daySum("ticker") && intra("day") === daySum("day"))
-        .drop(daySum("ticker")).drop(daySum("day"))
-        .withColumn("s_tick",
-          when($"prev_local".isNotNull, $"s_local")
-            .when($"lag_lp".isNull, lit(null).cast("int"))
-            .when($"cents" > $"lag_lp", 1)
-            .when($"cents" < $"lag_lp", -1))
-        .withColumn("s_filled", coalesce(
-          last($"s_tick", ignoreNulls = true).over(wTick),
-          $"carry_in", lit(1)))
-        .withColumn("cum0", $"day_base" + $"intra_cum")
-        .withColumn("bucket", expr(s"(cum0 - 1) div $DollarBarT"))
-      resolved
+  private[graft] def flowFromTape(ticks: DataFrame): DataFrame = {
+    import ticks.sparkSession.implicits._
+    val wChunk = Window.partitionBy("tkr", "day", "_pid").orderBy("seq")
+    chunkedTicks(ticks)
+      // the previous price this tick sees: in-chunk, else the prior
+      // same-day chunk's last, else the prior day's last — null only on
+      // the ticker's very first tick ever
+      .withColumn("prev_any",
+        coalesce($"prev_in_chunk", $"prev_chunk_last", $"lag_lp"))
+      .withColumn("s_tick",
+        when($"prev_any".isNull, lit(null).cast("int"))
+          .when($"cents" > $"prev_any", 1)
+          .when($"cents" < $"prev_any", -1))
+      .withColumn("s_filled", coalesce(
+        last($"s_tick", ignoreNulls = true).over(wChunk),
+        $"chunk_carry", $"carry_in", lit(1)))
+      .withColumn("cum0", $"day_base" + $"chunk_off" + $"chunk_cum")
+      .withColumn("bucket", expr(s"(cum0 - 1) div $DollarBarT"))
+      .select($"tkr", $"day", $"seq", $"cents", $"_pid", $"s_filled",
+        $"cum0", $"bucket")
   }
+
+  /** The classified-flow SILVER table ([[Silver]] registry:
+    * `classified_flow`): the chunk-stitched tape materializes ONCE per
+    * input dir and the whole microstructure family (q229 bars, q230
+    * VPIN, q238 Kyle's λ, q267 runs test) reads it back — four queries
+    * were each rebuilding the two-shuffle chunk pass from scratch (the
+    * r9 silver-reuse finding; SharedSubtree audit enforces it now).
+    */
+  private[operators] def flowResolved(
+      spark: SparkSession, dir: String): DataFrame =
+    Scoped.shared(spark, s"classified_flow:$dir")(
+      (Nil, flowFromTape(tickTape(spark, dir))))
 
   /** The q230/q238 shared oracle CTE chain: ticks → w1 (lag + cumsum) →
     * w2 (carried tick-rule sign) — the textbook single global window.
@@ -1791,11 +1881,11 @@ object Series extends QueryModule {
   // serially dependent, or do buys and sells alternate like coin flips?
   // The nonparametric companion to q248's parametric Ljung–Box, on the
   // SAME classified-flow table the VPIN/Kyle arc reads (q230/q238).
-  // The tape is never windowed per ticker at tick grain (the declared
-  // `ticker` bound is daily): within-day sign transitions count under
-  // the (day, tkr) frame, day-boundary transitions come from the daily
-  // first/last-sign rollup joined per ticker at DAILY grain, and
-  // R = 1 + Σ transitions. E[R] = 1 + 2n₊n₋/n and Var[R] =
+  // The tape is never windowed at any data-dependent grain: in-chunk
+  // sign transitions count under the rangepartition-chunk frame,
+  // chunk-seam transitions on the ≤|partitions|-row chunk-summary
+  // frame, day-seam transitions on the daily first/last-sign rollup,
+  // and R = 1 + Σ transitions (adjacency splits associatively). E[R] = 1 + 2n₊n₋/n and Var[R] =
   // 2n₊n₋(2n₊n₋−n)/(n²(n−1)) evaluate as fixed-order doubles over the
   // exact integer counts; z flags serial dependence at 95%.
   // ---------------------------------------------------------------------
@@ -1803,11 +1893,18 @@ object Series extends QueryModule {
     "q267_runs_test",
     (spark, dir) => {
       import spark.implicits._
-      val wTick = Window.partitionBy("tkr", "day").orderBy("seq")
+      // transitions count hierarchically over the chunked flow: in-chunk
+      // transitions at chunk grain (bounded `_pid` window), chunk-seam
+      // transitions on the ≤|partitions|-row summary frame ("cday, ctkr"
+      // set), day-seam transitions on the daily rollup — never a
+      // tick-grain (tkr, day) window (adjacency is associative: R − 1 =
+      // Σ within-chunk + Σ chunk seams + Σ day seams)
+      val wChunk = Window.partitionBy("tkr", "day", "_pid").orderBy("seq")
       val f = flowResolved(spark, dir)
-        .select($"tkr", $"day", $"seq", $"s_filled")
-        .withColumn("s_prev", lag($"s_filled", 1).over(wTick))
-      val intra = f.groupBy($"tkr".as("ticker"), $"day")
+        .select($"tkr", $"day", $"_pid", $"seq", $"s_filled")
+        .withColumn("s_prev", lag($"s_filled", 1).over(wChunk))
+      val chk = f.groupBy($"tkr".as("ctkr"), $"day".as("cday"),
+          $"_pid".as("cpid"))
         .agg(count(lit(1)).as("n_ticks"),
           sum(when($"s_filled" === 1, 1L).otherwise(0L)).as("n_pos"),
           sum(when($"s_prev".isNotNull && $"s_filled" =!= $"s_prev", 1L)
@@ -1815,6 +1912,20 @@ object Series extends QueryModule {
           min(struct($"seq", $"s_filled".as("v"))).getField("v")
             .as("first_s"),
           max(struct($"seq", $"s_filled".as("v"))).getField("v")
+            .as("last_s"))
+      val wCh = Window.partitionBy("ctkr", "cday").orderBy("cpid")
+      val intra = chk
+        .withColumn("prev_chunk_s", lag($"last_s", 1).over(wCh))
+        .withColumn("seam",
+          when($"prev_chunk_s".isNotNull && $"first_s" =!= $"prev_chunk_s",
+            1L).otherwise(0L))
+        .groupBy($"ctkr".as("ticker"), $"cday".as("day"))
+        .agg(sum($"n_ticks").as("n_ticks"),
+          sum($"n_pos").as("n_pos"),
+          (sum($"trans_in") + sum($"seam")).as("trans_in"),
+          min(struct($"cpid", $"first_s".as("v"))).getField("v")
+            .as("first_s"),
+          max(struct($"cpid", $"last_s".as("v"))).getField("v")
             .as("last_s"))
       val wDay = Window.partitionBy("ticker").orderBy("day")
       val per = intra

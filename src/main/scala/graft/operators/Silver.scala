@@ -108,6 +108,14 @@ object Silver {
       Seq("q246", "q247", "q250", "q252"),
       (s, d) => CrossSection.mbars(s, d)),
     SilverTable(
+      "classified_flow",
+      "the chunk-stitched tick tape: global cumulative notional +" +
+        " carried tick-rule sign per tick (tkr, day, seq, cents, _pid," +
+        " s_filled, cum0, bucket) — the microstructure family's shared" +
+        " base, built by the fully-hierarchical segmented scan",
+      Seq("q229", "q230", "q238", "q267"),
+      (s, d) => Series.flowResolved(s, d)),
+    SilverTable(
       "gbt_model_store",
       "the session model store: (model_name, artifact bytes) parquet" +
         " rows; every load re-reads serialized bytes through the storage" +

@@ -57,7 +57,8 @@ object WindowBounds {
       "ROLLUP grain only: ≤ |trading days| rows per ticker (daily bars —" +
         " the indicator family discipline) or ≤ notional/T volume-bucket" +
         " rows (q230's VPIN frame, same magnitude); per-tick frames must" +
-        " re-partition by (tkr, day) before windowing",
+        " go through Series.chunkedTicks' rangepartition chunks before" +
+        " windowing",
       Seq("q18", "q20", "q80", "q153", "q219", "q230")),
     BoundedKey("doc_id",
       "per-document token/gram/span rows: bounded by max document" +
@@ -71,7 +72,7 @@ object WindowBounds {
       "spark_partition_id() after repartitionByRange: a rangepartition" +
         " chunk — ≤ ~|input| / |shuffle partitions| rows by the range" +
         " sampler, the hierarchical prefix-sum discipline",
-      Seq("q22", "q184")),
+      Seq("q22", "q184", "q229", "q230", "q267")),
     BoundedKey("chunk",
       "explicit rangepartition chunk id (withGlobalRn): ≤ chunk-size" +
         " rows by construction",
@@ -144,14 +145,15 @@ object WindowBounds {
         " cointegration screen's stage-2 frame, which only the top-K" +
         " screened pairs (a broadcast) ever reach",
       Seq("q250")),
-    BoundedSet("day, tkr",
-      "per-(ticker, trading-day) TICK rows — intraday grain, bounded by" +
-        " max trades per symbol-day; the key is renamed `tkr` precisely" +
-        " so a tick-grain frame can never ride the daily-bars `ticker`" +
-        " declaration (the segmented-scan half of q229's dollar-bar" +
-        " cumsum; the cross-day half runs on the daily rollup under" +
-        " `ticker`)",
-      Seq("q229", "q230"))
+    BoundedSet("cday, ctkr",
+      "per-(ticker, trading-day) CHUNK-SUMMARY rows from" +
+        " Series.chunkedTicks: ≤ |shuffle partitions| chunks per" +
+        " symbol-day — the q184 sweep discipline applied INTRA-day" +
+        " (r9 verdict #1: the old (day, tkr) tick-grain set was the" +
+        " last data-dependent bound and is retired; a raw tick frame" +
+        " cannot ride this declaration because the keys are renamed" +
+        " c-grain names that only the summary frames carry)",
+      Seq("q229", "q230", "q267"))
   )
 
   private lazy val declaredKeys: Set[String] = declared.map(_.key).toSet

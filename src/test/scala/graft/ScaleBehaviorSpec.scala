@@ -243,6 +243,85 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("hot symbol-day tick tape: chunk windows bounded; chunked flow == naive global window") {
+    import graft.operators.Series
+    // a deliberately hyper-liquid symbol-day the fixtures can't produce:
+    // one (tkr, day) owns 50k of 61k ticks — the tape shape that made
+    // the pre-r10 per-(tkr, day) window serial at 100 TB scale (the r9
+    // verdict's last data-dependent bound). AQE coalesce off + pinned
+    // partition count so the fixture-sized rows can't collapse into one
+    // chunk and hide the split.
+    val confs = Map(
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // hot day: price path with FLAT RUNS (id div 3 repeats each price
+      // 3×) so the tick-rule sign is null on two of three ticks and the
+      // last-non-null carry must really stitch across chunk seams
+      val hot = spark.range(0, 50000).select(
+        lit(1L).as("tkr"),
+        lit(java.sql.Date.valueOf("2024-03-01")).as("day"),
+        $"id".as("seq"),
+        (lit(1000000L) + (($"id" / 3).cast("long") * 7919L) % 997L - 498L)
+          .as("cents"))
+      // cold days on the same + other tickers, including days BEFORE and
+      // AFTER the hot day so the cross-day carry/base stitching is live
+      val cold = spark.range(0, 11000).select(
+        ($"id" % 4L + 1L).as("tkr"),
+        to_date(lit("2024-02-27").cast("date") + ($"id" % 7).cast("int"))
+          .as("day"),
+        ($"id" + 100000L).as("seq"),
+        (lit(1000000L) + ($"id" * 31L) % 1009L - 504L).as("cents"))
+        // drop the hot (tkr=1, 2024-03-01) overlap — seq must not collide
+        .filter(!($"tkr" === 1L && $"day" === lit("2024-03-01").cast("date")))
+      val tape = hot.unionByName(cold)
+      val n = tape.count()
+      // (a) the chunking law: no running-state window partition — a
+      // (tkr, day, _pid) cell — holds more than a balanced share, and
+      // the hot symbol-day REALLY splits across chunks
+      val flow = Series.flowFromTape(tape)
+      val cells = flow.groupBy($"tkr", $"day", $"_pid")
+        .agg(count(lit(1)).as("rows")).collect()
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val maxCell = cells.map(_.getAs[Long]("rows")).max
+      assert(maxCell <= 4L * n / parts,
+        s"chunk of $maxCell rows — hot symbol-day not split (ideal ${n / parts})")
+      assert(cells.count(r => r.getAs[Long]("tkr") == 1L &&
+        r.getAs[java.sql.Date]("day").toString == "2024-03-01") > 1,
+        "hot symbol-day landed in a single chunk")
+      assert(cells.map(_.getAs[Long]("rows")).sum === n)
+      // (b) exactness: the chunk-stitched cumulative and sign carry
+      // equal the naive single-global-window-per-ticker reference
+      import org.apache.spark.sql.expressions.Window
+      val wG = Window.partitionBy($"tkr").orderBy($"day", $"seq")
+      val naive = tape
+        .withColumn("cum0", sum($"cents").over(wG))
+        .withColumn("prev", lag($"cents", 1).over(wG))
+        .withColumn("s",
+          when($"prev".isNull, lit(null).cast("int"))
+            .when($"cents" > $"prev", 1)
+            .when($"cents" < $"prev", -1))
+        .withColumn("s_filled",
+          coalesce(last($"s", ignoreNulls = true).over(wG), lit(1)))
+        .select($"tkr", $"seq", $"cum0", $"s_filled")
+        .orderBy($"tkr", $"seq").collect().map(_.toString)
+      val chunked = flow.select($"tkr", $"seq", $"cum0", $"s_filled")
+        .orderBy($"tkr", $"seq").collect().map(_.toString)
+      assert(chunked.toSeq === naive.toSeq)
+      // (c) plan shape: the tape rides a RANGE exchange (the sort
+      // parallelizes) and no window partitions on (tkr, day) alone over
+      // raw ticks — every window spec carries _pid or runs at c-grain
+      val plan = flow.queryExecution.executedPlan.toString
+      assert(plan.contains("rangepartitioning"),
+        plan.linesIterator.take(30).mkString("\n"))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dynamic partition pruning fires on a partitioned fact × filtered dim join") {
     // the runtime analog of q59's static pruning: the fact is partitioned
     // by event_type, the dim filter is only known at run time (it sits on
