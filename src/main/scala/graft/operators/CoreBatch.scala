@@ -317,6 +317,28 @@ object CoreBatch extends QueryModule {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  /** SILVER: the per-(event_type, day) rollup of the events fact — exact
+    * count plus exact decimal value sum, the "daily bars" every
+    * events-derived time series starts from. Promoted by the
+    * SharedSubtreeSpec audit (r9 verdict #5): seven queries (q07, q54,
+    * q62, q94, q101, q158, q234, q237) planned this fact aggregate
+    * independently — at 100 TB that is seven full fact scans for one
+    * derived table. `close_cents` consumers derive exact cents as
+    * (y·100)::long — equal to Σ(per-row cents) because every decimal(28,2)
+    * term ·100 is integral and decimal accumulation is exact.
+    */
+  private[operators] def dailyEvents(
+      spark: SparkSession, dir: String): DataFrame =
+    Scoped.shared(spark, s"daily_events:$dir")({
+      import spark.implicits._
+      (Nil, Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(
+          count(lit(1)).as("volume"),
+          sum($"value".cast(DecimalType(28, 2))).as("y")))
+    })
+
   // ---------------------------------------------------------------------
   // q07 — interval/range join (J5): the reference's per-row 24 h Mongo
   // lookup (stock_pipeline.py:159-179) rewritten set-based. A naive
@@ -325,15 +347,16 @@ object CoreBatch extends QueryModule {
   // EXACTLY when date ∈ {floor(ts), floor(ts)+1}: each raw event explodes
   // to its two candidate bar dates and the join becomes a pure equi-join
   // on (event_type, date) — well-distributed keys, no range residual, no
-  // skew (the bucketed-by-day rewrite of SURVEY.md §2.3/§7.3).
+  // skew (the bucketed-by-day rewrite of SURVEY.md §2.3/§7.3). The bar
+  // side reads the daily_events silver table, not a fresh fact rollup.
   // ---------------------------------------------------------------------
   private val q07 = QueryDef(
     "q07_interval_join",
     (spark, dir) => {
       import spark.implicits._
       val ev = Tables.events(spark, dir).filter($"ts".isNotNull)
-      val bars = ev.groupBy($"event_type", to_date($"ts").as("date"))
-        .agg(count(lit(1)).as("volume"))
+      val bars = dailyEvents(spark, dir)
+        .select($"event_type", $"day".as("date"), $"volume")
       val cand = ev.select($"event_type", $"ts", $"value",
           explode(array(to_date($"ts"), date_add(to_date($"ts"), 1))).as("date"))
       bars.join(cand, Seq("event_type", "date"), "left")

@@ -521,14 +521,26 @@ object Curation extends QueryModule {
   // broadcast, and a rank window over the tiny source frame.
   // ---------------------------------------------------------------------
   private val BudgetTokens = 1000000L
+
+  /** SILVER: per-source corpus token totals (the engine-wide chars-div-4
+    * proxy) — the |sources|-row frame both apportionment queries (q134
+    * Hamilton, q194 α-smoothed) plan from. Promoted by the
+    * SharedSubtreeSpec audit: each planned the same full-corpus rollup.
+    */
+  private[operators] def sourceTokens(
+      spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Scoped.shared(spark, s"source_tokens:$dir")({
+      import spark.implicits._
+      (Nil, Tables.documents(spark, dir)
+        .groupBy($"source")
+        .agg(sum(expr("n_chars div 4")).as("n_tokens")))
+    })
+
   private val q134 = QueryDef(
     "q134_token_budget",
     (spark, dir) => {
       import spark.implicits._
-      val perSource = Tables.documents(spark, dir)
-        .groupBy($"source")
-        // the engine-wide chars-div-4 token proxy
-        .agg(sum(expr("n_chars div 4")).as("n_tokens"))
+      val perSource = sourceTokens(spark, dir)
       val totals = perSource.agg(sum($"n_tokens").as("total"))
       val floored = perSource.crossJoin(broadcast(totals))
         .withColumn("floor_alloc", expr(s"($BudgetTokens * n_tokens) div total"))
@@ -938,9 +950,7 @@ object Curation extends QueryModule {
     "q194_alpha_mixture",
     (spark, dir) => {
       import spark.implicits._
-      val perSource = Tables.documents(spark, dir)
-        .groupBy($"source")
-        .agg(sum(expr("n_chars div 4")).as("n_tokens"))
+      val perSource = sourceTokens(spark, dir)
         .withColumn("s", floor(sqrt($"n_tokens".cast("double")) * 1e6).cast("long"))
       val totals = perSource.agg(
         sum($"n_tokens").as("total_raw"), sum($"s").as("total_s"))

@@ -278,19 +278,32 @@ object Extras extends QueryModule {
   // isn't known a priori at 100 TB.
   // ---------------------------------------------------------------------
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
-  private val q71 = QueryDef(
-    "q71_pivot_wide",
-    (spark, dir) => {
+
+  /** SILVER: the wide daily reporting table — one exact-cent-sum column
+    * per event type, zero-filled. Promoted by the SharedSubtreeSpec audit:
+    * q71 (the pivot demo) and q159 (its unpivot inverse) each planned the
+    * same two-phase pivot aggregate over the fact; the wide frame is the
+    * thing a reporting layer materializes once.
+    */
+  private[operators] def dailyWideCents(
+      spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Scoped.shared(spark, s"daily_wide_cents:$dir")({
       import spark.implicits._
-      Tables.events(spark, dir)
+      (Nil, Tables.events(spark, dir)
         .filter($"ts".isNotNull)
         .withColumn("date", to_date($"ts"))
         .withColumn("cents", ($"value".cast(DecimalType(28, 2)) * 100).cast("long"))
         .groupBy($"date")
         .pivot("event_type", EventTypes)
         .agg(sum($"cents"))
-        .na.fill(0L, EventTypes)
-        .orderBy($"date")
+        .na.fill(0L, EventTypes))
+    })
+
+  private val q71 = QueryDef(
+    "q71_pivot_wide",
+    (spark, dir) => {
+      import spark.implicits._
+      dailyWideCents(spark, dir).orderBy($"date")
     },
     Some {
       val cols = EventTypes.map(t =>
@@ -608,14 +621,7 @@ object Extras extends QueryModule {
     "q159_unpivot_melt",
     (spark, dir) => {
       import spark.implicits._
-      val wide = Tables.events(spark, dir)
-        .filter($"ts".isNotNull)
-        .withColumn("date", to_date($"ts"))
-        .withColumn("cents", ($"value".cast(DecimalType(28, 2)) * 100).cast("long"))
-        .groupBy($"date")
-        .pivot("event_type", EventTypes)
-        .agg(sum($"cents"))
-        .na.fill(0L, EventTypes)
+      val wide = dailyWideCents(spark, dir)
       wide.unpivot(
           Array($"date"), EventTypes.map(col).toArray,
           "event_type", "cents")

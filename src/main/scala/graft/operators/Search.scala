@@ -40,21 +40,35 @@ object Search extends QueryModule {
   // ---------------------------------------------------------------------
   private val QueryTerms = Seq("spark", "join", "window", "vector", "stream")
 
-  private val q84 = QueryDef(
-    "q84_keyword_search",
-    (spark, dir) => {
+  /** SILVER: the df-annotated postings slice for the demo query terms —
+    * (doc_id, term, tf, df), the inverted-index fragment both rankers
+    * (q84 tf·idf, q115 BM25) score from. Promoted by the SharedSubtreeSpec
+    * audit: each ranker planned the same corpus tokenization + postings +
+    * df aggregates independently; at 100 TB the postings ARE the
+    * materialized index, never a per-query corpus pass.
+    */
+  private[operators] def queryPostings(
+      spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Scoped.shared(spark, s"query_postings:$dir")({
       import spark.implicits._
-      val docs = Tables.documents(spark, dir)
-      val postings = docs
+      val postings = Tables.documents(spark, dir)
         .select($"doc_id", explode(Portable.tokens(lower($"text"))).as("term"))
         .filter($"term".isInCollection(QueryTerms))
         .groupBy($"doc_id", $"term")
         .agg(count(lit(1)).as("tf"))
       val dfCounts = postings.groupBy($"term")
         .agg(countDistinct($"doc_id").as("df"))
+      (Nil, postings.join(broadcast(dfCounts), "term")
+        .select($"doc_id", $"term", $"tf", $"df"))
+    })
+
+  private val q84 = QueryDef(
+    "q84_keyword_search",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      postings
-        .join(broadcast(dfCounts), "term")
+      queryPostings(spark, dir)
         .crossJoin(broadcast(nDocs))
         .withColumn("idf_scaled", expr("(1000000 * n_docs) div df"))
         .groupBy($"doc_id")
@@ -109,14 +123,8 @@ object Search extends QueryModule {
       val docLen = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
       val corpus = docLen.agg(
         sum($"dl").as("sum_dl"), count(lit(1)).as("n_docs"))
-      val postings = toks
-        .filter($"term".isInCollection(QueryTerms))
-        .groupBy($"doc_id", $"term")
-        .agg(count(lit(1)).as("tf"))
-      val dfCounts = postings.groupBy($"term")
-        .agg(countDistinct($"doc_id").as("df"))
-      postings
-        .join(broadcast(dfCounts), "term")
+      // postings + df come from the query_postings silver slice
+      queryPostings(spark, dir)
         .join(docLen, "doc_id")
         .crossJoin(broadcast(corpus))
         .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs".cast("double"))

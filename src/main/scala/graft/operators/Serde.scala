@@ -55,8 +55,8 @@ object Serde extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val ev = Tables.events(spark, dir).filter($"ts".isNotNull)
-      val bars = ev.groupBy($"event_type", to_date($"ts").as("date"))
-        .agg(count(lit(1)).as("volume"))
+      val bars = CoreBatch.dailyEvents(spark, dir)
+        .select($"event_type", $"day".as("date"), $"volume")
       val daily = ev.groupBy(to_date($"ts").as("date"))
         .agg(
           count(lit(1)).as("market_events"),

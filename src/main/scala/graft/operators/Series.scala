@@ -259,13 +259,17 @@ object Series extends QueryModule {
     "q140_cms_frequency",
     (spark, dir) => {
       import spark.implicits._
-      val tok = Tables.documents(spark, dir)
-        .select(explode(Portable.tokens(lower($"text"))).as("token"))
-      val exact = tok.groupBy($"token").agg(count(lit(1)).as("exact_n"))
+      // word_counts silver (SharedSubtreeSpec promotion): both the exact
+      // top-20 and the sketch cells derive from the vocabulary-grain
+      // counts — the cell census Σ over tokens equals Σ cnt over words,
+      // so the sketch build shuffles |vocab| instead of |token instances|
+      val wc = TextOps.wordCounts(spark, dir)
+        .select($"w".as("token"), $"cnt")
+      val exact = wc.select($"token", $"cnt".as("exact_n"))
         .orderBy($"exact_n".desc, $"token").limit(20)
-      val cells = tok.select(explode(cmsCells($"token")).as("rc"))
+      val cells = wc.select(explode(cmsCells($"token")).as("rc"), $"cnt")
         .groupBy($"rc.r".as("r"), $"rc.c".as("c"))
-        .agg(count(lit(1)).as("cell_n"))
+        .agg(sum($"cnt").as("cell_n"))
       val probes = exact
         .select($"token", $"exact_n", explode(cmsCells($"token")).as("rc"))
         .select($"token", $"exact_n", $"rc.r".as("r"), $"rc.c".as("c"))
@@ -705,7 +709,7 @@ object Series extends QueryModule {
     * under any physical order. The key is `tkr`, not `ticker`: tick-grain
     * frames must never ride the daily-bars WindowBounds declaration.
     */
-  private def tickTape(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def tickTape(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir).select(
       $"l_suppkey".as("tkr"),
@@ -1106,10 +1110,9 @@ object Series extends QueryModule {
     "q234_conformal_intervals",
     (spark, dir) => {
       import spark.implicits._
-      val ev = Tables.events(spark, dir).filter($"ts".isNotNull)
-      val daily = ev.groupBy($"event_type", to_date($"ts").as("day"))
-        .agg(sum($"value".cast(DecimalType(28, 2))).as("y"))
-      val first = ev.agg(min(to_date($"ts")).as("lo"))
+      val daily = CoreBatch.dailyEvents(spark, dir)
+        .select($"event_type", $"day", $"y")
+      val first = daily.agg(min($"day").as("lo"))
       val wT = Window.partitionBy("event_type").orderBy("day")
       val sizes0 = daily.groupBy($"event_type").agg(count(lit(1)).as("n"))
       val dd = daily.crossJoin(broadcast(first))
@@ -1440,9 +1443,8 @@ object Series extends QueryModule {
     "q237_seasonal_decompose",
     (spark, dir) => {
       import spark.implicits._
-      val ev = Tables.events(spark, dir).filter($"ts".isNotNull)
-      val daily = ev.groupBy($"event_type", to_date($"ts").as("day"))
-        .agg(sum($"value".cast(DecimalType(28, 2))).as("y"))
+      val daily = CoreBatch.dailyEvents(spark, dir)
+        .select($"event_type", $"day", $"y")
       val w7 = Window.partitionBy("event_type").orderBy("day")
         .rowsBetween(-3, 3)
       val interior = daily
@@ -1650,9 +1652,10 @@ object Series extends QueryModule {
     "q243_ams_f2",
     (spark, dir) => {
       import spark.implicits._
-      val counts = Tables.documents(spark, dir)
-        .select(explode(Portable.tokens($"text")).as("w"))
-        .groupBy($"w").agg(count(lit(1)).as("f"))
+      // word_counts silver (SharedSubtreeSpec promotion; lowercased
+      // tokens — the engine-wide vocabulary convention)
+      val counts = TextOps.wordCounts(spark, dir)
+        .select($"w", $"cnt".as("f"))
       val exact = counts.agg(sum($"f" * $"f").as("f2_exact"))
       val reps = spark.range(1, AmsR + 1).toDF("r")
       counts.crossJoin(broadcast(reps))
@@ -1670,7 +1673,7 @@ object Series extends QueryModule {
     Some(s"""
       WITH counts AS (
         SELECT w, count(*) AS f FROM (
-          SELECT unnest(${Portable.tokensSql("text")}) AS w FROM documents)
+          SELECT unnest(${Portable.tokensSql("lower(text)")}) AS w FROM documents)
         GROUP BY 1),
       exact AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM counts),
       reps AS (SELECT unnest(range(1, ${AmsR + 1})) AS r),
@@ -1818,6 +1821,152 @@ object Series extends QueryModule {
       FROM walk WHERE e_seq > 0
       ORDER BY ticker, bar_seq"""
     })
+
+  // ---------------------------------------------------------------------
+  // q271 — STREAMING VPIN (r9 verdict "Next round" #3): the production
+  // order-flow monitor — VPIN updates the moment a volume bucket
+  // COMPLETES, not in a nightly batch. Per-ticker transformWithState
+  // (the q235 discipline): ValueState carries the tick-rule carry
+  // (last price + last non-zero sign), the running notional, the one
+  // OPEN bucket's buy/sell accumulation, and a ≤(VpinFrame−1)-entry
+  // ring of the most recent completed buckets' (|imbalance|, volume) —
+  // CONSTANT state per ticker. A tick whose floor bucket passes the
+  // open bucket completes it: emit (bucket, buy, sell, |oi|, VPIN over
+  // the trailing VpinFrame completed buckets) and open the new one.
+  //
+  // Stream ≡ batch: the emitted set is EXACTLY q230's bucket table
+  // restricted to COMPLETED buckets (complete ⟺ ticker total notional
+  // > (bucket+1)·T — the q235 completion rule), and a completed
+  // bucket's trailing-frame buckets all precede the open one, so the
+  // oracle is q230's SQL with that filter — the batch SQL as the
+  // streaming query's oracle. Equal-(day, seq) tick groups advance the
+  // accumulator ATOMICALLY (the batch RANGE-frame tie rule), and tie
+  // rows share one price (seq embeds cents), so the group sign is
+  // single-valued. buy/sell/oi are exact longs; VPIN is ONE double
+  // division of exact longs — bit-identical on both engines.
+  //
+  // Scale shape: state is one constant-size row per ticker; per-batch
+  // work is O(ticks). Replay feed = date-range parquet chunks in mtime
+  // order (maxFilesPerTrigger=1) — the q223/q235 replay contract; the
+  // chunking-independence spec replays at a different chunking.
+  // ---------------------------------------------------------------------
+  private[operators] final case class VpSt(
+      lastC: Long, lastS: Long, cum: Long,
+      openBkt: Long, buyC: Long, sellC: Long,
+      ringOi: Seq[Long], ringVol: Seq[Long])
+  private[operators] final case class VpOut(
+      ticker: Long, bucket: Long, buy_c: Long, sell_c: Long,
+      oi_c: Long, vpin: Double)
+
+  private[operators] class VpinProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, DbTick, VpOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[VpSt] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[VpSt]("vpin",
+        org.apache.spark.sql.Encoders.product[VpSt], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[DbTick],
+        tv: TimerValues): Iterator[VpOut] = {
+      var s = if (st.exists()) st.get()
+              else VpSt(0L, 0L, 0L, -1L, 0L, 0L, Nil, Nil)
+      val out = scala.collection.mutable.ListBuffer.empty[VpOut]
+      // tie groups (equal day+seq ⇒ equal price) advance cum atomically —
+      // the batch RANGE-frame rule, exactly q235's grouping
+      rows.toArray.sortBy(t => (t.day.getTime, t.seq))
+        .foldLeft(Vector.empty[Vector[DbTick]]) { (gs, t) =>
+          if (gs.nonEmpty && gs.last.head.day == t.day
+              && gs.last.head.seq == t.seq)
+            gs.init :+ (gs.last :+ t)
+          else gs :+ Vector(t)
+        }
+        .foreach { g =>
+          val c = g.head.cents
+          // tick rule with carry: +1 before any information (the batch
+          // coalesce(..., 1) default), carry on an unchanged price
+          val sign =
+            if (s.lastC == 0L) 1L
+            else if (c > s.lastC) 1L
+            else if (c < s.lastC) -1L
+            else if (s.lastS == 0L) 1L
+            else s.lastS
+          val cum = s.cum + g.map(_.cents).sum
+          val bid = (cum - 1) / DollarBarT // positive ⇒ truncation = floor
+          val add = g.length.toLong * c
+          val (gBuy, gSell) = if (sign == 1L) (add, 0L) else (0L, add)
+          // the carry updates only on a real price change
+          val lastS2 = if (s.lastC != 0L && c != s.lastC)
+                         (if (c > s.lastC) 1L else -1L)
+                       else s.lastS
+          if (s.openBkt == bid || s.openBkt == -1L)
+            s = s.copy(lastC = c, lastS = lastS2, cum = cum, openBkt = bid,
+              buyC = s.buyC + gBuy, sellC = s.sellC + gSell)
+          else {
+            // the open bucket completes: VPIN over it + the ring
+            val oi = math.abs(s.buyC - s.sellC)
+            val vol = s.buyC + s.sellC
+            val vpin = (s.ringOi.sum + oi).toDouble /
+              (s.ringVol.sum + vol).toDouble
+            out += VpOut(key, s.openBkt, s.buyC, s.sellC, oi, vpin)
+            s = VpSt(c, lastS2, cum, bid, gBuy, gSell,
+              (s.ringOi :+ oi).takeRight(VpinFrame - 1),
+              (s.ringVol :+ vol).takeRight(VpinFrame - 1))
+          }
+        }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** The q271 build, chunking exposed for the batch-boundary-independence
+    * spec (the q235 shape).
+    */
+  private[operators] def streamVpin(
+      outer: SparkSession, dir: String, nChunks: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val t = tickTape(spark, dir)
+    val feed = graft.streaming.Streams.replayByDates(t, "day", nChunks)
+    val buckets = spark.readStream.schema(t.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .as[DbTick]
+      .groupByKey(_.tkr)
+      .transformWithState(new VpinProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF()
+    graft.streaming.Streams.runToParquet(buckets, "append")
+      .orderBy($"ticker", $"bucket")
+  }
+
+  private val q271 = QueryDef(
+    "q271_stream_vpin",
+    (outer, dir) => streamVpin(outer, dir, 4),
+    Some(s"""
+      WITH $flowSql,
+      b AS (
+        SELECT ticker, CAST((cum0 - 1) // $DollarBarT AS BIGINT) AS bucket,
+               CAST(sum(CASE WHEN coalesce(s, 1) = 1 THEN cents ELSE 0 END)
+                 AS BIGINT) AS buy_c,
+               CAST(sum(CASE WHEN coalesce(s, 1) = -1 THEN cents ELSE 0 END)
+                 AS BIGINT) AS sell_c
+        FROM w2 GROUP BY 1, 2),
+      tot AS (
+        SELECT ticker, CAST(sum(cents) AS BIGINT) AS total_c
+        FROM ticks GROUP BY 1),
+      cb AS (
+        SELECT b.* FROM b JOIN tot ON tot.ticker = b.ticker
+        WHERE tot.total_c > (b.bucket + 1) * $DollarBarT)
+      SELECT ticker, bucket, buy_c, sell_c,
+             abs(buy_c - sell_c) AS oi_c,
+             CAST(sum(abs(buy_c - sell_c)) OVER wv AS DOUBLE)
+               / CAST(sum(buy_c + sell_c) OVER wv AS DOUBLE) AS vpin
+      FROM cb
+      WINDOW wv AS (PARTITION BY ticker ORDER BY bucket
+                    ROWS BETWEEN ${VpinFrame - 1} PRECEDING AND CURRENT ROW)
+      ORDER BY ticker, bucket"""))
 
   // ---------------------------------------------------------------------
   // q261 — AMIHUD ILLIQUIDITY (Amihud 2002): |daily return| per dollar
@@ -1984,5 +2133,6 @@ object Series extends QueryModule {
 
   override val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229, q230,
-      q231, q234, q235, q236, q237, q238, q239, q243, q244, q261, q267)
+      q231, q234, q235, q236, q237, q238, q239, q243, q244, q261, q267,
+      q271)
 }

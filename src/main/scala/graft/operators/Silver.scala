@@ -93,6 +93,42 @@ object Silver {
       Seq("q125"),
       (s, d) => Search.textrankEdges(s, d)),
     SilverTable(
+      "word_counts",
+      "lowercased whitespace-token corpus frequencies (w, cnt) — the one" +
+        " tokenization pass the vocabulary / sketch / tokenizer-training" +
+        " family shares (SharedSubtreeSpec promotion, r9 verdict #5)",
+      Seq("q58", "q140", "q243", "via wordpieceVocab: q226"),
+      (s, d) => TextOps.wordCounts(s, d)),
+    SilverTable(
+      "daily_events",
+      "per-(event_type, day) rollup of the events fact: exact count +" +
+        " exact decimal value sum — the daily bars every events-derived" +
+        " series and the as-of quote domain start from" +
+        " (SharedSubtreeSpec promotion)",
+      Seq("q07", "q54", "q62", "q94", "q101", "q158", "q234", "q237"),
+      (s, d) => CoreBatch.dailyEvents(s, d)),
+    SilverTable(
+      "daily_wide_cents",
+      "the wide daily reporting table: one exact-cent-sum column per" +
+        " event type, zero-filled — materialized once, read by the pivot" +
+        " demo and its unpivot inverse (SharedSubtreeSpec promotion)",
+      Seq("q71", "q159"),
+      (s, d) => Extras.dailyWideCents(s, d)),
+    SilverTable(
+      "query_postings",
+      "df-annotated postings slice for the demo query terms (doc_id," +
+        " term, tf, df) — the inverted-index fragment both retrieval" +
+        " rankers score from (SharedSubtreeSpec promotion)",
+      Seq("q84", "q115"),
+      (s, d) => Search.queryPostings(s, d)),
+    SilverTable(
+      "source_tokens",
+      "per-source corpus token totals (chars-div-4 proxy) — the" +
+        " |sources|-row frame both budget-apportionment queries plan from" +
+        " (SharedSubtreeSpec promotion)",
+      Seq("q134", "q194"),
+      (s, d) => Curation.sourceTokens(s, d)),
+    SilverTable(
       "wordpiece_vocab",
       "corpus-trained WordPiece vocabulary (piece, weight): every" +
         " character in start and ## form plus the top-200 multi-char" +

@@ -33,6 +33,20 @@ object Temporal extends QueryModule {
   private def cents(c: org.apache.spark.sql.Column) =
     sum((c.cast(DecimalType(28, 2)) * 100).cast("long"))
 
+  /** The quote-table domain every as-of query (q62/q94/q101/q158) samples:
+    * per-(event_type, day) exact close cents, read from the daily_events
+    * SILVER rollup instead of a per-query fact aggregate (SharedSubtreeSpec
+    * promotion). (y·100)::long == Σ per-row cents exactly — each
+    * decimal(28,2)·100 term is integral and decimal accumulation is exact.
+    */
+  private def quoteDomain(
+      spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import spark.implicits._
+    CoreBatch.dailyEvents(spark, dir)
+      .select($"event_type", $"day".as("d"),
+        ($"y" * 100).cast("long").as("close_cents"))
+  }
+
   // ---------------------------------------------------------------------
   // q62 — as-of join: each event matched to the latest "trading day" quote
   // at or before its date (≤ 13 days stale). Quote days are a
@@ -47,9 +61,8 @@ object Temporal extends QueryModule {
       val ev = Tables.events(spark, dir)
         .filter($"ts".isNotNull)
         .select($"event_id", $"event_type", to_date($"ts").as("d"), $"value")
-      val quotes = ev
-        .groupBy($"event_type", $"d".as("qdate"))
-        .agg(cents($"value").as("close_cents"))
+      val quotes = quoteDomain(spark, dir)
+        .withColumnRenamed("d", "qdate")
         .filter(pmod(Portable.md5Hash64(
           concat($"event_type", lit("|"), $"qdate".cast("string"))), lit(10)) < 7)
       val wq = Window.partitionBy($"event_type").orderBy($"qdate")
@@ -155,9 +168,7 @@ object Temporal extends QueryModule {
       val ev = Tables.events(spark, dir)
         .filter($"ts".isNotNull)
         .select($"event_id", $"event_type", to_date($"ts").as("d"), $"value")
-      val quotes = ev
-        .groupBy($"event_type", $"d")
-        .agg(cents($"value").as("close_cents"))
+      val quotes = quoteDomain(spark, dir)
         .filter(pmod(Portable.md5Hash64(
           concat($"event_type", lit("|"), $"d".cast("string"))), lit(10)) < 7)
         .select($"event_type".as("q_type"), $"d".as("qdate"), $"close_cents")
@@ -204,9 +215,7 @@ object Temporal extends QueryModule {
       val ev = Tables.events(spark, dir)
         .filter($"ts".isNotNull)
         .select($"event_id", $"event_type", to_date($"ts").as("d"), $"value")
-      val quotes = ev
-        .groupBy($"event_type", $"d")
-        .agg(cents($"value").as("close_cents"))
+      val quotes = quoteDomain(spark, dir)
         .filter(pmod(Portable.md5Hash64(
           concat($"event_type", lit("|"), $"d".cast("string"))), lit(10)) < 7 &&
           $"d" >= lit(QuoteStart).cast("date"))
@@ -258,9 +267,7 @@ object Temporal extends QueryModule {
       val ev = Tables.events(spark, dir)
         .filter($"ts".isNotNull)
         .select($"event_id", $"event_type", to_date($"ts").as("d"), $"value")
-      val quotes = ev
-        .groupBy($"event_type", $"d")
-        .agg(cents($"value").as("close_cents"))
+      val quotes = quoteDomain(spark, dir)
         .filter(pmod(Portable.md5Hash64(
           concat($"event_type", lit("|"), $"d".cast("string"))), lit(10)) < 7 &&
           $"d" >= lit(QuoteStart).cast("date"))

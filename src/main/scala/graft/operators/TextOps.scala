@@ -257,15 +257,34 @@ object TextOps extends QueryModule {
         FROM documents)
       GROUP BY source ORDER BY source"""))
 
+  /** SILVER: the corpus word-frequency table — lowercased whitespace
+    * tokens with exact counts, the one tokenization pass the vocabulary /
+    * sketch / tokenizer-training family shares. Promoted by the
+    * SharedSubtreeSpec audit (r9 verdict #5): q58, q140, q243 and the
+    * wordpiece_vocab build each planned a structurally-identical corpus
+    * token-count aggregate — at 100 TB, four full corpus scans for one
+    * vocabulary-sized table. The shuffle carries |vocab|, not |tokens|
+    * (map-side combine on the explode output).
+    */
+  private[operators] def wordCounts(
+      spark: SparkSession, dir: String): DataFrame =
+    Scoped.shared(spark, s"word_counts:$dir")({
+      import spark.implicits._
+      (Nil, Tables.documents(spark, dir)
+        .select(explode(Portable.tokens(lower($"text"))).as("w"))
+        .groupBy($"w")
+        .agg(count(lit(1)).as("cnt")))
+    })
+
   // ---------------------------------------------------------------------
   // q58 — vocabulary build (training-pipeline op): corpus word-frequency
   // table with a min-count floor and deterministic rank (count desc, word
-  // asc) — the tokenizer-training input shape. Explode → one groupBy →
-  // global top-k; the shuffle carries |vocab|, not |tokens|. The top-k is
-  // orderBy+limit (TakeOrderedAndProject: per-partition heaps, merge of
-  // 100-row finalists) — ranking the full vocab through a global window
-  // first would funnel |vocab| rows into one task; row_number here runs
-  // over the 100 surviving rows only.
+  // asc) — the tokenizer-training input shape, read from the word_counts
+  // silver table (lowercased tokens — the tokenizer-training convention).
+  // The top-k is orderBy+limit (TakeOrderedAndProject: per-partition
+  // heaps, merge of 100-row finalists) — ranking the full vocab through a
+  // global window first would funnel |vocab| rows into one task;
+  // row_number here runs over the 100 surviving rows only.
   // ---------------------------------------------------------------------
   private val q58 = QueryDef(
     "q58_vocab_build",
@@ -273,10 +292,8 @@ object TextOps extends QueryModule {
       import spark.implicits._
       import org.apache.spark.sql.expressions.Window
       val w = Window.orderBy($"n".desc, $"word".asc)
-      Tables.documents(spark, dir)
-        .select(explode(Portable.tokens($"text")).as("word"))
-        .groupBy($"word")
-        .agg(count(lit(1)).as("n"))
+      wordCounts(spark, dir)
+        .select($"w".as("word"), $"cnt".as("n"))
         .filter($"n" >= 5)
         .orderBy($"n".desc, $"word".asc)
         .limit(100)
@@ -288,7 +305,7 @@ object TextOps extends QueryModule {
         SELECT word, n, row_number() OVER (ORDER BY n DESC, word ASC) AS rank
         FROM (
           SELECT word, count(*) AS n
-          FROM (SELECT unnest(${Portable.tokensSql("text")}) AS word FROM documents)
+          FROM (SELECT unnest(${Portable.tokensSql("lower(text)")}) AS word FROM documents)
           GROUP BY word)
         WHERE n >= 5)
       WHERE rank <= 100 ORDER BY rank"""))
@@ -963,10 +980,9 @@ object TextOps extends QueryModule {
       spark: SparkSession, dir: String): DataFrame =
     Scoped.shared(spark, s"wordpiece_vocab:$dir")({
       import spark.implicits._
-      val wcounts = Tables.documents(spark, dir)
-        .select(explode(Portable.tokens(lower($"text"))).as("w"))
-        .groupBy($"w").agg(count(lit(1)).as("cnt"))
-        .as[(String, Long)]
+      // the corpus token-count pass comes from the word_counts silver
+      // table (SharedSubtreeSpec promotion), not a private re-aggregation
+      val wcounts = wordCounts(spark, dir).as[(String, Long)]
       val pieces = wcounts.flatMap { case (w, cnt) =>
         val L = w.length
         val out = scala.collection.mutable.ListBuffer.empty[(String, Long)]

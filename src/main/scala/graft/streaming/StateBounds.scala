@@ -119,6 +119,10 @@ object StateBounds {
       "= one ValueState row per ticker (tick-rule carry + the open" +
         " imbalance bar, constant size)",
       (s, d) => graft.operators.Series.tapeTickersOf(s, d)),
+    StateBound("q271_stream_vpin",
+      "= one ValueState row per ticker (tick-rule carry + open bucket +" +
+        " the ≤(VpinFrame−1)-entry completed-bucket ring, constant size)",
+      (s, d) => graft.operators.Series.tapeTickersOf(s, d)),
     StateBound("q240_stream_cusum_events",
       "= one ValueState row per ticker (last close + the two CUSUM" +
         " accumulators, constant size)",

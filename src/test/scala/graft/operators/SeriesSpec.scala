@@ -386,19 +386,56 @@ class SeriesSpec extends AnyFunSuite {
     assert(re.toSeq === base.toSeq)
   }
 
+  test("q271: streaming VPIN — completed buckets only, exact longs, chunk-invariant") {
+    val out = Series.streamVpin(spark, dir, 4).cache()
+    assert(out.count() > 0)
+    // oi is |buy − sell| and vpin sits in (0, 1]
+    assert(out.filter($"oi_c" =!= abs($"buy_c" - $"sell_c")).isEmpty)
+    assert(out.filter($"vpin" <= 0.0 || $"vpin" > 1.0).isEmpty)
+    // only COMPLETED buckets emit: every emitted bucket id is strictly
+    // below the ticker's final open bucket (= floor((total-1)/T))
+    val tot = Series.tickTape(spark, dir)
+      .groupBy($"tkr".as("ticker"))
+      .agg(sum($"cents").as("total_c"))
+    assert(out.join(tot, "ticker")
+      .filter($"total_c" <= ($"bucket" + 1) * Series.DollarBarT).isEmpty)
+    // batch-boundary independence: a different replay chunking emits the
+    // identical bucket table (state carries across micro-batches exactly)
+    val base = out.collect().map(_.toString).sorted
+    out.unpersist()
+    val re = Series.streamVpin(spark, dir, 9).collect()
+      .map(_.toString).sorted
+    assert(re.toSeq === base.toSeq)
+  }
+
   test("q229: plan is the segmented scan — day offsets broadcast, no tape-sized window") {
-    val df = graft.SparkEntry.queries("q229_dollar_bars")(spark, dir)
-    val p = df.queryExecution.executedPlan.toString
-    // the day-offset frame must come back as a broadcast, never a shuffle
-    // of the tick side onto the daily rollup's key
+    // assert on the classified_flow BUILD plan (the segmented scan lives
+    // there since the silver promotion), composed directly so the
+    // assertion is independent of whether another suite already
+    // materialized the silver parquet in this JVM (the Scoped.shared
+    // cache made the old queries("q229") form order-dependent)
+    val build = Series.flowFromTape(Series.tickTape(spark, dir))
+    val p = build.queryExecution.executedPlan.toString
+    // the chunk-offset frame must come back as a broadcast, never a
+    // shuffle of the tick side onto the chunk-summary key
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(20).mkString("\n"))
-    // both windows at their declared grains: the cross-day prefix sum
-    // partitions by ticker on the DAILY rollup, the tick cumsum by
-    // (tkr, day) — no window over ticks keyed by ticker alone
-    val windowKeys = p.linesIterator
-      .filter(l => l.contains("Window ") && l.contains("windowspecdefinition"))
-      .map(l => l.contains("tkr") && l.contains("day")).toSeq
-    assert(windowKeys.nonEmpty)
+    // every window in the build at a construction-bounded grain: the
+    // tick-grain windows carry the chunk key (_pid), the summary windows
+    // run on the ≤|partitions| chunk rows (ctkr, cday) and the daily
+    // rollup (ticker) — never a tick window keyed by ticker or
+    // ticker+day alone
+    val buildWindows = build.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.references.map(_.name).mkString).toSet
+    }
+    assert(buildWindows.nonEmpty)
+    assert(buildWindows.forall(ks =>
+      ks.exists(_.contains("_pid")) || ks == Set("ctkr", "cday") ||
+        ks == Set("ticker")),
+      buildWindows.toString)
+    // q229 itself reads the silver back; its own windows stay at bar or
+    // rollup grain — never a tick window keyed by ticker alone
+    val df = graft.SparkEntry.queries("q229_dollar_bars")(spark, dir)
     val tickWindowed = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
         w.partitionSpec.map(_.references.map(_.name).mkString).toSet
