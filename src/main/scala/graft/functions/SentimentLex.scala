@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * This is the native-expression port of the three VADER mechanics that
   * dominate its behavior (Hutto & Gilbert 2014, public method):
   *
-  *   1. a large word→valence lexicon (3,786 entries as of round 9, vs
+  *   1. a large word→valence lexicon (4,169 entries as of round 10, vs
   *      public VADER's ~7.5k, at VADER-like magnitudes — a hand-curated
   *      core plus morphologically derived inflections and
   *      finance/slang/emoticon batches, see [[Lexicon]] — stored as
@@ -824,7 +824,7 @@ object SentimentLex {
   /** Stems whose final consonant doubles before -ed/-ing. */
   private val DoubleFinal =
     Set("expel", "excel", "nag", "snub", "stun", "flop", "shun", "abhor",
-      "regret")
+      "regret", "outwit", "mar")
 
   /** Words whose inflections are irregular or unnatural — entered as
     * explicit single forms instead of through the derivation rules.
@@ -889,12 +889,14 @@ object SentimentLex {
     else if (w.endsWith("ue")) w.dropRight(1) + "ly"
     else w + "ly"
 
-  private def derivedEntries: Seq[(String, Int)] =
-    (VerbStems ++ VerbStems2).flatMap { case (w, v) =>
+  private def derivedEntries: Seq[(String, Int)] = {
+    import SentimentLexGrowth.{VerbStems3, AdjStems3, NounStems3, ExtraWords2}
+    (VerbStems ++ VerbStems2 ++ VerbStems3).flatMap { case (w, v) =>
       Seq(w -> v, sForm(w) -> v, pastForm(w) -> v, ingForm(w) -> v) } ++
-    (AdjStems ++ AdjStems2).flatMap { case (w, v) => Seq(w -> v, lyForm(w) -> v) } ++
-    (NounStems ++ NounStems2).flatMap { case (w, v) => Seq(w -> v, sForm(w) -> v) } ++
-    ExtraWords ++ FinanceBatch ++ SlangBatch
+    (AdjStems ++ AdjStems2 ++ AdjStems3).flatMap { case (w, v) => Seq(w -> v, lyForm(w) -> v) } ++
+    (NounStems ++ NounStems2 ++ NounStems3).flatMap { case (w, v) => Seq(w -> v, sForm(w) -> v) } ++
+    ExtraWords ++ ExtraWords2 ++ FinanceBatch ++ SlangBatch
+  }
 
   /** word → integer decivalence (VADER-like valence × 10): the curated
     * core merged with the derived/domain batches. First occurrence wins

@@ -2013,7 +2013,106 @@ object Curation extends QueryModule {
       JOIN documents d ON pd.doc_id = d.doc_id
       ORDER BY pd.doc_id"""))
 
+  // ---------------------------------------------------------------------
+  // q273 — HTML BOILERPLATE EXTRACTION (trafilatura/jusText-lite): the
+  // web-crawl curation step upstream of every text operator — strip
+  // markup chrome (head/script/style/nav/footer), drop tags, decode
+  // entities, normalize whitespace, keep the article text. The fixture
+  // corpus is plain text, so the query first WRAPS each doc in a
+  // deterministic HTML page (the q67 plant-then-operate discipline:
+  // title + script + style + nav breadcrumb + footer + an entity-bearing
+  // trailing paragraph), then the extractor must recover EXACTLY the
+  // original text plus the decoded trailer — asserted per doc via the
+  // n_exact census, so a regex that eats a character of content or
+  // leaves a tag breaks the gate. Pure per-row map work (regexes are
+  // RE2-and-Java-compatible: non-greedy blocks, (?s) dotall, no
+  // lookarounds); no shuffle before the per-source audit rollup —
+  // at 100 TB this is the same linear scan shape as q67.
+  // ---------------------------------------------------------------------
+  private val TagRe = "<[^>]*>"
+  private val EntityRe = "&[a-z]+;"
+  private val BlockRes = Seq(
+    "(?s)<script.*?</script>", "(?s)<style.*?</style>",
+    "(?s)<title.*?</title>", "(?s)<nav.*?</nav>",
+    "(?s)<footer.*?</footer>")
+  private val q273 = QueryDef(
+    "q273_html_extract",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val wrapped = Tables.documents(spark, dir)
+        .withColumn("html", concat(
+          lit("<!DOCTYPE html><html><head><title>Doc "), $"doc_id",
+          lit("</title><script>var x=1;</script><style>.m{color:red}</style>" +
+            "</head><body><nav>Home &gt; "), $"source",
+          lit("</nav><div id=\"main\"><p>"), $"text",
+          lit("</p><p>Rated 5 &gt; 4 &amp; counting</p></div>" +
+            "<footer>&copy; 2024 Example</footer></body></html>")))
+      val deblocked = BlockRes.foldLeft($"html": org.apache.spark.sql.Column)(
+        (c, re) => regexp_replace(c, re, " "))
+      val audited = wrapped
+        .withColumn("n_tags",
+          size(regexp_extract_all($"html", lit(TagRe), lit(0))))
+        .withColumn("n_entities",
+          size(regexp_extract_all($"html", lit(EntityRe), lit(0))))
+        .withColumn("untag", regexp_replace(deblocked, TagRe, " "))
+        .withColumn("decoded",
+          regexp_replace(regexp_replace(regexp_replace($"untag",
+            "&gt;", ">"), "&lt;", "<"), "&amp;", "&"))
+        .withColumn("extracted",
+          trim(regexp_replace($"decoded", "\\s+", " ")))
+        .withColumn("want",
+          concat(trim(regexp_replace($"text", "\\s+", " ")),
+            lit(" Rated 5 > 4 & counting")))
+      audited
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tags").as("tags_stripped"),
+          sum($"n_entities").as("entities_seen"),
+          sum(when($"extracted" === $"want", 1L).otherwise(0L))
+            .as("n_exact"),
+          sum(Portable.md5Hash64($"extracted") % lit(Portable.P))
+            .as("corpus_checksum"))
+        .orderBy($"source")
+    },
+    Some {
+      val blocks = BlockRes.foldLeft("html")(
+        (e, re) => s"regexp_replace($e, '$re', ' ', 'g')")
+      s"""
+      WITH wrapped AS (
+        SELECT source, text,
+               '<!DOCTYPE html><html><head><title>Doc ' || doc_id ||
+               '</title><script>var x=1;</script><style>.m{color:red}</style>' ||
+               '</head><body><nav>Home &gt; ' || source ||
+               '</nav><div id="main"><p>' || text ||
+               '</p><p>Rated 5 &gt; 4 &amp; counting</p></div>' ||
+               '<footer>&copy; 2024 Example</footer></body></html>' AS html
+        FROM documents),
+      ext AS (
+        SELECT source,
+               len(regexp_extract_all(html, '$TagRe')) AS n_tags,
+               len(regexp_extract_all(html, '$EntityRe')) AS n_entities,
+               trim(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace($blocks, '$TagRe', ' ', 'g'),
+                   '&gt;', '>', 'g'), '&lt;', '<', 'g'), '&amp;', '&', 'g'),
+                 '\\s+', ' ', 'g')) AS extracted,
+               trim(regexp_replace(text, '\\s+', ' ', 'g')) ||
+                 ' Rated 5 > 4 & counting' AS want
+        FROM wrapped)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tags) AS BIGINT) AS tags_stripped,
+             CAST(sum(n_entities) AS BIGINT) AS entities_seen,
+             CAST(sum(CASE WHEN extracted = want THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+             CAST(sum(${graft.functions.Portable.md5Hash64Sql("extracted")}
+               % ${graft.functions.Portable.P}) AS BIGINT) AS corpus_checksum
+      FROM ext GROUP BY source ORDER BY source"""
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134, q149, q164, q168,
-      q175, q194, q195, q199, q200, q209, q227, q228, q245, q251, q253)
+      q175, q194, q195, q199, q200, q209, q227, q228, q245, q251, q253,
+      q273)
 }

@@ -657,13 +657,16 @@ object WindowFeatures extends QueryModule {
   // before the test block minus the H-row purge zone (rn + H ≤ lo − 1:
   // those labels are functions of test-period prices), pooled across
   // tickers (the cross-sectional AFML setup); WfRounds perceptron
-  // rounds over integer features (bias, 1-day and 5-day close change
-  // in cents) against the binarized triple-barrier label (+1 = up-
-  // barrier touch, −1 = down/timeout); then the fold's test block is
-  // scored OUT-OF-FOLD and exact-integer metrics reported (sign
-  // convention pinned: margin > 0 ⇒ up). No embargo is needed: the
-  // walk-forward train set ends before the test block, so no post-test
-  // rows ever train.
+  // rounds over SIGN features (bias, sign of the 1-day and of the
+  // 5-day close change — ±1/0, so gradients are bounded by row count
+  // and weights by rounds·rows: margins stay ≤ 3·R·n ≪ int64 at ANY
+  // corpus scale, where cents-scale features overflowed round-2
+  // margins already at sf0.1) against the binarized triple-barrier
+  // label (+1 = up-barrier touch, −1 = down/timeout); then the fold's
+  // test block is scored OUT-OF-FOLD and exact-integer metrics
+  // reported (sign convention pinned: margin > 0 ⇒ up). No embargo is
+  // needed: the walk-forward train set ends before the test block, so
+  // no post-test rows ever train.
   //
   // Scale shape: the feature frame is one linear pass (persisted across
   // folds); each training round is ONE map-side-combined aggregate with
@@ -681,12 +684,15 @@ object WindowFeatures extends QueryModule {
       import spark.implicits._
       require(CvPurgeH == TbHorizon,
         "purge depth must equal the label horizon it guards against")
+      def sgn(c: org.apache.spark.sql.Column) =
+        when(c > 0L, 1L).when(c < 0L, -1L).otherwise(0L)
       val f = tripleBarrier(spark, dir)
-        .withColumn("x1", $"cents" - lag($"cents", 1).over(wTicker))
-        .withColumn("x5", $"cents" - lag($"cents", 5).over(wTicker))
-        .filter($"x1".isNotNull && $"x5".isNotNull) // rn ≥ 6: full features
+        .withColumn("d1", $"cents" - lag($"cents", 1).over(wTicker))
+        .withColumn("d5", $"cents" - lag($"cents", 5).over(wTicker))
+        .filter($"d1".isNotNull && $"d5".isNotNull) // rn ≥ 6: full features
         .withColumn("y", when($"label" === 1L, 1L).otherwise(-1L))
-        .select($"ticker", $"rn", $"n", $"y", lit(1L).as("x0"), $"x1", $"x5")
+        .select($"ticker", $"rn", $"n", $"y", lit(1L).as("x0"),
+          sgn($"d1").as("x1"), sgn($"d5").as("x5"))
         .persist()
       try {
         val rows = (1 until WfFolds).map { k =>
@@ -776,13 +782,17 @@ object WindowFeatures extends QueryModule {
         SELECT ticker, rn, n,
                CASE WHEN label = 1 THEN CAST(1 AS BIGINT)
                     ELSE CAST(-1 AS BIGINT) END AS y,
-               CAST(1 AS BIGINT) AS x0, x1, x5
+               CAST(1 AS BIGINT) AS x0,
+               CAST(CASE WHEN d1 > 0 THEN 1 WHEN d1 < 0 THEN -1 ELSE 0 END
+                 AS BIGINT) AS x1,
+               CAST(CASE WHEN d5 > 0 THEN 1 WHEN d5 < 0 THEN -1 ELSE 0 END
+                 AS BIGINT) AS x5
         FROM (
           SELECT ticker, rn, n, label,
-                 cents - lag(cents, 1) OVER w AS x1,
-                 cents - lag(cents, 5) OVER w AS x5
+                 cents - lag(cents, 1) OVER w AS d1,
+                 cents - lag(cents, 5) OVER w AS d5
           FROM tb WINDOW w AS (PARTITION BY ticker ORDER BY date))
-        WHERE x1 IS NOT NULL AND x5 IS NOT NULL),
+        WHERE d1 IS NOT NULL AND d5 IS NOT NULL),
       $folds
       SELECT fold, w_bias, w_d1, w_d5, n_train, n_test, n_up_true,
              n_up_pred, n_correct,
