@@ -1521,7 +1521,101 @@ object CrossSection extends QueryModule {
              CAST((1000 * n_pos) // n_days AS BIGINT) AS pos_milli
       FROM agg ORDER BY band"""))
 
+  // ---------------------------------------------------------------------
+  // q274 — EVENT STUDY (MacKinlay 1997, "Event Studies in Economics and
+  // Finance"): cumulative abnormal returns around announcement days —
+  // the econometric instrument for "did the event move the price".
+  // The fixture has no labeled announcements, so event days are planted
+  // deterministically (md5("evt|tkr|date") % 17 = 0, ~6% of bar days —
+  // the q67 plant-then-operate discipline); the operator under test is
+  // the event-time machinery: market-adjusted abnormal returns and the
+  // [−2, +2] event-window CAR.
+  //
+  // Exactness end-to-end INTEGER: daily returns quantized once to
+  // milli (floor of the single-division return — the q252 discipline),
+  // the market return is the sign-peeled integer mean over ≥ 5 names
+  // per day, abnormal = ret − mkt is an exact BIGINT, and CAR is an
+  // exact integer window SUM over the ±2 frame — no float accumulation
+  // anywhere, so the hash gate is exact, not ulp-lucky. Only events
+  // with the full 5-day window qualify (the estimation-window-complete
+  // convention).
+  //
+  // Scale: one ticker-window lag (daily-bars grain, declared bound),
+  // one |days|-row broadcast of the market, one ±2 window pass, then
+  // the event filter — event rows are a hash-thinned subset, never a
+  // join fan-out. Distinct from q252 (monthly CAPM regression): this
+  // is EVENT-time aggregation at daily grain, no regression.
+  // ---------------------------------------------------------------------
+  private val EvtMod = 17L
+  private val q274 = QueryDef(
+    "q274_event_study",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val wT = Window.partitionBy("ticker").orderBy("date")
+      val rets = WindowFeatures.bars(spark, dir)
+        .withColumn("close_c",
+          ($"close".cast(DecimalType(28, 2)) * 100).cast("long"))
+        .withColumn("prev_c", lag($"close_c", 1).over(wT))
+        .filter($"prev_c".isNotNull)
+        .withColumn("ret_milli",
+          floor(lit(1000.0) * ($"close_c" - $"prev_c").cast("double") /
+            $"prev_c".cast("double")).cast("long"))
+      val mkt = rets.groupBy($"date")
+        .agg(count(lit(1)).as("n_names"), sum($"ret_milli").as("s_ret"))
+        .filter($"n_names" >= 5)
+        .withColumn("mkt_milli", expr(speelDivSql("s_ret", "n_names", "div")))
+        .select($"date", $"mkt_milli")
+      val wCar = wT.rowsBetween(-2, 2)
+      rets.join(broadcast(mkt), "date")
+        .withColumn("ab_milli", $"ret_milli" - $"mkt_milli")
+        .withColumn("car_milli", sum($"ab_milli").over(wCar))
+        .withColumn("n_win", count($"ab_milli").over(wCar))
+        .filter(pmod(Portable.md5Hash64(
+          concat(lit("evt|"), $"ticker", lit("|"), $"date".cast("string"))),
+          lit(EvtMod)) === 0 && $"n_win" === 5)
+        .select($"ticker", $"date", $"ret_milli", $"mkt_milli",
+          $"ab_milli", $"car_milli")
+        .orderBy($"ticker", $"date")
+    },
+    Some(s"""
+      WITH ${WindowFeatures.barsSql},
+      rets AS (
+        SELECT ticker, date,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(close_c - prev_c AS DOUBLE)
+                 / CAST(prev_c AS DOUBLE)) AS BIGINT) AS ret_milli
+        FROM (
+          SELECT ticker, date,
+                 CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT) AS close_c,
+                 lag(CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT), 1)
+                   OVER (PARTITION BY ticker ORDER BY date) AS prev_c
+          FROM bars)
+        WHERE prev_c IS NOT NULL),
+      mkt AS (
+        SELECT date,
+               ${speelDivSql("CAST(sum(ret_milli) AS BIGINT)",
+                 "count(*)", "//")} AS mkt_milli
+        FROM rets GROUP BY date HAVING count(*) >= 5),
+      ab AS (
+        SELECT r.ticker, r.date, r.ret_milli, m.mkt_milli,
+               r.ret_milli - m.mkt_milli AS ab_milli
+        FROM rets r JOIN mkt m USING (date)),
+      car AS (
+        SELECT *,
+               CAST(sum(ab_milli) OVER w5 AS BIGINT) AS car_milli,
+               count(ab_milli) OVER w5 AS n_win
+        FROM ab
+        WINDOW w5 AS (PARTITION BY ticker ORDER BY date
+                      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))
+      SELECT ticker, date, ret_milli, mkt_milli, ab_milli, car_milli
+      FROM car
+      WHERE ${graft.functions.Portable.md5Hash64Sql(
+        "('evt|' || ticker || '|' || CAST(date AS VARCHAR))")} % $EvtMod = 0
+        AND n_win = 5
+      ORDER BY ticker, date"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256, q260, q262,
-      q266, q269, q270)
+      q266, q269, q270, q274)
 }

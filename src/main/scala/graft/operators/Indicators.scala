@@ -481,227 +481,6 @@ object Indicators extends QueryModule {
       FROM acc WHERE n = 20
       ORDER BY ticker, date"""))
 
-  // ---------------------------------------------------------------------
-  // q274 — RETURN AUTOCORRELATION FUNCTION + LJUNG–BOX (Box–Pierce '70 /
-  // Ljung–Box '78): per ticker, the lag-1..5 autocorrelations of daily
-  // close CHANGES (cents) plus the portmanteau statistic
-  // Q = n(n+2)·Σ_k ρ̂_k²/(n−k) against the χ²₅ 5% critical value — the
-  // standard "is this series white noise" audit next to q267's runs
-  // test (which reads only signs; this reads magnitudes). ρ̂_k is the
-  // Pearson correlation of the PAIRED series (d_t, d_{t−k}) — each
-  // pair-moment (n_k, Σx, Σy, Σxy, Σx², Σy²) an exact BIGINT with
-  // map-side combine, numerator n_k·Σxy − ΣxΣy and the two variance
-  // terms exact BIGINTs (int64 envelope: |d| ≤ 10⁷ cents, |days| ≤ 10⁴
-  // → n·Σxy ≤ 10²² needs… at fixture |days| ≤ 10² the products sit at
-  // ≤ 4·10¹⁷; past ~10³ trading days per ticker the accumulators move
-  // to DECIMAL, the q120 wider-lane note), then ONE division by the
-  // product of two correctly-rounded sqrts. Q is a FIXED left-to-right
-  // chain over the 5 per-lag columns (never a float SUM over rows —
-  // order would float). Zero-variance lags (constant diffs) yield NULL
-  // ρ and contribute 0 to Q on both engines. One shuffle on ticker;
-  // every window at the declared daily-bars grain.
-  // ---------------------------------------------------------------------
-  private val AcfK = 5
-  private val LbCrit5 = 11.07 // χ²(5) upper 5% point, same literal both engines
-  private val q274 = QueryDef(
-    "q274_acf_ljungbox",
-    (spark, dir) => {
-      import spark.implicits._
-      var df = barsCents(spark, dir)
-        .withColumn("d", $"cents" - lag($"cents", 1).over(wTicker))
-        .filter($"d".isNotNull)
-      for (k <- 1 to AcfK)
-        df = df.withColumn(s"l$k", lag($"d", k).over(wTicker))
-      val aggs = (1 to AcfK).flatMap { k =>
-        val lk = col(s"l$k")
-        Seq(
-          count(lk).as(s"m$k"),
-          coalesce(sum(when(lk.isNotNull, $"d")), lit(0L)).as(s"sx$k"),
-          coalesce(sum(lk), lit(0L)).as(s"sy$k"),
-          coalesce(sum($"d" * lk), lit(0L)).as(s"sxy$k"),
-          coalesce(sum(when(lk.isNotNull, $"d" * $"d")), lit(0L)).as(s"sxx$k"),
-          coalesce(sum(lk * lk), lit(0L)).as(s"syy$k"))
-      }
-      var g = df.groupBy($"ticker")
-        .agg(count(lit(1)).as("n"), aggs: _*)
-      for (k <- 1 to AcfK) {
-        val (m, sx, sy, sxy, sxx, syy) = (col(s"m$k"), col(s"sx$k"),
-          col(s"sy$k"), col(s"sxy$k"), col(s"sxx$k"), col(s"syy$k"))
-        val varx = m * sxx - sx * sx
-        val vary = m * syy - sy * sy
-        g = g.withColumn(s"rho$k",
-          when(m >= 3 && varx > 0 && vary > 0,
-            (m * sxy - sx * sy).cast("double") /
-              (sqrt(varx.cast("double")) * sqrt(vary.cast("double")))))
-      }
-      val qTerms = (1 to AcfK).map { k =>
-        coalesce(col(s"rho$k") * col(s"rho$k") /
-          ($"n" - k).cast("double"), lit(0.0))
-      }.reduceLeft(_ + _) // fixed left-to-right chain
-      g.withColumn("q_lb",
-          ($"n" * ($"n" + 2)).cast("double") * qTerms)
-        .withColumn("serial_dep_rejected", $"q_lb" > LbCrit5)
-        .select(($"ticker" +: $"n" +:
-          (1 to AcfK).map(k => col(s"rho$k"))) :+
-          $"q_lb" :+ $"serial_dep_rejected": _*)
-        .orderBy($"ticker")
-    },
-    Some {
-      val lagCols = (1 to AcfK).map(k =>
-        s"lag(d, $k) OVER (PARTITION BY ticker ORDER BY date) AS l$k")
-        .mkString(",\n               ")
-      val sums = (1 to AcfK).map(k => s"""
-               count(l$k) AS m$k,
-               CAST(coalesce(sum(CASE WHEN l$k IS NOT NULL THEN d END), 0) AS BIGINT) AS sx$k,
-               CAST(coalesce(sum(l$k), 0) AS BIGINT) AS sy$k,
-               CAST(coalesce(sum(d * l$k), 0) AS BIGINT) AS sxy$k,
-               CAST(coalesce(sum(CASE WHEN l$k IS NOT NULL THEN d * d END), 0) AS BIGINT) AS sxx$k,
-               CAST(coalesce(sum(l$k * l$k), 0) AS BIGINT) AS syy$k""")
-        .mkString(",")
-      val rhos = (1 to AcfK).map(k => s"""
-               CASE WHEN m$k >= 3 AND m$k * sxx$k - sx$k * sx$k > 0
-                     AND m$k * syy$k - sy$k * sy$k > 0
-                    THEN CAST(m$k * sxy$k - sx$k * sy$k AS DOUBLE)
-                         / (sqrt(CAST(m$k * sxx$k - sx$k * sx$k AS DOUBLE))
-                            * sqrt(CAST(m$k * syy$k - sy$k * sy$k AS DOUBLE)))
-               END AS rho$k""").mkString(",")
-      val qChain = (1 to AcfK).map(k =>
-        s"coalesce(rho$k * rho$k / CAST(n - $k AS DOUBLE), 0.0)")
-        .reduceLeft((a, b) => s"($a + $b)")
-      s"""
-      WITH ${WindowFeatures.barsSql},
-      d1 AS (
-        SELECT ticker, date,
-               $centsSql - lag($centsSql) OVER
-                 (PARTITION BY ticker ORDER BY date) AS d
-        FROM bars),
-      dd AS (
-        SELECT ticker, date, d,
-               $lagCols
-        FROM d1 WHERE d IS NOT NULL),
-      g AS (
-        SELECT ticker, count(*) AS n,$sums
-        FROM dd GROUP BY ticker),
-      r AS (
-        SELECT ticker, n,$rhos
-        FROM g)
-      SELECT ticker, n, ${(1 to AcfK).map(k => s"rho$k").mkString(", ")},
-             CAST(n * (n + 2) AS DOUBLE) * $qChain AS q_lb,
-             CAST(n * (n + 2) AS DOUBLE) * $qChain > $LbCrit5
-               AS serial_dep_rejected
-      FROM r ORDER BY ticker"""
-    })
-
-  // ---------------------------------------------------------------------
-  // q275 — VARIANCE-RATIO TEST (Lo–MacKinlay 1988): the random-walk
-  // audit the ACF reads lag-by-lag, aggregated the way a trading desk
-  // uses it — VR(q) = σ̂²(q-period changes)/(q·σ̂²(1-period)) per
-  // ticker for q ∈ {2,4,8}; VR < 1 reads mean-reversion, > 1 momentum.
-  // Drift-adjusted with μ̂ = (c_n − c_1)/(n−1); all row accumulators
-  // are exact BIGINTs (m_q, ΣD, ΣD², Σd, Σd² — |D| ≤ q·10⁷ keeps ΣD²
-  // under 10¹⁸ at fixture day counts), and the mean-adjusted sums are
-  // then ONE FIXED double expression per (ticker, q): Σ(D−qμ̂)² =
-  // ΣD² − 2qμ̂ΣD + m(qμ̂)² with every cast and op in pinned order —
-  // the q236 covariance discipline, no float accumulation anywhere.
-  // The homoskedastic z-stat uses φ(q) = 2(2q−1)(q−1)/(3q·n). The
-  // overlapping-difference design (every t, not disjoint blocks) is
-  // Lo–MacKinlay's own, which the small-sample m_q = n−q normalizer
-  // matches. One shuffle on ticker; windows at daily-bars grain; the
-  // 3-row q fan-out is column-wise (no fact re-scan per q).
-  // ---------------------------------------------------------------------
-  private val VrQs = Seq(2, 4, 8)
-  private val q275 = QueryDef(
-    "q275_variance_ratio",
-    (spark, dir) => {
-      import spark.implicits._
-      val wAll = wTicker.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      var df = barsCents(spark, dir)
-        .withColumn("c1", first($"cents").over(wAll))
-        .withColumn("cn", last($"cents").over(wAll))
-        .withColumn("d", $"cents" - lag($"cents", 1).over(wTicker))
-      for (q <- VrQs)
-        df = df.withColumn(s"dq$q", $"cents" - lag($"cents", q).over(wTicker))
-      val perQ = VrQs.flatMap { q =>
-        Seq(
-          count(col(s"dq$q")).as(s"m$q"),
-          coalesce(sum(col(s"dq$q")), lit(0L)).as(s"sD$q"),
-          coalesce(sum(col(s"dq$q") * col(s"dq$q")), lit(0L)).as(s"sDD$q"))
-      }
-      val baseAggs = Seq(
-        max($"cn" - $"c1").as("delta"),
-        coalesce(sum($"d"), lit(0L)).as("sd"),
-        coalesce(sum($"d" * $"d"), lit(0L)).as("sdd"))
-      val g = df.groupBy($"ticker")
-        .agg(count(lit(1)).as("n"), baseAggs ++ perQ: _*)
-      val rows = VrQs.map { q =>
-        val mu = $"delta".cast("double") / ($"n" - 1).cast("double")
-        val muq = lit(q.toDouble) * mu
-        val ss1 = $"sdd".cast("double") - lit(2.0) * mu * $"sd".cast("double") +
-          ($"n" - 1).cast("double") * mu * mu
-        val ssq = col(s"sDD$q").cast("double") -
-          lit(2.0) * muq * col(s"sD$q").cast("double") +
-          col(s"m$q").cast("double") * muq * muq
-        val vr = (ssq / (lit(q.toDouble) * col(s"m$q").cast("double"))) /
-          (ss1 / ($"n" - 1).cast("double"))
-        val phi = lit(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q)) /
-          $"n".cast("double")
-        val z = (vr - lit(1.0)) / sqrt(phi)
-        g.filter($"n" > q + 1 && $"sdd" > 0)
-          .select($"ticker", lit(q.toLong).as("q"), $"n",
-            col(s"m$q").as("m"), vr.as("vr"), z.as("z"),
-            (abs(z) > 1.96).as("rw_rejected"))
-      }
-      rows.reduce(_ unionByName _).orderBy($"ticker", $"q")
-    },
-    Some {
-      val lagCols = VrQs.map(q =>
-        s"$centsSql - lag($centsSql, $q) OVER w AS dq$q")
-        .mkString(",\n               ")
-      val sums = VrQs.map(q => s"""
-               count(dq$q) AS m$q,
-               CAST(coalesce(sum(dq$q), 0) AS BIGINT) AS sD$q,
-               CAST(coalesce(sum(dq$q * dq$q), 0) AS BIGINT) AS sDD$q""")
-        .mkString(",")
-      val arms = VrQs.map { q =>
-        val mu = "(CAST(delta AS DOUBLE) / CAST(n - 1 AS DOUBLE))"
-        val muq = s"(CAST($q AS DOUBLE) * $mu)"
-        val ss1 = s"(CAST(sdd AS DOUBLE) - CAST(2 AS DOUBLE) * $mu * CAST(sd AS DOUBLE)" +
-          s" + CAST(n - 1 AS DOUBLE) * $mu * $mu)"
-        val ssq = s"(CAST(sDD$q AS DOUBLE) - CAST(2 AS DOUBLE) * $muq * CAST(sD$q AS DOUBLE)" +
-          s" + CAST(m$q AS DOUBLE) * $muq * $muq)"
-        val vr = s"(($ssq / (CAST($q AS DOUBLE) * CAST(m$q AS DOUBLE)))" +
-          s" / ($ss1 / CAST(n - 1 AS DOUBLE)))"
-        val phi = s"(CAST(${2.0 * (2 * q - 1) * (q - 1) / (3.0 * q)} AS DOUBLE)" +
-          s" / CAST(n AS DOUBLE))"
-        val z = s"(($vr - CAST(1 AS DOUBLE)) / sqrt($phi))"
-        s"""
-      SELECT ticker, CAST($q AS BIGINT) AS q, n, m$q AS m,
-             $vr AS vr, $z AS z, abs($z) > 1.96 AS rw_rejected
-      FROM g WHERE n > $q + 1 AND sdd > 0"""
-      }.mkString("\n      UNION ALL ")
-      s"""
-      WITH ${WindowFeatures.barsSql},
-      cc AS (
-        SELECT ticker, date,
-               first_value($centsSql) OVER wa AS c1,
-               last_value($centsSql) OVER wa AS cn,
-               $centsSql - lag($centsSql) OVER w AS d,
-               $lagCols
-        FROM bars
-        WINDOW w AS (PARTITION BY ticker ORDER BY date),
-               wa AS (PARTITION BY ticker ORDER BY date
-                      ROWS BETWEEN UNBOUNDED PRECEDING
-                       AND UNBOUNDED FOLLOWING)),
-      g AS (
-        SELECT ticker, count(*) AS n,
-               max(cn - c1) AS delta,
-               CAST(coalesce(sum(d), 0) AS BIGINT) AS sd,
-               CAST(coalesce(sum(d * d), 0) AS BIGINT) AS sdd,$sums
-        FROM cc GROUP BY ticker)
-      SELECT * FROM ($arms) ORDER BY ticker, q"""
-    })
-
   override val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q153, q154,
-    q155, q176, q274, q275)
+    q155, q176)
 }

@@ -1208,8 +1208,165 @@ object TextOps extends QueryModule {
                THEN (po - pe) / (CAST('1.0' AS DOUBLE) - pe) END AS kappa
       FROM k ORDER BY source"""))
 
+  // ---------------------------------------------------------------------
+  // q275 — READABILITY (Flesch–Kincaid grade level, Kincaid et al. 1975):
+  // the corpus-QC scalar every curation report carries next to q29's
+  // quality score — grade = 0.39·(words/sentences) +
+  // 11.8·(syllables/word) − 15.59. Counting is regex-portable:
+  // sentences = runs of [.!?] (min 1), syllables = vowel-group runs
+  // [aeiouy]+ per lowered text, floored at one per word (the standard
+  // heuristic — exact syllabification needs a dictionary). The grade is
+  // EXACT INTEGER MILLI: (390·W) div S + (11800·Y) div W − 15590, every
+  // operand non-negative where divided (truncation ≡ floor on both
+  // engines), so no float leaves the expression at all. Per-row map
+  // work, no shuffle before the final sort — the q67/q29 linear-scan
+  // shape at any corpus size.
+  // ---------------------------------------------------------------------
+  private val q275 = QueryDef(
+    "q275_readability",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .withColumn("words",
+          greatest(size(Portable.tokens($"text")).cast("long"), lit(1L)))
+        .withColumn("sentences",
+          greatest(size(regexp_extract_all($"text", lit("[.!?]+"), lit(0)))
+            .cast("long"), lit(1L)))
+        .withColumn("vgroups",
+          size(regexp_extract_all(lower($"text"), lit("[aeiouy]+"), lit(0)))
+            .cast("long"))
+        .withColumn("syllables", greatest($"vgroups", $"words"))
+        .withColumn("grade_milli",
+          expr("(390 * words) div sentences") +
+            expr("(11800 * syllables) div words") - lit(15590L))
+        .select($"doc_id", $"source", $"words", $"sentences", $"syllables",
+          $"grade_milli")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT doc_id, source,
+               greatest(len(${Portable.tokensSql("text")}), 1) AS words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                 AS sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vgroups
+        FROM documents)
+      SELECT doc_id, source,
+             CAST(words AS BIGINT) AS words,
+             CAST(sentences AS BIGINT) AS sentences,
+             CAST(greatest(vgroups, words) AS BIGINT) AS syllables,
+             CAST((390 * words) // sentences
+               + (11800 * greatest(vgroups, words)) // words
+               - 15590 AS BIGINT) AS grade_milli
+      FROM c ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
+  // q276 — STYLOMETRY (Burrows' Delta, Burrows 2002): the authorship /
+  // style-drift distance between corpus slices — z-scores of the most
+  // frequent FUNCTION words (style markers precisely because they are
+  // topic-free), then Delta(s1, s2) = mean |z1 − z2| over the marker
+  // set. The curation use is register drift: a crawl slice whose Delta
+  // to every other slice jumps changed genre or got spammed.
+  //
+  // Exactness: per-source marker rates are exact integer micros
+  // ((10⁶·count) div total — non-negative); the cross-source moments
+  // (n, Σf, Σf²) are exact BIGINTs; z = (f − μ)/σ is a fixed double
+  // expression (one sqrt), QUANTIZED to integer milli (floor — both
+  // engines floor the identical double), so the pair distance is an
+  // exact integer sum — order-free — and delta_milli an integer
+  // division of non-negatives. Markers with zero cross-source variance
+  // drop out identically on both engines.
+  //
+  // Scale: ONE corpus pass (explode filtered to the 20-marker set at
+  // the scan); everything after is a |sources|×20 profile grid —
+  // dimension-sized, broadcast-joinable; the pair matrix is |sources|²
+  // over the tiny profile, never a corpus join.
+  // ---------------------------------------------------------------------
+  private val StyleMarkers = Seq(
+    "the", "of", "and", "a", "to", "in", "is", "it", "that", "was",
+    "for", "on", "with", "as", "at", "by", "this", "but", "not", "are")
+  private val q276 = QueryDef(
+    "q276_stylometry_delta",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = Tables.documents(spark, dir)
+        .select($"source", explode(Portable.tokens(lower($"text"))).as("w"))
+      val totals = toks.groupBy($"source")
+        .agg(count(lit(1)).as("n_toks"))
+      val markers = StyleMarkers.toDF("w")
+      val grid = totals.crossJoin(broadcast(markers))
+      val counts = toks.filter($"w".isInCollection(StyleMarkers))
+        .groupBy($"source", $"w")
+        .agg(count(lit(1)).as("c"))
+      val prof = grid.join(counts, Seq("source", "w"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("f", expr("(1000000 * c) div n_toks"))
+        .select($"source", $"w", $"f")
+      val mom = prof.groupBy($"w")
+        .agg(count(lit(1)).as("ns"), sum($"f").as("sf"),
+          sum($"f" * $"f").as("sff"))
+        .withColumn("varn", $"ns" * $"sff" - $"sf" * $"sf")
+        .filter($"varn" > 0L) // zero-variance markers drop out
+      val z = prof.join(broadcast(mom), "w")
+        .withColumn("z",
+          ($"ns".cast("double") * $"f".cast("double") -
+            $"sf".cast("double")) /
+            sqrt($"varn".cast("double")))
+        .withColumn("zmilli", floor(lit(1000.0) * $"z").cast("long"))
+        .select($"w", $"source", $"zmilli")
+      val pairs = z.as("a")
+        .join(z.as("b"), $"a.w" === $"b.w" && $"a.source" < $"b.source")
+        .groupBy($"a.source".as("s1"), $"b.source".as("s2"))
+        .agg(count(lit(1)).as("n_markers"),
+          sum(abs($"a.zmilli" - $"b.zmilli")).as("sum_abs"))
+        .withColumn("delta_milli", expr("sum_abs div n_markers"))
+      pairs.select($"s1", $"s2", $"n_markers", $"sum_abs", $"delta_milli")
+        .orderBy($"s1", $"s2")
+    },
+    Some {
+      val markerList = StyleMarkers.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH toks AS (
+        SELECT source, unnest(${Portable.tokensSql("lower(text)")}) AS w
+        FROM documents),
+      totals AS (SELECT source, count(*) AS n_toks FROM toks GROUP BY 1),
+      grid AS (
+        SELECT t.source, t.n_toks, m.w
+        FROM totals t CROSS JOIN (SELECT unnest([$markerList]) AS w) m),
+      counts AS (
+        SELECT source, w, count(*) AS c
+        FROM toks WHERE w IN ($markerList) GROUP BY 1, 2),
+      prof AS (
+        SELECT g.source, g.w,
+               (1000000 * coalesce(c.c, 0)) // g.n_toks AS f
+        FROM grid g LEFT JOIN counts c
+          ON c.source = g.source AND c.w = g.w),
+      mom AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS ns,
+               CAST(sum(f) AS BIGINT) AS sf,
+               CAST(sum(f * f) AS BIGINT) AS sff
+        FROM prof GROUP BY 1),
+      vm AS (
+        SELECT *, ns * sff - sf * sf AS varn FROM mom
+        WHERE ns * sff - sf * sf > 0),
+      z AS (
+        SELECT p.w, p.source,
+               CAST(floor(CAST('1000.0' AS DOUBLE) *
+                 ((CAST(v.ns AS DOUBLE) * CAST(p.f AS DOUBLE)
+                   - CAST(v.sf AS DOUBLE))
+                  / sqrt(CAST(v.varn AS DOUBLE)))) AS BIGINT) AS zmilli
+        FROM prof p JOIN vm v ON v.w = p.w)
+      SELECT a.source AS s1, b.source AS s2,
+             count(*) AS n_markers,
+             CAST(sum(abs(a.zmilli - b.zmilli)) AS BIGINT) AS sum_abs,
+             CAST(sum(abs(a.zmilli - b.zmilli)) AS BIGINT)
+               // count(*) AS delta_milli
+      FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY s1, s2"""
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(q26, q27, q28, q29, q30, q58, q75, q117, q119, q172, q208, q213,
       q259,
-      q214, q226)
+      q214, q226, q275, q276)
 }
