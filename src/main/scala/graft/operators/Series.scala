@@ -1688,6 +1688,88 @@ object Series extends QueryModule {
       FROM y, exact ORDER BY r"""))
 
   // ---------------------------------------------------------------------
+  // q277 — JOIN-CARDINALITY ESTIMATION (AMS inner product, Alon–Gibbons–
+  // Matias–Szegedy '99): |R ⋈ S| = Σ_k f_R(k)·f_S(k), estimated from
+  // the same ±1-sign sketches q243 builds for F2 — E[y_R·y_S] equals
+  // the inner product when both sides share the sign hash. This is the
+  // sketch a planner consults before choosing a join strategy at
+  // 100 TB: each side compresses to R=9 signed BIGINTs (one
+  // map-combinable pass each), where the exact answer needs the full
+  // key-frequency join. Both are computed side by side: exact from the
+  // key-grain frequency join (vocabulary-sized, never row-grain), the
+  // estimate per replica, and the MEDIAN of the 9 replica estimates
+  // (the AMS median trick) — taken window-free as max(lowest 5 of 9)
+  // via TakeOrdered, exact integer. R side = all events per user,
+  // S side = purchase events per user; signs derive from the portable
+  // md5 parity of "amsj_r_user" so both engines regenerate the sketch
+  // from nothing. err_milli is integer on non-negatives.
+  // ---------------------------------------------------------------------
+  private val q277 = QueryDef(
+    "q277_join_cardinality",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir).filter($"user_id".isNotNull)
+      val fa = ev.groupBy($"user_id").agg(count(lit(1)).as("fa"))
+      val fb = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id").agg(count(lit(1)).as("fb"))
+      val exact = fa.join(fb, "user_id")
+        .agg(coalesce(sum($"fa" * $"fb"), lit(0L)).as("join_exact"))
+      val reps = spark.range(1, AmsR + 1).toDF("r")
+      def sketchOf(f: DataFrame, fcol: String, out: String) =
+        f.crossJoin(broadcast(reps))
+          .withColumn("s",
+            when(Portable.md5Hash64(
+              concat(lit("amsj_"), $"r", lit("_"), $"user_id")) % 2 === 0,
+              1L).otherwise(-1L))
+          .groupBy($"r").agg(sum($"s" * col(fcol)).as(out))
+      val ests = sketchOf(fa, "fa", "ya")
+        .join(sketchOf(fb, "fb", "yb"), "r")
+        .withColumn("est", $"ya" * $"yb")
+      // exact integer median of 9: max of the 5 smallest (TakeOrdered —
+      // no global window over the replica frame)
+      val med = ests.orderBy($"est").limit((AmsR + 1) / 2)
+        .agg(max($"est").as("est_median"))
+      ests
+        .crossJoin(broadcast(exact))
+        .crossJoin(broadcast(med))
+        .withColumn("err_milli",
+          expr("(1000 * abs(est_median - join_exact)) div join_exact"))
+        .select($"r", $"ya", $"yb", $"est", $"join_exact", $"est_median",
+          $"err_milli")
+        .orderBy($"r")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, event_type FROM events WHERE user_id IS NOT NULL),
+      fa AS (SELECT user_id, count(*) AS fa FROM ev GROUP BY 1),
+      fb AS (SELECT user_id, count(*) AS fb FROM ev
+             WHERE event_type = 'purchase' GROUP BY 1),
+      ex AS (
+        SELECT CAST(coalesce(sum(fa * fb), 0) AS BIGINT) AS join_exact
+        FROM fa JOIN fb USING (user_id)),
+      reps AS (SELECT unnest(range(1, ${AmsR + 1})) AS r),
+      ya AS (
+        SELECT r, CAST(sum((CASE WHEN ${Portable.md5Hash64Sql(
+          "('amsj_' || r || '_' || user_id)")} % 2 = 0
+          THEN 1 ELSE -1 END) * fa) AS BIGINT) AS ya
+        FROM fa, reps GROUP BY 1),
+      yb AS (
+        SELECT r, CAST(sum((CASE WHEN ${Portable.md5Hash64Sql(
+          "('amsj_' || r || '_' || user_id)")} % 2 = 0
+          THEN 1 ELSE -1 END) * fb) AS BIGINT) AS yb
+        FROM fb, reps GROUP BY 1),
+      ests AS (
+        SELECT ya.r, ya.ya, yb.yb, ya.ya * yb.yb AS est
+        FROM ya JOIN yb ON ya.r = yb.r),
+      med AS (
+        SELECT max(est) AS est_median
+        FROM (SELECT est FROM ests ORDER BY est LIMIT ${(AmsR + 1) / 2}))
+      SELECT e.r, e.ya, e.yb, e.est, x.join_exact, m.est_median,
+             CAST((1000 * abs(m.est_median - x.join_exact)) // x.join_exact
+               AS BIGINT) AS err_milli
+      FROM ests e, ex x, med m ORDER BY e.r"""))
+
+  // ---------------------------------------------------------------------
   // q244 — STREAMING TICK-IMBALANCE BARS (AFML ch.2.3.2): the third bar
   // family after time (q02) and notional (q229/q235) — cut a bar when
   // the ABSOLUTE SIGNED-FLOW accumulation |θ| = |Σ s_t·cents_t| since
@@ -2134,5 +2216,5 @@ object Series extends QueryModule {
   override val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229, q230,
       q231, q234, q235, q236, q237, q238, q239, q243, q244, q261, q267,
-      q271)
+      q271, q277)
 }
