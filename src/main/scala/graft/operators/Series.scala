@@ -1770,6 +1770,83 @@ object Series extends QueryModule {
       FROM ests e, ex x, med m ORDER BY e.r"""))
 
   // ---------------------------------------------------------------------
+  // q278 — CORPORATE-ACTION BACK-ADJUSTMENT (split-adjusted prices): the
+  // price-pipeline step the reference's raw close series silently skips
+  // — after a 2:1 split every PRIOR close must be divided by 2 or every
+  // return/indicator spanning the split day reads a −50% crash. The
+  // fixture carries no action calendar, so split days are planted
+  // deterministically (md5("split|tkr|day") % 37 = 0 on the daily bars
+  // — the q67/q274 plant-then-operate discipline) with ratio 2:1,
+  // DELIBERATELY dyadic: the cumulative back-adjustment factor is then
+  // 2^(# later splits) — a reverse-cumulative COUNT, never a float
+  // product — and adj = cents div 2^k is a truncating division of
+  // non-negatives, identical on both engines. Outputs the adjusted
+  // series plus the audit: adjusted day-over-day milli-returns must be
+  // split-free while raw returns crater on split days (n_crash vs
+  // n_adj_crash per ticker... emitted at row grain for the hash gate).
+  // Scale: two daily-bars-grain ticker windows (declared bound), one
+  // linear pass — no joins.
+  // ---------------------------------------------------------------------
+  private val SplitMod = 37L
+  private val q278 = QueryDef(
+    "q278_split_adjust",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("date")
+      val wAfter = wT.rowsBetween(1, Window.unboundedFollowing)
+      graft.operators.WindowFeatures.bars(spark, dir)
+        .withColumn("cents",
+          ($"close".cast(DecimalType(28, 2)) * 100).cast("long"))
+        .withColumn("is_split",
+          (pmod(Portable.md5Hash64(concat(lit("split|"), $"ticker",
+            lit("|"), $"date".cast("string"))), lit(SplitMod)) === 0)
+            .cast("long"))
+        .withColumn("n_later_splits",
+          coalesce(sum($"is_split").over(wAfter), lit(0L)))
+        .withColumn("adj_cents",
+          ($"cents" / pow(lit(2.0), $"n_later_splits".cast("double"))
+            .cast("long")).cast("long"))
+        .withColumn("prev_adj", lag($"adj_cents", 1).over(wT))
+        .withColumn("adj_ret_milli",
+          when($"prev_adj".isNotNull && $"prev_adj" > 0L,
+            floor(lit(1000.0) * ($"adj_cents" - $"prev_adj").cast("double") /
+              $"prev_adj".cast("double")).cast("long")))
+        .select($"ticker", $"date", $"cents", $"is_split",
+          $"n_later_splits", $"adj_cents", $"adj_ret_milli")
+        .orderBy($"ticker", $"date")
+    },
+    Some(s"""
+      WITH ${graft.operators.WindowFeatures.barsSql},
+      c AS (
+        SELECT ticker, date,
+               CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents,
+               CAST(CASE WHEN ${Portable.md5Hash64Sql(
+                 "('split|' || ticker || '|' || CAST(date AS VARCHAR))")}
+                 % $SplitMod = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_split
+        FROM bars),
+      k AS (
+        SELECT *,
+               CAST(coalesce(sum(is_split) OVER (
+                 PARTITION BY ticker ORDER BY date
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+                 AS BIGINT) AS n_later_splits
+        FROM c),
+      a AS (
+        SELECT *, cents // CAST(pow(2.0, CAST(n_later_splits AS DOUBLE))
+                 AS BIGINT) AS adj_cents
+        FROM k)
+      SELECT ticker, date, cents, is_split, n_later_splits, adj_cents,
+             CASE WHEN lag(adj_cents) OVER w IS NOT NULL
+                   AND lag(adj_cents) OVER w > 0 THEN
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(adj_cents - lag(adj_cents) OVER w AS DOUBLE)
+                 / CAST(lag(adj_cents) OVER w AS DOUBLE)) AS BIGINT)
+             END AS adj_ret_milli
+      FROM a
+      WINDOW w AS (PARTITION BY ticker ORDER BY date)
+      ORDER BY ticker, date"""))
+
+  // ---------------------------------------------------------------------
   // q244 — STREAMING TICK-IMBALANCE BARS (AFML ch.2.3.2): the third bar
   // family after time (q02) and notional (q229/q235) — cut a bar when
   // the ABSOLUTE SIGNED-FLOW accumulation |θ| = |Σ s_t·cents_t| since
@@ -2216,5 +2293,5 @@ object Series extends QueryModule {
   override val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229, q230,
       q231, q234, q235, q236, q237, q238, q239, q243, q244, q261, q267,
-      q271, q277)
+      q271, q277, q278)
 }
