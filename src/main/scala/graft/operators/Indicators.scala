@@ -481,6 +481,52 @@ object Indicators extends QueryModule {
       FROM acc WHERE n = 20
       ORDER BY ticker, date"""))
 
+  // ---------------------------------------------------------------------
+  // q279 — ON-BALANCE VOLUME (Granville 1963): the volume-flow indicator
+  // next to the price family — obv_t = obv_{t−1} + sign(Δclose_t)·vol_t,
+  // the running tally of volume on up-days minus down-days (divergence
+  // between OBV and price is the classic accumulation signal). PURE
+  // INTEGER: sign from exact cents diffs, one cumulative window SUM of
+  // signed volumes per ticker — no division, no floats, nothing to
+  // quantize. One shuffle on ticker, one daily-bars-grain window pass
+  // (declared bound).
+  // ---------------------------------------------------------------------
+  private val q279 = QueryDef(
+    "q279_obv",
+    (spark, dir) => {
+      import spark.implicits._
+      val wCum = wTicker.rowsBetween(Window.unboundedPreceding, 0)
+      barsCents(spark, dir)
+        .withColumn("d", $"cents" - lag($"cents", 1).over(wTicker))
+        .withColumn("sv",
+          when($"d".isNull || $"d" === 0L, 0L)
+            .when($"d" > 0L, $"volume")
+            .otherwise(-$"volume"))
+        .withColumn("obv", sum($"sv").over(wCum))
+        .select($"ticker", $"date", $"cents".as("close_cents"),
+          $"volume", $"sv", $"obv")
+        .orderBy($"ticker", $"date")
+    },
+    Some(s"""
+      WITH ${WindowFeatures.barsSql},
+      c AS (SELECT ticker, date, $centsSql AS cents, volume FROM bars),
+      d AS (
+        SELECT ticker, date, cents, volume,
+               cents - lag(cents) OVER (PARTITION BY ticker ORDER BY date)
+                 AS d
+        FROM c),
+      s AS (
+        SELECT ticker, date, cents, volume,
+               CAST(CASE WHEN d IS NULL OR d = 0 THEN 0
+                         WHEN d > 0 THEN volume ELSE -volume END AS BIGINT)
+                 AS sv
+        FROM d)
+      SELECT ticker, date, cents AS close_cents, volume, sv,
+             CAST(sum(sv) OVER (PARTITION BY ticker ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS obv
+      FROM s ORDER BY ticker, date"""))
+
   override val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q153, q154,
-    q155, q176)
+    q155, q176, q279)
 }
