@@ -758,8 +758,18 @@ object Series extends QueryModule {
     */
   private[graft] def chunkedTicks(ticks: DataFrame): DataFrame = {
     import ticks.sparkSession.implicits._
+    // localCheckpoint PINS the chunk boundaries: the range-shuffled tape
+    // is consumed twice below (tick grain + the stitch-back join keyed by
+    // _pid), and without materialization the two consumptions agree only
+    // via exchange reuse — a recomputation that re-sampled different
+    // range boundaries would silently mis-stitch cum0/s_filled. Lazy
+    // (computes on first action); the block-manager copy is released by
+    // the ContextCleaner once the silver build's parquet write drops the
+    // last reference. At cluster scale this is the "write the shuffled
+    // tape once" step any segmented-scan silver build pays anyway.
     val parted = ticks
       .repartitionByRange(col("tkr"), col("day"), col("seq"))
+      .localCheckpoint(false)
       .withColumn("_pid", spark_partition_id())
     val wChunk = Window.partitionBy("tkr", "day", "_pid").orderBy("seq")
     val local = parted
@@ -1733,7 +1743,8 @@ object Series extends QueryModule {
         .crossJoin(broadcast(exact))
         .crossJoin(broadcast(med))
         .withColumn("err_milli",
-          expr("(1000 * abs(est_median - join_exact)) div join_exact"))
+          expr("CASE WHEN join_exact > 0 THEN" +
+            " (1000 * abs(est_median - join_exact)) div join_exact END"))
         .select($"r", $"ya", $"yb", $"est", $"join_exact", $"est_median",
           $"err_milli")
         .orderBy($"r")
@@ -1765,8 +1776,9 @@ object Series extends QueryModule {
         SELECT max(est) AS est_median
         FROM (SELECT est FROM ests ORDER BY est LIMIT ${(AmsR + 1) / 2}))
       SELECT e.r, e.ya, e.yb, e.est, x.join_exact, m.est_median,
-             CAST((1000 * abs(m.est_median - x.join_exact)) // x.join_exact
-               AS BIGINT) AS err_milli
+             CAST(CASE WHEN x.join_exact > 0 THEN
+               (1000 * abs(m.est_median - x.join_exact)) // x.join_exact
+               END AS BIGINT) AS err_milli
       FROM ests e, ex x, med m ORDER BY e.r"""))
 
   // ---------------------------------------------------------------------

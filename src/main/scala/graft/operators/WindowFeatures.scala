@@ -722,14 +722,21 @@ object WindowFeatures extends QueryModule {
             .withColumn("pred", when($"margin" > 0L, 1L).otherwise(-1L))
             .agg(
               count(lit(1)).as("n_test"),
-              sum(when($"y" === 1L, 1L).otherwise(0L)).as("n_up_true"),
-              sum(when($"pred" === 1L, 1L).otherwise(0L)).as("n_up_pred"),
-              sum(when($"pred" === $"y", 1L).otherwise(0L)).as("n_correct"))
+              coalesce(sum(when($"y" === 1L, 1L).otherwise(0L)), lit(0L))
+                .as("n_up_true"),
+              coalesce(sum(when($"pred" === 1L, 1L).otherwise(0L)), lit(0L))
+                .as("n_up_pred"),
+              coalesce(sum(when($"pred" === $"y", 1L).otherwise(0L)), lit(0L))
+                .as("n_correct"))
             .collect()(0)
           (k.toLong, w(0), w(1), w(2), nTrain,
             m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))
         }
-        rows.toDF("fold", "w_bias", "w_d1", "w_d5", "n_train",
+        // empty test blocks (possible only on degenerate tiny fixtures)
+        // emit no row, matching the oracle's GROUP BY over zero joined
+        // rows — an n_test=0 fold row would be a row-count mismatch
+        rows.filter(_._6 > 0L)
+          .toDF("fold", "w_bias", "w_d1", "w_d5", "n_train",
             "n_test", "n_up_true", "n_up_pred", "n_correct")
           .withColumn("acc_milli", expr("(1000 * n_correct) div n_test"))
           .orderBy($"fold")
