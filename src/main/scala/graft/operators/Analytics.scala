@@ -81,17 +81,27 @@ object Analytics extends QueryModule {
     "q89_funnel",
     (spark, dir) => {
       import spark.implicits._
-      val wUser = Window.partitionBy("user_id")
-      val perUser = Tables.events(spark, dir)
+      // staged AGGREGATES, not per-user windows: each stage's conditional
+      // min is a map-side-combined groupBy joined back onto the events
+      // (the user_id exchange is planned once and reused). Unlike a
+      // whole-partition window, the SMJ shape is AQE-skew-splittable, so
+      // a bot user owning half the tape cannot serialize one task — the
+      // r10 "declared user_id contract" fix for the unordered-window
+      // funnel family.
+      val ev = Tables.events(spark, dir)
         .filter($"ts".isNotNull)
-        .withColumn("v_ts",
-          min(when($"event_type" === "view", $"ts")).over(wUser))
-        .withColumn("c_ts",
-          min(when($"event_type" === "click" && $"ts" > $"v_ts", $"ts")).over(wUser))
-        .withColumn("p_ts",
-          min(when($"event_type" === "purchase" && $"ts" > $"c_ts", $"ts")).over(wUser))
-        .groupBy($"user_id")
-        .agg(max($"v_ts").as("v"), max($"c_ts").as("c"), max($"p_ts").as("p"))
+        .select($"user_id", $"event_type", $"ts")
+      // null-safe joins: a NULL user_id is one partition cell under the
+      // oracle's window semantics, so it must stay one group here too
+      val g1 = ev.groupBy($"user_id".as("u1"))
+        .agg(min(when($"event_type" === "view", $"ts")).as("v"))
+      val g2 = ev.join(g1, $"user_id" <=> $"u1")
+        .groupBy($"user_id", $"v")
+        .agg(min(when($"event_type" === "click" && $"ts" > $"v", $"ts")).as("c"))
+        .withColumnRenamed("user_id", "u2")
+      val perUser = ev.join(g2, $"user_id" <=> $"u2")
+        .groupBy($"user_id", $"v", $"c")
+        .agg(min(when($"event_type" === "purchase" && $"ts" > $"c", $"ts")).as("p"))
       perUser.agg(
           count(lit(1)).as("n_users"),
           sum(when($"v".isNotNull, 1L).otherwise(0L)).as("n_view"),
@@ -305,22 +315,134 @@ object Analytics extends QueryModule {
   // partitioning — no second exchange. Gap arithmetic is integer epoch
   // micros end-to-end; money is exact cents.
   // ---------------------------------------------------------------------
-  /** Gaps-and-islands sessionization of an events frame, keeping the raw
+  /** Session gap: a >30-minute idle period starts a new session (shared
+    * by q63/q124/q132/q184 — one rule, one constant).
+    */
+  private[graft] val SessionGapUs = 1800L * 1000000L
+
+  /** Segmented per-user ordered scan — the chunkedTicks discipline
+    * applied to the EVENTS tape (r10 verdict "What's wrong" #1: the
+    * `user_id` window bound was a declared input contract, not a
+    * construction guarantee; a bot user with 10⁸ events was a straggler
+    * window no CI could see). Every per-user sequential primitive the
+    * engine needs decomposes associatively:
+    *
+    *   - the global lag of any column is a last-value fold,
+    *   - the gaps-and-islands ids (session id, SCD2 version) are prefix
+    *     sums of break flags, where only the CHUNK-HEAD flag depends on
+    *     cross-chunk state (the prior chunk's last row).
+    *
+    * So: (1) rangepartition the tape on (user_id, tus, event_id) —
+    * chunks are contiguous ranges, a hot user splits across chunks,
+    * localCheckpoint pins the chunk ids (the chunkedTicks hazard: two
+    * consumptions must see identical boundaries); (2) chunk-local lags,
+    * flags and running sums per (user_id, _pid) — bounded by chunk size
+    * by construction; (3) per-(user, chunk) summaries (first/last row,
+    * flag sums) — the `cu`-grain window over them sees ≤ |partitions|
+    * rows per user; (4) summaries stitch back via a SHUFFLE join on
+    * (user_id, _pid) — never a broadcast: |users| is corpus-scaled, and
+    * the composite key spreads a hot user's rows across chunks anyway.
+    *
+    * Input: any frame with non-null `tus` (epoch micros) and a unique
+    * `event_id` tiebreak; `event_type` non-null where `version` is
+    * consumed (the fixture contract — all call sites filter upstream).
+    * Output: input columns + `_pid`, `has_prev` (a strictly prior row
+    * exists for this user), `prev_tus`, `prev_type` (global per-user
+    * lag), `sid` (1-based >30-min-gap session id) and `version`
+    * (1-based event_type run id). Exact at ANY chunking by
+    * associativity; the hot-user ScaleBehaviorSpec replays a user
+    * owning half the tape against the naive global window.
+    */
+  private[graft] def chunkedUserScan(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val parted = ev
+      .repartitionByRange(col("user_id"), col("tus"), col("event_id"))
+      .localCheckpoint(false)
+      .withColumn("_pid", spark_partition_id())
+    val wC = Window.partitionBy("user_id", "_pid").orderBy("tus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCrow = Window.partitionBy("user_id", "_pid").orderBy("tus", "event_id")
+    val local = parted
+      .withColumn("_rn", row_number().over(wCrow))
+      .withColumn("_ltus", lag($"tus", 1).over(wCrow))
+      .withColumn("_ltype", lag($"event_type", 1).over(wCrow))
+      // local break flags: head rows (no in-chunk prev) contribute 0 here
+      // and resolve at summary grain against the prior chunk's last row
+      .withColumn("_gbrk",
+        when($"_rn" === 1, 0L)
+          .when($"tus" - $"_ltus" > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("_vbrk",
+        when($"_rn" === 1, 0L)
+          .when($"_ltype" =!= $"event_type", 1L).otherwise(0L))
+      .withColumn("_gcum", sum($"_gbrk").over(wC))
+      .withColumn("_vcum", sum($"_vbrk").over(wC))
+    // per-(user, chunk) summaries: ≤ |partitions| rows per user by
+    // construction — (tus, event_id) is unique, so struct min/max pick
+    // the chunk's head/tail rows exactly
+    val sums = local
+      .groupBy($"user_id".as("cu"), $"_pid".as("cpid"))
+      .agg(
+        min(struct($"tus", $"event_id", $"event_type")).as("first_r"),
+        max(struct($"tus", $"event_id", $"event_type")).as("last_r"),
+        sum($"_gbrk").as("gbrks"),
+        sum($"_vbrk").as("vbrks"))
+    val wCu = Window.partitionBy("cu").orderBy("cpid")
+    val info = sums
+      .withColumn("prev_last", lag($"last_r", 1).over(wCu))
+      .withColumn("head_gbrk",
+        when($"prev_last".isNull, 1L) // the user's very first row
+          .when($"first_r.tus" - $"prev_last.tus" > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("head_vbrk",
+        when($"prev_last".isNull, 1L)
+          .when($"prev_last.event_type" =!= $"first_r.event_type", 1L)
+          .otherwise(0L))
+      .withColumn("g_off", coalesce(
+        sum($"gbrks" + $"head_gbrk")
+          .over(wCu.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("v_off", coalesce(
+        sum($"vbrks" + $"head_vbrk")
+          .over(wCu.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"cu", $"cpid", $"prev_last", $"head_gbrk", $"head_vbrk",
+        $"g_off", $"v_off")
+    local
+      .join(info,
+        local("user_id") <=> info("cu") && local("_pid") === info("cpid"))
+      .withColumn("has_prev", $"_rn" > 1 || $"prev_last".isNotNull)
+      .withColumn("prev_tus",
+        when($"_rn" === 1, $"prev_last.tus").otherwise($"_ltus"))
+      .withColumn("prev_type",
+        when($"_rn" === 1, $"prev_last.event_type").otherwise($"_ltype"))
+      .withColumn("sid", $"g_off" + $"head_gbrk" + $"_gcum")
+      .withColumn("version", $"v_off" + $"head_vbrk" + $"_vcum")
+      .drop("cu", "cpid", "prev_last", "head_gbrk", "head_vbrk", "g_off",
+        "v_off", "_rn", "_ltus", "_ltype", "_gbrk", "_vbrk", "_gcum", "_vcum")
+  }
+
+  /** The scanned-events SILVER table ([[Silver]] registry: `user_scan`):
+    * the chunk-stitched event tape — global per-user lags + session and
+    * version islands — materializes ONCE per input dir and the whole
+    * per-user-sequence family (q63/q124 sessions, q139/q181 SCD2, q150
+    * transitions, q184 concurrency) reads it back.
+    */
+  private[operators] def userScan(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Scoped.shared(spark, s"user_scan:$dir")(
+      (Nil, chunkedUserScan(
+        Tables.events(spark, dir)
+          .filter($"ts".isNotNull)
+          .withColumn("tus", unix_micros($"ts")))))
+  }
+
+  /** Session roll-up from a [[chunkedUserScan]] frame, keeping the raw
     * min/max epoch-micros columns so callers (q124's report, q132's
     * boundary merge) can do exact integer arithmetic on session extents.
     */
-  private[operators] def sessionize(ev: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    import ev.sparkSession.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    ev.filter($"ts".isNotNull)
-      .withColumn("tus", unix_micros($"ts"))
-      .withColumn("gap_us", $"tus" - lag($"tus", 1).over(w))
-      .withColumn("new_s",
-        when($"gap_us".isNull || $"gap_us" > 1800L * 1000000L, 1L)
-          .otherwise(0L))
-      .withColumn("session_seq", sum($"new_s").over(w))
-      .groupBy($"user_id", $"session_seq")
+  private def sessionsFrom(scanned: DataFrame): DataFrame = {
+    import scanned.sparkSession.implicits._
+    scanned
+      .groupBy($"user_id", $"sid".as("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),
         min($"ts").as("session_start"),
@@ -328,6 +450,17 @@ object Analytics extends QueryModule {
         min($"tus").as("min_tus"),
         max($"tus").as("max_tus"),
         sum(($"value".cast(DecimalType(28, 2)) * 100).cast("long")).as("value_cents"))
+  }
+
+  /** Gaps-and-islands sessionization of an arbitrary events frame (q132's
+    * base/delta subsets). The full-corpus path should read the
+    * [[userScan]] silver instead.
+    */
+  private[operators] def sessionize(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import ev.sparkSession.implicits._
+    sessionsFrom(chunkedUserScan(
+      ev.filter($"ts".isNotNull).withColumn("tus", unix_micros($"ts"))))
   }
 
   /** The q124 report shape: derived seconds, raw extents dropped. */
@@ -368,8 +501,7 @@ object Analytics extends QueryModule {
 
   private val q124 = QueryDef(
     "q124_batch_sessionize",
-    (spark, dir) =>
-      sessionReport(sessionize(Tables.events(spark, dir))),
+    (spark, dir) => sessionReport(sessionsFrom(userScan(spark, dir))),
     Some(sessionizeOracle))
 
   // ---------------------------------------------------------------------
@@ -466,12 +598,12 @@ object Analytics extends QueryModule {
     "q150_markov_transitions",
     (spark, dir) => {
       import spark.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      val pairs = Tables.events(spark, dir)
-        .filter($"ts".isNotNull && $"user_id".isNotNull)
-        .withColumn("next_type", lead($"event_type", 1).over(w))
-        .filter($"next_type".isNotNull)
-        .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      // adjacent pairs come from the chunk-stitched GLOBAL lag on the
+      // user_scan silver: (prev_type → event_type) over rows with a
+      // predecessor is the same pair multiset as lead()'s (type → next)
+      val pairs = userScan(spark, dir)
+        .filter($"user_id".isNotNull && $"has_prev")
+        .groupBy($"prev_type".as("from_type"), $"event_type".as("to_type"))
         .agg(count(lit(1)).as("n"))
       val fromTot = pairs.groupBy($"from_type").agg(sum($"n").as("n_from"))
       pairs.join(broadcast(fromTot), "from_type")
@@ -924,17 +1056,13 @@ object Analytics extends QueryModule {
     "q184_concurrency_sweep",
     (spark, dir) => {
       import spark.implicits._
-      val wU = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      val sessions = Tables.events(spark, dir)
-        .filter($"ts".isNotNull && $"user_id".isNotNull)
-        .withColumn("prev", lag($"ts", 1).over(wU))
-        .withColumn("gap",
-          when($"prev".isNull ||
-            unix_micros($"ts") - unix_micros($"prev") > 1800L * 1000000L, 1L)
-            .otherwise(0L))
-        .withColumn("island", sum($"gap").over(
-          wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy($"user_id", $"island")
+      // sessions ride the chunk-stitched user_scan silver (construction-
+      // bounded windows; same 30-min gap islands) — the raw per-user
+      // window this query carried through r10 was the last sessionization
+      // not on the segmented scan
+      val sessions = userScan(spark, dir)
+        .filter($"user_id".isNotNull)
+        .groupBy($"user_id", $"sid".as("island"))
         .agg(min($"ts").as("s_start"), max($"ts").as("s_end"))
       // explode cross-midnight sessions into day-local segments
       val segs = sessions
@@ -1042,15 +1170,16 @@ object Analytics extends QueryModule {
     "q187_convert_latency",
     (spark, dir) => {
       import spark.implicits._
-      val wUser = Window.partitionBy("user_id")
-      val lat = Tables.events(spark, dir)
+      // staged aggregates + join-back, not per-user windows (the q89
+      // skew-splittable funnel shape)
+      val ev = Tables.events(spark, dir)
         .filter($"ts".isNotNull && $"user_id".isNotNull)
-        .withColumn("v_ts",
-          min(when($"event_type" === "view", $"ts")).over(wUser))
-        .withColumn("p_ts",
-          min(when($"event_type" === "purchase" && $"ts" > $"v_ts", $"ts")).over(wUser))
-        .groupBy($"user_id")
-        .agg(max($"v_ts").as("v"), max($"p_ts").as("p"))
+        .select($"user_id", $"event_type", $"ts")
+      val g1 = ev.groupBy($"user_id".as("u1"))
+        .agg(min(when($"event_type" === "view", $"ts")).as("v"))
+      val lat = ev.join(g1, $"user_id" === $"u1")
+        .groupBy($"user_id", $"v")
+        .agg(min(when($"event_type" === "purchase" && $"ts" > $"v", $"ts")).as("p"))
         .filter($"p".isNotNull)
         .select($"user_id",
           expr("(unix_micros(p) - unix_micros(v)) div 3600000000L").as("hrs"))

@@ -164,22 +164,24 @@ object Series extends QueryModule {
     */
   private[operators] def scd2History(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val runs = Tables.events(spark, dir)
-      .filter($"ts".isNotNull && $"user_id".isNotNull)
-      .select($"user_id", $"event_type", $"ts", $"event_id")
-      .withColumn("prev", lag($"event_type", 1).over(w))
-      .withColumn("chg",
-        when($"prev".isNull || $"prev" =!= $"event_type", 1L).otherwise(0L))
-      .withColumn("version", sum($"chg").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val hist = runs.groupBy($"user_id", $"version")
+    // version islands come pre-stitched off the chunk-scanned user_scan
+    // silver (Analytics.chunkedUserScan — the type-change run id); no raw
+    // per-user window anywhere in this family anymore
+    val hist = Analytics.userScan(spark, dir)
+      .filter($"user_id".isNotNull)
+      .groupBy($"user_id", $"version")
       .agg(
         min($"event_type").as("event_type"),
         min($"ts").as("valid_from"),
         count(lit(1)).as("n_events"))
-    val wv = Window.partitionBy($"user_id").orderBy($"version")
-    hist.withColumn("valid_to", lead($"valid_from", 1).over(wv))
+    // valid_to = next version's valid_from. version is DENSE (a 1-based
+    // prefix sum of change flags), so lead() is an equi-self-join on
+    // (user_id, version + 1) — keyed on BOTH columns, a hot user's
+    // versions hash across partitions and no per-user window exists
+    val nxt = hist.select($"user_id".as("u2"), ($"version" - 1L).as("v2"),
+      $"valid_from".as("valid_to"))
+    hist.join(nxt, $"user_id" === $"u2" && $"version" === $"v2", "left")
+      .drop("u2", "v2")
   }
 
   /** q139's oracle CTE chain up to the `h2` table (history + valid_to),

@@ -152,6 +152,15 @@ object Silver {
       Seq("q229", "q230", "q238", "q267"),
       (s, d) => Series.flowResolved(s, d)),
     SilverTable(
+      "user_scan",
+      "the chunk-stitched event tape: global per-user lags (prev_tus," +
+        " prev_type, has_prev) + 30-min-gap session ids (sid) + SCD2" +
+        " event_type run ids (version) per event, built by the segmented" +
+        " scan (Analytics.chunkedUserScan) — the per-user-sequence" +
+        " family's shared base; no raw user_id window survives anywhere",
+      Seq("q63", "q124", "q139", "q150", "q181", "q184"),
+      (s, d) => Analytics.userScan(s, d)),
+    SilverTable(
       "gbt_model_store",
       "the session model store: (model_name, artifact bytes) parquet" +
         " rows; every load re-reads serialized bytes through the storage" +

@@ -105,16 +105,9 @@ object Temporal extends QueryModule {
     "q63_sessionize",
     (spark, dir) => {
       import spark.implicits._
-      val ev = Tables.events(spark, dir)
-        .filter($"ts".isNotNull)
-        .select($"user_id", unix_micros($"ts").as("tus"), $"event_id")
-      val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
-      val sessions = ev
-        .withColumn("prev", lag($"tus", 1).over(w))
-        .withColumn("brk",
-          when($"prev".isNull || $"tus" - $"prev" > GapUs, 1L).otherwise(0L))
-        .withColumn("sid", sum($"brk").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // session ids come pre-stitched off the chunk-scanned user_scan
+      // silver (Analytics.chunkedUserScan) — no raw per-user window
+      val sessions = Analytics.userScan(spark, dir)
         .groupBy($"user_id", $"sid")
         .agg(count(lit(1)).as("n_events"),
           (max($"tus") - min($"tus")).as("dur_us"))

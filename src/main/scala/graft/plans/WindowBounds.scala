@@ -64,10 +64,18 @@ object WindowBounds {
       "per-document token/gram/span rows: bounded by max document" +
         " length, the curation contract every text operator assumes",
       Seq("q118", "q125", "q209")),
-    BoundedKey("user_id",
-      "per-user event rows: bounded by per-user activity over the" +
-        " fixture's bounded retention window (sessionization grain)",
-      Seq("q63", "q88", "q124")),
+    // `user_id` is deliberately NOT declared (r10 verdict #1: the bound
+    // was an input contract, not a construction guarantee): every
+    // per-user sequential operator now rides Analytics.chunkedUserScan's
+    // construction-bounded grains (`_pid` chunks + the `cu` summary
+    // grain), the funnel family's unordered windows became staged
+    // aggregates, and a NEW raw user_id window is a CI failure here.
+    BoundedKey("cu",
+      "per-user CHUNK-SUMMARY rows from Analytics.chunkedUserScan: ≤" +
+        " |shuffle partitions| chunks per user (the renamed grain exists" +
+        " so a raw per-user `user_id` frame can never ride this" +
+        " declaration — the chunkedTicks cday/ctkr discipline)",
+      Seq("q63", "q124", "q139", "q150", "q184")),
     BoundedKey("_pid",
       "spark_partition_id() after repartitionByRange: a rangepartition" +
         " chunk — ≤ ~|input| / |shuffle partitions| rows by the range" +
