@@ -295,6 +295,162 @@ object CrossSection extends QueryModule {
       FROM l ORDER BY mon"""))
 
   // ---------------------------------------------------------------------
+  // q280 — PROBABILITY OF BACKTEST OVERFITTING via CSCV (Bailey–Borwein–
+  // López de Prado–Zhu 2015, "The probability of backtest overfitting",
+  // J. Computational Finance): the honest closing readout for the
+  // backtest family (q241 CPCV, q247 long-short, q256 equity stats, q272
+  // walk-forward) — how often does IN-SAMPLE strategy selection pick a
+  // strategy that underperforms the median OUT-of-sample? The N monthly
+  // per-ticker return streams are the candidate strategies; T months cut
+  // into S=6 sequential blocks; for each of the C(6,3)=20 symmetric
+  // in-sample block subsets, the best in-sample strategy is chosen and
+  // its OOS RANK among all N read off. PBO = share of subsets whose
+  // chosen strategy lands in the bottom OOS half. Rank-based, so the
+  // whole statistic is exact-integer (the paper's logit λ is a monotone
+  // transform of the relative rank ω̄ — reported as ω̄ in milli, no
+  // transcendentals; r9 verdict chose CSCV over deflated Sharpe for
+  // exactly this reason).
+  //
+  // Exactness: monthly returns are sign-peeled integer milli-bp; IS
+  // performance is an order-invariant BIGINT sum and OOS = total − IS
+  // (one pass, symmetric by construction); best-strategy and rank
+  // tiebreaks pinned by (perf, ticker) struct order on both engines.
+  //
+  // Scale: returns are one ticker window over the monthly_bars silver
+  // (rollup evidence); month indexing is a global window over ≤ |months|
+  // distinct-month rollup rows (exempt); the subset fan-out is a 120-row
+  // broadcast (20 masks × 6 blocks); all else is map-combinable
+  // aggregation at (mask, ticker) grain — ≤ 20·|universe| rows.
+  // ---------------------------------------------------------------------
+  private val CscvS = 6
+
+  /** Arithmetic popcount of the low [[CscvS]] bits — portable, no
+    * bit_count builtin assumed on either engine.
+    */
+  private def popSql(c: String, divOp: String): String =
+    (0 until CscvS).map(g => s"((($c) $divOp ${1L << g}) % 2)").mkString(" + ")
+
+  private val q280 = QueryDef(
+    "q280_pbo_cscv",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("mon")
+      val r = mbars(spark, dir)
+        .withColumn("next_c", lead($"close_c", 1).over(wT))
+        .filter($"next_c".isNotNull)
+        .withColumn("r_mbp", expr(
+          speelDivSql("(next_c - close_c) * 10000000", "close_c", "div")))
+        .select($"ticker", $"mon", $"r_mbp")
+      val monIdx = r.select($"mon").distinct()
+        .withColumn("mrn",
+          row_number().over(Window.orderBy($"mon")).cast("long"))
+      val monN = monIdx.agg(max($"mrn").as("tm"))
+      val rg = r.join(broadcast(monIdx), "mon")
+        .crossJoin(broadcast(monN))
+        .withColumn("g", expr(s"((mrn - 1) * $CscvS) div tm"))
+      val mem = spark.range(0, 1L << CscvS).toDF("c")
+        .filter(expr(popSql("c", "div")) === CscvS / 2)
+        .crossJoin(spark.range(0, CscvS).toDF("g"))
+        .withColumn("in_is",
+          expr("(c div shiftleft(1, cast(g as int))) % 2 = 1"))
+      val perf = rg.join(broadcast(mem), "g")
+        .groupBy($"c", $"ticker")
+        .agg(
+          sum(when($"in_is", $"r_mbp").otherwise(0L)).as("is_perf"),
+          sum($"r_mbp").as("tot"))
+        .withColumn("oos_perf", $"tot" - $"is_perf")
+      val chosen = perf.groupBy($"c")
+        .agg(max(struct($"is_perf", $"ticker")).as("ch"),
+          count(lit(1)).as("n_strats"))
+        .select($"c".as("cc"), $"ch.ticker".as("ch_ticker"),
+          $"ch.is_perf".as("ch_is"), $"n_strats")
+      // rename-projected copy of perf for the chosen-strategy lookup —
+      // ranked below joins perf again, and Spark's self-join ambiguity
+      // check needs distinct lineages
+      val perfP = perf.select($"c".as("pc"), $"ticker".as("pticker"),
+        $"oos_perf".as("poos"))
+      val chosenOos = chosen.join(perfP,
+          $"cc" === $"pc" && $"ch_ticker" === $"pticker")
+        .select($"cc", $"ch_ticker", $"ch_is", $"n_strats",
+          $"poos".as("ch_oos"))
+      val ranked = perf.join(broadcast(chosenOos), $"c" === $"cc")
+        .groupBy($"c", $"ch_ticker", $"ch_is", $"ch_oos", $"n_strats")
+        .agg(sum(when(
+          struct($"oos_perf", $"ticker") <=
+            struct($"ch_oos", $"ch_ticker"), 1L).otherwise(0L))
+          .as("oos_rank"))
+      val pbo = ranked.agg(expr(
+        "(1000 * sum(CASE WHEN 2 * oos_rank <= n_strats THEN 1 ELSE 0 END))" +
+          " div count(1)").as("pbo_milli"))
+      ranked
+        .crossJoin(broadcast(pbo))
+        .withColumn("omega_milli",
+          expr("(1000 * oos_rank) div (n_strats + 1)"))
+        .select($"c", $"ch_ticker".as("chosen"), $"ch_is".as("is_perf"),
+          $"ch_oos".as("oos_perf"), $"n_strats", $"oos_rank",
+          $"omega_milli", $"pbo_milli")
+        .orderBy($"c")
+    },
+    Some(s"""
+      WITH $mbarsSql,
+      r AS (
+        SELECT ticker, mon,
+               ${speelDivSql("(next_c - close_c) * 10000000", "close_c", "//")}
+                 AS r_mbp
+        FROM (
+          SELECT ticker, mon, close_c,
+                 lead(close_c, 1) OVER (PARTITION BY ticker ORDER BY mon)
+                   AS next_c
+          FROM mbars)
+        WHERE next_c IS NOT NULL),
+      mi AS (
+        SELECT mon, row_number() OVER (ORDER BY mon) AS mrn
+        FROM (SELECT DISTINCT mon FROM r)),
+      mn AS (SELECT max(mrn) AS tm FROM mi),
+      rg AS (
+        SELECT r.ticker, r.r_mbp, ((mi.mrn - 1) * $CscvS) // mn.tm AS g
+        FROM r JOIN mi USING (mon), mn),
+      combos AS (
+        SELECT c FROM (SELECT unnest(range(0, ${1L << CscvS})) AS c)
+        WHERE ${popSql("c", "//")} = ${CscvS / 2}),
+      mem AS (
+        SELECT c, g, ((c // (1 << g)) % 2) = 1 AS in_is
+        FROM combos, (SELECT unnest(range(0, $CscvS)) AS g)),
+      p2 AS (
+        SELECT *, tot - is_perf AS oos_perf FROM (
+          SELECT m.c, rg.ticker,
+                 CAST(sum(CASE WHEN m.in_is THEN rg.r_mbp ELSE 0 END)
+                   AS BIGINT) AS is_perf,
+                 CAST(sum(rg.r_mbp) AS BIGINT) AS tot
+          FROM rg JOIN mem m USING (g) GROUP BY 1, 2)),
+      ch AS (
+        SELECT c, max(struct_pack(p := is_perf, t := ticker)) AS m,
+               count(*) AS n_strats
+        FROM p2 GROUP BY 1),
+      cho AS (
+        SELECT ch.c, (ch.m).t AS ch_ticker, (ch.m).p AS ch_is,
+               ch.n_strats, p2.oos_perf AS ch_oos
+        FROM ch JOIN p2 ON p2.c = ch.c AND p2.ticker = (ch.m).t),
+      rk AS (
+        SELECT p2.c, cho.ch_ticker, cho.ch_is, cho.ch_oos, cho.n_strats,
+               sum(CASE WHEN struct_pack(p := p2.oos_perf, t := p2.ticker)
+                          <= struct_pack(p := cho.ch_oos, t := cho.ch_ticker)
+                   THEN 1 ELSE 0 END) AS oos_rank
+        FROM p2 JOIN cho ON cho.c = p2.c
+        GROUP BY 1, 2, 3, 4, 5),
+      pb AS (
+        SELECT (1000 * sum(CASE WHEN 2 * oos_rank <= n_strats
+                           THEN 1 ELSE 0 END)) // count(*) AS pbo_milli
+        FROM rk)
+      SELECT rk.c, rk.ch_ticker AS chosen, rk.ch_is AS is_perf,
+             rk.ch_oos AS oos_perf, rk.n_strats,
+             CAST(rk.oos_rank AS BIGINT) AS oos_rank,
+             CAST((1000 * rk.oos_rank) // (rk.n_strats + 1) AS BIGINT)
+               AS omega_milli,
+             CAST(pb.pbo_milli AS BIGINT) AS pbo_milli
+      FROM rk, pb ORDER BY rk.c"""))
+
+  // ---------------------------------------------------------------------
   // q248 — AUTOCORRELATION + LJUNG–BOX WHITE-NOISE TEST per ticker: the
   // series diagnostic run before fitting anything — are daily close
   // changes serially correlated at lags 1..5, and does the portmanteau
@@ -1617,5 +1773,5 @@ object CrossSection extends QueryModule {
 
   override val defs: Seq[QueryDef] =
     Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256, q260, q262,
-      q266, q269, q270, q274)
+      q266, q269, q270, q274, q280)
 }

@@ -228,6 +228,9 @@ object WindowBounds {
         " grid rows per keyspace (the literal keyspace tag is constant-" +
         "folded out of the partition spec, so the frame reads as global;" +
         " the input is the grid rollup, never raw keys)"),
+    "q280_pbo_cscv" ->
+      ("CSCV month-index window over ≤ |months| DISTINCT-month rollup" +
+        " rows (the q247 equity-curve input discipline)"),
     "q266_implied_correlation" ->
       ("index trailing-12 frame over the ≤ |months| equal-weight-index" +
         " rollup (the synthetic single-series key constant-folds away);" +

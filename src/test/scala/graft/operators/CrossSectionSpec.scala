@@ -408,6 +408,29 @@ class CrossSectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q280 CSCV rank invariants: C(6,3) symmetric masks, ranks in range, PBO recomputes") {
+    val rows = run("q280_pbo_cscv").collect()
+    // exactly C(6,3) = 20 in-sample masks, in complementary pairs
+    // (CSCV's defining symmetry: every split's IS set is some split's
+    // OOS set, so the procedure cannot favor either half)
+    assert(rows.length === 20)
+    val masks = rows.map(_.getAs[Long]("c")).toSet
+    assert(masks.forall(c => masks.contains(63L ^ c)),
+      "mask set not closed under complement")
+    val n = rows.map(_.getAs[Long]("n_strats")).distinct
+    assert(n.length === 1 && n.head >= 5L)
+    rows.foreach { r =>
+      val rank = r.getAs[Long]("oos_rank")
+      assert(rank >= 1L && rank <= n.head, s"rank $rank out of range")
+      val om = r.getAs[Long]("omega_milli")
+      assert(om === 1000L * rank / (n.head + 1))
+    }
+    // the headline recomputes from the per-mask ranks
+    val below = rows.count(r => 2 * r.getAs[Long]("oos_rank") <= n.head)
+    val pbo = rows.map(_.getAs[Long]("pbo_milli")).distinct
+    assert(pbo === Seq(1000L * below / 20))
+  }
+
   test("q250 plan: no cartesian product; stage-2 rides a broadcast of the top pairs") {
     val p = run("q250_cointegration").queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "pair join degenerated to cartesian")
