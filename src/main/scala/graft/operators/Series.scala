@@ -2142,6 +2142,163 @@ object Series extends QueryModule {
       ORDER BY ticker, bucket"""))
 
   // ---------------------------------------------------------------------
+  // q281 — STREAMING KYLE'S LAMBDA (r10 verdict "Next round" #3): the
+  // last batch-only member of the microstructure arc goes live — price
+  // impact per unit signed flow (Kyle 1985), re-estimated the moment a
+  // volume bucket completes, the way a live execution desk watches
+  // impact drift. Per-ticker transformWithState (the q271 discipline):
+  // ValueState = tick-rule carry + the one OPEN bucket's signed-flow
+  // accumulation + the previously COMPLETED bucket's last price + the
+  // five running OLS accumulators (n, Σx, Σy, Σx², Σxy) over completed
+  // buckets — CONSTANT state per ticker. When a bucket completes, its
+  // price change vs the prior completed bucket joins the regression and
+  // the updated λ estimate emits (once n ≥ 3, q238's minimum).
+  //
+  // Stream ≡ batch: completed buckets are a PREFIX of the bucket
+  // sequence (the open bucket is always the last), so the running OLS
+  // over completed buckets equals q238's batch accumulators restricted
+  // to the completed set at each emission — the oracle is q238's SQL
+  // with q271's completion rule and CUMULATIVE window sums instead of
+  // the final rollup. Tie groups advance atomically (the RANGE-frame
+  // rule); accumulators are exact longs (per-bucket |flow| ≤ T + one
+  // tick, so Σx² stays ≪ 2⁶³ at the fixture's bucket counts — at a
+  // larger deployment T is sized so n·(T+tick)² < 2⁶³, the same
+  // envelope q238's batch moments live in); λ is ONE fixed-order double
+  // expression over exact longs — bit-identical cross-engine.
+  // ---------------------------------------------------------------------
+  private[operators] final case class KlSt(
+      lastC: Long, lastS: Long, cum: Long,
+      openBkt: Long, sflow: Long,
+      prevOk: Boolean, prevLastC: Long,
+      n: Long, sx: Long, sy: Long, sxx: Long, sxy: Long)
+  private[operators] final case class KlOut(
+      ticker: Long, bucket: Long, n_buckets: Long, lambda: Double)
+
+  private[operators] class KyleProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, DbTick, KlOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[KlSt] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[KlSt]("kyle",
+        org.apache.spark.sql.Encoders.product[KlSt], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[DbTick],
+        tv: TimerValues): Iterator[KlOut] = {
+      var s = if (st.exists()) st.get()
+              else KlSt(0L, 0L, 0L, -1L, 0L, false, 0L,
+                0L, 0L, 0L, 0L, 0L)
+      val out = scala.collection.mutable.ListBuffer.empty[KlOut]
+      rows.toArray.sortBy(t => (t.day.getTime, t.seq))
+        .foldLeft(Vector.empty[Vector[DbTick]]) { (gs, t) =>
+          if (gs.nonEmpty && gs.last.head.day == t.day
+              && gs.last.head.seq == t.seq)
+            gs.init :+ (gs.last :+ t)
+          else gs :+ Vector(t)
+        }
+        .foreach { g =>
+          val c = g.head.cents
+          val sign =
+            if (s.lastC == 0L) 1L
+            else if (c > s.lastC) 1L
+            else if (c < s.lastC) -1L
+            else if (s.lastS == 0L) 1L
+            else s.lastS
+          val cum = s.cum + g.map(_.cents).sum
+          val bid = (cum - 1) / DollarBarT
+          val f = sign * g.length.toLong * c // signed flow contribution
+          val lastS2 = if (s.lastC != 0L && c != s.lastC)
+                         (if (c > s.lastC) 1L else -1L)
+                       else s.lastS
+          if (s.openBkt == bid || s.openBkt == -1L)
+            s = s.copy(lastC = c, lastS = lastS2, cum = cum, openBkt = bid,
+              sflow = s.sflow + f)
+          else {
+            // the open bucket completes at last price s.lastC: its
+            // (Δprice, flow) joins the running regression — except the
+            // ticker's FIRST completed bucket, which only seeds prevLastC
+            var (n, sx, sy, sxx, sxy) = (s.n, s.sx, s.sy, s.sxx, s.sxy)
+            if (s.prevOk) {
+              val d = s.lastC - s.prevLastC
+              n += 1; sx += s.sflow; sy += d
+              sxx += s.sflow * s.sflow; sxy += s.sflow * d
+              if (n >= 3L)
+                out += KlOut(key, s.openBkt, n,
+                  (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+                    (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble))
+            }
+            s = KlSt(c, lastS2, cum, bid, f, true, s.lastC,
+              n, sx, sy, sxx, sxy)
+          }
+        }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** The q281 build, chunking exposed for the batch-boundary-independence
+    * spec (the q271 shape).
+    */
+  private[operators] def streamKyle(
+      outer: SparkSession, dir: String, nChunks: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val t = tickTape(spark, dir)
+    val feed = graft.streaming.Streams.replayByDates(t, "day", nChunks)
+    val lambdas = spark.readStream.schema(t.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .as[DbTick]
+      .groupByKey(_.tkr)
+      .transformWithState(new KyleProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF()
+    graft.streaming.Streams.runToParquet(lambdas, "append")
+      .orderBy($"ticker", $"bucket")
+  }
+
+  private val q281 = QueryDef(
+    "q281_stream_kyle",
+    (outer, dir) => streamKyle(outer, dir, 4),
+    Some(s"""
+      WITH $flowSql,
+      b AS (
+        SELECT ticker, CAST((cum0 - 1) // $DollarBarT AS BIGINT) AS bucket,
+               CAST(sum(CASE WHEN coalesce(s, 1) = 1 THEN cents
+                             ELSE -cents END) AS BIGINT) AS sflow_c,
+               (max(struct_pack(d := day, s2 := seq, c := cents))).c
+                 AS last_c
+        FROM w2 GROUP BY 1, 2),
+      tot AS (
+        SELECT ticker, CAST(sum(cents) AS BIGINT) AS total_c
+        FROM ticks GROUP BY 1),
+      cb AS (
+        SELECT b.* FROM b JOIN tot ON tot.ticker = b.ticker
+        WHERE tot.total_c > (b.bucket + 1) * $DollarBarT),
+      d AS (
+        SELECT ticker, bucket, sflow_c,
+               last_c - lag(last_c) OVER (PARTITION BY ticker
+                 ORDER BY bucket) AS dp_c
+        FROM cb),
+      e AS (
+        SELECT ticker, bucket,
+               CAST(count(*) OVER wc AS BIGINT) AS n,
+               CAST(sum(sflow_c) OVER wc AS BIGINT) AS sx,
+               CAST(sum(dp_c) OVER wc AS BIGINT) AS sy,
+               CAST(sum(sflow_c * sflow_c) OVER wc AS BIGINT) AS sxx,
+               CAST(sum(sflow_c * dp_c) OVER wc AS BIGINT) AS sxy
+        FROM d WHERE dp_c IS NOT NULL
+        WINDOW wc AS (PARTITION BY ticker ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING))
+      SELECT ticker, bucket, n AS n_buckets,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS lambda
+      FROM e WHERE n >= 3 ORDER BY ticker, bucket"""))
+
+  // ---------------------------------------------------------------------
   // q261 — AMIHUD ILLIQUIDITY (Amihud 2002): |daily return| per dollar
   // traded — the price-impact-per-notional measure that needs only
   // bars, where Kyle's λ (q238) needs classified flow; the two should
@@ -2307,5 +2464,5 @@ object Series extends QueryModule {
   override val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229, q230,
       q231, q234, q235, q236, q237, q238, q239, q243, q244, q261, q267,
-      q271, q277, q278)
+      q271, q277, q278, q281)
 }

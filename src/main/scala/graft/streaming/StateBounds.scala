@@ -123,6 +123,11 @@ object StateBounds {
       "= one ValueState row per ticker (tick-rule carry + open bucket +" +
         " the ≤(VpinFrame−1)-entry completed-bucket ring, constant size)",
       (s, d) => graft.operators.Series.tapeTickersOf(s, d)),
+    StateBound("q281_stream_kyle",
+      "= one ValueState row per ticker (tick-rule carry + open bucket's" +
+        " signed flow + prior completed bucket's last price + five OLS" +
+        " accumulators, constant size)",
+      (s, d) => graft.operators.Series.tapeTickersOf(s, d)),
     StateBound("q240_stream_cusum_events",
       "= one ValueState row per ticker (last close + the two CUSUM" +
         " accumulators, constant size)",
