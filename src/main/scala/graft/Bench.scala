@@ -67,8 +67,23 @@ object Bench {
     // (SPARK_GRAFT_BENCH_ONLY=q191_allpairs_cosine); unset = full surface
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).toSet)
+    // optional FIXED-cohort mode (SPARK_GRAFT_BENCH_COHORT=k/n): run only
+    // the queries whose stable name hash lands in cohort k of n, so the
+    // full surface can be benched as n separate JVMs — the census-churn
+    // term (codegen-cache + GC pressure, ~0.2–0.5 s/query in a JVM
+    // holding the whole surface) stays bounded by the cohort size
+    // instead of growing with every added query. Hash-based, not
+    // index-based, so adding a query never moves existing ones between
+    // cohorts (budgets stay comparable round over round).
+    val cohort = sys.env.get("SPARK_GRAFT_BENCH_COHORT").map { s =>
+      val Array(k, n) = s.split('/').map(_.trim.toInt)
+      require(n > 0 && k >= 0 && k < n, s"bad cohort spec $s")
+      (k, n)
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+      .filter(nm => cohort.forall { case (k, n) =>
+        math.floorMod(nm.hashCode, n) == k })
     // Either(seconds) or the failure message
     def time(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
