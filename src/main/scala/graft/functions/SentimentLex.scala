@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * This is the native-expression port of the three VADER mechanics that
   * dominate its behavior (Hutto & Gilbert 2014, public method):
   *
-  *   1. a large word→valence lexicon (4,169 entries as of round 10, vs
+  *   1. a large word→valence lexicon (4,609 entries as of round 11, vs
   *      public VADER's ~7.5k, at VADER-like magnitudes — a hand-curated
   *      core plus morphologically derived inflections and
   *      finance/slang/emoticon batches, see [[Lexicon]] — stored as
@@ -890,12 +890,15 @@ object SentimentLex {
     else w + "ly"
 
   private def derivedEntries: Seq[(String, Int)] = {
-    import SentimentLexGrowth.{VerbStems3, AdjStems3, NounStems3, ExtraWords2}
-    (VerbStems ++ VerbStems2 ++ VerbStems3).flatMap { case (w, v) =>
+    import SentimentLexGrowth.{VerbStems3, VerbStems4, AdjStems3, AdjStems4,
+      NounStems3, NounStems4, ExtraWords2, ExtraWords3}
+    (VerbStems ++ VerbStems2 ++ VerbStems3 ++ VerbStems4).flatMap { case (w, v) =>
       Seq(w -> v, sForm(w) -> v, pastForm(w) -> v, ingForm(w) -> v) } ++
-    (AdjStems ++ AdjStems2 ++ AdjStems3).flatMap { case (w, v) => Seq(w -> v, lyForm(w) -> v) } ++
-    (NounStems ++ NounStems2 ++ NounStems3).flatMap { case (w, v) => Seq(w -> v, sForm(w) -> v) } ++
-    ExtraWords ++ ExtraWords2 ++ FinanceBatch ++ SlangBatch
+    (AdjStems ++ AdjStems2 ++ AdjStems3 ++ AdjStems4)
+      .flatMap { case (w, v) => Seq(w -> v, lyForm(w) -> v) } ++
+    (NounStems ++ NounStems2 ++ NounStems3 ++ NounStems4)
+      .flatMap { case (w, v) => Seq(w -> v, sForm(w) -> v) } ++
+    ExtraWords ++ ExtraWords2 ++ ExtraWords3 ++ FinanceBatch ++ SlangBatch
   }
 
   /** word → integer decivalence (VADER-like valence × 10): the curated

@@ -2031,25 +2031,62 @@ object Curation extends QueryModule {
   // lookarounds); no shuffle before the per-source audit rollup —
   // at 100 TB this is the same linear scan shape as q67.
   // ---------------------------------------------------------------------
-  private val TagRe = "<[^>]*>"
-  private val EntityRe = "&[a-z]+;"
+  /** Tag matcher, QUOTED-ATTRIBUTE-AWARE (the r10 verdict's hardening
+    * ask): `<[^>]*>` eats to the first `>`, so an attribute containing
+    * `>` (`<div data-note="5>4">`) leaks half the tag into the text.
+    * This alternation consumes quoted attribute values atomically —
+    * still RE2∩Java (no lookarounds, no backrefs).
+    */
+  private val TagRe = "<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+  /** Named AND numeric character references (&amp; / &#39;). */
+  private val EntityRe = "&#?[a-z0-9]+;"
   private val BlockRes = Seq(
     "(?s)<script.*?</script>", "(?s)<style.*?</style>",
     "(?s)<title.*?</title>", "(?s)<nav.*?</nav>",
-    "(?s)<footer.*?</footer>")
+    "(?s)<footer.*?</footer>", "(?s)<!--.*?-->",
+    "(?s)<!\\[CDATA\\[.*?\\]\\]>")
+
+  /** Per-variant page chrome (variant = doc_id % 4): the r10 plant was
+    * ONE well-formed template; real web markup is not. v0 = baseline,
+    * v1 = unclosed elements + a `>`-bearing comment, v2 = attribute
+    * values containing `>` in both quote styles, v3 = a bare CDATA
+    * section + numeric character references. Each variant's exact-
+    * recovery is separately gated: the census groups by variant, so one
+    * regressing template is a visible row, not an averaged-away count.
+    */
+  private val HtmlOpenMain = Seq(
+    "<div id=\"main\"><p>",
+    "<!-- crumbs > trail --><div><p>",
+    "<div data-note=\"5>4\" class='a>b'><p>",
+    "<div><![CDATA[ raw > data ]]><p>")
+  private val HtmlTrailer = Seq(
+    "</p><p>Rated 5 &gt; 4 &amp; counting</p></div>",
+    "<br><p>Line one<br>Line two</div>",
+    "</p><span title=\"x>y\">ok</span></div>",
+    "</p><p>It&#39;s fine &#34;quoted&#34;</p></div>")
+  private val WantSuffix = Seq(
+    " Rated 5 > 4 & counting",
+    " Line one Line two",
+    " ok",
+    " It's fine \"quoted\"")
+
   private val q273 = QueryDef(
     "q273_html_extract",
     (spark, dir) => {
       import spark.implicits._
       import graft.functions.Portable
+      def by4(pieces: Seq[String]) = pieces.zipWithIndex.tail
+        .foldLeft(when($"doc_id" % 4 === 0, lit(pieces.head))) {
+          case (c, (p, i)) => c.when($"doc_id" % 4 === i, lit(p))
+        }
       val wrapped = Tables.documents(spark, dir)
+        .withColumn("variant", $"doc_id" % 4)
         .withColumn("html", concat(
           lit("<!DOCTYPE html><html><head><title>Doc "), $"doc_id",
           lit("</title><script>var x=1;</script><style>.m{color:red}</style>" +
             "</head><body><nav>Home &gt; "), $"source",
-          lit("</nav><div id=\"main\"><p>"), $"text",
-          lit("</p><p>Rated 5 &gt; 4 &amp; counting</p></div>" +
-            "<footer>&copy; 2024 Example</footer></body></html>")))
+          lit("</nav>"), by4(HtmlOpenMain), $"text", by4(HtmlTrailer),
+          lit("<footer>&copy; 2024 Example</footer></body></html>")))
       val deblocked = BlockRes.foldLeft($"html": org.apache.spark.sql.Column)(
         (c, re) => regexp_replace(c, re, " "))
       val audited = wrapped
@@ -2059,15 +2096,17 @@ object Curation extends QueryModule {
           size(regexp_extract_all($"html", lit(EntityRe), lit(0))))
         .withColumn("untag", regexp_replace(deblocked, TagRe, " "))
         .withColumn("decoded",
-          regexp_replace(regexp_replace(regexp_replace($"untag",
-            "&gt;", ">"), "&lt;", "<"), "&amp;", "&"))
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace($"untag",
+              "&gt;", ">"), "&lt;", "<"), "&amp;", "&"),
+            "&#39;", "'"), "&#34;", "\""))
         .withColumn("extracted",
           trim(regexp_replace($"decoded", "\\s+", " ")))
         .withColumn("want",
           concat(trim(regexp_replace($"text", "\\s+", " ")),
-            lit(" Rated 5 > 4 & counting")))
+            by4(WantSuffix)))
       audited
-        .groupBy($"source")
+        .groupBy($"source", $"variant")
         .agg(
           count(lit(1)).as("n_docs"),
           sum($"n_tags").as("tags_stripped"),
@@ -2076,41 +2115,47 @@ object Curation extends QueryModule {
             .as("n_exact"),
           sum(Portable.md5Hash64($"extracted") % lit(Portable.P))
             .as("corpus_checksum"))
-        .orderBy($"source")
+        .orderBy($"source", $"variant")
     },
     Some {
+      def sqlq(s: String) = s.replace("'", "''")
       val blocks = BlockRes.foldLeft("html")(
-        (e, re) => s"regexp_replace($e, '$re', ' ', 'g')")
+        (e, re) => s"regexp_replace($e, '${sqlq(re)}', ' ', 'g')")
+      def by4Sql(pieces: Seq[String], sel: String = "doc_id % 4") =
+        s"CASE $sel ${pieces.zipWithIndex.map { case (p, i) =>
+          s"WHEN $i THEN '${sqlq(p)}'" }.mkString(" ")} END"
       s"""
       WITH wrapped AS (
-        SELECT source, text,
+        SELECT source, text, doc_id % 4 AS variant,
                '<!DOCTYPE html><html><head><title>Doc ' || doc_id ||
                '</title><script>var x=1;</script><style>.m{color:red}</style>' ||
                '</head><body><nav>Home &gt; ' || source ||
-               '</nav><div id="main"><p>' || text ||
-               '</p><p>Rated 5 &gt; 4 &amp; counting</p></div>' ||
+               '</nav>' || ${by4Sql(HtmlOpenMain)} || text ||
+               ${by4Sql(HtmlTrailer)} ||
                '<footer>&copy; 2024 Example</footer></body></html>' AS html
         FROM documents),
       ext AS (
-        SELECT source,
-               len(regexp_extract_all(html, '$TagRe')) AS n_tags,
+        SELECT source, variant,
+               len(regexp_extract_all(html, '${sqlq(TagRe)}')) AS n_tags,
                len(regexp_extract_all(html, '$EntityRe')) AS n_entities,
                trim(regexp_replace(
                  regexp_replace(regexp_replace(regexp_replace(
-                   regexp_replace($blocks, '$TagRe', ' ', 'g'),
-                   '&gt;', '>', 'g'), '&lt;', '<', 'g'), '&amp;', '&', 'g'),
+                   regexp_replace(regexp_replace(
+                     regexp_replace($blocks, '${sqlq(TagRe)}', ' ', 'g'),
+                     '&gt;', '>', 'g'), '&lt;', '<', 'g'), '&amp;', '&', 'g'),
+                   '&#39;', '''', 'g'), '&#34;', '"', 'g'),
                  '\\s+', ' ', 'g')) AS extracted,
                trim(regexp_replace(text, '\\s+', ' ', 'g')) ||
-                 ' Rated 5 > 4 & counting' AS want
+                 ${by4Sql(WantSuffix, "variant")} AS want
         FROM wrapped)
-      SELECT source, count(*) AS n_docs,
+      SELECT source, CAST(variant AS BIGINT) AS variant, count(*) AS n_docs,
              CAST(sum(n_tags) AS BIGINT) AS tags_stripped,
              CAST(sum(n_entities) AS BIGINT) AS entities_seen,
              CAST(sum(CASE WHEN extracted = want THEN 1 ELSE 0 END) AS BIGINT)
                AS n_exact,
              CAST(sum(${graft.functions.Portable.md5Hash64Sql("extracted")}
                % ${graft.functions.Portable.P}) AS BIGINT) AS corpus_checksum
-      FROM ext GROUP BY source ORDER BY source"""
+      FROM ext GROUP BY source, variant ORDER BY source, variant"""
     })
 
   override val defs: Seq[QueryDef] =

@@ -290,6 +290,24 @@ class TemporalCurationSpec extends AnyFunSuite {
         "n_seen", "est_total_milli")).count() === streamed.count())
   }
 
+  test("q273 html extraction: EVERY template variant recovers exactly — incl. malformed markup") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q273_html_extract").collect()
+    // all four chrome variants present (baseline, unclosed tags +
+    // >-bearing comment, >-in-attributes, CDATA + numeric entities)
+    val variants = rows.map(_.getAs[Long]("variant")).toSet
+    assert(variants === Set(0L, 1L, 2L, 3L))
+    // per (source, variant): EXACT recovery of every document — a regex
+    // that leaks an attribute fragment or fails a numeric entity makes a
+    // visible per-variant row, not an averaged-away count
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") === r.getAs[Long]("n_docs"),
+        s"variant ${r.getAs[Long]("variant")} of source " +
+          s"${r.getAs[String]("source")} lost content")
+      assert(r.getAs[Long]("tags_stripped") > 0L)
+    }
+  }
+
   test("q245 priority sampling: rank cut executes as WindowGroupLimit, no full sort") {
     // the per-source top-(K+1) must ride Catalyst's rank-limit prune —
     // each map partition forwards ≤ K+1 rows per source, never the whole
