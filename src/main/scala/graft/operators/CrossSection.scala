@@ -1771,7 +1771,312 @@ object CrossSection extends QueryModule {
         AND n_win = 5
       ORDER BY ticker, date"""))
 
+  // ---------------------------------------------------------------------
+  // q282 — GRANGER-CAUSALITY LEAD SCREEN (Granger 1969): does YESTERDAY's
+  // market return predict a name's return today, over and above the
+  // name's own lag? The lag-1 bivariate VAR equation per ticker:
+  //   y_t = a + b1·y_{t-1} + b2·x_{t-1},   x = market milli-return
+  // against the restricted y_t = a + b1·y_{t-1}; the F statistic for the
+  // one restriction b2 = 0 is compared to the asymptotic χ²₁ 95% point
+  // (F = t² for a single restriction). Lagged-adjuster names (stale
+  // prices, index inclusion effects) reject — the classic lead-lag
+  // screen run before fitting any cross-asset model.
+  //
+  // Exactness: returns are the q252/q274 milli quantization (floor of
+  // ONE division); the market is the sign-peeled integer mean over ≥ 5
+  // names/day; ALL ten regression moments are exact BIGINT sums, the
+  // centered moments are the exact integer forms n·Sab − Sa·Sb
+  // (|r| ≤ 10⁵ milli, n ≤ 2500 ⇒ every product < 2⁶³), and the OLS
+  // solve + F is ONE fixed-order double expression evaluated over those
+  // exact integers — identical bits on both engines, so the floor-milli
+  // projections and the reject flag are hash-stable, not ulp-lucky.
+  // Eligibility predicates (n ≥ 30, positive determinant/variances)
+  // test exact INTEGERS only.
+  //
+  // Scale: one ticker-window lag pass at the daily-bars rollup grain
+  // (declared `ticker` bound, silver-scan evidence), one |days|-row
+  // market broadcast, one map-combinable ten-moment aggregate per
+  // ticker — no pair explosion anywhere (the regressor is the market,
+  // not another name, so the screen is |universe|-sized, not
+  // |universe|²; the q250 pair screen covers the latter shape).
+  // ---------------------------------------------------------------------
+  private val Chi2Crit1 = "3.841458820694124" // chi^2(1) 0.95 quantile
+
+  private val q282 = QueryDef(
+    "q282_granger_lead",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("date")
+      val rets = WindowFeatures.bars(spark, dir)
+        .withColumn("close_c",
+          ($"close".cast(DecimalType(28, 2)) * 100).cast("long"))
+        .withColumn("prev_c", lag($"close_c", 1).over(wT))
+        .filter($"prev_c".isNotNull)
+        .withColumn("ret_milli",
+          floor(lit(1000.0) * ($"close_c" - $"prev_c").cast("double") /
+            $"prev_c".cast("double")).cast("long"))
+      val mkt = rets.groupBy($"date")
+        .agg(count(lit(1)).as("n_names"), sum($"ret_milli").as("s_ret"))
+        .filter($"n_names" >= 5)
+        .withColumn("mkt_milli", expr(speelDivSql("s_ret", "n_names", "div")))
+        .select($"date", $"mkt_milli")
+      val lagged = rets.join(broadcast(mkt), "date")
+        .withColumn("y", $"ret_milli")
+        .withColumn("yl", lag($"ret_milli", 1).over(wT))
+        .withColumn("xl", lag($"mkt_milli", 1).over(wT))
+        .filter($"yl".isNotNull && $"xl".isNotNull)
+      val mom = lagged.groupBy($"ticker").agg(
+        count(lit(1)).as("n"),
+        sum($"y").as("sy"), sum($"yl").as("syl"), sum($"xl").as("sxl"),
+        sum($"y" * $"y").as("syy"),
+        sum($"yl" * $"yl").as("sylyl"),
+        sum($"xl" * $"xl").as("sxlxl"),
+        sum($"y" * $"yl").as("syyl"),
+        sum($"y" * $"xl").as("syxl"),
+        sum($"yl" * $"xl").as("sylxl"))
+      mom
+        .withColumn("cyy", $"n" * $"syy" - $"sy" * $"sy")
+        .withColumn("cll", $"n" * $"sylyl" - $"syl" * $"syl")
+        .withColumn("cxx", $"n" * $"sxlxl" - $"sxl" * $"sxl")
+        .withColumn("cyl", $"n" * $"syyl" - $"sy" * $"syl")
+        .withColumn("cyx", $"n" * $"syxl" - $"sy" * $"sxl")
+        .withColumn("clx", $"n" * $"sylxl" - $"syl" * $"sxl")
+        .withColumn("det", $"cll".cast("double") * $"cxx".cast("double") -
+          $"clx".cast("double") * $"clx".cast("double"))
+        .filter($"n" >= 30 && $"cll" > 0L && $"cxx" > 0L &&
+          ($"cll".cast("double") * $"cxx".cast("double") -
+            $"clx".cast("double") * $"clx".cast("double")) > 0.0)
+        .withColumn("b1",
+          ($"cyl".cast("double") * $"cxx".cast("double") -
+            $"cyx".cast("double") * $"clx".cast("double")) / $"det")
+        .withColumn("b2",
+          ($"cyx".cast("double") * $"cll".cast("double") -
+            $"cyl".cast("double") * $"clx".cast("double")) / $"det")
+        .withColumn("rss_u",
+          $"cyy".cast("double") -
+            ($"b1" * $"cyl".cast("double") + $"b2" * $"cyx".cast("double")))
+        .withColumn("rss_r",
+          $"cyy".cast("double") -
+            $"cyl".cast("double") * $"cyl".cast("double") /
+              $"cll".cast("double"))
+        .withColumn("f_stat",
+          when($"rss_u" > 0.0,
+            ($"rss_r" - $"rss_u") * ($"n" - 3L).cast("double") / $"rss_u"))
+        .withColumn("b2_micro", floor($"b2" * 1000000.0).cast("long"))
+        .withColumn("mkt_leads",
+          $"f_stat".isNotNull && $"f_stat" > lit(Chi2Crit1.toDouble))
+        .select($"ticker", $"n", $"b2_micro", $"f_stat", $"mkt_leads")
+        .orderBy($"ticker")
+    },
+    Some(s"""
+      WITH ${WindowFeatures.barsSql},
+      rets AS (
+        SELECT ticker, date,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(close_c - prev_c AS DOUBLE)
+                 / CAST(prev_c AS DOUBLE)) AS BIGINT) AS ret_milli
+        FROM (
+          SELECT ticker, date,
+                 CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT) AS close_c,
+                 lag(CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT), 1)
+                   OVER (PARTITION BY ticker ORDER BY date) AS prev_c
+          FROM bars)
+        WHERE prev_c IS NOT NULL),
+      mkt AS (
+        SELECT date,
+               ${speelDivSql("CAST(sum(ret_milli) AS BIGINT)",
+                 "count(*)", "//")} AS mkt_milli
+        FROM rets GROUP BY date HAVING count(*) >= 5),
+      lagged AS (
+        SELECT * FROM (
+          SELECT r.ticker, r.date, r.ret_milli AS y,
+                 lag(r.ret_milli, 1) OVER w AS yl,
+                 lag(m.mkt_milli, 1) OVER w AS xl
+          FROM rets r JOIN mkt m USING (date)
+          WINDOW w AS (PARTITION BY r.ticker ORDER BY r.date))
+        WHERE yl IS NOT NULL AND xl IS NOT NULL),
+      mom AS (
+        SELECT ticker, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(yl) AS BIGINT) AS syl,
+               CAST(sum(xl) AS BIGINT) AS sxl,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(yl * yl) AS BIGINT) AS sylyl,
+               CAST(sum(xl * xl) AS BIGINT) AS sxlxl,
+               CAST(sum(y * yl) AS BIGINT) AS syyl,
+               CAST(sum(y * xl) AS BIGINT) AS syxl,
+               CAST(sum(yl * xl) AS BIGINT) AS sylxl
+        FROM lagged GROUP BY ticker),
+      cm AS (
+        SELECT ticker, n,
+               n * syy - sy * sy AS cyy,
+               n * sylyl - syl * syl AS cll,
+               n * sxlxl - sxl * sxl AS cxx,
+               n * syyl - sy * syl AS cyl,
+               n * syxl - sy * sxl AS cyx,
+               n * sylxl - syl * sxl AS clx
+        FROM mom),
+      el AS (
+        SELECT *, CAST(cll AS DOUBLE) * CAST(cxx AS DOUBLE)
+                 - CAST(clx AS DOUBLE) * CAST(clx AS DOUBLE) AS det
+        FROM cm
+        WHERE n >= 30 AND cll > 0 AND cxx > 0
+          AND CAST(cll AS DOUBLE) * CAST(cxx AS DOUBLE)
+                - CAST(clx AS DOUBLE) * CAST(clx AS DOUBLE) > 0.0),
+      ols AS (
+        SELECT *,
+               (CAST(cyl AS DOUBLE) * CAST(cxx AS DOUBLE)
+                 - CAST(cyx AS DOUBLE) * CAST(clx AS DOUBLE)) / det AS b1,
+               (CAST(cyx AS DOUBLE) * CAST(cll AS DOUBLE)
+                 - CAST(cyl AS DOUBLE) * CAST(clx AS DOUBLE)) / det AS b2
+        FROM el),
+      rss AS (
+        SELECT *,
+               CAST(cyy AS DOUBLE)
+                 - (b1 * CAST(cyl AS DOUBLE) + b2 * CAST(cyx AS DOUBLE))
+                 AS rss_u,
+               CAST(cyy AS DOUBLE)
+                 - CAST(cyl AS DOUBLE) * CAST(cyl AS DOUBLE)
+                   / CAST(cll AS DOUBLE) AS rss_r
+        FROM ols),
+      fs AS (
+        SELECT *, CASE WHEN rss_u > 0.0
+                 THEN (rss_r - rss_u) * CAST(n - 3 AS DOUBLE) / rss_u
+                 END AS f_stat
+        FROM rss)
+      SELECT ticker, n,
+             CAST(floor(b2 * 1000000.0) AS BIGINT) AS b2_micro, f_stat,
+             f_stat IS NOT NULL AND f_stat > CAST('$Chi2Crit1' AS DOUBLE)
+               AS mkt_leads
+      FROM fs ORDER BY ticker"""))
+
+  // ---------------------------------------------------------------------
+  // q283 — BIPOWER-VARIATION JUMP TEST (Barndorff-Nielsen & Shephard
+  // 2004/2006): realized variance RV = Σ r² loads on BOTH diffusion and
+  // jumps; bipower variation BV = (π/2)·Σ|r_t||r_{t-1}| is jump-robust
+  // (a jump enters BV only multiplied by its continuous neighbors), so
+  // the relative jump measure RJ = (RV − BV)/RV isolates the jump share
+  // and the studentized z — with the quad-power quarticity
+  // QP = Σ|r_t||r_{t-1}||r_{t-2}||r_{t-3}| estimating integrated
+  // quarticity — rejects "no jumps" at the one-sided 95% normal point.
+  //
+  // Exactness: milli-returns WINSORIZED at ±[cap] (the q145 clamp
+  // discipline — jump-robust estimators conventionally run on
+  // error-cleaned returns, and the clamp is what bounds the quartic
+  // moment: cap⁴·n = 2000⁴·2500 = 4·10¹⁶ < 2⁶³; the fixture's synthetic
+  // tape has >100× overnight moves that would overflow the raw
+  // quarticity). RV / BV-numerator / QP-numerator are exact BIGINT
+  // sums; every π/μ₁ constant crosses as a shared string literal; the
+  // z studentization is ONE fixed-order double expression. Eligibility
+  // (n ≥ 30, rv > 0, bp > 0) tests exact integers.
+  //
+  // Scale: one ticker-window pass carrying three lags at the daily-bars
+  // rollup grain (declared bound, silver-scan evidence), one
+  // map-combinable aggregate — 1 row per ticker out.
+  // ---------------------------------------------------------------------
+  private val RetCap = 2000L // winsorization bound, milli-return units
+  private val HalfPi = "1.5707963267948966" // pi/2 = 1/mu1^2
+  private val Mu1m4 = "2.467401100272340" // mu1^-4 = pi^2/4
+  private val ThetaBns = "0.609002227456602" // pi^2/4 + pi - 5
+  private val Z95 = "1.6448536269514722" // one-sided 95% normal point
+
+  private val q283 = QueryDef(
+    "q283_bipower_jump",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("date")
+      val rets = WindowFeatures.bars(spark, dir)
+        .withColumn("close_c",
+          ($"close".cast(DecimalType(28, 2)) * 100).cast("long"))
+        .withColumn("prev_c", lag($"close_c", 1).over(wT))
+        .filter($"prev_c".isNotNull)
+        .withColumn("ret_milli",
+          floor(lit(1000.0) * ($"close_c" - $"prev_c").cast("double") /
+            $"prev_c".cast("double")).cast("long"))
+        .withColumn("r", greatest(least($"ret_milli", lit(RetCap)),
+          lit(-RetCap)))
+        .withColumn("a", abs($"r"))
+      val lagged = rets
+        .withColumn("a1", lag($"a", 1).over(wT))
+        .withColumn("a2", lag($"a", 2).over(wT))
+        .withColumn("a3", lag($"a", 3).over(wT))
+      val mom = lagged.groupBy($"ticker").agg(
+        count(lit(1)).as("n"),
+        sum($"r" * $"r").as("rv"),
+        sum(when($"a1".isNotNull, $"a" * $"a1").otherwise(0L)).as("bp"),
+        count($"a1").as("n_bp"),
+        sum(when($"a3".isNotNull, $"a" * $"a1" * $"a2" * $"a3")
+          .otherwise(0L)).as("qp"))
+      mom.filter($"n" >= 30 && $"rv" > 0L && $"bp" > 0L)
+        .withColumn("bv",
+          lit(HalfPi.toDouble) * $"bp".cast("double"))
+        .withColumn("rj", ($"rv".cast("double") - $"bv") /
+          $"rv".cast("double"))
+        .withColumn("iq_ratio",
+          greatest(lit(1.0),
+            lit(Mu1m4.toDouble) * $"qp".cast("double") *
+              $"n_bp".cast("double") / ($"bv" * $"bv")))
+        .withColumn("z_bns",
+          $"rj" / sqrt(lit(ThetaBns.toDouble) * $"iq_ratio" /
+            $"n_bp".cast("double")))
+        .withColumn("rj_milli", floor($"rj" * 1000.0).cast("long"))
+        .withColumn("jumps_rejected", $"z_bns" > lit(Z95.toDouble))
+        .select($"ticker", $"n", $"rv", $"bp", $"qp", $"rj_milli",
+          $"z_bns", $"jumps_rejected")
+        .orderBy($"ticker")
+    },
+    Some(s"""
+      WITH ${WindowFeatures.barsSql},
+      rets AS (
+        SELECT ticker, date,
+               greatest(least(
+                 CAST(floor(CAST('1000.0' AS DOUBLE)
+                   * CAST(close_c - prev_c AS DOUBLE)
+                   / CAST(prev_c AS DOUBLE)) AS BIGINT), $RetCap),
+                 -$RetCap) AS r
+        FROM (
+          SELECT ticker, date,
+                 CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT) AS close_c,
+                 lag(CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT), 1)
+                   OVER (PARTITION BY ticker ORDER BY date) AS prev_c
+          FROM bars)
+        WHERE prev_c IS NOT NULL),
+      lagged AS (
+        SELECT ticker, r, abs(r) AS a,
+               lag(abs(r), 1) OVER w AS a1,
+               lag(abs(r), 2) OVER w AS a2,
+               lag(abs(r), 3) OVER w AS a3
+        FROM rets
+        WINDOW w AS (PARTITION BY ticker ORDER BY date)),
+      mom AS (
+        SELECT ticker, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(r * r) AS BIGINT) AS rv,
+               CAST(sum(CASE WHEN a1 IS NOT NULL THEN a * a1 ELSE 0 END)
+                 AS BIGINT) AS bp,
+               CAST(count(a1) AS BIGINT) AS n_bp,
+               CAST(sum(CASE WHEN a3 IS NOT NULL THEN a * a1 * a2 * a3
+                 ELSE 0 END) AS BIGINT) AS qp
+        FROM lagged GROUP BY ticker),
+      st AS (
+        SELECT *, CAST('$HalfPi' AS DOUBLE) * CAST(bp AS DOUBLE) AS bv
+        FROM mom WHERE n >= 30 AND rv > 0 AND bp > 0),
+      rj AS (
+        SELECT *,
+               (CAST(rv AS DOUBLE) - bv) / CAST(rv AS DOUBLE) AS rj,
+               greatest(CAST('1.0' AS DOUBLE),
+                 CAST('$Mu1m4' AS DOUBLE) * CAST(qp AS DOUBLE)
+                   * CAST(n_bp AS DOUBLE) / (bv * bv)) AS iq_ratio
+        FROM st),
+      z AS (
+        SELECT *, rj / sqrt(CAST('$ThetaBns' AS DOUBLE) * iq_ratio
+                 / CAST(n_bp AS DOUBLE)) AS z_bns
+        FROM rj)
+      SELECT ticker, n, rv, bp, qp,
+             CAST(floor(rj * 1000.0) AS BIGINT) AS rj_milli, z_bns,
+             z_bns > CAST('$Z95' AS DOUBLE) AS jumps_rejected
+      FROM z ORDER BY ticker"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256, q260, q262,
-      q266, q269, q270, q274, q280)
+      q266, q269, q270, q274, q280, q282, q283)
 }
