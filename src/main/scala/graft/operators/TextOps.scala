@@ -1396,8 +1396,185 @@ object TextOps extends QueryModule {
       GROUP BY 1, 2 ORDER BY s1, s2"""
     })
 
+  // ---------------------------------------------------------------------
+  // q284 — YULE'S K VOCABULARY RICHNESS per source (Yule 1944, "The
+  // Statistical Study of Literary Vocabulary"): K = 10⁴·(Σ V_m·m² − N)/N²
+  // over the word-frequency spectrum (V_m = types occurring m times,
+  // N = tokens) — equivalently 10⁴·(Σ_types c² − N)/N², the repeat-rate
+  // form computed here. K is length-insensitive (unlike raw type/token
+  // ratio) and is the classic authorship/corpus-homogeneity readout —
+  // the aggregate twin of q276's per-pair Burrows Delta. Hapax share
+  // (V₁/V) rides along as the tail-mass diagnostic.
+  //
+  // Exactness: FULLY integer — counts, Σc², and the milli projections
+  // via non-negative truncating division only (Σc² ≥ N always, so no
+  // sign peel needed); the N² denominator is applied as TWO chained
+  // single divisions (⌊⌊x/N⌋/N⌋ = ⌊x/N²⌋ for positive operands), which
+  // keeps every intermediate < 2⁶³ without forming N². BIGINT budget:
+  // Σc² fits while the top word's count stays ≤ 3·10⁹ (c_max² < 2⁶³);
+  // beyond that scale the sum moves to the 128-bit/decimal lane — the
+  // q213 bit-budget escape discipline, documented not silent.
+  //
+  // Scale: one explode (linear in tokens) → one map-combinable
+  // (source, word) hash-agg (shuffle carries |source|×|vocab| rows, the
+  // q99 tf·idf shape) → a |sources|-row rollup. No windows, no joins.
+  // (The corpus-wide word_counts silver lacks the source key, and no
+  // other build aggregates documents at this grain — SharedSubtrees
+  // stays clean.)
+  // ---------------------------------------------------------------------
+  private val q284 = QueryDef(
+    "q284_yules_k",
+    (spark, dir) => {
+      import spark.implicits._
+      val counts = Tables.documents(spark, dir)
+        .select($"source", explode(Portable.tokens(lower($"text"))).as("w"))
+        .groupBy($"source", $"w")
+        .agg(count(lit(1)).as("c"))
+      counts.groupBy($"source")
+        .agg(
+          sum($"c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum($"c" * $"c").as("s2"),
+          sum(when($"c" === 1L, 1L).otherwise(0L)).as("v1"))
+        .withColumn("k_milli",
+          expr("((s2 - n_tokens) * 10000000) div n_tokens div n_tokens"))
+        .withColumn("hapax_milli", expr("(v1 * 1000) div n_types"))
+        .select($"source", $"n_tokens", $"n_types", $"s2", $"v1",
+          $"k_milli", $"hapax_milli")
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH wc AS (
+        SELECT source, w, count(*) AS c FROM (
+          SELECT source, unnest(${Portable.tokensSql("lower(text)")}) AS w
+          FROM documents)
+        GROUP BY 1, 2),
+      per AS (
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(c * c) AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1
+        FROM wc GROUP BY source)
+      SELECT source, n_tokens, n_types, s2, v1,
+             ((s2 - n_tokens) * 10000000) // n_tokens // n_tokens AS k_milli,
+             (v1 * 1000) // n_types AS hapax_milli
+      FROM per ORDER BY source"""))
+
+  // ---------------------------------------------------------------------
+  // q285 — RAKE KEYWORD EXTRACTION (Rose, Engel, Cramer & Cowley 2010,
+  // "Automatic Keyword Extraction from Individual Documents"): candidate
+  // phrases are maximal runs of content words between stopword/
+  // punctuation delimiters; each word scores deg(w)/freq(w) — deg(w) =
+  // Σ over the word's occurrences of its phrase's length (degree in the
+  // phrase co-occurrence graph, self-loop included), freq(w) = its
+  // occurrence count — and a phrase scores the sum of its member word
+  // scores. Corpus-level variant: word stats pool over all documents
+  // and the output is the global top-50 keyword table.
+  //
+  // Exactness: FULLY integer — deg/freq/len are exact counts, word
+  // scores are quantized to milli by ONE non-negative truncating
+  // division each, phrase scores are exact sums of those millis, and
+  // the top-50 rank carries the (score, phrase) total tie-break.
+  //
+  // Scale: one positional explode (linear in tokens) through the
+  // MaxDocChars ingest guard (doc_id-windowed running-break-count —
+  // the declared GUARD bound, cap mirrored in the oracle); word stats
+  // and phrase occurrence counts are map-combinable hash-aggs keyed by
+  // word/phrase (vocabulary-sized shuffles); the member-word join fans
+  // a DISTINCT-phrase table (not instances) against the word-score
+  // table; final top-k is TakeOrderedAndProject.
+  // ---------------------------------------------------------------------
+  private val RakeStop: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "but", "of", "in", "on", "at", "to",
+    "for", "with", "by", "from", "as", "is", "are", "was", "were", "be",
+    "been", "it", "its", "this", "that", "these", "those", "we", "you",
+    "they", "he", "she", "i", "not", "no", "has", "have", "had", "will")
+  private val RakeTopK = 50
+
+  private val q285 = QueryDef(
+    "q285_rake_keywords",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = guardedDocs(spark, dir)
+        .select($"doc_id",
+          posexplode(Portable.tokens(lower($"text"))).as(Seq("pos", "tok")))
+        .withColumn("w", regexp_replace($"tok", "[^a-z0-9]", ""))
+        .withColumn("brk", $"w" === "" || $"w".isInCollection(RakeStop))
+      val wD = Window.partitionBy("doc_id").orderBy("pos")
+      val phrases = toks
+        .withColumn("grp", sum(when($"brk", 1L).otherwise(0L)).over(wD))
+        .filter(!$"brk")
+        .groupBy($"doc_id", $"grp")
+        .agg(sort_array(collect_list(struct($"pos", $"w"))).as("ps"))
+        .select(
+          concat_ws(" ", transform($"ps", p => p("w"))).as("phrase"),
+          size($"ps").cast("long").as("len"))
+      val wstats = phrases
+        .select($"len", explode(split($"phrase", " ")).as("w"))
+        .groupBy($"w")
+        .agg(count(lit(1)).as("freq"), sum($"len").as("deg"))
+        .withColumn("wscore_milli", expr("(deg * 1000) div freq"))
+        .select($"w", $"wscore_milli")
+      phrases.groupBy($"phrase", $"len")
+        .agg(count(lit(1)).as("n_occ"))
+        .select($"phrase", $"len", $"n_occ",
+          explode(split($"phrase", " ")).as("w"))
+        .join(wstats, "w")
+        .groupBy($"phrase", $"len", $"n_occ")
+        .agg(sum($"wscore_milli").as("score_milli"))
+        .orderBy($"score_milli".desc, $"phrase")
+        .limit(RakeTopK)
+    },
+    Some {
+      val stopList = RakeStop.map(s => s"'$s'").mkString(", ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, CAST(p['i'] AS INT) AS pos,
+               regexp_replace(p['t'], '[^a-z0-9]', '', 'g') AS w
+        FROM (
+          SELECT doc_id,
+                 unnest([{'t': t[i], 'i': i} for i in range(1, len(t) + 1)]) AS p
+          FROM (
+            SELECT doc_id, ${Portable.tokensSql("lower(text)")} AS t
+            FROM documents WHERE length(text) <= ${TextOps.MaxDocChars}))),
+      marked AS (
+        SELECT doc_id, pos, w,
+               (w = '' OR w IN ($stopList)) AS brk
+        FROM toks),
+      isl AS (
+        SELECT doc_id, pos, w, brk,
+               sum(CASE WHEN brk THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM marked),
+      phr AS (
+        SELECT doc_id, grp,
+               string_agg(w, ' ' ORDER BY pos) AS phrase,
+               CAST(count(*) AS BIGINT) AS len
+        FROM isl WHERE NOT brk GROUP BY doc_id, grp),
+      mem AS (
+        SELECT len, unnest(string_split(phrase, ' ')) AS w FROM phr),
+      ws AS (
+        SELECT w, (CAST(sum(len) AS BIGINT) * 1000) // count(*)
+                 AS wscore_milli
+        FROM mem GROUP BY w),
+      dp AS (
+        SELECT phrase, len, CAST(count(*) AS BIGINT) AS n_occ
+        FROM phr GROUP BY 1, 2),
+      dmem AS (
+        SELECT phrase, len, n_occ,
+               unnest(string_split(phrase, ' ')) AS w
+        FROM dp)
+      SELECT d.phrase, d.len, d.n_occ,
+             CAST(sum(s.wscore_milli) AS BIGINT) AS score_milli
+      FROM dmem d JOIN ws s ON s.w = d.w
+      GROUP BY d.phrase, d.len, d.n_occ
+      ORDER BY score_milli DESC, phrase LIMIT $RakeTopK"""
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(q26, q27, q28, q29, q30, q58, q75, q117, q119, q172, q208, q213,
       q259,
-      q214, q226, q275, q276)
+      q214, q226, q275, q276, q284, q285)
 }
