@@ -336,5 +336,226 @@ object Graph extends QueryModule {
       ORDER BY d.node"""
     })
 
-  override val defs: Seq[QueryDef] = Seq(q160, q167, q170, q201)
+  // ---------------------------------------------------------------------
+  // q286 — K-CORE DECOMPOSITION (Seidman 1983; Batagelj–Zaveršnik peel):
+  // the k-core is the maximal subgraph where every node keeps degree ≥ k
+  // — the density ladder a dedup/curation pipeline reads to separate
+  // tree-like incidental duplication (coreness 1) from mutually-
+  // interlinked boilerplate families (coreness ≥ 2, cycles) and dense
+  // mirror farms (coreness ≥ 3). Peeling is the standard algorithm:
+  // repeatedly drop nodes whose remaining degree < k; here as a FIXED
+  // 8-round synchronous peel per k (both engines run the identical
+  // rounds, so the result is well-defined and hash-comparable whether or
+  // not the peel has converged; GraphSpec asserts the fixture reaches
+  // the fixpoint — round 8 removes nobody), with the 3-core peeled FROM
+  // the 2-core (k-cores nest), so coreness = 1 + [in 2-core] +
+  // [in 3-core] caps at 3.
+  //
+  // Scale: each round is one alive-semijoin of the symmetric edge list +
+  // one map-combinable degree rollup — O(|E|) shuffle bytes per round,
+  // the q160 Pregel-class envelope. Lineage is truncated per round
+  // (q72's rewrap discipline: each round's plan references the previous
+  // alive set twice, so carrying Catalyst lineage across 16 rounds would
+  // grow the plan 2^16-fold); the per-round count() that materializes
+  // the rewrap is a 1-scalar driver action (the P12 bounded-collect
+  // convention — on a cluster this is the iterate-then-checkpoint loop).
+  // Everything is exact integer counts; no floats anywhere.
+  // ---------------------------------------------------------------------
+  private val PeelRounds = 8
+
+  /** Fixed-round synchronous peel: nodes of `start` surviving
+    * `PeelRounds` rounds of "drop if degree within the alive set < k",
+    * over symmetric edges (src, dst).
+    */
+  private def peel(sym: DataFrame, start: DataFrame, k: Int): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    def rewrap(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema).persist()
+    var alive = rewrap(start.select($"node"))
+    alive.count()
+    (1 to PeelRounds).foreach { _ =>
+      val a1 = alive.select($"node".as("asrc"))
+      val a2 = alive.select($"node".as("adst"))
+      val next = rewrap(sym
+        .join(a1, col("src") === col("asrc"))
+        .join(a2, col("dst") === col("adst"))
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("node")))
+      next.count()
+      alive.unpersist()
+      alive = next
+    }
+    alive
+  }
+
+  /** The peel's oracle twin: `PeelRounds` chained CTEs from `start`
+    * (a CTE name holding one `node` column) peeling at `k`, emitting
+    * CTEs named `${pfx}_1 .. ${pfx}_$PeelRounds`. Every round is
+    * MATERIALIZED: each references its predecessor twice, so DuckDB's
+    * default CTE inlining would expand the chain 2^rounds-fold
+    * (exhausting parquet file handles through the re-inlined pair
+    * pipeline) — the oracle-side analog of the Spark builder's rewrap.
+    */
+  private def peelSql(pfx: String, start: String, k: Int): String =
+    (1 to PeelRounds).map { t =>
+      val prev = if (t == 1) start else s"${pfx}_${t - 1}"
+      s"""
+      ${pfx}_$t AS MATERIALIZED (
+        SELECT s.src AS node FROM sym s
+        JOIN $prev p1 ON p1.node = s.src
+        JOIN $prev p2 ON p2.node = s.dst
+        GROUP BY s.src HAVING count(*) >= $k)"""
+    }.mkString(",")
+
+  private val q286 = QueryDef(
+    "q286_kcore",
+    (spark, dir) => {
+      import spark.implicits._
+      val edges = Dedup.nearDupPairs(spark, dir).select($"i", $"j").distinct()
+      val sym = edges.select($"i".as("src"), $"j".as("dst"))
+        .unionAll(edges.select($"j".as("src"), $"i".as("dst")))
+      val deg = sym.groupBy($"src".as("node"))
+        .agg(count(lit(1)).as("degree"))
+      val core2 = peel(sym, deg.select($"node"), 2)
+      val core3 = peel(sym, core2, 3)
+      deg
+        .join(core2.select($"node", lit(1L).as("in2")), Seq("node"), "left")
+        .join(core3.select($"node", lit(1L).as("in3")), Seq("node"), "left")
+        .na.fill(0L, Seq("in2", "in3"))
+        .select($"node", $"degree", (lit(1L) + $"in2" + $"in3").as("coreness"))
+        .orderBy($"node")
+    },
+    Some(s"""
+      WITH pairs AS MATERIALIZED (${Dedup.minhashOracle}),
+      edges AS MATERIALIZED (SELECT DISTINCT i, j FROM pairs),
+      sym AS MATERIALIZED (
+        SELECT i AS src, j AS dst FROM edges
+        UNION ALL
+        SELECT j AS src, i AS dst FROM edges),
+      deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM sym GROUP BY 1),
+      ${peelSql("c2", "deg", 2)},
+      ${peelSql("c3", s"c2_$PeelRounds", 3)}
+      SELECT d.node, d.degree,
+             CAST(1 + (CASE WHEN k2.node IS NULL THEN 0 ELSE 1 END)
+                    + (CASE WHEN k3.node IS NULL THEN 0 ELSE 1 END)
+               AS BIGINT) AS coreness
+      FROM deg d
+      LEFT JOIN c2_$PeelRounds k2 ON k2.node = d.node
+      LEFT JOIN c3_$PeelRounds k3 ON k3.node = d.node
+      ORDER BY d.node"""))
+
+  // ---------------------------------------------------------------------
+  // q287 — LINK PREDICTION over the part CO-PURCHASE graph (Liben-Nowell
+  // & Kleinberg 2003): nodes are parts, edges connect parts co-occurring
+  // in ≥ 2 distinct orders (the repeat-co-occurrence floor drops
+  // single-basket noise and bounds wedge volume), and NON-edges at
+  // distance 2 are scored by common-neighbor count, neighborhood
+  // Jaccard, and an Adamic–Adar surrogate — the "customers who bought
+  // these also bought" recommendation shape, which over a document
+  // graph ranks re-verification candidates for q114's incremental
+  // dedup. (The near-dup graph itself is the WRONG substrate here:
+  // band-bucket clusters are cliques, so every wedge closes and the
+  // candidate set is empty by construction.)
+  //
+  // Adamic–Adar Σ 1/ln(deg(w)) needs a transcendental — the house
+  // bitlen surrogate Σ 1000 div bitlen(deg(w)) keeps the 1/log shape
+  // in exact integers (q120's ⌊log₂⌋ identity; documented divergence
+  // from the paper's ln, same ordering behavior: hub centers count
+  // less). Jaccard over neighbor sets is exact: 1000·cn div
+  // (deg_a + deg_b − cn), all counts.
+  //
+  // Scale: the edge build is one order-key self-join (baskets are
+  // small, so per-order pair fan-out is C(k,2) with tiny k) + a
+  // map-combinable pair rollup; wedge enumeration is the q151 triangle
+  // join — Σ deg(w)² candidate rows off the symmetric edge list (the
+  // cnt ≥ 2 floor keeps degrees band-bucket sized; at web scale the
+  // standard super-hub cap on wedge centers bounds the square —
+  // documented). Output is the global top-100 by (cn, aa, pair) —
+  // TakeOrdered.
+  // ---------------------------------------------------------------------
+  private val LinkTopK = 100
+  private val MinCooc = 2L
+
+  private val q287 = QueryDef(
+    "q287_link_predict",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = graft.sources.Tables.lineitem(spark, dir)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      val edges = li.select($"ok", $"pk".as("i"))
+        .join(li.select($"ok".as("ok2"), $"pk".as("j")),
+          $"ok" === $"ok2" && $"i" < $"j")
+        .groupBy($"i", $"j")
+        .agg(count(lit(1)).as("cooc"))
+        .filter($"cooc" >= MinCooc)
+        .select($"i", $"j")
+      val sym = edges.select($"i".as("src"), $"j".as("dst"))
+        .unionAll(edges.select($"j".as("src"), $"i".as("dst")))
+      val deg = sym.groupBy($"src".as("node"))
+        .agg(count(lit(1)).as("degree"))
+      val e1 = sym.select($"src".as("w"), $"dst".as("a"))
+      val e2 = sym.select($"src".as("w2"), $"dst".as("b"))
+      val wedges = e1.join(e2, $"w" === $"w2" && $"a" < $"b")
+        .select($"a", $"b", $"w")
+      val nonEdge = wedges.join(edges,
+          wedges("a") === edges("i") && wedges("b") === edges("j"),
+          "left_anti")
+      val scored = nonEdge
+        .join(deg.select($"node".as("w"), $"degree".as("dw")), Seq("w"))
+        .groupBy($"a", $"b")
+        .agg(count(lit(1)).as("cn"),
+          sum(expr("1000 div length(conv(dw, 10, 2))")).as("aa_milli"))
+      scored
+        .join(deg.select($"node".as("a"), $"degree".as("deg_a")), Seq("a"))
+        .join(deg.select($"node".as("b"), $"degree".as("deg_b")), Seq("b"))
+        .withColumn("jaccard_milli",
+          expr("(1000 * cn) div (deg_a + deg_b - cn)"))
+        .select($"a", $"b", $"cn", $"deg_a", $"deg_b",
+          $"jaccard_milli", $"aa_milli")
+        .orderBy($"cn".desc, $"aa_milli".desc, $"a", $"b")
+        .limit(LinkTopK)
+    },
+    Some(s"""
+      WITH edges AS MATERIALIZED (
+        SELECT a.l_partkey AS i, b.l_partkey AS j
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= $MinCooc),
+      sym AS MATERIALIZED (
+        SELECT i AS src, j AS dst FROM edges
+        UNION ALL
+        SELECT j AS src, i AS dst FROM edges),
+      deg AS MATERIALIZED (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM sym GROUP BY 1),
+      wedges AS (
+        SELECT e1.dst AS a, e2.dst AS b, e1.src AS w
+        FROM sym e1 JOIN sym e2
+          ON e1.src = e2.src AND e1.dst < e2.dst),
+      nonedge AS (
+        SELECT wg.a, wg.b, wg.w FROM wedges wg
+        WHERE NOT EXISTS (
+          SELECT 1 FROM edges e WHERE e.i = wg.a AND e.j = wg.b)),
+      scored AS (
+        SELECT ne.a, ne.b, CAST(count(*) AS BIGINT) AS cn,
+               CAST(sum(1000 // length(format('{:b}', d.degree)))
+                 AS BIGINT) AS aa_milli
+        FROM nonedge ne JOIN deg d ON d.node = ne.w
+        GROUP BY 1, 2)
+      SELECT s.a, s.b, s.cn, da.degree AS deg_a, db.degree AS deg_b,
+             (1000 * s.cn) // (da.degree + db.degree - s.cn)
+               AS jaccard_milli,
+             s.aa_milli
+      FROM scored s
+      JOIN deg da ON da.node = s.a
+      JOIN deg db ON db.node = s.b
+      ORDER BY s.cn DESC, s.aa_milli DESC, s.a, s.b
+      LIMIT $LinkTopK"""))
+
+  override val defs: Seq[QueryDef] = Seq(q160, q167, q170, q201, q286, q287)
 }

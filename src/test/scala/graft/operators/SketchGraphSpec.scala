@@ -771,4 +771,59 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(r.getAs[Long]("gini_milli") >= 0L)
   }
 
+  test("q286 kcore: fixed-round peel reaches the true fixpoint coreness at fixture scale") {
+    val out = run("q286_kcore").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    // ground truth: peel to the TRUE fixpoint on the driver (fixture
+    // graph is small) — proves 8 synchronous rounds suffice, i.e. the
+    // query's fixed-round answer IS the k-core, not an over-approximation
+    val edges = Dedup.nearDupPairs(spark, TestSpark.Sf001)
+      .select($"i", $"j").distinct().as[(Long, Long)].collect()
+    def kcore(k: Int): Set[Long] = {
+      var alive = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      var changed = true
+      while (changed) {
+        val deg = edges.filter(e => alive(e._1) && alive(e._2))
+          .flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .map { case (n, xs) => n -> xs.length }
+        val next = alive.filter(n => deg.getOrElse(n, 0) >= k)
+        changed = next.size != alive.size
+        alive = next
+      }
+      alive
+    }
+    val (c2, c3) = (kcore(2), kcore(3))
+    out.foreach { case (node, (degree, coreness)) =>
+      val expect = 1L + (if (c2(node)) 1L else 0L) + (if (c3(node)) 1L else 0L)
+      assert(coreness === expect, s"node $node coreness $coreness != $expect")
+      assert(coreness <= degree, s"coreness exceeds degree at $node")
+    }
+    // the ladder must actually discriminate on this fixture
+    assert(out.values.exists(_._2 >= 2L), "fixture has no 2-core")
+  }
+
+  test("q287 link prediction: candidates are true non-edges with consistent scores") {
+    val rows = run("q287_link_predict").collect()
+    assert(rows.nonEmpty)
+    val li = graft.sources.Tables.lineitem(spark, TestSpark.Sf001)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+    val edges = li.as("a").join(li.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("i"), $"b.pk".as("j"))
+      .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (cn, da, db) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (jac, aa) = (r.getLong(5), r.getLong(6))
+      assert(!edges((a, b)) && !edges((b, a)), s"($a,$b) is an existing edge")
+      assert(cn >= 1L && cn <= math.min(da, db), s"cn out of range: $r")
+      assert(jac === 1000L * cn / (da + db - cn))
+      // every common neighbor has degree ≥ 2 (it touches both a and b),
+      // so each bitlen term is in [15, 500]
+      assert(aa >= 15L * cn && aa <= 500L * cn, s"aa_milli out of band: $r")
+    }
+  }
+
 }
