@@ -2076,7 +2076,80 @@ object CrossSection extends QueryModule {
              z_bns > CAST('$Z95' AS DOUBLE) AS jumps_rejected
       FROM z ORDER BY ticker"""))
 
+  // ---------------------------------------------------------------------
+  // q289 — FORECAST CALIBRATION / BRIER RELIABILITY (Murphy 1973
+  // decomposition; DeGroot–Fienberg calibration): does the momentum
+  // signal's TRAIN-period up-probability actually hold out of sample?
+  // Signal deciles are cut cross-sectionally per month (ntile over the
+  // mon grain with the full (mom_r, ticker) tie-break — the q247
+  // portfolio discipline); the TRAIN window (months before [split])
+  // gives each decile its forecast probability p̂_k = milli-frequency of
+  // up-moves, the TEST window gives the observed o_k, and the per-decile
+  // reliability term n_k·(p̂_k − o_k)² — the Murphy decomposition's
+  // calibration summand, and the reliability-diagram row (p̂ vs o) — is
+  // an exact integer in milli² units. Had the probabilities been scored
+  // in-sample, reliability would be identically zero (the decomposition
+  // degenerates); the temporal split is what makes the readout honest.
+  //
+  // Exactness: counts and up-flags are exact integers; p̂/o are ONE
+  // non-negative truncating division each; gaps and weighted squares
+  // are exact BIGINTs. No floats anywhere.
+  //
+  // Scale: one mon-keyed ntile window (≤ |tickers| rows per cell,
+  // declared bound), two map-combinable decile rollups (10 rows each),
+  // one 10-row join — the output is dimension-sized by construction.
+  // ---------------------------------------------------------------------
+  private val CalSplit = "1996-01-01"
+
+  private val q289 = QueryDef(
+    "q289_calibration",
+    (spark, dir) => {
+      import spark.implicits._
+      val sig = withSignal(mbars(spark, dir))
+        .withColumn("up", ($"next_c" > $"close_c").cast("long"))
+      val wDec = Window.partitionBy("mon").orderBy($"mom_r", $"ticker")
+      val dec = sig.withColumn("decile", ntile(10).over(wDec).cast("long"))
+      val train = dec.filter($"mon" < lit(CalSplit).cast("date"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_train"), sum($"up").as("n_up_train"))
+        .withColumn("p_hat_milli", expr("(1000 * n_up_train) div n_train"))
+      val test = dec.filter($"mon" >= lit(CalSplit).cast("date"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_test"), sum($"up").as("n_up_test"))
+        .withColumn("o_milli", expr("(1000 * n_up_test) div n_test"))
+      train.join(test, "decile")
+        .withColumn("gap_milli", $"p_hat_milli" - $"o_milli")
+        .withColumn("rel_term", $"n_test" * $"gap_milli" * $"gap_milli")
+        .select($"decile", $"n_train", $"p_hat_milli", $"n_test",
+          $"o_milli", $"gap_milli", $"rel_term")
+        .orderBy($"decile")
+    },
+    Some(s"""
+      WITH ${mbarsSql},
+      $signalSql,
+      up AS (
+        SELECT *, CASE WHEN next_c > close_c THEN 1 ELSE 0 END AS up
+        FROM sigr),
+      dec AS (
+        SELECT *, CAST(ntile(10) OVER (
+            PARTITION BY mon ORDER BY mom_r, ticker) AS BIGINT) AS decile
+        FROM up),
+      train AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_train,
+               (1000 * CAST(sum(up) AS BIGINT)) // count(*) AS p_hat_milli
+        FROM dec WHERE mon < DATE '$CalSplit' GROUP BY decile),
+      test AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_test,
+               (1000 * CAST(sum(up) AS BIGINT)) // count(*) AS o_milli
+        FROM dec WHERE mon >= DATE '$CalSplit' GROUP BY decile)
+      SELECT tr.decile, tr.n_train, tr.p_hat_milli, te.n_test, te.o_milli,
+             tr.p_hat_milli - te.o_milli AS gap_milli,
+             te.n_test * (tr.p_hat_milli - te.o_milli)
+               * (tr.p_hat_milli - te.o_milli) AS rel_term
+      FROM train tr JOIN test te ON te.decile = tr.decile
+      ORDER BY tr.decile"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256, q260, q262,
-      q266, q269, q270, q274, q280, q282, q283)
+      q266, q269, q270, q274, q280, q282, q283, q289)
 }

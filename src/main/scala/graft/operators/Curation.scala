@@ -2158,8 +2158,90 @@ object Curation extends QueryModule {
       FROM ext GROUP BY source, variant ORDER BY source, variant"""
     })
 
+  // ---------------------------------------------------------------------
+  // q288 — HOMOGLYPH / MIXED-SCRIPT SPOOF AUDIT (Unicode TR39 confusable
+  // detection, the data-poisoning defense a crawl-ingest pipeline runs
+  // before dedup: an adversary swaps Latin letters for visually-identical
+  // Cyrillic ones so fingerprints, exact-dedup hashes and blocklists all
+  // miss — "pаypаl" with Cyrillic а survives every ASCII filter). The
+  // detector: a token containing BOTH a Latin letter and a Cyrillic
+  // letter is a spoof signature (pure-Cyrillic tokens are legitimate
+  // Russian; the MIX inside one token is what natural text never does).
+  //
+  // The fixture corpus is pure ASCII, so the operator uses the q67/q273
+  // plant-then-operate discipline: docs hash-selected by
+  // md5("spoof|"+doc_id) % 11 = 0 are passed through the confusable map
+  // translate(aeopc → аеорс) — the five most-confusable Latin→Cyrillic
+  // pairs — and the audit runs over the planted corpus. The census
+  // output groups (source, planted, flagged): recall gaps are VISIBLE
+  // rows (a planted doc whose every a/e/o/p/c-token maps entirely —
+  // leaving no mixed token — is an honest false negative of the
+  // detector, not of the plant), and false positives are impossible on
+  // an ASCII base. CurationSpec pins per-doc recovery.
+  //
+  // Exactness: all counts (token filters, codepoint strips) are exact
+  // integers; the flag is an integer comparison. Scale: one per-row map
+  // pass (regex work linear in chars), one map-combinable census
+  // rollup keyed by (source, planted, flagged) — ≤ |sources|·4 rows out.
+  // ---------------------------------------------------------------------
+  private val SpoofMod = 11L
+
+  private val q288 = QueryDef(
+    "q288_homoglyph_audit",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val planted = Tables.documents(spark, dir)
+        .withColumn("planted",
+          pmod(Portable.md5Hash64(
+            concat(lit("spoof|"), $"doc_id".cast("string"))),
+            lit(SpoofMod)) === 0)
+        .withColumn("t2",
+          when($"planted", translate($"text", "aeopc", "аеорс"))
+            .otherwise($"text"))
+      planted
+        .withColumn("mixed_tokens",
+          size(filter(Portable.tokens($"t2"),
+            t => t.rlike("[Ѐ-ӿ]") && t.rlike("[a-zA-Z]")))
+            .cast("long"))
+        .withColumn("cyr_chars",
+          length(regexp_replace($"t2", "[^Ѐ-ӿ]", "")).cast("long"))
+        .withColumn("flagged", $"mixed_tokens" > 0L)
+        .groupBy($"source", $"planted", $"flagged")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"mixed_tokens").as("sum_mixed"),
+          sum($"cyr_chars").as("sum_cyr"))
+        .orderBy($"source", $"planted", $"flagged")
+    },
+    Some(s"""
+      WITH p0 AS (
+        SELECT doc_id, source, text,
+               ${graft.functions.Portable.md5Hash64Sql(
+                 "('spoof|' || CAST(doc_id AS VARCHAR))")} % $SpoofMod = 0
+                 AS planted
+        FROM documents),
+      p1 AS (
+        SELECT source, planted,
+               CASE WHEN planted THEN translate(text, 'aeopc', 'аеорс')
+                    ELSE text END AS t2
+        FROM p0),
+      aud AS (
+        SELECT source, planted,
+               CAST(len(list_filter(${graft.functions.Portable.tokensSql("t2")},
+                 t -> regexp_matches(t, '[\\x{0400}-\\x{04FF}]')
+                      AND regexp_matches(t, '[a-zA-Z]'))) AS BIGINT)
+                 AS mixed_tokens,
+               CAST(length(regexp_replace(t2, '[^\\x{0400}-\\x{04FF}]', '', 'g'))
+                 AS BIGINT) AS cyr_chars
+        FROM p1)
+      SELECT source, planted, mixed_tokens > 0 AS flagged,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(mixed_tokens) AS BIGINT) AS sum_mixed,
+             CAST(sum(cyr_chars) AS BIGINT) AS sum_cyr
+      FROM aud GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134, q149, q164, q168,
       q175, q194, q195, q199, q200, q209, q227, q228, q245, q251, q253,
-      q273)
+      q273, q288)
 }

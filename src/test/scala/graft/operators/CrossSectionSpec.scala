@@ -436,4 +436,87 @@ class CrossSectionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "pair join degenerated to cartesian")
     assert(p.contains("BroadcastHashJoin"), "top-pair attach is not broadcast")
   }
+
+  test("q282 granger: F is the nested-model statistic — nonnegative, flag consistent") {
+    val rows = run("q282_granger_lead").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      assert(n >= 30L)
+      if (!r.isNullAt(3)) {
+        val f = r.getDouble(3)
+        // RSS_restricted ≥ RSS_unrestricted for nested OLS, always
+        assert(f >= 0.0, s"negative F: $r")
+        assert(r.getBoolean(4) === (f > 3.841458820694124), s"flag drifts: $r")
+      } else assert(!r.getBoolean(4))
+    }
+  }
+
+  test("q283 bipower: variation identities and the jump flag recompute") {
+    val rows = run("q283_bipower_jump").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, rv, bp, qp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (rjMilli, z, flag) = (r.getLong(5), r.getDouble(6), r.getBoolean(7))
+      assert(rv > 0L && bp >= 0L && qp >= 0L && n >= 30L)
+      // rj = 1 − BV/RV ≤ 1 by construction; winsorized |r| ≤ 2000 bounds
+      // every term: r² ≤ 4·10⁶·n, |r||r'| likewise
+      assert(rjMilli <= 1000L, s"rj above 1: $r")
+      assert(rv <= 4000000L * n && bp <= 4000000L * n)
+      // z and rj share a sign (the studentizer is positive)
+      val bv = 1.5707963267948966 * bp.toDouble
+      val rj = (rv.toDouble - bv) / rv.toDouble
+      assert(math.signum(z) === math.signum(rj) || rj == 0.0)
+      assert(flag === (z > 1.6448536269514722), s"flag drifts: $r")
+    }
+  }
+
+  test("q289 calibration: decile table recomputes brute-force incl. ntile semantics") {
+    val rows = run("q289_calibration").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // brute-force: per month sort by (mom_r, ticker), deal SQL-ntile
+    // buckets (first n%10 buckets get ⌈n/10⌉), pool train/test counts
+    val sig = CrossSection.mbars(spark, TestSpark.Sf001)
+      .select($"ticker", $"mon", $"close_c")
+      .as[(Long, java.sql.Date, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (tkr, xs) =>
+        val s = xs.sortBy(_._2.toString)
+        s.indices.flatMap { i =>
+          if (i < 3 || i + 1 >= s.length) None
+          else {
+            val momC = s(i)._3 - s(i - 3)._3
+            val momR = momC.toDouble / s(i)._3.toDouble
+            Some((s(i)._2.toString.take(7), tkr, momR,
+              if (s(i + 1)._3 > s(i)._3) 1L else 0L))
+          }
+        }
+      }
+    val buckets = sig.groupBy(_._1).toSeq.flatMap { case (mon, xs) =>
+      val s = xs.sortBy(x => (x._3, x._2))
+      val n = s.length; val q = n / 10; val rem = n % 10
+      var idx = 0
+      (1 to 10).flatMap { d =>
+        val sz = q + (if (d <= rem) 1 else 0)
+        val out = s.slice(idx, idx + sz).map(x => (d.toLong, mon, x._4))
+        idx += sz; out
+      }
+    }
+    def pool(p: ((Long, String, Long)) => Boolean) =
+      buckets.filter(p).groupBy(_._1)
+        .map { case (d, xs) => d -> (xs.size.toLong, xs.map(_._3).sum) }
+    val train = pool(_._2 < "1996-01")
+    val test = pool(_._2 >= "1996-01")
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val (nTr, upTr) = train(d)
+      val (nTe, upTe) = test(d)
+      assert(r.getLong(1) === nTr)
+      assert(r.getLong(2) === 1000L * upTr / nTr)
+      assert(r.getLong(3) === nTe)
+      assert(r.getLong(4) === 1000L * upTe / nTe)
+      val gap = r.getLong(2) - r.getLong(4)
+      assert(r.getLong(5) === gap && r.getLong(6) === nTe * gap * gap)
+    }
+  }
 }

@@ -316,4 +316,32 @@ class TemporalCurationSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"),
       p.linesIterator.take(25).mkString("\n"))
   }
+
+  test("q288 homoglyph audit: per-doc recovery — flags ≡ planted docs with a mixable token") {
+    // recompute the plant + detector on the driver: a planted doc is
+    // flagged IFF some whitespace token contains ≥1 confusable (aeopc)
+    // AND ≥1 other Latin letter (a fully-confusable token maps entirely
+    // to Cyrillic — pure-script, the detector's documented false
+    // negative); unplanted ASCII docs can never be flagged
+    val docs = Tables.documents(spark, TestSpark.Sf001)
+      .select($"source", $"doc_id", $"text")
+      .as[(String, Long, String)].collect()
+    val conf = Set('a', 'e', 'o', 'p', 'c')
+    var expect = Map.empty[(String, Boolean, Boolean), Long]
+    docs.foreach { case (src, id, text) =>
+      val planted = Portable.md5Hash64Jvm(s"spoof|$id") % 11L == 0L
+      val flagged = planted && text.split("\\s+").exists { t =>
+        t.exists(conf) && t.exists(ch => ch.isLetter && !conf(ch))
+      }
+      val k = (src, planted, flagged)
+      expect = expect.updated(k, expect.getOrElse(k, 0L) + 1L)
+    }
+    val got = run("q288_homoglyph_audit").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)) ->
+        r.getLong(3)).toMap
+    assert(got === expect)
+    // the plant must be non-trivial and the detector must fire
+    assert(expect.keys.exists(_._2), "no docs planted")
+    assert(expect.keys.exists(_._3), "detector never fired")
+  }
 }
