@@ -2299,6 +2299,108 @@ object Series extends QueryModule {
       FROM e WHERE n >= 3 ORDER BY ticker, bucket"""))
 
   // ---------------------------------------------------------------------
+  // q290 — STREAMING DRAWDOWN-RECORD MONITOR: the live underwater-curve
+  // alarm — a row emits the MOMENT a ticker's running max drawdown makes
+  // a new high (peak-to-trough in exact cents), which is when a risk
+  // desk acts; the batch twin (q155) only reports the end-of-day
+  // summary. Per-ticker transformWithState (the q271 discipline):
+  // ValueState = (running peak, running max drawdown) — TWO longs,
+  // constant per ticker, the smallest state in the streaming family.
+  // The running-max/running-max-of-gap fold is order-dependent only in
+  // its (day, seq) sort, which the replay contract supplies per batch;
+  // equal-(day, seq) tick groups share one price (seq embeds cents), so
+  // the group advances atomically and duplicates collapse to one
+  // record candidate — mirrored in the oracle by DISTINCT tick groups.
+  //
+  // Stream ≡ batch: a drawdown record at group g depends only on the
+  // prefix ≤ g (running max of cents, running max of peak − cents), so
+  // the emitted set is exactly the batch rows where dd exceeds every
+  // earlier dd — the oracle computes both running maxima with default
+  // RANGE frames (tie-safe) and keeps rows beating the strictly-prior
+  // ROWS-frame maximum over the deduped group sequence.
+  //
+  // Scale: state 2 longs/ticker; per-batch work O(ticks); output is the
+  // record set (≤ |distinct drawdown levels| per ticker — tiny).
+  // ---------------------------------------------------------------------
+  private[operators] final case class DdSt(peakC: Long, maxDdC: Long)
+  private[operators] final case class DdOut(
+      ticker: Long, day: java.sql.Date, seq: Long, cents: Long,
+      peak_c: Long, dd_c: Long)
+
+  private[operators] class DrawdownProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, DbTick, DdOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[DdSt] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DdSt]("dd",
+        org.apache.spark.sql.Encoders.product[DdSt], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[DbTick],
+        tv: TimerValues): Iterator[DdOut] = {
+      var s = if (st.exists()) st.get() else DdSt(0L, 0L)
+      val out = scala.collection.mutable.ListBuffer.empty[DdOut]
+      // equal-(day, seq) rows share one price — processing the sorted
+      // stream row-by-row is tie-group-atomic by construction, and a
+      // tie's duplicates cannot re-emit (dd > maxDd is strict)
+      rows.toArray.sortBy(t => (t.day.getTime, t.seq)).foreach { t =>
+        val peak = math.max(s.peakC, t.cents)
+        val dd = peak - t.cents
+        if (dd > s.maxDdC) {
+          out += DdOut(key, t.day, t.seq, t.cents, peak, dd)
+          s = DdSt(peak, dd)
+        } else s = s.copy(peakC = peak)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** The q290 build, chunking exposed for the batch-boundary-independence
+    * spec (the q271 shape).
+    */
+  private[operators] def streamDrawdown(
+      outer: SparkSession, dir: String, nChunks: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val t = tickTape(spark, dir)
+    val feed = graft.streaming.Streams.replayByDates(t, "day", nChunks)
+    val records = spark.readStream.schema(t.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .as[DbTick]
+      .groupByKey(_.tkr)
+      .transformWithState(new DrawdownProcessor, TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+    graft.streaming.Streams.runToParquet(records, "append")
+      .orderBy($"ticker", $"day", $"seq")
+  }
+
+  private val q290 = QueryDef(
+    "q290_stream_drawdown",
+    (outer, dir) => streamDrawdown(outer, dir, 4),
+    Some(s"""
+      WITH $tickSql,
+      g AS (SELECT DISTINCT ticker, day, seq, cents FROM ticks),
+      p AS (
+        SELECT ticker, day, seq, cents,
+               CAST(max(cents) OVER (PARTITION BY ticker
+                 ORDER BY day, seq) AS BIGINT) AS peak_c
+        FROM g),
+      d AS (SELECT *, peak_c - cents AS dd_c FROM p),
+      r AS (
+        SELECT *, max(dd_c) OVER (PARTITION BY ticker ORDER BY day, seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max
+        FROM d)
+      SELECT ticker, day, seq, cents, peak_c, CAST(dd_c AS BIGINT) AS dd_c
+      FROM r WHERE dd_c > coalesce(prev_max, 0)
+      ORDER BY ticker, day, seq"""))
+
+  // ---------------------------------------------------------------------
   // q261 — AMIHUD ILLIQUIDITY (Amihud 2002): |daily return| per dollar
   // traded — the price-impact-per-notional measure that needs only
   // bars, where Kyle's λ (q238) needs classified flow; the two should
@@ -2464,5 +2566,5 @@ object Series extends QueryModule {
   override val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q140, q145, q146, q152, q189, q197, q229, q230,
       q231, q234, q235, q236, q237, q238, q239, q243, q244, q261, q267,
-      q271, q277, q278, q281)
+      q271, q277, q278, q281, q290)
 }

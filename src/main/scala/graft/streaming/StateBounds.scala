@@ -128,6 +128,10 @@ object StateBounds {
         " signed flow + prior completed bucket's last price + five OLS" +
         " accumulators, constant size)",
       (s, d) => graft.operators.Series.tapeTickersOf(s, d)),
+    StateBound("q290_stream_drawdown",
+      "= one ValueState row per ticker (running peak + running max" +
+        " drawdown — two longs, constant size)",
+      (s, d) => graft.operators.Series.tapeTickersOf(s, d)),
     StateBound("q240_stream_cusum_events",
       "= one ValueState row per ticker (last close + the two CUSUM" +
         " accumulators, constant size)",

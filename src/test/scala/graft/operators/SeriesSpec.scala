@@ -437,6 +437,39 @@ class SeriesSpec extends AnyFunSuite {
     assert(re.toSeq === base.toSeq)
   }
 
+  test("q290: streaming drawdown records equal a driver fold, chunk-invariant") {
+    val out = Series.streamDrawdown(spark, dir, 4).cache()
+    assert(out.count() > 0)
+    // ground truth: the exact record fold over the sorted deduped tape
+    val tape = Series.tickTape(spark, dir)
+      .select($"tkr", $"day", $"seq", $"cents")
+      .distinct()
+      .as[(Long, java.sql.Date, Long, Long)].collect()
+    val expect = tape.groupBy(_._1).toSeq.flatMap { case (tkr, xs) =>
+      var peak = 0L; var maxDd = 0L
+      xs.sortBy(t => (t._2.toString, t._3)).flatMap { t =>
+        peak = math.max(peak, t._4)
+        val dd = peak - t._4
+        if (dd > maxDd) { maxDd = dd; Some((tkr, t._2.toString, t._3, t._4, peak, dd)) }
+        else None
+      }
+    }.sortBy(r => (r._1, r._2, r._3))
+    val got = out.collect().map(r => (r.getLong(0), r.getDate(1).toString,
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(r => (r._1, r._2, r._3)).toSeq
+    assert(got === expect)
+    // drawdown records are strictly increasing per ticker
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      val dds = rs.sortBy(r => (r._2, r._3)).map(_._6)
+      assert(dds === dds.sorted && dds.distinct.size === dds.size)
+    }
+    val base = out.collect().map(_.toString).sorted
+    out.unpersist()
+    val re = Series.streamDrawdown(spark, dir, 9).collect()
+      .map(_.toString).sorted
+    assert(re.toSeq === base.toSeq)
+  }
+
   test("q229: plan is the segmented scan — day offsets broadcast, no tape-sized window") {
     // assert on the classified_flow BUILD plan (the segmented scan lives
     // there since the silver promotion), composed directly so the

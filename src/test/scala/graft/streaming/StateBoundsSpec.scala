@@ -30,7 +30,7 @@ class StateBoundsSpec extends AnyFunSuite {
       "q235_stream_dollar_bars", "q240_stream_cusum_events",
       "q244_stream_imbalance_bars", "q253_stream_priority_sample",
       "q265_stream_drift_monitor", "q268_stream_session_timeout",
-      "q271_stream_vpin", "q281_stream_kyle")
+      "q271_stream_vpin", "q281_stream_kyle", "q290_stream_drawdown")
     val undeclared = streaming -- StateBounds.names.toSet
     assert(undeclared.isEmpty, s"stateful queries without a StateBound: $undeclared")
     StateBounds.names.foreach { n =>
