@@ -2149,7 +2149,176 @@ object CrossSection extends QueryModule {
       FROM train tr JOIN test te ON te.decile = tr.decile
       ORDER BY tr.decile"""))
 
+  // ---------------------------------------------------------------------
+  // q291 — NEWEY–WEST HAC T-STAT for the Fama–MacBeth premium (Newey &
+  // West 1987; the Petersen 2009 standard-errors checklist): q262's
+  // across-month t assumes i.i.d. monthly premia — autocorrelated γ_t
+  // (momentum in the factor premium) understates the standard error and
+  // overstates significance. The Bartlett-kernel long-run variance at
+  // lag L = 3 fixes it:
+  //   S·(L+1) = 4·Γ₀ + 6·Γ₁ + 4·Γ₂ + 2·Γ₃   (exact BIGINT)
+  // with Γ_l = Σ d_t·d_{t−l} over the centered micro-premium series,
+  // and t_NW = γ̄·n·2 / √(4S) as ONE fixed-order double expression.
+  //
+  // The lag products are WINDOW-FREE: the monthly series self-joins on
+  // the CALENDAR month (mon = mon + l months — an equi-join), so no
+  // global single-partition window exists anywhere in the plan (a
+  // missing month simply drops its lag products — the calendar-lag
+  // convention, documented divergence from index-lag NW on gapped
+  // series; the fixture series is gap-free so they coincide).
+  // Centering uses the sign-peeled integer mean; all Γ's are exact
+  // BIGINTs (|d| ≤ ~10⁶ micro, n ≤ 10³ ⇒ Σd² < 10¹⁵). The Bartlett
+  // estimate can be ≤ 0 on strongly negative autocovariance — t_NW is
+  // NULL there (the estimator's documented failure mode), decided by an
+  // exact integer predicate. inflation_milli = 1000·S4 div (4·Γ₀) reads
+  // the SE inflation the i.i.d. assumption hides.
+  //
+  // Scale: the γ series is |months|-sized (dimension grain) — three
+  // broadcast self-joins and one 1-row rollup; everything upstream is
+  // q262's two-pass shape unchanged.
+  // ---------------------------------------------------------------------
+  private val NwLag = 3
+
+  private val q291 = QueryDef(
+    "q291_newey_west",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("mon")
+      val rets = mbars(spark, dir)
+        .withColumn("prev_c", lag($"close_c", 1).over(wT))
+        .filter($"prev_c".isNotNull)
+        .withColumn("y",
+          floor(lit(1000.0) * ($"close_c" - $"prev_c").cast("double") /
+            $"prev_c".cast("double")).cast("long"))
+      val mkt = rets.groupBy($"mon")
+        .agg(count(lit(1)).as("n_names"), sum($"y").as("s_ret"))
+        .filter($"n_names" >= 5)
+        .withColumn("x", expr(speelDivSql("s_ret", "n_names", "div")))
+        .select($"mon", $"x")
+      val betas = rets.join(broadcast(mkt), "mon")
+        .groupBy($"ticker")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+        .filter($"n" >= 24)
+        .withColumn("beta_milli",
+          floor(lit(1000.0) *
+            ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).cast("long"))
+        .select($"ticker", $"beta_milli")
+      val gm = rets.join(broadcast(betas), "ticker")
+        .groupBy($"mon")
+        .agg(count(lit(1)).as("nn"), sum($"beta_milli").as("bx"),
+          sum($"y").as("by"),
+          sum($"beta_milli" * $"beta_milli").as("bxx"),
+          sum($"beta_milli" * $"y").as("bxy"))
+        .filter($"nn" >= 5)
+        .withColumn("gamma_micro",
+          floor(lit(1000000.0) *
+            ($"nn" * $"bxy" - $"bx" * $"by").cast("double") /
+            ($"nn" * $"bxx" - $"bx" * $"bx").cast("double")).cast("long"))
+        .select($"mon", $"gamma_micro")
+      val mu = gm.agg(count(lit(1)).as("n_months"),
+          sum($"gamma_micro").as("sg"))
+        .withColumn("mu_micro", expr(speelDivSql("sg", "n_months", "div")))
+        .select($"n_months", $"mu_micro")
+      val d = gm.crossJoin(broadcast(mu))
+        .select($"mon", ($"gamma_micro" - $"mu_micro").as("d"),
+          $"n_months", $"mu_micro")
+      val gammas = (0 to NwLag).map { l =>
+        val dl = d.select($"mon".as("mon2"), $"d".as("d2"))
+        d.join(dl, $"mon" === add_months($"mon2", l))
+          .agg(sum($"d" * $"d2").as(s"g$l"))
+      }
+      val joined = gammas.reduce(_.crossJoin(_))
+      mu.crossJoin(broadcast(joined))
+        .withColumn("s4",
+          lit(4L) * $"g0" + lit(6L) * $"g1" + lit(4L) * $"g2" +
+            lit(2L) * $"g3")
+        .withColumn("t_nw",
+          when($"s4" > 0L,
+            $"mu_micro".cast("double") * $"n_months".cast("double") * 2.0 /
+              sqrt(lit(4.0) * $"s4".cast("double"))))
+        .withColumn("inflation_milli",
+          when($"g0" > 0L, expr(speelDivSql("1000 * s4", "4 * g0", "div"))))
+        .select($"n_months", $"mu_micro", $"g0", $"g1", $"g2", $"g3",
+          $"s4", $"t_nw", $"inflation_milli")
+    },
+    Some(s"""
+      WITH $mbarsSql,
+      rets AS (
+        SELECT * FROM (
+          SELECT ticker, mon, close_c,
+                 lag(close_c, 1) OVER (PARTITION BY ticker ORDER BY mon)
+                   AS prev_c
+          FROM mbars)
+        WHERE prev_c IS NOT NULL),
+      rm AS (
+        SELECT ticker, mon,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(close_c - prev_c AS DOUBLE)
+                 / CAST(prev_c AS DOUBLE)) AS BIGINT) AS y
+        FROM rets),
+      mkt AS (
+        SELECT mon,
+               ${speelDivSql("CAST(sum(y) AS BIGINT)", "count(*)", "//")}
+                 AS x
+        FROM rm GROUP BY mon HAVING count(*) >= 5),
+      bm AS (
+        SELECT ticker, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM rm JOIN mkt USING (mon)
+        GROUP BY ticker HAVING count(*) >= 24),
+      betas AS (
+        SELECT ticker,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+                 AS beta_milli
+        FROM bm),
+      pm0 AS (
+        SELECT mon, CAST(count(*) AS BIGINT) AS nn,
+               CAST(sum(beta_milli) AS BIGINT) AS bx,
+               CAST(sum(y) AS BIGINT) AS by,
+               CAST(sum(beta_milli * beta_milli) AS BIGINT) AS bxx,
+               CAST(sum(beta_milli * y) AS BIGINT) AS bxy
+        FROM rm JOIN betas USING (ticker)
+        GROUP BY mon HAVING count(*) >= 5),
+      gm AS (
+        SELECT mon,
+               CAST(floor(CAST('1000000.0' AS DOUBLE)
+                 * CAST(nn * bxy - bx * by AS DOUBLE)
+                 / CAST(nn * bxx - bx * bx AS DOUBLE)) AS BIGINT)
+                 AS gamma_micro
+        FROM pm0),
+      mu AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_months,
+               ${speelDivSql("CAST(sum(gamma_micro) AS BIGINT)",
+                 "count(*)", "//")} AS mu_micro
+        FROM gm),
+      d AS (
+        SELECT gm.mon, gm.gamma_micro - mu.mu_micro AS d
+        FROM gm, mu),
+      ${(0 to NwLag).map(l => s"""
+      gam_$l AS (
+        SELECT CAST(sum(a.d * b.d) AS BIGINT) AS g$l
+        FROM d a JOIN d b ON a.mon = b.mon + INTERVAL $l MONTH)""")
+        .mkString(",")},
+      s AS (
+        SELECT mu.n_months, mu.mu_micro, g0, g1, g2, g3,
+               4 * g0 + 6 * g1 + 4 * g2 + 2 * g3 AS s4
+        FROM mu, gam_0, gam_1, gam_2, gam_3)
+      SELECT n_months, mu_micro, g0, g1, g2, g3, s4,
+             CASE WHEN s4 > 0 THEN
+               CAST(mu_micro AS DOUBLE) * CAST(n_months AS DOUBLE) * 2.0
+                 / sqrt(4.0 * CAST(s4 AS DOUBLE)) END AS t_nw,
+             CASE WHEN g0 > 0 THEN
+               ${speelDivSql("1000 * s4", "4 * g0", "//")} END
+               AS inflation_milli
+      FROM s"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256, q260, q262,
-      q266, q269, q270, q274, q280, q282, q283, q289)
+      q266, q269, q270, q274, q280, q282, q283, q289, q291)
 }

@@ -129,6 +129,14 @@ object Silver {
       Seq("q134", "q194"),
       (s, d) => Curation.sourceTokens(s, d)),
     SilverTable(
+      "source_word_counts",
+      "per-(source, word) exact lowercased-token counts — the" +
+        " source-conditioned twin of word_counts; vocabulary-richness" +
+        " and dispersion read it (declared at introduction, the" +
+        " SharedSubtreeSpec discipline)",
+      Seq("q284", "q292"),
+      (s, d) => TextOps.sourceWordCounts(s, d)),
+    SilverTable(
       "wordpiece_vocab",
       "corpus-trained WordPiece vocabulary (piece, weight): every" +
         " character in start and ## form plus the top-200 multi-char" +

@@ -1415,21 +1415,33 @@ object TextOps extends QueryModule {
   // beyond that scale the sum moves to the 128-bit/decimal lane — the
   // q213 bit-budget escape discipline, documented not silent.
   //
-  // Scale: one explode (linear in tokens) → one map-combinable
-  // (source, word) hash-agg (shuffle carries |source|×|vocab| rows, the
-  // q99 tf·idf shape) → a |sources|-row rollup. No windows, no joins.
-  // (The corpus-wide word_counts silver lacks the source key, and no
-  // other build aggregates documents at this grain — SharedSubtrees
-  // stays clean.)
+  // Scale: the (source, word) table is the source_word_counts silver
+  // (one explode + one map-combinable hash-agg whose shuffle carries
+  // |source|×|vocab| rows, the q99 tf·idf shape — built once, shared
+  // with q292); this query adds only a |sources|-row rollup. No
+  // windows, no joins.
   // ---------------------------------------------------------------------
+  /** SILVER: per-(source, word) exact lowercased-token counts — the
+    * source-conditioned twin of [[wordCounts]], shared by the
+    * vocabulary-richness (q284) and dispersion (q292) readouts so the
+    * corpus is tokenized once for both (the SharedSubtreeSpec
+    * discipline applied at introduction time, not post-hoc).
+    */
+  private[operators] def sourceWordCounts(
+      spark: SparkSession, dir: String): DataFrame =
+    Scoped.shared(spark, s"source_word_counts:$dir")({
+      import spark.implicits._
+      (Nil, Tables.documents(spark, dir)
+        .select($"source", explode(Portable.tokens(lower($"text"))).as("w"))
+        .groupBy($"source", $"w")
+        .agg(count(lit(1)).as("c")))
+    })
+
   private val q284 = QueryDef(
     "q284_yules_k",
     (spark, dir) => {
       import spark.implicits._
-      val counts = Tables.documents(spark, dir)
-        .select($"source", explode(Portable.tokens(lower($"text"))).as("w"))
-        .groupBy($"source", $"w")
-        .agg(count(lit(1)).as("c"))
+      val counts = sourceWordCounts(spark, dir)
       counts.groupBy($"source")
         .agg(
           sum($"c").as("n_tokens"),
@@ -1573,8 +1585,90 @@ object TextOps extends QueryModule {
       ORDER BY score_milli DESC, phrase LIMIT $RakeTopK"""
     })
 
+  // ---------------------------------------------------------------------
+  // q292 — WORD DISPERSION / BURSTINESS (Gries 2008, "Dispersions and
+  // adjusted frequencies in corpus linguistics" — the DP measure): raw
+  // frequency hides WHERE a word lives; a term with all its mass in one
+  // source (bursty: boilerplate, topic jargon, a crawl artifact) and a
+  // term spread evenly (grammatical glue) can share a count. DP(w) =
+  // ½·Σ_parts |v_i − s_i| (v_i = word's proportion of its own mass in
+  // part i, s_i = part's share of corpus tokens) ∈ [0, 1): 0 = perfectly
+  // proportional, → 1 = concentrated in one tiny part. The curation
+  // readout: high-DP high-frequency words flag source-specific
+  // boilerplate the q75/q172 per-doc filters can't see (they look
+  // inside docs, not across sources).
+  //
+  // Exactness: DP's fractions are cleared to the common denominator
+  // F·T — each present part contributes |c_i·T − t_i·F| (exact BIGINT:
+  // c ≤ F ≤ T, T² ≈ 10¹³ at sf0.1), ABSENT parts contribute t_i·F,
+  // summed in closed form as F·(T − Σ_present t_i) — no per-(word ×
+  // all-parts) fan-out, the sparse-representation trick. dp_milli =
+  // 1000·num div (2·F·T), one non-negative truncating division.
+  // BIGINT budget: F·T < 2⁶³ holds to ~3·10⁹-token corpora; past that
+  // the sums move to the decimal/128-bit lane (q213 escape, documented).
+  //
+  // Scale: reads the source_word_counts silver (built once, shared with
+  // q284); per-word stats are one map-combinable rollup; part totals
+  // and the corpus total are |sources|-row broadcasts; final top-k is
+  // TakeOrderedAndProject with the (dp, w) total tie-break.
+  // ---------------------------------------------------------------------
+  private val DispMinF = 100L
+  private val DispTopK = 50
+
+  private val q292 = QueryDef(
+    "q292_word_dispersion",
+    (spark, dir) => {
+      import spark.implicits._
+      val swc = sourceWordCounts(spark, dir)
+      val parts = swc.groupBy($"source").agg(sum($"c").as("t_i"))
+      val tot = parts.agg(sum($"t_i").as("bigT"))
+      val wt = swc.groupBy($"w").agg(sum($"c").as("f"))
+        .filter($"f" >= DispMinF)
+      swc
+        .join(broadcast(wt), "w")
+        .join(broadcast(parts), "source")
+        .crossJoin(broadcast(tot))
+        .groupBy($"w", $"f", $"bigT")
+        .agg(sum(abs($"c" * $"bigT" - $"t_i" * $"f")).as("sum_abs"),
+          sum($"t_i").as("sum_ti"),
+          count(lit(1)).as("n_present"))
+        .withColumn("dp_num", $"sum_abs" + $"f" * ($"bigT" - $"sum_ti"))
+        .withColumn("dp_milli",
+          expr("(1000 * dp_num) div (2 * f * bigT)"))
+        .select($"w", $"f", $"n_present", $"dp_milli")
+        .orderBy($"dp_milli".desc, $"w")
+        .limit(DispTopK)
+    },
+    Some(s"""
+      WITH swc AS (
+        SELECT source, w, count(*) AS c FROM (
+          SELECT source, unnest(${Portable.tokensSql("lower(text)")}) AS w
+          FROM documents)
+        GROUP BY 1, 2),
+      parts AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS t_i FROM swc GROUP BY 1),
+      tot AS (SELECT CAST(sum(t_i) AS BIGINT) AS bigT FROM parts),
+      wt AS (
+        SELECT w, CAST(sum(c) AS BIGINT) AS f FROM swc
+        GROUP BY 1 HAVING sum(c) >= $DispMinF),
+      pr AS (
+        SELECT s.w, wt.f, tot.bigT,
+               CAST(sum(abs(s.c * tot.bigT - p.t_i * wt.f)) AS BIGINT)
+                 AS sum_abs,
+               CAST(sum(p.t_i) AS BIGINT) AS sum_ti,
+               CAST(count(*) AS BIGINT) AS n_present
+        FROM swc s
+        JOIN wt ON wt.w = s.w
+        JOIN parts p ON p.source = s.source
+        CROSS JOIN tot
+        GROUP BY s.w, wt.f, tot.bigT)
+      SELECT w, f, n_present,
+             (1000 * (sum_abs + f * (bigT - sum_ti))) // (2 * f * bigT)
+               AS dp_milli
+      FROM pr ORDER BY dp_milli DESC, w LIMIT $DispTopK"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q26, q27, q28, q29, q30, q58, q75, q117, q119, q172, q208, q213,
       q259,
-      q214, q226, q275, q276, q284, q285)
+      q214, q226, q275, q276, q284, q285, q292)
 }
