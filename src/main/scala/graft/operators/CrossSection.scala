@@ -53,7 +53,8 @@ object CrossSection extends QueryModule {
     * makes both divide non-negative values, where they agree). SQL text
     * shared verbatim modulo the div operator.
     */
-  private def speelDivSql(num: String, den: String, divOp: String): String =
+  private[operators] def speelDivSql(
+      num: String, den: String, divOp: String): String =
     s"(CASE WHEN ($num) >= 0 THEN ($num) $divOp ($den)" +
       s" ELSE -((-($num)) $divOp ($den)) END)"
 

@@ -527,6 +527,126 @@ object Indicators extends QueryModule {
                AS obv
       FROM s ORDER BY ticker, date"""))
 
+  // ---------------------------------------------------------------------
+  // q293 — KAUFMAN EFFICIENCY RATIO (Kaufman 1995, "Smarter Trading"):
+  // ER = |net 10-day change| / Σ|daily changes| ∈ [0, 1] — the
+  // trend-vs-chop gauge that drives KAMA's adaptive smoothing constant
+  // (directional move at 1, pure noise at 0). FULLY integer: net and
+  // path are exact cent sums over the 10-bar frame, er_milli is one
+  // non-negative truncating division, and a flat window (path = 0 ⇒
+  // net = 0) yields NULL — the conventional undefined case, decided by
+  // an integer predicate on both engines.
+  // Scale: one ticker-window pass at the daily-bars grain (declared
+  // bound, silver-scan evidence), two frame sums — the q80 shape.
+  // ---------------------------------------------------------------------
+  private val q293 = QueryDef(
+    "q293_kaufman_er",
+    (spark, dir) => {
+      import spark.implicits._
+      val w10 = wTicker.rowsBetween(-9, 0)
+      barsCents(spark, dir)
+        .withColumn("d", $"cents" - lag($"cents", 1).over(wTicker))
+        .withColumn("net10", $"cents" - lag($"cents", 10).over(wTicker))
+        .withColumn("path10", sum(abs($"d")).over(w10))
+        .filter($"net10".isNotNull)
+        .withColumn("er_milli",
+          when($"path10" > 0L,
+            expr("(1000 * abs(net10)) div path10")))
+        .select($"ticker", $"date", $"net10", $"path10", $"er_milli")
+        .orderBy($"ticker", $"date")
+    },
+    Some(s"""
+      WITH ${WindowFeatures.barsSql},
+      d AS (
+        SELECT ticker, date, $centsSql AS cents,
+               $centsSql - lag($centsSql, 1) OVER w AS d,
+               $centsSql - lag($centsSql, 10) OVER w AS net10
+        FROM bars
+        WINDOW w AS (PARTITION BY ticker ORDER BY date)),
+      p AS (
+        SELECT ticker, date, net10,
+               CAST(sum(abs(d)) OVER (PARTITION BY ticker ORDER BY date
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS path10
+        FROM d)
+      SELECT ticker, date, net10, path10,
+             CASE WHEN path10 > 0
+                  THEN (1000 * abs(net10)) // path10 END AS er_milli
+      FROM p WHERE net10 IS NOT NULL
+      ORDER BY ticker, date"""))
+
+  // ---------------------------------------------------------------------
+  // q294 — VALUE-AT-RISK + EXPECTED SHORTFALL (historical simulation;
+  // Artzner et al. 1999 coherence — ES is the subadditive tail measure
+  // Basel moved to): per ticker over daily milli-returns, the 95% VaR
+  // is the k-th worst return with k = ⌈n/20⌉ (an exact order
+  // statistic), and ES is the mean of the k worst — sign-peeled integer
+  // division, since tail returns are negative. Ranks carry the full
+  // (ret, date) tie-break, k comes from each ticker's own n (broadcast
+  // count join), and every comparison is integer — no quantile
+  // interpolation anywhere (documented divergence from linear-interp
+  // percentiles: historical-simulation VaR is the order statistic by
+  // definition).
+  // Scale: one ticker-window lag for returns, one rank window at the
+  // daily-bars grain (declared bound), a broadcast per-ticker count,
+  // one map-combinable tail rollup.
+  // ---------------------------------------------------------------------
+  private val q294 = QueryDef(
+    "q294_expected_shortfall",
+    (spark, dir) => {
+      import spark.implicits._
+      val rets = barsCents(spark, dir)
+        .withColumn("prev_c", lag($"cents", 1).over(wTicker))
+        .filter($"prev_c".isNotNull)
+        .withColumn("ret_milli",
+          floor(lit(1000.0) * ($"cents" - $"prev_c").cast("double") /
+            $"prev_c".cast("double")).cast("long"))
+      val counts = rets.groupBy($"ticker").agg(count(lit(1)).as("n"))
+        .filter($"n" >= 40)
+        .withColumn("k", expr("(n + 19) div 20"))
+      val wRank = Window.partitionBy("ticker")
+        .orderBy($"ret_milli".asc, $"date".asc)
+      rets.join(broadcast(counts), "ticker")
+        .withColumn("rn", row_number().over(wRank).cast("long"))
+        .filter($"rn" <= $"k")
+        .groupBy($"ticker", $"n", $"k")
+        .agg(max($"ret_milli").as("var_milli"),
+          sum($"ret_milli").as("tail_sum"))
+        .withColumn("es_milli",
+          expr(CrossSection.speelDivSql("tail_sum", "k", "div")))
+        .select($"ticker", $"n", $"k", $"var_milli", $"es_milli")
+        .orderBy($"ticker")
+    },
+    Some(s"""
+      WITH ${WindowFeatures.barsSql},
+      rets AS (
+        SELECT ticker, date,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(cents - prev_c AS DOUBLE)
+                 / CAST(prev_c AS DOUBLE)) AS BIGINT) AS ret_milli
+        FROM (
+          SELECT ticker, date, $centsSql AS cents,
+                 lag($centsSql, 1) OVER (PARTITION BY ticker ORDER BY date)
+                   AS prev_c
+          FROM bars)
+        WHERE prev_c IS NOT NULL),
+      counts AS (
+        SELECT ticker, CAST(count(*) AS BIGINT) AS n,
+               (CAST(count(*) AS BIGINT) + 19) // 20 AS k
+        FROM rets GROUP BY ticker HAVING count(*) >= 40),
+      ranked AS (
+        SELECT r.ticker, c.n, c.k, r.ret_milli,
+               row_number() OVER (PARTITION BY r.ticker
+                 ORDER BY r.ret_milli ASC, r.date ASC) AS rn
+        FROM rets r JOIN counts c ON c.ticker = r.ticker)
+      SELECT ticker, n, k,
+             CAST(max(ret_milli) AS BIGINT) AS var_milli,
+             ${CrossSection.speelDivSql("CAST(sum(ret_milli) AS BIGINT)", "k", "//")}
+               AS es_milli
+      FROM ranked WHERE rn <= k
+      GROUP BY ticker, n, k
+      ORDER BY ticker"""))
+
   override val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q153, q154,
-    q155, q176, q279)
+    q155, q176, q279, q293, q294)
 }
