@@ -2319,7 +2319,169 @@ object CrossSection extends QueryModule {
                AS inflation_milli
       FROM s"""))
 
+  // ---------------------------------------------------------------------
+  // q295 — KRUSKAL–WALLIS RANK TEST (Kruskal & Wallis 1952) on the
+  // day-of-week return effect: do the k weekday groups share one return
+  // distribution, tested on RANKS (robust to the fat tails that break
+  // the mean-based q270 calendar tests)? The distribution-free ANOVA —
+  // H = 12/(N(N+1))·Σ R̄²_g·n_g-form — with the exact tie correction
+  // C = 1 − ΣT/(N³−N).
+  //
+  // The rank pass NEVER sorts the corpus: milli returns live on a small
+  // VALUE-DOMAIN grid (the q135/q144 discipline), so mid-ranks come
+  // from a prefix sum over the |distinct values| grid — doubled to stay
+  // integer (midrank2 = 2·before + cnt + 1), making every per-group
+  // rank sum an exact BIGINT. Day-of-week is epoch-day arithmetic
+  // ((days + 4) % 7, 0 = Sunday) — no engine-varying dow() builtin.
+  // The 7 groups pivot into ONE row of exact integers and H, the tie
+  // correction, and the χ²(k−1) comparison (critical value CASEd on
+  // the OBSERVED group count, each quantile a shared string literal)
+  // are one fixed-order double expression — bit-identical cross-engine.
+  //
+  // Scale: one map-combinable grid rollup (|grid| rows), one prefix
+  // sum over the grid (global window DECLARED exempt: value-domain
+  // sized), one broadcast midrank join back, one 7-group rollup.
+  // ---------------------------------------------------------------------
+  private val Chi2ByDf: Map[Int, String] = Map(
+    1 -> "3.841458820694124", 2 -> "5.991464547107979",
+    3 -> "7.814727903251179", 4 -> "9.487729036781154",
+    5 -> "11.070497693516351", 6 -> "12.591587243743977")
+
+  private val q295 = QueryDef(
+    "q295_kruskal_wallis",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("date")
+      val rets = WindowFeatures.bars(spark, dir)
+        .withColumn("close_c",
+          ($"close".cast(DecimalType(28, 2)) * 100).cast("long"))
+        .withColumn("prev_c", lag($"close_c", 1).over(wT))
+        .filter($"prev_c".isNotNull)
+        .withColumn("ret_milli",
+          floor(lit(1000.0) * ($"close_c" - $"prev_c").cast("double") /
+            $"prev_c".cast("double")).cast("long"))
+        .withColumn("dow",
+          expr("(datediff(date, DATE '1970-01-01') + 4) % 7").cast("long"))
+      val grid = rets.groupBy($"ret_milli").agg(count(lit(1)).as("cnt"))
+      val wv = Window.orderBy($"ret_milli")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val mr = grid
+        .withColumn("before", coalesce(sum($"cnt").over(wv), lit(0L)))
+        .withColumn("midrank2", lit(2L) * $"before" + $"cnt" + 1L)
+        .select($"ret_milli", $"midrank2")
+      val ties = grid.agg(
+        sum($"cnt" * $"cnt" * $"cnt" - $"cnt").as("tsum"),
+        sum($"cnt").as("bign"))
+      val g = rets.join(broadcast(mr), "ret_milli")
+        .groupBy($"dow")
+        .agg(count(lit(1)).as("n_g"), sum($"midrank2").as("r2_g"))
+      val pivCols = (0 to 6).flatMap { d =>
+        Seq(coalesce(sum(when($"dow" === d, $"n_g")), lit(0L)).as(s"n$d"),
+          coalesce(sum(when($"dow" === d, $"r2_g")), lit(0L)).as(s"r$d"))
+      }
+      val piv = g.agg(pivCols.head, pivCols.tail: _*)
+        .crossJoin(broadcast(ties))
+      val termSql = (0 to 6).map(d =>
+        s"(CASE WHEN n$d > 0 THEN CAST(r$d AS DOUBLE) * CAST(r$d AS DOUBLE)" +
+          s" / CAST(n$d AS DOUBLE) ELSE 0.0 END)").mkString(" + ")
+      val nGroupsSql = (0 to 6).map(d =>
+        s"(CASE WHEN n$d > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      val critSql = "CASE " + (2 to 7).map(k =>
+        s"WHEN n_groups = $k THEN CAST('${Chi2ByDf(k - 1)}' AS DOUBLE)")
+        .mkString(" ") + " END"
+      val summary = piv
+        .withColumn("n_groups", expr(nGroupsSql).cast("long"))
+        .withColumn("h_stat", expr(
+          s"12.0 / (CAST(bign AS DOUBLE) * CAST(bign + 1 AS DOUBLE))" +
+            s" * ($termSql) / 4.0 - 3.0 * CAST(bign + 1 AS DOUBLE)"))
+        .withColumn("tie_c", expr(
+          "1.0 - CAST(tsum AS DOUBLE) / (CAST(bign AS DOUBLE)" +
+            " * CAST(bign AS DOUBLE) * CAST(bign AS DOUBLE)" +
+            " - CAST(bign AS DOUBLE))"))
+        .withColumn("h_tie",
+          when($"tie_c" > 0.0, $"h_stat" / $"tie_c"))
+        .withColumn("crit", expr(critSql))
+        .withColumn("kw_rejected",
+          $"h_tie".isNotNull && $"crit".isNotNull && $"h_tie" > $"crit")
+        .select($"bign".as("n_total"), $"n_groups", $"tsum", $"h_stat",
+          $"h_tie", $"kw_rejected")
+      g.withColumn("mean_rank_milli", expr("(500 * r2_g) div n_g"))
+        .crossJoin(broadcast(summary))
+        .select($"dow", $"n_g", $"r2_g", $"mean_rank_milli", $"n_total",
+          $"n_groups", $"tsum", $"h_stat", $"h_tie", $"kw_rejected")
+        .orderBy($"dow")
+    },
+    Some {
+      val termSql = (0 to 6).map(d =>
+        s"(CASE WHEN n$d > 0 THEN CAST(r$d AS DOUBLE) * CAST(r$d AS DOUBLE)" +
+          s" / CAST(n$d AS DOUBLE) ELSE 0.0 END)").mkString(" + ")
+      val nGroupsSql = (0 to 6).map(d =>
+        s"(CASE WHEN n$d > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      val pivSql = (0 to 6).map(d =>
+        s"COALESCE(CAST(sum(CASE WHEN dow = $d THEN n_g END) AS BIGINT), 0) AS n$d," +
+          s" COALESCE(CAST(sum(CASE WHEN dow = $d THEN r2_g END) AS BIGINT), 0) AS r$d")
+        .mkString(", ")
+      val critSql = "CASE " + (2 to 7).map(k =>
+        s"WHEN n_groups = $k THEN CAST('${Chi2ByDf(k - 1)}' AS DOUBLE)")
+        .mkString(" ") + " END"
+      s"""
+      WITH ${WindowFeatures.barsSql},
+      rets AS (
+        SELECT ticker, date,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(close_c - prev_c AS DOUBLE)
+                 / CAST(prev_c AS DOUBLE)) AS BIGINT) AS ret_milli,
+               CAST((date - DATE '1970-01-01' + 4) % 7 AS BIGINT) AS dow
+        FROM (
+          SELECT ticker, date,
+                 CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT) AS close_c,
+                 lag(CAST(CAST(close AS DECIMAL(28,2)) * 100 AS BIGINT), 1)
+                   OVER (PARTITION BY ticker ORDER BY date) AS prev_c
+          FROM bars)
+        WHERE prev_c IS NOT NULL),
+      grid AS (
+        SELECT ret_milli, CAST(count(*) AS BIGINT) AS cnt
+        FROM rets GROUP BY 1),
+      mr AS (
+        SELECT ret_milli,
+               2 * COALESCE(CAST(sum(cnt) OVER (ORDER BY ret_milli
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) + cnt + 1 AS midrank2
+        FROM grid),
+      ties AS (
+        SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum,
+               CAST(sum(cnt) AS BIGINT) AS bign
+        FROM grid),
+      g AS (
+        SELECT r.dow, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(m.midrank2) AS BIGINT) AS r2_g
+        FROM rets r JOIN mr m ON m.ret_milli = r.ret_milli
+        GROUP BY 1),
+      piv AS (SELECT $pivSql FROM g),
+      summ AS (
+        SELECT ties.bign AS n_total, $nGroupsSql AS n_groups, ties.tsum,
+               12.0 / (CAST(ties.bign AS DOUBLE)
+                 * CAST(ties.bign + 1 AS DOUBLE))
+                 * ($termSql) / 4.0
+                 - 3.0 * CAST(ties.bign + 1 AS DOUBLE) AS h_stat,
+               1.0 - CAST(ties.tsum AS DOUBLE) / (CAST(ties.bign AS DOUBLE)
+                 * CAST(ties.bign AS DOUBLE) * CAST(ties.bign AS DOUBLE)
+                 - CAST(ties.bign AS DOUBLE)) AS tie_c
+        FROM piv, ties),
+      s2 AS (
+        SELECT n_total, CAST(n_groups AS BIGINT) AS n_groups, tsum, h_stat,
+               CASE WHEN tie_c > 0.0 THEN h_stat / tie_c END AS h_tie
+        FROM summ),
+      s3 AS (
+        SELECT *, $critSql AS crit FROM s2)
+      SELECT g.dow, g.n_g, g.r2_g, (500 * g.r2_g) // g.n_g AS mean_rank_milli,
+             s3.n_total, s3.n_groups, s3.tsum, s3.h_stat, s3.h_tie,
+             s3.h_tie IS NOT NULL AND s3.crit IS NOT NULL
+               AND s3.h_tie > s3.crit AS kw_rejected
+      FROM g, s3 ORDER BY g.dow"""
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256, q260, q262,
-      q266, q269, q270, q274, q280, q282, q283, q289, q291)
+      q266, q269, q270, q274, q280, q282, q283, q289, q291, q295)
 }

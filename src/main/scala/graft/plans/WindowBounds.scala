@@ -211,6 +211,9 @@ object WindowBounds {
         " (≤ |sources|)"),
     "q187_convert_latency" ->
       "cumulative distribution over ≤ 49 latency-bucket rollup rows",
+    "q295_kruskal_wallis" ->
+      ("mid-rank prefix sum over the distinct-milli-return VALUE-DOMAIN" +
+        " grid (the q135 discipline) — ≤ |grid| rows, never |returns|"),
     "q211_vocab_growth" ->
       "cumulative vocabulary over ≤ 10 ingestion-decile rollup rows",
     "q247_momentum_ls" ->
