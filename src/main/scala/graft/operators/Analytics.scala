@@ -1369,7 +1369,213 @@ object Analytics extends QueryModule {
              CASE WHEN se > 0 THEN (r1 - r2) / se END AS z
       FROM se"""))
 
+  // ---------------------------------------------------------------------
+  // q296 — CUPED VARIANCE-REDUCED EXPERIMENT READOUT (Deng, Xu, Kohavi &
+  // Walker 2013, "Improving the Sensitivity of Online Controlled
+  // Experiments by Utilizing Pre-Experiment Data"): the same A/B arms as
+  // q183, but the metric (a user's post-period milli purchase-share) is
+  // adjusted by its pre-period value — Y′ = Y − θ·(X − X̄), θ = cov(Y,X)/
+  // var(X) — which removes the between-user variance X predicts and
+  // shrinks the SE without biasing the treatment effect (θ is pooled
+  // across arms; randomization makes X ⟂ arm). THE standard sensitivity
+  // upgrade every experimentation platform runs.
+  //
+  // No float accumulation anywhere: per-user Y and X are integer millis
+  // (one truncating division each), X̄ is the integer milli mean, the
+  // centered covariate x_c = X − X̄ (0 where the user has no pre-period
+  // — the CUPED missing-covariate convention: no adjustment), and ALL
+  // arm/θ statistics are exact BIGINT moments (n, Σy, Σx_c, Σy², Σx_c²,
+  // Σy·x_c); the adjusted means, variances (Σ(y−θx_c)² expanded through
+  // the exact moments), SEs and both z statistics are ONE fixed-order
+  // double expression over them. Arm assignment is q183's md5 hash.
+  //
+  // Scale: one conditional-sum user rollup (single events pass), one
+  // 1-row covariate-moment broadcast, one 2-row arm rollup — the q183
+  // envelope with a second exact-moment set.
+  // ---------------------------------------------------------------------
+  private val CupedSplit = "2024-01-16 00:00:00"
+
+  private val q296 = QueryDef(
+    "q296_cuped",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val perUser = Tables.events(spark, dir)
+        .filter($"user_id".isNotNull)
+        .groupBy($"user_id")
+        .agg(
+          sum(when($"ts" >= lit(CupedSplit).cast("timestamp") &&
+            $"event_type" === "purchase", 1L).otherwise(0L)).as("np_post"),
+          sum(when($"ts" >= lit(CupedSplit).cast("timestamp"), 1L)
+            .otherwise(0L)).as("ne_post"),
+          sum(when($"ts" < lit(CupedSplit).cast("timestamp") &&
+            $"event_type" === "purchase", 1L).otherwise(0L)).as("np_pre"),
+          sum(when($"ts" < lit(CupedSplit).cast("timestamp"), 1L)
+            .otherwise(0L)).as("ne_pre"))
+        .filter($"ne_post" > 0L)
+        .withColumn("y", expr("(1000 * np_post) div ne_post"))
+        .withColumn("x",
+          when($"ne_pre" > 0L, expr("(1000 * np_pre) div ne_pre")))
+        .withColumn("arm",
+          when(Portable.md5Hash64(
+            concat(lit("ab|"), $"user_id".cast("string"))) % 2 === 0,
+            "control").otherwise("treatment"))
+      val xbar = perUser.filter($"x".isNotNull)
+        .agg(count(lit(1)).as("m"), sum($"x").as("sx"), sum($"y").as("sy2"),
+          sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+        .withColumn("xbar_milli", expr("sx div m"))
+        .withColumn("theta",
+          when($"m" * $"sxx" - $"sx" * $"sx" > 0L,
+            ($"m" * $"sxy" - $"sx" * $"sy2").cast("double") /
+              ($"m" * $"sxx" - $"sx" * $"sx").cast("double"))
+            .otherwise(lit(0.0)))
+        .select($"xbar_milli", $"theta")
+      val cu = perUser.crossJoin(broadcast(xbar))
+        .withColumn("xc",
+          coalesce($"x" - $"xbar_milli", lit(0L)))
+      val arms = cu.groupBy($"arm", $"theta")
+        .agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+          sum($"xc").as("sxc"), sum($"y" * $"y").as("syy"),
+          sum($"xc" * $"xc").as("sxcxc"), sum($"y" * $"xc").as("syxc"))
+      def stats(pfx: String, df: DataFrame) = df.select(
+        $"theta",
+        $"n".as(s"n$pfx"), $"sy".as(s"sy$pfx"), $"sxc".as(s"sxc$pfx"),
+        $"syy".as(s"syy$pfx"), $"sxcxc".as(s"sxcxc$pfx"),
+        $"syxc".as(s"syxc$pfx"))
+      stats("1", arms.filter($"arm" === "control"))
+        .join(stats("2", arms.filter($"arm" === "treatment")), "theta")
+        .withColumn("m1_adj",
+          ($"sy1".cast("double") - $"theta" * $"sxc1".cast("double")) /
+            $"n1".cast("double"))
+        .withColumn("m2_adj",
+          ($"sy2".cast("double") - $"theta" * $"sxc2".cast("double")) /
+            $"n2".cast("double"))
+        .withColumn("v1_adj",
+          ($"syy1".cast("double") -
+            lit(2.0) * $"theta" * $"syxc1".cast("double") +
+            $"theta" * $"theta" * $"sxcxc1".cast("double") -
+            ($"sy1".cast("double") - $"theta" * $"sxc1".cast("double")) *
+              ($"sy1".cast("double") - $"theta" * $"sxc1".cast("double")) /
+              $"n1".cast("double")) / ($"n1" - 1L).cast("double"))
+        .withColumn("v2_adj",
+          ($"syy2".cast("double") -
+            lit(2.0) * $"theta" * $"syxc2".cast("double") +
+            $"theta" * $"theta" * $"sxcxc2".cast("double") -
+            ($"sy2".cast("double") - $"theta" * $"sxc2".cast("double")) *
+              ($"sy2".cast("double") - $"theta" * $"sxc2".cast("double")) /
+              $"n2".cast("double")) / ($"n2" - 1L).cast("double"))
+        .withColumn("m1_raw", $"sy1".cast("double") / $"n1".cast("double"))
+        .withColumn("m2_raw", $"sy2".cast("double") / $"n2".cast("double"))
+        .withColumn("v1_raw",
+          ($"syy1".cast("double") - $"sy1".cast("double") *
+            $"sy1".cast("double") / $"n1".cast("double")) /
+            ($"n1" - 1L).cast("double"))
+        .withColumn("v2_raw",
+          ($"syy2".cast("double") - $"sy2".cast("double") *
+            $"sy2".cast("double") / $"n2".cast("double")) /
+            ($"n2" - 1L).cast("double"))
+        .withColumn("z_adj",
+          ($"m1_adj" - $"m2_adj") /
+            sqrt($"v1_adj" / $"n1".cast("double") +
+              $"v2_adj" / $"n2".cast("double")))
+        .withColumn("z_raw",
+          ($"m1_raw" - $"m2_raw") /
+            sqrt($"v1_raw" / $"n1".cast("double") +
+              $"v2_raw" / $"n2".cast("double")))
+        .select($"theta", $"n1", $"n2", $"m1_raw", $"m2_raw", $"m1_adj",
+          $"m2_adj", $"v1_raw", $"v1_adj", $"z_raw", $"z_adj")
+    },
+    Some(s"""
+      WITH per_user AS (
+        SELECT user_id,
+               sum(CASE WHEN ts >= TIMESTAMP '$CupedSplit'
+                   AND event_type = 'purchase' THEN 1 ELSE 0 END) AS np_post,
+               sum(CASE WHEN ts >= TIMESTAMP '$CupedSplit'
+                   THEN 1 ELSE 0 END) AS ne_post,
+               sum(CASE WHEN ts < TIMESTAMP '$CupedSplit'
+                   AND event_type = 'purchase' THEN 1 ELSE 0 END) AS np_pre,
+               sum(CASE WHEN ts < TIMESTAMP '$CupedSplit'
+                   THEN 1 ELSE 0 END) AS ne_pre
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      u AS (
+        SELECT user_id,
+               (1000 * np_post) // ne_post AS y,
+               CASE WHEN ne_pre > 0 THEN (1000 * np_pre) // ne_pre END AS x,
+               CASE WHEN ${graft.functions.Portable.md5Hash64Sql(
+                 "'ab|' || CAST(user_id AS VARCHAR)")} % 2 = 0
+                 THEN 'control' ELSE 'treatment' END AS arm
+        FROM per_user WHERE ne_post > 0),
+      xb AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy2,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM u WHERE x IS NOT NULL),
+      th AS (
+        SELECT sx // m AS xbar_milli,
+               CASE WHEN m * sxx - sx * sx > 0
+                 THEN CAST(m * sxy - sx * sy2 AS DOUBLE)
+                   / CAST(m * sxx - sx * sx AS DOUBLE)
+                 ELSE 0.0 END AS theta
+        FROM xb),
+      cu AS (
+        SELECT u.arm, th.theta, u.y,
+               COALESCE(u.x - th.xbar_milli, 0) AS xc
+        FROM u, th),
+      arms AS (
+        SELECT arm, theta, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(xc) AS BIGINT) AS sxc,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(xc * xc) AS BIGINT) AS sxcxc,
+               CAST(sum(y * xc) AS BIGINT) AS syxc
+        FROM cu GROUP BY 1, 2),
+      j AS (
+        SELECT a.theta,
+               a.n AS n1, a.sy AS sy1, a.sxc AS sxc1, a.syy AS syy1,
+               a.sxcxc AS sxcxc1, a.syxc AS syxc1,
+               b.n AS n2, b.sy AS sy2, b.sxc AS sxc2, b.syy AS syy2,
+               b.sxcxc AS sxcxc2, b.syxc AS syxc2
+        FROM arms a JOIN arms b ON a.theta = b.theta
+        WHERE a.arm = 'control' AND b.arm = 'treatment'),
+      e AS (
+        SELECT theta, n1, n2,
+               CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1_raw,
+               CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2_raw,
+               (CAST(sy1 AS DOUBLE) - theta * CAST(sxc1 AS DOUBLE))
+                 / CAST(n1 AS DOUBLE) AS m1_adj,
+               (CAST(sy2 AS DOUBLE) - theta * CAST(sxc2 AS DOUBLE))
+                 / CAST(n2 AS DOUBLE) AS m2_adj,
+               (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE)
+                 * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 / CAST(n1 - 1 AS DOUBLE) AS v1_raw,
+               (CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE)
+                 * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                 / CAST(n2 - 1 AS DOUBLE) AS v2_raw,
+               (CAST(syy1 AS DOUBLE)
+                 - 2.0 * theta * CAST(syxc1 AS DOUBLE)
+                 + theta * theta * CAST(sxcxc1 AS DOUBLE)
+                 - (CAST(sy1 AS DOUBLE) - theta * CAST(sxc1 AS DOUBLE))
+                   * (CAST(sy1 AS DOUBLE) - theta * CAST(sxc1 AS DOUBLE))
+                   / CAST(n1 AS DOUBLE))
+                 / CAST(n1 - 1 AS DOUBLE) AS v1_adj,
+               (CAST(syy2 AS DOUBLE)
+                 - 2.0 * theta * CAST(syxc2 AS DOUBLE)
+                 + theta * theta * CAST(sxcxc2 AS DOUBLE)
+                 - (CAST(sy2 AS DOUBLE) - theta * CAST(sxc2 AS DOUBLE))
+                   * (CAST(sy2 AS DOUBLE) - theta * CAST(sxc2 AS DOUBLE))
+                   / CAST(n2 AS DOUBLE))
+                 / CAST(n2 - 1 AS DOUBLE) AS v2_adj
+        FROM j)
+      SELECT theta, n1, n2, m1_raw, m2_raw, m1_adj, m2_adj, v1_raw, v1_adj,
+             (m1_raw - m2_raw) / sqrt(v1_raw / CAST(n1 AS DOUBLE)
+               + v2_raw / CAST(n2 AS DOUBLE)) AS z_raw,
+             (m1_adj - m2_adj) / sqrt(v1_adj / CAST(n1 AS DOUBLE)
+               + v2_adj / CAST(n2 AS DOUBLE)) AS z_adj
+      FROM e"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q88, q89, q90, q91, q95, q124, q132, q150, q178, q179, q182, q183,
-      q184, q185, q187, q196, q233)
+      q184, q185, q187, q196, q233, q296)
 }
