@@ -346,8 +346,8 @@ object Graph extends QueryModule {
   // repeatedly drop nodes whose remaining degree < k; here as a FIXED
   // 8-round synchronous peel per k (both engines run the identical
   // rounds, so the result is well-defined and hash-comparable whether or
-  // not the peel has converged; GraphSpec asserts the fixture reaches
-  // the fixpoint — round 8 removes nobody), with the 3-core peeled FROM
+  // not the peel has converged; SketchGraphSpec peels to the true
+  // fixpoint on the driver and asserts agreement), with the 3-core peeled FROM
   // the 2-core (k-cores nest), so coreness = 1 + [in 2-core] +
   // [in 3-core] caps at 3.
   //
@@ -421,11 +421,15 @@ object Graph extends QueryModule {
         .agg(count(lit(1)).as("degree"))
       val core2 = peel(sym, deg.select($"node"), 2)
       val core3 = peel(sym, core2, 3)
-      deg
+      // each peel's FINAL alive frame is still persisted (intermediate
+      // rounds release inside the loop) — close the scope through the
+      // materialize boundary, the connectedComponents discipline
+      Scoped.materialize(core2, core3)(deg
         .join(core2.select($"node", lit(1L).as("in2")), Seq("node"), "left")
         .join(core3.select($"node", lit(1L).as("in3")), Seq("node"), "left")
         .na.fill(0L, Seq("in2", "in3"))
-        .select($"node", $"degree", (lit(1L) + $"in2" + $"in3").as("coreness"))
+        .select($"node", $"degree",
+          (lit(1L) + $"in2" + $"in3").as("coreness")))
         .orderBy($"node")
     },
     Some(s"""

@@ -758,6 +758,11 @@ object Series extends QueryModule {
     * daily rollup (`ticker`). Package-visible for the hot-symbol-day
     * ScaleBehaviorSpec.
     */
+  /** Debug hook: the executed plan of the most recent chunkedTicks
+    * range-shuffle INPUT — the plan the localCheckpoint boundary hides.
+    */
+  @volatile private[graft] var lastChunkInputPlan: String = ""
+
   private[graft] def chunkedTicks(ticks: DataFrame): DataFrame = {
     import ticks.sparkSession.implicits._
     // localCheckpoint PINS the chunk boundaries: the range-shuffled tape
@@ -769,8 +774,15 @@ object Series extends QueryModule {
     // the ContextCleaner once the silver build's parquet write drops the
     // last reference. At cluster scale this is the "write the shuffled
     // tape once" step any segmented-scan silver build pays anyway.
-    val parted = ticks
+    val ranged = ticks
       .repartitionByRange(col("tkr"), col("day"), col("seq"))
+    // the checkpoint hides the range exchange behind a Scan ExistingRDD
+    // in every downstream plan — record the pre-checkpoint plan so the
+    // ScaleBehaviorSpec shape assertion can still see it (the
+    // Scoped.lastMaterializedPlan debug-hook pattern; never read on a
+    // production path)
+    lastChunkInputPlan = ranged.queryExecution.executedPlan.toString
+    val parted = ranged
       .localCheckpoint(false)
       .withColumn("_pid", spark_partition_id())
     val wChunk = Window.partitionBy("tkr", "day", "_pid").orderBy("seq")

@@ -310,12 +310,17 @@ class ScaleBehaviorSpec extends AnyFunSuite {
       val chunked = flow.select($"tkr", $"seq", $"cum0", $"s_filled")
         .orderBy($"tkr", $"seq").collect().map(_.toString)
       assert(chunked.toSeq === naive.toSeq)
-      // (c) plan shape: the tape rides a RANGE exchange (the sort
-      // parallelizes) and no window partitions on (tkr, day) alone over
-      // raw ticks — every window spec carries _pid or runs at c-grain
+      // (c) plan shape: since the r11 chunk-id pin the range exchange
+      // lives BEHIND the localCheckpoint boundary — downstream plans show
+      // the checkpointed Scan ExistingRDD (proof the chunk ids are pinned
+      // by materialization, not exchange reuse), and the recorded
+      // pre-checkpoint plan still shows the rangepartitioning that
+      // parallelizes the sort
       val plan = flow.queryExecution.executedPlan.toString
-      assert(plan.contains("rangepartitioning"),
+      assert(plan.contains("Scan ExistingRDD"),
         plan.linesIterator.take(30).mkString("\n"))
+      assert(Series.lastChunkInputPlan.contains("rangepartitioning"),
+        Series.lastChunkInputPlan.linesIterator.take(30).mkString("\n"))
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

@@ -22,7 +22,10 @@ class CacheHygieneSpec extends AnyFunSuite {
       // must release every one once the merge table is driver state
       "q117_bpe_train",
       // r8: postings/weighted persist across the frequency-split joins
-      "q190_postings_size", "q191_allpairs_cosine")
+      "q190_postings_size", "q191_allpairs_cosine",
+      // r11: the k-core peel rewraps 16 rounds and must release both
+      // final alive frames through the materialize boundary
+      "q286_kcore")
     val before = spark.sparkContext.getPersistentRDDs.keySet
     persistingQueries.foreach { q =>
       SparkEntry.queries(q)(spark, TestSpark.Sf001)
