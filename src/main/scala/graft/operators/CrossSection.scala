@@ -2481,7 +2481,273 @@ object CrossSection extends QueryModule {
       FROM g, s3 ORDER BY g.dow"""
     })
 
+  // ---------------------------------------------------------------------
+  // q297 — MANN–KENDALL TREND TEST + SEN'S SLOPE (Mann 1945, Kendall
+  // 1975; Sen 1968): the nonparametric trend detector — S = Σ_{i<j}
+  // sign(c_j − c_i) over all month pairs per ticker, variance with the
+  // exact tie correction [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, and the
+  // continuity-corrected z — plus Sen's slope, the median of all
+  // pairwise slopes, the robust trend magnitude OLS can't give (one
+  // outlier month moves OLS, not the median). Rank/sign-based, so it
+  // fits the exact-integer discipline end to end: S and the variance
+  // numerator are exact BIGINTs, pair slopes are micro-quantized by ONE
+  // sign-peeled division each, and the median is the LOWER-median order
+  // statistic (rank (m+1)/2 with the full (slope, i, j) tie-break —
+  // no interpolation, documented).
+  //
+  // Scale: pairs live at the MONTHLY grain — |months|²/2 ≈ 3.5k rows
+  // per ticker (dimension-sized, the q250 blocked-pair budget), from a
+  // self-join of the monthly_bars silver; the median rank is a
+  // ticker-keyed window whose cells are those same pair counts
+  // (silver-scan rollup evidence). Everything aggregates map-side.
+  // ---------------------------------------------------------------------
+  private val Z95TwoSided = "1.959963984540054"
+
+  private val q297 = QueryDef(
+    "q297_mann_kendall",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("mon")
+      val m = mbars(spark, dir)
+        .withColumn("idx", row_number().over(wT).cast("long"))
+        .select($"ticker", $"idx", $"close_c")
+      val pairs = m.as("a").join(m.as("b"),
+          col("a.ticker") === col("b.ticker") && col("a.idx") < col("b.idx"))
+        .select(col("a.ticker").as("ticker"),
+          col("a.idx").as("ia"), col("b.idx").as("ib"),
+          col("a.close_c").as("ca"), col("b.close_c").as("cb"))
+        .withColumn("sgn",
+          when($"cb" > $"ca", 1L).when($"cb" < $"ca", -1L).otherwise(0L))
+        .withColumn("slope_micro",
+          expr(speelDivSql("1000000 * (cb - ca)", "ib - ia", "div")))
+      val s = pairs.groupBy($"ticker")
+        .agg(sum($"sgn").as("s_mk"), count(lit(1)).as("m_pairs"))
+      val nt = mbars(spark, dir).groupBy($"ticker")
+        .agg(count(lit(1)).as("n"))
+      val ties = mbars(spark, dir).groupBy($"ticker", $"close_c")
+        .agg(count(lit(1)).as("t"))
+        .groupBy($"ticker")
+        .agg(sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)).as("tie_sum"))
+      val wMed = Window.partitionBy("ticker")
+        .orderBy($"slope_micro", $"ia", $"ib")
+      val sen = pairs
+        .withColumn("rn", row_number().over(wMed).cast("long"))
+        .withColumn("m2", count(lit(1))
+          .over(Window.partitionBy("ticker")))
+        .filter($"rn" === expr("(m2 + 1) div 2"))
+        .select($"ticker", $"slope_micro".as("sen_micro"))
+      s.join(nt, "ticker").join(ties, "ticker").join(sen, "ticker")
+        .filter($"n" >= 24)
+        .withColumn("var18",
+          $"n" * ($"n" - 1L) * (lit(2L) * $"n" + 5L) - $"tie_sum")
+        .withColumn("z_mk",
+          when($"s_mk" > 0L,
+            ($"s_mk" - 1L).cast("double") /
+              sqrt($"var18".cast("double") / 18.0))
+            .when($"s_mk" < 0L,
+              ($"s_mk" + 1L).cast("double") /
+                sqrt($"var18".cast("double") / 18.0))
+            .otherwise(lit(0.0)))
+        .withColumn("trending",
+          abs($"z_mk") > lit(Z95TwoSided.toDouble))
+        .select($"ticker", $"n", $"s_mk", $"var18", $"sen_micro", $"z_mk",
+          $"trending")
+        .orderBy($"ticker")
+    },
+    Some(s"""
+      WITH $mbarsSql,
+      m AS (
+        SELECT ticker, close_c,
+               CAST(row_number() OVER (PARTITION BY ticker ORDER BY mon)
+                 AS BIGINT) AS idx
+        FROM mbars),
+      pairs AS (
+        SELECT a.ticker, a.idx AS ia, b.idx AS ib,
+               a.close_c AS ca, b.close_c AS cb,
+               CASE WHEN b.close_c > a.close_c THEN 1
+                    WHEN b.close_c < a.close_c THEN -1 ELSE 0 END AS sgn,
+               ${speelDivSql("1000000 * (b.close_c - a.close_c)",
+                 "b.idx - a.idx", "//")} AS slope_micro
+        FROM m a JOIN m b ON a.ticker = b.ticker AND a.idx < b.idx),
+      s AS (
+        SELECT ticker, CAST(sum(sgn) AS BIGINT) AS s_mk,
+               CAST(count(*) AS BIGINT) AS m_pairs
+        FROM pairs GROUP BY ticker),
+      nt AS (
+        SELECT ticker, CAST(count(*) AS BIGINT) AS n
+        FROM mbars GROUP BY ticker),
+      ties AS (
+        SELECT ticker,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+        FROM (SELECT ticker, close_c, CAST(count(*) AS BIGINT) AS t
+              FROM mbars GROUP BY 1, 2)
+        GROUP BY ticker),
+      med AS (
+        SELECT ticker, slope_micro AS sen_micro FROM (
+          SELECT ticker, slope_micro,
+                 row_number() OVER (PARTITION BY ticker
+                   ORDER BY slope_micro, ia, ib) AS rn,
+                 count(*) OVER (PARTITION BY ticker) AS m2
+          FROM pairs)
+        WHERE rn = (m2 + 1) // 2),
+      j AS (
+        SELECT s.ticker, nt.n, s.s_mk, med.sen_micro,
+               nt.n * (nt.n - 1) * (2 * nt.n + 5) - ties.tie_sum AS var18
+        FROM s JOIN nt USING (ticker) JOIN ties USING (ticker)
+        JOIN med USING (ticker)
+        WHERE nt.n >= 24),
+      z AS (
+        SELECT *, CASE WHEN s_mk > 0
+                 THEN CAST(s_mk - 1 AS DOUBLE)
+                   / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+               WHEN s_mk < 0
+                 THEN CAST(s_mk + 1 AS DOUBLE)
+                   / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+               ELSE 0.0 END AS z_mk
+        FROM j)
+      SELECT ticker, n, s_mk, var18, sen_micro, z_mk,
+             abs(z_mk) > CAST('$Z95TwoSided' AS DOUBLE) AS trending
+      FROM z ORDER BY ticker"""))
+
+  // ---------------------------------------------------------------------
+  // q298 — CORRELATION CLUSTERING of the universe: the risk-model block
+  // structure — connect same-region ticker pairs whose monthly-RETURN
+  // correlation is ≥ 0.3 over ≥ 24 shared months (the synthetic tape has
+  // no planted factor structure, so the screen reads noise-level
+  // co-movement — the threshold exercises the mechanism; a real tape
+  // would set it at 0.6+), then take connected
+  // components; the clusters are the "moves together" blocks a
+  // portfolio constructor diversifies across and q250's pair screen
+  // trades within. Distinct from q250: returns (not price levels — a
+  // common drift correlates LEVELS of everything), full component
+  // structure (not a top-10 screen).
+  //
+  // Exactness: the ten pair moments are exact BIGINTs (milli returns
+  // over ≤ |months| rows), the corr threshold is ONE fixed-order
+  // double comparison, intra-cluster mean correlation aggregates
+  // floor-milli integers, and the component labels come from
+  // Dedup.connectedComponents (min-label fixpoint, converged or throw).
+  //
+  // Scale: pair generation is REGION-BLOCKED (|universe/region|² per
+  // block, the q250/q227 discipline) at the monthly grain off the
+  // monthly_bars silver; component iterations are the q72 Pregel-class
+  // loop; the census is a label rollup.
+  // ---------------------------------------------------------------------
+  private val CorrEdgeMin = "0.3"
+
+  private val q298 = QueryDef(
+    "q298_corr_clusters",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("mon")
+      val sup = Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey".as("ticker"), $"n_regionkey".as("reg"))
+      val rets = mbars(spark, dir)
+        .withColumn("prev_c", lag($"close_c", 1).over(wT))
+        .filter($"prev_c".isNotNull)
+        .withColumn("y",
+          floor(lit(1000.0) * ($"close_c" - $"prev_c").cast("double") /
+            $"prev_c".cast("double")).cast("long"))
+        .join(broadcast(sup), "ticker")
+        .select($"reg", $"mon", $"ticker", $"y")
+      val pairs = rets.as("a").join(rets.as("b"),
+          col("a.reg") === col("b.reg") && col("a.mon") === col("b.mon") &&
+            col("a.ticker") < col("b.ticker"))
+        .select(col("a.ticker").as("i"), col("b.ticker").as("j"),
+          col("a.y").as("x"), col("b.y").as("y"))
+      val edges = pairs.groupBy($"i", $"j")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+          sum($"x" * $"y").as("sxy"))
+        .filter($"n" >= 24 &&
+          ($"n" * $"sxx" - $"sx" * $"sx") > 0L &&
+          ($"n" * $"syy" - $"sy" * $"sy") > 0L)
+        .withColumn("corr",
+          ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+              ($"n" * $"syy" - $"sy" * $"sy").cast("double")))
+        .filter($"corr" >= lit(CorrEdgeMin.toDouble))
+        .withColumn("corr_milli", floor($"corr" * 1000.0).cast("long"))
+        .select($"i", $"j", $"corr_milli")
+      val labels = Dedup.connectedComponents(edges.select($"i", $"j"))
+      val census = labels.groupBy($"label".as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max($"node").as("max_ticker"))
+      val intra = edges
+        .join(labels.select($"node".as("i"), $"label".as("cluster_id")),
+          Seq("i"))
+        .groupBy($"cluster_id")
+        .agg(count(lit(1)).as("n_edges"),
+          sum($"corr_milli").as("sum_corr_milli"))
+        .withColumn("mean_corr_milli",
+          expr("sum_corr_milli div n_edges"))
+      census.join(intra, Seq("cluster_id"))
+        .select($"cluster_id", $"n_members", $"max_ticker", $"n_edges",
+          $"mean_corr_milli")
+        .orderBy($"cluster_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $mbarsSql,
+      rets AS (
+        SELECT * FROM (
+          SELECT ticker, mon, close_c,
+                 lag(close_c, 1) OVER (PARTITION BY ticker ORDER BY mon)
+                   AS prev_c
+          FROM mbars)
+        WHERE prev_c IS NOT NULL),
+      rm AS (
+        SELECT n.n_regionkey AS reg, r.mon, r.ticker,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(r.close_c - r.prev_c AS DOUBLE)
+                 / CAST(r.prev_c AS DOUBLE)) AS BIGINT) AS y
+        FROM rets r
+        JOIN supplier s ON r.ticker = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey),
+      mom AS (
+        SELECT a.ticker AS i, b.ticker AS j,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a.y) AS BIGINT) AS sx,
+               CAST(sum(b.y) AS BIGINT) AS sy,
+               CAST(sum(a.y * a.y) AS BIGINT) AS sxx,
+               CAST(sum(b.y * b.y) AS BIGINT) AS syy,
+               CAST(sum(a.y * b.y) AS BIGINT) AS sxy
+        FROM rm a JOIN rm b
+          ON a.reg = b.reg AND a.mon = b.mon AND a.ticker < b.ticker
+        GROUP BY 1, 2),
+      ed AS (
+        SELECT i, j,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+        FROM mom
+        WHERE n >= 24 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0),
+      edges AS (
+        SELECT i, j, CAST(floor(corr * 1000.0) AS BIGINT) AS corr_milli
+        FROM ed WHERE corr >= CAST('$CorrEdgeMin' AS DOUBLE)),
+      cedges AS (SELECT i, j FROM edges UNION SELECT j, i FROM edges),
+      cnodes AS (SELECT DISTINCT i AS node FROM cedges),
+      reach(a, b) AS (
+        SELECT node, node FROM cnodes
+        UNION
+        SELECT r.a, e.j FROM reach r JOIN cedges e ON e.i = r.b),
+      labeled AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY a),
+      census AS (
+        SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+               max(node) AS max_ticker
+        FROM labeled GROUP BY 1),
+      intra AS (
+        SELECT l.label AS cluster_id, CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(e.corr_milli) AS BIGINT) AS sum_corr_milli
+        FROM edges e JOIN labeled l ON l.node = e.i
+        GROUP BY 1)
+      SELECT c.cluster_id, c.n_members, c.max_ticker, i.n_edges,
+             i.sum_corr_milli // i.n_edges AS mean_corr_milli
+      FROM census c JOIN intra i USING (cluster_id)
+      ORDER BY c.cluster_id"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256, q260, q262,
-      q266, q269, q270, q274, q280, q282, q283, q289, q291, q295)
+      q266, q269, q270, q274, q280, q282, q283, q289, q291, q295, q297,
+      q298)
 }
