@@ -2746,8 +2746,166 @@ object CrossSection extends QueryModule {
       FROM census c JOIN intra i USING (cluster_id)
       ORDER BY c.cluster_id"""))
 
+  // ---------------------------------------------------------------------
+  // q300 — INVERSE-VOLATILITY PORTFOLIO CONSTRUCTION (naive risk
+  // parity; DeMiguel–Garlappi–Uppal 2009's robust-beats-optimized
+  // lesson): weight each eligible name ∝ 1/σ of its monthly returns,
+  // hold the portfolio, and read its realized volatility against the
+  // equal-weight benchmark over the same universe — the construction
+  // operator between the signal layer (q247 sorts) and the risk layer
+  // (q294 tails).
+  //
+  // Exactness: per-ticker variance numerators are exact BIGINTs;
+  // σ-micro is ONE fixed-order double + floor; inverse weights are
+  // integers, and the weight vector sums to EXACTLY 10⁶ via
+  // largest-remainder apportionment (the q134 token-budget
+  // discipline — floor allocations + remainder-ranked top-ups, full
+  // (remainder, ticker) tie-break). Monthly portfolio returns are
+  // exact Σ w·y BIGINTs with ONE sign-peeled division to milli; the
+  // vol comparison aggregates exact integer moments and finishes in
+  // one double expression.
+  //
+  // Scale: one ticker rollup (exact moments), a |universe|-row
+  // allocation frame (largest-remainder window DECLARED exempt —
+  // dimension-sized, the q134 row), weights broadcast back onto the
+  // monthly silver, one mon-keyed rollup, a 1-row summary broadcast.
+  // ---------------------------------------------------------------------
+  private val q300 = QueryDef(
+    "q300_inverse_vol",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("mon")
+      val rm = mbars(spark, dir)
+        .withColumn("prev_c", lag($"close_c", 1).over(wT))
+        .filter($"prev_c".isNotNull)
+        .withColumn("y",
+          floor(lit(1000.0) * ($"close_c" - $"prev_c").cast("double") /
+            $"prev_c".cast("double")).cast("long"))
+        .select($"ticker", $"mon", $"y")
+      val vols = rm.groupBy($"ticker")
+        .agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+          sum($"y" * $"y").as("syy"))
+        .filter($"n" >= 24 && ($"n" * $"syy" - $"sy" * $"sy") > 0L)
+        .withColumn("vol_micro",
+          floor(lit(1000000.0) *
+            sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double") /
+              ($"n" * ($"n" - 1L)).cast("double"))).cast("long"))
+        .withColumn("inv", expr("1000000000000 div greatest(vol_micro, 1)"))
+      val tot = vols.agg(sum($"inv").as("total_inv"))
+      val alloc = vols.crossJoin(broadcast(tot))
+        .withColumn("floor_w", expr("(1000000 * inv) div total_inv"))
+        .withColumn("rem", expr("(1000000 * inv) % total_inv"))
+      val leftover = alloc.agg(
+        (lit(1000000L) - sum($"floor_w")).as("leftover"))
+      val wRem = Window.orderBy($"rem".desc, $"ticker")
+      val weights = alloc.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(wRem).cast("long"))
+        .withColumn("w_micro",
+          $"floor_w" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+        .select($"ticker", $"vol_micro", $"w_micro")
+      val monthly = rm.join(broadcast(weights), "ticker")
+        .groupBy($"mon")
+        .agg(count(lit(1)).as("n_names"),
+          sum($"w_micro" * $"y").as("port_num"),
+          sum($"y").as("sum_y"))
+        .withColumn("port_milli",
+          expr(speelDivSql("port_num", "1000000", "div")))
+        .withColumn("ew_milli", expr(speelDivSql("sum_y", "n_names", "div")))
+      val summ = monthly.agg(
+        count(lit(1)).as("n_months"),
+        sum($"port_milli").as("sp"),
+        sum($"port_milli" * $"port_milli").as("spp"),
+        sum($"ew_milli").as("se"),
+        sum($"ew_milli" * $"ew_milli").as("see"))
+        .withColumn("iv_vol",
+          sqrt(($"n_months" * $"spp" - $"sp" * $"sp").cast("double") /
+            ($"n_months" * ($"n_months" - 1L)).cast("double")))
+        .withColumn("ew_vol",
+          sqrt(($"n_months" * $"see" - $"se" * $"se").cast("double") /
+            ($"n_months" * ($"n_months" - 1L)).cast("double")))
+        .withColumn("vol_ratio_milli",
+          floor(lit(1000.0) * $"iv_vol" / $"ew_vol").cast("long"))
+        .select($"n_months", $"iv_vol", $"ew_vol", $"vol_ratio_milli")
+      monthly.select($"mon", $"n_names", $"port_milli", $"ew_milli")
+        .crossJoin(broadcast(summ))
+        .orderBy($"mon")
+    },
+    Some(s"""
+      WITH $mbarsSql,
+      rm AS (
+        SELECT ticker, mon,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(close_c - prev_c AS DOUBLE)
+                 / CAST(prev_c AS DOUBLE)) AS BIGINT) AS y
+        FROM (
+          SELECT ticker, mon, close_c,
+                 lag(close_c, 1) OVER (PARTITION BY ticker ORDER BY mon)
+                   AS prev_c
+          FROM mbars)
+        WHERE prev_c IS NOT NULL),
+      vols AS (
+        SELECT ticker,
+               CAST(floor(CAST('1000000.0' AS DOUBLE)
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                   / CAST(n * (n - 1) AS DOUBLE))) AS BIGINT) AS vol_micro
+        FROM (
+          SELECT ticker, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM rm GROUP BY ticker)
+        WHERE n >= 24 AND n * syy - sy * sy > 0),
+      iv AS (
+        SELECT ticker, vol_micro,
+               1000000000000 // greatest(vol_micro, 1) AS inv
+        FROM vols),
+      tot AS (SELECT CAST(sum(inv) AS BIGINT) AS total_inv FROM iv),
+      alloc AS (
+        SELECT iv.ticker, iv.inv,
+               (1000000 * iv.inv) // tot.total_inv AS floor_w,
+               (1000000 * iv.inv) % tot.total_inv AS rem
+        FROM iv, tot),
+      lo AS (
+        SELECT 1000000 - CAST(sum(floor_w) AS BIGINT) AS leftover
+        FROM alloc),
+      weights AS (
+        SELECT a.ticker,
+               a.floor_w + CASE WHEN row_number() OVER (
+                   ORDER BY a.rem DESC, a.ticker) <= lo.leftover
+                 THEN 1 ELSE 0 END AS w_micro
+        FROM alloc a, lo),
+      monthly AS (
+        SELECT rm.mon, CAST(count(*) AS BIGINT) AS n_names,
+               CAST(sum(w.w_micro * rm.y) AS BIGINT) AS port_num,
+               CAST(sum(rm.y) AS BIGINT) AS sum_y
+        FROM rm JOIN weights w ON w.ticker = rm.ticker
+        GROUP BY rm.mon),
+      m2 AS (
+        SELECT mon, n_names,
+               ${speelDivSql("port_num", "1000000", "//")} AS port_milli,
+               ${speelDivSql("sum_y", "n_names", "//")} AS ew_milli
+        FROM monthly),
+      summ AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_months,
+               CAST(sum(port_milli) AS BIGINT) AS sp,
+               CAST(sum(port_milli * port_milli) AS BIGINT) AS spp,
+               CAST(sum(ew_milli) AS BIGINT) AS se,
+               CAST(sum(ew_milli * ew_milli) AS BIGINT) AS see
+        FROM m2),
+      sv AS (
+        SELECT n_months,
+               sqrt(CAST(n_months * spp - sp * sp AS DOUBLE)
+                 / CAST(n_months * (n_months - 1) AS DOUBLE)) AS iv_vol,
+               sqrt(CAST(n_months * see - se * se AS DOUBLE)
+                 / CAST(n_months * (n_months - 1) AS DOUBLE)) AS ew_vol
+        FROM summ)
+      SELECT m2.mon, m2.n_names, m2.port_milli, m2.ew_milli,
+             sv.n_months, sv.iv_vol, sv.ew_vol,
+             CAST(floor(CAST('1000.0' AS DOUBLE) * sv.iv_vol / sv.ew_vol)
+               AS BIGINT) AS vol_ratio_milli
+      FROM m2, sv ORDER BY m2.mon"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256, q260, q262,
       q266, q269, q270, q274, q280, q282, q283, q289, q291, q295, q297,
-      q298)
+      q298, q300)
 }

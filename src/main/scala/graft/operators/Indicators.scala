@@ -647,6 +647,71 @@ object Indicators extends QueryModule {
       GROUP BY ticker, n, k
       ORDER BY ticker"""))
 
+  // ---------------------------------------------------------------------
+  // q299 — UNDERWATER-SPELL CENSUS (drawdown DURATION analysis): q155
+  // reports how DEEP the worst drawdown went; recovery analysis asks
+  // how LONG the account stayed below its peak — the Calmar/recovery
+  // readout allocators actually screen on. A spell is a maximal run of
+  // consecutive underwater bars (close < running peak), found with the
+  // island trick: spell id = running count of at-peak bars (exact
+  // integer, tie-safe because bar dates are unique per ticker). Per
+  // ticker: spell count, the longest spell's duration/start (max-of-
+  // struct with the (duration, start) lexicographic tie-break — start
+  // is unique, so no residual tie), and the deepest single-bar gap in
+  // exact cents.
+  // Scale: two ticker-window passes at the daily-bars grain (declared
+  // bound, silver-scan evidence) + one map-combinable two-level rollup.
+  // ---------------------------------------------------------------------
+  private val q299 = QueryDef(
+    "q299_underwater_spells",
+    (spark, dir) => {
+      import spark.implicits._
+      val uw = barsCents(spark, dir)
+        .withColumn("peak", max($"cents").over(
+          wTicker.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("at_peak", ($"cents" === $"peak").cast("long"))
+        .withColumn("spell",
+          sum($"at_peak").over(wTicker.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter($"cents" < $"peak")
+      val spells = uw.groupBy($"ticker", $"spell")
+        .agg(count(lit(1)).as("dur"),
+          min($"date").as("start"),
+          max($"peak" - $"cents").as("depth_c"))
+      spells.groupBy($"ticker")
+        .agg(count(lit(1)).as("n_spells"),
+          max(struct($"dur", $"start")).getField("dur").as("max_dur"),
+          max(struct($"dur", $"start")).getField("start")
+            .as("longest_start"),
+          max($"depth_c").as("max_depth_c"))
+        .orderBy($"ticker")
+    },
+    Some(s"""
+      WITH ${WindowFeatures.barsSql},
+      c AS (SELECT ticker, date, $centsSql AS cents FROM bars),
+      p AS (
+        SELECT ticker, date, cents,
+               CAST(max(cents) OVER w AS BIGINT) AS peak
+        FROM c
+        WINDOW w AS (PARTITION BY ticker ORDER BY date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      s AS (
+        SELECT ticker, date, cents, peak,
+               CAST(sum(CASE WHEN cents = peak THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY ticker ORDER BY date
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS spell
+        FROM p),
+      sp AS (
+        SELECT ticker, spell, CAST(count(*) AS BIGINT) AS dur,
+               min(date) AS start,
+               CAST(max(peak - cents) AS BIGINT) AS depth_c
+        FROM s WHERE cents < peak GROUP BY 1, 2)
+      SELECT ticker, CAST(count(*) AS BIGINT) AS n_spells,
+             (max(struct_pack(d := dur, s := start))).d AS max_dur,
+             (max(struct_pack(d := dur, s := start))).s AS longest_start,
+             max(depth_c) AS max_depth_c
+      FROM sp GROUP BY ticker ORDER BY ticker"""))
+
   override val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q153, q154,
-    q155, q176, q279, q293, q294)
+    q155, q176, q279, q293, q294, q299)
 }

@@ -214,6 +214,9 @@ object WindowBounds {
     "q295_kruskal_wallis" ->
       ("mid-rank prefix sum over the distinct-milli-return VALUE-DOMAIN" +
         " grid (the q135 discipline) — ≤ |grid| rows, never |returns|"),
+    "q300_inverse_vol" ->
+      ("largest-remainder rounding over per-ticker allocation rows" +
+        " (≤ |universe| — the q134 discipline)"),
     "q211_vocab_growth" ->
       "cumulative vocabulary over ≤ 10 ingestion-decile rollup rows",
     "q247_momentum_ls" ->
