@@ -2157,9 +2157,12 @@ object CrossSection extends QueryModule {
   // (momentum in the factor premium) understates the standard error and
   // overstates significance. The Bartlett-kernel long-run variance at
   // lag L = 3 fixes it:
-  //   S·(L+1) = 4·Γ₀ + 6·Γ₁ + 4·Γ₂ + 2·Γ₃   (exact BIGINT)
-  // with Γ_l = Σ d_t·d_{t−l} over the centered micro-premium series,
-  // and t_NW = γ̄·n·2 / √(4S) as ONE fixed-order double expression.
+  //   s4 := 4·n·Ŝ = 4·Γ₀ + 6·Γ₁ + 4·Γ₂ + 2·Γ₃   (exact BIGINT)
+  // with Γ_l = Σ d_t·d_{t−l} over the centered micro-premium series.
+  // Since Ŝ = s4/(4n) and SE(γ̄) = √(Ŝ/n) = √s4/(2n), the statistic is
+  //   t_NW = γ̄ · 2n / √s4     as ONE fixed-order double expression
+  // (zero autocorrelation ⇒ s4 = 4Γ₀ ⇒ t_NW = γ̄·n/√Γ₀, the ordinary
+  // i.i.d. t — the reduction the driver-recompute spec pins).
   //
   // The lag products are WINDOW-FREE: the monthly series self-joins on
   // the CALENDAR month (mon = mon + l months — an equi-join), so no
@@ -2171,8 +2174,9 @@ object CrossSection extends QueryModule {
   // BIGINTs (|d| ≤ ~10⁶ micro, n ≤ 10³ ⇒ Σd² < 10¹⁵). The Bartlett
   // estimate can be ≤ 0 on strongly negative autocovariance — t_NW is
   // NULL there (the estimator's documented failure mode), decided by an
-  // exact integer predicate. inflation_milli = 1000·S4 div (4·Γ₀) reads
-  // the SE inflation the i.i.d. assumption hides.
+  // exact integer predicate. variance_inflation_milli =
+  // 1000·s4 div (4·Γ₀) is the long-run VARIANCE ratio Ω̂/γ̂₀ (the SE
+  // inflation is its square root) the i.i.d. assumption hides.
   //
   // Scale: the γ series is |months|-sized (dimension grain) — three
   // broadcast self-joins and one 1-row rollup; everything upstream is
@@ -2238,11 +2242,11 @@ object CrossSection extends QueryModule {
         .withColumn("t_nw",
           when($"s4" > 0L,
             $"mu_micro".cast("double") * $"n_months".cast("double") * 2.0 /
-              sqrt(lit(4.0) * $"s4".cast("double"))))
-        .withColumn("inflation_milli",
+              sqrt($"s4".cast("double"))))
+        .withColumn("variance_inflation_milli",
           when($"g0" > 0L, expr(speelDivSql("1000 * s4", "4 * g0", "div"))))
         .select($"n_months", $"mu_micro", $"g0", $"g1", $"g2", $"g3",
-          $"s4", $"t_nw", $"inflation_milli")
+          $"s4", $"t_nw", $"variance_inflation_milli")
     },
     Some(s"""
       WITH $mbarsSql,
@@ -2313,10 +2317,10 @@ object CrossSection extends QueryModule {
       SELECT n_months, mu_micro, g0, g1, g2, g3, s4,
              CASE WHEN s4 > 0 THEN
                CAST(mu_micro AS DOUBLE) * CAST(n_months AS DOUBLE) * 2.0
-                 / sqrt(4.0 * CAST(s4 AS DOUBLE)) END AS t_nw,
+                 / sqrt(CAST(s4 AS DOUBLE)) END AS t_nw,
              CASE WHEN g0 > 0 THEN
                ${speelDivSql("1000 * s4", "4 * g0", "//")} END
-               AS inflation_milli
+               AS variance_inflation_milli
       FROM s"""))
 
   // ---------------------------------------------------------------------

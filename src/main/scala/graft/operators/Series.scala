@@ -760,8 +760,13 @@ object Series extends QueryModule {
     */
   /** Debug hook: the executed plan of the most recent chunkedTicks
     * range-shuffle INPUT — the plan the localCheckpoint boundary hides.
+    * Captured as a THUNK so production calls never pay the extra
+    * analyze/optimize/plan pass (executedPlan is a lazy val forced only
+    * when the ScaleBehaviorSpec assertion reads it).
     */
-  @volatile private[graft] var lastChunkInputPlan: String = ""
+  @volatile private[graft] var lastChunkInputPlanThunk: () => String =
+    () => ""
+  private[graft] def lastChunkInputPlan: String = lastChunkInputPlanThunk()
 
   private[graft] def chunkedTicks(ticks: DataFrame): DataFrame = {
     import ticks.sparkSession.implicits._
@@ -781,7 +786,7 @@ object Series extends QueryModule {
     // ScaleBehaviorSpec shape assertion can still see it (the
     // Scoped.lastMaterializedPlan debug-hook pattern; never read on a
     // production path)
-    lastChunkInputPlan = ranged.queryExecution.executedPlan.toString
+    lastChunkInputPlanThunk = () => ranged.queryExecution.executedPlan.toString
     val parted = ranged
       .localCheckpoint(false)
       .withColumn("_pid", spark_partition_id())

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{SparkEntry, TestSpark}
+import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -517,6 +518,284 @@ class CrossSectionSpec extends AnyFunSuite {
       assert(r.getLong(4) === 1000L * upTe / nTe)
       val gap = r.getLong(2) - r.getLong(4)
       assert(r.getLong(5) === gap && r.getLong(6) === nTe * gap * gap)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Driver recomputes for the oracle-mirrored statistics (q291, q295,
+  // q297, q298, q300): the DuckDB compare is structurally blind to a
+  // formula error mirrored in both engine texts (the r11 q291 factor-2
+  // t-stat shipped green exactly that way), so each statistic is
+  // re-derived here from first principles in plain Scala folds.
+  // ------------------------------------------------------------------
+  private def speel(n: Long, d: Long): Long = if (n >= 0) n / d else -((-n) / d)
+
+  /** Monthly milli returns (ticker, mon, y) recomputed driver-side from
+    * the monthly_bars silver — the shared input of q291/q298/q300.
+    */
+  private lazy val monthlyY: Seq[(Long, String, Long)] =
+    CrossSection.mbars(spark, TestSpark.Sf001)
+      .select($"ticker", $"mon".cast("string"), $"close_c")
+      .as[(Long, String, Long)].collect().toSeq
+      .groupBy(_._1).toSeq.flatMap { case (tkr, xs) =>
+        xs.sortBy(_._2).sliding(2).collect {
+          case Seq(p, c) =>
+            (tkr, c._2,
+              math.floor(1000.0 * (c._3 - p._3).toDouble / p._3.toDouble).toLong)
+        }
+      }
+
+  test("q291 NW: full driver recompute; t is γ̄/SE with SE=√s4/(2n) from first principles") {
+    // market factor: per-month mean milli return over >= 5 names
+    val mkt = monthlyY.groupBy(_._2).collect {
+      case (mon, xs) if xs.size >= 5 => mon -> speel(xs.map(_._3).sum, xs.size.toLong)
+    }
+    // per-ticker beta over mkt months, n >= 24
+    val betas = monthlyY.filter(r => mkt.contains(r._2)).groupBy(_._1).collect {
+      case (tkr, xs) if xs.size >= 24 =>
+        val n = xs.size.toLong
+        val sx = xs.map(r => mkt(r._2)).sum; val sy = xs.map(_._3).sum
+        val sxx = xs.map(r => { val x = mkt(r._2); x * x }).sum
+        val sxy = xs.map(r => mkt(r._2) * r._3).sum
+        tkr -> math.floor(1000.0 * (n * sxy - sx * sy).toDouble /
+          (n * sxx - sx * sx).toDouble).toLong
+    }
+    // per-month cross-sectional premium gamma over >= 5 eligible names
+    val gm = monthlyY.filter(r => betas.contains(r._1)).groupBy(_._2).collect {
+      case (mon, xs) if xs.size >= 5 =>
+        val nn = xs.size.toLong
+        val bx = xs.map(r => betas(r._1)).sum; val by = xs.map(_._3).sum
+        val bxx = xs.map(r => { val b = betas(r._1); b * b }).sum
+        val bxy = xs.map(r => betas(r._1) * r._3).sum
+        mon -> math.floor(1000000.0 * (nn * bxy - bx * by).toDouble /
+          (nn * bxx - bx * bx).toDouble).toLong
+    }
+    val nM = gm.size.toLong
+    val mu = speel(gm.values.sum, nM)
+    val dByIdx = gm.map { case (mon, g) =>
+      (mon.substring(0, 4).toInt * 12 + mon.substring(5, 7).toInt) -> (g - mu)
+    }
+    def gamma(l: Int): Long = dByIdx.toSeq.collect {
+      case (mi, d) if dByIdx.contains(mi - l) => d * dByIdx(mi - l)
+    }.sum
+    val (g0, g1, g2, g3) = (gamma(0), gamma(1), gamma(2), gamma(3))
+    val s4 = 4 * g0 + 6 * g1 + 4 * g2 + 2 * g3
+    val r = run("q291_newey_west").collect()
+    assert(r.length === 1)
+    val o = r.head
+    assert(o.getAs[Long]("n_months") === nM)
+    assert(o.getAs[Long]("mu_micro") === mu)
+    assert(o.getAs[Long]("g0") === g0 && o.getAs[Long]("g1") === g1)
+    assert(o.getAs[Long]("g2") === g2 && o.getAs[Long]("g3") === g3)
+    assert(o.getAs[Long]("s4") === s4)
+    // first-principles t: Ŝ = s4/(4n), SE(γ̄) = √(Ŝ/n), t = γ̄/SE — an
+    // INDEPENDENT derivation of the engine's 2nγ̄/√s4 (zero
+    // autocorrelation ⇒ s4 = 4Γ₀ ⇒ t = γ̄·n/√Γ₀, the i.i.d. t)
+    if (s4 > 0) {
+      val se = math.sqrt((s4.toDouble / (4.0 * nM)) / nM)
+      val tExp = mu.toDouble / se
+      val tGot = o.getAs[Double]("t_nw")
+      assert(math.abs(tGot - tExp) <= 1e-9 * math.max(1.0, math.abs(tExp)),
+        s"t_nw $tGot != first-principles $tExp")
+      // the i.i.d. reduction law on the same data: t_iid = γ̄·n/√Γ₀
+      val tIid = mu.toDouble * nM / math.sqrt(g0.toDouble)
+      val ratio = tGot / tIid
+      val expRatio = math.sqrt(4.0 * g0.toDouble / s4.toDouble)
+      assert(math.abs(ratio - expRatio) <= 1e-9, "NW/iid ratio drifts")
+    } else assert(o.isNullAt(o.fieldIndex("t_nw")))
+    if (g0 > 0)
+      assert(o.getAs[Long]("variance_inflation_milli") === speel(1000 * s4, 4 * g0))
+  }
+
+  test("q295 KW: H, tie correction and flag recompute from a driver rank fold") {
+    import org.apache.spark.sql.types.DecimalType
+    val bars = WindowFeatures.bars(spark, TestSpark.Sf001)
+      .select($"ticker", $"date".cast("string"),
+        ($"close".cast(DecimalType(28, 2)) * 100).cast("long"))
+      .as[(Long, String, Long)].collect().toSeq
+    val rets = bars.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy(_._2).sliding(2).collect {
+        case Seq(p, c) =>
+          val rm = math.floor(1000.0 * (c._3 - p._3).toDouble / p._3.toDouble).toLong
+          val dow = (java.time.LocalDate.parse(c._2).toEpochDay + 4) % 7
+          (rm, dow)
+      }
+    }
+    val grid = rets.groupBy(_._1).map { case (v, xs) => v -> xs.size.toLong }
+    val mid2 = {
+      var before = 0L
+      grid.toSeq.sortBy(_._1).map { case (v, cnt) =>
+        val m = 2 * before + cnt + 1; before += cnt; v -> m
+      }.toMap
+    }
+    val bigN = rets.size.toLong
+    val tsum = grid.values.map(c => c * c * c - c).sum
+    val byDow = rets.groupBy(_._2).map { case (d, xs) =>
+      d -> (xs.size.toLong, xs.map(r => mid2(r._1)).sum)
+    }
+    val term = byDow.values.map { case (n, r2) =>
+      val rg = r2.toDouble / 2.0; rg * rg / n.toDouble
+    }.sum
+    val h = 12.0 / (bigN.toDouble * (bigN + 1).toDouble) * term - 3.0 * (bigN + 1).toDouble
+    val tieC = 1.0 - tsum.toDouble /
+      (bigN.toDouble * bigN.toDouble * bigN.toDouble - bigN.toDouble)
+    val hTie = h / tieC
+    val crit = Map(2 -> 3.841458820694124, 3 -> 5.991464547107979,
+      4 -> 7.814727903251179, 5 -> 9.487729036781154,
+      6 -> 11.070497693516351, 7 -> 12.591587243743977)
+    val rows = run("q295_kruskal_wallis").collect()
+    assert(rows.length === byDow.size)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("dow")
+      val (nG, r2G) = byDow(d)
+      assert(r.getAs[Long]("n_g") === nG && r.getAs[Long]("r2_g") === r2G)
+      assert(r.getAs[Long]("mean_rank_milli") === 500 * r2G / nG)
+      assert(r.getAs[Long]("n_total") === bigN)
+      assert(r.getAs[Long]("n_groups") === byDow.size.toLong)
+      assert(r.getAs[Long]("tsum") === tsum)
+      assert(math.abs(r.getAs[Double]("h_stat") - h) <= 1e-9 * math.max(1.0, math.abs(h)))
+      assert(math.abs(r.getAs[Double]("h_tie") - hTie) <= 1e-9 * math.max(1.0, math.abs(hTie)))
+      assert(r.getAs[Boolean]("kw_rejected") === (tieC > 0.0 && hTie > crit(byDow.size)))
+    }
+  }
+
+  test("q297 MK: S, tie-corrected variance, continuity-corrected z and Sen's lower-median slope recompute") {
+    val byT = CrossSection.mbars(spark, TestSpark.Sf001)
+      .select($"ticker", $"mon".cast("string"), $"close_c")
+      .as[(Long, String, Long)].collect().toSeq
+      .groupBy(_._1).filter(_._2.size >= 24)
+    val exp = byT.map { case (tkr, xs) =>
+      val s = xs.sortBy(_._2).map(_._3).zipWithIndex
+        .map { case (c, i) => (i + 1L, c) }
+      val pairs = for {
+        (ia, ca) <- s; (ib, cb) <- s if ia < ib
+      } yield (ia, ib, java.lang.Long.signum(cb - ca).toLong,
+        speel(1000000 * (cb - ca), ib - ia))
+      val n = s.size.toLong
+      val sMk = pairs.map(_._3).sum
+      val tieSum = s.groupBy(_._2).values
+        .map { g => val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }.sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tieSum
+      val z =
+        if (sMk > 0) (sMk - 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+        else if (sMk < 0) (sMk + 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+        else 0.0
+      val sorted = pairs.sortBy(p => (p._4, p._1, p._2))
+      val sen = sorted(((pairs.size + 1) / 2 - 1).toInt)._4
+      tkr -> ((n, sMk, var18, sen, z))
+    }
+    val rows = run("q297_mann_kendall").collect()
+    assert(rows.map(_.getAs[Long]("ticker")).toSet === exp.keySet)
+    rows.foreach { r =>
+      val (n, sMk, var18, sen, z) = exp(r.getAs[Long]("ticker"))
+      assert(r.getAs[Long]("n") === n && r.getAs[Long]("s_mk") === sMk)
+      assert(r.getAs[Long]("var18") === var18)
+      assert(r.getAs[Long]("sen_micro") === sen)
+      assert(math.abs(r.getAs[Double]("z_mk") - z) <= 1e-12 * math.max(1.0, math.abs(z)))
+      assert(r.getAs[Boolean]("trending") === (math.abs(z) > 1.959963984540054))
+    }
+  }
+
+  test("q298 clusters: edges, union-find labels and census recompute on the driver") {
+    val reg = Tables.supplier(spark, TestSpark.Sf001)
+      .join(Tables.nation(spark, TestSpark.Sf001),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    val byT = monthlyY.groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(r => r._2 -> r._3).toMap }
+    val tickers = byT.keys.toSeq.sorted
+    val edges = for {
+      i <- tickers; j <- tickers
+      if i < j && reg(i) == reg(j)
+      common = byT(i).keySet.intersect(byT(j).keySet).toSeq
+      if common.size >= 24
+      n = common.size.toLong
+      xs = common.map(byT(i)); ys = common.map(byT(j))
+      sx = xs.sum; sy = ys.sum
+      sxx = xs.map(x => x * x).sum; syy = ys.map(y => y * y).sum
+      sxy = common.map(m => byT(i)(m) * byT(j)(m)).sum
+      vx = n * sxx - sx * sx; vy = n * syy - sy * sy
+      if vx > 0 && vy > 0
+      corr = (n * sxy - sx * sy).toDouble / math.sqrt(vx.toDouble * vy.toDouble)
+      if corr >= 0.3
+    } yield (i, j, math.floor(corr * 1000.0).toLong)
+    // union-find; component label = min member (the engine's min-label fixpoint)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (i, j, _) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val label = nodes.map(nd => nd -> find(nd)).toMap
+    val census = nodes.groupBy(label).map { case (l, ns) =>
+      l -> (ns.size.toLong, ns.max)
+    }
+    val intra = edges.groupBy(e => label(e._1)).map { case (l, es) =>
+      l -> (es.size.toLong, es.map(_._3).sum)
+    }
+    val rows = run("q298_corr_clusters").collect()
+    assert(rows.map(_.getAs[Long]("cluster_id")).toSet === census.keySet)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("cluster_id")
+      assert(r.getAs[Long]("n_members") === census(l)._1)
+      assert(r.getAs[Long]("max_ticker") === census(l)._2)
+      val (nE, sC) = intra(l)
+      assert(r.getAs[Long]("n_edges") === nE)
+      assert(r.getAs[Long]("mean_corr_milli") === speel(sC, nE))
+    }
+  }
+
+  test("q300 weights: largest-remainder apportionment sums to exactly 1e6; portfolio returns recompute") {
+    val byT = monthlyY.groupBy(_._1)
+    val vols = byT.toSeq.collect { case (t, xs) if xs.size >= 24 =>
+      val n = xs.size.toLong
+      val sy = xs.map(_._3).sum; val syy = xs.map(r => r._3 * r._3).sum
+      (t, n * syy - sy * sy, n)
+    }.collect { case (t, num, n) if num > 0 =>
+      val vol = math.floor(1000000.0 *
+        math.sqrt(num.toDouble / (n * (n - 1)).toDouble)).toLong
+      t -> (1000000000000L / math.max(vol, 1L))
+    }
+    val totalInv = vols.map(_._2).sum
+    val alloc = vols.map { case (t, inv) =>
+      (t, 1000000L * inv / totalInv, 1000000L * inv % totalInv)
+    }
+    val leftover = 1000000L - alloc.map(_._2).sum
+    val ranked = alloc.sortBy(a => (-a._3, a._1)).zipWithIndex
+    val weights = ranked.map { case ((t, fw, _), idx) =>
+      t -> (fw + (if (idx + 1 <= leftover) 1L else 0L))
+    }.toMap
+    assert(weights.values.sum === 1000000L, "weight vector does not sum to 1e6")
+    val monthly = monthlyY.filter(r => weights.contains(r._1)).groupBy(_._2)
+      .map { case (mon, xs) =>
+        val pn = xs.map(r => weights(r._1) * r._3).sum
+        val sy = xs.map(_._3).sum
+        mon -> (xs.size.toLong, speel(pn, 1000000L), speel(sy, xs.size.toLong))
+      }
+    val nMo = monthly.size.toLong
+    def vol(vs: Iterable[Long]): Double = {
+      val s = vs.sum; val ss = vs.map(v => v * v).sum
+      math.sqrt((nMo * ss - s * s).toDouble / (nMo * (nMo - 1)).toDouble)
+    }
+    val ivVol = vol(monthly.values.map(_._2))
+    val ewVol = vol(monthly.values.map(_._3))
+    val rows = run("q300_inverse_vol").collect()
+    assert(rows.length === monthly.size)
+    rows.foreach { r =>
+      val (nN, pm, em) = monthly(r.getAs[java.sql.Date]("mon").toString)
+      assert(r.getAs[Long]("n_names") === nN)
+      assert(r.getAs[Long]("port_milli") === pm)
+      assert(r.getAs[Long]("ew_milli") === em)
+      assert(r.getAs[Long]("n_months") === nMo)
+      assert(math.abs(r.getAs[Double]("iv_vol") - ivVol) <= 1e-9 * math.max(1.0, ivVol))
+      assert(math.abs(r.getAs[Double]("ew_vol") - ewVol) <= 1e-9 * math.max(1.0, ewVol))
+      assert(r.getAs[Long]("vol_ratio_milli") ===
+        math.floor(1000.0 * ivVol / ewVol).toLong)
     }
   }
 }
