@@ -2639,6 +2639,23 @@ object CrossSection extends QueryModule {
   // ---------------------------------------------------------------------
   private val CorrEdgeMin = "0.3"
 
+  /** q298's stage-1 pair generator, shared with the hot-region replay in
+    * ScaleBehaviorSpec: same-(region, month) ticker pairs (i < j) with
+    * both legs' milli returns. The declared JoinFanoutBounds contract:
+    * one (reg, mon) cell emits EXACTLY |cell|·(|cell|−1)/2 pairs and no
+    * cross-region pair exists — pair volume is quadratic in the ticker
+    * UNIVERSE dimension, linear in nothing else.
+    */
+  private[graft] def regionBlockedPairs(rets: DataFrame): DataFrame = {
+    import rets.sparkSession.implicits._
+    rets.as("a").join(rets.as("b"),
+        col("a.reg") === col("b.reg") && col("a.mon") === col("b.mon") &&
+          col("a.ticker") < col("b.ticker"))
+      .select(col("a.reg").as("reg"), col("a.mon").as("mon"),
+        col("a.ticker").as("i"), col("b.ticker").as("j"),
+        col("a.y").as("x"), col("b.y").as("y"))
+  }
+
   private val q298 = QueryDef(
     "q298_corr_clusters",
     (spark, dir) => {
@@ -2656,12 +2673,7 @@ object CrossSection extends QueryModule {
             $"prev_c".cast("double")).cast("long"))
         .join(broadcast(sup), "ticker")
         .select($"reg", $"mon", $"ticker", $"y")
-      val pairs = rets.as("a").join(rets.as("b"),
-          col("a.reg") === col("b.reg") && col("a.mon") === col("b.mon") &&
-            col("a.ticker") < col("b.ticker"))
-        .select(col("a.ticker").as("i"), col("b.ticker").as("j"),
-          col("a.y").as("x"), col("b.y").as("y"))
-      val edges = pairs.groupBy($"i", $"j")
+      val edges = regionBlockedPairs(rets).groupBy($"i", $"j")
         .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
           sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
           sum($"x" * $"y").as("sxy"))

@@ -501,4 +501,53 @@ class ScaleBehaviorSpec extends AnyFunSuite {
         .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
     }
   }
+
+  test("hot region plant: q298's blocked pair screen emits exactly the per-cell budget, no cross-region leak") {
+    import graft.operators.CrossSection
+    // a deliberately lopsided universe the fixture can't produce: region
+    // 1 holds HALF of 64 tickers (the JoinFanoutBounds q298 contract made
+    // concrete) — per-cell pair volume must still be exactly
+    // |cell|·(|cell|−1)/2 with zero unblocked leakage, proving the pair
+    // stage is quadratic in the universe DIMENSION and in nothing else
+    val nT = 64; val nM = 30
+    val universe = spark.range(nT).select(
+      $"id".as("ticker"),
+      when($"id" < nT / 2, lit(1L)).otherwise($"id" % 4 + 2).as("reg"))
+    val rets = universe.crossJoin(
+        spark.range(nM).select($"id".as("mon")))
+      .withColumn("y", ($"ticker" * 37 + $"mon" * 11) % 97 - 48)
+    val pairs = CrossSection.regionBlockedPairs(rets)
+    // (a) exact per-cell budget: every (reg, mon) cell holds C(|reg|, 2)
+    val regSizes = universe.groupBy($"reg").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cells = pairs.groupBy($"reg", $"mon").count().collect()
+    assert(cells.length === regSizes.size * nM,
+      "missing (reg, mon) cells — a region dropped out of the screen")
+    cells.foreach { c =>
+      val n = regSizes(c.getLong(0))
+      assert(c.getLong(2) === n * (n - 1) / 2,
+        s"cell (${c.getLong(0)}, ${c.getLong(1)}) holds ${c.getLong(2)}" +
+          s" pairs, budget ${n * (n - 1) / 2}")
+    }
+    // the hot region dominates by its quadratic share and no more:
+    // 32 tickers → 496 pairs/month vs 8² regions → 28
+    assert(regSizes(1L) === nT / 2)
+    val total = cells.map(_.getLong(2)).sum
+    assert(total === nM * regSizes.values.map(n => n * (n - 1) / 2).sum)
+    // (b) no cross-region leak: both endpoints carry the cell's region
+    val regOf = universe.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.select($"reg", $"i", $"j").distinct().collect().foreach { p =>
+      assert(regOf(p.getLong(1)) === p.getLong(0) &&
+        regOf(p.getLong(2)) === p.getLong(0),
+        s"cross-region pair leaked: $p")
+    }
+    // (c) plan shape: the pair stage is a keyed equi-join on the blocking
+    // keys, never a cartesian with a post-filter
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "pair stage degenerated to a cartesian product")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      plan.linesIterator.take(20).mkString("\n"))
+  }
 }
