@@ -70,9 +70,12 @@ object Graph extends QueryModule {
   // doc-selection, static-rank) pair. Isolated docs (no verified near-dup
   // edge) are out of scope by construction, as in q151.
   // ---------------------------------------------------------------------
-  /** Unordered (node, degree, pr3) PageRank table over the near-dup
+  /** Unordered (node, degree, pr2, pr3) PageRank table over the near-dup
     * graph — q160's body, reusable by composing operators (q167's
-    * canonical-doc selection).
+    * canonical-doc selection). Carries the LAST TWO rounds so consumers
+    * can read the convergence residual Σ|pr3 − pr2| (r11 verdict #2);
+    * the round-2 subtree is shared with round 3's lineage and reused via
+    * exchange reuse, not recomputed.
     */
   private[operators] def pageRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -82,9 +85,11 @@ object Graph extends QueryModule {
     val deg = sym.groupBy($"src".as("node"))
       .agg(count(lit(1)).as("degree"))
     val r0 = deg.select($"node", lit(SeedMass).as("r"))
-    val r3 = (1 to Rounds).foldLeft(r0)((r, _) => prRound(r, deg, sym))
+    val r2 = (1 until Rounds).foldLeft(r0)((r, _) => prRound(r, deg, sym))
+    val r3 = prRound(r2, deg, sym)
     deg.join(r3.withColumnRenamed("r", "pr3"), Seq("node"))
-      .select($"node", $"degree", $"pr3")
+      .join(r2.withColumnRenamed("r", "pr2"), Seq("node"))
+      .select($"node", $"degree", $"pr2", $"pr3")
   }
 
   /** q160's rank-recurrence CTE chain (everything after `pairs`),
@@ -117,15 +122,30 @@ object Graph extends QueryModule {
   private val q160 = QueryDef(
     "q160_pagerank",
     (spark, dir) => {
-      import org.apache.spark.sql.functions.col
-      pageRank(spark, dir).orderBy(col("node"))
+      import spark.implicits._
+      val pr = pageRank(spark, dir)
+      // convergence residual: total rank mass still moving in the final
+      // round — the hash gate pins "how converged" at each SF (exact
+      // BIGINT; the fixed-round result stays well-defined either way)
+      val delta = pr.agg(sum(abs($"pr3" - $"pr2")).as("rank_delta_sum"))
+      pr.crossJoin(broadcast(delta))
+        .select($"node", $"degree", $"pr3", $"rank_delta_sum")
+        .orderBy($"node")
     },
     Some(s"""
       WITH pairs AS (${Dedup.minhashOracle}),
-      $pageRankCtes
-      SELECT d.node, d.degree, r.r AS pr3
-      FROM deg d JOIN r_$Rounds r ON r.node = d.node
-      ORDER BY d.node"""))
+      $pageRankCtes,
+      pr AS (
+        SELECT d.node, d.degree, r2.r AS pr2, r3.r AS pr3
+        FROM deg d
+        JOIN r_$Rounds r3 ON r3.node = d.node
+        JOIN r_${Rounds - 1} r2 ON r2.node = d.node),
+      delta AS (
+        SELECT CAST(sum(abs(pr3 - pr2)) AS BIGINT) AS rank_delta_sum
+        FROM pr)
+      SELECT pr.node, pr.degree, pr.pr3, delta.rank_delta_sum
+      FROM pr, delta
+      ORDER BY pr.node"""))
 
   // ---------------------------------------------------------------------
   // q167 — CANONICAL-DOC SELECTION: the operator the whole graph family
@@ -300,9 +320,15 @@ object Graph extends QueryModule {
           .select(col("edst").as("node"),
             (lit(150000L) + expr("(17 * s) div 20")).as("r"))
       }
-      val r3 = (1 to Rounds).foldLeft(r0)((r, _) => round(r))
-      wdeg.join(r3.withColumnRenamed("r", "wpr3"), Seq("node"))
-        .select($"node", $"degree", $"wdeg", $"wpr3")
+      val r2 = (1 until Rounds).foldLeft(r0)((r, _) => round(r))
+      val r3 = round(r2)
+      val pr = wdeg.join(r3.withColumnRenamed("r", "wpr3"), Seq("node"))
+        .join(r2.withColumnRenamed("r", "wpr2"), Seq("node"))
+      // convergence residual (the q160 discipline): exact total rank
+      // movement in the final round, pinned per-SF by the hash gate
+      val delta = pr.agg(sum(abs($"wpr3" - $"wpr2")).as("rank_delta_sum"))
+      pr.crossJoin(broadcast(delta))
+        .select($"node", $"degree", $"wdeg", $"wpr3", $"rank_delta_sum")
         .orderBy($"node")
     },
     Some {
@@ -330,10 +356,18 @@ object Graph extends QueryModule {
                CAST(count(*) AS BIGINT) AS degree
         FROM wsym GROUP BY 1),
       wr_0 AS (SELECT node, CAST($SeedMass AS BIGINT) AS r FROM wdeg),
-      ${(1 to Rounds).map(t => roundSql((t - 1).toString, t.toString)).mkString(",")}
-      SELECT d.node, d.degree, d.wdeg, r.r AS wpr3
-      FROM wdeg d JOIN wr_$Rounds r ON r.node = d.node
-      ORDER BY d.node"""
+      ${(1 to Rounds).map(t => roundSql((t - 1).toString, t.toString)).mkString(",")},
+      wpr AS (
+        SELECT d.node, d.degree, d.wdeg, r3.r AS wpr3, r2.r AS wpr2
+        FROM wdeg d
+        JOIN wr_$Rounds r3 ON r3.node = d.node
+        JOIN wr_${Rounds - 1} r2 ON r2.node = d.node),
+      wdelta AS (
+        SELECT CAST(sum(abs(wpr3 - wpr2)) AS BIGINT) AS rank_delta_sum
+        FROM wpr)
+      SELECT wpr.node, wpr.degree, wpr.wdeg, wpr.wpr3, wdelta.rank_delta_sum
+      FROM wpr, wdelta
+      ORDER BY wpr.node"""
     })
 
   // ---------------------------------------------------------------------
@@ -365,15 +399,23 @@ object Graph extends QueryModule {
 
   /** Fixed-round synchronous peel: nodes of `start` surviving
     * `PeelRounds` rounds of "drop if degree within the alive set < k",
-    * over symmetric edges (src, dst).
+    * over symmetric edges (src, dst). Also returns the FINAL round's
+    * alive-set drop — the convergence residual (the peel is monotone, so
+    * a zero-drop round is a fixpoint: unchanged alive set ⇒ unchanged
+    * in-set degrees ⇒ every later round drops nothing). Emitting it in
+    * the query output makes the hash gate itself pin "converged at this
+    * SF" (r11 verdict #2) instead of leaving convergence to a spec-scale
+    * audit only. The counts reuse the per-round materialization actions
+    * the rewrap loop already pays — no extra job.
     */
-  private def peel(sym: DataFrame, start: DataFrame, k: Int): DataFrame = {
+  private def peel(sym: DataFrame, start: DataFrame, k: Int): (DataFrame, Long) = {
     val spark = sym.sparkSession
     import spark.implicits._
     def rewrap(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema).persist()
     var alive = rewrap(start.select($"node"))
-    alive.count()
+    var prevCount = alive.count()
+    var lastDrop = 0L
     (1 to PeelRounds).foreach { _ =>
       val a1 = alive.select($"node".as("asrc"))
       val a2 = alive.select($"node".as("adst"))
@@ -384,11 +426,13 @@ object Graph extends QueryModule {
         .agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select(col("node")))
-      next.count()
+      val c = next.count()
+      lastDrop = prevCount - c
+      prevCount = c
       alive.unpersist()
       alive = next
     }
-    alive
+    (alive, lastDrop)
   }
 
   /** The peel's oracle twin: `PeelRounds` chained CTEs from `start`
@@ -419,8 +463,8 @@ object Graph extends QueryModule {
         .unionAll(edges.select($"j".as("src"), $"i".as("dst")))
       val deg = sym.groupBy($"src".as("node"))
         .agg(count(lit(1)).as("degree"))
-      val core2 = peel(sym, deg.select($"node"), 2)
-      val core3 = peel(sym, core2, 3)
+      val (core2, drop2) = peel(sym, deg.select($"node"), 2)
+      val (core3, drop3) = peel(sym, core2, 3)
       // each peel's FINAL alive frame is still persisted (intermediate
       // rounds release inside the loop) — close the scope through the
       // materialize boundary, the connectedComponents discipline
@@ -429,7 +473,12 @@ object Graph extends QueryModule {
         .join(core3.select($"node", lit(1L).as("in3")), Seq("node"), "left")
         .na.fill(0L, Seq("in2", "in3"))
         .select($"node", $"degree",
-          (lit(1L) + $"in2" + $"in3").as("coreness")))
+          (lit(1L) + $"in2" + $"in3").as("coreness"),
+          // convergence residuals: nodes dropped in each peel's FINAL
+          // round — 0 ⇔ that peel reached its fixpoint at this SF (the
+          // hash gate pins the value per scale factor)
+          lit(drop2).as("peel2_residual"),
+          lit(drop3).as("peel3_residual")))
         .orderBy($"node")
     },
     Some(s"""
@@ -447,7 +496,13 @@ object Graph extends QueryModule {
       SELECT d.node, d.degree,
              CAST(1 + (CASE WHEN k2.node IS NULL THEN 0 ELSE 1 END)
                     + (CASE WHEN k3.node IS NULL THEN 0 ELSE 1 END)
-               AS BIGINT) AS coreness
+               AS BIGINT) AS coreness,
+             CAST((SELECT count(*) FROM c2_${PeelRounds - 1})
+                - (SELECT count(*) FROM c2_$PeelRounds)
+               AS BIGINT) AS peel2_residual,
+             CAST((SELECT count(*) FROM c3_${PeelRounds - 1})
+                - (SELECT count(*) FROM c3_$PeelRounds)
+               AS BIGINT) AS peel3_residual
       FROM deg d
       LEFT JOIN c2_$PeelRounds k2 ON k2.node = d.node
       LEFT JOIN c3_$PeelRounds k3 ON k3.node = d.node

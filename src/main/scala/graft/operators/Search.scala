@@ -568,17 +568,26 @@ object Search extends QueryModule {
       // every node of the undirected graph appears as a src (and has ≥1
       // in-edge), so the distinct src set IS the node set and the inner
       // join below never drops a node
+      var prev: DataFrame = null
       var ranks = edges.select($"src".as("token")).distinct()
         .withColumn("r", lit(1000000L))
       for (_ <- 1 to 3) {
+        prev = ranks
         ranks = edges
           .join(ranks.withColumnRenamed("token", "src"), "src")
           .select($"dst", expr("(r * w) div wdeg").as("c"))
           .groupBy($"dst").agg(sum($"c").as("cin"))
           .select($"dst".as("token"), expr("150000 + (85 * cin) div 100").as("r"))
       }
+      // convergence residual (the q160 discipline): exact total rank
+      // movement in the final round over ALL tokens (computed before the
+      // top-20 cut), pinned per-SF by the hash gate
+      val delta = ranks
+        .join(prev.select($"token", $"r".as("r_prev")), "token")
+        .agg(sum(abs($"r" - $"r_prev")).as("rank_delta_sum"))
       ranks.select($"token", $"r".as("rank_fp"))
         .orderBy($"rank_fp".desc, $"token").limit(20)
+        .crossJoin(broadcast(delta))
     },
     Some("""
       WITH toks AS (
@@ -606,9 +615,16 @@ object Search extends QueryModule {
              FROM ew JOIN r1 p ON ew.src = p.token GROUP BY ew.dst),
       r3 AS (SELECT ew.dst AS token,
                     150000 + (85 * sum((p.r * ew.w) // ew.wdeg)) // 100 AS r
-             FROM ew JOIN r2 p ON ew.src = p.token GROUP BY ew.dst)
-      SELECT token, CAST(r AS BIGINT) AS rank_fp FROM r3
-      ORDER BY rank_fp DESC, token LIMIT 20"""))
+             FROM ew JOIN r2 p ON ew.src = p.token GROUP BY ew.dst),
+      tdelta AS (
+        SELECT CAST(sum(abs(r3.r - r2.r)) AS BIGINT) AS rank_delta_sum
+        FROM r3 JOIN r2 ON r2.token = r3.token),
+      top AS (
+        SELECT token, CAST(r AS BIGINT) AS rank_fp FROM r3
+        ORDER BY rank_fp DESC, token LIMIT 20)
+      SELECT top.token, top.rank_fp, tdelta.rank_delta_sum
+      FROM top, tdelta
+      ORDER BY top.rank_fp DESC, top.token"""))
 
   // ---------------------------------------------------------------------
   // q166 — POSITIONAL PHRASE SEARCH: the inverted-index feature q84/q115

@@ -289,7 +289,11 @@ class PlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries("q125_textrank")(spark, TestSpark.Sf001)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the only nested-loop join allowed is the broadcast-cross attach of
+    // the 1-row convergence-residual summary (the q300 scalar pattern) —
+    // a CONDITIONED nested loop (equi fallback) would be a plan bug
+    val bnlj = "BroadcastNestedLoopJoin [^,\n]*, Cross".r.findAllIn(p).size
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === bnlj, p)
     // the final top-20 is a bounded top-k, not a global sort
     assert(p.contains("TakeOrderedAndProject"), p)
   }
@@ -365,7 +369,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("q160: every PageRank round is an equi-join — no cartesian, rank never collected") {
     val p = planOf("q160_pagerank")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // rank rounds stay equi-joins; the single nested loop is the 1-row
+    // residual-summary broadcast cross (the q300 scalar pattern)
+    val bnlj = "BroadcastNestedLoopJoin [^,\n]*, Cross".r.findAllIn(p).size
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === bnlj, p)
   }
 
   test("q161: HLL registers aggregate with map-side partial max") {

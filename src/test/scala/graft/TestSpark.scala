@@ -16,4 +16,5 @@ object TestSpark {
     .getOrCreate()
 
   val Sf001 = "/root/testdata/sf0.001"
+  val Sf01 = "/root/testdata/sf0.01"
 }

@@ -145,7 +145,7 @@ class SketchGraphSpec extends AnyFunSuite {
       clusters.map(r => r.getLong(0) -> r.getLong(1)).sorted)
     // the canonical doc really is the cluster's rank argmax
     val pr = Graph.pageRank(spark, TestSpark.Sf001)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("pr3")).toMap
     val labels = Dedup.clusterLabels(spark, TestSpark.Sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val byCluster = labels.groupBy(_._2)
@@ -771,36 +771,64 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(r.getAs[Long]("gini_milli") >= 0L)
   }
 
-  test("q286 kcore: fixed-round peel reaches the true fixpoint coreness at fixture scale") {
-    val out = run("q286_kcore").collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(out.nonEmpty)
-    // ground truth: peel to the TRUE fixpoint on the driver (fixture
-    // graph is small) — proves 8 synchronous rounds suffice, i.e. the
-    // query's fixed-round answer IS the k-core, not an over-approximation
-    val edges = Dedup.nearDupPairs(spark, TestSpark.Sf001)
-      .select($"i", $"j").distinct().as[(Long, Long)].collect()
-    def kcore(k: Int): Set[Long] = {
-      var alive = edges.flatMap(e => Seq(e._1, e._2)).toSet
-      var changed = true
-      while (changed) {
-        val deg = edges.filter(e => alive(e._1) && alive(e._2))
-          .flatMap(e => Seq(e._1, e._2)).groupBy(identity)
-          .map { case (n, xs) => n -> xs.length }
-        val next = alive.filter(n => deg.getOrElse(n, 0) >= k)
-        changed = next.size != alive.size
-        alive = next
+  test("q286 kcore: fixed-round peel reaches the true fixpoint coreness at BOTH fixture scales") {
+    // r11 verdict #2: the fixpoint audit runs at sf0.01 in addition to
+    // spec scale, and the emitted peel residuals are recomputed from the
+    // same driver-side synchronous rounds the query executes
+    Seq(TestSpark.Sf001, TestSpark.Sf01).foreach { sf =>
+      val out = SparkEntry.queries("q286_kcore")(spark, sf).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2),
+            r.getAs[Long]("peel2_residual"), r.getAs[Long]("peel3_residual")))
+        .toMap
+      assert(out.nonEmpty)
+      // ground truth: peel to the TRUE fixpoint on the driver (the edge
+      // set is near-dup pairs — band-bucket bounded, driver-small even at
+      // sf0.01) — proves 8 synchronous rounds suffice, i.e. the query's
+      // fixed-round answer IS the k-core, not an over-approximation
+      val edges = Dedup.nearDupPairs(spark, sf)
+        .select($"i", $"j").distinct().as[(Long, Long)].collect()
+      // synchronous rounds, recording the alive count after each — the
+      // residual columns must equal |alive_7| − |alive_8| exactly
+      def peelRounds(k: Int, start: Set[Long]): Vector[Set[Long]] = {
+        var alive = start
+        (1 to 8).toVector.map { _ =>
+          val deg = edges.filter(e => alive(e._1) && alive(e._2))
+            .flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+            .map { case (n, xs) => n -> xs.length }
+          alive = alive.filter(n => deg.getOrElse(n, 0) >= k)
+          alive
+        }
       }
-      alive
+      val all = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val r2 = peelRounds(2, all)
+      val r3 = peelRounds(3, r2.last)
+      def fix(k: Int, start: Set[Long]): Set[Long] = {
+        var alive = start; var changed = true
+        while (changed) {
+          val deg = edges.filter(e => alive(e._1) && alive(e._2))
+            .flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+            .map { case (n, xs) => n -> xs.length }
+          val next = alive.filter(n => deg.getOrElse(n, 0) >= k)
+          changed = next.size != alive.size; alive = next
+        }
+        alive
+      }
+      val (c2, c3) = (fix(2, all), fix(3, all))
+      assert(r2.last === c2 && r3.last === c3,
+        s"$sf: 8 rounds did not reach the fixpoint")
+      val exp2 = (r2(6).size - r2(7).size).toLong
+      val exp3 = (r3(6).size - r3(7).size).toLong
+      out.foreach { case (node, (degree, coreness, p2, p3)) =>
+        val expect = 1L + (if (c2(node)) 1L else 0L) + (if (c3(node)) 1L else 0L)
+        assert(coreness === expect, s"$sf node $node coreness $coreness != $expect")
+        assert(coreness <= degree, s"coreness exceeds degree at $node")
+        assert(p2 === exp2 && p3 === exp3,
+          s"$sf residuals ($p2, $p3) != driver recompute ($exp2, $exp3)")
+      }
+      // the ladder must actually discriminate on this fixture
+      assert(out.values.exists(_._2 >= 2L), s"$sf has no 2-core")
     }
-    val (c2, c3) = (kcore(2), kcore(3))
-    out.foreach { case (node, (degree, coreness)) =>
-      val expect = 1L + (if (c2(node)) 1L else 0L) + (if (c3(node)) 1L else 0L)
-      assert(coreness === expect, s"node $node coreness $coreness != $expect")
-      assert(coreness <= degree, s"coreness exceeds degree at $node")
-    }
-    // the ladder must actually discriminate on this fixture
-    assert(out.values.exists(_._2 >= 2L), "fixture has no 2-core")
   }
 
   test("q287 link prediction: candidates are true non-edges with consistent scores") {

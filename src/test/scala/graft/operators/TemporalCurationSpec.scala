@@ -122,18 +122,39 @@ class TemporalCurationSpec extends AnyFunSuite {
     assert(flagged >= 0 && flagged < total) // sane bounds; fixture has few collisions
   }
 
-  test("q72 clusters: every verified near-dup pair is co-clustered, labels are component minima") {
-    val labels = Dedup.clusterLabels(spark, TestSpark.Sf001)
-      .as[(Long, Long)].collect().toMap
-    val pairs = run("q35_minhash_lsh").select($"i", $"j")
-      .as[(Long, Long)].collect()
-    assert(pairs.nonEmpty)
-    pairs.foreach { case (i, j) =>
-      assert(labels(i) === labels(j), s"pair ($i,$j) split across clusters")
-    }
-    // label is the smallest member of its component
-    labels.groupBy(_._2).foreach { case (label, members) =>
-      assert(members.keys.min === label)
+  test("q72 clusters: every verified near-dup pair is co-clustered, labels are component minima, at BOTH fixture scales") {
+    // r11 verdict #2: the fixpoint audit runs at sf0.01 too — the
+    // convergence throw inside connectedComponents plus this driver
+    // union-find-equivalent check pin "converged" beyond spec scale
+    Seq(TestSpark.Sf001, TestSpark.Sf01).foreach { sf =>
+      val labels = Dedup.clusterLabels(spark, sf)
+        .as[(Long, Long)].collect().toMap
+      val pairs = SparkEntry.queries("q35_minhash_lsh")(spark, sf)
+        .select($"i", $"j").as[(Long, Long)].collect()
+      assert(pairs.nonEmpty)
+      pairs.foreach { case (i, j) =>
+        assert(labels(i) === labels(j), s"$sf: pair ($i,$j) split across clusters")
+      }
+      // label is the smallest member of its component — and components
+      // are EXACTLY the transitive closure (driver union-find recompute)
+      labels.groupBy(_._2).foreach { case (label, members) =>
+        assert(members.keys.min === label)
+      }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (i, j) =>
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+      val roots = labels.keys.map(n => n -> find(n)).toMap
+      labels.keys.groupBy(roots).foreach { case (_, comp) =>
+        val ls = comp.map(labels).toSet
+        assert(ls.size === 1, s"$sf: one true component carries labels $ls")
+        assert(ls.head === comp.min, s"$sf: label is not the component min")
+      }
     }
   }
 
