@@ -2035,9 +2035,17 @@ object Curation extends QueryModule {
     * ask): `<[^>]*>` eats to the first `>`, so an attribute containing
     * `>` (`<div data-note="5>4">`) leaks half the tag into the text.
     * This alternation consumes quoted attribute values atomically —
-    * still RE2∩Java (no lookarounds, no backrefs).
+    * still RE2∩Java (no lookarounds, no backrefs). The r12 hardening:
+    * `<` must be followed by a tag-opening character (letter, `/`, `!`,
+    * `?`) — the HTML5 tokenizer rule that a stray `<` before a space or
+    * digit is TEXT, not markup, so "5 < 7" survives extraction instead
+    * of the old behavior (stray `<` swallowing text to the next `>`).
+    * An UNTERMINATED tag (no `>` before an unmatched quote runs to EOF)
+    * matches nothing and stays in the text — the documented best-effort
+    * recovery for truncated markup: leak the fragment, never eat
+    * content past it, never crash.
     */
-  private val TagRe = "<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+  private val TagRe = "<[!/?a-zA-Z](?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
   /** Named AND numeric character references (&amp; / &#39;). */
   private val EntityRe = "&#?[a-z0-9]+;"
   private val BlockRes = Seq(
@@ -2046,46 +2054,65 @@ object Curation extends QueryModule {
     "(?s)<footer.*?</footer>", "(?s)<!--.*?-->",
     "(?s)<!\\[CDATA\\[.*?\\]\\]>")
 
-  /** Per-variant page chrome (variant = doc_id % 4): the r10 plant was
+  /** Per-variant page chrome (variant = doc_id % 7): the r10 plant was
     * ONE well-formed template; real web markup is not. v0 = baseline,
     * v1 = unclosed elements + a `>`-bearing comment, v2 = attribute
     * values containing `>` in both quote styles, v3 = a bare CDATA
-    * section + numeric character references. Each variant's exact-
-    * recovery is separately gated: the census groups by variant, so one
-    * regressing template is a visible row, not an averaged-away count.
+    * section + numeric character references, and the r11-verdict
+    * MALFORMED trio with defined recovery semantics: v4 = mis-nested
+    * inline pairs (<b><i>…</b>…</i> — tags strip independently of
+    * nesting, so recovery is exact), v5 = bare `&` and a stray text `<`
+    * (neither is markup: the entity regex requires a terminating `;`,
+    * the r12 TagRe requires a tag-opening character — both survive
+    * verbatim), v6 = an UNTERMINATED trailing tag whose quote never
+    * closes (no TagRe match exists, so the fragment leaks into the text
+    * — best-effort recovery, gated exactly by including the fragment in
+    * `want`). Each variant's exact-recovery is separately gated: the
+    * census groups by variant, so one regressing template is a visible
+    * row, not an averaged-away count.
     */
+  private val NVariants = 7
   private val HtmlOpenMain = Seq(
     "<div id=\"main\"><p>",
     "<!-- crumbs > trail --><div><p>",
     "<div data-note=\"5>4\" class='a>b'><p>",
-    "<div><![CDATA[ raw > data ]]><p>")
+    "<div><![CDATA[ raw > data ]]><p>",
+    "<div><p>",
+    "<div><p>",
+    "<div><p>")
   private val HtmlTrailer = Seq(
     "</p><p>Rated 5 &gt; 4 &amp; counting</p></div>",
     "<br><p>Line one<br>Line two</div>",
     "</p><span title=\"x>y\">ok</span></div>",
-    "</p><p>It&#39;s fine &#34;quoted&#34;</p></div>")
+    "</p><p>It&#39;s fine &#34;quoted&#34;</p></div>",
+    "</p><b><i>mixed</b> tail</i><p>end</p></div>",
+    "</p><p>AT&T wins 5 & 6 < 7</p></div>",
+    "</p><p>tail text</p><div class=\"x")
   private val WantSuffix = Seq(
     " Rated 5 > 4 & counting",
     " Line one Line two",
     " ok",
-    " It's fine \"quoted\"")
+    " It's fine \"quoted\"",
+    " mixed tail end",
+    " AT&T wins 5 & 6 < 7",
+    " tail text <div class=\"x")
 
   private val q273 = QueryDef(
     "q273_html_extract",
     (spark, dir) => {
       import spark.implicits._
       import graft.functions.Portable
-      def by4(pieces: Seq[String]) = pieces.zipWithIndex.tail
-        .foldLeft(when($"doc_id" % 4 === 0, lit(pieces.head))) {
-          case (c, (p, i)) => c.when($"doc_id" % 4 === i, lit(p))
+      def byVariant(pieces: Seq[String]) = pieces.zipWithIndex.tail
+        .foldLeft(when($"doc_id" % NVariants === 0, lit(pieces.head))) {
+          case (c, (p, i)) => c.when($"doc_id" % NVariants === i, lit(p))
         }
       val wrapped = Tables.documents(spark, dir)
-        .withColumn("variant", $"doc_id" % 4)
+        .withColumn("variant", $"doc_id" % NVariants)
         .withColumn("html", concat(
           lit("<!DOCTYPE html><html><head><title>Doc "), $"doc_id",
           lit("</title><script>var x=1;</script><style>.m{color:red}</style>" +
             "</head><body><nav>Home &gt; "), $"source",
-          lit("</nav>"), by4(HtmlOpenMain), $"text", by4(HtmlTrailer),
+          lit("</nav>"), byVariant(HtmlOpenMain), $"text", byVariant(HtmlTrailer),
           lit("<footer>&copy; 2024 Example</footer></body></html>")))
       val deblocked = BlockRes.foldLeft($"html": org.apache.spark.sql.Column)(
         (c, re) => regexp_replace(c, re, " "))
@@ -2104,7 +2131,7 @@ object Curation extends QueryModule {
           trim(regexp_replace($"decoded", "\\s+", " ")))
         .withColumn("want",
           concat(trim(regexp_replace($"text", "\\s+", " ")),
-            by4(WantSuffix)))
+            byVariant(WantSuffix)))
       audited
         .groupBy($"source", $"variant")
         .agg(
@@ -2121,17 +2148,17 @@ object Curation extends QueryModule {
       def sqlq(s: String) = s.replace("'", "''")
       val blocks = BlockRes.foldLeft("html")(
         (e, re) => s"regexp_replace($e, '${sqlq(re)}', ' ', 'g')")
-      def by4Sql(pieces: Seq[String], sel: String = "doc_id % 4") =
+      def byVariantSql(pieces: Seq[String], sel: String = s"doc_id % $NVariants") =
         s"CASE $sel ${pieces.zipWithIndex.map { case (p, i) =>
           s"WHEN $i THEN '${sqlq(p)}'" }.mkString(" ")} END"
       s"""
       WITH wrapped AS (
-        SELECT source, text, doc_id % 4 AS variant,
+        SELECT source, text, doc_id % 7 AS variant,
                '<!DOCTYPE html><html><head><title>Doc ' || doc_id ||
                '</title><script>var x=1;</script><style>.m{color:red}</style>' ||
                '</head><body><nav>Home &gt; ' || source ||
-               '</nav>' || ${by4Sql(HtmlOpenMain)} || text ||
-               ${by4Sql(HtmlTrailer)} ||
+               '</nav>' || ${byVariantSql(HtmlOpenMain)} || text ||
+               ${byVariantSql(HtmlTrailer)} ||
                '<footer>&copy; 2024 Example</footer></body></html>' AS html
         FROM documents),
       ext AS (
@@ -2146,7 +2173,7 @@ object Curation extends QueryModule {
                    '&#39;', '''', 'g'), '&#34;', '"', 'g'),
                  '\\s+', ' ', 'g')) AS extracted,
                trim(regexp_replace(text, '\\s+', ' ', 'g')) ||
-                 ${by4Sql(WantSuffix, "variant")} AS want
+                 ${byVariantSql(WantSuffix, "variant")} AS want
         FROM wrapped)
       SELECT source, CAST(variant AS BIGINT) AS variant, count(*) AS n_docs,
              CAST(sum(n_tags) AS BIGINT) AS tags_stripped,

@@ -314,10 +314,12 @@ class TemporalCurationSpec extends AnyFunSuite {
   test("q273 html extraction: EVERY template variant recovers exactly — incl. malformed markup") {
     import org.apache.spark.sql.functions._
     val rows = run("q273_html_extract").collect()
-    // all four chrome variants present (baseline, unclosed tags +
-    // >-bearing comment, >-in-attributes, CDATA + numeric entities)
+    // all seven chrome variants present (baseline, unclosed tags +
+    // >-bearing comment, >-in-attributes, CDATA + numeric entities, and
+    // the malformed trio: mis-nested pairs, bare & + stray text <,
+    // unterminated trailing tag)
     val variants = rows.map(_.getAs[Long]("variant")).toSet
-    assert(variants === Set(0L, 1L, 2L, 3L))
+    assert(variants === (0L to 6L).toSet)
     // per (source, variant): EXACT recovery of every document — a regex
     // that leaks an attribute fragment or fails a numeric entity makes a
     // visible per-variant row, not an averaged-away count
