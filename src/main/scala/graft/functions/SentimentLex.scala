@@ -824,7 +824,7 @@ object SentimentLex {
   /** Stems whose final consonant doubles before -ed/-ing. */
   private val DoubleFinal =
     Set("expel", "excel", "nag", "snub", "stun", "flop", "shun", "abhor",
-      "regret", "outwit", "mar")
+      "regret", "outwit", "mar", "skim")
 
   /** Words whose inflections are irregular or unnatural — entered as
     * explicit single forms instead of through the derivation rules.
@@ -890,15 +890,18 @@ object SentimentLex {
     else w + "ly"
 
   private def derivedEntries: Seq[(String, Int)] = {
-    import SentimentLexGrowth.{VerbStems3, VerbStems4, AdjStems3, AdjStems4,
-      NounStems3, NounStems4, ExtraWords2, ExtraWords3}
-    (VerbStems ++ VerbStems2 ++ VerbStems3 ++ VerbStems4).flatMap { case (w, v) =>
-      Seq(w -> v, sForm(w) -> v, pastForm(w) -> v, ingForm(w) -> v) } ++
-    (AdjStems ++ AdjStems2 ++ AdjStems3 ++ AdjStems4)
+    import SentimentLexGrowth.{VerbStems3, VerbStems4, VerbStems5,
+      AdjStems3, AdjStems4, AdjStems5, NounStems3, NounStems4, NounStems5,
+      ExtraWords2, ExtraWords3, ExtraWords4}
+    (VerbStems ++ VerbStems2 ++ VerbStems3 ++ VerbStems4 ++ VerbStems5)
+      .flatMap { case (w, v) =>
+        Seq(w -> v, sForm(w) -> v, pastForm(w) -> v, ingForm(w) -> v) } ++
+    (AdjStems ++ AdjStems2 ++ AdjStems3 ++ AdjStems4 ++ AdjStems5)
       .flatMap { case (w, v) => Seq(w -> v, lyForm(w) -> v) } ++
-    (NounStems ++ NounStems2 ++ NounStems3 ++ NounStems4)
+    (NounStems ++ NounStems2 ++ NounStems3 ++ NounStems4 ++ NounStems5)
       .flatMap { case (w, v) => Seq(w -> v, sForm(w) -> v) } ++
-    ExtraWords ++ ExtraWords2 ++ ExtraWords3 ++ FinanceBatch ++ SlangBatch
+    ExtraWords ++ ExtraWords2 ++ ExtraWords3 ++ ExtraWords4 ++
+    FinanceBatch ++ SlangBatch
   }
 
   /** word → integer decivalence (VADER-like valence × 10): the curated

@@ -156,6 +156,33 @@ class TextSentimentSpec extends AnyFunSuite {
     assert(lex("applauded") === lex("applaud"))
     assert(lex("daintily") === lex("dainty"))
     assert(lex("allies") === lex("ally"))
+    // r12 batch spot checks (the doubling whitelist + compound idioms)
+    assert(lex("skimming") === lex("skim"))
+    assert(lex("wooed") === lex("woo"))
+    assert(lex("surpluses") === lex("surplus"))
+    assert(lex("tailspins") === lex("tailspin"))
+    assert(lex("pump-and-dump") === -18)
+  }
+
+  test("r12 growth batch is collision-free: no earlier batch masks a batch-5 valence") {
+    // first-occurrence-wins means a batch-5 word colliding with an
+    // earlier entry is silently DEAD (its valence ignored) — the
+    // collision-check discipline requires every new stem's derived forms
+    // to either be novel or agree exactly with the surviving entry
+    import SentimentLex.{sForm, pastForm, ingForm, lyForm}
+    import graft.functions.SentimentLexGrowth._
+    val batch5: Seq[(String, Int)] =
+      VerbStems5.flatMap { case (w, v) =>
+        Seq(w -> v, sForm(w) -> v, pastForm(w) -> v, ingForm(w) -> v) } ++
+      AdjStems5.flatMap { case (w, v) => Seq(w -> v, lyForm(w) -> v) } ++
+      NounStems5.flatMap { case (w, v) => Seq(w -> v, sForm(w) -> v) } ++
+      ExtraWords4
+    val lexMap = SentimentLex.Lexicon.toMap
+    val masked = batch5.filter { case (w, v) => lexMap.get(w).exists(_ != v) }
+    assert(masked.isEmpty,
+      s"batch-5 entries masked by earlier batches: ${masked.take(10)}")
+    assert(batch5.groupBy(_._1).forall(_._2.map(_._2).distinct.size == 1),
+      "intra-batch duplicate with conflicting valence")
   }
 
   test("broad-sample scoring matches hand-computed valences and compounds") {
