@@ -2267,8 +2267,131 @@ object Curation extends QueryModule {
              CAST(sum(cyr_chars) AS BIGINT) AS sum_cyr
       FROM aud GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
+  // ---------------------------------------------------------------------
+  // q301 — LUHN CREDIT-CARD PII AUDIT: the checksum-verified PAN detector
+  // a crawl-curation pipeline runs beyond q67's pattern scrub — a bare
+  // \d{16} regex flags every order number and tracking code, so real
+  // redactors (presidio-style) gate on the Luhn check (ISO/IEC 7812)
+  // before redacting. The fixture carries no digits, so the query plants
+  // one 16-digit candidate per doc (the q67 plant-then-operate
+  // discipline): digits derived from doc_id, with the CORRECT Luhn check
+  // digit on a hash-selected half of the docs (the q288 SpoofMod pattern
+  // — doc_id parity would confound with the fixture's source assignment)
+  // and an offset-by-5 (always wrong) digit on the rest. The detector
+  // must then flag exactly the hash-selected docs, redact only
+  // those, and leave the near-miss candidates untouched — checksum-gated
+  // per source. The Luhn sum is ONE generated integer expression (16
+  // digit terms with position-dependent doubling), shared VERBATIM by
+  // both engines up to the string-cast keyword — exact integer
+  // arithmetic end to end. Pure per-row map work; one audit rollup.
+  // ---------------------------------------------------------------------
+  /** Luhn sum of the first `len` chars of string expression `s`, where
+    * the full PAN length is 16: the digit at 1-based position i (from
+    * the left) is doubled when its right-position 17−i is even, i.e.
+    * when i is odd; doubled digits > 9 drop 9.
+    */
+  private def luhnSumSql(s: String, len: Int): String =
+    (1 to len).map { i =>
+      val d = s"CAST(substring($s, $i, 1) AS INT)"
+      if (i % 2 == 1) s"(CASE WHEN 2 * $d > 9 THEN 2 * $d - 9 ELSE 2 * $d END)"
+      else d
+    }.mkString("(", " + ", ")")
+
+  /** The 15-digit PAN prefix: '4' then 14 doc_id-derived digits.
+    * `cast` is the engine's string-cast type name (STRING / VARCHAR).
+    */
+  private def panPrefixSql(cast: String): String =
+    "'4' || " + (1 to 14).map { i =>
+      val k = Seq(7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)(i - 1)
+      s"CAST((doc_id * $k + $i) % 10 AS $cast)"
+    }.mkString(" || ")
+
+  private val CardRe = "\\d{16}"
+
+  private val q301 = QueryDef(
+    "q301_luhn_audit",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val planted = Tables.documents(spark, dir)
+        .withColumn("pre15", expr(panPrefixSql("STRING")))
+        .withColumn("s15", expr(luhnSumSql("pre15", 15)))
+        .withColumn("cd_valid", expr("(10 - s15 % 10) % 10"))
+        .withColumn("mk_valid",
+          graft.functions.Portable.md5Hash64(
+            concat(lit("luhn|"), $"doc_id".cast("string"))) % 2 === 0)
+        .withColumn("cd",
+          expr("CASE WHEN mk_valid THEN cd_valid" +
+            " ELSE (cd_valid + 5) % 10 END"))
+        .withColumn("card", concat($"pre15", $"cd".cast("string")))
+        .withColumn("text2",
+          concat($"text", lit(" pay "), $"card", lit(" ref "), $"doc_id"))
+      planted
+        .withColumn("cand", regexp_extract($"text2", CardRe, 0))
+        .withColumn("luhn_total", expr(luhnSumSql("cand", 16)))
+        .withColumn("is_valid", length($"cand") === 16 &&
+          expr("luhn_total % 10") === 0)
+        .withColumn("clean",
+          when($"is_valid", expr("replace(text2, cand, '<CARD>')"))
+            .otherwise($"text2"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(length($"cand") === 16, 1L).otherwise(0L))
+            .as("n_card_like"),
+          sum(when($"is_valid", 1L).otherwise(0L)).as("n_luhn_valid"),
+          sum(when($"is_valid", lit(16L)).otherwise(0L))
+            .as("chars_redacted"),
+          sum(Portable.md5Hash64($"clean") % lit(Portable.P))
+            .as("corpus_checksum"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH p0 AS (
+        SELECT doc_id, source, text,
+               ${panPrefixSql("VARCHAR")} AS pre15
+        FROM documents),
+      p1 AS (
+        SELECT *, ${luhnSumSql("pre15", 15)} AS s15 FROM p0),
+      p2 AS (
+        SELECT *, (10 - s15 % 10) % 10 AS cd_valid FROM p1),
+      p3 AS (
+        SELECT doc_id, source,
+               text || ' pay ' || pre15 ||
+                 CAST(CASE WHEN ${graft.functions.Portable.md5Hash64Sql(
+                   "('luhn|' || CAST(doc_id AS VARCHAR))")} % 2 = 0
+                           THEN cd_valid
+                           ELSE (cd_valid + 5) % 10 END AS VARCHAR) ||
+                 ' ref ' || doc_id AS text2
+        FROM p2),
+      det AS (
+        SELECT source, text2,
+               regexp_extract(text2, '$CardRe') AS cand
+        FROM p3),
+      lv AS (
+        SELECT source, text2, cand,
+               length(cand) = 16 AND ${luhnSumSql("cand", 16)} % 10 = 0
+                 AS is_valid
+        FROM det),
+      cl AS (
+        SELECT source, cand, is_valid,
+               CASE WHEN is_valid THEN replace(text2, cand, '<CARD>')
+                    ELSE text2 END AS clean
+        FROM lv)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN length(cand) = 16 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_card_like,
+             CAST(sum(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_luhn_valid,
+             CAST(sum(CASE WHEN is_valid THEN 16 ELSE 0 END) AS BIGINT)
+               AS chars_redacted,
+             CAST(sum(${graft.functions.Portable.md5Hash64Sql("clean")}
+               % ${graft.functions.Portable.P}) AS BIGINT)
+               AS corpus_checksum
+      FROM cl GROUP BY source ORDER BY source"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134, q149, q164, q168,
       q175, q194, q195, q199, q200, q209, q227, q228, q245, q251, q253,
-      q273, q288)
+      q273, q288, q301)
 }

@@ -1243,7 +1243,117 @@ object Dedup extends QueryModule {
       FROM ng LEFT JOIN fp ON fp.doc_id = ng.doc_id
       ORDER BY ng.doc_id"""))
 
+  // ---------------------------------------------------------------------
+  // q303 — LINE-LEVEL BOILERPLATE DEDUP (the CCNet/C4 line filter: a
+  // line repeated across many documents is chrome — cookie banners,
+  // "subscribe" prompts, nav text — and is stripped CORPUS-WIDE before
+  // document-level dedup ever runs). The fixture has no line structure,
+  // so the query first splits each doc into three deterministic token-
+  // range lines and appends a planted boilerplate line to 2 of every 3
+  // docs (the q67 plant-then-operate discipline); the operator is the
+  // line-frequency census + strip: a line is boilerplate iff its text
+  // occurs in more than BoilerDf documents. Content lines from the
+  // word-salad fixture can also legitimately cross the threshold (short
+  // docs repeat 3-word lines) — both engines agree exactly, and the
+  // planted line is ALWAYS stripped.
+  //
+  // Scale shape: explode to line grain (3–4 rows per doc), one
+  // line-text rollup for document frequency (map-side combinable), one
+  // broadcast-or-shuffle equi-join back on the line text where the df
+  // side is UNIQUE per line (the JoinFanoutSpec unique-side rung — no
+  // declaration needed), one per-source audit rollup. No windows. The
+  // kept-line checksum is an order-insensitive exact integer sum, so no
+  // per-doc reassembly (and no per-doc collect_list) is ever needed.
+  // ---------------------------------------------------------------------
+  private val BoilerDf = 10L
+  private val BoilerLine = "subscribe to our newsletter for updates"
+
+  private val q303 = QueryDef(
+    "q303_line_boilerplate",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = Tables.documents(spark, dir)
+        .withColumn("t", Portable.tokens($"text"))
+        .withColumn("n", size($"t"))
+        .filter($"n" > 0)
+        .withColumn("k1", expr("n div 3"))
+        .withColumn("k2", expr("(2 * n) div 3"))
+      val lines = toks.select($"doc_id", $"source", explode(array(
+          struct(lit(1L).as("line_no"),
+            array_join(slice($"t", lit(1), $"k1"), " ").as("line")),
+          struct(lit(2L).as("line_no"),
+            array_join(slice($"t", $"k1" + 1, $"k2" - $"k1"), " ").as("line")),
+          struct(lit(3L).as("line_no"),
+            array_join(slice($"t", $"k2" + 1, $"n" - $"k2"), " ").as("line")),
+          struct(lit(4L).as("line_no"),
+            when(pmod($"doc_id", lit(3)) =!= 2, lit(BoilerLine))
+              .otherwise(lit("")).as("line")))).as("l"))
+        .select($"doc_id", $"source", $"l.line_no", $"l.line")
+        .filter(length($"line") > 0)
+      val df = lines.groupBy($"line".as("ltext"))
+        .agg(countDistinct($"doc_id").as("line_df"))
+      val flagged = lines.join(df, $"line" === $"ltext")
+        .withColumn("boiler", $"line_df" > BoilerDf)
+      flagged.groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum($"boiler".cast("long")).as("n_removed"),
+          sum(when($"boiler", length($"line")).otherwise(0L))
+            .as("chars_removed"),
+          countDistinct(when($"boiler", $"doc_id")).as("n_docs_touched"),
+          sum(when(!$"boiler",
+            (Portable.md5Hash64(concat($"line", lit(":"),
+              $"line_no".cast("string"), lit(":"),
+              $"doc_id".cast("string"))) % lit(Portable.P)))
+            .otherwise(0L)).as("kept_checksum"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, source,
+               ${Portable.tokensSql("text")} AS t,
+               len(${Portable.tokensSql("text")}) AS n
+        FROM documents),
+      cut AS (
+        SELECT doc_id, source, t, n, n // 3 AS k1, (2 * n) // 3 AS k2
+        FROM toks WHERE n > 0),
+      raw_lines AS (
+        SELECT doc_id, source, 1 AS line_no,
+               array_to_string(t[1:k1], ' ') AS line FROM cut
+        UNION ALL
+        SELECT doc_id, source, 2, array_to_string(t[k1+1:k2], ' ') FROM cut
+        UNION ALL
+        SELECT doc_id, source, 3, array_to_string(t[k2+1:n], ' ') FROM cut
+        UNION ALL
+        SELECT doc_id, source, 4,
+               CASE WHEN doc_id % 3 <> 2 THEN '$BoilerLine' ELSE '' END
+        FROM cut),
+      lines AS (
+        SELECT doc_id, source, CAST(line_no AS BIGINT) AS line_no, line
+        FROM raw_lines WHERE length(line) > 0),
+      df AS (
+        SELECT line AS ltext, CAST(count(DISTINCT doc_id) AS BIGINT)
+                 AS line_df
+        FROM lines GROUP BY 1),
+      flagged AS (
+        SELECT l.source, l.doc_id, l.line_no, l.line,
+               d.line_df > $BoilerDf AS boiler
+        FROM lines l JOIN df d ON d.ltext = l.line)
+      SELECT source, count(*) AS n_lines,
+             CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             CAST(sum(CASE WHEN boiler THEN length(line) ELSE 0 END)
+               AS BIGINT) AS chars_removed,
+             CAST(count(DISTINCT CASE WHEN boiler THEN doc_id END)
+               AS BIGINT) AS n_docs_touched,
+             CAST(sum(CASE WHEN NOT boiler THEN
+               ${Portable.md5Hash64Sql(
+                 "(line || ':' || CAST(line_no AS VARCHAR)" +
+                   " || ':' || CAST(doc_id AS VARCHAR))")}
+               % ${Portable.P} ELSE 0 END) AS BIGINT) AS kept_checksum
+      FROM flagged GROUP BY source ORDER BY source"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q34, q35, q36, q37, q38, q72, q96, q114, q118, q131, q151, q163,
-      q174, q225, q232)
+      q174, q225, q232, q303)
 }

@@ -1667,8 +1667,92 @@ object TextOps extends QueryModule {
                AS dp_milli
       FROM pr ORDER BY dp_milli DESC, w LIMIT $DispTopK"""))
 
+  // ---------------------------------------------------------------------
+  // q302 — GOPHER QUALITY-RULE CENSUS (Rae et al. 2021 §A1.1, the
+  // multi-rule document filter every LLM-corpus pipeline runs before
+  // training): unlike q29's single blended score, each named rule is a
+  // SEPARATE column so the census shows WHICH rule rejects how much of
+  // each source — the tuning surface curation teams actually look at.
+  // Rules (thresholds set to discriminate on the fixture's 10–99-word
+  // docs; the shape, not the constants, is the operator):
+  //   r_words — word count outside [30, 80];
+  //   r_mwl   — mean word length outside [4.0, 5.0] (double compare on
+  //             exact integer counts, fixed order);
+  //   r_alpha — alphabetic chars < 82% of all chars, as the EXACT
+  //             integer predicate 50·alpha < 41·len (no division);
+  //   r_stop  — fewer than 2 stopword hits (the|a|an|and|of).
+  // A doc passes iff it violates NO rule. Pure per-row map work + one
+  // per-source rollup — the q67/q273 linear-scan envelope at 100 TB.
+  // ---------------------------------------------------------------------
+  private val q302 = QueryDef(
+    "q302_gopher_rules",
+    (spark, dir) => {
+      import spark.implicits._
+      val scored = Tables.documents(spark, dir)
+        .withColumn("n_words", size(Portable.tokens($"text")))
+        .withColumn("alpha_chars",
+          length(regexp_replace($"text", "[^A-Za-z]", "")))
+        .withColumn("nospace_chars",
+          length(regexp_replace($"text", "\\s", "")))
+        .withColumn("stop_hits",
+          size(regexp_extract_all($"text", lit("\\b(the|a|an|and|of)\\b"),
+            lit(0))))
+        .filter($"n_words" > 0)
+        .withColumn("r_words", $"n_words" < 30 || $"n_words" > 80)
+        .withColumn("mwl",
+          $"nospace_chars".cast("double") / $"n_words".cast("double"))
+        .withColumn("r_mwl", $"mwl" < 4.0 || $"mwl" > 5.0)
+        .withColumn("r_alpha",
+          lit(50L) * $"alpha_chars" < lit(41L) * length($"text"))
+        .withColumn("r_stop", $"stop_hits" < 2)
+        .withColumn("pass",
+          !$"r_words" && !$"r_mwl" && !$"r_alpha" && !$"r_stop")
+      scored.groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"r_words".cast("long")).as("v_words"),
+          sum($"r_mwl".cast("long")).as("v_mwl"),
+          sum($"r_alpha".cast("long")).as("v_alpha"),
+          sum($"r_stop".cast("long")).as("v_stop"),
+          sum($"pass".cast("long")).as("n_pass"),
+          sum(when($"pass", $"doc_id").otherwise(0L)).as("pass_id_sum"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, source,
+               len(${graft.functions.Portable.tokensSql("text")}) AS n_words,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+               length(regexp_replace(text, '\\s', '', 'g')) AS nospace_chars,
+               len(regexp_extract_all(text, '\\b(the|a|an|and|of)\\b'))
+                 AS stop_hits,
+               length(text) AS n_chars_raw
+        FROM documents),
+      ruled AS (
+        SELECT source, doc_id,
+               (n_words < 30 OR n_words > 80) AS r_words,
+               (CAST(nospace_chars AS DOUBLE) / CAST(n_words AS DOUBLE) < 4.0
+                OR CAST(nospace_chars AS DOUBLE) / CAST(n_words AS DOUBLE) > 5.0)
+                 AS r_mwl,
+               50 * alpha_chars < 41 * n_chars_raw AS r_alpha,
+               stop_hits < 2 AS r_stop
+        FROM scored WHERE n_words > 0),
+      flags AS (
+        SELECT *, NOT r_words AND NOT r_mwl AND NOT r_alpha AND NOT r_stop
+                 AS pass
+        FROM ruled)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN r_words THEN 1 ELSE 0 END) AS BIGINT) AS v_words,
+             CAST(sum(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS v_mwl,
+             CAST(sum(CASE WHEN r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS v_alpha,
+             CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS v_stop,
+             CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+             CAST(sum(CASE WHEN pass THEN doc_id ELSE 0 END) AS BIGINT)
+               AS pass_id_sum
+      FROM flags GROUP BY source ORDER BY source"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q26, q27, q28, q29, q30, q58, q75, q117, q119, q172, q208, q213,
       q259,
-      q214, q226, q275, q276, q284, q285, q292)
+      q214, q226, q275, q276, q284, q285, q292, q302)
 }

@@ -331,6 +331,97 @@ class TemporalCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q301 luhn audit: valid count equals the hash-selected plant; a true Luhn fold agrees") {
+    import graft.functions.Portable
+    val rows = run("q301_luhn_audit").collect()
+    assert(rows.nonEmpty)
+    // driver recompute: replant the PAN per doc, run the TEXTBOOK Luhn
+    // fold (right-to-left, double every second digit), and compare the
+    // per-source valid counts — independent of the generated SQL terms
+    def luhnOk(s: String): Boolean = {
+      val sum = s.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val x = 2 * d; if (x > 9) x - 9 else x } else d
+      }.sum
+      sum % 10 == 0
+    }
+    val ks = Seq(7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf001)
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      src -> ds.count { case (id, _) =>
+        val pre15 = "4" + ks.zipWithIndex
+          .map { case (k, i) => ((id * k + i + 1) % 10).toString }.mkString
+        val cdValid = (0 to 9).find(c => luhnOk(pre15 + c)).get
+        val mk = Portable.md5Hash64Jvm(s"luhn|$id") % 2 == 0
+        val cd = if (mk) cdValid else (cdValid + 5) % 10
+        luhnOk(pre15 + cd) // the detector's ground truth
+      }.toLong
+    }
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_card_like") === r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_luhn_valid") === expect(src),
+        s"$src: luhn-valid count drifts from the textbook fold")
+      assert(r.getAs[Long]("chars_redacted") === 16L * expect(src))
+    }
+    // both polarities exist somewhere (the plant actually discriminates)
+    assert(rows.exists(r => r.getAs[Long]("n_luhn_valid") > 0L))
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_luhn_valid") < r.getAs[Long]("n_docs")))
+  }
+
+  test("q302 gopher rules: every rule recomputes per doc; pass = no violation") {
+    val rows = run("q302_gopher_rules").collect()
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf001)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    val stopRe = "\\b(the|a|an|and|of)\\b".r
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val flags = ds.map { case (id, _, text) =>
+        val words = text.split("\\s+").filter(_.nonEmpty)
+        val n = words.length
+        val alpha = text.count(_.isLetter).toLong
+        val nospace = text.count(!_.isWhitespace)
+        val stops = stopRe.findAllIn(text).size
+        val mwl = nospace.toDouble / n
+        (id, n < 30 || n > 80, mwl < 4.0 || mwl > 5.0,
+          50 * alpha < 41L * text.length, stops < 2)
+      }
+      src -> flags
+    }
+    rows.foreach { r =>
+      val f = expect(r.getAs[String]("source"))
+      assert(r.getAs[Long]("v_words") === f.count(_._2).toLong)
+      assert(r.getAs[Long]("v_mwl") === f.count(_._3).toLong)
+      assert(r.getAs[Long]("v_alpha") === f.count(_._4).toLong)
+      assert(r.getAs[Long]("v_stop") === f.count(_._5).toLong)
+      val pass = f.filter(x => !x._2 && !x._3 && !x._4 && !x._5)
+      assert(r.getAs[Long]("n_pass") === pass.length.toLong)
+      assert(r.getAs[Long]("pass_id_sum") === pass.map(_._1).sum)
+    }
+    // the rule set must actually discriminate on the fixture
+    assert(rows.map(_.getAs[Long]("n_pass")).sum > 0L)
+    assert(rows.exists(r => r.getAs[Long]("n_pass") < r.getAs[Long]("n_docs")))
+  }
+
+  test("q303 line dedup: planted boilerplate always stripped; counts conserve") {
+    val rows = run("q303_line_boilerplate").collect()
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf001)
+      .select($"doc_id").as[Long].collect()
+    // the planted line lands in docs with doc_id % 3 != 2 — far above
+    // the df threshold, so every planted copy is removed: n_removed ≥
+    // planted copies per source, and at least one content line survives
+    val planted = docs.count(_ % 3 != 2).toLong
+    assert(rows.map(_.getAs[Long]("n_removed")).sum >= planted,
+      "planted boilerplate line survived the df cut")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_removed") <= r.getAs[Long]("n_lines"))
+      assert(r.getAs[Long]("n_docs_touched") > 0L)
+      assert(r.getAs[Long]("kept_checksum") > 0L, "no content lines kept")
+    }
+  }
+
   test("q245 priority sampling: rank cut executes as WindowGroupLimit, no full sort") {
     // the per-source top-(K+1) must ride Catalyst's rank-limit prune —
     // each map partition forwards ≤ K+1 rows per source, never the whole
