@@ -2920,8 +2920,437 @@ object CrossSection extends QueryModule {
                AS BIGINT) AS vol_ratio_milli
       FROM m2, sv ORDER BY m2.mon"""))
 
+  // ---------------------------------------------------------------------
+  // q305 — ORNSTEIN-UHLENBECK MEAN-REVERSION HALF-LIFE: the pairs/stat-
+  // arb sizing constant — regress the monthly close CHANGE on the lagged
+  // close level (Δp_t = a + b·p_{t−1} + ε, the discrete OU estimator);
+  // b < 0 means deviations decay and the half-life is −ln 2 / ln(1+b)
+  // months. All regression moments are exact BIGINTs over cents at
+  // MONTHLY grain (|months| rows per ticker off the monthly_bars
+  // silver); b and the half-life are ONE fixed-order double expression
+  // each, and the half-life is NULL outside the contraction domain
+  // −1 < b < 0 (random-walk-or-worse, the estimator's documented
+  // failure mode) — decided by the b expression both engines share.
+  // Scale: one lag window at rollup grain + one per-ticker rollup.
+  // ---------------------------------------------------------------------
+  /** −1000·ln 2 precomputed once in Scala so BOTH engines parse the same
+    * shortest-roundtrip double literal (a raw `-1000.0 * 0.693…` in
+    * DuckDB SQL would be DECIMAL arithmetic and overflow).
+    */
+  private val NegMilliLn2: Double = -1000.0 * math.log(2.0)
+
+  private val q305 = QueryDef(
+    "q305_ou_halflife",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("mon")
+      val d = mbars(spark, dir)
+        .withColumn("prev_c", lag($"close_c", 1).over(wT))
+        .filter($"prev_c".isNotNull)
+        .select($"ticker", $"prev_c".as("x"), ($"close_c" - $"prev_c").as("y"))
+      d.groupBy($"ticker")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+        .filter($"n" >= 24 && ($"n" * $"sxx" - $"sx" * $"sx") > 0L)
+        .withColumn("b",
+          ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx").cast("double"))
+        .withColumn("b_micro", floor($"b" * 1000000.0).cast("long"))
+        .withColumn("mean_reverting", $"b" < 0.0)
+        .withColumn("halflife_milli",
+          when($"b" < 0.0 && $"b" > -1.0,
+            floor(lit(NegMilliLn2) / log($"b" + 1.0)).cast("long")))
+        .select($"ticker", $"n", $"b_micro", $"mean_reverting",
+          $"halflife_milli")
+        .orderBy($"ticker")
+    },
+    Some(s"""
+      WITH $mbarsSql,
+      d AS (
+        SELECT ticker, prev_c AS x, close_c - prev_c AS y FROM (
+          SELECT ticker, close_c,
+                 lag(close_c, 1) OVER (PARTITION BY ticker ORDER BY mon)
+                   AS prev_c
+          FROM mbars)
+        WHERE prev_c IS NOT NULL),
+      m AS (
+        SELECT ticker, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM d GROUP BY ticker
+        HAVING count(*) >= 24 AND
+               CAST(count(*) AS BIGINT) * sum(x * x) - sum(x) * sum(x) > 0),
+      b AS (
+        SELECT ticker, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) AS b
+        FROM m)
+      SELECT ticker, n, CAST(floor(b * 1000000.0) AS BIGINT) AS b_micro,
+             b < 0.0 AS mean_reverting,
+             CASE WHEN b < 0.0 AND b > -1.0 THEN
+               CAST(floor(CAST('$NegMilliLn2' AS DOUBLE) / ln(b + 1.0))
+                 AS BIGINT)
+             END AS halflife_milli
+      FROM b ORDER BY ticker"""))
+
+  // ---------------------------------------------------------------------
+  // q306 — HURST EXPONENT via RESCALED RANGE (Hurst 1951; Mandelbrot–
+  // Wallis R/S analysis): the long-memory diagnostic — H ≈ 0.5 for a
+  // random walk, > 0.5 trending, < 0.5 mean-reverting. Per ticker the
+  // monthly milli-return series splits into consecutive blocks of size
+  // n ∈ {8, 16, 32} (block id = (idx−1) div n at MONTHLY grain); within
+  // a block the cumulative deviation is kept EXACT by scaling by the
+  // block length m (cumdev_k·m = m·Σ_{j≤k} y_j − k·S, a BIGINT), so
+  // R = (max − min)/m and S = sample σ from exact moments are each ONE
+  // double; per-block R/S is floor-quantized to micro BEFORE averaging
+  // (integer mean — order-invariant, the house no-float-agg rule), and
+  // H is the 3-point least-squares slope of ln(RS) on ln(n), pivoted
+  // into one row per ticker (the q295 pivot discipline) and finished in
+  // one fixed-order double expression.
+  // Scale: windows and rollups all at the (ticker, block) monthly
+  // grain; the pivot is 3 rows → 1 per ticker. No corpus-sized state.
+  // ---------------------------------------------------------------------
+  private val HurstSizes = Seq(8, 16, 32)
+
+  private val q306 = QueryDef(
+    "q306_hurst_rs",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("mon")
+      val rets = mbars(spark, dir)
+        .withColumn("prev_c", lag($"close_c", 1).over(wT))
+        .filter($"prev_c".isNotNull)
+        .withColumn("y",
+          floor(lit(1000.0) * ($"close_c" - $"prev_c").cast("double") /
+            $"prev_c".cast("double")).cast("long"))
+        .withColumn("idx", row_number().over(wT).cast("long"))
+        .select($"ticker", $"idx", $"y")
+      val perSize = HurstSizes.map { n =>
+        val blocks = rets
+          .withColumn("blk", expr(s"(idx - 1) div $n"))
+          .withColumn("k", expr(s"((idx - 1) % $n) + 1"))
+        // only FULL blocks: the trailing partial block would bias RS
+        val full = blocks.groupBy($"ticker", $"blk")
+          .agg(count(lit(1)).as("m"), sum($"y").as("s"),
+            sum($"y" * $"y").as("syy"))
+          .filter($"m" === n.toLong)
+        val wB = Window.partitionBy("ticker", "blk").orderBy("k")
+        val cum = blocks
+          .withColumn("cy", sum($"y").over(
+            wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(full, Seq("ticker", "blk"))
+          .withColumn("dev_m", lit(n.toLong) * $"cy" - $"k" * $"s")
+        cum.groupBy($"ticker", $"blk", $"m", $"s", $"syy")
+          .agg(max($"dev_m").as("mx"), min($"dev_m").as("mn"))
+          .filter($"m" * $"syy" - $"s" * $"s" > 0L)
+          .withColumn("sigma",
+            sqrt(($"m" * $"syy" - $"s" * $"s").cast("double") /
+              ($"m" * ($"m" - 1L)).cast("double")))
+          .withColumn("rs_micro",
+            floor(lit(1000000.0) *
+              (($"mx" - $"mn").cast("double") / n.toDouble) / $"sigma")
+              .cast("long"))
+          .groupBy($"ticker")
+          .agg(count(lit(1)).as(s"nb$n"),
+            sum($"rs_micro").as(s"srs$n"))
+          .withColumn(s"rs$n", expr(s"srs$n div nb$n"))
+          .select($"ticker", col(s"rs$n"))
+      }
+      val joined = perSize.reduce((a, b) => a.join(b, Seq("ticker")))
+      // 3-point OLS of ln(rs_micro/1e6) on ln(n): slope = Σ(x−x̄)(y−ȳ)/Σ(x−x̄)²
+      val xs = HurstSizes.map(n => math.log(n.toDouble))
+      val xbar = xs.sum / xs.length
+      val denom = xs.map(x => (x - xbar) * (x - xbar)).sum
+      val slopeExpr = HurstSizes.zip(xs).map { case (n, x) =>
+        s"(${x - xbar}) * ln(CAST(rs$n AS DOUBLE) / 1000000.0)"
+      }.mkString(" + ")
+      joined
+        .filter(HurstSizes.map(n => col(s"rs$n") > 0L).reduce(_ && _))
+        .withColumn("hurst_milli",
+          floor(lit(1000.0) * expr(s"($slopeExpr) / $denom")).cast("long"))
+        .withColumn("regime",
+          when($"hurst_milli" > 550L, "trending")
+            .when($"hurst_milli" < 450L, "mean_reverting")
+            .otherwise("random_walk"))
+        .select($"ticker", col("rs8"), col("rs16"), col("rs32"),
+          $"hurst_milli", $"regime")
+        .orderBy($"ticker")
+    },
+    Some {
+      def sizeCte(n: Int): String = s"""
+      blk_$n AS (
+        SELECT ticker, (idx - 1) // $n AS blk, ((idx - 1) % $n) + 1 AS k, y
+        FROM rets),
+      full_$n AS (
+        SELECT ticker, blk, CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(y) AS BIGINT) AS s,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM blk_$n GROUP BY 1, 2 HAVING count(*) = $n),
+      cum_$n AS (
+        SELECT b.ticker, b.blk, b.k, f.m, f.s, f.syy,
+               $n * sum(b.y) OVER (PARTITION BY b.ticker, b.blk
+                 ORDER BY b.k ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) - b.k * f.s AS dev_m
+        FROM blk_$n b JOIN full_$n f ON f.ticker = b.ticker AND f.blk = b.blk),
+      rsb_$n AS (
+        SELECT ticker, blk,
+               CAST(floor(1000000.0 * ((CAST(max(dev_m) - min(dev_m) AS DOUBLE)
+                 / $n.0) / sqrt(CAST(any_value(m) * any_value(syy)
+                 - any_value(s) * any_value(s) AS DOUBLE)
+                 / CAST(any_value(m) * (any_value(m) - 1) AS DOUBLE))))
+                 AS BIGINT) AS rs_micro
+        FROM cum_$n
+        WHERE m * syy - s * s > 0
+        GROUP BY 1, 2),
+      rs_$n AS (
+        SELECT ticker, CAST(sum(rs_micro) AS BIGINT) // count(*) AS rs$n
+        FROM rsb_$n GROUP BY 1)"""
+      val xs = HurstSizes.map(n => math.log(n.toDouble))
+      val xbar = xs.sum / xs.length
+      val denom = xs.map(x => (x - xbar) * (x - xbar)).sum
+      val slopeExpr = HurstSizes.zip(xs).map { case (n, x) =>
+        s"(${x - xbar}) * ln(CAST(rs$n AS DOUBLE) / 1000000.0)"
+      }.mkString(" + ")
+      s"""
+      WITH $mbarsSql,
+      rets AS (
+        SELECT ticker,
+               CAST(row_number() OVER (PARTITION BY ticker ORDER BY mon)
+                 AS BIGINT) AS idx,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(close_c - prev_c AS DOUBLE)
+                 / CAST(prev_c AS DOUBLE)) AS BIGINT) AS y
+        FROM (
+          SELECT ticker, mon, close_c,
+                 lag(close_c, 1) OVER (PARTITION BY ticker ORDER BY mon)
+                   AS prev_c
+          FROM mbars)
+        WHERE prev_c IS NOT NULL),
+      ${HurstSizes.map(sizeCte).mkString(",")},
+      j AS (
+        SELECT a.ticker, a.rs8, b.rs16, c.rs32
+        FROM rs_8 a JOIN rs_16 b ON b.ticker = a.ticker
+        JOIN rs_32 c ON c.ticker = a.ticker
+        WHERE a.rs8 > 0 AND b.rs16 > 0 AND c.rs32 > 0)
+      SELECT ticker, rs8, rs16, rs32,
+             CAST(floor(1000.0 * (($slopeExpr) / $denom)) AS BIGINT)
+               AS hurst_milli,
+             CASE WHEN floor(1000.0 * (($slopeExpr) / $denom)) > 550
+                    THEN 'trending'
+                  WHEN floor(1000.0 * (($slopeExpr) / $denom)) < 450
+                    THEN 'mean_reverting'
+                  ELSE 'random_walk' END AS regime
+      FROM j ORDER BY ticker"""
+    })
+
+  // ---------------------------------------------------------------------
+  // q307 — PAIRS-TRADING SPREAD BACKTEST: the trade q250/q298 exist to
+  // find — select THE most return-correlated same-region pair (q298's
+  // blocked screen, top-1 by (corr DESC, i, j) — deterministic), hedge
+  // leg A with an integer milli-beta from exact level moments, and run
+  // the classic spread-reversion rule: hold −sign(z) when the LAGGED
+  // month's |z| exceeds 1.5, flat otherwise (memoryless on the prior
+  // month — no hysteresis state machine, documented). The spread is an
+  // exact BIGINT (1000·cA − β_milli·cB), the z-score uses FULL-SAMPLE
+  // moments (in-sample by design: the operator under test is the
+  // threshold/P&L machinery, not a tradable claim — the walk-forward
+  // split lives in q272), and P&L accumulates exact integer milli-cents.
+  // Scale: the pair screen is the declared q298 fan-out; everything
+  // after the top-1 broadcast is ≤ |months| rows keyed (ta, tb) — the
+  // q250 stage-2 WindowBounds set.
+  // ---------------------------------------------------------------------
+  private val ZEnter = 1.5
+
+  private val q307 = QueryDef(
+    "q307_pairs_backtest",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("mon")
+      val sup = Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey".as("ticker"), $"n_regionkey".as("reg"))
+      val rets = mbars(spark, dir)
+        .withColumn("prev_c", lag($"close_c", 1).over(wT))
+        .filter($"prev_c".isNotNull)
+        .withColumn("y",
+          floor(lit(1000.0) * ($"close_c" - $"prev_c").cast("double") /
+            $"prev_c".cast("double")).cast("long"))
+        .join(broadcast(sup), "ticker")
+        .select($"reg", $"mon", $"ticker", $"y")
+      val top1 = regionBlockedPairs(rets).groupBy($"i", $"j")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+          sum($"x" * $"y").as("sxy"))
+        .filter($"n" >= 24 &&
+          ($"n" * $"sxx" - $"sx" * $"sx") > 0L &&
+          ($"n" * $"syy" - $"sy" * $"sy") > 0L)
+        .withColumn("corr",
+          ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+              ($"n" * $"syy" - $"sy" * $"sy").cast("double")))
+        .orderBy($"corr".desc, $"i", $"j").limit(1)
+        .select($"i".as("ta"), $"j".as("tb"))
+      val m = mbars(spark, dir).select($"ticker", $"mon", $"close_c")
+      val legs = m.join(broadcast(top1), $"ticker" === $"ta")
+        .select($"ta", $"tb", $"mon", $"close_c".as("ca"))
+        .join(m.select($"ticker".as("t2"), $"mon".as("mon2"),
+          $"close_c".as("cb")),
+          $"t2" === $"tb" && $"mon2" === $"mon")
+        .select($"ta", $"tb", $"mon", $"ca", $"cb")
+      val beta = legs.groupBy($"ta", $"tb")
+        .agg(count(lit(1)).as("bn"), sum($"cb").as("bx"), sum($"ca").as("by"),
+          sum($"cb" * $"cb").as("bxx"), sum($"cb" * $"ca").as("bxy"))
+        .withColumn("beta_milli",
+          floor(lit(1000.0) *
+            ($"bn" * $"bxy" - $"bx" * $"by").cast("double") /
+            ($"bn" * $"bxx" - $"bx" * $"bx").cast("double")).cast("long"))
+        .select($"ta".as("bta"), $"tb".as("btb"), $"beta_milli")
+      val spread = legs.join(broadcast(beta),
+          $"ta" === $"bta" && $"tb" === $"btb")
+        .withColumn("spread_c",
+          expr(speelDivSql("1000 * ca - beta_milli * cb", "1000", "div")))
+        .select($"ta", $"tb", $"mon", $"spread_c", $"beta_milli")
+      val mom = spread.groupBy($"ta".as("mta"), $"tb".as("mtb"))
+        .agg(count(lit(1)).as("zn"), sum($"spread_c").as("zs"),
+          sum($"spread_c" * $"spread_c").as("zss"))
+        .withColumn("mu", $"zs".cast("double") / $"zn".cast("double"))
+        .withColumn("sd",
+          sqrt(($"zn" * $"zss" - $"zs" * $"zs").cast("double") /
+            ($"zn" * ($"zn" - 1L)).cast("double")))
+        .select($"mta", $"mtb", $"mu", $"sd")
+      val wP = Window.partitionBy("ta", "tb").orderBy("mon")
+      val traded = spread.join(broadcast(mom),
+          $"ta" === $"mta" && $"tb" === $"mtb")
+        .withColumn("z", ($"spread_c".cast("double") - $"mu") / $"sd")
+        .withColumn("z_prev", lag($"z", 1).over(wP))
+        .withColumn("d_spread",
+          $"spread_c" - lag($"spread_c", 1).over(wP))
+        .withColumn("pos",
+          when($"z_prev" > ZEnter, -1L)
+            .when($"z_prev" < -ZEnter, 1L)
+            .otherwise(0L))
+        .withColumn("pnl_c",
+          when($"d_spread".isNotNull, $"pos" * $"d_spread").otherwise(0L))
+        .withColumn("cum_pnl_c", sum($"pnl_c").over(
+          wP.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val summ = traded.groupBy($"ta".as("sta"), $"tb".as("stb"))
+        .agg(count(lit(1)).as("n_months"),
+          sum(when($"pos" =!= 0L, 1L).otherwise(0L)).as("n_in_pos"),
+          sum(when($"pnl_c" > 0L, 1L).otherwise(0L)).as("n_wins"),
+          sum($"pnl_c").as("total_pnl_c"))
+        .select($"sta", $"stb", $"n_months", $"n_in_pos", $"n_wins",
+          $"total_pnl_c")
+      traded.join(broadcast(summ),
+          $"ta" === $"sta" && $"tb" === $"stb")
+        .select($"ta", $"tb", $"mon", $"beta_milli", $"spread_c",
+          $"pos", $"pnl_c", $"cum_pnl_c", $"n_months",
+          $"n_in_pos", $"n_wins", $"total_pnl_c")
+        .orderBy($"mon")
+    },
+    Some(s"""
+      WITH $mbarsSql,
+      rets AS (
+        SELECT * FROM (
+          SELECT ticker, mon, close_c,
+                 lag(close_c, 1) OVER (PARTITION BY ticker ORDER BY mon)
+                   AS prev_c
+          FROM mbars)
+        WHERE prev_c IS NOT NULL),
+      rm AS (
+        SELECT n.n_regionkey AS reg, r.mon, r.ticker,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(r.close_c - r.prev_c AS DOUBLE)
+                 / CAST(r.prev_c AS DOUBLE)) AS BIGINT) AS y
+        FROM rets r
+        JOIN supplier s ON r.ticker = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey),
+      mom0 AS (
+        SELECT a.ticker AS i, b.ticker AS j,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a.y) AS BIGINT) AS sx,
+               CAST(sum(b.y) AS BIGINT) AS sy,
+               CAST(sum(a.y * a.y) AS BIGINT) AS sxx,
+               CAST(sum(b.y * b.y) AS BIGINT) AS syy,
+               CAST(sum(a.y * b.y) AS BIGINT) AS sxy
+        FROM rm a JOIN rm b
+          ON a.reg = b.reg AND a.mon = b.mon AND a.ticker < b.ticker
+        GROUP BY 1, 2),
+      top1 AS (
+        SELECT i AS ta, j AS tb FROM (
+          SELECT i, j,
+                 CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+          FROM mom0
+          WHERE n >= 24 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0)
+        ORDER BY corr DESC, i, j LIMIT 1),
+      legs AS (
+        SELECT t.ta, t.tb, a.mon, a.close_c AS ca, b.close_c AS cb
+        FROM top1 t
+        JOIN mbars a ON a.ticker = t.ta
+        JOIN mbars b ON b.ticker = t.tb AND b.mon = a.mon),
+      beta AS (
+        SELECT ta, tb,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(count(*) * sum(cb * ca) - sum(cb) * sum(ca) AS DOUBLE)
+                 / CAST(count(*) * sum(cb * cb) - sum(cb) * sum(cb) AS DOUBLE))
+                 AS BIGINT) AS beta_milli
+        FROM legs GROUP BY 1, 2),
+      spread AS (
+        SELECT l.ta, l.tb, l.mon, bt.beta_milli,
+               ${speelDivSql("1000 * l.ca - bt.beta_milli * l.cb",
+                 "1000", "//")} AS spread_c
+        FROM legs l JOIN beta bt ON bt.ta = l.ta AND bt.tb = l.tb),
+      zm AS (
+        SELECT ta, tb, CAST(count(*) AS BIGINT) AS zn,
+               CAST(sum(spread_c) AS BIGINT) AS zs,
+               CAST(sum(spread_c * spread_c) AS BIGINT) AS zss
+        FROM spread GROUP BY 1, 2),
+      zs AS (
+        SELECT s.ta, s.tb, s.mon, s.beta_milli, s.spread_c,
+               (CAST(s.spread_c AS DOUBLE)
+                 - CAST(z.zs AS DOUBLE) / CAST(z.zn AS DOUBLE))
+                 / sqrt(CAST(z.zn * z.zss - z.zs * z.zs AS DOUBLE)
+                   / CAST(z.zn * (z.zn - 1) AS DOUBLE)) AS z
+        FROM spread s JOIN zm z ON z.ta = s.ta AND z.tb = s.tb),
+      lagged AS (
+        SELECT *, lag(z) OVER w AS z_prev,
+               spread_c - lag(spread_c) OVER w AS d_spread
+        FROM zs WINDOW w AS (PARTITION BY ta, tb ORDER BY mon)),
+      pos AS (
+        SELECT *, CASE WHEN z_prev > $ZEnter THEN -1
+                       WHEN z_prev < -$ZEnter THEN 1 ELSE 0 END AS pos
+        FROM lagged),
+      pnl AS (
+        SELECT *, CASE WHEN d_spread IS NOT NULL THEN pos * d_spread
+                       ELSE 0 END AS pnl_c
+        FROM pos),
+      cum AS (
+        SELECT *, sum(pnl_c) OVER (PARTITION BY ta, tb ORDER BY mon
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_pnl_c
+        FROM pnl),
+      summ AS (
+        SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_months,
+               CAST(sum(CASE WHEN pos <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_in_pos,
+               CAST(sum(CASE WHEN pnl_c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_wins,
+               CAST(sum(pnl_c) AS BIGINT) AS total_pnl_c
+        FROM cum GROUP BY 1, 2)
+      SELECT c.ta, c.tb, c.mon, c.beta_milli,
+             CAST(c.spread_c AS BIGINT) AS spread_c,
+             CAST(c.pos AS BIGINT) AS pos,
+             CAST(c.pnl_c AS BIGINT) AS pnl_c,
+             CAST(c.cum_pnl_c AS BIGINT) AS cum_pnl_c,
+             s.n_months, s.n_in_pos, s.n_wins, s.total_pnl_c
+      FROM cum c JOIN summ s ON s.ta = c.ta AND s.tb = c.tb
+      ORDER BY c.mon"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256, q260, q262,
       q266, q269, q270, q274, q280, q282, q283, q289, q291, q295, q297,
-      q298, q300)
+      q298, q300, q305, q306, q307)
 }

@@ -70,6 +70,13 @@ object JoinFanoutBounds {
         " |cell|·(|cell|−1)/2 budget exactly (no unblocked leak), which" +
         " is the declared contract: pair volume is quadratic in the" +
         " UNIVERSE dimension and linear in nothing else."),
+    FanoutSite("q307_pairs_backtest", Seq("mon"),
+      "pair SELECTION is q298's region-blocked monthly screen (same" +
+        " |universe/region|² budget); the spread legs join is mbars ×" +
+        " mbars at monthly grain where BOTH sides are first semi-reduced" +
+        " by the broadcast top-1 pair (≤ 1 row per month per side by the" +
+        " silver's (ticker, mon) grain) — everything downstream is one" +
+        " ≤ |months|-row frame keyed (ta, tb)."),
     FanoutSite("q297_mann_kendall", Seq("ticker"),
       "Mann–Kendall sign/slope pairs block per ticker at MONTHLY grain:" +
         " |months|²/2 pairs per ticker cell — quadratic in the calendar" +

@@ -750,6 +750,117 @@ class CrossSectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q305 OU half-life: b recomputes from exact moments; half-life only in the contraction domain") {
+    // q305 regresses LEVELS (not returns), so recompute from mbars closes
+    val levels = CrossSection.mbars(spark, TestSpark.Sf001)
+      .select($"ticker", $"mon".cast("string"), $"close_c")
+      .as[(Long, String, Long)].collect().toSeq
+      .groupBy(_._1)
+    val exp = levels.collect { case (t, xs) if xs.size >= 25 =>
+      val s = xs.sortBy(_._2).map(_._3)
+      val pairs = s.sliding(2).map { case Seq(p, c) => (p, c - p) }.toSeq
+      val n = pairs.size.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val den = n * sxx - sx * sx
+      t -> (n, den, if (den > 0) Some(
+        (n * sxy - sx * sy).toDouble / den.toDouble) else None)
+    }.collect { case (t, (n, den, Some(b))) if den > 0 => t -> (n, b) }
+    val rows = run("q305_ou_halflife").collect()
+    assert(rows.map(_.getAs[Long]("ticker")).toSet === exp.keySet)
+    rows.foreach { r =>
+      val (n, b) = exp(r.getAs[Long]("ticker"))
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("b_micro") === math.floor(b * 1000000.0).toLong)
+      assert(r.getAs[Boolean]("mean_reverting") === (b < 0.0))
+      if (b < 0.0 && b > -1.0) {
+        val hl = math.floor(-1000.0 * math.log(2.0) / math.log(b + 1.0)).toLong
+        assert(r.getAs[Long]("halflife_milli") === hl)
+        assert(hl > 0L, "half-life must be positive months")
+      } else assert(r.isNullAt(r.fieldIndex("halflife_milli")))
+    }
+  }
+
+  test("q306 Hurst: per-block R/S and the 3-point slope recompute from a driver fold") {
+    val rows = run("q306_hurst_rs").collect()
+    assert(rows.nonEmpty)
+    val ys = monthlyY.groupBy(_._1)
+      .map { case (t, xs) => t -> xs.sortBy(_._2).map(_._3).toVector }
+    val sizes = Seq(8, 16, 32)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("ticker")
+      val series = ys(t)
+      val rsByN = sizes.map { n =>
+        val blocks = series.grouped(n).filter(_.size == n).toSeq
+        val rsMicros = blocks.flatMap { b =>
+          val m = n.toLong
+          val s = b.sum
+          val syy = b.map(v => v * v).sum
+          val varNum = m * syy - s * s
+          if (varNum <= 0) None else {
+            val sigma = math.sqrt(varNum.toDouble / (m * (m - 1)).toDouble)
+            val devs = b.scanLeft(0L)(_ + _).tail.zipWithIndex
+              .map { case (cy, i) => m * cy - (i + 1) * s }
+            val rOverM = (devs.max - devs.min).toDouble / n
+            Some(math.floor(1000000.0 * rOverM / sigma).toLong)
+          }
+        }
+        n -> (if (rsMicros.isEmpty) 0L else rsMicros.sum / rsMicros.size)
+      }.toMap
+      assert(r.getAs[Long]("rs8") === rsByN(8))
+      assert(r.getAs[Long]("rs16") === rsByN(16))
+      assert(r.getAs[Long]("rs32") === rsByN(32))
+      val xs = sizes.map(n => math.log(n.toDouble))
+      val xbar = xs.sum / xs.size
+      val denom = xs.map(x => (x - xbar) * (x - xbar)).sum
+      val slope = sizes.zip(xs).map { case (n, x) =>
+        (x - xbar) * math.log(rsByN(n).toDouble / 1000000.0)
+      }.sum / denom
+      assert(r.getAs[Long]("hurst_milli") === math.floor(1000.0 * slope).toLong)
+      val h = r.getAs[Long]("hurst_milli")
+      val regime = r.getAs[String]("regime")
+      assert(regime === (if (h > 550) "trending"
+        else if (h < 450) "mean_reverting" else "random_walk"))
+    }
+  }
+
+  test("q307 pairs backtest: position rule, P&L and cumulative sum recompute row-for-row") {
+    val rows = run("q307_pairs_backtest").orderBy($"mon").collect()
+    assert(rows.length >= 24)
+    val (ta, tb) = (rows.head.getAs[Long]("ta"), rows.head.getAs[Long]("tb"))
+    assert(rows.forall(r => r.getAs[Long]("ta") == ta && r.getAs[Long]("tb") == tb))
+    // z from full-sample exact moments of the emitted spread; the rule
+    // pos_t = −sign(z_{t−1})·1{|z_{t−1}| > 1.5} and P&L recompute exactly
+    val spreads = rows.map(_.getAs[Long]("spread_c"))
+    val n = spreads.length.toLong
+    val zs = spreads.sum; val zss = spreads.map(s => s * s).sum
+    val mu = zs.toDouble / n
+    val sd = math.sqrt((n * zss - zs * zs).toDouble / (n * (n - 1)).toDouble)
+    var cum = 0L; var inPos = 0L; var wins = 0L
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val pos =
+        if (i == 0) 0L
+        else {
+          val zPrev = (spreads(i - 1).toDouble - mu) / sd
+          if (zPrev > 1.5) -1L else if (zPrev < -1.5) 1L else 0L
+        }
+      assert(r.getAs[Long]("pos") === pos, s"row $i position drifts")
+      val pnl = if (i == 0) 0L else pos * (spreads(i) - spreads(i - 1))
+      assert(r.getAs[Long]("pnl_c") === pnl, s"row $i pnl drifts")
+      cum += pnl
+      assert(r.getAs[Long]("cum_pnl_c") === cum, s"row $i cum drifts")
+      if (pos != 0L) inPos += 1
+      if (pnl > 0L) wins += 1
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_months") === n)
+      assert(r.getAs[Long]("n_in_pos") === inPos)
+      assert(r.getAs[Long]("n_wins") === wins)
+      assert(r.getAs[Long]("total_pnl_c") === cum)
+    }
+  }
+
   test("q300 weights: largest-remainder apportionment sums to exactly 1e6; portfolio returns recompute") {
     val byT = monthlyY.groupBy(_._1)
     val vols = byT.toSeq.collect { case (t, xs) if xs.size >= 24 =>
