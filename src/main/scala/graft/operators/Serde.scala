@@ -117,5 +117,127 @@ object Serde extends QueryModule {
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_absent
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q53, q54, q130)
+  // ---------------------------------------------------------------------
+  // q308 — CHAT-TEMPLATE CONFORMANCE AUDIT: the SFT-data validation gate
+  // an instruction-tuning pipeline runs over conversation JSONL before
+  // training — every row must parse, hold exactly the expected turn
+  // structure (user then assistant), and carry non-empty content. The
+  // fixture has no chat data, so the query renders a deterministic
+  // two-turn conversation per document and plants one malformation
+  // class on a hash-selected quarter each (the q67/q301 plant-then-
+  // operate discipline): m0 = well-formed, m1 = roles swapped
+  // (assistant speaks first), m2 = empty assistant content, m3 =
+  // truncated JSON (parse failure). The validator must classify every
+  // row into exactly one bucket — counts are censused per source and
+  // the well-formed payloads are checksummed. Spark validates through
+  // from_json (null on corrupt records — the real schema-enforcement
+  // path); the oracle mirrors with DuckDB's json_valid/json_extract.
+  // Per-row map work + one rollup — the q53 serde envelope.
+  // ---------------------------------------------------------------------
+  private val q308 = QueryDef(
+    "q308_chat_template_audit",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val mExpr = Portable.md5Hash64(
+        concat(lit("chat|"), $"doc_id".cast("string"))) % 4
+      val rendered = Tables.documents(spark, dir)
+        .withColumn("m", mExpr)
+        .withColumn("u_text", substring($"text", 1, 40))
+        .withColumn("a_text",
+          when($"m" === 2, lit(""))
+            .otherwise(concat(lit("ok "), $"doc_id".cast("string"))))
+        .withColumn("r0", when($"m" === 1, lit("assistant")).otherwise(lit("user")))
+        .withColumn("r1", when($"m" === 1, lit("user")).otherwise(lit("assistant")))
+        .withColumn("convo_full", concat(
+          lit("""[{"role":""""), $"r0", lit("""","content":""""), $"u_text",
+          lit(""""},{"role":""""), $"r1", lit("""","content":""""), $"a_text",
+          lit(""""}]""")))
+        .withColumn("convo",
+          when($"m" === 3, expr("substring(convo_full, 1, length(convo_full) - 3)"))
+            .otherwise($"convo_full"))
+      val schema = ArrayType(StructType(Seq(
+        StructField("role", StringType), StructField("content", StringType))))
+      val audited = rendered
+        .withColumn("parsed", from_json($"convo", schema))
+        .withColumn("parse_ok", $"parsed".isNotNull)
+        .withColumn("role_ok", $"parse_ok" && size($"parsed") === 2 &&
+          $"parsed".getItem(0).getField("role") === "user" &&
+          $"parsed".getItem(1).getField("role") === "assistant")
+        .withColumn("content_ok", $"parse_ok" &&
+          length($"parsed".getItem(0).getField("content")) > 0 &&
+          length($"parsed".getItem(1).getField("content")) > 0)
+        .withColumn("valid", $"parse_ok" && $"role_ok" && $"content_ok")
+      audited.groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_convos"),
+          sum(when(!$"parse_ok", 1L).otherwise(0L)).as("n_parse_fail"),
+          sum(when($"parse_ok" && !$"role_ok", 1L).otherwise(0L))
+            .as("n_role_violation"),
+          sum(when($"parse_ok" && $"role_ok" && !$"content_ok", 1L)
+            .otherwise(0L)).as("n_empty_content"),
+          sum($"valid".cast("long")).as("n_valid"),
+          sum(when($"valid",
+            Portable.md5Hash64($"convo") % lit(Portable.P)).otherwise(0L))
+            .as("valid_checksum"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH r0 AS (
+        SELECT doc_id, source, text,
+               ${graft.functions.Portable.md5Hash64Sql(
+                 "('chat|' || CAST(doc_id AS VARCHAR))")} % 4 AS m
+        FROM documents),
+      r1 AS (
+        SELECT doc_id, source, m,
+               '[{"role":"' ||
+                 CASE WHEN m = 1 THEN 'assistant' ELSE 'user' END ||
+                 '","content":"' || substring(text, 1, 40) ||
+                 '"},{"role":"' ||
+                 CASE WHEN m = 1 THEN 'user' ELSE 'assistant' END ||
+                 '","content":"' ||
+                 CASE WHEN m = 2 THEN '' ELSE 'ok ' || doc_id END ||
+                 '"}]' AS convo_full
+        FROM r0),
+      r2 AS (
+        SELECT source, m,
+               CASE WHEN m = 3 THEN
+                 substring(convo_full, 1, length(convo_full) - 3)
+               ELSE convo_full END AS convo
+        FROM r1),
+      r3 AS (
+        -- DuckDB's json_extract THROWS on malformed input (no NULL-on-
+        -- corrupt path like from_json), so extraction runs on a
+        -- sanitized twin: invalid rows read as an empty array
+        SELECT source, convo, json_valid(convo) AS parse_ok,
+               CASE WHEN json_valid(convo) THEN convo ELSE '[]' END AS jdoc
+        FROM r2),
+      aud AS (
+        SELECT source, convo, parse_ok,
+               parse_ok
+                 AND json_array_length(jdoc) = 2
+                 AND json_extract_string(jdoc, '$$[0].role') = 'user'
+                 AND json_extract_string(jdoc, '$$[1].role') = 'assistant'
+                 AS role_ok,
+               parse_ok
+                 AND length(json_extract_string(jdoc, '$$[0].content')) > 0
+                 AND length(json_extract_string(jdoc, '$$[1].content')) > 0
+                 AS content_ok
+        FROM r3)
+      SELECT source, count(*) AS n_convos,
+             CAST(sum(CASE WHEN NOT parse_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_parse_fail,
+             CAST(sum(CASE WHEN parse_ok AND NOT role_ok THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_role_violation,
+             CAST(sum(CASE WHEN parse_ok AND role_ok AND NOT content_ok
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_content,
+             CAST(sum(CASE WHEN parse_ok AND role_ok AND content_ok
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+             CAST(sum(CASE WHEN parse_ok AND role_ok AND content_ok
+               THEN ${graft.functions.Portable.md5Hash64Sql("convo")}
+                 % ${graft.functions.Portable.P} ELSE 0 END) AS BIGINT)
+               AS valid_checksum
+      FROM aud GROUP BY source ORDER BY source"""))
+
+  override val defs: Seq[QueryDef] = Seq(q53, q54, q130, q308)
 }

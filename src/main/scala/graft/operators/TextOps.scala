@@ -1751,8 +1751,100 @@ object TextOps extends QueryModule {
                AS pass_id_sum
       FROM flags GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------------
+  // q304 — BPE ROUND-TRIP + OOV AUDIT: the tokenizer-release gate every
+  // training pipeline runs before shipping a vocab — (a) DECODE is
+  // lossless (concatenating the emitted tokens reproduces the word
+  // exactly: BPE merges only ever join adjacent symbols, so a failure
+  // means the merge chain corrupted a boundary), and (b) every emitted
+  // token is IN-VOCABULARY (a single letter or one of the trained merge
+  // outputs — any other string means encode invented a unit training
+  // never produced). Both invariants are checked PER TOKEN corpus-wide
+  // and censused per source; expected failures are zero, and the gate
+  // hashes the counts so a drift in either engine's training or
+  // application breaks the compare (the q119 discipline, pointed at the
+  // decode direction). Per-row map work + one rollup — no new shuffle
+  // class; the vocab is ~46 driver-held strings (model state).
+  // ---------------------------------------------------------------------
+  private val q304 = QueryDef(
+    "q304_bpe_roundtrip",
+    (spark, dir) => {
+      import spark.implicits._
+      val merges = trainBpe(spark, dir)
+      val encExpr = merges.foldLeft(
+        "concat(' ', regexp_replace(word, '(.)', '$1 '))")(
+        (e, m) => mergeExprSql(e, m._2, m._3))
+      val vocab = (('a' to 'z').map(_.toString) ++ merges.map(_._4)).distinct
+      val toks = Tables.documents(spark, dir)
+        .select($"source", explode(Portable.tokens($"text")).as("tok"))
+        .select($"source", lower($"tok").as("word"))
+        .filter($"word".rlike("^[a-z]+$"))
+        .withColumn("seq", expr(encExpr))
+        .withColumn("toks", split(trim($"seq"), " "))
+        .withColumn("decoded", array_join($"toks", ""))
+        .withColumn("rt_ok", $"decoded" === $"word")
+        .withColumn("n_oov",
+          size(filter($"toks", t => !t.isin(vocab: _*))))
+      toks.groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(size($"toks")).cast("long").as("n_tokens"),
+          sum(when(!$"rt_ok", 1L).otherwise(0L)).as("n_roundtrip_fail"),
+          sum($"n_oov".cast("long")).as("n_oov_tokens"),
+          sum(Portable.md5Hash64($"decoded") % lit(Portable.P))
+            .as("decoded_checksum"))
+        .orderBy($"source")
+    },
+    Some {
+      val encExpr = (1 to BpeRounds).foldLeft(
+        "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')") { (e, r) =>
+        (1 to MergePasses).foldLeft(e)((e2, _) =>
+          s"replace($e2, ' ' || (SELECT lhs FROM b$r) || ' ' || " +
+            s"(SELECT rhs FROM b$r) || ' ', ' ' || (SELECT lhs FROM b$r) " +
+            s"|| (SELECT rhs FROM b$r) || ' ')")
+      }
+      val letters = ('a' to 'z').map(c => s"'$c'").mkString(", ")
+      val mergedVocab = (1 to BpeRounds)
+        .map(r => s"SELECT lhs || rhs AS v FROM b$r").mkString(" UNION ")
+      s"""
+      WITH $bpeTrainCtes,
+      vocab AS (SELECT unnest([$letters]) AS v UNION $mergedVocab),
+      dw AS (
+        SELECT source, lower(t) AS word FROM (
+          SELECT source, unnest(${Portable.tokensSql("text")}) AS t
+          FROM documents)),
+      enc AS (
+        SELECT source, word,
+               string_split(trim($encExpr), ' ') AS toks
+        FROM dw WHERE regexp_matches(word, '^[a-z]+$$')),
+      aud AS (
+        SELECT source, word, toks,
+               array_to_string(toks, '') AS decoded
+        FROM enc),
+      oov AS (
+        -- lambda bodies cannot hold subqueries in DuckDB, so the
+        -- out-of-vocab count unnests to token grain and anti-filters
+        SELECT source, CAST(count(*) AS BIGINT) AS n_oov
+        FROM (SELECT source, unnest(toks) AS t FROM aud)
+        WHERE t NOT IN (SELECT v FROM vocab)
+        GROUP BY source),
+      base AS (
+        SELECT source, count(*) AS n_words,
+               CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN decoded <> word THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_roundtrip_fail,
+               CAST(sum(${Portable.md5Hash64Sql("decoded")} % ${Portable.P})
+                 AS BIGINT) AS decoded_checksum
+        FROM aud GROUP BY source)
+      SELECT b.source, b.n_words, b.n_tokens, b.n_roundtrip_fail,
+             CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov_tokens,
+             b.decoded_checksum
+      FROM base b LEFT JOIN oov o ON o.source = b.source
+      ORDER BY b.source"""
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(q26, q27, q28, q29, q30, q58, q75, q117, q119, q172, q208, q213,
       q259,
-      q214, q226, q275, q276, q284, q285, q292, q302)
+      q214, q226, q275, q276, q284, q285, q292, q302, q304)
 }

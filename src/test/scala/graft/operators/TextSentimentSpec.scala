@@ -275,6 +275,50 @@ class TextSentimentSpec extends AnyFunSuite {
     assert(toks < chars, s"no corpus-level compression: $toks tokens / $chars chars")
   }
 
+  test("q304 BPE round-trip: zero decode failures, zero OOV tokens, counts agree with q119") {
+    val rows = graft.SparkEntry.queries("q304_bpe_roundtrip")(
+      spark, graft.TestSpark.Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the release-gate invariants: decode is lossless and encode never
+      // emits a unit training did not produce
+      assert(r.getAs[Long]("n_roundtrip_fail") === 0L,
+        s"${r.getAs[String]("source")}: decode lost content")
+      assert(r.getAs[Long]("n_oov_tokens") === 0L,
+        s"${r.getAs[String]("source")}: out-of-vocabulary token emitted")
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"))
+    }
+    // totals reconcile with q119's per-doc accounting (same corpus pass)
+    val q119 = graft.SparkEntry.queries("q119_bpe_encode")(
+      spark, graft.TestSpark.Sf001).collect()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum ===
+      q119.map(_.getAs[Long]("n_bpe_tokens")).sum)
+    assert(rows.map(_.getAs[Long]("n_words")).sum ===
+      q119.map(_.getAs[Long]("n_alpha_words")).sum)
+  }
+
+  test("q308 chat audit: buckets are a partition and match the planted malformation classes") {
+    val rows = graft.SparkEntry.queries("q308_chat_template_audit")(
+      spark, graft.TestSpark.Sf001).collect()
+    val docs = graft.sources.Tables.documents(spark, graft.TestSpark.Sf001)
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val ms = ds.map { case (id, _) => Portable.md5Hash64Jvm(s"chat|$id") % 4 }
+      // m0 valid, m1 role violation, m2 empty content, m3 parse fail
+      src -> (ms.count(_ == 3L).toLong, ms.count(_ == 1L).toLong,
+        ms.count(_ == 2L).toLong, ms.count(_ == 0L).toLong)
+    }
+    rows.foreach { r =>
+      val (pf, rv, ec, ok) = expect(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_parse_fail") === pf)
+      assert(r.getAs[Long]("n_role_violation") === rv)
+      assert(r.getAs[Long]("n_empty_content") === ec)
+      assert(r.getAs[Long]("n_valid") === ok)
+      // the four buckets partition the census exactly
+      assert(pf + rv + ec + ok === r.getAs[Long]("n_convos"))
+    }
+  }
+
   test("rolling hash: order-sensitive, deterministic") {
     val df = Seq("a b c", "c b a", "a b c").toDF("text")
       .withColumn("fp", Portable.rollingHash(Portable.tokens($"text")))
