@@ -1575,7 +1575,70 @@ object Analytics extends QueryModule {
                + v2_adj / CAST(n2 AS DOUBLE)) AS z_adj
       FROM e"""))
 
+  // ---------------------------------------------------------------------
+  // q309 — TIME-OF-DAY ACTIVITY SEASONALITY with a χ² uniformity test:
+  // the "volume clock" diagnostic — per event type, the 24-hour count
+  // profile and Pearson's χ² against the uniform clock, ENTIRELY in
+  // exact integers: with E = n/24 the statistic collapses to
+  // χ² = (24·ΣO² − n²)/n, so chi2_milli = (1000·(24·ΣO² − n²)) div n
+  // is one integer division (no grid fill needed — an absent hour cell
+  // contributes O = 0 through ΣO² automatically). The peak hour rides
+  // the integer ENCODE max (cnt·100 + (23 − h), ties to the earlier
+  // hour), the q229 max-of-struct discipline without a struct. The
+  // rejection compares the milli statistic against the truncated
+  // χ²(23) 95% quantile (35172 milli) — integer versus integer.
+  // Scale: one (type, hour) rollup (≤ |types|·24 cells) + one per-type
+  // rollup. Companion to q295 (day-of-week returns, value-domain KW).
+  // ---------------------------------------------------------------------
+  private val Chi2Df23Milli = 35172L // χ²(23) at 0.95 = 35.172462
+
+  private val q309 = QueryDef(
+    "q309_hour_seasonality",
+    (spark, dir) => {
+      import spark.implicits._
+      val cells = Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .select($"event_type", hour($"ts").cast("long").as("h"))
+        .groupBy($"event_type", $"h")
+        .agg(count(lit(1)).as("cnt"))
+      cells.groupBy($"event_type")
+        .agg(
+          sum($"cnt").as("n_events"),
+          count(lit(1)).as("n_hours_active"),
+          sum($"cnt" * $"cnt").as("so2"),
+          max($"cnt" * 100L + (lit(23L) - $"h")).as("peak_code"))
+        .withColumn("chi2_milli",
+          expr("(1000 * (24 * so2 - n_events * n_events)) div n_events"))
+        .withColumn("peak_hour", lit(23L) - $"peak_code" % 100L)
+        .withColumn("peak_cnt", expr("peak_code div 100"))
+        .withColumn("nonuniform", $"chi2_milli" > Chi2Df23Milli)
+        .select($"event_type", $"n_events", $"n_hours_active",
+          $"chi2_milli", $"peak_hour", $"peak_cnt", $"nonuniform")
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT event_type,
+               CAST(sum(cnt) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_hours_active,
+               CAST(sum(cnt * cnt) AS BIGINT) AS so2,
+               CAST(max(cnt * 100 + (23 - h)) AS BIGINT) AS peak_code
+        FROM cells GROUP BY 1)
+      SELECT event_type, n_events, n_hours_active,
+             (1000 * (24 * so2 - n_events * n_events)) // n_events
+               AS chi2_milli,
+             23 - peak_code % 100 AS peak_hour,
+             peak_code // 100 AS peak_cnt,
+             (1000 * (24 * so2 - n_events * n_events)) // n_events
+               > $Chi2Df23Milli AS nonuniform
+      FROM agg ORDER BY event_type"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q88, q89, q90, q91, q95, q124, q132, q150, q178, q179, q182, q183,
-      q184, q185, q187, q196, q233, q296)
+      q184, q185, q187, q196, q233, q296, q309)
 }

@@ -3349,8 +3349,125 @@ object CrossSection extends QueryModule {
       FROM cum c JOIN summ s ON s.ta = c.ta AND s.tb = c.tb
       ORDER BY c.mon"""))
 
+  // ---------------------------------------------------------------------
+  // q310 — ALPHA-DECAY PROFILE: q246 measures the momentum signal's IC
+  // at the 1-month horizon; the question a researcher asks next is how
+  // fast that information DECAYS — the Spearman IC of the same 3-month
+  // momentum signal against forward returns at horizons h ∈ {1, 2, 3,
+  // 6} months, one summary row per horizon. Monthly ICs are exact-rank
+  // Spearman (the q246 machinery per horizon) floor-quantized to milli
+  // BEFORE cross-month aggregation (integer mean / IR — the house
+  // no-float-agg rule), with the hit rate as an exact count. The decay
+  // curve (mean_ic_milli by h) is the signal's tradable-horizon
+  // fingerprint.
+  // Scale: per horizon, two mon-partition rank windows (≤ |tickers|
+  // cells) + one monthly rollup + one 1-row summary — ×4 horizons,
+  // unioned. All grains dimension-sized.
+  // ---------------------------------------------------------------------
+  private val DecayHorizons = Seq(1, 2, 3, 6)
+
+  private val q310 = QueryDef(
+    "q310_alpha_decay",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("mon")
+      val base = mbars(spark, dir)
+        .withColumn("mom_c", $"close_c" - lag($"close_c", 3).over(wT))
+        .withColumn("mom_r",
+          $"mom_c".cast("double") / $"close_c".cast("double"))
+      val perH = DecayHorizons.map { h =>
+        val sig = base
+          .withColumn("fwd_c", lead($"close_c", h).over(wT) - $"close_c")
+          .filter($"mom_c".isNotNull && $"fwd_c".isNotNull)
+          .withColumn("fwd_r",
+            $"fwd_c".cast("double") / $"close_c".cast("double"))
+        val rm = Window.partitionBy("mon").orderBy($"mom_r", $"ticker")
+        val rf = Window.partitionBy("mon").orderBy($"fwd_r", $"ticker")
+        val perMon = sig
+          .withColumn("r_m", rank().over(rm).cast("long"))
+          .withColumn("r_f", rank().over(rf).cast("long"))
+          .withColumn("d", $"r_m" - $"r_f")
+          .groupBy($"mon")
+          .agg(count(lit(1)).as("n"), sum($"d" * $"d").as("sum_d2"))
+          .filter($"n" >= 5)
+          .withColumn("den", $"n" * ($"n" * $"n" - 1L))
+          .withColumn("ic_milli",
+            floor(lit(1000.0) *
+              ($"den" - $"sum_d2" * 6L).cast("double") /
+              $"den".cast("double")).cast("long"))
+        perMon.agg(
+          count(lit(1)).as("n_months"),
+          sum($"ic_milli").as("s_ic"),
+          sum($"ic_milli" * $"ic_milli").as("ss_ic"),
+          sum(when($"ic_milli" > 0L, 1L).otherwise(0L)).as("n_pos"))
+          .select(lit(h.toLong).as("horizon"), $"n_months",
+            expr(speelDivSql("s_ic", "n_months", "div")).as("mean_ic_milli"),
+            floor(lit(1000.0) *
+              ($"s_ic".cast("double") / $"n_months".cast("double")) /
+              sqrt(($"n_months" * $"ss_ic" - $"s_ic" * $"s_ic").cast("double") /
+                ($"n_months" * ($"n_months" - 1L)).cast("double")))
+              .cast("long").as("ir_milli"),
+            expr("(1000 * n_pos) div n_months").as("hit_milli"))
+      }
+      perH.reduce(_.unionByName(_)).orderBy($"horizon")
+    },
+    Some {
+      def hCtes(h: Int): String = s"""
+      sig_$h AS (
+        SELECT mon, ticker, mom_r,
+               CAST(fwd_c AS DOUBLE) / CAST(close_c AS DOUBLE) AS fwd_r
+        FROM (
+          SELECT mon, close_c,
+                 CAST(mom_c AS DOUBLE) / CAST(close_c AS DOUBLE) AS mom_r,
+                 lead(close_c, $h) OVER (PARTITION BY ticker ORDER BY mon)
+                   - close_c AS fwd_c,
+                 mom_c, ticker
+          FROM base)
+        WHERE mom_c IS NOT NULL AND fwd_c IS NOT NULL),
+      rk_$h AS (
+        SELECT mon,
+               CAST(rank() OVER (PARTITION BY mon ORDER BY mom_r, ticker)
+                 AS BIGINT) AS r_m,
+               CAST(rank() OVER (PARTITION BY mon ORDER BY fwd_r, ticker)
+                 AS BIGINT) AS r_f
+        FROM sig_$h),
+      pm_$h AS (
+        SELECT mon, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum((r_m - r_f) * (r_m - r_f)) AS BIGINT) AS sum_d2
+        FROM rk_$h GROUP BY mon HAVING count(*) >= 5),
+      ic_$h AS (
+        SELECT mon,
+               CAST(floor(1000.0 * CAST(n * (n * n - 1) - 6 * sum_d2 AS DOUBLE)
+                 / CAST(n * (n * n - 1) AS DOUBLE)) AS BIGINT) AS ic_milli
+        FROM pm_$h),
+      sm_$h AS (
+        SELECT CAST($h AS BIGINT) AS horizon,
+               CAST(count(*) AS BIGINT) AS n_months,
+               ${speelDivSql("CAST(sum(ic_milli) AS BIGINT)", "count(*)",
+                 "//")} AS mean_ic_milli,
+               CAST(floor(1000.0
+                 * (CAST(sum(ic_milli) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                 / sqrt(CAST(count(*) * sum(ic_milli * ic_milli)
+                     - sum(ic_milli) * sum(ic_milli) AS DOUBLE)
+                   / CAST(count(*) * (count(*) - 1) AS DOUBLE))) AS BIGINT)
+                 AS ir_milli,
+               (1000 * CAST(sum(CASE WHEN ic_milli > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT)) // count(*) AS hit_milli
+        FROM ic_$h)"""
+      s"""
+      WITH $mbarsSql,
+      base AS (
+        SELECT ticker, mon, close_c,
+               close_c - lag(close_c, 3) OVER (PARTITION BY ticker
+                 ORDER BY mon) AS mom_c
+        FROM mbars),
+      ${DecayHorizons.map(hCtes).mkString(",")}
+      ${DecayHorizons.map(h => s"SELECT * FROM sm_$h").mkString(" UNION ALL ")}
+      ORDER BY horizon"""
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256, q260, q262,
       q266, q269, q270, q274, q280, q282, q283, q289, q291, q295, q297,
-      q298, q300, q305, q306, q307)
+      q298, q300, q305, q306, q307, q310)
 }

@@ -861,6 +861,30 @@ class CrossSectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q310 alpha decay: horizon-1 summary reconciles with q246's monthly ICs; structure sane") {
+    val rows = run("q310_alpha_decay").orderBy($"horizon").collect()
+    assert(rows.map(_.getAs[Long]("horizon")).toSeq === Seq(1L, 2L, 3L, 6L))
+    // horizon 1 IS q246's per-month IC series — the summary must
+    // reconcile exactly with that query's output
+    val q246Ics = run("q246_monthly_ic").select($"ic_milli")
+      .as[Long].collect()
+    val h1 = rows.head
+    assert(h1.getAs[Long]("n_months") === q246Ics.length.toLong)
+    assert(h1.getAs[Long]("mean_ic_milli") ===
+      speel(q246Ics.sum, q246Ics.length.toLong))
+    assert(h1.getAs[Long]("hit_milli") ===
+      1000L * q246Ics.count(_ > 0L) / q246Ics.length)
+    rows.foreach { r =>
+      val hit = r.getAs[Long]("hit_milli")
+      assert(hit >= 0L && hit <= 1000L)
+      val m = r.getAs[Long]("mean_ic_milli")
+      assert(m >= -1000L && m <= 1000L, s"mean IC out of Spearman range: $m")
+    }
+    // longer horizons can only LOSE months (lead(h) nulls the tail)
+    val months = rows.map(_.getAs[Long]("n_months"))
+    assert(months.zip(months.tail).forall { case (a, b) => b <= a })
+  }
+
   test("q300 weights: largest-remainder apportionment sums to exactly 1e6; portfolio returns recompute") {
     val byT = monthlyY.groupBy(_._1)
     val vols = byT.toSeq.collect { case (t, xs) if xs.size >= 24 =>

@@ -854,4 +854,31 @@ class SketchGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q309 hour seasonality: chi-square and peak recompute from a driver fold of the events") {
+    val rows = run("q309_hour_seasonality").collect()
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf001)
+      .filter($"ts".isNotNull)
+      .select($"event_type", hour($"ts").cast("long"))
+      .as[(String, Long)].collect()
+    val byType = ev.groupBy(_._1)
+    assert(rows.length === byType.size)
+    rows.foreach { r =>
+      val counts = byType(r.getAs[String]("event_type"))
+        .groupBy(_._2).map { case (h, xs) => h -> xs.length.toLong }
+      val n = counts.values.sum
+      val so2 = counts.values.map(c => c * c).sum
+      assert(r.getAs[Long]("n_events") === n)
+      assert(r.getAs[Long]("n_hours_active") === counts.size.toLong)
+      val chi2 = 1000L * (24L * so2 - n * n) / n
+      assert(r.getAs[Long]("chi2_milli") === chi2)
+      assert(chi2 >= 0L, "chi-square must be nonnegative (Cauchy-Schwarz)")
+      // peak: (cnt desc, hour asc) — the encode's documented tie-break
+      val (ph, pc) = counts.toSeq.map { case (h, c) => (h, c) }
+        .sortBy { case (h, c) => (-c, h) }.head
+      assert(r.getAs[Long]("peak_hour") === ph)
+      assert(r.getAs[Long]("peak_cnt") === pc)
+      assert(r.getAs[Boolean]("nonuniform") === (chi2 > 35172L))
+    }
+  }
 }
