@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * This is the native-expression port of the three VADER mechanics that
   * dominate its behavior (Hutto & Gilbert 2014, public method):
   *
-  *   1. a large word→valence lexicon (4,609 entries as of round 11, vs
+  *   1. a large word→valence lexicon (5,198 entries as of round 13, vs
   *      public VADER's ~7.5k, at VADER-like magnitudes — a hand-curated
   *      core plus morphologically derived inflections and
   *      finance/slang/emoticon batches, see [[Lexicon]] — stored as
@@ -824,7 +824,7 @@ object SentimentLex {
   /** Stems whose final consonant doubles before -ed/-ing. */
   private val DoubleFinal =
     Set("expel", "excel", "nag", "snub", "stun", "flop", "shun", "abhor",
-      "regret", "outwit", "mar", "skim")
+      "regret", "outwit", "mar", "skim", "propel")
 
   /** Words whose inflections are irregular or unnatural — entered as
     * explicit single forms instead of through the derivation rules.
@@ -891,17 +891,21 @@ object SentimentLex {
 
   private def derivedEntries: Seq[(String, Int)] = {
     import SentimentLexGrowth.{VerbStems3, VerbStems4, VerbStems5,
-      AdjStems3, AdjStems4, AdjStems5, NounStems3, NounStems4, NounStems5,
-      ExtraWords2, ExtraWords3, ExtraWords4}
-    (VerbStems ++ VerbStems2 ++ VerbStems3 ++ VerbStems4 ++ VerbStems5)
+      VerbStems6, AdjStems3, AdjStems4, AdjStems5, AdjStems6, NounStems3,
+      NounStems4, NounStems5, NounStems6, ExtraWords2, ExtraWords3,
+      ExtraWords4, ExtraWords5}
+    (VerbStems ++ VerbStems2 ++ VerbStems3 ++ VerbStems4 ++ VerbStems5 ++
+      VerbStems6)
       .flatMap { case (w, v) =>
         Seq(w -> v, sForm(w) -> v, pastForm(w) -> v, ingForm(w) -> v) } ++
-    (AdjStems ++ AdjStems2 ++ AdjStems3 ++ AdjStems4 ++ AdjStems5)
+    (AdjStems ++ AdjStems2 ++ AdjStems3 ++ AdjStems4 ++ AdjStems5 ++
+      AdjStems6)
       .flatMap { case (w, v) => Seq(w -> v, lyForm(w) -> v) } ++
-    (NounStems ++ NounStems2 ++ NounStems3 ++ NounStems4 ++ NounStems5)
+    (NounStems ++ NounStems2 ++ NounStems3 ++ NounStems4 ++ NounStems5 ++
+      NounStems6)
       .flatMap { case (w, v) => Seq(w -> v, sForm(w) -> v) } ++
     ExtraWords ++ ExtraWords2 ++ ExtraWords3 ++ ExtraWords4 ++
-    FinanceBatch ++ SlangBatch
+    ExtraWords5 ++ FinanceBatch ++ SlangBatch
   }
 
   /** word → integer decivalence (VADER-like valence × 10): the curated

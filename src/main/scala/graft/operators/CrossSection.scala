@@ -3350,6 +3350,225 @@ object CrossSection extends QueryModule {
       ORDER BY c.mon"""))
 
   // ---------------------------------------------------------------------
+  // q313 — OUT-OF-SAMPLE PAIRS BACKTEST (r12 verdict "Next round" #4):
+  // q307's spread machinery under the q272 walk-forward discipline. The
+  // tape splits at a fixed calendar boundary (OosPivot — deterministic
+  // and SF-invariant: the fixture shipdates span the same 1995-01..
+  // 2001-11 calendar at every SF, so the pivot gives 48 in-sample and
+  // 35 out-of-sample months everywhere, keeping the screen's n ≥ 24
+  // month floor satisfiable in-sample); EVERY estimated parameter — the top-1 pair
+  // selection (q298's region-blocked corr screen), the milli-beta
+  // hedge, and the spread z-moments — derives from IN-SAMPLE months
+  // only (mon < pivot), and trades happen on OUT-OF-SAMPLE months only
+  // (mon ≥ pivot). The position signal is the LAGGED month's z over the
+  // full spread series, so the first OOS trade keys off the last IS
+  // month's spread — still strictly pre-trade information. Zero
+  // parameter leakage is spec-asserted (CrossSectionSpec recomputes the
+  // whole chain in the driver and checks every estimation input
+  // precedes every trade month); q307 stays as the documented in-sample
+  // twin whose machinery this query makes tradable.
+  // Scale: identical to q307 — the declared q298 pair-screen fan-out,
+  // then ≤ |months| rows keyed (ta, tb).
+  // ---------------------------------------------------------------------
+  private val OosPivot = "1999-01-01"
+
+  private val q313 = QueryDef(
+    "q313_pairs_backtest_oos",
+    (spark, dir) => {
+      import spark.implicits._
+      val wT = Window.partitionBy("ticker").orderBy("mon")
+      val sup = Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey".as("ticker"), $"n_regionkey".as("reg"))
+      // IN-SAMPLE pair screen: returns restricted to pre-pivot months
+      val retsIs = mbars(spark, dir)
+        .withColumn("prev_c", lag($"close_c", 1).over(wT))
+        .filter($"prev_c".isNotNull && $"mon" < lit(OosPivot).cast("date"))
+        .withColumn("y",
+          floor(lit(1000.0) * ($"close_c" - $"prev_c").cast("double") /
+            $"prev_c".cast("double")).cast("long"))
+        .join(broadcast(sup), "ticker")
+        .select($"reg", $"mon", $"ticker", $"y")
+      val top1 = regionBlockedPairs(retsIs).groupBy($"i", $"j")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+          sum($"x" * $"y").as("sxy"))
+        .filter($"n" >= 24 &&
+          ($"n" * $"sxx" - $"sx" * $"sx") > 0L &&
+          ($"n" * $"syy" - $"sy" * $"sy") > 0L)
+        .withColumn("corr",
+          ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+              ($"n" * $"syy" - $"sy" * $"sy").cast("double")))
+        .orderBy($"corr".desc, $"i", $"j").limit(1)
+        .select($"i".as("ta"), $"j".as("tb"))
+      val m = mbars(spark, dir).select($"ticker", $"mon", $"close_c")
+      val legs = m.join(broadcast(top1), $"ticker" === $"ta")
+        .select($"ta", $"tb", $"mon", $"close_c".as("ca"))
+        .join(m.select($"ticker".as("t2"), $"mon".as("mon2"),
+          $"close_c".as("cb")),
+          $"t2" === $"tb" && $"mon2" === $"mon")
+        .select($"ta", $"tb", $"mon", $"ca", $"cb")
+      // hedge ratio from IN-SAMPLE legs only
+      val beta = legs.filter($"mon" < lit(OosPivot).cast("date"))
+        .groupBy($"ta", $"tb")
+        .agg(count(lit(1)).as("bn"), sum($"cb").as("bx"), sum($"ca").as("by"),
+          sum($"cb" * $"cb").as("bxx"), sum($"cb" * $"ca").as("bxy"))
+        .withColumn("beta_milli",
+          floor(lit(1000.0) *
+            ($"bn" * $"bxy" - $"bx" * $"by").cast("double") /
+            ($"bn" * $"bxx" - $"bx" * $"bx").cast("double")).cast("long"))
+        .select($"ta".as("bta"), $"tb".as("btb"), $"beta_milli")
+      val spread = legs.join(broadcast(beta),
+          $"ta" === $"bta" && $"tb" === $"btb")
+        .withColumn("spread_c",
+          expr(speelDivSql("1000 * ca - beta_milli * cb", "1000", "div")))
+        .select($"ta", $"tb", $"mon", $"spread_c", $"beta_milli")
+      // z-moments from IN-SAMPLE spread only
+      val mom = spread.filter($"mon" < lit(OosPivot).cast("date"))
+        .groupBy($"ta".as("mta"), $"tb".as("mtb"))
+        .agg(count(lit(1)).as("zn"), sum($"spread_c").as("zs"),
+          sum($"spread_c" * $"spread_c").as("zss"))
+        .withColumn("mu", $"zs".cast("double") / $"zn".cast("double"))
+        .withColumn("sd",
+          sqrt(($"zn" * $"zss" - $"zs" * $"zs").cast("double") /
+            ($"zn" * ($"zn" - 1L)).cast("double")))
+        .select($"mta", $"mtb", $"mu", $"sd", $"zn")
+      val wP = Window.partitionBy("ta", "tb").orderBy("mon")
+      val traded = spread.join(broadcast(mom),
+          $"ta" === $"mta" && $"tb" === $"mtb")
+        .withColumn("z", ($"spread_c".cast("double") - $"mu") / $"sd")
+        .withColumn("z_prev", lag($"z", 1).over(wP))
+        .withColumn("d_spread",
+          $"spread_c" - lag($"spread_c", 1).over(wP))
+        .filter($"mon" >= lit(OosPivot).cast("date"))
+        .withColumn("pos",
+          when($"z_prev" > ZEnter, -1L)
+            .when($"z_prev" < -ZEnter, 1L)
+            .otherwise(0L))
+        .withColumn("pnl_c",
+          when($"d_spread".isNotNull, $"pos" * $"d_spread").otherwise(0L))
+        .withColumn("cum_pnl_c", sum($"pnl_c").over(
+          wP.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("is_months", $"zn")
+      val summ = traded.groupBy($"ta".as("sta"), $"tb".as("stb"))
+        .agg(count(lit(1)).as("n_oos_months"),
+          sum(when($"pos" =!= 0L, 1L).otherwise(0L)).as("n_in_pos"),
+          sum(when($"pnl_c" > 0L, 1L).otherwise(0L)).as("n_wins"),
+          sum($"pnl_c").as("total_pnl_c"))
+        .select($"sta", $"stb", $"n_oos_months", $"n_in_pos", $"n_wins",
+          $"total_pnl_c")
+      traded.join(broadcast(summ),
+          $"ta" === $"sta" && $"tb" === $"stb")
+        .select($"ta", $"tb", $"mon", $"beta_milli", $"spread_c",
+          $"pos", $"pnl_c", $"cum_pnl_c", $"is_months",
+          $"n_oos_months", $"n_in_pos", $"n_wins", $"total_pnl_c")
+        .orderBy($"mon")
+    },
+    Some(s"""
+      WITH $mbarsSql,
+      rets AS (
+        SELECT * FROM (
+          SELECT ticker, mon, close_c,
+                 lag(close_c, 1) OVER (PARTITION BY ticker ORDER BY mon)
+                   AS prev_c
+          FROM mbars)
+        WHERE prev_c IS NOT NULL AND mon < DATE '$OosPivot'),
+      rm AS (
+        SELECT n.n_regionkey AS reg, r.mon, r.ticker,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(r.close_c - r.prev_c AS DOUBLE)
+                 / CAST(r.prev_c AS DOUBLE)) AS BIGINT) AS y
+        FROM rets r
+        JOIN supplier s ON r.ticker = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey),
+      mom0 AS (
+        SELECT a.ticker AS i, b.ticker AS j,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a.y) AS BIGINT) AS sx,
+               CAST(sum(b.y) AS BIGINT) AS sy,
+               CAST(sum(a.y * a.y) AS BIGINT) AS sxx,
+               CAST(sum(b.y * b.y) AS BIGINT) AS syy,
+               CAST(sum(a.y * b.y) AS BIGINT) AS sxy
+        FROM rm a JOIN rm b
+          ON a.reg = b.reg AND a.mon = b.mon AND a.ticker < b.ticker
+        GROUP BY 1, 2),
+      top1 AS (
+        SELECT i AS ta, j AS tb FROM (
+          SELECT i, j,
+                 CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+          FROM mom0
+          WHERE n >= 24 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0)
+        ORDER BY corr DESC, i, j LIMIT 1),
+      legs AS (
+        SELECT t.ta, t.tb, a.mon, a.close_c AS ca, b.close_c AS cb
+        FROM top1 t
+        JOIN mbars a ON a.ticker = t.ta
+        JOIN mbars b ON b.ticker = t.tb AND b.mon = a.mon),
+      beta AS (
+        SELECT ta, tb,
+               CAST(floor(CAST('1000.0' AS DOUBLE)
+                 * CAST(count(*) * sum(cb * ca) - sum(cb) * sum(ca) AS DOUBLE)
+                 / CAST(count(*) * sum(cb * cb) - sum(cb) * sum(cb) AS DOUBLE))
+                 AS BIGINT) AS beta_milli
+        FROM legs WHERE mon < DATE '$OosPivot' GROUP BY 1, 2),
+      spread AS (
+        SELECT l.ta, l.tb, l.mon, bt.beta_milli,
+               ${speelDivSql("1000 * l.ca - bt.beta_milli * l.cb",
+                 "1000", "//")} AS spread_c
+        FROM legs l JOIN beta bt ON bt.ta = l.ta AND bt.tb = l.tb),
+      zm AS (
+        SELECT ta, tb, CAST(count(*) AS BIGINT) AS zn,
+               CAST(sum(spread_c) AS BIGINT) AS zs,
+               CAST(sum(spread_c * spread_c) AS BIGINT) AS zss
+        FROM spread WHERE mon < DATE '$OosPivot' GROUP BY 1, 2),
+      zs AS (
+        SELECT s.ta, s.tb, s.mon, s.beta_milli, s.spread_c, z.zn,
+               (CAST(s.spread_c AS DOUBLE)
+                 - CAST(z.zs AS DOUBLE) / CAST(z.zn AS DOUBLE))
+                 / sqrt(CAST(z.zn * z.zss - z.zs * z.zs AS DOUBLE)
+                   / CAST(z.zn * (z.zn - 1) AS DOUBLE)) AS z
+        FROM spread s JOIN zm z ON z.ta = s.ta AND z.tb = s.tb),
+      lagged AS (
+        SELECT *, lag(z) OVER w AS z_prev,
+               spread_c - lag(spread_c) OVER w AS d_spread
+        FROM zs WINDOW w AS (PARTITION BY ta, tb ORDER BY mon)),
+      oos AS (SELECT * FROM lagged WHERE mon >= DATE '$OosPivot'),
+      pos AS (
+        SELECT *, CASE WHEN z_prev > $ZEnter THEN -1
+                       WHEN z_prev < -$ZEnter THEN 1 ELSE 0 END AS pos
+        FROM oos),
+      pnl AS (
+        SELECT *, CASE WHEN d_spread IS NOT NULL THEN pos * d_spread
+                       ELSE 0 END AS pnl_c
+        FROM pos),
+      cum AS (
+        SELECT *, sum(pnl_c) OVER (PARTITION BY ta, tb ORDER BY mon
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_pnl_c
+        FROM pnl),
+      summ AS (
+        SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_oos_months,
+               CAST(sum(CASE WHEN pos <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_in_pos,
+               CAST(sum(CASE WHEN pnl_c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_wins,
+               CAST(sum(pnl_c) AS BIGINT) AS total_pnl_c
+        FROM cum GROUP BY 1, 2)
+      SELECT c.ta, c.tb, c.mon, c.beta_milli,
+             CAST(c.spread_c AS BIGINT) AS spread_c,
+             CAST(c.pos AS BIGINT) AS pos,
+             CAST(c.pnl_c AS BIGINT) AS pnl_c,
+             CAST(c.cum_pnl_c AS BIGINT) AS cum_pnl_c,
+             c.zn AS is_months,
+             s.n_oos_months, s.n_in_pos, s.n_wins, s.total_pnl_c
+      FROM cum c JOIN summ s ON s.ta = c.ta AND s.tb = c.tb
+      ORDER BY c.mon"""))
+
+  // ---------------------------------------------------------------------
   // q310 — ALPHA-DECAY PROFILE: q246 measures the momentum signal's IC
   // at the 1-month horizon; the question a researcher asks next is how
   // fast that information DECAYS — the Spearman IC of the same 3-month
@@ -3469,5 +3688,5 @@ object CrossSection extends QueryModule {
   override val defs: Seq[QueryDef] =
     Seq(q246, q247, q248, q249, q250, q252, q254, q255, q256, q260, q262,
       q266, q269, q270, q274, q280, q282, q283, q289, q291, q295, q297,
-      q298, q300, q305, q306, q307, q310)
+      q298, q300, q305, q306, q307, q310, q313)
 }

@@ -577,6 +577,226 @@ object Curation extends QueryModule {
       FROM ranked, lo ORDER BY source"""))
 
   // ---------------------------------------------------------------------
+  // q315 — NEYMAN-ALLOCATION STRATIFIED SAMPLE (Neyman 1934): q64 caps
+  // every stratum uniformly and q199 takes a flat per-group sample;
+  // the survey-sampling OPTIMAL design allocates a global budget B
+  // across strata ∝ N_h·σ_h (minimum-variance estimator of the corpus
+  // mean for fixed B) — big AND volatile strata get more rows. The
+  // variance signal here is doc length (n_chars): σ_h from exact
+  // integer moments through ONE fixed-order double expression,
+  // floor-quantized to an integer milli-weight N_h·σ_h BEFORE any
+  // cross-stratum arithmetic (the house no-float-agg rule), then the
+  // q134 largest-remainder integerization apportions B exactly
+  // (Σ alloc = B, ties on (remainder desc, source) — unique), and each
+  // stratum's rows are picked by salted-hash rank (the q199 stable-
+  // sample discipline: engine-, run- and partitioning-invariant).
+  // Output: one row per sampled doc with its stratum's allocation
+  // arithmetic attached.
+  // Scale: one map-combinable 3-moment aggregate over the corpus, a
+  // |sources|-row allocation frame (global largest-remainder window —
+  // exempt, ≤ |sources| rows), and a rank-limited per-source hash
+  // window (literal rn ≤ B cap → WindowGroupLimit: each partition
+  // buffers ≤ B rows regardless of stratum size) before the dynamic
+  // rn ≤ alloc cut.
+  // ---------------------------------------------------------------------
+  private val NeyBudget = 64L
+
+  private val q315 = QueryDef(
+    "q315_neyman_sample",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val x = Tables.documents(spark, dir)
+        .select($"source", $"doc_id", $"n_chars")
+      val mo = x.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("s"),
+          sum($"n_chars" * $"n_chars").as("q"))
+        .filter($"n_docs" >= 2L)
+        .withColumn("sd",
+          sqrt(($"n_docs" * $"q" - $"s" * $"s").cast("double") /
+            ($"n_docs" * ($"n_docs" - 1L)).cast("double")))
+        .withColumn("w_milli",
+          floor(lit(1000.0) * $"n_docs".cast("double") * $"sd").cast("long"))
+      val tot = mo.agg(sum($"w_milli").as("tot"))
+      val floored = mo.crossJoin(broadcast(tot))
+        .withColumn("floor_alloc", expr(s"($NeyBudget * w_milli) div tot"))
+        .withColumn("remainder", expr(s"($NeyBudget * w_milli) % tot"))
+      val leftover = floored.agg(
+        (lit(NeyBudget) - sum($"floor_alloc")).as("leftover"))
+      val wR = Window.orderBy($"remainder".desc, $"source")
+      val alloc = floored.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(wR))
+        .withColumn("alloc",
+          $"floor_alloc" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+        .select($"source", $"n_docs", $"w_milli", $"alloc")
+      val wS = Window.partitionBy($"source").orderBy($"hk", $"doc_id")
+      x.withColumn("hk", Portable.md5Hash64(
+          concat(lit("ney|"), $"doc_id".cast("string"))))
+        .withColumn("rn", row_number().over(wS).cast("long"))
+        .filter($"rn" <= NeyBudget) // literal cap → WindowGroupLimit
+        .join(broadcast(alloc), "source")
+        .filter($"rn" <= $"alloc")
+        .select($"source", $"rn", $"doc_id", $"n_chars", $"n_docs",
+          $"w_milli", $"alloc")
+        .orderBy($"source", $"rn")
+    },
+    Some(s"""
+      WITH mo AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS s,
+               CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+        FROM documents GROUP BY source HAVING count(*) >= 2),
+      wgt AS (
+        SELECT source, n_docs,
+               CAST(floor(CAST('1000.0' AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                 * sqrt(CAST(n_docs * q - s * s AS DOUBLE)
+                   / CAST(n_docs * (n_docs - 1) AS DOUBLE))) AS BIGINT)
+                 AS w_milli
+        FROM mo),
+      tot AS (SELECT CAST(sum(w_milli) AS BIGINT) AS tot FROM wgt),
+      floored AS (
+        SELECT source, n_docs, w_milli,
+               ($NeyBudget * w_milli) // tot AS floor_alloc,
+               ($NeyBudget * w_milli) % tot AS remainder
+        FROM wgt, tot),
+      lo AS (SELECT $NeyBudget - CAST(sum(floor_alloc) AS BIGINT)
+               AS leftover FROM floored),
+      ranked AS (
+        SELECT *, row_number() OVER (ORDER BY remainder DESC, source)
+          AS rk
+        FROM floored),
+      alloc AS (
+        SELECT source, n_docs, w_milli,
+               CAST(floor_alloc + CASE WHEN rk <= lo.leftover THEN 1
+                 ELSE 0 END AS BIGINT) AS alloc
+        FROM ranked, lo),
+      h AS (
+        SELECT source, doc_id, n_chars,
+               ${graft.functions.Portable.md5Hash64Sql(
+                 "'ney|' || CAST(doc_id AS VARCHAR)")} AS hk
+        FROM documents),
+      r AS (
+        SELECT source, doc_id, n_chars,
+               CAST(row_number() OVER (
+                 PARTITION BY source ORDER BY hk, doc_id) AS BIGINT) AS rn
+        FROM h)
+      SELECT r.source, r.rn, r.doc_id, r.n_chars, a.n_docs, a.w_milli,
+             a.alloc
+      FROM r JOIN alloc a ON a.source = r.source
+      WHERE r.rn <= $NeyBudget AND r.rn <= a.alloc
+      ORDER BY r.source, r.rn"""))
+
+  // ---------------------------------------------------------------------
+  // q316 — POPULATION STABILITY INDEX drift census (the credit-risk /
+  // production-ML drift metric, PSI = Σ (p_A − p_B)·ln(p_A/p_B)): is a
+  // corpus slice's doc-length profile stable between two cohorts? The
+  // cohorts are a deterministic salted-hash A/B split of each source's
+  // docs (the q199 hash discipline — partitioning/run/engine invariant,
+  // no RNG), the variable is binned doc length (n_chars div 256 — a
+  // value-domain grid, the q135 discipline), and empty-bin blowup is
+  // handled by add-one smoothing over the source's observed bin count.
+  // Exactness: bin counts are exact integers; each bin's PSI term is
+  // ONE fixed-order double expression over those integers (two
+  // divisions, one ln — the q305/q306 precedent) floor-quantized to
+  // micro BEFORE the per-source sum, so no float is ever aggregated
+  // (term ≥ 0 always: (p_A−p_B) and ln(p_A/p_B) share sign). The class
+  // thresholds are the industry-standard 0.10/0.25 applied to the
+  // integer micro value. An identical-distribution split reads ~0;
+  // the hash split makes this the NULL-calibration census a drift
+  // monitor is validated against before pointing it at release pairs.
+  // PSI's known small-sample bias (add-one smoothing over few docs
+  // inflates every term) is surfaced, not hidden: the `adequate` flag
+  // requires ≥ 25 docs per bin per cohort (the practitioner floor),
+  // and the class is only a calibrated verdict where adequate = 1 —
+  // the spec's null-calibration assertion is scoped exactly there.
+  // Scale: one (source, bin) grid rollup + a broadcast |sources|-row
+  // totals join + one per-source rollup — all map-combinable, no
+  // windows, no joins beyond the broadcast.
+  // ---------------------------------------------------------------------
+  private val PsiBinChars = 256L
+
+  private val q316 = QueryDef(
+    "q316_psi_drift",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      val binned = Tables.documents(spark, dir)
+        .withColumn("bin", expr(s"n_chars div $PsiBinChars"))
+        .withColumn("grp", Portable.md5Hash64(
+          concat(lit("psi|"), $"doc_id".cast("string"))) % 2)
+        .groupBy($"source", $"bin")
+        .agg(sum(when($"grp" === 0L, 1L).otherwise(0L)).as("c_a"),
+          sum(when($"grp" === 1L, 1L).otherwise(0L)).as("c_b"))
+      val totals = binned.groupBy($"source")
+        .agg(sum($"c_a").as("n_a"), sum($"c_b").as("n_b"),
+          count(lit(1)).as("k"))
+      val terms = binned.join(broadcast(totals), "source")
+        .withColumn("pa",
+          ($"c_a" + 1L).cast("double") / ($"n_a" + $"k").cast("double"))
+        .withColumn("pb",
+          ($"c_b" + 1L).cast("double") / ($"n_b" + $"k").cast("double"))
+        .withColumn("term_micro",
+          floor(lit(1e6) * ($"pa" - $"pb") * log($"pa" / $"pb"))
+            .cast("long"))
+      terms.groupBy($"source", $"n_a", $"n_b", $"k")
+        .agg(sum($"term_micro").as("psi_micro"),
+          max($"term_micro").as("top_term_micro"),
+          max_by($"bin", struct($"term_micro", -$"bin")).as("top_bin"))
+        .withColumn("drift_class",
+          when($"psi_micro" < 100000L, "stable")
+            .when($"psi_micro" < 250000L, "shifting")
+            .otherwise("drifted"))
+        .withColumn("adequate",
+          when(least($"n_a", $"n_b") >= lit(25L) * $"k", 1L).otherwise(0L))
+        .select($"source", $"n_a", $"n_b", $"k".as("n_bins"),
+          $"psi_micro", $"top_bin", $"top_term_micro", $"drift_class",
+          $"adequate")
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH binned AS (
+        SELECT source, n_chars // $PsiBinChars AS bin,
+               CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c_a,
+               CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c_b
+        FROM (
+          SELECT source, n_chars,
+                 ${graft.functions.Portable.md5Hash64Sql(
+                   "'psi|' || CAST(doc_id AS VARCHAR)")} % 2 AS grp
+          FROM documents)
+        GROUP BY 1, 2),
+      totals AS (
+        SELECT source, CAST(sum(c_a) AS BIGINT) AS n_a,
+               CAST(sum(c_b) AS BIGINT) AS n_b,
+               CAST(count(*) AS BIGINT) AS k
+        FROM binned GROUP BY 1),
+      terms AS (
+        SELECT b.source, b.bin, t.n_a, t.n_b, t.k,
+               CAST(floor(1e6
+                 * (CAST(b.c_a + 1 AS DOUBLE) / CAST(t.n_a + t.k AS DOUBLE)
+                    - CAST(b.c_b + 1 AS DOUBLE) / CAST(t.n_b + t.k AS DOUBLE))
+                 * ln((CAST(b.c_a + 1 AS DOUBLE) / CAST(t.n_a + t.k AS DOUBLE))
+                      / (CAST(b.c_b + 1 AS DOUBLE) / CAST(t.n_b + t.k AS DOUBLE))))
+                 AS BIGINT) AS term_micro
+        FROM binned b JOIN totals t ON t.source = b.source),
+      rolled AS (
+        SELECT source, n_a, n_b, k AS n_bins,
+               CAST(sum(term_micro) AS BIGINT) AS psi_micro,
+               CAST(max(term_micro) AS BIGINT) AS top_term_micro,
+               -((max(struct_pack(tm := term_micro, nb := -bin))).nb)
+                 AS top_bin
+        FROM terms GROUP BY 1, 2, 3, 4)
+      SELECT source, n_a, n_b, n_bins, psi_micro,
+             CAST(top_bin AS BIGINT) AS top_bin, top_term_micro,
+             CASE WHEN psi_micro < 100000 THEN 'stable'
+                  WHEN psi_micro < 250000 THEN 'shifting'
+                  ELSE 'drifted' END AS drift_class,
+             CAST(CASE WHEN least(n_a, n_b) >= 25 * n_bins THEN 1
+               ELSE 0 END AS BIGINT) AS adequate
+      FROM rolled ORDER BY source"""))
+
+  // ---------------------------------------------------------------------
   // q149 — in-engine multinomial NAIVE BAYES language classifier over
   // BIGRAM features (this corpus's languages share one unigram vocabulary
   // and differ only in transition structure — q129's lesson; unigram NB
@@ -2393,5 +2613,5 @@ object Curation extends QueryModule {
   override val defs: Seq[QueryDef] =
     Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134, q149, q164, q168,
       q175, q194, q195, q199, q200, q209, q227, q228, q245, q251, q253,
-      q273, q288, q301)
+      q273, q288, q301, q315, q316)
 }

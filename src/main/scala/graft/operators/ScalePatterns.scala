@@ -888,6 +888,229 @@ object ScalePatterns extends QueryModule {
       JOIN p99 ON p99.ks = tot.ks
       ORDER BY tot.ks"""))
 
+  // ---------------------------------------------------------------------
+  // q311 — MERGEABLE QUANTILE SKETCH (functions.QuantileSketchAgg): the
+  // rank/quantile hole in the sketch family (r12 verdict "Next round"
+  // #2). q70's exact percentile is a sort-based aggregate (fine at type
+  // grain, unshippable per-partition); q144's equi-width histogram needs
+  // global min/max and degrades on skewed long tails. The bottom-k
+  // hash-rank sketch is the mergeable middle: bounded state (k pairs),
+  // exact-merge (k smallest of a union = k smallest of the union of
+  // per-part k smallest — the KMV property, so two-level re-aggregation
+  // is bit-exact and partitioning never changes the value), and a DKW
+  // rank guarantee audited IN THE ROW: each percentile estimate carries
+  // its realized rank error next to the declared ε-budget
+  // (ceil(n·ε), ε = sqrt(ln(2/δ)/2k) ≈ 5.09% at k=1024, δ=1%), the
+  // q144 exact-vs-estimate discipline. SketchGraphSpec asserts every
+  // row lands within budget at both fixture SFs plus partition
+  // invariance; the scaladoc on QuantileSketchAgg records why a
+  // compaction-based KLL state cannot satisfy the engine's
+  // any-partitioning determinism contract.
+  // Scale: one map-side-combined sketch pass (k pairs per partition per
+  // type on the shuffle) + one broadcast-join audit pass (fan-out ≤ 5
+  // percentile rows per type — statically bounded). The audit join is
+  // the VERIFICATION stage, not the sketch: a 100 TB deployment ships
+  // only the first pass and reads quantiles straight off the sample.
+  // ---------------------------------------------------------------------
+  private val QskK = 1024
+  private val QskPcts = Seq(25L, 50L, 75L, 90L, 99L)
+  /** ceil(1e6 · sqrt(ln(2/δ)/(2k))) at δ = 1%: the DKW ε in ppm, kept
+    * integer so the budget `ceil(n·ε)` is exact integer arithmetic on
+    * both engines (the KmvEstConst discipline, minus the float).
+    */
+  private val QskEpsPpm: Long = 50864L
+  require(QskEpsPpm >= math.ceil(1e6 *
+    math.sqrt(math.log(2.0 / 0.01) / (2.0 * QskK))).toLong,
+    "declared ppm budget must dominate the DKW epsilon")
+
+  private val q311 = QueryDef(
+    "q311_quantile_sketch",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.{Portable, QuantileSketchAgg}
+      val ev = Tables.events(spark, dir)
+        .filter($"value".isNotNull && $"event_id".isNotNull)
+        .withColumn("cents",
+          ($"value".cast(DecimalType(28, 2)) * 100).cast("long"))
+        .withColumn("h", Portable.md5Hash64(
+          concat(lit("qsk|"), $"event_id".cast("string"))))
+      val ests = ev.groupBy($"event_type")
+        .agg(QuantileSketchAgg.sketch($"h", $"cents", QskK).as("sk"))
+        .select($"event_type", $"sk.n".as("n"), $"sk.sample".as("sample"))
+        .withColumn("sample_n", size($"sample").cast("long"))
+        .withColumn("p_pct", explode(typedLit(QskPcts)))
+        .withColumn("est_cents", element_at($"sample",
+          expr("(p_pct * sample_n + 99) div 100").cast("int")))
+        .select($"event_type", $"p_pct", $"n", $"sample_n", $"est_cents")
+      ev.select($"event_type", $"cents")
+        .join(broadcast(ests), "event_type")
+        .groupBy($"event_type", $"p_pct", $"n", $"sample_n", $"est_cents")
+        .agg(
+          sum(when($"cents" < $"est_cents", 1L).otherwise(0L)).as("cnt_lt"),
+          sum(when($"cents" <= $"est_cents", 1L).otherwise(0L)).as("cnt_le"))
+        .withColumn("target_rank", expr("(p_pct * n + 99) div 100"))
+        .withColumn("rank_err",
+          when($"target_rank" >= $"cnt_lt" + 1L &&
+            $"target_rank" <= $"cnt_le", 0L)
+            .otherwise(least(
+              abs($"target_rank" - ($"cnt_lt" + 1L)),
+              abs($"target_rank" - $"cnt_le"))))
+        .withColumn("rank_budget",
+          expr(s"(n * $QskEpsPpm + 999999) div 1000000"))
+        .withColumn("within_budget",
+          when($"rank_err" <= $"rank_budget", 1L).otherwise(0L))
+        .select($"event_type", $"p_pct", $"n", $"sample_n", $"est_cents",
+          $"target_rank", $"rank_err", $"rank_budget", $"within_budget")
+        .orderBy($"event_type", $"p_pct")
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents,
+               ${graft.functions.Portable.md5Hash64Sql(
+                 "'qsk|' || CAST(event_id AS VARCHAR)")} AS h
+        FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+      dist AS (SELECT event_type, h, min(cents) AS cents
+               FROM c GROUP BY 1, 2),
+      hranked AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM dist),
+      samp AS (SELECT event_type, cents FROM hranked WHERE rn <= $QskK),
+      sstat AS (SELECT event_type, CAST(count(*) AS BIGINT) AS sample_n
+                FROM samp GROUP BY 1),
+      nstat AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                FROM c GROUP BY 1),
+      sorted AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY cents) AS vr
+        FROM samp),
+      pcts AS (SELECT CAST(unnest([${QskPcts.mkString(", ")}]) AS BIGINT)
+                 AS p_pct),
+      est AS (
+        SELECT s.event_type, p.p_pct, ns.n, ss.sample_n,
+               s.cents AS est_cents
+        FROM sorted s
+        JOIN sstat ss ON ss.event_type = s.event_type
+        JOIN nstat ns ON ns.event_type = s.event_type
+        CROSS JOIN pcts p
+        WHERE s.vr = (p.p_pct * ss.sample_n + 99) // 100),
+      cnt AS (
+        SELECT e.event_type, e.p_pct, e.n, e.sample_n, e.est_cents,
+               CAST(sum(CASE WHEN c.cents < e.est_cents THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cnt_lt,
+               CAST(sum(CASE WHEN c.cents <= e.est_cents THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cnt_le
+        FROM est e JOIN c ON c.event_type = e.event_type
+        GROUP BY 1, 2, 3, 4, 5),
+      audit AS (
+        SELECT *, (p_pct * n + 99) // 100 AS target_rank,
+               (n * $QskEpsPpm + 999999) // 1000000 AS rank_budget
+        FROM cnt),
+      err AS (
+        SELECT *,
+               CASE WHEN target_rank BETWEEN cnt_lt + 1 AND cnt_le THEN 0
+                    ELSE least(abs(target_rank - (cnt_lt + 1)),
+                               abs(target_rank - cnt_le)) END AS rank_err
+        FROM audit)
+      SELECT event_type, p_pct, n, sample_n, est_cents,
+             CAST(target_rank AS BIGINT) AS target_rank,
+             CAST(rank_err AS BIGINT) AS rank_err,
+             CAST(rank_budget AS BIGINT) AS rank_budget,
+             CAST(CASE WHEN rank_err <= rank_budget THEN 1 ELSE 0 END
+               AS BIGINT) AS within_budget
+      FROM err
+      ORDER BY event_type, p_pct"""))
+
+  // ---------------------------------------------------------------------
+  // q314 — QUANTILE-SKETCH RE-AGGREGATION (the q133 pre-aggregated-cube
+  // discipline applied to q311): per-(type, day) bottom-k sketches in
+  // STORAGE form (exact row count + the h-ordered (h, v) pairs,
+  // functions.QuantileSketchArrayAgg) stand in for a materialized daily
+  // cube; the corpus quantile estimate then comes from a DECLARATIVE
+  // exact merge of the stored pairs — explode → min-v-per-hash → k
+  // smallest hashes — never touching raw events again. The merge is
+  // EXACT: h ≤ global kth ⟹ h ≤ every day's kth where h occurs (a
+  // union's k-th smallest only moves DOWN), so every globally-retained
+  // hash was retained by each day that saw it, and min-v-per-hash
+  // recovers the collision rule — the oracle is therefore the DIRECT
+  // one-level corpus SQL (q311's sample CTEs), unchanged: the hash gate
+  // proves two-level merge ≡ one-level sketch. At 100 TB the daily cube
+  // rows are ≤ k pairs each — any date range's quantile estimate is a
+  // merge over a few hundred tiny rows.
+  // Scale: the merge window partitions by event_type over DAILY-SKETCH
+  // pair rows — ≤ |days|·k rows per type, the per-day-calendar grain
+  // the WindowBounds `event_type` declaration covers.
+  // ---------------------------------------------------------------------
+  private val q314 = QueryDef(
+    "q314_quantile_reaggregate",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.{Portable, QuantileSketchAgg}
+      val ev = Tables.events(spark, dir)
+        .filter($"value".isNotNull && $"event_id".isNotNull)
+        .withColumn("cents",
+          ($"value".cast(DecimalType(28, 2)) * 100).cast("long"))
+        .withColumn("h", Portable.md5Hash64(
+          concat(lit("qsk|"), $"event_id".cast("string"))))
+        .withColumn("day", to_date($"ts"))
+      // level 1: the stored daily cube (≤ k pairs per type+day)
+      val daily = ev.groupBy($"event_type", $"day")
+        .agg(QuantileSketchAgg.sketchArray($"h", $"cents", QskK).as("sk"))
+      // level 2: exact declarative merge — raw data never re-read
+      val n2 = daily.groupBy($"event_type").agg(sum($"sk.n").as("n"))
+      val wH = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"h")
+      val merged = daily
+        .select($"event_type", explode($"sk.pairs").as("p"))
+        .groupBy($"event_type", $"p.h".as("h"))
+        .agg(min($"p.v").as("v"))
+        .withColumn("rn", row_number().over(wH))
+        .filter($"rn" <= QskK)
+        .groupBy($"event_type")
+        .agg(sort_array(collect_list($"v")).as("sample"))
+      merged.join(n2, "event_type")
+        .withColumn("sample_n", size($"sample").cast("long"))
+        .withColumn("p_pct", explode(typedLit(QskPcts)))
+        .withColumn("est_cents", element_at($"sample",
+          expr("(p_pct * sample_n + 99) div 100").cast("int")))
+        .select($"event_type", $"p_pct", $"n", $"sample_n", $"est_cents")
+        .orderBy($"event_type", $"p_pct")
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents,
+               ${graft.functions.Portable.md5Hash64Sql(
+                 "'qsk|' || CAST(event_id AS VARCHAR)")} AS h
+        FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+      dist AS (SELECT event_type, h, min(cents) AS cents
+               FROM c GROUP BY 1, 2),
+      hranked AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM dist),
+      samp AS (SELECT event_type, cents FROM hranked WHERE rn <= $QskK),
+      sstat AS (SELECT event_type, CAST(count(*) AS BIGINT) AS sample_n
+                FROM samp GROUP BY 1),
+      nstat AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                FROM c GROUP BY 1),
+      sorted AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY cents) AS vr
+        FROM samp),
+      pcts AS (SELECT CAST(unnest([${QskPcts.mkString(", ")}]) AS BIGINT)
+                 AS p_pct)
+      SELECT s.event_type, p.p_pct, ns.n, ss.sample_n,
+             s.cents AS est_cents
+      FROM sorted s
+      JOIN sstat ss ON ss.event_type = s.event_type
+      JOIN nstat ns ON ns.event_type = s.event_type
+      CROSS JOIN pcts p
+      WHERE s.vr = (p.p_pct * ss.sample_n + 99) // 100
+      ORDER BY s.event_type, p.p_pct"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q59, q60, q65, q66, q87, q133, q144, q161, q180, q186, q192, q264)
+    Seq(q59, q60, q65, q66, q87, q133, q144, q161, q180, q186, q192, q264,
+      q311, q314)
 }

@@ -490,19 +490,32 @@ object Similarity extends QueryModule {
         greatest($"va", $"vb").as("j"), $"cos")
   }
 
+  /** Shared q108/q312 semantic-dup pair stage: trained-cell assignment
+    * (rn = 1 of [[cellRanked]]) + rank-window candidates + exact cosine
+    * ≥ SemTau. Returns (emb, assign, pairs) — the first two persisted —
+    * so callers release them via Scoped.materialize (and the spec's
+    * driver recompute consumes the identical pair set the queries do).
+    */
+  private[graft] def semanticDupStage(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val (emb, ranked) = cellRanked(spark, dir)
+    val assign = ranked.filter($"rn" === 1)
+      .select($"vec_id", $"cid".as("cell"), $"d")
+      .join(emb.select($"vec_id", $"embedding", $"nrm"), "vec_id")
+      .persist()
+    val pairs = rankWindowPairs(assign)
+      .filter($"cos" >= SemTau)
+      .select($"cell", $"i", $"j")
+      .persist()
+    (emb, assign, pairs)
+  }
+
   private val q108 = QueryDef(
     "q108_semantic_dedup",
     (spark, dir) => {
       import spark.implicits._
-      val (emb, ranked) = cellRanked(spark, dir)
-      val assign = ranked.filter($"rn" === 1)
-        .select($"vec_id", $"cid".as("cell"), $"d")
-        .join(emb.select($"vec_id", $"embedding", $"nrm"), "vec_id")
-        .persist()
-      val pairs = rankWindowPairs(assign)
-        .filter($"cos" >= SemTau)
-        .select($"cell", $"i", $"j")
-        .persist()
+      val (emb, assign, pairs) = semanticDupStage(spark, dir)
       val nPairs = pairs.groupBy($"cell").agg(count(lit(1)).as("n_dup_pairs"))
       val nDropped = pairs.select($"cell", $"j").distinct()
         .groupBy($"cell").agg(count(lit(1)).as("n_dropped"))
@@ -1043,7 +1056,94 @@ object Similarity extends QueryModule {
                AS top_cos_milli
       FROM px GROUP BY la, lb ORDER BY la, lb"""))
 
+  // ---------------------------------------------------------------------
+  // q312 — SEMDEDUP KEEP POLICY (r12 verdict "Next round" #3): q108
+  // finds the semantic near-dup pairs (trained-cell blocking + rank
+  // window + exact cosine ≥ τ) and censuses drops per cell; this query
+  // completes the SemDeDup operator (Abbas et al. 2023: cluster in
+  // embedding space, drop all but one per semantic-dup group) with the
+  // KEEP DECISION: connected components over the q108 pair graph (the
+  // q72/q298 fixpoint-or-throw operator — third graph family through
+  // the same loop), then per component keep the q29-QUALITY argmax (the
+  // q200 policy composition: quality pick next to the naive lowest-id
+  // greedy pick with an agreement flag, because SemDeDup's "keep the
+  // best copy" beats "keep the first copy" only when they differ).
+  // Deterministic: quality argmax ties on (score desc, node asc) via
+  // the (score, -node) max_by key — a map-side-combinable aggregate,
+  // never a cluster-buffering window (the q167 discipline).
+  //
+  // Scale: pair generation is q108's — cell-blocked, rank-window-capped
+  // (≤ PairWindow candidates per vector at ANY cell size, the declared
+  // JoinFanoutBounds contract); components ride the guarded Pregel-class
+  // loop; quality attaches by one node-keyed equi-join; the census is a
+  // label rollup. Nothing corpus² anywhere.
+  // (Embeddings cover a prefix of the doc_id space in the fixture —
+  // vec_id ⊆ doc_id — so the node-keyed quality join is total on the
+  // embedded subset, the corpus SemDeDup actually scores.)
+  // ---------------------------------------------------------------------
+  private val q312 = QueryDef(
+    "q312_semdedup_keep",
+    (spark, dir) => {
+      import spark.implicits._
+      val (emb, assign, pairs) = semanticDupStage(spark, dir)
+      val labels = Dedup.connectedComponents(pairs.select($"i", $"j"))
+      val quality = TextOps.withQuality(Tables.documents(spark, dir))
+        .select($"doc_id".as("node"), $"score")
+      val out = labels.join(quality, Seq("node"))
+        .groupBy($"label".as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max_by($"node", struct($"score", -$"node")).as("quality_keep"),
+          min($"node").as("greedy_keep"))
+        .withColumn("agree",
+          when($"quality_keep" === $"greedy_keep", 1L).otherwise(0L))
+        .withColumn("n_dropped", $"cluster_size" - 1L)
+        .orderBy($"cluster_id")
+      Scoped.materialize(emb, assign, pairs)(out)
+    },
+    Some(s"""
+      WITH RECURSIVE ${Corpus.centroidPipelineCtes},
+      $cellAssignSql,
+      cr AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) AS r
+        FROM assign),
+      spairs AS (
+        SELECT least(a.vec_id, b.vec_id) AS i,
+               greatest(a.vec_id, b.vec_id) AS j
+        FROM cr a
+        JOIN cr b ON a.cell = b.cell
+                 AND b.r > a.r AND b.r <= a.r + $PairWindow
+        JOIN emb2 ea ON ea.vec_id = a.vec_id
+        JOIN emb2 eb ON eb.vec_id = b.vec_id
+        WHERE ${VectorOps.cosineFromScaledSql(
+          VectorOps.dotScaledSql("ea.embedding", "eb.embedding"),
+          "ea.nrm", "eb.nrm")} >= $SemTau),
+      cedges AS (SELECT i, j FROM spairs
+                 UNION SELECT j AS i, i AS j FROM spairs),
+      cnodes AS (SELECT DISTINCT i AS node FROM cedges),
+      reach(a, b) AS (
+        SELECT node, node FROM cnodes
+        UNION
+        SELECT r.a, e.j FROM reach r JOIN cedges e ON e.i = r.b),
+      labeled AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY a),
+      quality AS (${TextOps.qualitySql}),
+      joined AS (
+        SELECT l.label, l.node, q.score
+        FROM labeled l JOIN quality q ON q.doc_id = l.node),
+      rq AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY label ORDER BY score DESC, node ASC) AS r
+        FROM joined)
+      SELECT label AS cluster_id,
+             CAST(count(*) AS BIGINT) AS cluster_size,
+             max(CASE WHEN r = 1 THEN node END) AS quality_keep,
+             min(node) AS greedy_keep,
+             CAST(CASE WHEN max(CASE WHEN r = 1 THEN node END) = min(node)
+               THEN 1 ELSE 0 END AS BIGINT) AS agree,
+             CAST(count(*) - 1 AS BIGINT) AS n_dropped
+      FROM rq GROUP BY label ORDER BY cluster_id"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q39, q40, q56, q57, q76, q105, q108, q148, q162, q188, q204, q242,
-      q258)
+      q258, q312)
 }

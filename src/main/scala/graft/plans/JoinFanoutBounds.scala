@@ -77,6 +77,23 @@ object JoinFanoutBounds {
         " by the broadcast top-1 pair (≤ 1 row per month per side by the" +
         " silver's (ticker, mon) grain) — everything downstream is one" +
         " ≤ |months|-row frame keyed (ta, tb)."),
+    FanoutSite("q313_pairs_backtest_oos", Seq("mon"),
+      "q307's exact join shapes under the walk-forward split: the pair" +
+        " SELECTION is q298's region-blocked monthly screen restricted" +
+        " to in-sample months (same |universe/region|² budget, fewer" +
+        " month cells); the spread legs join is mbars × mbars at" +
+        " monthly grain where BOTH sides are first semi-reduced by the" +
+        " broadcast top-1 pair (≤ 1 row per month per side by the" +
+        " silver's (ticker, mon) grain) — everything downstream is one" +
+        " ≤ |months|-row frame keyed (ta, tb)."),
+    FanoutSite("q311_quantile_sketch", Seq("event_type"),
+      "DKW audit join: the fact stream joins the BROADCAST estimate" +
+        " table — ≤ |percentiles| (a 5-literal array) rows per" +
+        " event_type cell by construction (explode of a constant" +
+        " literal over the sketch rollup), so the fan-out is a ×5" +
+        " constant, invariant to corpus growth. The sketch pass itself" +
+        " is one map-side-combined aggregate, no join at all; a 100 TB" +
+        " deployment ships only that pass and skips the audit."),
     FanoutSite("q297_mann_kendall", Seq("ticker"),
       "Mann–Kendall sign/slope pairs block per ticker at MONTHLY grain:" +
         " |months|²/2 pairs per ticker cell — quadratic in the calendar" +

@@ -209,6 +209,11 @@ object WindowBounds {
     "q194_alpha_mixture" ->
       ("largest-remainder rounding over per-source allocation rows" +
         " (≤ |sources|)"),
+    "q315_neyman_sample" ->
+      ("largest-remainder rounding over per-source Neyman-weight rows" +
+        " (≤ |sources| — the q134 discipline); the per-source doc pick" +
+        " window is separately rank-limited (literal rn ≤ B cap →" +
+        " WindowGroupLimit, the q199 path)"),
     "q187_convert_latency" ->
       "cumulative distribution over ≤ 49 latency-bucket rollup rows",
     "q295_kruskal_wallis" ->

@@ -861,6 +861,107 @@ class CrossSectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q313 OOS pairs backtest: full driver recompute (screen, beta, z-moments, trades) and zero parameter leakage") {
+    val pivot = java.sql.Date.valueOf("1999-01-01")
+    val rows = run("q313_pairs_backtest_oos").orderBy($"mon").collect()
+    assert(rows.nonEmpty, "OOS window must contain trades at fixture SF")
+    // every emitted row is an OUT-OF-SAMPLE month — the walk-forward wall
+    rows.foreach(r => assert(!r.getAs[java.sql.Date]("mon").before(pivot)))
+    // ------- driver recompute of the ENTIRE estimation chain ----------
+    val bars = CrossSection.mbars(spark, TestSpark.Sf001)
+      .select($"ticker", $"mon", $"close_c")
+      .as[(Long, java.sql.Date, Long)].collect()
+    val reg = graft.sources.Tables.supplier(spark, TestSpark.Sf001)
+      .join(graft.sources.Tables.nation(spark, TestSpark.Sf001),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    val byT = bars.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(x => (x._2, x._3)).sortBy(_._1.getTime)
+    }
+    // in-sample milli returns per ticker-month (floor of one double div)
+    val retsIs: Map[Long, Map[java.sql.Date, Long]] = byT.map { case (t, ms) =>
+      t -> ms.zip(ms.tail).collect {
+        case ((_, p), (m, c)) if m.before(pivot) =>
+          m -> math.floor(1000.0 * (c - p).toDouble / p.toDouble).toLong
+      }.toMap
+    }
+    // region-blocked pair screen on IS months only
+    val tickers = byT.keys.toSeq.sorted
+    val cands = for {
+      i <- tickers; j <- tickers
+      if i < j && reg(i) == reg(j)
+      shared = retsIs(i).keySet.intersect(retsIs(j).keySet).toSeq
+      if shared.size >= 24
+    } yield {
+      val x = shared.map(retsIs(i)); val y = shared.map(retsIs(j))
+      val n = shared.size.toLong
+      val (sx, sy) = (x.sum, y.sum)
+      val sxx = x.map(v => v * v).sum; val syy = y.map(v => v * v).sum
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      val corr = if (vx > 0 && vy > 0)
+        (n * sxy - sx * sy).toDouble / math.sqrt(vx.toDouble * vy.toDouble)
+      else Double.NegativeInfinity
+      (i, j, corr, vx > 0 && vy > 0)
+    }
+    val sel = cands.filter(_._4).sortBy { case (i, j, c, _) => (-c, i, j) }.head
+    val (ta, tb) = (sel._1, sel._2)
+    assert(rows.head.getAs[Long]("ta") === ta && rows.head.getAs[Long]("tb") === tb,
+      "top-1 pair must come from the in-sample screen")
+    // legs on shared months (full tape), beta + z-moments from IS only
+    val mA = byT(ta).toMap; val mB = byT(tb).toMap
+    val shared = mA.keySet.intersect(mB.keySet).toSeq.sortBy(_.getTime)
+    val isM = shared.filter(_.before(pivot))
+    val bn = isM.size.toLong
+    val bx = isM.map(mB).sum; val by = isM.map(mA).sum
+    val bxx = isM.map(m => mB(m) * mB(m)).sum
+    val bxy = isM.map(m => mB(m) * mA(m)).sum
+    val beta = math.floor(1000.0 * (bn * bxy - bx * by).toDouble /
+      (bn * bxx - bx * bx).toDouble).toLong
+    def speelDiv(s: Long, w: Long): Long = if (s >= 0) s / w else -((-s) / w)
+    val spread = shared.map(m => m -> speelDiv(1000L * mA(m) - beta * mB(m), 1000L)).toMap
+    val zIs = isM.map(spread)
+    val zn = zIs.size.toLong; val zsum = zIs.sum
+    val zss = zIs.map(s => s * s).sum
+    val mu = zsum.toDouble / zn
+    val sd = math.sqrt((zn * zss - zsum * zsum).toDouble / (zn * (zn - 1)).toDouble)
+    // zero-leakage: every estimation month strictly precedes every trade
+    val firstTrade = rows.head.getAs[java.sql.Date]("mon")
+    assert(isM.forall(_.before(firstTrade)),
+      "an estimation-window month does not precede the first trade")
+    // OOS trades row-for-row (z_prev lags over the FULL spread series, so
+    // the first OOS position keys off the last IS month — pre-trade info)
+    val oosM = shared.filterNot(_.before(pivot))
+    assert(rows.map(_.getAs[java.sql.Date]("mon")).toSeq === oosM)
+    var cum = 0L; var inPos = 0L; var wins = 0L
+    rows.zipWithIndex.foreach { case (r, k) =>
+      val m = oosM(k)
+      val idx = shared.indexOf(m)
+      val prev = if (idx == 0) None else Some(shared(idx - 1))
+      val pos = prev.map { pm =>
+        val zPrev = (spread(pm).toDouble - mu) / sd
+        if (zPrev > 1.5) -1L else if (zPrev < -1.5) 1L else 0L
+      }.getOrElse(0L)
+      val pnl = prev.map(pm => pos * (spread(m) - spread(pm))).getOrElse(0L)
+      assert(r.getAs[Long]("beta_milli") === beta, s"row $k beta drifts")
+      assert(r.getAs[Long]("spread_c") === spread(m), s"row $k spread drifts")
+      assert(r.getAs[Long]("pos") === pos, s"row $k position drifts")
+      assert(r.getAs[Long]("pnl_c") === pnl, s"row $k pnl drifts")
+      cum += pnl
+      assert(r.getAs[Long]("cum_pnl_c") === cum, s"row $k cum drifts")
+      assert(r.getAs[Long]("is_months") === zn)
+      if (pos != 0L) inPos += 1
+      if (pnl > 0L) wins += 1
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_oos_months") === oosM.size.toLong)
+      assert(r.getAs[Long]("n_in_pos") === inPos)
+      assert(r.getAs[Long]("n_wins") === wins)
+      assert(r.getAs[Long]("total_pnl_c") === cum)
+    }
+  }
+
   test("q310 alpha decay: horizon-1 summary reconciles with q246's monthly ICs; structure sane") {
     val rows = run("q310_alpha_decay").orderBy($"horizon").collect()
     assert(rows.map(_.getAs[Long]("horizon")).toSeq === Seq(1L, 2L, 3L, 6L))

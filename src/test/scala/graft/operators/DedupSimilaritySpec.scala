@@ -261,4 +261,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select(col("doc_id"), col("m.h").as("sh"))
       .distinct()
   }
+
+  test("q312 semdedup keep: driver union-find + quality-argmax recompute, pair stage cell-bounded") {
+    val (emb, assign, pairs) =
+      Similarity.semanticDupStage(spark, TestSpark.Sf001)
+    try {
+      // cell-bounded pair counts (the JoinFanoutBounds contract the r12
+      // verdict asked the spec to assert): per cell, the rank-window
+      // join emits ≤ min(n·PairWindow, C(n,2)) candidate pairs
+      val cellN = assign.groupBy("cell").count().collect()
+        .map(r => r.get(0).toString -> r.getLong(1)).toMap
+      pairs.groupBy("cell").count().collect().foreach { r =>
+        val n = cellN(r.get(0).toString)
+        val cap = math.min(n * Similarity.SemPairWindow, n * (n - 1) / 2)
+        assert(r.getLong(1) <= cap,
+          s"cell ${r.get(0)} pair count ${r.getLong(1)} exceeds bound $cap")
+      }
+      // first-principles recompute of components + keep policy: driver
+      // union-find over the SAME pair set, quality argmax with the
+      // documented (score desc, node asc) tie-break — the q200
+      // policy-consistency check
+      val pcol = pairs.select("i", "j").as[(Long, Long)].collect()
+      val scores = TextOps.withQuality(
+          graft.sources.Tables.documents(spark, TestSpark.Sf001))
+        .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pcol.foreach { case (i, j) =>
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+      val expected = pcol.flatMap(p => Seq(p._1, p._2)).distinct
+        .groupBy(find).map { case (_, ns) =>
+          val scored = ns.filter(scores.contains).sorted
+          val qk = scored.maxBy(n => (scores(n), -n))
+          (ns.min, scored.length.toLong, qk, scored.min,
+            if (qk == scored.min) 1L else 0L, scored.length - 1L)
+        }.toSet
+      val got = run("q312_semdedup_keep")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === expected)
+      assert(got.nonEmpty, "fixture must exercise at least one semantic cluster")
+    } finally {
+      emb.unpersist(); assign.unpersist(); pairs.unpersist(); ()
+    }
+  }
 }

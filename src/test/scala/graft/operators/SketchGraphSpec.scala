@@ -881,4 +881,61 @@ class SketchGraphSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("nonuniform") === (chi2 > 35172L))
     }
   }
+
+  test("q311 quantile sketch: DKW budget holds at both SFs, exact for small groups, partition-invariant state") {
+    for (dir <- Seq(TestSpark.Sf001, TestSpark.Sf01)) {
+      val out = SparkEntry.queries("q311_quantile_sketch")(spark, dir).collect()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        // the within-guarantee assertion the r12 verdict asked for: every
+        // group/percentile's REALIZED rank error inside the DKW budget
+        assert(r.getAs[Long]("within_budget") === 1L,
+          s"$dir: rank error outside DKW budget: $r")
+        val n = r.getAs[Long]("n")
+        val sn = r.getAs[Long]("sample_n")
+        assert(sn === math.min(n, 1024L), "sample holds min(n, k) rows")
+        // a group the sketch holds ENTIRELY must be rank-exact
+        if (n <= 1024L) assert(r.getAs[Long]("rank_err") === 0L,
+          s"$dir: exact-regime group with nonzero rank error: $r")
+        assert(r.getAs[Long]("target_rank") >= 1L &&
+          r.getAs[Long]("target_rank") <= n)
+      }
+    }
+    // partition invariance: the sketch STATE (n, value-sorted sample) is
+    // a canonical function of the input set — identical under a single
+    // partition and under a 17-way hash repartition (Spark merges the
+    // partial buffers in whatever order; the TreeMap state cannot care)
+    import graft.functions.{Portable, QuantileSketchAgg}
+    import org.apache.spark.sql.types.DecimalType
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf01)
+      .filter($"value".isNotNull && $"event_id".isNotNull)
+      .withColumn("cents",
+        ($"value".cast(DecimalType(28, 2)) * 100).cast("long"))
+      .withColumn("h", Portable.md5Hash64(
+        concat(lit("qsk|"), $"event_id".cast("string"))))
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"event_type")
+        .agg(QuantileSketchAgg.sketch($"h", $"cents", 1024).as("sk"))
+        .select($"event_type", $"sk.n", $"sk.sample").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+        .sortBy(_._1).toSeq
+    assert(state(ev.repartition(1)) === state(ev.repartition(17, $"h")))
+  }
+
+  test("q314 quantile re-aggregation: two-level merged estimates equal q311's direct sketch at both SFs") {
+    // the KMV exact-merge property for the quantile sketch: daily stored
+    // sketches merged declaratively must reproduce the one-level corpus
+    // sketch bit-for-bit — so q314's estimate columns must equal the
+    // corresponding q311 columns exactly (q311 additionally audits rank
+    // error; the shared columns are the reconciliation surface)
+    for (dir <- Seq(TestSpark.Sf001, TestSpark.Sf01)) {
+      val direct = SparkEntry.queries("q311_quantile_sketch")(spark, dir)
+        .select("event_type", "p_pct", "n", "sample_n", "est_cents")
+        .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+      val merged = SparkEntry.queries("q314_quantile_reaggregate")(spark, dir)
+        .select("event_type", "p_pct", "n", "sample_n", "est_cents")
+        .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(merged === direct, s"$dir: two-level merge drifts from direct")
+    }
+  }
 }

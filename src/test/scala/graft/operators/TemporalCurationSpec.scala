@@ -458,4 +458,110 @@ class TemporalCurationSpec extends AnyFunSuite {
     assert(expect.keys.exists(_._2), "no docs planted")
     assert(expect.keys.exists(_._3), "detector never fired")
   }
+
+  test("q315 Neyman sample: allocation recomputes from exact moments, sums to B, picks are hash-rank prefixes") {
+    import graft.functions.Portable
+    val B = 64L
+    val rows = run("q315_neyman_sample").collect()
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf001)
+      .select($"source", $"doc_id", $"n_chars")
+      .as[(String, Long, Long)].collect()
+    // driver recompute: Neyman milli-weights from exact integer moments,
+    // then Hamilton largest-remainder apportionment of B
+    val bySrc = docs.groupBy(_._1)
+    val w = bySrc.toSeq.collect { case (src, xs) if xs.length >= 2 =>
+      val n = xs.length.toLong
+      val s = xs.map(_._3).sum
+      val q = xs.map(x => x._3 * x._3).sum
+      val sd = math.sqrt((n * q - s * s).toDouble / (n * (n - 1)).toDouble)
+      src -> math.floor(1000.0 * n * sd).toLong
+    }.toMap
+    val tot = w.values.sum
+    val floorA = w.map { case (s, wm) => s -> (B * wm / tot) }
+    val rem = w.map { case (s, wm) => s -> (B * wm % tot) }
+    val leftover = B - floorA.values.sum
+    val order = rem.toSeq.sortBy { case (s, r) => (-r, s) }.map(_._1)
+    val alloc = floorA ++ order.take(leftover.toInt)
+      .map(s => s -> (floorA(s) + 1L))
+    assert(alloc.values.sum === B, "largest-remainder must exhaust B")
+    // output agrees with the recompute: per-source counts and columns
+    val bySrcRows = rows.groupBy(_.getAs[String]("source"))
+    bySrcRows.foreach { case (src, rs) =>
+      val expectN = math.min(alloc(src), bySrc(src).length.toLong)
+      assert(rs.length.toLong === expectN, s"$src picked-count drifts")
+      assert(rs.map(_.getAs[Long]("rn")).sorted.toSeq ===
+        (1L to expectN), s"$src ranks not a prefix")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("alloc") === alloc(src))
+        assert(r.getAs[Long]("w_milli") === w(src))
+      }
+      // the picked docs are exactly the hash-rank prefix (q199 rule)
+      val expectedIds = bySrc(src)
+        .map(x => (Portable.md5Hash64Jvm(s"ney|${x._2}"), x._2))
+        .sorted.take(expectN.toInt).map(_._2).toSet
+      assert(rs.map(_.getAs[Long]("doc_id")).toSet === expectedIds,
+        s"$src picks are not the salted-hash-rank prefix")
+    }
+    assert(rows.map(_.getAs[String]("source")).toSet ===
+      alloc.filter(_._2 > 0).keySet, "every positive allocation sampled")
+  }
+
+  test("q316 PSI: full driver recompute (bins, smoothing, micro terms); null calibration where adequate") {
+    import graft.functions.Portable
+    var sawAdequate = false
+    // sf0.1 included deliberately: the small fixtures hold 25 docs per
+    // source (inadequate by the 25-per-bin-per-cohort floor), so the
+    // calibrated regime only exists at the bench fixture — the same
+    // bench-SF scoping ConvergenceSpec uses
+    for (dir <- Seq(TestSpark.Sf001, TestSpark.Sf01, "/root/testdata/sf0.1")) {
+      val rows = SparkEntry.queries("q316_psi_drift")(spark, dir).collect()
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select($"source", $"doc_id", $"n_chars")
+        .as[(String, Long, Long)].collect()
+      val bySrc = docs.groupBy(_._1)
+      assert(rows.length === bySrc.size)
+      rows.foreach { r =>
+        val src = r.getAs[String]("source")
+        val xs = bySrc(src)
+        val binned = xs.groupBy(x => x._3 / 256).map { case (b, ds) =>
+          val a = ds.count(d => Portable.md5Hash64Jvm(s"psi|${d._2}") % 2 == 0L)
+          b -> (a.toLong, (ds.length - a).toLong)
+        }
+        val nA = binned.values.map(_._1).sum
+        val nB = binned.values.map(_._2).sum
+        val k = binned.size.toLong
+        assert(r.getAs[Long]("n_a") === nA)
+        assert(r.getAs[Long]("n_b") === nB)
+        assert(r.getAs[Long]("n_bins") === k)
+        assert(nA + nB === xs.length.toLong, "split must partition the source")
+        val terms = binned.toSeq.map { case (b, (ca, cb)) =>
+          val pa = (ca + 1).toDouble / (nA + k).toDouble
+          val pb = (cb + 1).toDouble / (nB + k).toDouble
+          b -> math.floor(1e6 * (pa - pb) * math.log(pa / pb)).toLong
+        }
+        val psi = terms.map(_._2).sum
+        assert(r.getAs[Long]("psi_micro") === psi, s"$src PSI drifts")
+        val (topB, topT) = terms.sortBy { case (b, t) => (-t, b) }.head
+        assert(r.getAs[Long]("top_bin") === topB)
+        assert(r.getAs[Long]("top_term_micro") === topT)
+        terms.foreach { case (_, t) =>
+          assert(t >= 0L, "a PSI term is nonnegative by construction")
+        }
+        val cls = r.getAs[String]("drift_class")
+        assert(cls === (if (psi < 100000L) "stable"
+          else if (psi < 250000L) "shifting" else "drifted"))
+        val adequate = math.min(nA, nB) >= 25L * k
+        assert(r.getAs[Long]("adequate") === (if (adequate) 1L else 0L))
+        // null calibration, scoped to the flag's regime: an A/B hash
+        // split of ONE population must not read as full drift where the
+        // per-bin counts are adequate (small-sample PSI bias is real and
+        // the adequate=0 flag is exactly how the operator surfaces it)
+        if (adequate) {
+          sawAdequate = true
+          assert(cls !== "drifted", s"$dir $src: null split misread as drift")
+        }
+      }
+    }
+    assert(sawAdequate, "fixtures must exercise the adequate regime")
+  }
 }

@@ -185,6 +185,31 @@ class TextSentimentSpec extends AnyFunSuite {
       "intra-batch duplicate with conflicting valence")
   }
 
+  test("r13 growth batch is collision-free: no earlier batch masks a batch-6 valence") {
+    import SentimentLex.{sForm, pastForm, ingForm, lyForm}
+    import graft.functions.SentimentLexGrowth._
+    val batch6: Seq[(String, Int)] =
+      VerbStems6.flatMap { case (w, v) =>
+        Seq(w -> v, sForm(w) -> v, pastForm(w) -> v, ingForm(w) -> v) } ++
+      AdjStems6.flatMap { case (w, v) => Seq(w -> v, lyForm(w) -> v) } ++
+      NounStems6.flatMap { case (w, v) => Seq(w -> v, sForm(w) -> v) } ++
+      ExtraWords5
+    val lexMap = SentimentLex.Lexicon.toMap
+    val masked = batch6.filter { case (w, v) => lexMap.get(w).exists(_ != v) }
+    assert(masked.isEmpty,
+      s"batch-6 entries masked by earlier batches: ${masked.take(10)}")
+    assert(batch6.groupBy(_._1).forall(_._2.map(_._2).distinct.size == 1),
+      "intra-batch duplicate with conflicting valence")
+    // doubling whitelist + derived-form spot checks for the new batch
+    val lex = SentimentLex.Lexicon.toMap
+    assert(lex("propelled") === lex("propel"))
+    assert(lex("scuttling") === lex("scuttle"))
+    assert(lex("quandaries") === lex("quandary"))
+    assert(lex("flummoxes") === lex("flummox"))
+    assert(lex("pluckily") === lex("plucky"))
+    assert(lex("dead-cat-bounce") === -12)
+  }
+
   test("broad-sample scoring matches hand-computed valences and compounds") {
     // sentences spanning the finance, slang/emoticon, derived-inflection,
     // modifier and emphasis machinery; expected raws derived by hand from
