@@ -797,6 +797,72 @@ object Curation extends QueryModule {
       FROM rolled ORDER BY source"""))
 
   // ---------------------------------------------------------------------
+  // q318 — SFT LOSS-MASK CONSTRUCTION: the supervised-fine-tuning data
+  // prep step between q308's template audit and q106's packing — turn
+  // each (prompt, response) example into the training pair (input
+  // sequence, label sequence) where PROMPT positions are masked out of
+  // the loss (the -100 ignore-index convention) and RESPONSE positions
+  // carry their token. Examples derive deterministically from the
+  // corpus (prompt = the doc's first 40 chars, response = the next 40 —
+  // real text on both sides, no RNG); the label sequence is
+  // materialized positionally (each prompt slot replaced by the "-100"
+  // sentinel, then the response tokens) and pinned by the
+  // order-sensitive rolling hash, so a masking bug that shifts, drops
+  // or unmasks a single position changes the gated value. mask_ratio
+  // is exact integer milli. Whitespace-token granularity: template /
+  // special tokens ride the same per-position rule downstream.
+  // Scale: one map-only pass over documents — no shuffle at all until
+  // the final presentation sort.
+  // ---------------------------------------------------------------------
+  private val q318 = QueryDef(
+    "q318_sft_loss_mask",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Portable
+      Tables.documents(spark, dir)
+        .filter(length($"text") > 40)
+        .withColumn("p_toks", Portable.tokens(substring($"text", 1, 40)))
+        .withColumn("r_toks", Portable.tokens(substring($"text", 41, 40)))
+        .filter(size($"r_toks") > 0)
+        .withColumn("labels",
+          concat(transform($"p_toks", _ => lit("-100")), $"r_toks"))
+        .withColumn("n_prompt", size($"p_toks").cast("long"))
+        .withColumn("n_resp", size($"r_toks").cast("long"))
+        .withColumn("n_total", $"n_prompt" + $"n_resp")
+        .withColumn("mask_ratio_milli",
+          expr("(1000 * n_prompt) div n_total"))
+        .withColumn("labels_hash", Portable.rollingHash($"labels"))
+        .withColumn("resp_hash", Portable.rollingHash($"r_toks"))
+        .select($"doc_id", $"source", $"n_prompt", $"n_resp", $"n_total",
+          $"mask_ratio_milli", $"labels_hash", $"resp_hash")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH ex AS (
+        SELECT doc_id, source,
+               ${graft.functions.Portable.tokensSql(
+                 "substring(text, 1, 40)")} AS p_toks,
+               ${graft.functions.Portable.tokensSql(
+                 "substring(text, 41, 40)")} AS r_toks
+        FROM documents WHERE length(text) > 40),
+      built AS (
+        SELECT doc_id, source,
+               list_concat(list_transform(p_toks, x -> '-100'), r_toks)
+                 AS labels,
+               CAST(len(p_toks) AS BIGINT) AS n_prompt,
+               CAST(len(r_toks) AS BIGINT) AS n_resp,
+               r_toks
+        FROM ex WHERE len(r_toks) > 0)
+      SELECT doc_id, source, n_prompt, n_resp,
+             n_prompt + n_resp AS n_total,
+             (1000 * n_prompt) // (n_prompt + n_resp) AS mask_ratio_milli,
+             ${graft.functions.Portable.rollingHashSql("labels")}
+               AS labels_hash,
+             ${graft.functions.Portable.rollingHashSql("r_toks")}
+               AS resp_hash
+      FROM built ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
   // q149 — in-engine multinomial NAIVE BAYES language classifier over
   // BIGRAM features (this corpus's languages share one unigram vocabulary
   // and differ only in transition structure — q129's lesson; unigram NB
@@ -2613,5 +2679,5 @@ object Curation extends QueryModule {
   override val defs: Seq[QueryDef] =
     Seq(q61, q64, q67, q68, q69, q111, q112, q129, q134, q149, q164, q168,
       q175, q194, q195, q199, q200, q209, q227, q228, q245, q251, q253,
-      q273, q288, q301, q315, q316)
+      q273, q288, q301, q315, q316, q318)
 }

@@ -1353,7 +1353,91 @@ object Dedup extends QueryModule {
                % ${Portable.P} ELSE 0 END) AS BIGINT) AS kept_checksum
       FROM flagged GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------------
+  // q319 — MINHASH-LSH RECALL AUDIT (the q162 measured-recall discipline
+  // applied to the text-dedup family): q35's LSH pair set filters its
+  // candidates by EXACT Jaccard, so its errors are pure band MISSES —
+  // pairs at J ≥ 0.5 whose 18 minhashes never agreed on a full band.
+  // This query MEASURES that miss rate in-engine instead of trusting
+  // the (1−(1−s^r)^b) curve: a salted-hash sample of docs (the q199
+  // rule — deterministic, |corpus|/8 expected) gets its TRUE near-dup
+  // sets by brute-force exact Jaccard, and each sampled doc reports how
+  // many of its true near-dups the LSH path found (recall_milli per
+  // doc; docs with no true near-dup carry no denominator and are
+  // absent). found ⊆ true by construction, so recall ≤ 1000 always.
+  // Scale: the ground-truth join is SAMPLE-side postings × corpus
+  // postings on the shingle key — the q162 argument: audit cost is
+  // bounded by the sample, never corpus²; the LSH set is the shared
+  // q35 derived table.
+  // ---------------------------------------------------------------------
+  private val RecallSampleMod = 8L
+
+  private val q319 = QueryDef(
+    "q319_minhash_recall",
+    (spark, dir) => {
+      import spark.implicits._
+      val sh = shingles(spark, dir)
+      val qsh = Tables.documents(spark, dir)
+        .filter(Portable.md5Hash64(
+          concat(lit("mrc|"), $"doc_id".cast("string")))
+          % RecallSampleMod === 0L)
+        .select($"doc_id".as("q_id"))
+        .join(sh.withColumnRenamed("doc_id", "q_id"), "q_id")
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = qsh.join(sh.as("c"),
+          qsh("s") === col("c.s") && $"q_id" =!= col("c.doc_id"))
+        .groupBy($"q_id", col("c.doc_id").as("d_id"))
+        .agg(count(lit(1)).as("k"))
+      val truth = inter
+        .join(sizes.as("nq"), col("nq.doc_id") === $"q_id")
+        .join(sizes.as("nd"), col("nd.doc_id") === $"d_id")
+        .withColumn("jaccard", $"k".cast("double") /
+          (col("nq.n") + col("nd.n") - $"k").cast("double"))
+        .filter($"jaccard" >= 0.5)
+        .select($"q_id", $"d_id")
+      val lsh = nearDupPairs(spark, dir).select($"i", $"j")
+      val found = lsh.select($"i".as("q_id"), $"j".as("d_id"))
+        .unionAll(lsh.select($"j".as("q_id"), $"i".as("d_id")))
+        .withColumn("f", lit(1L))
+      truth.join(found, Seq("q_id", "d_id"), "left")
+        .groupBy($"q_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce($"f", lit(0L))).as("n_found"))
+        .withColumn("recall_milli", expr("(1000 * n_found) div n_true"))
+        .orderBy($"q_id")
+    },
+    Some(s"""
+      WITH $shinglesSql,
+      qs AS (
+        SELECT doc_id AS q_id, s FROM sh
+        WHERE ${Portable.md5Hash64Sql(
+          "'mrc|' || CAST(doc_id AS VARCHAR)")} % $RecallSampleMod = 0),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT q.q_id, c.doc_id AS d_id, count(*) AS k
+        FROM qs q JOIN sh c ON c.s = q.s AND c.doc_id <> q.q_id
+        GROUP BY 1, 2),
+      truth AS (
+        SELECT q_id, d_id
+        FROM inter
+        JOIN sizes nq ON nq.doc_id = q_id
+        JOIN sizes nd ON nd.doc_id = d_id
+        WHERE CAST(k AS DOUBLE) / CAST(nq.n + nd.n - k AS DOUBLE) >= 0.5),
+      lshp AS ($minhashOracle),
+      found AS (
+        SELECT i AS q_id, j AS d_id FROM lshp
+        UNION ALL SELECT j AS q_id, i AS d_id FROM lshp),
+      flg AS (
+        SELECT t.q_id, t.d_id,
+               CASE WHEN f.q_id IS NOT NULL THEN 1 ELSE 0 END AS f
+        FROM truth t
+        LEFT JOIN found f ON f.q_id = t.q_id AND f.d_id = t.d_id)
+      SELECT q_id, CAST(count(*) AS BIGINT) AS n_true,
+             CAST(sum(f) AS BIGINT) AS n_found,
+             (1000 * CAST(sum(f) AS BIGINT)) // count(*) AS recall_milli
+      FROM flg GROUP BY q_id ORDER BY q_id"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q34, q35, q36, q37, q38, q72, q96, q114, q118, q131, q151, q163,
-      q174, q225, q232, q303)
+      q174, q225, q232, q303, q319)
 }

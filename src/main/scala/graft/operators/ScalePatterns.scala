@@ -912,8 +912,8 @@ object ScalePatterns extends QueryModule {
   // the VERIFICATION stage, not the sketch: a 100 TB deployment ships
   // only the first pass and reads quantiles straight off the sample.
   // ---------------------------------------------------------------------
-  private val QskK = 1024
-  private val QskPcts = Seq(25L, 50L, 75L, 90L, 99L)
+  private[graft] val QskK = 1024
+  private[graft] val QskPcts = Seq(25L, 50L, 75L, 90L, 99L)
   /** ceil(1e6 · sqrt(ln(2/δ)/(2k))) at δ = 1%: the DKW ε in ppm, kept
     * integer so the budget `ceil(n·ε)` is exact integer arithmetic on
     * both engines (the KmvEstConst discipline, minus the float).

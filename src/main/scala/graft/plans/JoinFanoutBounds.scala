@@ -181,6 +181,13 @@ object JoinFanoutBounds {
       "perceptual-hash band buckets: per-(band, bits) cells bounded by" +
         " the band-bucket population; bit_count Hamming verify per" +
         " candidate pair."),
+    FanoutSite("q319_minhash_recall", Seq("s"),
+      "recall-audit ground truth: SAMPLE-side shingle postings (an" +
+        " expected 1/8 salted-hash doc sample) × corpus postings on the" +
+        " shingle key — audit cost bounded by the sample (the q162" +
+        " brute-force-the-sample discipline), never corpus²; per-doc" +
+        " shingle counts are MaxDocChars-bounded. The LSH side is the" +
+        " shared q35 derived table with its own banded bounds."),
     FanoutSite("q205_hard_negatives", Seq("s"),
       "shingle-blocked hard-negative candidates: df-capped postings" +
         " cells (the q37 rare-gram discipline) — near-misses surface" +

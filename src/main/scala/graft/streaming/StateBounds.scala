@@ -108,6 +108,10 @@ object StateBounds {
       "= one Misra–Gries buffer row per event_type (≤ k entries inside" +
         " the row)",
       types),
+    StateBound("q317_stream_quantile_sketch",
+      "= one bottom-k quantile-sketch row per event_type (≤ k (hash," +
+        " value) pairs + one count inside the row, not in the store)",
+      types),
     StateBound("q223_stream_triple_barrier",
       "= one ValueState row per ticker (≤ H+1 open entries inside)",
       (s, d) => graft.operators.WindowFeatures.tickersOf(s, d)),

@@ -1019,6 +1019,80 @@ object Streams extends QueryModule {
       ORDER BY event_type, cnt DESC, user_key"""))
 
   // ---------------------------------------------------------------------
+  // q317 — STREAMING QUANTILE SKETCH (q311's bottom-k sampler under
+  // streaming state, completing the sketch/stream matrix next to KMV
+  // q136, HLL q173 and Misra–Gries q206): the per-event_type bottom-k
+  // (hash, value) buffer folds incrementally through the state store —
+  // ≤ k pairs + one count per key, merged by the canonical
+  // k-smallest-of-union rule on every micro-batch, so micro-batch
+  // boundaries and merge order can never change the state (the same
+  // property that makes the batch aggregate partitioning-proof).
+  // Bounded replay + complete mode ⇒ the final sketch equals the batch
+  // sketch over all events, so the batch DIRECT-corpus SQL (q311's
+  // sample CTEs) gates it; percentile extraction runs batch-side on
+  // the sink output (≤ |types| rows — the q173 fold discipline).
+  // ---------------------------------------------------------------------
+  private val q317 = QueryDef(
+    "q317_stream_quantile_sketch",
+    (outer, dir) => {
+      val spark = streamSession(outer)
+      import spark.implicits._
+      import graft.functions.{Portable, QuantileSketchAgg}
+      import graft.operators.ScalePatterns.{QskK, QskPcts}
+      val sketched = eventsStream(spark, dir)
+        .filter($"value".isNotNull && $"event_id".isNotNull)
+        .withColumn("cents",
+          ($"value".cast(org.apache.spark.sql.types.DecimalType(28, 2)) * 100)
+            .cast("long"))
+        .groupBy($"event_type")
+        .agg(QuantileSketchAgg.sketch(
+          Portable.md5Hash64(concat(lit("qsk|"), $"event_id".cast("string"))),
+          $"cents", QskK).as("sk"))
+        .select($"event_type", $"sk.n".as("n"), $"sk.sample".as("sample"))
+      runToParquet(sketched, "complete")
+        .withColumn("sample_n", size($"sample").cast("long"))
+        .withColumn("p_pct", explode(typedLit(QskPcts)))
+        .withColumn("est_cents", element_at($"sample",
+          expr("(p_pct * sample_n + 99) div 100").cast("int")))
+        .select($"event_type", $"p_pct", $"n", $"sample_n", $"est_cents")
+        .orderBy($"event_type", $"p_pct")
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents,
+               ${graft.functions.Portable.md5Hash64Sql(
+                 "'qsk|' || CAST(event_id AS VARCHAR)")} AS h
+        FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+      dist AS (SELECT event_type, h, min(cents) AS cents
+               FROM c GROUP BY 1, 2),
+      hranked AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM dist),
+      samp AS (SELECT event_type, cents FROM hranked
+               WHERE rn <= ${graft.operators.ScalePatterns.QskK}),
+      sstat AS (SELECT event_type, CAST(count(*) AS BIGINT) AS sample_n
+                FROM samp GROUP BY 1),
+      nstat AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                FROM c GROUP BY 1),
+      sorted AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY cents) AS vr
+        FROM samp),
+      pcts AS (SELECT CAST(unnest([${
+        graft.operators.ScalePatterns.QskPcts.mkString(", ")}]) AS BIGINT)
+                 AS p_pct)
+      SELECT s.event_type, p.p_pct, ns.n, ss.sample_n,
+             s.cents AS est_cents
+      FROM sorted s
+      JOIN sstat ss ON ss.event_type = s.event_type
+      JOIN nstat ns ON ns.event_type = s.event_type
+      CROSS JOIN pcts p
+      WHERE s.vr = (p.p_pct * ss.sample_n + 99) // 100
+      ORDER BY s.event_type, p.p_pct"""))
+
+  // ---------------------------------------------------------------------
   // q265 — STREAMING DISTRIBUTION-DRIFT MONITOR: the production shape of
   // q197 — the χ² homogeneity readout is maintained WHILE events stream
   // in, not in a nightly batch compare. Per event_type, ValueState
@@ -1267,5 +1341,5 @@ object Streams extends QueryModule {
       WHERE epoch_us(session_end) + 1800000000 <= epoch_us(max_ts)
       ORDER BY user_id, session_start"""))
 
-  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104, q128, q136, q147, q157, q173, q206, q265, q268)
+  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q55, q74, q77, q86, q103, q104, q128, q136, q147, q157, q173, q206, q265, q268, q317)
 }

@@ -309,4 +309,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
       emb.unpersist(); assign.unpersist(); pairs.unpersist(); ()
     }
   }
+
+  test("q319 minhash recall: driver brute-force ground truth matches; found never exceeds true") {
+    import graft.functions.{CharShinglesExpr, Portable}
+    val rows = run("q319_minhash_recall").collect()
+    assert(rows.nonEmpty, "sample must contain docs with true near-dups")
+    // driver ground truth: exact char-5 shingle Jaccard over all pairs
+    // involving the salted-hash sample (500-doc fixture — tractable)
+    val sets = graft.sources.Tables.documents(spark, TestSpark.Sf001)
+      .select($"doc_id", CharShinglesExpr.shingles($"text", 5).as("sh"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, sh) => id -> sh.toSet }.toMap
+    val sample = sets.keys.filter(id =>
+      Portable.md5Hash64Jvm(s"mrc|$id") % 8 == 0L).toSeq.sorted
+    val truth = sample.map { q =>
+      q -> sets.keys.filter { d =>
+        d != q && {
+          val k = (sets(q) & sets(d)).size
+          k.toDouble / (sets(q).size + sets(d).size - k).toDouble >= 0.5
+        }
+      }.toSet
+    }.toMap
+    val lsh = run("q35_minhash_lsh").select("i", "j")
+      .as[(Long, Long)].collect()
+      .flatMap(p => Seq(p, p.swap)).toSet
+    val expected = truth.collect { case (q, ds) if ds.nonEmpty =>
+      val found = ds.count(d => lsh.contains((q, d))).toLong
+      (q, ds.size.toLong, found, 1000L * found / ds.size)
+    }.toSet
+    val got = rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_true"),
+      r.getAs[Long]("n_found"), r.getAs[Long]("recall_milli"))).toSet
+    assert(got === expected, "recall audit drifts from brute-force truth")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_true"),
+        "LSH verify filters by exact Jaccard — found ⊆ true must hold")
+      assert(r.getAs[Long]("recall_milli") >= 0L &&
+        r.getAs[Long]("recall_milli") <= 1000L)
+    }
+  }
 }

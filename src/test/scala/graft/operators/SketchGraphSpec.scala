@@ -937,5 +937,18 @@ class SketchGraphSpec extends AnyFunSuite {
         .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
       assert(merged === direct, s"$dir: two-level merge drifts from direct")
     }
+    // and the STREAMING path (q317): complete-mode state folding over
+    // the bounded replay must land on the same canonical sketch — the
+    // three-way batch ≡ merged-cube ≡ streamed equivalence that proves
+    // the state is genuinely order-insensitive
+    val streamed = SparkEntry.queries("q317_stream_quantile_sketch")(
+        spark, TestSpark.Sf001)
+      .select("event_type", "p_pct", "n", "sample_n", "est_cents")
+      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+    val direct001 = SparkEntry.queries("q311_quantile_sketch")(
+        spark, TestSpark.Sf001)
+      .select("event_type", "p_pct", "n", "sample_n", "est_cents")
+      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed === direct001, "streamed sketch drifts from batch")
   }
 }

@@ -564,4 +564,44 @@ class TemporalCurationSpec extends AnyFunSuite {
     }
     assert(sawAdequate, "fixtures must exercise the adequate regime")
   }
+
+  test("q318 loss mask: labels recompute positionally; masking is hash-detectable") {
+    import graft.functions.Portable
+    val P = Portable.P
+    def roll(ws: Seq[String]): Long =
+      ws.foldLeft(0L)((a, w) => (a * 31 + Portable.md5Hash64Jvm(w) % P) % P)
+    val rows = run("q318_sft_loss_mask").collect()
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf001)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      val p = "\\S+".r.findAllIn(text.substring(0, 40)).toSeq
+      val resp = "\\S+".r.findAllIn(
+        text.substring(40, math.min(80, text.length))).toSeq
+      assert(r.getAs[Long]("n_prompt") === p.length.toLong)
+      assert(r.getAs[Long]("n_resp") === resp.length.toLong)
+      val total = p.length + resp.length
+      assert(r.getAs[Long]("n_total") === total.toLong)
+      assert(r.getAs[Long]("mask_ratio_milli") === 1000L * p.length / total)
+      val labels = p.map(_ => "-100") ++ resp
+      assert(r.getAs[Long]("labels_hash") === roll(labels),
+        "label sequence drifts from the positional mask recompute")
+      assert(r.getAs[Long]("resp_hash") === roll(resp))
+      // masking must be DETECTABLE: an unmasked sequence hashes
+      // differently whenever the prompt had content the sentinel hides
+      if (p.nonEmpty && p.exists(_ != "-100"))
+        assert(roll(p ++ resp) !== roll(labels),
+          "unmasked and masked sequences may not collide")
+    }
+    // docs with no response tokens (text ≤ 40 chars or whitespace tail)
+    // are excluded — verify the exclusion rule rather than assume it
+    val included = rows.map(_.getAs[Long]("doc_id")).toSet
+    docs.foreach { case (id, text) =>
+      val hasResp = text.length > 40 &&
+        "\\S+".r.findAllIn(text.substring(40, math.min(80, text.length)))
+          .nonEmpty
+      assert(included.contains(id) === hasResp, s"doc $id inclusion drifts")
+    }
+  }
 }
