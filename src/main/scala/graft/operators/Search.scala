@@ -1271,6 +1271,176 @@ object Search extends QueryModule {
       WHERE rank <= $NegK
       ORDER BY anchor_id, rank"""))
 
+  // ---------------------------------------------------------------------
+  // q320 — RETRIEVAL EVALUATION (MRR / NDCG@10 / hit rates): the eval
+  // harness the ranking family (q84 tf·idf, q115 BM25, q177 RRF) has
+  // been missing — measured quality, not just scores. Relevance is
+  // SELF-SUPERVISED (the standard zero-label corpus trick): a salted-
+  // hash sample of docs become queries, each query's text is its own 3
+  // RAREST distinct tokens (lowest df, ties by token — rare terms are
+  // the ones that can find their source), and the one relevant doc for
+  // a query is the doc it was drawn from. Candidates score under q115's
+  // exact-integer BM25 (same idf/tfn scaling); the relevant doc's rank
+  // within the query's top-10 (score desc, doc_id) yields per-query
+  // reciprocal rank and single-relevant NDCG@10 = 1/log₂(rank+1) — the
+  // ten possible NDCG values are PRECOMPUTED Scala constants emitted
+  // into both engines (no runtime transcendental at all), quantized to
+  // micro before the per-source integer mean (the house rule).
+  // Scale: postings + df are the one corpus rollup (the index you
+  // materialize once); the query side is sample-bounded; the candidate
+  // join is keyed by RARE terms (a term only posts when it is one of
+  // some doc's 3 lowest-df tokens), and both rank windows carry literal
+  // rank caps (WindowGroupLimit — ≤ 3 / ≤ 10 rows buffered per cell).
+  // ---------------------------------------------------------------------
+  private val RevSampleMod = 16L
+  private val RevTerms = 3
+  private val RevK = 10
+  /** floor(1e6 / log₂(rank+1)) for rank = 1..10 — computed once here so
+    * neither engine evaluates a transcendental at query time.
+    */
+  private val NdcgMicro: Seq[Long] = (1 to RevK).map(r =>
+    math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  private val q320 = QueryDef(
+    "q320_retrieval_eval",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = Tables.documents(spark, dir)
+        .select($"doc_id", $"source",
+          explode(Portable.tokens(lower($"text"))).as("term"))
+      val postings = toks.groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("tf"))
+      val dfT = postings.groupBy($"term")
+        .agg(count(lit(1)).as("df"))
+      val docLen = postings.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val corpus = docLen.agg(
+        sum($"dl").as("sum_dl"), count(lit(1)).as("n_docs"))
+      // query construction: sampled docs pick their 3 rarest terms
+      val wRare = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"df".asc, $"term".asc)
+      val qterms = postings
+        .filter(Portable.md5Hash64(
+          concat(lit("rev|"), $"doc_id".cast("string")))
+          % RevSampleMod === 0L)
+        .join(dfT, "term")
+        .withColumn("rn", row_number().over(wRare))
+        .filter($"rn" <= RevTerms) // literal cap → WindowGroupLimit
+        .select($"doc_id".as("q_id"), $"term")
+      // BM25 over the candidate set (q115's exact-integer form)
+      val cands = qterms
+        .join(postings, "term")
+        .join(dfT, "term")
+        .join(docLen, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .withColumn("avgdl",
+          $"sum_dl".cast("double") / $"n_docs".cast("double"))
+        .withColumn("idf_scaled", expr("(1000000 * n_docs) div df"))
+        .withColumn("tfn_scaled",
+          floor(($"tf".cast("double") * lit(2200000.0)) /
+            ($"tf".cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) *
+                ($"dl".cast("double") / $"avgdl")))).cast("long"))
+        .groupBy($"q_id", $"doc_id")
+        .agg(sum($"idf_scaled" * $"tfn_scaled").as("score"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"score".desc, $"doc_id".asc)
+      val topk = cands
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter($"rank" <= RevK) // literal cap → WindowGroupLimit
+      // the relevant doc is the query's source doc; a miss scores 0
+      val ndcgCase = NdcgMicro.zipWithIndex.foldLeft(lit(0L)) {
+        case (acc, (v, i)) => when($"rank" === (i + 1).toLong, lit(v))
+          .otherwise(acc)
+      }
+      val perQ = topk.filter($"q_id" === $"doc_id")
+        .select($"q_id",
+          $"rank",
+          expr("1000 div rank").as("rr_milli"),
+          ndcgCase.as("ndcg_micro"))
+      val srcOf = Tables.documents(spark, dir)
+        .filter(Portable.md5Hash64(
+          concat(lit("rev|"), $"doc_id".cast("string")))
+          % RevSampleMod === 0L)
+        .select($"doc_id".as("q_id"), $"source")
+      srcOf.join(perQ, Seq("q_id"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when($"rank" === 1L, 1L).otherwise(0L)).as("hits_at_1"),
+          sum(when($"rank".isNotNull, 1L).otherwise(0L)).as("hits_at_10"),
+          sum(coalesce($"rr_milli", lit(0L))).as("sum_rr_milli"),
+          sum(coalesce($"ndcg_micro", lit(0L))).as("sum_ndcg_micro"))
+        .withColumn("mrr_milli", expr("sum_rr_milli div n_queries"))
+        .withColumn("ndcg10_micro", expr("sum_ndcg_micro div n_queries"))
+        .select($"source", $"n_queries", $"hits_at_1", $"hits_at_10",
+          $"mrr_milli", $"ndcg10_micro")
+        .orderBy($"source")
+    },
+    Some {
+      val ndcgSql = NdcgMicro.zipWithIndex.map { case (v, i) =>
+        s"WHEN rank = ${i + 1} THEN $v"
+      }.mkString(" ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(${Portable.tokensSql("lower(text)")}) AS term
+        FROM documents),
+      p AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      d AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+      dlt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+              FROM p GROUP BY 1),
+      corpus AS (
+        SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+               count(*) AS n_docs
+        FROM dlt),
+      qt AS (
+        SELECT doc_id AS q_id, term FROM (
+          SELECT p.doc_id, p.term,
+                 row_number() OVER (PARTITION BY p.doc_id
+                   ORDER BY d.df ASC, p.term ASC) AS rn
+          FROM p JOIN d ON d.term = p.term
+          WHERE ${Portable.md5Hash64Sql(
+            "'rev|' || CAST(p.doc_id AS VARCHAR)")} % $RevSampleMod = 0)
+        WHERE rn <= $RevTerms),
+      scored AS (
+        SELECT qt.q_id, p.doc_id,
+               CAST(sum(((1000000 * c.n_docs) // d.df) *
+                 CAST(floor((CAST(p.tf AS DOUBLE)
+                   * CAST(2200000.0 AS DOUBLE)) /
+                   (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                     (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                       (CAST(dlt.dl AS DOUBLE) / c.avgdl))))
+                   AS BIGINT)) AS BIGINT) AS score
+        FROM qt
+        JOIN p ON p.term = qt.term
+        JOIN d ON d.term = qt.term
+        JOIN dlt ON dlt.doc_id = p.doc_id, corpus c
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT q_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        FROM scored),
+      perq AS (
+        SELECT q_id, rank, 1000 // rank AS rr_milli,
+               CAST(CASE $ndcgSql ELSE 0 END AS BIGINT) AS ndcg_micro
+        FROM ranked WHERE rank <= $RevK AND q_id = doc_id),
+      qsrc AS (
+        SELECT doc_id AS q_id, source FROM documents
+        WHERE ${Portable.md5Hash64Sql(
+          "'rev|' || CAST(doc_id AS VARCHAR)")} % $RevSampleMod = 0)
+      SELECT s.source, CAST(count(*) AS BIGINT) AS n_queries,
+             CAST(sum(CASE WHEN pq.rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits_at_1,
+             CAST(sum(CASE WHEN pq.rank IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits_at_10,
+             CAST(sum(COALESCE(pq.rr_milli, 0)) AS BIGINT)
+               // count(*) AS mrr_milli,
+             CAST(sum(COALESCE(pq.ndcg_micro, 0)) AS BIGINT)
+               // count(*) AS ndcg10_micro
+      FROM qsrc s LEFT JOIN perq pq ON pq.q_id = s.q_id
+      GROUP BY 1 ORDER BY s.source"""
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(q84, q85, q92, q115, q120, q125, q166, q177, q190, q191, q205, q207)
+    Seq(q84, q85, q92, q115, q120, q125, q166, q177, q190, q191, q205, q207,
+      q320)
 }

@@ -188,6 +188,14 @@ object JoinFanoutBounds {
         " brute-force-the-sample discipline), never corpus²; per-doc" +
         " shingle counts are MaxDocChars-bounded. The LSH side is the" +
         " shared q35 derived table with its own banded bounds."),
+    FanoutSite("q320_retrieval_eval", Seq("term"),
+      "self-supervised retrieval eval: the candidate join posts only" +
+        " QUERY terms — each query contributes its 3 LOWEST-df tokens" +
+        " (rank-limited pick), so a term's cell is |queries that chose" +
+        " it| × df(term) with df at the rare tail by construction, and" +
+        " the query side is a 1/16 salted-hash doc sample (the q162" +
+        " audit-cost argument). Postings/df/doclen are the one corpus" +
+        " index rollup, materialized once at scale."),
     FanoutSite("q205_hard_negatives", Seq("s"),
       "shingle-blocked hard-negative candidates: df-capped postings" +
         " cells (the q37 rare-gram discipline) — near-misses surface" +

@@ -951,4 +951,67 @@ class SketchGraphSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
     assert(streamed === direct001, "streamed sketch drifts from batch")
   }
+
+  test("q320 retrieval eval: full driver BM25 recompute of every query's self-rank and the metric rollup") {
+    import graft.functions.Portable
+    val rows = run("q320_retrieval_eval").collect()
+    val docs = graft.sources.Tables.documents(spark, graft.TestSpark.Sf001)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    // corpus index: tf, df, dl, avgdl — exactly the query's rollups
+    val tf = docs.map { case (id, _, text) =>
+      id -> "\\S+".r.findAllIn(text.toLowerCase).toSeq
+        .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val dl = tf.map { case (id, m) => id -> m.values.sum }
+    val nDocs = docs.length.toLong
+    val avgdl = dl.values.sum.toDouble / nDocs.toDouble
+    def bm25(q: Set[String], d: Long): Long =
+      q.toSeq.flatMap { t =>
+        tf(d).get(t).map { f =>
+          val idf = 1000000L * nDocs / df(t)
+          val tfn = math.floor(f.toDouble * 2200000.0 /
+            (f.toDouble + 1.2 * (0.25 + 0.75 * (dl(d).toDouble / avgdl)))).toLong
+          idf * tfn
+        }
+      }.sum
+    val ndcgMicro = (1 to 10).map(r =>
+      math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+    val queries = docs.filter { case (id, _, _) =>
+      Portable.md5Hash64Jvm(s"rev|$id") % 16 == 0L }
+    assert(queries.nonEmpty)
+    val perSource = queries.groupBy(_._2).map { case (src, qs) =>
+      var h1 = 0L; var h10 = 0L; var rrSum = 0L; var ndcgSum = 0L
+      qs.foreach { case (q, _, _) =>
+        val qts = tf(q).toSeq
+          .map { case (t, _) => (df(t), t) }.sorted.take(3).map(_._2).toSet
+        val cands = docs.map(_._1).filter(d => qts.exists(tf(d).contains))
+          .map(d => (d, bm25(qts, d)))
+          .sortBy { case (d, s) => (-s, d) }
+        val rank = cands.indexWhere(_._1 == q) + 1
+        if (rank >= 1 && rank <= 10) {
+          h10 += 1; if (rank == 1) h1 += 1
+          rrSum += 1000L / rank; ndcgSum += ndcgMicro(rank - 1)
+        }
+      }
+      src -> (qs.length.toLong, h1, h10,
+        rrSum / qs.length, ndcgSum / qs.length)
+    }
+    assert(rows.length === perSource.size)
+    rows.foreach { r =>
+      val (n, h1, h10, mrr, ndcg) = perSource(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_queries") === n)
+      assert(r.getAs[Long]("hits_at_1") === h1)
+      assert(r.getAs[Long]("hits_at_10") === h10)
+      assert(r.getAs[Long]("mrr_milli") === mrr)
+      assert(r.getAs[Long]("ndcg10_micro") === ndcg)
+      assert(h1 <= h10 && h10 <= n)
+    }
+    // the self-retrieval construction must actually retrieve: at least
+    // one source finds its query doc in the top 10
+    assert(rows.map(_.getAs[Long]("hits_at_10")).sum > 0L,
+      "rare-term queries never retrieved their source doc")
+  }
 }
