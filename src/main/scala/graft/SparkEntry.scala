@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, CoreBatch, Corpus, CrossSection, Curation, Dedup, Extras, Graph, Indicators, Multimodal, ScalePatterns, Scoring, Search, Serde, Series, Similarity, Temporal, TextOps, WindowFeatures}
+import graft.operators.{Analytics, CoreBatch, Corpus, CrossSection, Curation, Dedup, Extras, Graph, Indicators, Multimodal, Risk, ScalePatterns, Scoring, Search, Serde, Series, Similarity, Temporal, TextOps, WindowFeatures}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +15,8 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     CoreBatch, WindowFeatures, TextOps, Scoring, Dedup, Similarity,
     Streams, Multimodal, Extras, Serde, ScalePatterns, Curation, Temporal,
-    Indicators, Search, Analytics, Corpus, Series, Graph, CrossSection)
+    Indicators, Search, Analytics, Corpus, Series, Graph, CrossSection,
+    Risk)
 
   private lazy val allDefs: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

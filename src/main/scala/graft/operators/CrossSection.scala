@@ -96,7 +96,7 @@ object CrossSection extends QueryModule {
     * current close (exact cent diffs, ONE correctly-rounded division
     * each — identical doubles cross-engine, so identical sort orders).
     */
-  private def withSignal(m: DataFrame): DataFrame = {
+  private[operators] def withSignal(m: DataFrame): DataFrame = {
     import m.sparkSession.implicits._
     val wT = Window.partitionBy("ticker").orderBy("mon")
     m.withColumn("mom_c", $"close_c" - lag($"close_c", 3).over(wT))
@@ -105,7 +105,7 @@ object CrossSection extends QueryModule {
       .withColumn("mom_r", $"mom_c".cast("double") / $"close_c".cast("double"))
   }
 
-  private val signalSql = """
+  private[operators] val signalSql = """
       sig AS (
         SELECT * FROM (
           SELECT ticker, mon, close_c,
