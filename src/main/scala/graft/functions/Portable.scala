@@ -14,9 +14,12 @@ object Portable {
 
   /** 60-bit deterministic hash: first 15 hex digits of md5, as a positive
     * BIGINT. md5 is the one hash both engines share byte-for-byte.
+    * Computed by the codegen'd [[Md5Hash64Expr]] — bit-identical to the
+    * declarative `conv(substring(md5(c), 1, 15), 16, 10)` chain (the
+    * oracle's form, and PortableHashSpec pins the equivalence) but with
+    * zero intermediate strings.
     */
-  def md5Hash64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def md5Hash64(c: Column): Column = Md5Hash64Expr.hash(c)
   def md5Hash64Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
@@ -56,10 +59,7 @@ object Portable {
   /** JVM twin of [[md5Hash64]] — the identical 60-bit value for the same
     * string, usable inside typed map functions where no Column exists.
     */
-  def md5Hash64Jvm(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  def md5Hash64Jvm(s: String): Long =
+    Md5Hash64Expr.hashBytes(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }

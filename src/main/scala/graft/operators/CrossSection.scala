@@ -2534,6 +2534,11 @@ object CrossSection extends QueryModule {
         .agg(sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)).as("tie_sum"))
       val wMed = Window.partitionBy("ticker")
         .orderBy($"slope_micro", $"ia", $"ib")
+      // (r13 note: a one-pass restructure — S as a full-partition window
+      // next to the median rank — measured SLOWER (6.1 s vs 4.1 s): the
+      // "two" pair subtrees already share one physical Exchange via
+      // ReuseExchange, so the rewrite only added an unbounded-frame
+      // window pass buffering the O(months²) pair partition. Kept as-is.)
       val sen = pairs
         .withColumn("rn", row_number().over(wMed).cast("long"))
         .withColumn("m2", count(lit(1))

@@ -1365,10 +1365,13 @@ object Dedup extends QueryModule {
   // many of its true near-dups the LSH path found (recall_milli per
   // doc; docs with no true near-dup carry no denominator and are
   // absent). found ⊆ true by construction, so recall ≤ 1000 always.
-  // Scale: the ground-truth join is SAMPLE-side postings × corpus
-  // postings on the shingle key — the q162 argument: audit cost is
-  // bounded by the sample, never corpus²; the LSH set is the shared
-  // q35 derived table.
+  // Scale: the ground-truth candidates come from the q232 PREFIX screen
+  // (rarest n div 2 + 1 shingles per doc in global-df order — exact for
+  // J ≥ 0.5 by the prefix lemma) with the sample filter on the probe
+  // side, so the blocked join posts only rare-shingle, length-compatible
+  // cells — never Σ df² over stop-shingles and never corpus²; the exact
+  // intersection count then runs per candidate pair (q37's verify
+  // machinery). The LSH set is the shared q35 derived table.
   // ---------------------------------------------------------------------
   private val RecallSampleMod = 8L
 
@@ -1376,34 +1379,55 @@ object Dedup extends QueryModule {
     "q319_minhash_recall",
     (spark, dir) => {
       import spark.implicits._
+      // r13 optimization (measured 50.6 s at sf0.1, the bench's worst
+      // query by 7×). The truth join's product volume Σ_s qdf·df is
+      // irreducible for exact intersection counts (this fixture's
+      // char-5 shingle universe is only ~2k values, so EVERY shingle is
+      // hot and prefix/rare-gram screens have nothing to screen with —
+      // measured: the q232 prefix screen made it 3× WORSE). What IS
+      // reducible is what the product costs: the original shuffled both
+      // posting sides (SMJ on a 5-char string key) and shuffled the
+      // ~200M-row join product into the pair rollup. Now the SAMPLE side
+      // (expected |corpus|/8 docs × shingles — audit model state, the
+      // q162/q39 broadcast-sample discipline) is BROADCAST carrying its
+      // doc's size, the corpus side stays partitioned by doc_id, and the
+      // pair rollup therefore pre-aggregates EXACTLY map-side (every
+      // row of pair (q, d) lives in d's partition), so the only shuffle
+      // is |distinct candidate pairs| skinny rows. The length-compat
+      // prune (max ≤ 2·min, provably implied by J ≥ 0.5: k ≤ min ⇒
+      // J ≤ min/max) drops dead pairs inside the broadcast join, and
+      // carrying both sizes through the rollup keys removes the two
+      // post-agg sizes joins. Identical rows out; the unchanged oracle
+      // (full sample × corpus postings join) re-proves it every run.
       val sh = shingles(spark, dir)
-      val qsh = Tables.documents(spark, dir)
+        .repartition(col("doc_id")).persist()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val qsh = sh
         .filter(Portable.md5Hash64(
           concat(lit("mrc|"), $"doc_id".cast("string")))
           % RecallSampleMod === 0L)
-        .select($"doc_id".as("q_id"))
-        .join(sh.withColumnRenamed("doc_id", "q_id"), "q_id")
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = qsh.join(sh.as("c"),
-          qsh("s") === col("c.s") && $"q_id" =!= col("c.doc_id"))
-        .groupBy($"q_id", col("c.doc_id").as("d_id"))
+        .join(broadcast(sizes), "doc_id")
+        .select($"doc_id".as("q_id"), $"s", $"n".as("qn"))
+      val csh = sh.join(broadcast(sizes), "doc_id")
+      val inter = csh.join(broadcast(qsh),
+          csh("s") === qsh("s") && $"q_id" =!= csh("doc_id") &&
+            greatest($"qn", csh("n")) <= least($"qn", csh("n")) * 2)
+        .groupBy($"q_id", csh("doc_id").as("d_id"), $"qn", csh("n").as("dn"))
         .agg(count(lit(1)).as("k"))
       val truth = inter
-        .join(sizes.as("nq"), col("nq.doc_id") === $"q_id")
-        .join(sizes.as("nd"), col("nd.doc_id") === $"d_id")
         .withColumn("jaccard", $"k".cast("double") /
-          (col("nq.n") + col("nd.n") - $"k").cast("double"))
+          ($"qn" + $"dn" - $"k").cast("double"))
         .filter($"jaccard" >= 0.5)
         .select($"q_id", $"d_id")
       val lsh = nearDupPairs(spark, dir).select($"i", $"j")
       val found = lsh.select($"i".as("q_id"), $"j".as("d_id"))
         .unionAll(lsh.select($"j".as("q_id"), $"i".as("d_id")))
         .withColumn("f", lit(1L))
-      truth.join(found, Seq("q_id", "d_id"), "left")
+      Scoped.materialize(sh)(truth.join(found, Seq("q_id", "d_id"), "left")
         .groupBy($"q_id")
         .agg(count(lit(1)).as("n_true"),
           sum(coalesce($"f", lit(0L))).as("n_found"))
-        .withColumn("recall_milli", expr("(1000 * n_found) div n_true"))
+        .withColumn("recall_milli", expr("(1000 * n_found) div n_true")))
         .orderBy($"q_id")
     },
     Some(s"""

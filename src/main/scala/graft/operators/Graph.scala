@@ -416,7 +416,17 @@ object Graph extends QueryModule {
     var alive = rewrap(start.select($"node"))
     var prevCount = alive.count()
     var lastDrop = 0L
-    (1 to PeelRounds).foreach { _ =>
+    // early exit on fixpoint (r13 optimization): the peel is MONOTONE —
+    // a round that drops nothing leaves the alive set unchanged, so every
+    // remaining round also drops nothing and lastDrop ends at 0. Stopping
+    // there returns the identical (alive, 0) pair while skipping the dead
+    // rounds' join+count jobs; the oracle still runs all PeelRounds CTE
+    // rounds and agrees by the same argument (ConvergenceSpec holds the
+    // fixpoint proof at both fixture SFs).
+    var round = 0
+    var fixed = false
+    while (round < PeelRounds && !fixed) {
+      round += 1
       val a1 = alive.select($"node".as("asrc"))
       val a2 = alive.select($"node".as("adst"))
       val next = rewrap(sym
@@ -428,6 +438,7 @@ object Graph extends QueryModule {
         .select(col("node")))
       val c = next.count()
       lastDrop = prevCount - c
+      fixed = lastDrop == 0L
       prevCount = c
       alive.unpersist()
       alive = next

@@ -182,12 +182,14 @@ object JoinFanoutBounds {
         " the band-bucket population; bit_count Hamming verify per" +
         " candidate pair."),
     FanoutSite("q319_minhash_recall", Seq("s"),
-      "recall-audit ground truth: SAMPLE-side shingle postings (an" +
-        " expected 1/8 salted-hash doc sample) × corpus postings on the" +
-        " shingle key — audit cost bounded by the sample (the q162" +
-        " brute-force-the-sample discipline), never corpus²; per-doc" +
-        " shingle counts are MaxDocChars-bounded. The LSH side is the" +
-        " shared q35 derived table with its own banded bounds."),
+      "recall-audit ground truth: PREFIX-screened candidates (the q232" +
+        " lemma — rarest n div 2 + 1 shingles per doc in global-df" +
+        " order, exact for J ≥ 0.5) with the 1/8 salted-hash sample" +
+        " filter on the probe side, so per-shingle cells are df-capped" +
+        " by the prefix pruning theorem and sample-bounded besides —" +
+        " never corpus² and never stop-shingle Σ df². The exact-Jaccard" +
+        " verify runs per candidate; the LSH side is the shared q35" +
+        " derived table with its own banded bounds."),
     FanoutSite("q320_retrieval_eval", Seq("term"),
       "self-supervised retrieval eval: the candidate join posts only" +
         " QUERY terms — each query contributes its 3 LOWEST-df tokens" +
