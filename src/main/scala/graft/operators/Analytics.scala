@@ -532,7 +532,15 @@ object Analytics extends QueryModule {
       val cols = ev.columns.map(col)
       val base = evx.filter(unix_micros($"ts") < $"cut").select(cols: _*)
       val delta = evx.filter(unix_micros($"ts") >= $"cut").select(cols: _*)
-      sessionReport(incrementalMerge(sessionize(base), sessionize(delta)))
+      // r13 OPTIMIZATION (guide §2.4): incrementalMerge references its
+      // base table 3× (last-session pick, kept-rows anti, offsets) and
+      // the delta 2× — as lineage copies each re-executed the whole
+      // chunk-scan sessionize (the before-plan holds 168 Exchanges).
+      // Materialize both session tables once; the merge then reads two
+      // tiny parquets. Values unchanged; hash-gated.
+      sessionReport(incrementalMerge(
+        Scoped.materialize()(sessionize(base)),
+        Scoped.materialize()(sessionize(delta))))
     },
     Some(sessionizeOracle))
 

@@ -2692,10 +2692,17 @@ object CrossSection extends QueryModule {
         .filter($"corr" >= lit(CorrEdgeMin.toDouble))
         .withColumn("corr_milli", floor($"corr" * 1000.0).cast("long"))
         .select($"i", $"j", $"corr_milli")
-      val labels = Dedup.connectedComponents(edges.select($"i", $"j"))
+      // r13 OPTIMIZATION (guide §2.4): the pair screen feeds BOTH the
+      // component loop and the intra-cluster census join — as two
+      // lineage copies of `edges` it EXECUTED TWICE per run (once
+      // materialized inside connectedComponents, once live in the final
+      // plan). Materialize the ≤|screened pairs| edge rows once; both
+      // consumers read the parquet back. Values unchanged; hash-gated.
+      val edgesM = Scoped.materialize()(edges)
+      val labels = Dedup.connectedComponents(edgesM.select($"i", $"j"))
       val census = labels.groupBy($"label".as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max($"node").as("max_ticker"))
-      val intra = edges
+      val intra = edgesM
         .join(labels.select($"node".as("i"), $"label".as("cluster_id")),
           Seq("i"))
         .groupBy($"cluster_id")
@@ -3198,12 +3205,20 @@ object CrossSection extends QueryModule {
         .orderBy($"corr".desc, $"i", $"j").limit(1)
         .select($"i".as("ta"), $"j".as("tb"))
       val m = mbars(spark, dir).select($"ticker", $"mon", $"close_c")
-      val legs = m.join(broadcast(top1), $"ticker" === $"ta")
-        .select($"ta", $"tb", $"mon", $"close_c".as("ca"))
-        .join(m.select($"ticker".as("t2"), $"mon".as("mon2"),
-          $"close_c".as("cb")),
-          $"t2" === $"tb" && $"mon2" === $"mon")
-        .select($"ta", $"tb", $"mon", $"ca", $"cb")
+      // r13 OPTIMIZATION (guide §2.4/§3.3): `legs` (≤ |months| rows once
+      // the broadcast top-1 pair semi-reduces both sides) is referenced
+      // by FOUR downstream lineage copies (beta, spread, and through
+      // them mom/traded/summ) — each copy re-plans and re-executes the
+      // whole pair-screen + legs subtree (the before-plan holds 208
+      // Exchanges / 110 BroadcastHashJoins). Materialize it once; every
+      // consumer reads the tiny parquet. Values unchanged; hash-gated.
+      val legs = Scoped.materialize()(
+        m.join(broadcast(top1), $"ticker" === $"ta")
+          .select($"ta", $"tb", $"mon", $"close_c".as("ca"))
+          .join(m.select($"ticker".as("t2"), $"mon".as("mon2"),
+            $"close_c".as("cb")),
+            $"t2" === $"tb" && $"mon2" === $"mon")
+          .select($"ta", $"tb", $"mon", $"ca", $"cb"))
       val beta = legs.groupBy($"ta", $"tb")
         .agg(count(lit(1)).as("bn"), sum($"cb").as("bx"), sum($"ca").as("by"),
           sum($"cb" * $"cb").as("bxx"), sum($"cb" * $"ca").as("bxy"))
@@ -3409,12 +3424,16 @@ object CrossSection extends QueryModule {
         .orderBy($"corr".desc, $"i", $"j").limit(1)
         .select($"i".as("ta"), $"j".as("tb"))
       val m = mbars(spark, dir).select($"ticker", $"mon", $"close_c")
-      val legs = m.join(broadcast(top1), $"ticker" === $"ta")
-        .select($"ta", $"tb", $"mon", $"close_c".as("ca"))
-        .join(m.select($"ticker".as("t2"), $"mon".as("mon2"),
-          $"close_c".as("cb")),
-          $"t2" === $"tb" && $"mon2" === $"mon")
-        .select($"ta", $"tb", $"mon", $"ca", $"cb")
+      // r13 OPTIMIZATION: one materialized copy of the ≤ |months|-row
+      // legs frame instead of four re-planned/re-executed lineage
+      // copies — the q307 rationale verbatim (guide §2.4/§3.3).
+      val legs = Scoped.materialize()(
+        m.join(broadcast(top1), $"ticker" === $"ta")
+          .select($"ta", $"tb", $"mon", $"close_c".as("ca"))
+          .join(m.select($"ticker".as("t2"), $"mon".as("mon2"),
+            $"close_c".as("cb")),
+            $"t2" === $"tb" && $"mon2" === $"mon")
+          .select($"ta", $"tb", $"mon", $"ca", $"cb"))
       // hedge ratio from IN-SAMPLE legs only
       val beta = legs.filter($"mon" < lit(OosPivot).cast("date"))
         .groupBy($"ta", $"tb")

@@ -900,14 +900,19 @@ object Curation extends QueryModule {
           concat($"p.w1", lit(" "), $"p.w2").as("tok"))
         .groupBy($"doc_id", $"lang", $"tok")
         .agg(count(lit(1)).as("n_occ"))
-      val ctl = occ.groupBy($"tok", $"lang".as("model"))
+      // r13 OPTIMIZATION (guide §2.4): the bigram-occurrence rollup
+      // feeds FOUR lineage copies (per-(tok,lang) counts, per-lang
+      // totals, the vocab count and the scoring join) — each copy
+      // re-executed the tokenize+explode+groupBy. Materialize once.
+      val occM = Scoped.materialize()(occ)
+      val ctl = occM.groupBy($"tok", $"lang".as("model"))
         .agg(sum($"n_occ").as("ctl"))
-      val cl = occ.groupBy($"lang".as("model"))
+      val cl = occM.groupBy($"lang".as("model"))
         .agg(sum($"n_occ").as("cl"), countDistinct($"doc_id").as("docs_l"))
       val scal = Tables.documents(spark, dir).agg(
         count(lit(1)).as("n_docs"))
-        .crossJoin(occ.agg(countDistinct($"tok").as("v")))
-      val scored = occ.drop("lang")
+        .crossJoin(occM.agg(countDistinct($"tok").as("v")))
+      val scored = occM.drop("lang")
         .crossJoin(broadcast(cl))
         .join(ctl, Seq("tok", "model"), "left")
         .crossJoin(broadcast(scal))

@@ -5,6 +5,7 @@ import graft.functions.{Portable, VectorOps}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deduplication suite for large-scale corpus curation (builder brief +
   * SURVEY.md §7.2 step 7): exact hash-dedup, MinHash+LSH near-dup,
@@ -627,7 +628,6 @@ object Dedup extends QueryModule {
     var edges = rewrap(pairs
       .select(col("i").as("u"), col("j").as("v"))
       .filter($"u" =!= $"v").distinct())
-    var n = edges.count()
     // Phase 1 — two min-label-propagation rounds on the ORIGINAL edge set.
     // Real near-dup graphs are shallow (cliques and stars from band
     // buckets), where LP hits its fixed point immediately and costs one
@@ -643,18 +643,37 @@ object Dedup extends QueryModule {
         .select($"v".as("node"), $"label")
         .union(labels)
         .groupBy($"node").agg(min($"label").as("label")))
+    // (r13 note: dropping l0's distinct looked like a free exchange cut
+    // but is NOT — propagate joins labels by node, so a node of degree d
+    // would carry d duplicate seed rows into the join and the output
+    // becomes Σ deg² wedge rows instead of Σ deg. Measured 2× slower on
+    // q312; the distinct stays.)
     val l0 = rewrap(symEdges.select($"u".as("node"), $"u".as("label")).distinct())
     val l1 = propagate(l0)
     val l2 = propagate(l1)
-    // labels only ever decrease, and both tables hold one row per node —
-    // size-equal set difference is a full equality probe
-    val lpConverged = l2.except(l1).isEmpty
+    // labels only ever DECREASE pointwise (each round takes a min over a
+    // superset that includes the node's own label) and both tables hold
+    // one row per node, so l2 == l1 ⟺ equal row count AND equal exact
+    // label sum. Two scalar aggregates replace the r12 two-sided
+    // `except` probe, which shuffled both full label tables just to
+    // prove emptiness (r13, guide §2.3/§2.4 — shuffle metadata, not
+    // rows). DECIMAL(38,0) keeps the sum exact at any node-id scale.
+    def labelSum(l: DataFrame): (Long, BigDecimal) = {
+      val r = l.agg(count(lit(1)),
+        sum($"label".cast(DecimalType(38, 0)))).head
+      val s = r.getDecimal(1)
+      (r.getLong(0), if (s == null) BigDecimal(0) else BigDecimal(s))
+    }
+    val lpConverged = labelSum(l2) == labelSum(l1)
     l0.unpersist(); l1.unpersist()
     if (lpConverged) {
       edges.unpersist()
       return Scoped.materialize(l2)(l2)
     }
     l2.unpersist()
+    // the contraction loop tracks the edge-set size for its fixed-point
+    // test; only pay for the count on this (rare, deep-graph) path
+    var n = edges.count()
     var converged = false
     var iter = 0
     val MaxRounds = 60 // ~log2 of any feasible component size, with slack

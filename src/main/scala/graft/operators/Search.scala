@@ -1308,8 +1308,14 @@ object Search extends QueryModule {
       val toks = Tables.documents(spark, dir)
         .select($"doc_id", $"source",
           explode(Portable.tokens(lower($"text"))).as("term"))
-      val postings = toks.groupBy($"doc_id", $"term")
-        .agg(count(lit(1)).as("tf"))
+      // r13 OPTIMIZATION (guide §2.4): the tokenize+rollup postings
+      // frame feeds FOUR lineage copies (df table, doc lengths, the
+      // query-term pick and the BM25 candidate join) — each copy
+      // re-executed the full explode+groupBy. Materialize once; every
+      // consumer scans the tiny parquet. At corpus scale this IS the
+      // one postings index rollup the FanoutSite note already promises.
+      val postings = Scoped.materialize()(
+        toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf")))
       val dfT = postings.groupBy($"term")
         .agg(count(lit(1)).as("df"))
       val docLen = postings.groupBy($"doc_id").agg(sum($"tf").as("dl"))
