@@ -961,13 +961,22 @@ object SentimentLex {
   private val BangAmp = 29200L
   private val MaxBangs = 3L
 
-  /** Decivalence of a lowercased core token — flat CASE over the lexicon. */
-  private def valence(w: Column): Column = {
-    val first = when(w === Lexicon.head._1, lit(Lexicon.head._2.toLong))
-    Lexicon.tail.foldLeft(first) { case (e, (word, v)) =>
-      e.when(w === word, lit(v.toLong))
-    }.otherwise(lit(0L))
-  }
+  /** Decivalence of a lowercased core token — one literal-map lookup.
+    *
+    * r14: this was a flat ~2900-branch CASE. Interpreted `CaseWhen.eval`
+    * indexes its branch List per probe — O(branches²) per call — and the
+    * only consumer ([[rawScoreDeclarative]], the HOF equivalence
+    * reference, always interpreted) evaluated it per token per doc: the
+    * r13 driver test run died in a 29-CPU-minute task inside exactly
+    * this expression (thread dump: CaseWhen.eval → List.apply under
+    * ArrayTransform/ZipWith). A map literal probes in one pass and keeps
+    * the lexicon in the plan as ONE literal. Semantics identical: keys
+    * are distinct (spec-pinned), absent → 0.
+    */
+  private val LexiconMap: Column =
+    typedlit(Lexicon.map { case (w, v) => w -> v.toLong }.toMap)
+  private def valence(w: Column): Column =
+    coalesce(element_at(LexiconMap, w), lit(0L))
 
   /** Integer raw score in 1e-5 valence units: context-aware sum over the
     * token stream with VADER's emphasis mechanics, as the codegen'd

@@ -2171,7 +2171,7 @@ object Curation extends QueryModule {
 
   private val q253 = QueryDef(
     "q253_stream_priority_sample",
-    (outer, dir) => streamPrioritySample(outer, dir, 4),
+    (outer, dir) => streamPrioritySample(outer, dir, 2),
     Some(s"""
       WITH h AS (
         SELECT doc_id, source, n_chars,

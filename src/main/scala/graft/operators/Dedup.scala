@@ -428,10 +428,18 @@ object Dedup extends QueryModule {
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
         .distinct()
-      val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      // r14 (guide §3.1/§2.4): `sizes` fed both verify legs as two
+      // lineage copies (the full groupBy ran twice), and both verify
+      // joins BROADCAST the full grams table (single-threaded
+      // HashedRelation builds of the corpus side — the q232 disease,
+      // same plan shape). Materialize sizes once; shuffled hash joins
+      // stream the candidate explosion over parallel exchanges.
+      val sizes = Scoped.materialize()(
+        grams.groupBy($"doc_id").agg(count(lit(1)).as("n")))
       val inter = cands
-        .join(grams.as("a"), col("a.doc_id") === $"i")
-        .join(grams.as("b"), col("b.doc_id") === $"j" && col("b.s") === col("a.s"))
+        .join(grams.as("a").hint("shuffle_hash"), col("a.doc_id") === $"i")
+        .join(grams.as("b").hint("shuffle_hash"),
+          col("b.doc_id") === $"j" && col("b.s") === col("a.s"))
         .groupBy($"i", $"j").agg(count(lit(1)).as("k"))
       val verified = inter
         .join(sizes.as("na"), col("na.doc_id") === $"i")
@@ -490,10 +498,16 @@ object Dedup extends QueryModule {
       val grams = word3grams(spark, dir).select($"doc_id", $"s")
       // global canonical order key: (global df, gram)
       val gdf = grams.groupBy($"s").agg(count(lit(1)).as("gdf"))
-      val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      // r14 (guide §2.4): `sizes` feeds the prefix build AND both verify
+      // legs (na/nb), `prefix` feeds both sides of the candidate
+      // self-join — as lineage copies each re-EXECUTED per reference
+      // (JobLogProbe: the two prefix builds alone were 2.4 s + 3.5 s of
+      // q232's 7.3 s). Materialize each once; values unchanged.
+      val sizes = Scoped.materialize()(
+        grams.groupBy($"doc_id").agg(count(lit(1)).as("n")))
       val wDoc = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("gdf", "s")
-      val prefix = grams.join(gdf, "s")
+      val prefix = Scoped.materialize()(grams.join(gdf, "s")
         .join(sizes, "doc_id")
         // doc-size guard BEFORE the per-doc rank window: a pathological
         // concatenation (gram count > MaxDocChars ⇒ text longer still)
@@ -502,16 +516,23 @@ object Dedup extends QueryModule {
         .filter($"n" <= TextOps.MaxDocChars)
         .withColumn("rk", row_number().over(wDoc))
         .filter($"rk" <= expr("n div 2") + 1)
-        .select($"doc_id", $"s", $"n")
+        .select($"doc_id", $"s", $"n"))
       val cands = prefix.as("a").join(prefix.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
             greatest(col("a.n"), col("b.n")) <=
               least(col("a.n"), col("b.n")) * 2)
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
         .distinct()
+      // r14 (guide §3.1): without hints both verify joins BROADCAST the
+      // full grams table (parquet stats under the 10 MB threshold, but
+      // the HashedRelation build measured ~3 s each — 6 s of q232's
+      // 7.3 s, single-threaded on the driver's broadcast thread). The
+      // corpus side must never be the broadcast side at scale; a
+      // shuffled hash join streams the candidate explosion and builds
+      // per-partition tables over the grams shuffle instead.
       val inter = cands
-        .join(grams.as("ga"), col("ga.doc_id") === $"i")
-        .join(grams.as("gb"),
+        .join(grams.as("ga").hint("shuffle_hash"), col("ga.doc_id") === $"i")
+        .join(grams.as("gb").hint("shuffle_hash"),
           col("gb.doc_id") === $"j" && col("gb.s") === col("ga.s"))
         .groupBy($"i", $"j").agg(count(lit(1)).as("k"))
       inter
@@ -628,14 +649,19 @@ object Dedup extends QueryModule {
     var edges = rewrap(pairs
       .select(col("i").as("u"), col("j").as("v"))
       .filter($"u" =!= $"v").distinct())
-    // Phase 1 — two min-label-propagation rounds on the ORIGINAL edge set.
-    // Real near-dup graphs are shallow (cliques and stars from band
-    // buckets), where LP hits its fixed point immediately and costs one
-    // join+groupBy per round — less per-round work than contraction's two
-    // shuffled star steps. LP and contraction share the min-label fixed
-    // point, so a converged LP answer IS the answer; a deep graph (the
-    // adversarial chain case) fails the convergence probe and falls
-    // through to diameter-free star contraction below.
+    // Phase 1 — ADAPTIVE min-label propagation on the ORIGINAL edge set
+    // (r14, guide §2.4): real near-dup / correlation graphs are shallow
+    // (cliques, stars, small sparse components — diameter a handful of
+    // hops), where LP reaches its fixed point in a few rounds at ONE
+    // join+groupBy + one scalar-aggregate probe per round — far less
+    // per-round work than contraction's two shuffled star steps + count
+    // + except probe. r13 ran exactly TWO LP rounds then fell through to
+    // contraction; measured on q298's correlation graph (sf0.1) that
+    // spent ~100+ scheduler-bound jobs in the contraction loop for a
+    // graph LP finishes in a few rounds. LP and contraction share the
+    // min-label fixed point, so a converged LP answer IS the answer; a
+    // deep graph (the adversarial chain case) exhausts the LP budget and
+    // falls through to diameter-free star contraction below.
     val symEdges = sym(edges)
     def propagate(labels: DataFrame): DataFrame =
       rewrap(symEdges
@@ -649,28 +675,47 @@ object Dedup extends QueryModule {
     // becomes Σ deg² wedge rows instead of Σ deg. Measured 2× slower on
     // q312; the distinct stays.)
     val l0 = rewrap(symEdges.select($"u".as("node"), $"u".as("label")).distinct())
-    val l1 = propagate(l0)
-    val l2 = propagate(l1)
     // labels only ever DECREASE pointwise (each round takes a min over a
     // superset that includes the node's own label) and both tables hold
-    // one row per node, so l2 == l1 ⟺ equal row count AND equal exact
-    // label sum. Two scalar aggregates replace the r12 two-sided
+    // one row per node, so l_{k+1} == l_k ⟺ equal row count AND equal
+    // exact label sum. Two scalar aggregates replace the r12 two-sided
     // `except` probe, which shuffled both full label tables just to
     // prove emptiness (r13, guide §2.3/§2.4 — shuffle metadata, not
     // rows). DECIMAL(38,0) keeps the sum exact at any node-id scale.
+    // Degenerate-cast guard (r14): a label type that casts to NULL
+    // (e.g. string node ids) would collapse both sides to (count, 0)
+    // and fake convergence — fail loudly instead; every current caller
+    // feeds numeric ids.
     def labelSum(l: DataFrame): (Long, BigDecimal) = {
       val r = l.agg(count(lit(1)),
         sum($"label".cast(DecimalType(38, 0)))).head
       val s = r.getDecimal(1)
+      if (s == null && r.getLong(0) > 0)
+        throw new IllegalArgumentException(
+          "connectedComponents: label column does not cast to" +
+            " DECIMAL(38,0) — numeric node ids required for the exact" +
+            " convergence probe")
       (r.getLong(0), if (s == null) BigDecimal(0) else BigDecimal(s))
     }
-    val lpConverged = labelSum(l2) == labelSum(l1)
-    l0.unpersist(); l1.unpersist()
+    val MaxLpRounds = 8 // covers diameter ≤ 8; deeper graphs contract
+    var cur = l0
+    var curSum = labelSum(cur)
+    var lpConverged = false
+    var lpRound = 0
+    while (!lpConverged && lpRound < MaxLpRounds) {
+      val next = propagate(cur)
+      val nextSum = labelSum(next)
+      lpConverged = nextSum == curSum
+      cur.unpersist()
+      cur = next
+      curSum = nextSum
+      lpRound += 1
+    }
     if (lpConverged) {
       edges.unpersist()
-      return Scoped.materialize(l2)(l2)
+      return Scoped.materialize(cur)(cur)
     }
-    l2.unpersist()
+    cur.unpersist()
     // the contraction loop tracks the edge-set size for its fixed-point
     // test; only pay for the count on this (rare, deep-graph) path
     var n = edges.count()
@@ -834,7 +879,13 @@ object Dedup extends QueryModule {
       val toks = TextOps.guardedDocs(spark, dir)
         .select($"doc_id", Portable.tokens($"text").as("w"))
         .select($"doc_id", size($"w").cast("long").as("n_tokens"), $"w")
-      val starts = toks.filter(size($"w") >= SpanL)
+      // r14 (guide §2.4): `starts` (tokenize + per-position 8-token
+      // array_join + md5 — the expensive half) fed the occ aggregate AND
+      // the join-back as two lineage copies, and `toks` re-tokenized a
+      // third time for the final n_tokens rollup. Materialize the
+      // position table once (8-byte hash + two longs per position) and
+      // derive everything from it; one tokenize pass for the count side.
+      val starts = Scoped.materialize()(toks.filter(size($"w") >= SpanL)
         .select($"doc_id", posexplode(transform(
           sequence(lit(1), size($"w") - SpanL + 1),
           i => Portable.md5Hash64(array_join(slice($"w", i, lit(SpanL)), " ")))))
@@ -844,7 +895,7 @@ object Dedup extends QueryModule {
         // STRUCT — a packed doc*shift+pos key silently mis-orders (and
         // can collide across docs) once a document exceeds the shift
         // width, and book-length concatenations in a web corpus do
-        .withColumn("k", struct($"doc_id", $"start"))
+        .withColumn("k", struct($"doc_id", $"start")))
       val occ = starts.groupBy($"gh")
         .agg(count(lit(1)).as("cnt"), min($"k").as("keep"))
       val removalStarts = starts.join(occ, "gh")

@@ -991,24 +991,7 @@ object Search extends QueryModule {
       dir: String): (Seq[DataFrame], DataFrame) = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    // term space = word 3-grams (WITH multiplicity for tf): the
-    // fixture's token vocabulary is tiny (every token df ≫ cap), so
-    // token-grain mid-frequency blocking has nothing to block on —
-    // shingles restore a real df distribution, exactly why
-    // shingle-based similarity is the corpus-dedup default
-    // terms live as 8-byte md5 keys from the scan on: every downstream
-    // shuffle (df agg, split joins, candidate self-join, both verify
-    // joins) carries a long instead of a ~25-byte shingle string — the
-    // q120 discipline; the oracle hashes identically so the gate holds
-    val postings = docs
-      .select($"doc_id", Portable.tokens(lower($"text")).as("w"))
-      .select($"doc_id", explode(transform(
-        sequence(lit(1), greatest(size($"w") - 2, lit(1))),
-        i => concat_ws(" ", element_at($"w", i),
-          element_at($"w", i + 1), element_at($"w", i + 2)))).as("gram"))
-      .filter(length($"gram") > 0 && size(split($"gram", " ")) === 3)
-      .select($"doc_id", Portable.md5Hash64($"gram").as("term"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val postings = tfidfPostings(spark, dir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // df via partial aggregate + frequency-split join (attachDf) — NOT
     // a count(*) OVER (PARTITION BY term) window. A window partition
@@ -1019,11 +1002,10 @@ object Search extends QueryModule {
     // broadcast of the (small) Zipf head, and the cold shuffle is
     // skew-free by the split predicate. (The FULL df table is
     // gram-cardinality, far too big to broadcast — only the head fits.)
-    // the shingle build is referenced by df + both split joins, and
-    // weighted by norms/mid/both verify sides — persist each once and
-    // close the scope through materialize (the result is ≤ pairs rows)
-    val cachedPosts = postings.persist()
-    val weighted = attachDf(cachedPosts)
+    // weighted is referenced by norms/mid/both verify sides — persist
+    // once and close the scope through materialize (the result is
+    // ≤ pairs rows); postings reads come off the shared silver parquet
+    val weighted = attachDf(postings)
       .crossJoin(broadcast(nDocs))
       .withColumn("w", $"tf" * expr("(100 * n_docs) div df"))
       .select($"doc_id", $"term", $"df", $"w")
@@ -1033,16 +1015,24 @@ object Search extends QueryModule {
     val midTerm = weighted
       .filter($"df" >= 2 && $"df" <= ApDfCap)
       .select($"doc_id", $"term")
-    val cands = midTerm.as("a").join(midTerm.as("b"),
+    // r14 (guide §3.1): without hints the candidate self-join and BOTH
+    // verify joins BROADCAST a postings-scale table (midTerm / the full
+    // weighted table ×2) — each a single-threaded HashedRelation build
+    // of ~1M rows (JobLogProbe: the 0.4–1 s broadcast-thread jobs that
+    // dominated q191). A postings table must never be the broadcast
+    // side at corpus scale; shuffled hash joins stream the candidate
+    // explosion over parallel exchanges instead.
+    val cands = midTerm.as("a").join(midTerm.as("b").hint("shuffle_hash"),
         col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("shared_mid"))
       .filter($"shared_mid" >= ApMinShared)
       .select($"i", $"j")
     val dots = cands
-      .join(weighted.select($"doc_id".as("i"), $"term", $"w".as("wa")), Seq("i"))
-      .join(weighted.select($"doc_id".as("j"), $"term", $"w".as("wb")),
-        Seq("j", "term"))
+      .join(weighted.select($"doc_id".as("i"), $"term", $"w".as("wa"))
+        .hint("shuffle_hash"), Seq("i"))
+      .join(weighted.select($"doc_id".as("j"), $"term", $"w".as("wb"))
+        .hint("shuffle_hash"), Seq("j", "term"))
       .groupBy($"i", $"j")
       .agg(count(lit(1)).as("n_shared_terms"), sum($"wa" * $"wb").as("dot"))
     val result = dots
@@ -1053,8 +1043,41 @@ object Search extends QueryModule {
           (sqrt($"n2a".cast("double")) * sqrt($"n2b".cast("double"))))
       .filter($"cosine" >= 0.5)
       .select($"i", $"j", $"n_shared_terms", $"dot", $"cosine")
-    (Seq(cachedPosts, weighted), result)
+    (Seq(weighted), result)
   }
+
+  /** tf·idf term postings (doc_id, term = md5-hashed word 3-gram, tf) —
+    * the q191 corpus rollup as a shared silver table (r14; the
+    * SharedSubtreeSpec promotion discipline): the tokenize → 3-gram
+    * explode → hash → rollup pass is the expensive half of q191 and is
+    * a pure function of the corpus — the postings index a search layer
+    * materializes once, never per query.
+    *
+    * Term space = word 3-grams WITH multiplicity for tf: the fixture's
+    * token vocabulary is tiny (every token df ≫ cap), so token-grain
+    * mid-frequency blocking has nothing to block on — shingles restore
+    * a real df distribution, exactly why shingle-based similarity is
+    * the corpus-dedup default. Terms live as 8-byte md5 keys from the
+    * scan on: every downstream shuffle (df agg, split joins, candidate
+    * self-join, both verify joins) carries a long instead of a ~25-byte
+    * shingle string — the q120 discipline; the oracle hashes
+    * identically so the gate holds.
+    */
+  private[graft] def tfidfPostings(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Scoped.shared(spark, s"tfidf_postings:$dir")({
+      import spark.implicits._
+      val postings = Tables.documents(spark, dir)
+        .select($"doc_id", Portable.tokens(lower($"text")).as("w"))
+        .select($"doc_id", explode(transform(
+          sequence(lit(1), greatest(size($"w") - 2, lit(1))),
+          i => concat_ws(" ", element_at($"w", i),
+            element_at($"w", i + 1), element_at($"w", i + 2)))).as("gram"))
+        .filter(length($"gram") > 0 && size(split($"gram", " ")) === 3)
+        .select($"doc_id", Portable.md5Hash64($"gram").as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      (Seq.empty, postings)
+    })
 
   /** q190's distinct word-3-gram postings (doc_id, term) — factored so
     * PlanSpec can assert the pre-materialization plan shape.

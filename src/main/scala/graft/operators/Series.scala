@@ -1366,7 +1366,7 @@ object Series extends QueryModule {
 
   private val q235 = QueryDef(
     "q235_stream_dollar_bars",
-    (outer, dir) => streamDollarBars(outer, dir, 4),
+    (outer, dir) => streamDollarBars(outer, dir, 2),
     Some(s"""
       WITH $tickSql,
       cum AS (
@@ -1959,7 +1959,7 @@ object Series extends QueryModule {
 
   private val q244 = QueryDef(
     "q244_stream_imbalance_bars",
-    (outer, dir) => streamImbalanceBars(outer, dir, 4),
+    (outer, dir) => streamImbalanceBars(outer, dir, 2),
     Some {
       // the per-step recurrence, shared textually between all branches:
       // sign via tick rule with carry, then the accumulation candidates
@@ -2133,7 +2133,7 @@ object Series extends QueryModule {
 
   private val q271 = QueryDef(
     "q271_stream_vpin",
-    (outer, dir) => streamVpin(outer, dir, 4),
+    (outer, dir) => streamVpin(outer, dir, 2),
     Some(s"""
       WITH $flowSql,
       b AS (
@@ -2277,7 +2277,7 @@ object Series extends QueryModule {
 
   private val q281 = QueryDef(
     "q281_stream_kyle",
-    (outer, dir) => streamKyle(outer, dir, 4),
+    (outer, dir) => streamKyle(outer, dir, 2),
     Some(s"""
       WITH $flowSql,
       b AS (
@@ -2398,7 +2398,7 @@ object Series extends QueryModule {
 
   private val q290 = QueryDef(
     "q290_stream_drawdown",
-    (outer, dir) => streamDrawdown(outer, dir, 4),
+    (outer, dir) => streamDrawdown(outer, dir, 2),
     Some(s"""
       WITH $tickSql,
       g AS (SELECT DISTINCT ticker, day, seq, cents FROM ticks),

@@ -115,6 +115,13 @@ object Silver {
       Seq("q71", "q159"),
       (s, d) => Extras.dailyWideCents(s, d)),
     SilverTable(
+      "tfidf_postings",
+      "tf·idf term postings (doc_id, md5-hashed word-3-gram term, tf) —" +
+        " the all-pairs cosine family's corpus rollup (the postings" +
+        " index a search layer materializes once, never per query)",
+      Seq("q191"),
+      (s, d) => Search.tfidfPostings(s, d)),
+    SilverTable(
       "query_postings",
       "df-annotated postings slice for the demo query terms (doc_id," +
         " term, tf, df) — the inverted-index fragment both retrieval" +

@@ -695,42 +695,62 @@ object WindowFeatures extends QueryModule {
           sgn($"d1").as("x1"), sgn($"d5").as("x5"))
         .persist()
       try {
-        val rows = (1 until WfFolds).map { k =>
-          // purge: a train row at rn labels off rows rn+1..rn+H, so any
-          // rn with rn + H ≥ lo peeks at test prices — excluded
-          val train = f.filter($"rn" + CvPurgeH <= expr(s"($k * n) div $WfFolds"))
-          var w = Array(0L, 0L, 0L)
-          for (_ <- 1 to WfRounds) {
-            val g = train
-              .withColumn("margin", $"y" * (lit(w(0)) * $"x0" +
-                lit(w(1)) * $"x1" + lit(w(2)) * $"x5"))
-              .filter($"margin" <= 0L)
-              .agg(
-                coalesce(sum($"y" * $"x0"), lit(0L)).as("g0"),
-                coalesce(sum($"y" * $"x1"), lit(0L)).as("g1"),
-                coalesce(sum($"y" * $"x5"), lit(0L)).as("g2"))
-              .collect()(0) // 1-row model state per round — q122 discipline
-            w = Array(w(0) + g.getLong(0), w(1) + g.getLong(1),
-              w(2) + g.getLong(2))
+        // r14 (guide §2.6/§1): the fold loop ran 21 sequential 1-row
+        // collect jobs ((WfFolds−1) × (WfRounds grads + count + metrics))
+        // over the cached feature frame — pure per-job scheduler overhead
+        // at this SF. Folds are independent given the round index, and
+        // every fold's weights are literals, so ALL folds' round-r
+        // gradients fuse into ONE conditional-sum aggregate per round
+        // (WfRounds + 2 jobs total). Same filters, same sums, same
+        // update — bit-identical weights; rounds stay sequential (each
+        // round's margin screen needs the previous round's weights).
+        val folds = (1 until WfFolds).toArray
+        // purge: a train row at rn labels off rows rn+1..rn+H, so any
+        // rn with rn + H ≥ lo peeks at test prices — excluded
+        def trainPred(k: Int) =
+          $"rn" + CvPurgeH <= expr(s"($k * n) div $WfFolds")
+        val ws = folds.map(_ => Array(0L, 0L, 0L))
+        for (_ <- 1 to WfRounds) {
+          val gradCols = folds.flatMap { k =>
+            val w = ws(k - 1)
+            val active = trainPred(k) &&
+              $"y" * (lit(w(0)) * $"x0" + lit(w(1)) * $"x1" +
+                lit(w(2)) * $"x5") <= 0L
+            Seq(
+              coalesce(sum(when(active, $"y" * $"x0")), lit(0L)),
+              coalesce(sum(when(active, $"y" * $"x1")), lit(0L)),
+              coalesce(sum(when(active, $"y" * $"x5")), lit(0L)))
           }
-          val nTrain = train.count()
-          val m = f
-            .filter($"rn" >= expr(s"($k * n) div $WfFolds + 1") &&
-              $"rn" <= expr(s"(($k + 1) * n) div $WfFolds"))
-            .withColumn("margin", lit(w(0)) * $"x0" +
-              lit(w(1)) * $"x1" + lit(w(2)) * $"x5")
-            .withColumn("pred", when($"margin" > 0L, 1L).otherwise(-1L))
-            .agg(
-              count(lit(1)).as("n_test"),
-              coalesce(sum(when($"y" === 1L, 1L).otherwise(0L)), lit(0L))
-                .as("n_up_true"),
-              coalesce(sum(when($"pred" === 1L, 1L).otherwise(0L)), lit(0L))
-                .as("n_up_pred"),
-              coalesce(sum(when($"pred" === $"y", 1L).otherwise(0L)), lit(0L))
-                .as("n_correct"))
-            .collect()(0)
-          (k.toLong, w(0), w(1), w(2), nTrain,
-            m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))
+          val g = f.agg(gradCols.head, gradCols.tail: _*).collect()(0)
+          folds.foreach { k =>
+            val w = ws(k - 1); val b = 3 * (k - 1)
+            ws(k - 1) = Array(w(0) + g.getLong(b), w(1) + g.getLong(b + 1),
+              w(2) + g.getLong(b + 2))
+          }
+        }
+        val trainCols = folds.map(k =>
+          coalesce(sum(when(trainPred(k), 1L)), lit(0L)))
+        val nTrains = f.agg(trainCols.head, trainCols.tail: _*).collect()(0)
+        val metricCols = folds.flatMap { k =>
+          val w = ws(k - 1)
+          val inTest =
+            $"rn" >= expr(s"($k * n) div $WfFolds + 1") &&
+              $"rn" <= expr(s"(($k + 1) * n) div $WfFolds")
+          val margin = lit(w(0)) * $"x0" + lit(w(1)) * $"x1" +
+            lit(w(2)) * $"x5"
+          val pred = when(margin > 0L, 1L).otherwise(-1L)
+          Seq(
+            coalesce(sum(when(inTest, 1L)), lit(0L)),
+            coalesce(sum(when(inTest && $"y" === 1L, 1L)), lit(0L)),
+            coalesce(sum(when(inTest && pred === 1L, 1L)), lit(0L)),
+            coalesce(sum(when(inTest && pred === $"y", 1L)), lit(0L)))
+        }
+        val m = f.agg(metricCols.head, metricCols.tail: _*).collect()(0)
+        val rows = folds.toSeq.map { k =>
+          val w = ws(k - 1); val b = 4 * (k - 1)
+          (k.toLong, w(0), w(1), w(2), nTrains.getLong(k - 1),
+            m.getLong(b), m.getLong(b + 1), m.getLong(b + 2),
+            m.getLong(b + 3))
         }
         // empty test blocks (possible only on degenerate tiny fixtures)
         // emit no row, matching the oracle's GROUP BY over zero joined
@@ -1244,7 +1264,7 @@ object WindowFeatures extends QueryModule {
 
   private val q223 = QueryDef(
     "q223_stream_triple_barrier",
-    (outer, dir) => streamTripleBarrier(outer, dir, 4),
+    (outer, dir) => streamTripleBarrier(outer, dir, 2),
     Some(s"""
       WITH $tripleBarrierSql
       SELECT ticker, date, cents, label, days_to_event
@@ -1331,7 +1351,7 @@ object WindowFeatures extends QueryModule {
 
   private val q240 = QueryDef(
     "q240_stream_cusum_events",
-    (outer, dir) => streamCusum(outer, dir, 4),
+    (outer, dir) => streamCusum(outer, dir, 2),
     Some(s"""
       WITH RECURSIVE $barsSql,
       bc AS (

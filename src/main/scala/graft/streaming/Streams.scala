@@ -171,6 +171,15 @@ object Streams extends QueryModule {
     s"$keyCol|$nChunks|" +
       df.queryExecution.analyzed.canonicalized.toString
 
+  /** r14 (guide §5 state / VERDICT r13 #8): the ten replay QueryDefs
+    * feed 2 chunks (was 4) — per micro-batch every stateful operator
+    * pays a fixed per-partition state-store open/commit, and the
+    * replay results are batch-boundary-independent BY CONTRACT (each
+    * family's spec re-proves equality at chunkings 4/6/7/9; the DuckDB
+    * oracle gates the values). Two chunks still cross a real batch
+    * boundary, so cross-batch state is exercised; the chunk count is a
+    * replay-harness parameter, not operator semantics.
+    */
   private[graft] def replayByLongRanges(
       df: DataFrame, keyCol: String, nChunks: Int): String =
     feedMemo.computeIfAbsent(memoKey(df, keyCol, nChunks), _ => {
@@ -1260,7 +1269,7 @@ object Streams extends QueryModule {
 
   private val q265 = QueryDef(
     "q265_stream_drift_monitor",
-    (outer, dir) => streamDriftCells(outer, dir, 4),
+    (outer, dir) => streamDriftCells(outer, dir, 2),
     Some(graft.operators.Series.driftOracleSql))
 
   // ---------------------------------------------------------------------
@@ -1371,7 +1380,7 @@ object Streams extends QueryModule {
 
   private val q268 = QueryDef(
     "q268_stream_session_timeout",
-    (outer, dir) => streamSessionTimeouts(outer, dir, 4),
+    (outer, dir) => streamSessionTimeouts(outer, dir, 2),
     Some("""
       WITH ev AS (
         SELECT user_id, ts, event_id,
