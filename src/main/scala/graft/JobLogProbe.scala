@@ -39,7 +39,7 @@ object JobLogProbe {
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, dir)
       .write.format("noop").mode("overwrite").save()
-    Thread.sleep(500) // drain listener bus
+    org.apache.spark.graft.corebridge.drainListenerBus(spark.sparkContext)
     println(f"[total] ${(System.nanoTime() - t0) / 1e9}%.2f s wall," +
       f" ${total.get() / 1e3}%.2f s summed over ${starts.size} jobs")
     spark.stop()

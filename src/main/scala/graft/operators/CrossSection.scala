@@ -354,12 +354,18 @@ object CrossSection extends QueryModule {
         .crossJoin(spark.range(0, CscvS).toDF("g"))
         .withColumn("in_is",
           expr("(c div shiftleft(1, cast(g as int))) % 2 = 1"))
-      val perf = rg.join(broadcast(mem), "g")
+      // r14 (guide §2.4): perf fed chosen, the chosen-OOS lookup and the
+      // rank rollup (3 lineage copies), ranked fed the PBO scalar and
+      // the final projection (2) — each copy re-executed the whole
+      // window + month-grid + mask join (158 Exchanges in the
+      // before-plan). Materialize the ≤ |masks|·|universe| perf table
+      // and the |masks|-row ranked table once.
+      val perf = Scoped.materialize()(rg.join(broadcast(mem), "g")
         .groupBy($"c", $"ticker")
         .agg(
           sum(when($"in_is", $"r_mbp").otherwise(0L)).as("is_perf"),
           sum($"r_mbp").as("tot"))
-        .withColumn("oos_perf", $"tot" - $"is_perf")
+        .withColumn("oos_perf", $"tot" - $"is_perf"))
       val chosen = perf.groupBy($"c")
         .agg(max(struct($"is_perf", $"ticker")).as("ch"),
           count(lit(1)).as("n_strats"))
@@ -374,12 +380,13 @@ object CrossSection extends QueryModule {
           $"cc" === $"pc" && $"ch_ticker" === $"pticker")
         .select($"cc", $"ch_ticker", $"ch_is", $"n_strats",
           $"poos".as("ch_oos"))
-      val ranked = perf.join(broadcast(chosenOos), $"c" === $"cc")
-        .groupBy($"c", $"ch_ticker", $"ch_is", $"ch_oos", $"n_strats")
-        .agg(sum(when(
-          struct($"oos_perf", $"ticker") <=
-            struct($"ch_oos", $"ch_ticker"), 1L).otherwise(0L))
-          .as("oos_rank"))
+      val ranked = Scoped.materialize()(
+        perf.join(broadcast(chosenOos), $"c" === $"cc")
+          .groupBy($"c", $"ch_ticker", $"ch_is", $"ch_oos", $"n_strats")
+          .agg(sum(when(
+            struct($"oos_perf", $"ticker") <=
+              struct($"ch_oos", $"ch_ticker"), 1L).otherwise(0L))
+            .as("oos_rank")))
       val pbo = ranked.agg(expr(
         "(1000 * sum(CASE WHEN 2 * oos_rank <= n_strats THEN 1 ELSE 0 END))" +
           " div count(1)").as("pbo_milli"))
@@ -2210,7 +2217,12 @@ object CrossSection extends QueryModule {
             ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
             ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).cast("long"))
         .select($"ticker", $"beta_milli")
-      val gm = rets.join(broadcast(betas), "ticker")
+      // r14 (guide §2.4): the γ series fed mu, d and — through d — BOTH
+      // sides of all four lag self-joins: 8 lineage copies, each
+      // re-executing the whole rets → mkt → betas → γ chain (the
+      // before-plan held 296 Exchanges / 102 scans). Materialize the
+      // |months|-row series once; everything downstream reads it.
+      val gm = Scoped.materialize()(rets.join(broadcast(betas), "ticker")
         .groupBy($"mon")
         .agg(count(lit(1)).as("nn"), sum($"beta_milli").as("bx"),
           sum($"y").as("by"),
@@ -2221,7 +2233,7 @@ object CrossSection extends QueryModule {
           floor(lit(1000000.0) *
             ($"nn" * $"bxy" - $"bx" * $"by").cast("double") /
             ($"nn" * $"bxx" - $"bx" * $"bx").cast("double")).cast("long"))
-        .select($"mon", $"gamma_micro")
+        .select($"mon", $"gamma_micro"))
       val mu = gm.agg(count(lit(1)).as("n_months"),
           sum($"gamma_micro").as("sg"))
         .withColumn("mu_micro", expr(speelDivSql("sg", "n_months", "div")))

@@ -324,9 +324,11 @@ object Dedup extends QueryModule {
       import spark.implicits._
       val docs = Tables.documents(spark, dir)
       val rare = rareGrams(spark, dir)
+      // r14: candidate join keys on the silver's 8-byte hs (the q232
+      // narrow-key discipline; oracle-gated)
       val cands = rare.as("a").join(rare.as("b"),
           col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+            col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
         .distinct()
       val texts = docs.select($"doc_id", substring($"text", 1, 80).as("p"))
@@ -384,8 +386,14 @@ object Dedup extends QueryModule {
       // pruned at the parquet scan.
       val dfx = grams.groupBy($"lang", $"lb", $"s")
         .agg(count(lit(1)).as("df"))
+      // hs: the gram's md5-64 key, computed once at build (r14, guide
+      // §2.3/§4) — consumers whose joins/shuffles only need gram
+      // IDENTITY (q232's prefix+verify joins) carry 8 bytes instead of
+      // the ~25-byte shingle string; column pruning drops it everywhere
+      // else. Same q120/q191 narrow-key discipline.
       (Seq(grams), grams.join(dfx, Seq("lang", "lb", "s"))
-        .select($"doc_id", $"lang", $"lb", $"s", $"df"))
+        .select($"doc_id", $"lang", $"lb", $"s",
+          graft.functions.Portable.md5Hash64($"s").as("hs"), $"df"))
     })
 
   /** Candidate-generation cut of [[word3grams]]: grams whose document
@@ -419,13 +427,17 @@ object Dedup extends QueryModule {
     "q37_ngram_jaccard",
     (spark, dir) => {
       import spark.implicits._
-      val grams = word3grams(spark, dir)
+      // r14 (guide §2.3): join/shuffle keys need gram IDENTITY only —
+      // carry the silver's 8-byte md5 key (hs) instead of the shingle
+      // string through the candidate and verify joins (the q232/q191
+      // narrow-key discipline; oracle-gated).
+      val grams = word3grams(spark, dir).select($"doc_id", $"hs")
       val rare = rareGrams(spark, dir)
       // candidates from the df-capped cut; Jaccard verified over the FULL
       // gram sets (q35's candidate/verify split, same reason)
       val cands = rare.as("a").join(rare.as("b"),
           col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+            col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
         .distinct()
       // r14 (guide §3.1/§2.4): `sizes` fed both verify legs as two
@@ -439,7 +451,7 @@ object Dedup extends QueryModule {
       val inter = cands
         .join(grams.as("a").hint("shuffle_hash"), col("a.doc_id") === $"i")
         .join(grams.as("b").hint("shuffle_hash"),
-          col("b.doc_id") === $"j" && col("b.s") === col("a.s"))
+          col("b.doc_id") === $"j" && col("b.hs") === col("a.hs"))
         .groupBy($"i", $"j").agg(count(lit(1)).as("k"))
       val verified = inter
         .join(sizes.as("na"), col("na.doc_id") === $"i")
@@ -495,9 +507,15 @@ object Dedup extends QueryModule {
     "q232_ppjoin",
     (spark, dir) => {
       import spark.implicits._
-      val grams = word3grams(spark, dir).select($"doc_id", $"s")
-      // global canonical order key: (global df, gram)
-      val gdf = grams.groupBy($"s").agg(count(lit(1)).as("gdf"))
+      // r14 (guide §2.3): every q232 shuffle/join needs gram IDENTITY
+      // only — carry the silver's 8-byte md5 key instead of the ~25-byte
+      // shingle string (the q191 narrow-key discipline; the canonical
+      // prefix order ties on hs instead of s, which is just a different
+      // total order — the prefix lemma and hence the verified output are
+      // order-independent, and the DuckDB oracle gates it).
+      val grams = word3grams(spark, dir).select($"doc_id", $"hs")
+      // global canonical order key: (global df, gram key)
+      val gdf = grams.groupBy($"hs").agg(count(lit(1)).as("gdf"))
       // r14 (guide §2.4): `sizes` feeds the prefix build AND both verify
       // legs (na/nb), `prefix` feeds both sides of the candidate
       // self-join — as lineage copies each re-EXECUTED per reference
@@ -506,8 +524,8 @@ object Dedup extends QueryModule {
       val sizes = Scoped.materialize()(
         grams.groupBy($"doc_id").agg(count(lit(1)).as("n")))
       val wDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("gdf", "s")
-      val prefix = Scoped.materialize()(grams.join(gdf, "s")
+        .partitionBy("doc_id").orderBy("gdf", "hs")
+      val prefix = Scoped.materialize()(grams.join(gdf, "hs")
         .join(sizes, "doc_id")
         // doc-size guard BEFORE the per-doc rank window: a pathological
         // concatenation (gram count > MaxDocChars ⇒ text longer still)
@@ -516,9 +534,9 @@ object Dedup extends QueryModule {
         .filter($"n" <= TextOps.MaxDocChars)
         .withColumn("rk", row_number().over(wDoc))
         .filter($"rk" <= expr("n div 2") + 1)
-        .select($"doc_id", $"s", $"n"))
+        .select($"doc_id", $"hs", $"n"))
       val cands = prefix.as("a").join(prefix.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id") &&
             greatest(col("a.n"), col("b.n")) <=
               least(col("a.n"), col("b.n")) * 2)
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
@@ -533,7 +551,7 @@ object Dedup extends QueryModule {
       val inter = cands
         .join(grams.as("ga").hint("shuffle_hash"), col("ga.doc_id") === $"i")
         .join(grams.as("gb").hint("shuffle_hash"),
-          col("gb.doc_id") === $"j" && col("gb.s") === col("ga.s"))
+          col("gb.doc_id") === $"j" && col("gb.hs") === col("ga.hs"))
         .groupBy($"i", $"j").agg(count(lit(1)).as("k"))
       inter
         .join(sizes.as("na"), col("na.doc_id") === $"i")

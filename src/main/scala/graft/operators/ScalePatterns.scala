@@ -786,8 +786,16 @@ object ScalePatterns extends QueryModule {
       import org.apache.spark.sql.expressions.Window
       def stats(masses: DataFrame, name: String): DataFrame = {
         val x = masses.toDF("x")
-        val dom = x.groupBy($"x").agg(count(lit(1)).as("k"))
-          .withColumn("ks", lit(name))
+        // r14 (guide §2.4): the count-value domain fed the cumulative
+        // window (→ s, p50, p99) and the raw masses fed a separate
+        // totals agg — the base-table aggregation re-executed ~5× per
+        // keyspace as lineage copies (the before-plan held 118
+        // Exchanges / 36 scans across the three keyspaces). Materialize
+        // the ≤|distinct mass values| domain once; totals derive from
+        // it exactly (n = Σk, t = Σx·k, max = max(x)).
+        val dom = Scoped.materialize()(
+          x.groupBy($"x").agg(count(lit(1)).as("k"))
+            .withColumn("ks", lit(name)))
         val w = Window.partitionBy("ks").orderBy("x")
         val cum = dom
           .withColumn("cumk", sum($"k").over(
@@ -796,8 +804,9 @@ object ScalePatterns extends QueryModule {
             w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
           .withColumn("srow",
             $"x" * ($"k" * $"rprev" + expr("(k * (k + 1)) div 2")))
-        val tot = x.agg(count(lit(1)).as("n"), sum($"x").as("t"),
-          max($"x").as("max_x")).withColumn("ks", lit(name))
+        val tot = dom.groupBy($"ks").agg(sum($"k").as("n"),
+          sum($"x" * $"k").as("t"), max($"x").as("max_x"))
+          .select($"n", $"t", $"max_x", $"ks")
         val s = cum.groupBy($"ks").agg(sum($"srow").as("s"))
         val q = cum.join(broadcast(tot.select($"ks", $"n")), "ks")
         val p50 = q.filter($"cumk" * 2 >= $"n")

@@ -1339,24 +1339,38 @@ object Search extends QueryModule {
       // one postings index rollup the FanoutSite note already promises.
       val postings = Scoped.materialize()(
         toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf")))
-      val dfT = postings.groupBy($"term")
-        .agg(count(lit(1)).as("df"))
-      val docLen = postings.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      // r14 (guide §2.4): dfT fed the query-term pick AND the BM25 score
+      // join as two lineage copies (the full postings aggregation ran
+      // twice as separate broadcast builds), docLen fed the score join
+      // and the corpus rollup. Materialize each rollup once.
+      val dfT = Scoped.materialize()(
+        postings.groupBy($"term").agg(count(lit(1)).as("df")))
+      val docLen = Scoped.materialize()(
+        postings.groupBy($"doc_id").agg(sum($"tf").as("dl")))
       val corpus = docLen.agg(
         sum($"dl").as("sum_dl"), count(lit(1)).as("n_docs"))
-      // query construction: sampled docs pick their 3 rarest terms
-      val wRare = org.apache.spark.sql.expressions.Window
-        .partitionBy($"doc_id").orderBy($"df".asc, $"term".asc)
-      val qterms = postings
+      // query construction: sampled docs pick their 3 rarest terms.
+      // r14 (guide §2.3): the salted-hash sample predicate is a PER-DOC
+      // decision — evaluating it per POSTING row hashed the whole
+      // postings table; hash the doc-grain docLen table instead and
+      // broadcast-join the sampled ids.
+      val qdocs = docLen
         .filter(Portable.md5Hash64(
           concat(lit("rev|"), $"doc_id".cast("string")))
           % RevSampleMod === 0L)
+        .select($"doc_id")
+      val wRare = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"df".asc, $"term".asc)
+      val qterms = postings
+        .join(broadcast(qdocs), "doc_id")
         .join(dfT, "term")
         .withColumn("rn", row_number().over(wRare))
         .filter($"rn" <= RevTerms) // literal cap → WindowGroupLimit
         .select($"doc_id".as("q_id"), $"term")
-      // BM25 over the candidate set (q115's exact-integer form)
-      val cands = qterms
+      // BM25 over the candidate set (q115's exact-integer form).
+      // r14 (guide §2): materialized once — it feeds the self-score pick
+      // and the rank count below.
+      val cands = Scoped.materialize()(qterms
         .join(postings, "term")
         .join(dfT, "term")
         .join(docLen, "doc_id")
@@ -1370,18 +1384,28 @@ object Search extends QueryModule {
               (lit(0.25) + lit(0.75) *
                 ($"dl".cast("double") / $"avgdl")))).cast("long"))
         .groupBy($"q_id", $"doc_id")
-        .agg(sum($"idf_scaled" * $"tfn_scaled").as("score"))
-      val wRank = org.apache.spark.sql.expressions.Window
-        .partitionBy($"q_id").orderBy($"score".desc, $"doc_id".asc)
-      val topk = cands
-        .withColumn("rank", row_number().over(wRank).cast("long"))
-        .filter($"rank" <= RevK) // literal cap → WindowGroupLimit
+        .agg(sum($"idf_scaled" * $"tfn_scaled").as("score")))
+      // r14 (guide §2): only the RELEVANT doc's rank is ever read — the
+      // old plan sorted every query's full candidate list through a rank
+      // window (two WindowGroupLimit sorts over the candidate set) just
+      // to read the self-doc's row. rank(self) under (score desc, doc_id
+      // asc) row_number ≡ 1 + #{candidates strictly better than the self
+      // pair} — a map-side-combinable conditional count, no sort, no
+      // per-query buffering. The self pair always exists (a query's
+      // terms are its own rarest terms), so the inner join is total.
+      val selfS = cands.filter($"q_id" === $"doc_id")
+        .select($"q_id", $"score".as("s_self"))
       // the relevant doc is the query's source doc; a miss scores 0
       val ndcgCase = NdcgMicro.zipWithIndex.foldLeft(lit(0L)) {
         case (acc, (v, i)) => when($"rank" === (i + 1).toLong, lit(v))
           .otherwise(acc)
       }
-      val perQ = topk.filter($"q_id" === $"doc_id")
+      val perQ = cands.join(broadcast(selfS), Seq("q_id"))
+        .groupBy($"q_id")
+        .agg((sum(when($"score" > $"s_self" ||
+            ($"score" === $"s_self" && $"doc_id" < $"q_id"), 1L)
+          .otherwise(0L)) + 1L).as("rank"))
+        .filter($"rank" <= RevK)
         .select($"q_id",
           $"rank",
           expr("1000 div rank").as("rr_milli"),
