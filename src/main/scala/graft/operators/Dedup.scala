@@ -715,14 +715,32 @@ object Dedup extends QueryModule {
             " convergence probe")
       (r.getLong(0), if (s == null) BigDecimal(0) else BigDecimal(s))
     }
-    val MaxLpRounds = 8 // covers diameter ≤ 8; deeper graphs contract
+    // Each round is PROPAGATE (min over the 1-hop neighborhood) then
+    // SHORTCUT (pointer jumping: label ← label(label) — every label
+    // value is itself a node id in the same component, so the inner
+    // self-join is total and only ever lowers labels). Propagation
+    // alone moves the component minimum one hop per round; with the
+    // shortcut the reach roughly doubles per round — O(log diameter)
+    // rounds (measured: q298's diameter-7 correlation graph converges
+    // in 3 rounds instead of 7). Both steps decrease labels pointwise,
+    // so round-over-round equality of (count, exact sum) still proves
+    // the combined fixed point, which forces each step's own fixed
+    // point — the same min-label answer. The shortcut join's hot label
+    // keys (late rounds concentrate on component minima) are a JOIN, so
+    // AQE skew-splitting applies at scale — unlike a window.
+    val MaxLpRounds = 8 // covers diameter ≲ 2^8; deeper graphs contract
     var cur = l0
     var curSum = labelSum(cur)
     var lpConverged = false
     var lpRound = 0
     while (!lpConverged && lpRound < MaxLpRounds) {
-      val next = propagate(cur)
-      val nextSum = labelSum(next)
+      val prop = propagate(cur)
+      val next = rewrap(prop.as("a")
+        .join(prop.select($"node".as("ln"), $"label".as("ll")),
+          $"label" === $"ln")
+        .select($"node", $"ll".as("label")))
+      val nextSum = labelSum(next) // materializes next (through prop)
+      prop.unpersist()
       lpConverged = nextSum == curSum
       cur.unpersist()
       cur = next
@@ -1487,7 +1505,16 @@ object Dedup extends QueryModule {
       // carrying both sizes through the rollup keys removes the two
       // post-agg sizes joins. Identical rows out; the unchanged oracle
       // (full sample × corpus postings join) re-proves it every run.
+      // r14 (guide §2.3/§4): the broadcast sample is ~|corpus|/8 docs ×
+      // shingles — a multi-million-row HashedRelation whose build was
+      // the query's single largest job (1.85 s, single-threaded) when
+      // keyed by the 5-char shingle STRING. Keying both sides on the
+      // 8-byte md5 of the shingle (computed once into the persisted
+      // tape) lets Spark build its specialized long-keyed relation —
+      // identical intersection counts (oracle-gated, the q191/q232
+      // hash-key discipline).
       val sh = shingles(spark, dir)
+        .select($"doc_id", Portable.md5Hash64($"s").as("hs"))
         .repartition(col("doc_id")).persist()
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val qsh = sh
@@ -1495,10 +1522,10 @@ object Dedup extends QueryModule {
           concat(lit("mrc|"), $"doc_id".cast("string")))
           % RecallSampleMod === 0L)
         .join(broadcast(sizes), "doc_id")
-        .select($"doc_id".as("q_id"), $"s", $"n".as("qn"))
+        .select($"doc_id".as("q_id"), $"hs", $"n".as("qn"))
       val csh = sh.join(broadcast(sizes), "doc_id")
       val inter = csh.join(broadcast(qsh),
-          csh("s") === qsh("s") && $"q_id" =!= csh("doc_id") &&
+          csh("hs") === qsh("hs") && $"q_id" =!= csh("doc_id") &&
             greatest($"qn", csh("n")) <= least($"qn", csh("n")) * 2)
         .groupBy($"q_id", csh("doc_id").as("d_id"), $"qn", csh("n").as("dn"))
         .agg(count(lit(1)).as("k"))

@@ -99,16 +99,16 @@ object JoinFanoutBounds {
         " |months|²/2 pairs per ticker cell — quadratic in the calendar" +
         " span, invariant to fact-row volume (the monthly_bars silver is" +
         " the input)."),
-    // (q291's Bartlett lag self-join needs no row: its lagged side is
-    // provably unique on `mon` through the scalar-cross rung — the
-    // |months|-sized premium series joins itself 1:1 per lag.)
+    // (q291's Bartlett lag self-joins are declared below with the other
+    // materialized-table sites: since r14 the γ series is materialized,
+    // so its per-month uniqueness sits behind a FileScan.)
     // ----- similarity / dedup candidate generation (prefix/band caps) --
-    FanoutSite("q37_ngram_jaccard", Seq("s"),
+    FanoutSite("q37_ngram_jaccard", Seq("hs"),
       "blocked n-gram candidate join: per-gram postings are df-bounded" +
         " by the rare-gram blocking filter (df ≤ MaxDf), so one gram" +
         " cell emits ≤ MaxDf² candidate pairs; doc length is bounded by" +
         " the MaxDocChars guard upstream."),
-    FanoutSite("q232_ppjoin", Seq("s"),
+    FanoutSite("q232_ppjoin", Seq("hs"),
       "PPJoin prefix-token candidates: only PREFIX tokens (length-cap" +
         " bounded via guardedDocs + per-doc gram cap) generate" +
         " candidates, and the positional filter prunes before" +
@@ -131,6 +131,42 @@ object JoinFanoutBounds {
         " baskets) capping the effective degree of the wedge pivot — the" +
         " Liben-Nowell screen's standard volume bound; basket size is" +
         " schema-bounded (≤ 7 lineitems per order)."),
+    // ----- graph-iteration node joins over materialized tables --------
+    // (r14: pageRank's sym/deg and q291's γ series are materialized
+    // once — guide §2.4 — so the spec can no longer SEE the uniqueness
+    // of the aggregate that built the parquet; these declarations state
+    // it. The build sites are in this repo: deg/wdeg = one groupBy(node)
+    // row per node, sym = the symmetrized edge list, γ = one row per
+    // month, chosenOos = one row per CSCV mask.)
+    FanoutSite("q160_pagerank", Seq("node"),
+      "PageRank round joins over the materialized graph: rank ⋈ deg on" +
+        " node is 1:1 (deg is one groupBy(node) row per node by its" +
+        " build); rank ⋈ sym on node=esrc fans out exactly deg(node) —" +
+        " bounded by the LSH band-bucket cap that built the near-dup" +
+        " edge silver. Pair volume per round = Σ deg = 2·|edges|."),
+    FanoutSite("q201_weighted_pagerank", Seq("node"),
+      "same contract as q160 over the weighted graph: wdeg unique per" +
+        " node by build, wsym fan-out = deg(node) ≤ the band-bucket cap;" +
+        " per-round volume 2·|edges|."),
+    FanoutSite("q167_canonical_docs", Seq("node"),
+      "composes q160's PageRank rounds (same materialized sym/deg — " +
+        "deg unique per node, sym fan-out = degree ≤ band-bucket cap)" +
+        " with a node-keyed label attach (labels unique per node)."),
+    FanoutSite("q200_canonical_policies", Seq("node"),
+      "q167's composition plus the quality attach — every join is" +
+        " node-keyed with the non-rank side unique per node (deg/labels/" +
+        "quality are one row per node by their builds); sym fan-out" +
+        " = degree ≤ band-bucket cap."),
+    FanoutSite("q280_pbo_cscv", Seq("c"),
+      "CSCV rank rollup: perf ⋈ chosenOos on the mask id c is a 1:1" +
+        " attach (chosenOos is one argmax row per mask by its build —" +
+        " materialized, so the uniqueness is declared here); volume =" +
+        " |masks| · |universe| = 20 · |tickers|."),
+    FanoutSite("q291_newey_west", Seq("mon"),
+      "Bartlett lag products: the materialized γ series holds EXACTLY" +
+        " one row per month (groupBy(mon) build), so each of the four" +
+        " calendar-lag self-joins on mon = mon + l is 1:1 — ≤ |months|" +
+        " rows per lag, dimension grain."),
     // ----- similarity / ANN model-state multipliers -------------------
     FanoutSite("q36_simhash", Seq("band", "bits"),
       "SimHash band buckets within a language block: per-(band, bits)" +
@@ -173,7 +209,7 @@ object JoinFanoutBounds {
       "Bayardo all-pairs cosine: only PREFIX terms post candidates" +
         " (maximum-weight prefix bound), so per-term cells are df-capped" +
         " postings; the exact cosine verify runs per candidate pair."),
-    FanoutSite("q96_fuzzy_editdist", Seq("s"),
+    FanoutSite("q96_fuzzy_editdist", Seq("hs"),
       "length-bucket + shingle blocked edit distance: per-(lang," +
         " length-bucket, shingle) candidate cells are df-capped; the" +
         " bounded levenshtein(…, 20) verify runs per candidate only."),
@@ -181,7 +217,7 @@ object JoinFanoutBounds {
       "perceptual-hash band buckets: per-(band, bits) cells bounded by" +
         " the band-bucket population; bit_count Hamming verify per" +
         " candidate pair."),
-    FanoutSite("q319_minhash_recall", Seq("s"),
+    FanoutSite("q319_minhash_recall", Seq("hs"),
       "recall-audit ground truth: PREFIX-screened candidates (the q232" +
         " lemma — rarest n div 2 + 1 shingles per doc in global-df" +
         " order, exact for J ≥ 0.5) with the 1/8 salted-hash sample" +
@@ -280,10 +316,9 @@ object JoinFanoutBounds {
         " grouped upstream) attached to the readout — the optimizer" +
         " cannot see the arm cardinality but the grouping key is the" +
         " 2-value assignment hash."),
-    FanoutSite("q264_skew_profiler", Seq(),
-      "value-domain grid crosses (the q135 discipline): distinct-mass" +
-        " grids per keyspace joined against per-keyspace totals — grid" +
-        " cells, never raw keys; the keyspace tag constant-folds away."),
+    // (q264_skew_profiler's grid-cross declaration retired in r14: the
+    // totals now derive from the materialized count-value domain, so no
+    // hazard join remains in its plan.)
     FanoutSite("q296_cuped", Seq(),
       "pre/post period user-frame merge: both sides are per-user" +
         " aggregates (≤ 1 row per user per period), merged on a COALESCE" +

@@ -133,6 +133,15 @@ object WindowBounds {
         " raw fills keyed by month would be fact-sized and must not" +
         " reuse this row",
       Seq("q246", "q247")),
+    BoundedKey("ks",
+      "keyspace-LITERAL grain (q264's skew profiler): `ks` is a string" +
+        " literal naming one of the three profiled keyspaces, and the" +
+        " windowed frame is the materialized count-VALUE domain — ≤" +
+        " |distinct per-key mass values| rows per keyspace (the q135" +
+        " value-domain discipline), never the raw keys themselves" +
+        " (r14: the domain table is materialized, so the rollup that" +
+        " bounds it sits behind a FileScan and is declared here)",
+      Seq("q264_skew_profiler")),
     BoundedKey("p_brand",
       "catalog DIMENSION grain: parts per brand — dimension-table" +
         " cardinality, not fact cardinality; q193's percent_rank needs" +
